@@ -1,0 +1,131 @@
+"""In-memory catalog (≙ reference MetaDB,
+``/root/reference/src/metadb/oph_metadb_interface.h:54-100``).
+
+The reference keeps a rwlock-protected linked list of databases each holding a
+hash table of fragment records (device, persistence flag, size).  Here the
+driver-side catalog is a plain dict of database → fragment entries wrapping
+cached DataFrames; Spark's own catalog handles nothing we need beyond temp
+views, and driver-side catalog mutation is single-threaded so no locks are
+required (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_DB = "default"
+
+
+class CatalogError(KeyError):
+    pass
+
+
+@dataclass
+class FragmentEntry:
+    name: str
+    db: str
+    df: DataFrame
+    temp: bool = False
+    cached: bool = False
+    device: str = "MEMORY"
+    _size: int | None = None
+
+    def size_bytes(self) -> int:
+        """Deterministic size accounting (≙ reference frag size tracking,
+        oph_io_server_query_blocks.c:2918-3009): 8 bytes per id + 8 per
+        element, computed from data not JVM internals so oracles can agree."""
+        if self._size is None:
+            from pyspark.sql import functions as F
+
+            schema = dict(self.df.dtypes)
+            acc = None
+            for name, t in schema.items():
+                if t.startswith("array"):
+                    c = F.coalesce(F.size(F.col(name)), F.lit(0)) * 8
+                elif t == "string":
+                    c = F.coalesce(F.length(F.col(name)), F.lit(0))
+                else:
+                    c = F.lit(8)
+                acc = c if acc is None else acc + c
+            row = self.df.agg(F.coalesce(F.sum(acc), F.lit(0)).alias("s")).collect()[0]
+            self._size = int(row["s"])
+        return self._size
+
+
+@dataclass
+class Catalog:
+    spark: SparkSession
+    dbs: dict[str, dict[str, FragmentEntry]] = field(default_factory=lambda: {DEFAULT_DB: {}})
+    current_db: str = DEFAULT_DB
+
+    # -- databases ----------------------------------------------------------
+
+    def create_database(self, name: str) -> None:
+        name = name.lower()
+        if name in self.dbs:
+            raise CatalogError(f"database {name!r} already exists")
+        self.dbs[name] = {}
+
+    def drop_database(self, name: str) -> None:
+        name = name.lower()
+        if name not in self.dbs:
+            raise CatalogError(f"database {name!r} does not exist")
+        if self.dbs[name]:
+            raise CatalogError(f"database {name!r} is not empty")
+        del self.dbs[name]
+        if self.current_db == name:
+            self.current_db = DEFAULT_DB
+
+    def use(self, name: str) -> None:
+        if name.lower() not in self.dbs:
+            raise CatalogError(f"database {name!r} does not exist")
+        self.current_db = name.lower()
+
+    # -- fragments ----------------------------------------------------------
+
+    def _split(self, name: str) -> tuple[str, str]:
+        name = name.strip().lower()
+        if "." in name:
+            db, _, frag = name.partition(".")
+            return db, frag
+        return self.current_db, name
+
+    def put(self, name: str, df: DataFrame, temp: bool = False, cache: bool = True,
+            overwrite: bool = False) -> FragmentEntry:
+        db, frag = self._split(name)
+        if db not in self.dbs:
+            raise CatalogError(f"database {db!r} does not exist")
+        if frag in self.dbs[db] and not overwrite:
+            raise CatalogError(f"fragment {db}.{frag} already exists")
+        if cache:
+            df = df.cache()
+        entry = FragmentEntry(name=frag, db=db, df=df, temp=temp, cached=cache)
+        self.dbs[db][frag] = entry
+        return entry
+
+    def get(self, name: str) -> FragmentEntry:
+        db, frag = self._split(name)
+        if db not in self.dbs or frag not in self.dbs[db]:
+            raise CatalogError(f"fragment {name!r} not found")
+        return self.dbs[db][frag]
+
+    def df(self, name: str) -> DataFrame:
+        return self.get(name).df
+
+    def drop(self, name: str) -> None:
+        db, frag = self._split(name)
+        if db not in self.dbs or frag not in self.dbs[db]:
+            raise CatalogError(f"fragment {name!r} not found")
+        entry = self.dbs[db].pop(frag)
+        if entry.cached:
+            entry.df.unpersist()
+
+    def exists(self, name: str) -> bool:
+        db, frag = self._split(name)
+        return db in self.dbs and frag in self.dbs[db]
+
+    def list_fragments(self, db: str | None = None) -> list[str]:
+        db = (db or self.current_db).lower()
+        return sorted(self.dbs.get(db, {}))

@@ -1,0 +1,245 @@
+"""Top-level statement dispatcher (≙ ``oph_io_server_dispatcher``,
+``/root/reference/src/server/oph_io_server_query.c:37-536``).
+
+``IOServer.execute(query_string)`` parses the ``key=value;`` dialect and
+routes to the operator implementations: select, create_frag_select,
+create_frag, insert, multi_insert, random_import, drop_frag,
+create_database, drop_database, and the stored procedures
+(oph_subset / oph_export / oph_size,
+``oph_io_server_query_procedures.c:37-488``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from ophidia_io_server_spark.catalog import Catalog
+from ophidia_io_server_spark.dialect.parser import parse_query
+from ophidia_io_server_spark.operators.select import (
+    ID_COL,
+    QueryExecError,
+    execute_select,
+)
+from ophidia_io_server_spark.sources.random_import import random_fragment
+
+FRAG_SCHEMA = StructType(
+    [StructField(ID_COL, LongType(), False), StructField("measure", ArrayType(DoubleType()), True)]
+)
+
+
+@dataclass
+class _InsertBuffer:
+    """Multi-run insert accumulation (reference oph_io_server_query.c:190-231):
+    rows pile up across protocol runs and the fragment is stored at the final
+    run.  The streaming path (streaming/ingest.py) is the scale variant."""
+
+    frag: str
+    rows: list = field(default_factory=list)
+
+
+@dataclass
+class IOServer:
+    spark: SparkSession
+    catalog: Catalog = None  # type: ignore[assignment]
+    validate_dense: bool = False
+
+    def __post_init__(self):
+        if self.catalog is None:
+            self.catalog = Catalog(self.spark)
+        self._insert_buffers: dict[str, _InsertBuffer] = {}
+
+    # ------------------------------------------------------------------
+
+    def execute(self, query: str, params: dict | None = None) -> DataFrame | None:
+        """Run one dialect statement; returns a DataFrame for statements that
+        produce a result set (select / procedures), else None."""
+        q = parse_query(query)
+        op = q["operation"]
+        handler = getattr(self, f"_op_{op}", None)
+        if handler is None:
+            raise QueryExecError(f"unknown operation {op!r}")
+        return handler(q, params or {})
+
+    # -- queries --------------------------------------------------------
+
+    def _op_select(self, q, params) -> DataFrame:
+        return execute_select(self.catalog, q, params, validate_dense=self.validate_dense)
+
+    def _op_create_frag_select(self, q, params) -> None:
+        frag_name = self._frag_name(q)
+        fields = q.get("field") or []
+        if len(fields) != 2:
+            # reference: "Only tables with 2 columns can be created"
+            # (oph_io_server_query_manager.h:80, engine.c:110-118)
+            raise QueryExecError("create_frag_select requires exactly 2 output columns")
+        df = execute_select(self.catalog, q, params, validate_dense=self.validate_dense)
+        seq = q.get("sequential_id")
+        if seq is not None:
+            df = sequential_ids(df, int(seq))
+        self.catalog.put(frag_name, df, temp=False, cache=True)
+        return None
+
+    # -- DDL ------------------------------------------------------------
+
+    def _frag_name(self, q) -> str:
+        name = q.get("frag_name")
+        if not name:
+            raise QueryExecError("missing frag_name")
+        return name if isinstance(name, str) else name[0]
+
+    def _op_create_frag(self, q, params) -> None:
+        frag_name = self._frag_name(q)
+        if self.catalog.exists(frag_name):
+            raise QueryExecError(f"fragment {frag_name!r} exists")
+        empty = self.spark.createDataFrame([], FRAG_SCHEMA)
+        self.catalog.put(frag_name, empty, cache=False)
+        self._insert_buffers[frag_name] = _InsertBuffer(frag=frag_name)
+        return None
+
+    def _op_drop_frag(self, q, params) -> None:
+        self.catalog.drop(self._frag_name(q))
+        return None
+
+    def _op_create_database(self, q, params) -> None:
+        self.catalog.create_database(q.get("db_name", q.get("frag_name", "")))
+        return None
+
+    def _op_drop_database(self, q, params) -> None:
+        self.catalog.drop_database(q.get("db_name", q.get("frag_name", "")))
+        return None
+
+    # -- inserts --------------------------------------------------------
+
+    def _buffer_for(self, frag_name: str) -> _InsertBuffer:
+        if frag_name not in self._insert_buffers:
+            self._insert_buffers[frag_name] = _InsertBuffer(frag=frag_name)
+        return self._insert_buffers[frag_name]
+
+    def _store_buffer(self, frag_name: str) -> None:
+        buf = self._insert_buffers.pop(frag_name, None)
+        if buf is None:
+            return
+        df = self.spark.createDataFrame(
+            [Row(id_dim=int(r[0]), measure=[float(v) for v in r[1]]) for r in buf.rows],
+            FRAG_SCHEMA,
+        )
+        self.catalog.put(frag_name, df, cache=True, overwrite=True)
+
+    def _op_insert(self, q, params) -> None:
+        """insert: one row per statement; tot_run/curr_run control batching."""
+        frag_name = self._frag_name(q)
+        buf = self._buffer_for(frag_name)
+        buf.rows.append(self._row_from_query(q, params))
+        tot = int(q.get("tot_run", 1))
+        cur = int(q.get("curr_run", tot))
+        if cur >= tot:
+            self._store_buffer(frag_name)
+        return None
+
+    def _op_multi_insert(self, q, params) -> None:
+        frag_name = self._frag_name(q)
+        buf = self._buffer_for(frag_name)
+        buf.rows.extend(self._rows_from_multi(q, params))
+        tot = int(q.get("tot_run", 1))
+        cur = int(q.get("curr_run", tot))
+        final = str(q.get("final_statement", "yes" if cur >= tot else "no")).lower() == "yes"
+        if final:
+            self._store_buffer(frag_name)
+        return None
+
+    @staticmethod
+    def _parse_value_tuple(vals: str, params: dict) -> tuple:
+        parts = [p.strip() for p in vals.split(",", 1)]
+        idv = parts[0]
+        mv = parts[1] if len(parts) > 1 else "?"
+        id_val = params[int(idv[1:])] if idv.startswith("?") else int(idv)
+        m_val = params[int(mv[1:])] if mv.startswith("?") else [float(x) for x in mv.strip("[]").split()]
+        return (id_val, m_val)
+
+    def _row_from_query(self, q, params) -> tuple:
+        vals = q.get("value")
+        if not vals:
+            raise QueryExecError("insert: missing value clause")
+        return self._parse_value_tuple(vals, params)
+
+    def _rows_from_multi(self, q, params) -> list[tuple]:
+        vals = q.get("value")
+        if not vals:
+            raise QueryExecError("multi_insert: missing value clause")
+        return [self._parse_value_tuple(v.strip().strip("()"), params)
+                for v in vals.split("),(")]
+
+    # -- sources --------------------------------------------------------
+
+    def _op_random_import(self, q, params) -> None:
+        frag_name = self._frag_name(q)
+        nrows = int(q.get("nrows", 100))
+        array_len = int(q.get("array_len", q.get("array_length", 10)))
+        algorithm = q.get("algorithm", "default")
+        seed = int(q.get("seed", 42))
+        df = random_fragment(self.spark, nrows, array_len, algorithm=algorithm, seed=seed)
+        self.catalog.put(frag_name, df, cache=True)
+        return None
+
+    # -- stored procedures ---------------------------------------------
+
+    def _op_function(self, q, params) -> DataFrame | None:
+        fname = (q.get("function") or "").lower()
+        args = q.get("arg") or []
+        if isinstance(args, str):
+            args = [args]
+        args = [a.strip().strip("'") for a in args]
+        if fname == "oph_subset":
+            return self._proc_subset(args, params)
+        if fname == "oph_export":
+            return self.catalog.df(args[0]).orderBy(F.col(ID_COL).asc())
+        if fname == "oph_size":
+            entry = self.catalog.get(args[0])
+            return self.spark.createDataFrame(
+                [Row(frag=entry.name, size_bytes=entry.size_bytes())]
+            )
+        raise QueryExecError(f"unknown procedure {fname!r}")
+
+    def _proc_subset(self, args, params) -> None:
+        """oph_subset(in_frag, id_start, measure_expr, out_frag[, where]) —
+        reference rewrites into create_frag_select with sequential_id
+        (oph_io_server_query_procedures.c:188-196)."""
+        if len(args) < 4:
+            raise QueryExecError("oph_subset needs (in_frag, id_start, expr, out_frag[, where])")
+        in_frag, id_start, expr, out_frag = args[0], int(args[1]), args[2], args[3]
+        where = args[4] if len(args) > 4 else None
+        sub = {
+            "operation": "create_frag_select",
+            "frag_name": out_frag,
+            "from": [in_frag],
+            "field": [ID_COL, expr],
+            "select_alias": [ID_COL, "measure"],
+            "sequential_id": str(id_start),
+        }
+        if where:
+            sub["where"] = where
+        return self._op_create_frag_select(sub, params)
+
+
+def sequential_ids(df: DataFrame, id_start: int) -> DataFrame:
+    """Renumber id_dim sequentially from id_start in id order (reference
+    sequential_id mechanics, blocks.c:2173-2186,2459-2477).
+
+    Scale note: zipWithIndex-style global numbering; implemented with a
+    window over id_dim.  Outputs of oph_subset are filtered fragments —
+    typically far smaller than the input cube — so the single-direction
+    shuffle is acceptable; a rangeId+offset two-pass variant is the upgrade
+    path for huge outputs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(ID_COL).asc())
+    other = [c for c in df.columns if c != ID_COL]
+    return df.select(
+        (F.row_number().over(w) + (id_start - 1)).cast("long").alias(ID_COL),
+        *other,
+    )

@@ -1,0 +1,218 @@
+"""SELECT pipeline: FROM (aligned join) → WHERE → LIMIT window → GROUP BY →
+projection (scalar + aggregate primitives) → ORDER.
+
+Faithful to the reference's clause semantics (SURVEY.md §2.1-§2.6, dispatch
+``/root/reference/src/server/oph_io_server_query.c:107-134``, engine
+``oph_io_server_query_engine.c:258-385``), expressed as one declarative
+DataFrame composition so Catalyst applies pushdown/pruning/codegen.
+
+Reference quirks preserved intentionally:
+- LIMIT applies to the *filtered input* before grouping/projection
+  (engine.c:311-320), not to the final result;
+- ORDER BY is applied after projection, single numeric column, ASC only
+  (blocks.c:747-817; non-ASC ignored with a warning upstream);
+- with GROUP BY, non-aggregate projected expressions take the first row of
+  each group (blocks.c:2438-2458);
+- multi-table FROM is the aligned equi-join on id_dim and WHERE is mandatory
+  (blocks.c:845-910, 2093-2108).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.catalog import Catalog
+from ophidia_io_server_spark.dialect.expression import (
+    EV,
+    ExprContext,
+    ExprError,
+    compile_expression,
+    expression_uses_aggregate,
+)
+from ophidia_io_server_spark.dialect.parser import QueryParseError, parse_limit
+
+ID_COL = "id_dim"
+
+
+class QueryExecError(ValueError):
+    pass
+
+
+def _as_list(v) -> list[str]:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+@dataclass
+class SelectClauses:
+    frm: list[str]
+    aliases: list[str]
+    fields: list[str]
+    field_aliases: list[str]
+    where: str | None
+    group: str | None
+    order: str | None
+    limit: tuple[int, int] | None  # (offset, n)
+
+    @classmethod
+    def from_query(cls, q: dict) -> "SelectClauses":
+        frm = _as_list(q.get("from"))
+        if not frm:
+            raise QueryExecError("select: missing 'from'")
+        aliases = _as_list(q.get("from_alias"))
+        fields = _as_list(q.get("field"))
+        if not fields:
+            raise QueryExecError("select: missing 'field'")
+        fa = _as_list(q.get("select_alias"))
+        limit = parse_limit(q["limit"]) if q.get("limit") else None
+        return cls(
+            frm=frm,
+            aliases=aliases,
+            fields=fields,
+            field_aliases=fa,
+            where=q.get("where"),
+            group=q.get("group"),
+            order=q.get("order"),
+            limit=limit,
+        )
+
+
+_SANITIZE_RE = re.compile(r"[^A-Za-z0-9_]+")
+
+
+def default_alias(src: str, i: int) -> str:
+    s = _SANITIZE_RE.sub("_", src.strip()).strip("_").lower()
+    return s[:40] if s else f"col{i + 1}"
+
+
+def build_from(catalog: Catalog, clauses: SelectClauses, validate_dense: bool = False
+               ) -> tuple[DataFrame, bool]:
+    """Resolve FROM entries; multi-table = inner equi-join on id_dim.
+
+    Scale: the join key is a dense long, so with cubes range-partitioned by
+    id_dim Catalyst plans a co-partitioned sort-merge join; small fragments
+    broadcast automatically under the configured threshold.
+    Returns (df, is_multi).
+    """
+    dfs: list[DataFrame] = []
+    for i, name in enumerate(clauses.frm):
+        entry = catalog.get(name)
+        alias = clauses.aliases[i] if i < len(clauses.aliases) else name.split(".")[-1]
+        dfs.append(entry.df.alias(alias))
+    if len(dfs) == 1:
+        return dfs[0], False
+    for name, df in zip(clauses.frm, dfs):
+        if ID_COL not in df.columns:
+            raise QueryExecError(f"multi-table FROM requires {ID_COL} in {name!r} "
+                                 f"(reference blocks.c:931-946)")
+    if validate_dense:
+        for name, df in zip(clauses.frm, dfs):
+            assert_dense_ids(df, name)
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.join(df, on=ID_COL, how="inner")
+    return out, True
+
+
+def assert_dense_ids(df: DataFrame, name: str) -> None:
+    """Reference asserts sorted/unique/step-1 ids for multi-table queries
+    (blocks.c:859-876).  Implemented as an O(1)-result aggregate: ids are
+    dense iff count == max-min+1 and distinct == count."""
+    row = df.agg(
+        F.count(ID_COL).alias("c"),
+        F.countDistinct(ID_COL).alias("d"),
+        F.min(ID_COL).alias("lo"),
+        F.max(ID_COL).alias("hi"),
+    ).collect()[0]
+    if row["c"] == 0:
+        return
+    if row["c"] != row["d"] or row["hi"] - row["lo"] + 1 != row["c"]:
+        raise QueryExecError(f"fragment {name!r}: id_dim not dense/unique")
+
+
+def apply_limit_window(df: DataFrame, limit: tuple[int, int]) -> DataFrame:
+    """Reference LIMIT: rows [offset, offset+n) of the filtered input in id
+    order, *before* grouping/projection (engine.c:311-320).
+
+    Implemented as orderBy(id).limit(offset+n) — a distributed TakeOrdered —
+    then an offset drop via row_number over the (already ≤ offset+n row)
+    result, so no global shuffle of the full input ever happens.
+    """
+    offset, n = limit
+    if n == 0:
+        return df.limit(0)
+    if ID_COL not in df.columns:
+        return df.offset(offset).limit(n) if offset else df.limit(n)
+    top = df.orderBy(F.col(ID_COL).asc()).limit(offset + n)
+    if offset:
+        top = top.orderBy(F.col(ID_COL).asc()).offset(offset)
+    return top
+
+
+def make_resolver(df: DataFrame):
+    def resolver(name: str) -> Column:
+        return df[name] if "." not in name else F.col(name)
+
+    return resolver
+
+
+def execute_select(catalog: Catalog, q: dict, params: dict | None = None,
+                   validate_dense: bool = False) -> DataFrame:
+    clauses = SelectClauses.from_query(q)
+    df, multi = build_from(catalog, clauses, validate_dense=validate_dense)
+    ctx = ExprContext(resolver=make_resolver(df), params=params or {}, id_col=ID_COL)
+
+    if multi and not clauses.where:
+        raise QueryExecError("WHERE is mandatory for multi-table queries "
+                             "(reference oph_io_server_query_manager.h:93)")
+    if clauses.where:
+        df = df.filter(compile_expression(clauses.where, ctx).truthy())
+        ctx = ExprContext(resolver=make_resolver(df), params=params or {}, id_col=ID_COL)
+
+    if clauses.limit:
+        df = apply_limit_window(df, clauses.limit)
+        ctx = ExprContext(resolver=make_resolver(df), params=params or {}, id_col=ID_COL)
+
+    aliases = [
+        clauses.field_aliases[i] if i < len(clauses.field_aliases) and clauses.field_aliases[i]
+        else default_alias(src, i)
+        for i, src in enumerate(clauses.fields)
+    ]
+
+    has_agg = any(expression_uses_aggregate(s) for s in clauses.fields)
+
+    def project_col(src: str, agg_context: bool) -> Column:
+        ev = compile_expression(src, ctx)
+        col = ev.numeric() if ev.boolean else ev.col
+        if agg_context and not expression_uses_aggregate(src):
+            col = F.first(col)
+        return col
+
+    if clauses.group:
+        key = compile_expression(clauses.group, ctx)
+        kc = key.numeric() if key.boolean else key.col
+        gdf = df.groupBy(kc.alias("__group_key"))
+        aggs = [project_col(s, True).alias(a) for s, a in zip(clauses.fields, aliases)]
+        out = gdf.agg(*aggs).select(*aliases)
+    elif has_agg:
+        aggs = [project_col(s, True).alias(a) for s, a in zip(clauses.fields, aliases)]
+        out = df.agg(*aggs)
+    else:
+        out = df.select(*[
+            project_col(s, False).alias(a) for s, a in zip(clauses.fields, aliases)
+        ])
+
+    if clauses.order:
+        order_col = clauses.order.strip()
+        if order_col not in out.columns:
+            # reference orders by one projected column name; tolerate expressions
+            order_col = default_alias(order_col, 0)
+        if order_col not in out.columns:
+            raise QueryExecError(f"order column {clauses.order!r} not in projection")
+        out = out.orderBy(F.col(order_col).asc())
+    return out

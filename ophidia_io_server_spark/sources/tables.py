@@ -1,0 +1,57 @@
+"""Loaders for the driver's TPC-H-ish parquet tables and Ophidia-shaped
+fragment builders derived from them (TESTDATA.md).
+
+``lineitem_fragment`` turns the relational lineitem table into the reference's
+``(id_dim, measure ARRAY<double>)`` shape deterministically: one row per
+orderkey, measure = that order's values ordered by line number.  The same
+construction is expressed in ANSI SQL by ``fragment_cte`` so DuckDB oracles
+operate on the identical fragment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read via nanosAsLong → convert to timestamp (µs)
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def lineitem_fragment(spark: SparkSession, sf_dir: str, value_col: str = "l_quantity") -> DataFrame:
+    """(id_dim=l_orderkey, measure=[value_col ordered by l_linenumber]).
+
+    One shuffle (the groupBy), map-side combined by Catalyst; at 100 TB the
+    orderkey grouping is the natural partitioning of lineitem so AQE coalesces
+    to balanced partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("l_linenumber").alias("ln"), F.col(value_col).alias("v")))
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.transform(pairs, lambda s: s["v"]).alias("measure"))
+        .select(F.col("l_orderkey").cast("long").alias("id_dim"), "measure")
+    )
+
+
+def fragment_cte(value_col: str = "l_quantity") -> str:
+    """DuckDB CTE body equivalent to ``lineitem_fragment``."""
+    # tie-break by value: the driver data has duplicate (orderkey, linenumber)
+    # pairs and DuckDB's list(ORDER BY) is unstable on ties, while Spark's
+    # array_sort(struct(ln, v)) orders (ln, v) — make both deterministic.
+    return (
+        f"SELECT l_orderkey AS id_dim, "
+        f"list({value_col} ORDER BY l_linenumber, {value_col}) AS measure "
+        f"FROM lineitem GROUP BY l_orderkey"
+    )

@@ -1,0 +1,525 @@
+"""Declared workload: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) an
+equivalent DuckDB oracle query.  This is the SURVEY.md §2 coverage surface the
+driver's correctness gate checks (``__spark_entry__.py`` re-exports it).
+
+Oracle-match discipline:
+- every computed column is aliased identically in Spark and SQL;
+- element-wise array math is bitwise exact (same fold order both engines);
+- cross-row double aggregations are either over integral-valued doubles
+  (l_quantity) — exact in any order — or rounded to a tolerance-safe number
+  of decimals in BOTH engines;
+- sizes/counts are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.catalog import Catalog
+from ophidia_io_server_spark.operators.engine import IOServer
+from ophidia_io_server_spark.sources.random_import import (
+    random_fragment,
+    random_fragment_oracle_sql,
+)
+from ophidia_io_server_spark.sources.tables import fragment_cte, lineitem_fragment, load_table
+
+
+@dataclass
+class Workload:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+WORKLOADS: dict[str, Workload] = {}
+
+
+def workload(name: str, oracle: str | None = None):
+    def deco(fn):
+        WORKLOADS[name] = Workload(name=name, fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def _server(spark: SparkSession, sf_dir: str, frags: dict[str, str] | None = None) -> IOServer:
+    """IOServer with lineitem-derived fragments registered (uncached: each
+    workload run is one-shot; caching is exercised separately)."""
+    srv = IOServer(spark)
+    for name, value_col in (frags or {"frag_qty": "l_quantity"}).items():
+        srv.catalog.put(name, lineitem_fragment(spark, sf_dir, value_col), cache=False)
+    return srv
+
+
+_FRAG_QTY_CTE = f"WITH frag_qty AS ({fragment_cte('l_quantity')})"
+_FRAG_BOTH_CTE = (
+    f"WITH frag_qty AS ({fragment_cte('l_quantity')}), "
+    f"frag_price AS ({fragment_cte('l_extendedprice')})"
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 select + §2.3 predicates/id-builtins + §2.9 reductions
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "select_reduce",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           list_aggregate(measure, 'sum') AS sum_m,
+           CAST(len(measure) AS BIGINT) AS n_m
+    FROM (
+        SELECT * FROM frag_qty
+        WHERE ((id_dim - 1) % 2 = 0) AND id_dim >= 1 AND id_dim <= 4000
+        ORDER BY id_dim LIMIT 50 OFFSET 10
+    )
+    ORDER BY id_dim
+    """,
+)
+def select_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship dialect query: WHERE id-subset built-in, array reduction,
+    inverted LIMIT window, ORDER (SURVEY §7.1)."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_reduce(measure,'sum')|oph_size_array(measure);"
+        "select_alias=id_dim|sum_m|n_m;"
+        "where=oph_is_in_subset(id_dim,1,2,4000);"
+        "order=id_dim;limit=10|50"
+    )
+
+
+@workload(
+    "sum_scalar",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim, list_transform(measure, x -> x + 2.5) AS m
+    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
+    """,
+)
+def sum_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;field=id_dim|oph_sum_scalar(measure,2.5);"
+        "select_alias=id_dim|m;where=id_dim<=500;order=id_dim"
+    )
+
+
+@workload(
+    "predicate",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           list_transform(measure, x -> CASE WHEN x - 30 > 0 THEN x ELSE 0.0 END) AS m
+    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
+    """,
+)
+def predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_predicate(measure,'x-30','>0','x','0');"
+        "select_alias=id_dim|m;where=id_dim<=500;order=id_dim"
+    )
+
+
+@workload(
+    "subarray_ops",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           list_slice(measure, 1, 2) AS first2,
+           list_reverse(measure) AS rev,
+           list_filter(measure, x -> x > 25) AS big,
+           list_transform(
+             list_filter(range(1, len(measure) + 1), i -> (i - 1) % 2 = 0),
+             i -> measure[CAST(i AS BIGINT)]
+           ) AS strided
+    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
+    """,
+)
+def subarray_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_get_subarray(measure,1,2)|oph_reverse(measure)"
+        "|oph_filter(measure,'x>25')|oph_get_subarray2(measure,'1:2:end');"
+        "select_alias=id_dim|first2|rev|big|strided;"
+        "where=id_dim<=500;order=id_dim"
+    )
+
+
+@workload(
+    "reduce_blocks",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           list_transform(
+             range(0, CAST(ceil(len(measure) / 2.0) AS BIGINT)),
+             i -> list_aggregate(list_slice(measure, i * 2 + 1, i * 2 + 2), 'sum')
+           ) AS blocks,
+           list_aggregate(measure, 'max') AS mx,
+           list_aggregate(measure, 'min') AS mn
+    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
+    """,
+)
+def reduce_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_reduce2(measure,'sum',2)|oph_reduce(measure,'max')"
+        "|oph_reduce(measure,'min');"
+        "select_alias=id_dim|blocks|mx|mn;where=id_dim<=500;order=id_dim"
+    )
+
+
+@workload(
+    "moving_avg",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           list_transform(
+             range(1, len(measure) + 1),
+             i -> CASE WHEN i = 1 THEN measure[1]
+                       ELSE (measure[CAST(i - 1 AS BIGINT)] + measure[CAST(i AS BIGINT)]) / 2.0 END
+           ) AS mavg,
+           list_transform(
+             range(1, len(measure) + 1),
+             i -> CASE WHEN i = 1 THEN measure[1]
+                       ELSE measure[CAST(i AS BIGINT)] - measure[CAST(i - 1 AS BIGINT)] END
+           ) AS deacc
+    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
+    """,
+)
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_moving_avg(measure,2)|oph_deaccumulate(measure);"
+        "select_alias=id_dim|mavg|deacc;where=id_dim<=500;order=id_dim"
+    )
+
+
+@workload(
+    "accumulate",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           list_transform(
+             range(1, len(measure) + 1),
+             i -> list_aggregate(list_slice(measure, 1, CAST(i AS BIGINT)), 'sum')
+           ) AS acc
+    FROM frag_qty WHERE id_dim <= 300 ORDER BY id_dim
+    """,
+)
+def accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;field=id_dim|oph_accumulate(measure);"
+        "select_alias=id_dim|acc;where=id_dim<=300;order=id_dim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 join + §2.5 aggregates
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "join_mul_array",
+    oracle=f"""
+    {_FRAG_BOTH_CTE}
+    SELECT a.id_dim AS id_dim,
+           list_transform(
+             range(1, len(a.measure) + 1),
+             i -> a.measure[CAST(i AS BIGINT)] * b.measure[CAST(i AS BIGINT)]
+           ) AS prod
+    FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
+    WHERE a.id_dim <= 500
+    ORDER BY id_dim
+    """,
+)
+def join_mul_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned multi-fragment join on id_dim (the reference's only join,
+    blocks.c:845-910) with an element-wise product across fragments."""
+    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
+    return srv.execute(
+        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
+        "field=id_dim|oph_mul_array(a.measure,b.measure);"
+        "select_alias=id_dim|prod;where=id_dim<=500;order=id_dim"
+    )
+
+
+@workload(
+    "group_aggregates",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT 1 + CAST(TRUNC((id_dim - 1.0) / 100) AS BIGINT) AS grp,
+           list_aggregate(flatten(list(list_slice(measure, 1, 1) ORDER BY id_dim)), 'max') AS mx,
+           list_aggregate(flatten(list(list_slice(measure, 1, 1) ORDER BY id_dim)), 'sum') AS sm,
+           flatten(list(list_slice(measure, 1, 3) ORDER BY id_dim)) AS rolled
+    FROM frag_qty
+    WHERE id_dim <= 1000
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY an id-derived key; element-wise cross-row aggregate (max/sum
+    over each group's first element) + roll_up concatenation ordered by id.
+
+    The Spark aggregate folds arrays of length 1, so 'mx'/'sm' equal the
+    scalar max/sum of first elements — expressed in SQL over the flattened
+    group list (l_quantity is integral ⇒ sum is order-exact)."""
+    srv = _server(spark, sf_dir)
+    df = srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=oph_id(id_dim,100)"
+        "|oph_reduce(oph_aggregate_operator(oph_get_subarray(measure,1,1),'oph_max'),'max')"
+        "|oph_reduce(oph_aggregate_operator(oph_get_subarray(measure,1,1),'oph_sum'),'sum')"
+        "|oph_roll_up(oph_get_subarray(measure,1,3));"
+        "select_alias=grp|mx|sm|rolled;"
+        "where=id_dim<=1000;group=oph_id(id_dim,100);order=grp"
+    )
+    return df
+
+
+@workload(
+    "global_aggregate",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(list_aggregate(measure, 'sum')), 4) AS total,
+           ROUND(MAX(list_aggregate(measure, 'max')), 4) AS biggest
+    FROM frag_qty
+    """,
+)
+def global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table aggregate (reference: no GROUP BY ⇒ table is one group,
+    blocks.c:2583-2662).  Uses DataFrame agg directly (the dialect's
+    aggregate primitives are array-valued; the relational rollup is the
+    Spark-native superset)."""
+    frag = lineitem_fragment(spark, sf_dir)
+    from ophidia_io_server_spark.functions.reduce import reduce_array
+
+    return frag.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum(reduce_array(F.col("measure"), "sum")), 4).alias("total"),
+        F.round(F.max(reduce_array(F.col("measure"), "max")), 4).alias("biggest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 sources / §2.7 procedures
+# ---------------------------------------------------------------------------
+
+
+@workload("random_import_temps", oracle=random_fragment_oracle_sql(1000, 12, "temperatures"))
+def random_import_temps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random_import source, 'temperatures' algorithm — LCG Column math is
+    reproduced exactly by the SQL oracle (sources/random_import.py)."""
+    srv = IOServer(spark)
+    srv.execute(
+        "operation=random_import;frag_name=rnd;nrows=1000;array_len=12;algorithm=temperatures"
+    )
+    return srv.execute("operation=select;from=rnd;field=id_dim|measure;"
+                       "select_alias=id_dim|measure;order=id_dim")
+
+
+@workload(
+    "subset_procedure",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT CAST(row_number() OVER (ORDER BY id_dim) + 99 AS BIGINT) AS id_dim,
+           list_transform(measure, x -> x * 2.0) AS measure
+    FROM frag_qty
+    WHERE ((id_dim - 1) % 3 = 0) AND id_dim >= 1 AND id_dim <= 2000
+    ORDER BY id_dim
+    """,
+)
+def subset_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_subset stored procedure: WHERE + expression + sequential id
+    renumbering from id_start=100 (procedures.c:188-196)."""
+    srv = _server(spark, sf_dir)
+    srv.execute(
+        "operation=function;function=oph_subset;"
+        "arg='frag_qty'|'100'|'oph_mul_scalar(measure,2.0)'|'frag_out'"
+        "|'oph_is_in_subset(id_dim,1,3,2000)'"
+    )
+    return srv.execute("operation=function;function=oph_export;arg='frag_out'")
+
+
+@workload(
+    "size_procedure",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT 'frag_qty' AS frag,
+           CAST(SUM(8 + 8 * len(measure)) AS BIGINT) AS size_bytes
+    FROM frag_qty
+    """,
+)
+def size_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute("operation=function;function=oph_size;arg='frag_qty'")
+
+
+@workload(
+    "insert_multi",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, [1.0, 2.0, 3.0]),
+      (2, [4.0, 5.0, 6.0]),
+      (3, [7.0, 8.0, 9.0]),
+      (4, [10.0, 11.0, 12.0])
+    ) AS t(id_dim, measure)
+    ORDER BY id_dim
+    """,
+)
+def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_frag + insert + multi_insert DDL/DML path with ?N binds
+    (reference oph_io_server_query.c:135-339)."""
+    srv = IOServer(spark)
+    srv.execute("operation=create_frag;frag_name=ins")
+    srv.execute("operation=insert;frag_name=ins;value=?,?;tot_run=2;curr_run=1",
+                params={1: 1, 2: [1.0, 2.0, 3.0]})
+    srv.execute("operation=insert;frag_name=ins;value=?,?;tot_run=2;curr_run=2",
+                params={1: 2, 2: [4.0, 5.0, 6.0]})
+    buf_rows = srv.catalog.df("ins")
+    srv.execute("operation=drop_frag;frag_name=ins")
+    srv.execute("operation=create_frag;frag_name=ins2")
+    srv.execute("operation=multi_insert;frag_name=ins2;value=(?,?),(?,?);final_statement=yes",
+                params={1: 3, 2: [7.0, 8.0, 9.0], 3: 4, 4: [10.0, 11.0, 12.0]})
+    return buf_rows.unionAll(srv.catalog.df("ins2")).orderBy("id_dim")
+
+
+# ---------------------------------------------------------------------------
+# Relational superset: TPC-H-style queries over the star schema
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@workload(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@workload(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: dims are broadcast (small), the orders-lineitem
+    join shuffles on the key Catalyst picks; AQE handles skew."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        F.broadcast(c)
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+@workload(
+    "events_hourly_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type
+    """,
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the streaming tumbling-window aggregation
+    (streaming/ingest.py runs the same plan under readStream+watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return select_reduce(spark, sf_dir)
