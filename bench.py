@@ -1,0 +1,76 @@
+"""Benchmark runner: headline workload queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query executes its full plan via the no-op sink (``format("noop")``) so
+timing covers scan→shuffle→compute without driver-collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "select_reduce",
+    "sum_scalar",
+    "join_mul_array",
+    "group_aggregates",
+    "accumulate",
+    "random_import_temps",
+    "tpch_q1_pricing",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "events_hourly_window",
+    # pipeline operators (added as they land)
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from ophidia_io_server_spark import get_spark
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    spark = get_spark(app_name="ophidia-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query times measure the plans
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        w = WORKLOADS.get(name)
+        if w is None:
+            continue
+        t0 = time.perf_counter()
+        df = w.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline-workload wall time (sequential, noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,9 +180,11 @@ def oph_ccluster_kcluster(args, ctx):
 
 
 def _deinterleave(m, part):
-    idx = F.sequence(F.lit(0), (F.size(m) / 2).cast("int") - 1)
-    off = 1 if part == "re" else 2
-    return F.transform(idx, lambda i: F.element_at(m, (i * 2 + off).cast("int")))
+    # positional filter keeps the input array OUT of lambda bodies, so this
+    # composes with pandas-UDF outputs (e.g. oph_gsl_fft) — Spark rejects
+    # UDF-derived columns referenced inside higher-order-function lambdas
+    par = 0 if part == "re" else 1
+    return F.filter(m, lambda x, i: i % 2 == par)
 
 
 @primitive("oph_gsl_complex_get_real", doc="real parts of interleaved complex array")
@@ -213,31 +215,25 @@ def oph_gsl_complex_get_arg(args, ctx):
     return EV(F.zip_with(re, im, lambda r, i: F.atan2(i, r)))
 
 
+def _interleave_pair(a, b):
+    return F.flatten(F.zip_with(a, b, lambda x, y: F.array(x, y)))
+
+
 @primitive("oph_gsl_complex_to_polar", doc="interleaved (re,im) → interleaved (rho,theta)")
 def oph_gsl_complex_to_polar(args, ctx):
     args = strip_type_tags(args)
     m = args[0].col
-    idx = F.sequence(F.lit(0), F.size(m) - 1)
-
-    def conv(i):
-        pair = F.floor(i / 2).cast("int")
-        re = F.element_at(m, (pair * 2 + 1).cast("int"))
-        im = F.element_at(m, (pair * 2 + 2).cast("int"))
-        return F.when(i % 2 == 0, F.sqrt(re * re + im * im)).otherwise(F.atan2(im, re))
-
-    return EV(F.transform(idx, conv))
+    re, im = _deinterleave(m, "re"), _deinterleave(m, "im")
+    rho = F.zip_with(re, im, lambda r, i: F.sqrt(r * r + i * i))
+    th = F.zip_with(re, im, lambda r, i: F.atan2(i, r))
+    return EV(_interleave_pair(rho, th))
 
 
 @primitive("oph_gsl_complex_to_rect", doc="interleaved (rho,theta) → interleaved (re,im)")
 def oph_gsl_complex_to_rect(args, ctx):
     args = strip_type_tags(args)
     m = args[0].col
-    idx = F.sequence(F.lit(0), F.size(m) - 1)
-
-    def conv(i):
-        pair = F.floor(i / 2).cast("int")
-        rho = F.element_at(m, (pair * 2 + 1).cast("int"))
-        th = F.element_at(m, (pair * 2 + 2).cast("int"))
-        return F.when(i % 2 == 0, rho * F.cos(th)).otherwise(rho * F.sin(th))
-
-    return EV(F.transform(idx, conv))
+    rho, th = _deinterleave(m, "re"), _deinterleave(m, "im")
+    re = F.zip_with(rho, th, lambda r, t: r * F.cos(t))
+    im = F.zip_with(rho, th, lambda r, t: r * F.sin(t))
+    return EV(_interleave_pair(re, im))

@@ -124,15 +124,12 @@ def oph_accumulate(args, ctx):
 def oph_deaccumulate(args, ctx):
     args = strip_type_tags(args)
     m = args[0].col
-    idx = F.sequence(F.lit(1), F.size(m))
-    return EV(
-        F.transform(
-            idx,
-            lambda i: F.when(i == 1, F.element_at(m, 1)).otherwise(
-                F.element_at(m, i.cast("int")) - F.element_at(m, (i - 1).cast("int"))
-            ),
-        )
-    )
+    # zip the array with its right-shifted self: out[i] = m[i] - m[i-1], with
+    # m[-1] := 0 so out[0] = m[0].  Formulated so `m` never appears inside a
+    # lambda body (Spark rejects Python-UDF-derived columns in HOF lambdas,
+    # and accumulate chains feed UDF output here).
+    shifted = F.concat(F.array(F.lit(0.0)), F.slice(m, 1, F.size(m) - 1))
+    return EV(F.zip_with(m, shifted, lambda x, p: x - p))
 
 
 @primitive("oph_moving_avg", doc="trailing moving average, window k, partial windows at start")

@@ -190,7 +190,13 @@ def execute_select(catalog: Catalog, q: dict, params: dict | None = None,
         ev = compile_expression(src, ctx)
         col = ev.numeric() if ev.boolean else ev.col
         if agg_context and not expression_uses_aggregate(src):
-            col = F.first(col)
+            # reference: bare columns under GROUP BY take the group's first row
+            # in id order (blocks.c:2438-2458); F.first is partition-order
+            # dependent, min_by(id) is the deterministic equivalent
+            if ID_COL in df.columns:
+                col = F.min_by(col, F.col(ID_COL))
+            else:
+                col = F.first(col)
         return col
 
     if clauses.group:
