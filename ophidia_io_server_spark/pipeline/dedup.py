@@ -1,0 +1,228 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of these at 100 TB):
+- NO O(n²) cross joins anywhere.  Candidate pairs come from equi-joins on an
+  inverted index (shared shingle), LSH band buckets, or SimHash chunks — the
+  standard shuffle-bounded shapes.
+- Every probabilistic candidate set is VERIFIED with the exact n-gram Jaccard
+  before emission, so MinHash/SimHash outputs are exact-equal to the exact
+  operator whenever recall is perfect (which banding parameters guarantee for
+  well-separated corpora) — that is what lets the DuckDB oracle check them.
+- Exact Jaccard pairs are computed by co-count algebra (|A∩B| from the index
+  join, |A∪B| = |A|+|B|-|A∩B|), never by shipping shingle sets around.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.pipeline.text import tokens_col
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content hash with the
+    representative (minimum) doc_id and the duplicate count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+# -- shingling ---------------------------------------------------------------
+
+
+def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles: array<string> distinct word n-grams, nsh)."""
+    toks = tokens_col(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    return docs.select("doc_id", sh.alias("shingles")).withColumn(
+        "nsh", F.size("shingles").cast("bigint")
+    )
+
+
+def _pairs_from_index(sh: DataFrame) -> DataFrame:
+    """Inverted-index candidate pairs with intersection counts.
+
+    explode → self equi-join on shingle → count per (a,b).  Shuffles on the
+    shingle key (skew-prone for stop-shingles; AQE skew-join splits those),
+    then on the pair key for the count — both bounded by index size, never n².
+    """
+    inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    return (
+        a.join(b, on="sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+
+
+def jaccard_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """All pairs with distinct-n-gram Jaccard ≥ threshold (full recall:
+    a pair below any intersection never reaches the threshold)."""
+    sh = shingle_df(docs, n, text_col).cache()
+    pairs = _pairs_from_index(sh)
+    sizes = sh.select("doc_id", "nsh")
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """num_hashes min-hashes per doc, h_i(s) = xxhash64(i, s), as one array.
+
+    Pure Column math over the shingle array — no UDF, no shuffle."""
+    def _minhash(i: int):
+        # factory (NOT `lambda s, i=i`: a 2-arg lambda makes transform pass
+        # the element index as the second argument, shadowing the constant)
+        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return sh.select("doc_id", "shingles", "nsh", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16,
+                      text_col: str = "text") -> DataFrame:
+    """MinHash → LSH banding → candidate equi-join → EXACT Jaccard verify.
+
+    With r = num_hashes/bands rows per band, P[candidate | j] =
+    1-(1-j^r)^bands; at r=4, bands=16, j=0.9 → ~1-3e-8: recall is effectively
+    exact above the threshold, so the verified output equals
+    jaccard_pairs_exact on separated corpora."""
+    r = num_hashes // bands
+    sh = shingle_df(docs, n, text_col)
+    sig = minhash_signatures(sh, num_hashes).cache()
+    band_rows = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    left = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                      F.col("nsh").alias("na"))
+    right = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                       F.col("nsh").alias("nb"))
+    verified = (
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash_df(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc, computed JVM-side:
+    explode tokens → xxhash64 → per-bit ±count aggregate → pack bits."""
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("w"))
+    hashed = toks.select("doc_id", F.xxhash64("w").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for i in range(bits):
+        # bit 63 is the sign bit of the packed signed long
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        term = F.when(F.col(f"b{i}") > 0, F.lit(weight).cast("bigint")).otherwise(0)
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def _hamming(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 7, text_col: str = "text",
+                  verify_jaccard: float | None = 0.5, shingle_n: int = 3,
+                  n_chunks: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into n_chunks equal
+    chunks (pigeonhole: hamming ≤ n_chunks-1 ⇒ at least one chunk identical,
+    so candidate recall is EXACT up to max_hamming = n_chunks-1), equi-join on
+    chunks for candidates, filter exact hamming, optionally verify with exact
+    n-gram Jaccard so the output is oracle-checkable."""
+    if max_hamming > n_chunks - 1:
+        raise ValueError("banding guarantees recall only for max_hamming <= n_chunks-1")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sh = simhash_df(docs, text_col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ])).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    if verify_jaccard is None:
+        return cand
+    shd = shingle_df(docs, shingle_n, text_col)
+    left = shd.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                      F.col("nsh").alias("na"))
+    right = shd.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                       F.col("nsh").alias("nb"))
+    return (
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .where(F.col("jaccard") >= verify_jaccard)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

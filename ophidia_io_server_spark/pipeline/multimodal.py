@@ -1,0 +1,98 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, processed
+through Arrow-batched ``mapInPandas`` pipelines.
+
+The container has no image/audio codecs, so the *decode* kernels are
+explicitly stubbed (deterministic fake features / NotImplementedError), while
+everything Spark-side — schema, batching, partitioning, UDF signatures — is
+real and tested.  Swapping the stub for PIL/librosa is a one-function change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("payload_bytes", LongType()),
+    StructField("features", ArrayType(DoubleType())),
+])
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: utf-8 payload as an opaque binary column
+    plus typed metadata (media_type, payload length).  In production this is
+    the image/audio bytes column of the lakehouse table."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.length(payload).cast("bigint").alias("payload_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decoder entry point — not available in this container."""
+    raise NotImplementedError(
+        "image decoding requires a codec library (PIL/opencv) not present in "
+        "this environment; extract_features uses the deterministic stub"
+    )
+
+
+def _stub_features(payload: bytes) -> list[float]:
+    """Deterministic fake feature vector standing in for decode+embed:
+    [byte length, first byte, last byte, byte-sum mod 997]."""
+    if len(payload) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return [
+        float(arr.size),
+        float(arr[0]),
+        float(arr[-1]),
+        float(int(arr.sum()) % 997),
+    ]
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1000) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    The Arrow batch iteration, output schema and per-partition processing are
+    the production shape; only the per-payload kernel is stubbed."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "payload_bytes": pdf["payload_bytes"],
+                "features": pdf["payload"].map(lambda b: _stub_features(bytes(b))),
+            })
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Video-frame-sampling plumbing: emit (doc_id, frame_idx) rows for every
+    n-th 1KB chunk of the payload — the partition/explode shape of real frame
+    extraction with the decoder stubbed out."""
+    n_frames = F.greatest((F.col("payload_bytes") / 1024).cast("long"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_frames - 1)
+    return media.select(
+        "doc_id",
+        F.explode(F.filter(idx, lambda i: i % every_nth == 0)).alias("frame_idx"),
+    )

@@ -1,0 +1,107 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+Every feature here is a pure Column expression (JVM-side, codegen, no Python)
+whose arithmetic is integer/exact or explicitly rounded, so the DuckDB oracle
+can reproduce values bit-for-bit at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_FP_MOD = 1_000_000_007
+_FP_MUL = 31
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (mirrors SQL list_filter/split)."""
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("bigint")
+
+
+def distinct_token_count_col(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens_col(text))).cast("bigint")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Polynomial rolling hash over character codes: h = (h*31 + code) mod 1e9+7.
+
+    Pure integer fold — identical in any engine; the scale-friendly stand-in
+    for content-defined fingerprints (one pass, no Python)."""
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes, F.lit(0).cast("bigint"), lambda h, c: (h * _FP_MUL + c) % _FP_MOD
+    )
+
+
+def mean_token_len_col(text: Column) -> Column:
+    t = tokens_col(text)
+    total = F.aggregate(t, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w))
+    return F.round(total / F.size(t), 4)
+
+
+# language-ID marker words: tiny per-language stopword sets.  The heuristic is
+# argmax over languages of marker-token count (ties → lexicographically first
+# language), 'und' when nothing matches.  Deterministic and SQL-expressible.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "por"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    t = tokens_col(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(t, lambda w: F.array_contains(marker_arr, w))).cast("bigint")
+    return out
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax marker-count; ties → lexicographically first language; 'und' if
+    no marker hits.  (SQL mirror: CASE ladder over langs in alphabetical
+    order comparing each count to greatest(...).)"""
+    scores = lang_scores(text)
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct((-scores[lang]).alias("ns"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ])
+    )
+    top = F.element_at(ranked, 1)
+    return F.when(-top["ns"] > 0, top["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature set: token counts, type-token ratio, mean token
+    length, char count, plus a composite [0,1] score.  All rounded to 4
+    decimals for cross-engine hashing."""
+    t = F.col(text_col)
+    n_tok = token_count_col(t)
+    n_dist = distinct_token_count_col(t)
+    ttr = F.round(n_dist / n_tok, 4)
+    mtl = mean_token_len_col(t)
+    n_chars = F.length(t).cast("bigint")
+    score = F.round(
+        F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.5
+        + F.least(n_dist / n_tok, F.lit(1.0)) * 0.5,
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dist.alias("n_distinct_tokens"),
+        ttr.alias("ttr"),
+        mtl.alias("mean_token_len"),
+        n_chars.alias("n_chars_m"),
+        score.alias("quality_score"),
+    )

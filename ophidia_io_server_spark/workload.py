@@ -523,3 +523,267 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return select_reduce(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+    tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM tok
+    )
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS nc,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(nc * 1.0 / (na + nb - nc), 6) AS jaccard
+    FROM pairs
+    WHERE nc * 1.0 / (na + nb - nc) >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+@workload(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophidia_io_server_spark.pipeline.dedup import exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs).orderBy("content_hash")
+
+
+@workload("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    from ophidia_io_server_spark.pipeline.dedup import jaccard_pairs_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(docs, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@workload("dedup_minhash_pairs", oracle=_JACCARD_ORACLE)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates (64 hashes, 16 bands) + exact-Jaccard verify;
+    banding makes recall effectively exact, so the oracle is the exact SQL."""
+    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@workload("dedup_simhash_pairs", oracle=_JACCARD_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 8-chunk-banded candidates (exact recall to hamming 7) +
+    exact-Jaccard verify — near-dup pairs here sit at hamming ≤ 5."""
+    from ophidia_io_server_spark.pipeline.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5).orderBy("doc_a", "doc_b")
+
+
+@workload(
+    "text_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS ttr,
+           ROUND(list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1.0 / len(ws), 4)
+             AS mean_token_len,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           ROUND(least(len(ws) / 200.0, 1.0) * 0.5
+                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5, 4)
+             AS quality_score
+    FROM tok ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophidia_io_server_spark.pipeline.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).orderBy("doc_id")
+
+
+_LANG_SETS = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit']",
+    "en": "['the','a','of','and','is','to','in','that']",
+    "es": "['el','la','de','que','y','los','una','por']",
+    "fr": "['le','la','les','et','est','une','dans','que']",
+    "zh": "['的','是','了','在','我','有','和','不']",
+}
+_LANG_COUNTS = ", ".join(
+    f"len(list_filter(ws, w -> list_contains({s}, w))) AS {lang}"
+    for lang, s in _LANG_SETS.items()
+)
+_G = "greatest(de, en, es, fr, zh)"
+
+
+@workload(
+    "lang_id",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, lang, {_LANG_COUNTS} FROM tok)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN {_G} = 0 THEN 'und'
+                WHEN de = {_G} THEN 'de'
+                WHEN en = {_G} THEN 'en'
+                WHEN es = {_G} THEN 'es'
+                WHEN fr = {_G} THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM cnt ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophidia_io_server_spark.pipeline.text import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id_col(F.col("text")).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@workload(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+                         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophidia_io_server_spark.pipeline.text import fingerprint_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+_EMB_BASE_CTE = """
+    base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
+      FROM base
+    )
+"""
+
+
+@workload(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM nrm WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, len(qv) + 1),
+                                           i -> qv[i] * b.v[i]), 'sum') / (qn * b.n) AS cosine
+      FROM q JOIN nrm b ON b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors (vec_id < 10)."""
+    from ophidia_io_server_spark.pipeline.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, F.col("vec_id") < 10, k=5).orderBy("query_id", "rank")
+
+
+@workload(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_aggregate(list_transform(range(1, len(a.v) + 1),
+                                               i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n), 6)
+             AS cosine
+    FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
+                                        i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophidia_io_server_spark.pipeline.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+
+
+@workload("ann_lsh_topk")  # approximate recall → rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophidia_io_server_spark.pipeline.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5).orderBy("query_id", "rank")
+
+
+@workload(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           [CAST(octet_length(encode(text)) AS DOUBLE),
+            CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+            CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
+            CAST(list_aggregate(list_transform(string_split(text, ''),
+                                               c -> CAST(ascii(c) AS BIGINT)), 'sum') % 997
+                 AS DOUBLE)] AS features
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: attach opaque bytes + metadata, extract
+    (stubbed) features via Arrow-batched mapInPandas — the oracle reproduces
+    the deterministic stub, proving the batch pipeline end to end."""
+    from ophidia_io_server_spark.pipeline.multimodal import attach_binary_payload, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs)).orderBy("doc_id")
