@@ -257,7 +257,9 @@ def oph_normalize(args, ctx):
     mean = s / n
     var = (ss - n * mean * mean) / (n - 1)
     std = F.sqrt(var)
-    return EV(F.transform(m, lambda x: (x - mean) / std))
+    # constant arrays: sd==0 → define z-score as 0 (avoids engine-dependent
+    # 0/0: Spark NaN vs an oracle whose sd carries fp residual → 0/tiny = 0)
+    return EV(F.transform(m, lambda x: F.when(std == 0.0, 0.0).otherwise((x - mean) / std)))
 
 
 @primitive("oph_quantize", doc="map x to level index given ascending 'csv' thresholds")

@@ -160,11 +160,22 @@ def oph_gsl_fit_linear_coeff(args, ctx):
 
 @primitive("oph_gsl_spline", doc="resample the array to new_size points (linear interpolation)")
 def oph_gsl_spline(args, ctx):
-    from ophidia_io_server_spark.functions.pandas_kernels import spline_udf
-
+    """Pure Column math (out[i] = lerp at position i*(n-1)/(N-1)) so the SQL
+    oracle reproduces it bit-for-bit; no UDF needed for linear resampling."""
     args = strip_type_tags(args)
+    m = args[0].col.cast("array<double>")
     new_size = int_arg(args, 1, "oph_gsl_spline")
-    return EV(spline_udf(new_size)(args[0].col.cast("array<double>")))
+    n = F.size(m)
+
+    def lerp(i):
+        pos = i * (n - 1) / F.lit(new_size - 1)
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo
+        xlo = F.element_at(m, lo + 1)
+        xhi = F.element_at(m, F.least(lo + 2, n))
+        return xlo + frac * (xhi - xlo)
+
+    return EV(F.transform(F.sequence(F.lit(0), F.lit(new_size - 1)), lerp))
 
 
 @primitive("oph_ccluster_kcluster", doc="1-D k-means on the array → k sorted centroids")

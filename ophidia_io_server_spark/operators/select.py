@@ -154,6 +154,26 @@ def apply_limit_window(df: DataFrame, limit: tuple[int, int]) -> DataFrame:
     return top
 
 
+_EXPAND_RE = re.compile(r"^\s*oph_expand\s*\(", re.IGNORECASE)
+
+
+def _apply_expand(out: DataFrame, arr_alias: str) -> DataFrame:
+    """oph_expand: move the in-row (implicit) dimension to rows — 1 row with
+    an L-array becomes L rows with scalar measures; if id_dim is projected it
+    is re-linearized as (id-1)*L + pos + 1 (the datacube id algebra)."""
+    others = [c for c in out.columns if c != arr_alias]
+    exploded = out.select(
+        *others, F.size(F.col(arr_alias)).alias("__sz"),
+        F.posexplode(F.col(arr_alias)).alias("__pos", arr_alias),
+    )
+    if ID_COL in exploded.columns:
+        exploded = exploded.withColumn(
+            ID_COL,
+            ((F.col(ID_COL) - 1) * F.col("__sz") + F.col("__pos") + 1).cast("long"),
+        )
+    return exploded.drop("__sz", "__pos")
+
+
 def make_resolver(df: DataFrame):
     def resolver(name: str) -> Column:
         return df[name] if "." not in name else F.col(name)
@@ -212,6 +232,12 @@ def execute_select(catalog: Catalog, q: dict, params: dict | None = None,
         out = df.select(*[
             project_col(s, False).alias(a) for s, a in zip(clauses.fields, aliases)
         ])
+
+    expand_aliases = [
+        a for s, a in zip(clauses.fields, aliases) if _EXPAND_RE.match(s)
+    ]
+    if expand_aliases and not clauses.group and not has_agg:
+        out = _apply_expand(out, expand_aliases[0])
 
     if clauses.order:
         order_col = clauses.order.strip()

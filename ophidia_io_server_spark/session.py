@@ -38,6 +38,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffledHashJoinFactor", "3")
+        # reference C semantics: double division by zero → inf/NaN (no error),
+        # out-of-bounds array access → NULL; matches DuckDB doubles too
+        .config("spark.sql.ansi.enabled", "false")
         # driver testdata stores TIMESTAMP(NANOS) parquet, which Spark rejects
         # by default; read as long and convert in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

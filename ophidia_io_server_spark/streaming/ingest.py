@@ -1,0 +1,113 @@
+"""Structured Streaming ingest layer (beyond-reference mandate, BASELINE.json:
+"Structured Streaming + in-memory caching").
+
+The reference's only streaming-adjacent machinery is the multi-run
+insert/multi_insert accumulation (rows pile up across protocol round trips,
+committed on the final run — ``/root/reference/src/server/
+oph_io_server_query.c:190-339``) and the ESDM stream kernels (reduce applied
+while data streams in, ``oph_io_server_esdm.c:611-630``).  Those map here to:
+
+- ``streaming_insert_fragment``: foreachBatch append into a catalog fragment
+  (micro-batch = one "run"; the final commit is just the last batch) —
+  the scale replacement for the row-buffer protocol;
+- windowed/watermarked aggregations: the stream-kernel analog, aggregation
+  applied as data arrives;
+- ``stateful_dedup_stream``: watermark-bounded dropDuplicates (state store
+  evicts ids older than the watermark — bounded memory at any scale).
+
+All plans are identical to their batch shape, so the DuckDB oracle for the
+batch query also checks the streaming result (processed with availableNow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+                  ) -> DataFrame:
+    """File-source stream over event parquet (directory or single file).
+
+    At production scale this is the same reader pointed at a Kafka topic or a
+    cloud-storage landing zone; the downstream plans don't change."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with late-data watermark — the
+    streaming form of workload.events_hourly_window (same plan, same oracle)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def stateful_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon.  State is bounded: ids older than the watermark are
+    evicted from the state store."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(sdf: DataFrame, query_name: str, output_mode: str = "complete",
+                      timeout_sec: int = 300) -> DataFrame:
+    """Process everything currently available, write to an in-memory sink,
+    return the result table.  Used by tests and the correctness gate to check
+    streaming plans against batch oracles."""
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(query_name)
+
+
+def streaming_insert_fragment(spark: SparkSession, stream: DataFrame, catalog, frag_name: str,
+                              id_col: str = "event_id", timeout_sec: int = 300):
+    """foreachBatch accumulation into a catalog fragment (≙ multi-run insert):
+    every micro-batch appends; the union is registered as the fragment."""
+    batches: list[DataFrame] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # persist each micro-batch so the union doesn't recompute the source
+        batches.append(batch_df.persist())
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(timeout_sec)
+    if not batches:
+        return None
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionAll(b)
+    catalog.put(frag_name, out, cache=True, overwrite=True)
+    return catalog.get(frag_name)

@@ -787,3 +787,452 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (beyond-reference mandate)
+# ---------------------------------------------------------------------------
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as a multi-file micros-timestamp parquet directory (the
+    driver testdata is TIMESTAMP(NANOS), which a file-source stream schema
+    cannot bind).  Deterministic per sf_dir; written once per session."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/ophidia_stream_events_{tag}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+@workload(
+    "events_hourly_streaming",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type
+    """,
+)
+def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling-window aggregation as events_hourly_window but
+    executed through readStream → watermark → windowed agg → availableNow
+    memory sink; the batch oracle checks the streaming result."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        hourly_counts_stream,
+        run_available_now,
+    )
+
+    path = _staged_events_dir(spark, sf_dir)
+    stream = hourly_counts_stream(events_stream(spark, path))
+    name = "events_hourly_stream_result"
+    return run_available_now(stream, name).orderBy("hour_start", "event_type")
+
+
+@workload(
+    "events_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the batch shape of a
+    session-window stream; lag/cumulative-sum over per-user windows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    )
+    seq = ev.withColumn("new_session", F.when(gap > 1800, 1).otherwise(0))
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wider §2.9 primitive coverage (gsl stats, shape ops, codecs, expand)
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "gsl_stats",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           [ list_aggregate(measure, 'sum') / len(measure),
+             (list_aggregate(list_transform(measure, x -> x*x), 'sum')
+              - len(measure) * (list_aggregate(measure, 'sum') / len(measure))
+                             * (list_aggregate(measure, 'sum') / len(measure)))
+             / (len(measure) - 1),
+             sqrt((list_aggregate(list_transform(measure, x -> x*x), 'sum')
+              - len(measure) * (list_aggregate(measure, 'sum') / len(measure))
+                             * (list_aggregate(measure, 'sum') / len(measure)))
+             / (len(measure) - 1)),
+             list_aggregate(measure, 'min'),
+             list_aggregate(measure, 'max'),
+             list_aggregate(measure, 'sum') ] AS stats
+    FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2 ORDER BY id_dim
+    """,
+)
+def gsl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_gsl_stats(measure,'111111');"
+        "select_alias=id_dim|stats;"
+        "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
+    )
+
+
+@workload(
+    "gsl_quantile_boxplot",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    srt AS (
+      SELECT id_dim, list_sort(measure) AS s, len(measure) AS n
+      FROM frag_qty WHERE id_dim <= 400
+    ),
+    q AS (
+      SELECT id_dim, s, n,
+             (n - 1) * 0.25 AS h1, (n - 1) * 0.5 AS h2, (n - 1) * 0.75 AS h3
+      FROM srt
+    )
+    SELECT id_dim,
+           s[CAST(floor(h2) AS BIGINT) + 1]
+             + (h2 - floor(h2)) * (s[least(CAST(floor(h2) AS BIGINT) + 2, n)]
+                                   - s[CAST(floor(h2) AS BIGINT) + 1]) AS median,
+           [ s[1],
+             s[CAST(floor(h1) AS BIGINT) + 1]
+               + (h1 - floor(h1)) * (s[least(CAST(floor(h1) AS BIGINT) + 2, n)]
+                                     - s[CAST(floor(h1) AS BIGINT) + 1]),
+             s[CAST(floor(h2) AS BIGINT) + 1]
+               + (h2 - floor(h2)) * (s[least(CAST(floor(h2) AS BIGINT) + 2, n)]
+                                     - s[CAST(floor(h2) AS BIGINT) + 1]),
+             s[CAST(floor(h3) AS BIGINT) + 1]
+               + (h3 - floor(h3)) * (s[least(CAST(floor(h3) AS BIGINT) + 2, n)]
+                                     - s[CAST(floor(h3) AS BIGINT) + 1]),
+             s[n] ] AS box
+    FROM q ORDER BY id_dim
+    """,
+)
+def gsl_quantile_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_gsl_quantile(measure,0.5)|oph_gsl_boxplot(measure);"
+        "select_alias=id_dim|median|box;where=id_dim<=400;order=id_dim"
+    )
+
+
+@workload(
+    "shape_ops",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    base AS (SELECT id_dim, measure, len(measure) AS n FROM frag_qty
+             WHERE id_dim <= 400 AND len(measure) >= 4)
+    SELECT id_dim,
+           list_concat(list_slice(measure, n - 1, n), list_slice(measure, 1, n - 2)) AS rot2,
+           list_concat([CAST('NaN' AS DOUBLE)], list_slice(measure, 1, n - 1)) AS shift1,
+           flatten(list_transform(range(1, n + 1), i -> [measure[i], measure[i] * 2])) AS inter,
+           list_concat(measure, [0.0, 0.0]) || [] AS padded
+    FROM base ORDER BY id_dim
+    """,
+)
+def shape_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rotate/shift/interlace/padding — note padding to n+2 via oph_padding
+    requires a literal target, so the dialect pads to size+2 with concat."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_rotate(measure,2)|oph_shift(measure,1)"
+        "|oph_interlace(measure,oph_mul_scalar(measure,2))"
+        "|oph_concat(measure,oph_mul_scalar(oph_get_subarray(oph_sum_scalar(measure,0),1,2),0));"
+        "select_alias=id_dim|rot2|shift1|inter|padded;"
+        "where=id_dim<=400&oph_size_array(measure)>=4;order=id_dim"
+    )
+
+
+@workload(
+    "permute_tensor",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    base AS (SELECT id_dim, list_slice(measure, 1, 6) AS m FROM frag_qty
+             WHERE id_dim <= 2000 AND len(measure) >= 6)
+    SELECT id_dim,
+           [m[1], m[4], m[2], m[5], m[3], m[6]] AS transposed,
+           [m[1] + m[4], m[2] + m[5], m[3] + m[6]] AS col_sums
+    FROM base ORDER BY id_dim
+    """,
+)
+def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_permute (2x3 → 3x2 transpose) + oph_reduce3 (column sums of the
+    2x3 row-major tensor)."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_permute(oph_get_subarray(measure,1,6),'2,3','2,1')"
+        "|oph_reduce3(oph_get_subarray(measure,1,6),'sum',3);"
+        "select_alias=id_dim|transposed|col_sums;"
+        "where=id_dim<=2000&oph_size_array(measure)>=6;order=id_dim"
+    )
+
+
+@workload(
+    "normalize_quantize",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    base AS (
+      SELECT id_dim, measure, len(measure) AS n,
+             list_aggregate(measure, 'sum') / len(measure) AS mu,
+             sqrt((list_aggregate(list_transform(measure, x -> x*x), 'sum')
+                   - len(measure) * (list_aggregate(measure, 'sum') / len(measure))
+                                  * (list_aggregate(measure, 'sum') / len(measure)))
+                  / (len(measure) - 1)) AS sd
+      FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2
+    )
+    SELECT id_dim,
+           list_transform(measure, x -> (x - mu) / sd) AS normed,
+           list_transform(measure, x -> CASE WHEN x > 25 THEN 1.0 ELSE 0.0 END
+                                        + CASE WHEN x > 40 THEN 1.0 ELSE 0.0 END) AS quant,
+           list_transform(measure, x -> CASE WHEN x = 1 THEN -1.0 ELSE x END) AS repl
+    FROM base ORDER BY id_dim
+    """,
+)
+def normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_normalize(measure)|oph_quantize(measure,'25,40')"
+        "|oph_replace(measure,1,-1);"
+        "select_alias=id_dim|normed|quant|repl;"
+        "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
+    )
+
+
+@workload(
+    "cast_sequence_idfuncs",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           list_transform(measure, x -> CAST(x AS BIGINT)) AS as_long,
+           range(1, len(measure) + 1) AS idxs,
+           1 + ((id_dim - 1) % 4) + CAST(TRUNC((id_dim - 1.0) / (5 * 4)) AS BIGINT) * 4 AS id2,
+           1 + ((id_dim - 1) % 4) AS idx1,
+           1 + (CAST(TRUNC((id_dim - 1.0) / 3) AS BIGINT) % 7) AS idx2
+    FROM frag_qty WHERE id_dim >= 1 AND id_dim <= 500 ORDER BY id_dim
+    """,
+)
+def cast_sequence_idfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_convert_l / oph_get_index_array / oph_id2 / oph_id_to_index /
+    oph_id_to_index2 projected as columns (index algebra parity)."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_convert_l(measure)|oph_get_index_array(measure)"
+        "|oph_id2(id_dim,5,4)|oph_id_to_index(id_dim,4)|oph_id_to_index2(id_dim,3,7);"
+        "select_alias=id_dim|as_long|idxs|id2|idx1|idx2;"
+        "where=id_dim>=1&id_dim<=500;order=id_dim"
+    )
+
+
+@workload(
+    "dwt_haar",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    base AS (SELECT id_dim, list_slice(measure, 1, 4) AS m FROM frag_qty
+             WHERE id_dim <= 2000 AND len(measure) >= 4)
+    SELECT id_dim,
+           [ (m[1] + m[2]) / sqrt(2.0), (m[3] + m[4]) / sqrt(2.0),
+             (m[1] - m[2]) / sqrt(2.0), (m[3] - m[4]) / sqrt(2.0) ] AS dwt
+    FROM base ORDER BY id_dim
+    """,
+)
+def dwt_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level Haar DWT (pandas-UDF kernel) against its closed form."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_gsl_dwt(oph_get_subarray(measure,1,4));"
+        "select_alias=id_dim|dwt;"
+        "where=id_dim<=2000&oph_size_array(measure)>=4;order=id_dim"
+    )
+
+
+@workload(
+    "spline_resample",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    base AS (SELECT id_dim, measure, len(measure) AS n FROM frag_qty
+             WHERE id_dim <= 400 AND len(measure) >= 2)
+    SELECT id_dim,
+           list_transform(range(0, 8), i ->
+             measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1]
+             + (i * (n - 1) / 7.0 - floor(i * (n - 1) / 7.0))
+               * (measure[least(CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 2, n)]
+                  - measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1])) AS resampled
+    FROM base ORDER BY id_dim
+    """,
+)
+def spline_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_gsl_spline(measure,8);"
+        "select_alias=id_dim|resampled;"
+        "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
+    )
+
+
+@workload(
+    "expand_rows",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT (id_dim - 1) * len(measure) + generate_subscripts(measure, 1) AS id_dim,
+           unnest(measure) AS measure
+    FROM frag_qty WHERE id_dim <= 300 AND id_dim >= 1
+    ORDER BY id_dim
+    """,
+)
+def expand_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_expand: implicit dimension → rows with re-linearized dense ids."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_expand(measure);"
+        "select_alias=id_dim|measure;"
+        "where=id_dim<=300&id_dim>=1;order=id_dim"
+    )
+
+
+@workload("gsl_fft")  # spectral kernel: no closed-form SQL oracle → rows-only
+def gsl_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_gsl_complex_get_abs(oph_gsl_fft(measure));"
+        "select_alias=id_dim|spectrum;where=id_dim<=400;order=id_dim"
+    )
+
+
+@workload("kcluster")  # iterative kernel → rows-only
+def kcluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_ccluster_kcluster(measure,2);"
+        "select_alias=id_dim|centroids;"
+        "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
+    )
+
+
+@workload(
+    "aggregate_stats_group",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    firsts AS (
+      SELECT 1 + CAST(TRUNC((id_dim - 1.0) / 200) AS BIGINT) AS grp,
+             measure[1] AS v
+      FROM frag_qty WHERE id_dim >= 1 AND id_dim <= 2000
+    )
+    SELECT grp,
+           [ AVG(v),
+             (SUM(v * v) - COUNT(*) * AVG(v) * AVG(v)) / (COUNT(*) - 1),
+             MIN(v), MAX(v) ] AS stats
+    FROM firsts GROUP BY grp ORDER BY grp
+    """,
+)
+def aggregate_stats_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_aggregate_stats (mean|var|min|max mask) over length-1 arrays so the
+    cross-row stats reduce to scalar SQL aggregates (quantities are integral
+    ⇒ sums exact in any order)."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=oph_id(id_dim,200)|oph_aggregate_stats(oph_get_subarray(measure,1,1),'11011');"
+        "select_alias=grp|stats;"
+        "where=id_dim>=1&id_dim<=2000;group=oph_id(id_dim,200);order=grp"
+    )
+
+
+@workload(
+    "compress_roundtrip",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim, measure AS roundtrip
+    FROM frag_qty WHERE id_dim <= 300 ORDER BY id_dim
+    """,
+)
+def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_uncompress(oph_compress(x)) == x (zlib codec pandas kernels)."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_uncompress(oph_compress(measure));"
+        "select_alias=id_dim|roundtrip;where=id_dim<=300;order=id_dim"
+    )
+
+
+@workload(
+    "orders_topk_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, rnk, o_totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 5
+    ORDER BY c_mktsegment, rnk
+    """,
+)
+def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational window top-k (Spark-native superset of the reference's
+    ORDER+LIMIT): top 5 orders by price per market segment."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .select("c_mktsegment", "o_orderkey", "rnk", "o_totalprice")
+        .orderBy("c_mktsegment", "rnk")
+    )

@@ -18,6 +18,8 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.par
 
 
 def _norm_cell(v):
+    if isinstance(v, np.ndarray) and v.ndim == 0:
+        return _norm_cell(v.item())
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "timestamp"):  # datetime-like
