@@ -20,6 +20,7 @@ MULTIVALUE_KEYS = {
     "select_alias",
     "from",
     "from_alias",
+    "dim",
     "dim_type",
     "dim_index",
     "dim_start",
@@ -30,6 +31,9 @@ MULTIVALUE_KEYS = {
 
 _QUERY_SEP = ";"
 _KV_SEP = "="
+
+# keys whose values are taken verbatim (no ?-bind renumbering): source URIs
+_RAW_VALUE_KEYS = {"src_path", "measure"}
 
 
 class QueryParseError(ValueError):
@@ -115,7 +119,8 @@ def parse_query(query: str) -> dict[str, str | list[str]]:
             raise QueryParseError(f"legacy clause {key!r} not supported")
         if not key:
             raise QueryParseError(f"empty key in clause {raw!r}")
-        value, bind_total = _renumber(value, bind_total)
+        if key not in _RAW_VALUE_KEYS:  # paths/URIs may contain literal '?'
+            value, bind_total = _renumber(value, bind_total)
         if key in MULTIVALUE_KEYS:
             clauses[key] = split_multivalue(value)
         else:

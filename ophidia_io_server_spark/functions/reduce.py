@@ -70,6 +70,17 @@ def oph_reduce(args, ctx):
     return EV(reduce_array(m, op))
 
 
+@primitive("oph_operator", doc="apply a named aggregation over the whole array → length-1 result")
+def oph_operator(args, ctx):
+    """Reference `oph_operator` (primitives list entry; Ophidia docs: one
+    aggregate value over the measure).  Same surface as oph_reduce with the
+    'oph_'-prefixed operator names (OPH_SUM/OPH_MAX/...)."""
+    args = strip_type_tags(args)
+    m = args[0].col
+    op = str_arg(args, 1, "oph_operator", "oph_sum")
+    return EV(reduce_array(m, op))
+
+
 @primitive("oph_reduce2", doc="block-wise reduce: contiguous blocks of given size → smaller array")
 def oph_reduce2(args, ctx):
     args = strip_type_tags(args)

@@ -185,6 +185,50 @@ class IOServer:
         self.catalog.put(frag_name, df, cache=True)
         return None
 
+    def _import_df(self, q) -> DataFrame:
+        from ophidia_io_server_spark.sources.netcdf_import import import_variable
+
+        src = q.get("src_path")
+        measure = q.get("measure")
+        if not src or not measure:
+            raise QueryExecError("import: src_path and measure are required")
+        dims = q.get("dim") or []
+        if isinstance(dims, str):
+            dims = [dims]
+        return import_variable(
+            self.spark, src, measure,
+            dim_names=dims,
+            dim_types=q.get("dim_type") or [],
+            dim_indexes=q.get("dim_index"),
+            dim_starts=q.get("dim_start"),
+            dim_ends=q.get("dim_end"),
+            sub_operation=q.get("sub_operation"),
+        )
+
+    def _op_file_import(self, q, params) -> None:
+        """Standalone NetCDF import (reference oph_io_server_query.c:341-356
+        → oph_io_server_nc.c dispatch)."""
+        self.catalog.put(self._frag_name(q), self._import_df(q), cache=True)
+        return None
+
+    _op_esdm_import = _op_file_import  # same surface, esdm:// scheme + kernels
+
+    def _op_create_frag_select_file(self, q, params) -> None:
+        """CTAS where one FROM entry is the @file pseudo-table (reference
+        oph_io_server_query.c:72-87, blocks.c:1985-2007): the import result is
+        registered as a temporary fragment visible to the select."""
+        pseudo = "@file" if "@file" in (q.get("from") or []) else "@esdm"
+        tmp_name = f"__import_{self._frag_name(q)}"
+        self.catalog.put(tmp_name, self._import_df(q), temp=True, cache=False)
+        try:
+            q = dict(q)
+            q["from"] = [tmp_name if f == pseudo else f for f in (q.get("from") or [])]
+            return self._op_create_frag_select(q, params)
+        finally:
+            self.catalog.drop(tmp_name)
+
+    _op_create_frag_select_esdm = _op_create_frag_select_file
+
     # -- stored procedures ---------------------------------------------
 
     def _op_function(self, q, params) -> DataFrame | None:

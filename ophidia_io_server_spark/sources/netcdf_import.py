@@ -1,0 +1,382 @@
+"""NetCDF / ESDM import: hyperslab of one variable → ``(id_dim, measure)``
+fragment (≙ reference ``file_import`` / ``create_frag_select_file`` /
+``esdm_import`` / ``create_frag_select_esdm``).
+
+Reference semantics re-expressed (not ported):
+- ``/root/reference/src/server/oph_io_server_nc.c:755-1190`` (v2 import):
+  per-dimension ``dim_type`` splits dimensions into *explicit* (→ rows) and
+  *implicit* (→ in-row array); ``dim_index`` gives the ordering level within
+  each class; ``dim_start``/``dim_end`` subset each dimension (1-based,
+  inclusive); ``id_dim`` linearizes the explicit indices row-major
+  (``oph_ioserver_nc_compute_dimension_id``, nc.c:565-614).
+- When the file's dimension order differs from the requested (explicit…,
+  implicit…) order the reference does a cache-blocked transpose
+  (nc.c:980-1090); here each partition reads its slab and ``np.transpose``
+  does the same job vectorized.
+- ESDM adds a push-down "stream kernel" (``sub_operation``: a reduce applied
+  while data streams in, ``oph_io_server_esdm.c:611-630``); here the kernel
+  is fused into the same partition pass (numpy reduce per row before emit).
+
+Scale design: the explicit-index space is range-partitioned over ``nrows``;
+each Spark task turns its contiguous id range into a *minimal set of
+hyperslabs* (``flat_range_to_slabs``) and issues one backend read per slab —
+no driver-side data, no per-row reads, bulk sequential I/O per executor.
+
+Backends: ``netCDF4`` (gated import — files must be reachable from every
+executor), plus a deterministic synthetic backend (``synthetic://``) whose
+cell value is the file-order flat index — transpose bugs show up immediately
+and a SQL oracle can reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from ophidia_io_server_spark.operators.select import QueryExecError
+
+
+# ---------------------------------------------------------------------------
+# dimension specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DimSpec:
+    name: str
+    size: int            # full size in the file
+    explicit: bool       # True → row dimension, False → in-row array dimension
+    level: int           # ordering level within its class (dim_index)
+    start: int           # 1-based inclusive subset start
+    end: int             # 1-based inclusive subset end
+
+    @property
+    def sub_size(self) -> int:
+        return self.end - self.start + 1
+
+
+def build_dim_specs(
+    file_dims: list[tuple[str, int]],
+    dim_names: list[str],
+    dim_types: list[str],
+    dim_indexes: list[str] | None,
+    dim_starts: list[str] | None,
+    dim_ends: list[str] | None,
+) -> list[DimSpec]:
+    """Validate + assemble per-dimension specs in FILE order."""
+    sizes = dict(file_dims)
+    for d in dim_names:
+        if d not in sizes:
+            raise QueryExecError(f"import: dimension {d!r} not in source "
+                                 f"(has {sorted(sizes)})")
+    if len(dim_types) != len(dim_names):
+        raise QueryExecError("import: dim_type count != dim count")
+    n = len(dim_names)
+    idxs = dim_indexes or [str(i) for i in range(n)]
+    starts = dim_starts or ["1"] * n
+    ends = dim_ends or [str(sizes[d]) for d in dim_names]
+    by_name = {}
+    for i, d in enumerate(dim_names):
+        st, en = int(starts[i]), int(ends[i])
+        if en <= 0:
+            en = sizes[d]  # 0 / negative end = "to the last index"
+        if not (1 <= st <= en <= sizes[d]):
+            raise QueryExecError(
+                f"import: bad subset [{st},{en}] for dim {d!r} (size {sizes[d]})")
+        by_name[d] = DimSpec(
+            name=d, size=sizes[d],
+            explicit=str(dim_types[i]).strip() in ("1", "explicit", "yes"),
+            level=int(idxs[i]), start=st, end=en,
+        )
+    # file order, only the requested dims (others must be size 1 or absent)
+    specs = [by_name[d] for d, _ in file_dims if d in by_name]
+    if len(specs) != n:
+        raise QueryExecError("import: duplicate dimension names")
+    return specs
+
+
+def _ordered(specs: list[DimSpec], explicit: bool) -> list[DimSpec]:
+    """Dims of one class ordered by level (dim_index), ties by file order."""
+    sel = [s for s in specs if s.explicit == explicit]
+    return sorted(sel, key=lambda s: s.level)
+
+
+# ---------------------------------------------------------------------------
+# flat-range → hyperslab decomposition (the bulk-read planner)
+# ---------------------------------------------------------------------------
+
+
+def flat_range_to_slabs(shape: tuple[int, ...], a: int, b: int):
+    """Decompose the row-major flat range [a, b) over ``shape`` into a minimal
+    list of (start_tuple, count_tuple) hyperslabs.
+
+    This is what lets one Spark task fetch a contiguous id range with O(ndim)
+    bulk reads instead of per-row reads.
+    """
+    if a >= b:
+        return
+    if not shape:
+        yield (), ()
+        return
+    total = math.prod(shape)
+    assert 0 <= a < b <= total
+    inner = total // shape[0]
+    lead_a, rem_a = divmod(a, inner)
+    lead_b, rem_b = divmod(b, inner)  # exclusive
+    if rem_a == 0 and rem_b == 0:
+        yield (lead_a,) + (0,) * (len(shape) - 1), (lead_b - lead_a,) + shape[1:]
+        return
+    if lead_a == lead_b:
+        for s, c in flat_range_to_slabs(shape[1:], rem_a, rem_b):
+            yield (lead_a,) + s, (1,) + c
+        return
+    # head partial row of the leading dim
+    if rem_a:
+        for s, c in flat_range_to_slabs(shape[1:], rem_a, inner):
+            yield (lead_a,) + s, (1,) + c
+        lead_a += 1
+    # full middle block
+    if lead_b > lead_a:
+        yield (lead_a,) + (0,) * (len(shape) - 1), (lead_b - lead_a,) + shape[1:]
+    # tail partial row
+    if rem_b:
+        for s, c in flat_range_to_slabs(shape[1:], 0, rem_b):
+            yield (lead_b,) + s, (1,) + c
+
+
+# ---------------------------------------------------------------------------
+# backends
+# ---------------------------------------------------------------------------
+
+
+class SyntheticBackend:
+    """``synthetic://name?dims=lat:6,lon:4,time:8`` — cell value = file-order
+    row-major flat index (as double).  Deterministic, SQL-reproducible, and
+    order-sensitive (any transpose/subset bug changes values)."""
+
+    scheme = "synthetic"
+
+    @staticmethod
+    def parse(path: str) -> list[tuple[str, int]]:
+        m = re.match(r"[a-z0-9]+://[^?]*\?dims=(.+)$", path)
+        if not m:
+            raise QueryExecError(f"bad synthetic path {path!r}")
+        return [(p.split(":")[0], int(p.split(":")[1])) for p in m.group(1).split(",")]
+
+    def dims(self, path: str, measure: str) -> list[tuple[str, int]]:
+        return self.parse(path)
+
+    def read(self, path: str, measure: str,
+             start: tuple[int, ...], count: tuple[int, ...]) -> np.ndarray:
+        shape = tuple(s for _, s in self.parse(path))
+        strides = np.cumprod((shape[1:] + (1,))[::-1])[::-1]
+        idx = np.indices(count, dtype=np.int64)
+        flat = np.zeros(count, dtype=np.int64)
+        for d in range(len(shape)):
+            flat += (idx[d] + start[d]) * strides[d]
+        return flat.astype(np.float64)
+
+
+class NetCDF4Backend:
+    """Real NetCDF files via the netCDF4 library (gated import: the lib is
+    not in the test container; executors need file access via shared FS)."""
+
+    scheme = "file"
+
+    def _open(self, path: str):
+        try:
+            import netCDF4  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise QueryExecError(
+                "file_import: the netCDF4 library is not installed; "
+                "install it or use a synthetic:// source") from e
+        return netCDF4.Dataset(re.sub(r"^file://", "", path), "r")
+
+    def dims(self, path: str, measure: str) -> list[tuple[str, int]]:  # pragma: no cover
+        with self._open(path) as ds:
+            var = ds.variables[measure]
+            return [(d, ds.dimensions[d].size) for d in var.dimensions]
+
+    def read(self, path: str, measure: str,
+             start: tuple[int, ...], count: tuple[int, ...]) -> np.ndarray:  # pragma: no cover
+        with self._open(path) as ds:
+            var = ds.variables[measure]
+            sl = tuple(slice(s, s + c) for s, c in zip(start, count))
+            return np.asarray(var[sl], dtype=np.float64)
+
+
+def backend_for(path: str):
+    if path.startswith("synthetic://"):
+        return SyntheticBackend()
+    if path.startswith(("esdm://",)):
+        # ESDM containers are out of scope (reference-only storage backend);
+        # esdm:// URIs with ?dims= resolve to the synthetic surface so the
+        # import + stream-kernel path stays testable.
+        if "?dims=" in path:
+            b = SyntheticBackend()
+            b.scheme = "esdm"
+            return b
+        raise QueryExecError("esdm_import: no ESDM runtime in this build; "
+                             "use esdm://name?dims=... for the synthetic surface")
+    return NetCDF4Backend()
+
+
+# ---------------------------------------------------------------------------
+# the import itself
+# ---------------------------------------------------------------------------
+
+_REDUCE_KERNELS = {
+    "sum": lambda a: np.sum(a, axis=1),
+    "avg": lambda a: np.mean(a, axis=1),
+    "mean": lambda a: np.mean(a, axis=1),
+    "max": lambda a: np.max(a, axis=1),
+    "min": lambda a: np.min(a, axis=1),
+    "std": lambda a: np.std(a, axis=1, ddof=1),
+    "var": lambda a: np.var(a, axis=1, ddof=1),
+}
+
+
+def import_variable(
+    spark: SparkSession,
+    src_path: str,
+    measure: str,
+    dim_names: list[str],
+    dim_types: list[str],
+    dim_indexes: list[str] | None = None,
+    dim_starts: list[str] | None = None,
+    dim_ends: list[str] | None = None,
+    sub_operation: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed hyperslab import → DataFrame(id_dim long, measure double[]).
+
+    Each task converts its id range to hyperslabs, bulk-reads them, transposes
+    file order → (explicit-by-level, implicit-by-level), reshapes to
+    (rows, array_len), optionally applies the push-down reduce kernel.
+    """
+    backend = backend_for(src_path)
+    file_dims = backend.dims(src_path, measure)
+    specs = build_dim_specs(file_dims, dim_names, dim_types,
+                            dim_indexes, dim_starts, dim_ends)
+    exp = _ordered(specs, True)
+    imp = _ordered(specs, False)
+    if not exp:
+        raise QueryExecError("import: at least one explicit dimension required")
+    nrows = math.prod(s.sub_size for s in exp)
+    arr_len = math.prod(s.sub_size for s in imp) if imp else 1
+
+    # permutation: file axis order (restricted to requested dims) → exp+imp
+    file_order = [s.name for s in specs]
+    want_order = [s.name for s in exp + imp]
+    perm = tuple(file_order.index(d) for d in want_order)
+    exp_shape = tuple(s.sub_size for s in exp)
+    sub_start = {s.name: s.start - 1 for s in specs}  # 0-based file offsets
+    imp_full = [(s.name, s.start - 1, s.sub_size) for s in imp]
+    exp_by_file = [(s.name, s.start - 1) for s in specs if s.explicit]
+    kernel = None
+    if sub_operation:
+        op = sub_operation.lower().removeprefix("oph_")
+        if op not in _REDUCE_KERNELS:
+            raise QueryExecError(f"import: unknown sub_operation {sub_operation!r}")
+        kernel = op
+
+    nparts = partitions or min(spark.sparkContext.defaultParallelism, max(1, nrows // 1024) or 1)
+
+    def read_partition(iterator):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()  # 0-based dense row ids of this chunk
+            if len(ids) == 0:
+                continue
+            a, b = int(ids.min()), int(ids.max()) + 1
+            out_rows = np.empty((b - a, arr_len), dtype=np.float64)
+            off = 0
+            for slab_start, slab_count in flat_range_to_slabs(exp_shape, a, b):
+                # file-space hyperslab: explicit dims offset by subset+slab,
+                # implicit dims read their whole subset range
+                fs, fc = [], []
+                exp_pos = {s.name: i for i, s in enumerate(exp)}
+                for s in specs:
+                    if s.explicit:
+                        i = exp_pos[s.name]
+                        fs.append(sub_start[s.name] + slab_start[i])
+                        fc.append(slab_count[i])
+                    else:
+                        fs.append(sub_start[s.name])
+                        fc.append(s.sub_size)
+                block = backend.read(src_path, measure, tuple(fs), tuple(fc))
+                block = np.transpose(block, perm)
+                nr = math.prod(c for c in slab_count) if slab_count else 1
+                block = np.ascontiguousarray(block).reshape(nr, arr_len)
+                out_rows[off:off + nr] = block
+                off += nr
+            rows = out_rows[ids - a]
+            if kernel:
+                vals = _REDUCE_KERNELS[kernel](rows)[:, None]
+            else:
+                vals = rows
+            yield pd.DataFrame({
+                "id_dim": (ids + 1).astype("int64"),
+                "measure": list(vals),
+            })
+
+    rng = spark.range(0, nrows, numPartitions=nparts)
+    return rng.mapInPandas(read_partition, "id_dim long, measure array<double>")
+
+
+def synthetic_oracle_sql(path: str, dim_names: list[str], dim_types: list[str],
+                         dim_indexes: list[str] | None = None,
+                         dim_starts: list[str] | None = None,
+                         dim_ends: list[str] | None = None,
+                         sub_operation: str | None = None) -> str:
+    """DuckDB SQL reproducing ``import_variable`` on a synthetic:// source —
+    the correctness oracle for the import dimension algebra."""
+    file_dims = SyntheticBackend.parse(path)
+    specs = build_dim_specs(file_dims, dim_names, dim_types,
+                            dim_indexes, dim_starts, dim_ends)
+    exp, imp = _ordered(specs, True), _ordered(specs, False)
+    nrows = math.prod(s.sub_size for s in exp)
+    arr_len = math.prod(s.sub_size for s in imp) if imp else 1
+
+    stride = {}
+    acc = 1
+    for name, size in reversed(file_dims):
+        stride[name] = acc
+        acc *= size
+    # per-dim index expressions from the row id r (0-based) and array pos p
+    exp_sizes = [s.sub_size for s in exp]
+    imp_sizes = [s.sub_size for s in imp]
+
+    def unravel(var: str, sizes: list[int], i: int) -> str:
+        inner = math.prod(sizes[i + 1:]) if i + 1 < len(sizes) else 1
+        return f"(({var} // {inner}) % {sizes[i]})"
+
+    terms = []
+    for i, s in enumerate(exp):
+        terms.append(f"({unravel('r', exp_sizes, i)} + {s.start - 1}) * {stride[s.name]}")
+    for i, s in enumerate(imp):
+        terms.append(f"({unravel('p', imp_sizes, i)} + {s.start - 1}) * {stride[s.name]}")
+    value = " + ".join(terms) or "0"
+    inner_list = (
+        f"list_transform(range(0, {arr_len}), p -> CAST(({value}) AS DOUBLE))"
+    )
+    if sub_operation:
+        op = sub_operation.lower().removeprefix("oph_")
+        agg = {"sum": "'sum'", "max": "'max'", "min": "'min'"}.get(op)
+        if op in ("avg", "mean"):
+            measure = f"[list_aggregate({inner_list}, 'sum') / {arr_len}]"
+        elif agg:
+            measure = f"[list_aggregate({inner_list}, {agg})]"
+        else:
+            raise ValueError(f"no oracle for sub_operation {sub_operation!r}")
+    else:
+        measure = inner_list
+    return f"""
+        SELECT CAST(r + 1 AS BIGINT) AS id_dim, {measure} AS measure
+        FROM (SELECT unnest(range(0, {nrows})) AS r)
+    """

@@ -333,6 +333,47 @@ def random_import_temps(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "select_alias=id_dim|measure;order=id_dim")
 
 
+_NC_PATH = "synthetic://cube?dims=time:16,lat:12,lon:10"
+_NC_ARGS = dict(
+    dim_names=["time", "lat", "lon"], dim_types=["0", "1", "1"],
+    dim_indexes=["0", "0", "1"], dim_starts=["3", "2", "1"],
+    dim_ends=["14", "11", "10"],
+)
+
+
+def _nc_oracle(sub_operation=None) -> str:
+    from ophidia_io_server_spark.sources.netcdf_import import synthetic_oracle_sql
+
+    return synthetic_oracle_sql(_NC_PATH, **_NC_ARGS, sub_operation=sub_operation)
+
+
+@workload("file_import_nc", oracle=_nc_oracle())
+def file_import_nc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF-import dimension algebra end to end: file order (time,lat,lon),
+    explicit rows (lat,lon), implicit array (time), per-dim subsets — the
+    per-partition slab read + transpose path (sources/netcdf_import.py)."""
+    srv = IOServer(spark)
+    srv.execute(
+        f"operation=file_import;frag_name=cube;src_path={_NC_PATH};measure=m;"
+        "dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
+        "dim_start=3|2|1;dim_end=14|11|10"
+    )
+    return srv.execute("operation=function;function=oph_export;arg='cube'")
+
+
+@workload("esdm_import_kernel", oracle=_nc_oracle("avg"))
+def esdm_import_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESDM-surface import with the push-down stream kernel (sub_operation=avg
+    fused into the partition read, ≙ oph_io_server_esdm.c:611-630)."""
+    srv = IOServer(spark)
+    srv.execute(
+        f"operation=esdm_import;frag_name=cube2;src_path=esdm://cube?dims=time:16,lat:12,lon:10;"
+        "measure=m;dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
+        "dim_start=3|2|1;dim_end=14|11|10;sub_operation=avg"
+    )
+    return srv.execute("operation=function;function=oph_export;arg='cube2'")
+
+
 @workload(
     "subset_procedure",
     oracle=f"""

@@ -1,0 +1,151 @@
+"""NetCDF/ESDM import: slab planner, dimension algebra, transpose, subsets,
+push-down kernels — against a numpy model of the reference semantics
+(oph_io_server_nc.c:755-1190)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ophidia_io_server_spark.operators.engine import IOServer
+from ophidia_io_server_spark.sources.netcdf_import import (
+    SyntheticBackend,
+    flat_range_to_slabs,
+    import_variable,
+)
+
+
+# -- slab planner (pure) -----------------------------------------------------
+
+
+@given(
+    shape=st.lists(st.integers(1, 5), min_size=1, max_size=4).map(tuple),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_slabs_cover_range_exactly(shape, data):
+    total = math.prod(shape)
+    a = data.draw(st.integers(0, total))
+    b = data.draw(st.integers(a, total))
+    got = set()
+    for start, count in flat_range_to_slabs(shape, a, b):
+        grid = np.indices(count).reshape(len(shape), -1).T + np.array(start)
+        flats = np.ravel_multi_index(grid.T, shape)
+        assert got.isdisjoint(flats)
+        got.update(flats.tolist())
+    assert got == set(range(a, b))
+
+
+def test_slabs_bulk_middle():
+    # aligned range over (10, 8): a single slab, not 10 row-reads
+    slabs = list(flat_range_to_slabs((10, 8), 16, 72))
+    assert slabs == [((2, 0), (7, 8))]
+
+
+# -- numpy model of the import ----------------------------------------------
+
+
+def model_import(shape, names, explicit, levels, subs):
+    """Oracle: full-array numpy implementation of explicit/implicit split."""
+    full = np.arange(math.prod(shape), dtype=np.float64).reshape(shape)
+    sl = tuple(slice(s - 1, e) for s, e in subs)
+    cut = full[sl]
+    exp = sorted([i for i in range(len(names)) if explicit[i]], key=lambda i: levels[i])
+    imp = sorted([i for i in range(len(names)) if not explicit[i]], key=lambda i: levels[i])
+    t = np.transpose(cut, exp + imp)
+    nrows = math.prod(t.shape[: len(exp)])
+    return t.reshape(nrows, -1)
+
+
+CASES = [
+    # (file dims, explicit flags, levels, subsets)
+    ((("lat", 6), ("lon", 4), ("time", 8)), (1, 1, 0), (0, 1, 0),
+     ((1, 6), (2, 3), (2, 7))),
+    # transpose: file order time,lat,lon but explicit lat,lon
+    ((("time", 8), ("lat", 6), ("lon", 4)), (0, 1, 1), (0, 0, 1),
+     ((1, 8), (1, 6), (1, 4))),
+    # level reorder: lon before lat in the row linearization
+    ((("lat", 5), ("lon", 3), ("time", 4)), (1, 1, 0), (1, 0, 0),
+     ((2, 4), (1, 3), (1, 4))),
+    # 4-D: two explicit + two implicit
+    ((("a", 3), ("b", 4), ("c", 2), ("d", 5)), (1, 0, 1, 0), (0, 0, 1, 1),
+     ((1, 3), (2, 4), (1, 2), (2, 4))),
+]
+
+
+@pytest.mark.parametrize("file_dims,explicit,levels,subs", CASES)
+def test_import_matches_numpy_model(spark, file_dims, explicit, levels, subs):
+    names = [d for d, _ in file_dims]
+    shape = tuple(s for _, s in file_dims)
+    path = "synthetic://t?dims=" + ",".join(f"{d}:{s}" for d, s in file_dims)
+    df = import_variable(
+        spark, path, "m",
+        dim_names=names,
+        dim_types=[str(e) for e in explicit],
+        dim_indexes=[str(l) for l in levels],
+        dim_starts=[str(s) for s, _ in subs],
+        dim_ends=[str(e) for _, e in subs],
+        partitions=3,
+    )
+    rows = {r.id_dim: r.measure for r in df.collect()}
+    want = model_import(shape, names, explicit, levels, subs)
+    assert len(rows) == want.shape[0]
+    for i in range(want.shape[0]):
+        assert rows[i + 1] == pytest.approx(want[i].tolist())
+
+
+def test_import_pushdown_kernel(spark):
+    path = "synthetic://t?dims=x:4,t:6"
+    df = import_variable(
+        spark, path, "m", dim_names=["x", "t"], dim_types=["1", "0"],
+        sub_operation="avg", partitions=2,
+    )
+    rows = {r.id_dim: r.measure for r in df.collect()}
+    want = np.arange(24, dtype=np.float64).reshape(4, 6).mean(axis=1)
+    for i in range(4):
+        assert rows[i + 1] == pytest.approx([want[i]])
+
+
+def test_engine_file_import_and_ctas(spark):
+    srv = IOServer(spark)
+    srv.execute(
+        "operation=file_import;frag_name=nc1;src_path=synthetic://t?dims=lat:4,time:6;"
+        "measure=m;dim=lat|time;dim_type=1|0"
+    )
+    out = srv.execute(
+        "operation=select;from=nc1;field=id_dim|oph_reduce(measure,'sum');"
+        "select_alias=id_dim|s;order=id_dim"
+    ).collect()
+    full = np.arange(24, dtype=np.float64).reshape(4, 6)
+    assert [r.s for r in out] == pytest.approx(full.sum(axis=1).tolist())
+
+    srv.execute(
+        "operation=create_frag_select_file;frag_name=nc2;from=@file;"
+        "field=id_dim|oph_mul_scalar(measure,2.0);select_alias=id_dim|measure;"
+        "src_path=synthetic://t?dims=lat:4,time:6;measure=m;dim=lat|time;dim_type=1|0"
+    )
+    out2 = srv.execute("operation=function;function=oph_export;arg='nc2'").collect()
+    assert out2[0].measure == pytest.approx((full[0] * 2).tolist())
+    assert not srv.catalog.exists("__import_nc2")
+
+
+def test_engine_esdm_import_kernel(spark):
+    srv = IOServer(spark)
+    srv.execute(
+        "operation=esdm_import;frag_name=es1;src_path=esdm://t?dims=x:5,t:4;"
+        "measure=m;dim=x|t;dim_type=1|0;sub_operation=oph_max"
+    )
+    out = srv.execute("operation=function;function=oph_export;arg='es1'").collect()
+    want = np.arange(20, dtype=np.float64).reshape(5, 4).max(axis=1)
+    assert [r.measure[0] for r in out] == pytest.approx(want.tolist())
+
+
+def test_synthetic_backend_read_strides():
+    b = SyntheticBackend()
+    block = b.read("synthetic://t?dims=a:3,b:4,c:5", "m", (1, 2, 3), (2, 1, 2))
+    full = np.arange(60, dtype=np.float64).reshape(3, 4, 5)
+    assert np.array_equal(block, full[1:3, 2:3, 3:5])
