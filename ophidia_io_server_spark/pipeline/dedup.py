@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ophidia_io_server_spark.pipeline.text import tokens_col
+from ophidia_io_server_spark.sources.tables import spread
 
 
 # -- exact ------------------------------------------------------------------
@@ -50,7 +51,7 @@ def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame
             ),
         )
     )
-    return docs.select("doc_id", sh.alias("shingles")).withColumn(
+    return spread(docs).select("doc_id", sh.alias("shingles")).withColumn(
         "nsh", F.size("shingles").cast("bigint")
     )
 
@@ -156,7 +157,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 def simhash_df(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc, computed JVM-side:
     explode tokens → xxhash64 → per-bit ±count aggregate → pack bits."""
-    toks = docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("w"))
+    toks = spread(docs).select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("w"))
     hashed = toks.select("doc_id", F.xxhash64("w").alias("h"))
     bit_aggs = [
         F.sum(

@@ -37,8 +37,10 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a multimodal table: utf-8 payload as an opaque binary column
     plus typed metadata (media_type, payload length).  In production this is
     the image/audio bytes column of the lakehouse table."""
+    from ophidia_io_server_spark.sources.tables import spread
+
     payload = F.encode(F.col(text_col), "utf-8")
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         payload.alias("payload"),
         F.lit("application/octet-stream").alias("media_type"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ophidia_io_server_spark.sources.random_import import lcg_value
+from ophidia_io_server_spark.sources.tables import spread
 
 
 def _dot(a, b):
@@ -28,7 +29,7 @@ def _norm(a):
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return emb.withColumn("_norm", _norm(F.col(vec_col).cast("array<double>")))
+    return spread(emb).withColumn("_norm", _norm(F.col(vec_col).cast("array<double>")))
 
 
 def cosine_topk(emb: DataFrame, query_pred, k: int = 5,

@@ -28,6 +28,22 @@ def distinct_token_count_col(text: Column) -> Column:
     return F.size(F.array_distinct(tokens_col(text))).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer classes (letters / digits / other-symbol runs,
+# optionally preceded by one space) — deliberately lookahead-free so the Java
+# regex engine (Spark) and RE2 (DuckDB oracle) match identically.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens_col(text: Column) -> Column:
+    """BPE-ish pre-tokenization: the unit a byte-pair encoder would merge
+    within.  A proxy for LLM token counts that needs no vocab file."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    return F.size(bpe_tokens_col(text)).cast("bigint")
+
+
 def fingerprint_col(text: Column) -> Column:
     """Polynomial rolling hash over character codes: h = (h*31 + code) mod 1e9+7.
 

@@ -27,6 +27,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition small scans before CPU-heavy per-row work.
+
+    A small table arrives as ONE file → ONE partition, serializing everything
+    downstream (64-hash minhash, shingling, dot products) on a single core.
+    No-op when the scan already has enough partitions — at real scale the
+    file splits give natural parallelism and no extra shuffle happens.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def lineitem_fragment(spark: SparkSession, sf_dir: str, value_col: str = "l_quantity") -> DataFrame:
     """(id_dim=l_orderkey, measure=[value_col ordered by l_linenumber]).
 

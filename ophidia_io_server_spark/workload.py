@@ -717,6 +717,30 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+             AS BIGINT) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish pre-tokenizer
+    regex (letters/digits/symbol runs) — the LLM-token-count proxy."""
+    from ophidia_io_server_spark.pipeline.text import bpe_token_count_col, token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("ws_tokens"),
+        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@workload(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
@@ -876,6 +900,43 @@ def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = hourly_counts_stream(events_stream(spark, path))
     name = "events_hourly_stream_result"
     return run_available_now(stream, name).orderBy("hour_start", "event_type")
+
+
+@workload(
+    "events_stream_dedup",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the events table staged TWICE (every event a
+    duplicate) → dropDuplicatesWithinWatermark recovers exactly the original
+    set; state is watermark-bounded so memory stays O(horizon) at any scale."""
+    import hashlib
+    import os
+
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+        stateful_dedup_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/ophidia_stream_dup_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(2).write.mode("overwrite").parquet(path)
+        ev.repartition(3).write.mode("append").parquet(path)
+    deduped = stateful_dedup_stream(events_stream(spark, path))
+    res = run_available_now(deduped, "events_dedup_result", output_mode="append")
+    return res.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
 
 
 @workload(
