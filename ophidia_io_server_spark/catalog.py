@@ -129,3 +129,46 @@ class Catalog:
     def list_fragments(self, db: str | None = None) -> list[str]:
         db = (db or self.current_db).lower()
         return sorted(self.dbs.get(db, {}))
+
+    # -- persistence --------------------------------------------------------
+    # ≙ reference MetaDB schema-file persistence so the server survives a
+    # restart (oph_metadb_auxiliary.c:353-600).  Here: each non-temp fragment
+    # is written as parquet under <root>/<db>/<frag>/ and the directory layout
+    # IS the schema file — no extra metadata format to version.
+
+    def persist(self, root: str) -> list[str]:
+        import shutil
+
+        saved = []
+        shutil.rmtree(root, ignore_errors=True)
+        for db, frags in self.dbs.items():
+            for frag, entry in frags.items():
+                if entry.temp:
+                    continue
+                entry.df.write.mode("overwrite").parquet(f"{root}/{db}/{frag}")
+                saved.append(f"{db}.{frag}")
+        # record empty databases too (they must survive restart)
+        import os
+
+        for db in self.dbs:
+            os.makedirs(f"{root}/{db}", exist_ok=True)
+        return saved
+
+    @classmethod
+    def restore(cls, spark: SparkSession, root: str, cache: bool = True) -> "Catalog":
+        import os
+
+        cat = cls(spark)
+        if not os.path.isdir(root):
+            raise CatalogError(f"no persisted catalog at {root!r}")
+        for db in sorted(os.listdir(root)):
+            dbdir = os.path.join(root, db)
+            if not os.path.isdir(dbdir):
+                continue
+            if db not in cat.dbs:
+                cat.dbs[db] = {}
+            for frag in sorted(os.listdir(dbdir)):
+                fragdir = os.path.join(dbdir, frag)
+                if os.path.isdir(fragdir):
+                    cat.put(f"{db}.{frag}", spark.read.parquet(fragdir), cache=cache)
+        return cat

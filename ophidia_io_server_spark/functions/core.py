@@ -141,10 +141,13 @@ def oph_compare(args, ctx):
 _MATH_FNS = {
     "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin, "acos": F.acos,
     "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
-    "exp": F.exp, "log": F.log, "ln": F.log, "log10": F.log10, "log2": F.log2,
+    # log/round take an optional 2nd parameter — wrap to one arg, else
+    # F.transform's arity sniffing passes the element index into it
+    "exp": F.exp, "log": lambda x: F.log(x), "ln": lambda x: F.log(x),
+    "log10": F.log10, "log2": F.log2,
     "sqrt": F.sqrt, "abs": F.abs, "floor": F.floor, "ceil": F.ceil,
-    "round": F.round, "sign": F.signum, "cbrt": F.cbrt, "degrees": F.degrees,
-    "radians": F.radians,
+    "round": lambda x: F.round(x), "sign": F.signum, "cbrt": F.cbrt,
+    "degrees": F.degrees, "radians": F.radians,
 }
 
 

@@ -75,6 +75,47 @@ def stateful_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def user_running_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count / value sum / last-seen timestamp maintained in the state
+    store across micro-batches (update mode: each batch emits the users it
+    touched with their cumulative totals).
+
+    This is the streaming generalization of the reference's add/exec/clear
+    aggregate machine (oph_query_plugin_executor.c:480-680): state = the
+    accumulator, each micro-batch = a run of add() calls, every emit = exec()
+    without clear().  State is per-user and O(users), watermark-independent.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double, last_ts timestamp"
+    state_schema = "n long, total double, last long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max()))
+        state.update((n, total, last))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last)],
+        })
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_available_now(sdf: DataFrame, query_name: str, output_mode: str = "complete",
                       timeout_sec: int = 300) -> DataFrame:
     """Process everything currently available, write to an in-memory sink,

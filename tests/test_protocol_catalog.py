@@ -1,0 +1,71 @@
+"""RS-message serialization round-trip and catalog persistence/restore."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from ophidia_io_server_spark.catalog import Catalog, CatalogError
+from ophidia_io_server_spark.operators.engine import IOServer
+from ophidia_io_server_spark.protocol import deserialize_packets, serialize_result_set
+from ophidia_io_server_spark.sources.random_import import random_fragment
+
+
+def test_rs_roundtrip(spark):
+    df = random_fragment(spark, 50, 6)
+    nfields, rows = deserialize_packets(serialize_result_set(df))
+    want = [[r.id_dim, list(r.measure)] for r in df.orderBy("id_dim").collect()]
+    rows.sort(key=lambda r: r[0])
+    assert nfields == 2
+    assert len(rows) == 50
+    assert rows[0][0] == want[0][0]
+    assert rows[0][1] == pytest.approx(want[0][1])
+    assert rows[-1][1] == pytest.approx(want[-1][1])
+
+
+def test_rs_chunking_small_packets(spark):
+    df = random_fragment(spark, 40, 4)
+    packets = list(serialize_result_set(df, max_packet_len=200))
+    assert len(packets) > 3  # forced chunking
+    nfields, rows = deserialize_packets(packets)
+    assert nfields == 2 and len(rows) == 40
+
+
+def test_rs_mixed_types(spark):
+    df = spark.createDataFrame(
+        [(1, 1.5, "ab", None), (2, -0.25, "", 7)],
+        "a long, b double, c string, d long",
+    )
+    _, rows = deserialize_packets(serialize_result_set(df))
+    rows.sort(key=lambda r: r[0])
+    assert rows == [[1, 1.5, "ab", None], [2, -0.25, "", 7]]
+
+
+def test_catalog_persist_restore(spark):
+    root = tempfile.mkdtemp(prefix="ophidia_cat_")
+    try:
+        srv = IOServer(spark)
+        srv.execute("operation=create_database;db_name=clim")
+        srv.catalog.put("f1", random_fragment(spark, 20, 3), cache=False)
+        srv.catalog.put("clim.f2", random_fragment(spark, 10, 2), cache=False)
+        srv.catalog.put("tmp1", random_fragment(spark, 5, 2), temp=True, cache=False)
+        saved = srv.catalog.persist(root)
+        assert sorted(saved) == ["clim.f2", "default.f1"]
+
+        cat2 = Catalog.restore(spark, root, cache=False)
+        assert cat2.list_fragments("default") == ["f1"]
+        assert cat2.list_fragments("clim") == ["f2"]
+        assert not cat2.exists("tmp1")  # temps don't survive restart
+        assert cat2.df("clim.f2").count() == 10
+        # restored fragments answer dialect queries
+        srv2 = IOServer(spark, catalog=cat2)
+        out = srv2.execute("operation=select;from=f1;field=id_dim|oph_size_array(measure);"
+                           "select_alias=id_dim|n;order=id_dim;limit=3")
+        assert [r.n for r in out.collect()] == [3, 3, 3]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_catalog_restore_missing(spark):
+    with pytest.raises(CatalogError):
+        Catalog.restore(spark, "/tmp/definitely_not_a_catalog_dir_xyz")

@@ -60,6 +60,32 @@ def test_stateful_dedup_stream(spark, events_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_user_running_stats_stream(spark, events_dir):
+    from ophidia_io_server_spark.streaming.ingest import user_running_stats_stream
+
+    res = run_available_now(
+        user_running_stats_stream(events_stream(spark, events_dir)),
+        "t_userstats", output_mode="update",
+    )
+    # update mode may emit a row per (user, batch); the LAST emit per user is
+    # the cumulative total — compare that against the batch aggregate
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        res.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+        .select("user_id", "n_events", F.round("total_value", 4).alias("tv"))
+    )
+    batch = (
+        load_table(spark, SF, "events").groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("tv"))
+    )
+    got = {r.user_id: (r.n_events, r.tv) for r in final.collect()}
+    want = {r.user_id: (r.n_events, r.tv) for r in batch.collect()}
+    assert got == want
+
+
 def test_streaming_insert_fragment(spark, events_dir, server):
     entry = streaming_insert_fragment(
         spark,
