@@ -258,6 +258,43 @@ def join_mul_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "join_three_way",
+    oracle=f"""
+    WITH frag_qty AS ({fragment_cte('l_quantity')}),
+         frag_price AS ({fragment_cte('l_extendedprice')}),
+         frag_disc AS ({fragment_cte('l_discount')})
+    SELECT a.id_dim AS id_dim,
+           list_transform(
+             range(1, len(a.measure) + 1),
+             i -> a.measure[i] * b.measure[i] * (1 - c.measure[i])
+           ) AS net,
+           list_aggregate(c.measure, 'max') AS max_disc
+    FROM frag_qty a
+    JOIN frag_price b ON a.id_dim = b.id_dim
+    JOIN frag_disc  c ON a.id_dim = c.id_dim
+    WHERE a.id_dim <= 600
+    ORDER BY id_dim
+    """,
+)
+def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way aligned fragment join (the reference zips any number of FROM
+    fragments on id_dim, blocks.c:845-910): qty*price*(1-disc) element-wise
+    across three fragments.  Catalyst plans one shuffle per side keyed on
+    id_dim; with range-partitioned cubes this is the co-located SMJ."""
+    srv = _server(spark, sf_dir, {
+        "frag_qty": "l_quantity", "frag_price": "l_extendedprice",
+        "frag_disc": "l_discount",
+    })
+    return srv.execute(
+        "operation=select;from=frag_qty|frag_price|frag_disc;from_alias=a|b|c;"
+        "field=id_dim|oph_mul_array(oph_mul_array(a.measure,b.measure),"
+        "oph_sum_scalar2(c.measure,-1,1))"
+        "|oph_reduce(c.measure,'max');"
+        "select_alias=id_dim|net|max_disc;where=id_dim<=600;order=id_dim"
+    )
+
+
+@workload(
     "group_aggregates",
     oracle=f"""
     {_FRAG_QTY_CTE}
@@ -1237,6 +1274,99 @@ def expand_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "field=id_dim|oph_expand(measure);"
         "select_alias=id_dim|measure;"
         "where=id_dim<=300&id_dim>=1;order=id_dim"
+    )
+
+
+@workload(
+    "math_compare_ops",
+    oracle=f"""
+    {_FRAG_BOTH_CTE}
+    SELECT a.id_dim AS id_dim,
+           list_transform(a.measure, x -> ROUND(sqrt(x), 6)) AS sq,
+           list_transform(a.measure, x -> ROUND(ln(x + 1), 6)) AS lg,
+           CASE WHEN a.measure = b.measure THEN 1.0 ELSE 0.0 END AS same,
+           list_transform(range(1, len(a.measure) + 1),
+                          i -> greatest(a.measure[i], b.measure[i])) AS mx
+    FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
+    WHERE a.id_dim <= 500 ORDER BY id_dim
+    """,
+)
+def math_compare_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_math named functions, oph_compare across fragments,
+    oph_operation_array max — element-wise JVM Column math end to end."""
+    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
+    out = srv.execute(
+        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
+        "field=id_dim|oph_math(a.measure,'sqrt')|oph_math(oph_sum_scalar(a.measure,1),'log')"
+        "|oph_compare(a.measure,b.measure)|oph_operation_array(a.measure,b.measure,'max');"
+        "select_alias=id_dim|sq|lg|same|mx;where=id_dim<=500;order=id_dim"
+    )
+    # transcendentals differ in the last ulp across libm builds → 6dp on both
+    return out.withColumn("sq", F.transform("sq", lambda x: F.round(x, 6))) \
+              .withColumn("lg", F.transform("lg", lambda x: F.round(x, 6)))
+
+
+@workload(
+    "complex_polar_ops",
+    oracle=f"""
+    {_FRAG_BOTH_CTE},
+    base AS (
+      SELECT a.id_dim AS id_dim, a.measure AS re, b.measure AS im,
+             len(a.measure) AS n
+      FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
+      WHERE a.id_dim <= 400
+    )
+    SELECT id_dim,
+           flatten(list_transform(range(1, n + 1),
+                                  i -> [ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6),
+                                        ROUND(atan2(im[i], re[i]), 6)])) AS polar,
+           list_transform(range(1, n + 1), i -> im[i]) AS imag,
+           list_transform(range(1, n + 1),
+                          i -> ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6)) AS modulus
+    FROM base ORDER BY id_dim
+    """,
+)
+def complex_polar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-complex family: interlace two fragments into (re,im),
+    convert to polar, extract imag + modulus (gsl complex surface)."""
+    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
+    out = srv.execute(
+        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
+        "field=id_dim|oph_gsl_complex_to_polar(oph_interlace(a.measure,b.measure))"
+        "|oph_gsl_complex_get_imag(oph_interlace(a.measure,b.measure))"
+        "|oph_gsl_complex_get_abs(oph_interlace(a.measure,b.measure));"
+        "select_alias=id_dim|polar|imag|modulus;where=id_dim<=400;order=id_dim"
+    )
+    return out.withColumn("polar", F.transform("polar", lambda x: F.round(x, 6))) \
+              .withColumn("modulus", F.transform("modulus", lambda x: F.round(x, 6)))
+
+
+@workload(
+    "find_pad_ops",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT id_dim,
+           list_filter(range(1, len(measure) + 1), i -> abs(measure[i] - 30.0) <= 5.0)
+             AS found,
+           list_concat(measure,
+                       CASE WHEN len(measure) >= 8 THEN []
+                            ELSE list_transform(range(0, 8 - len(measure)), z -> 0.0) END)
+             AS padded,
+           list_transform(measure, x -> CASE WHEN x = 1 THEN -1.0 ELSE x END) AS repl,
+           [CAST(1.0 AS DOUBLE), 2.0, 3.0] || measure AS with_header
+    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
+    """,
+)
+def find_pad_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_find (positions within tolerance), oph_padding to fixed length,
+    oph_replace, oph_concat with an oph_sequence literal header."""
+    srv = _server(spark, sf_dir)
+    return srv.execute(
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_find(measure,30,5)|oph_padding(measure,8,0)"
+        "|oph_replace(measure,1,-1)|oph_concat(oph_sequence(3),measure);"
+        "select_alias=id_dim|found|padded|repl|with_header;"
+        "where=id_dim<=500;order=id_dim"
     )
 
 
