@@ -240,6 +240,14 @@ def execute_select(catalog: Catalog, q: dict, params: dict | None = None,
         out = _apply_expand(out, expand_aliases[0])
 
     if clauses.order:
+        direction = str(q.get("order_dir", "asc")).strip().lower()
+        if direction not in ("asc", ""):
+            # reference ignores non-ASC order_dir with a warning
+            # (oph_query_parser.c:280-284)
+            import warnings
+
+            warnings.warn(f"order_dir {direction!r} ignored: ASC-only (reference parity)",
+                          stacklevel=2)
         order_col = clauses.order.strip()
         if order_col not in out.columns:
             # reference orders by one projected column name; tolerate expressions
