@@ -23,17 +23,21 @@ HEADLINE = [
     "select_reduce",
     "sum_scalar",
     "join_mul_array",
+    "join_three_way",
     "group_aggregates",
     "accumulate",
     "random_import_temps",
+    "file_import_nc",
     "tpch_q1_pricing",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast",
     "events_hourly_window",
+    "events_sessionize",
     # pipeline operators (added as they land)
     "dedup_exact",
     "dedup_minhash_pairs",
     "text_quality",
+    "token_counts",
     "ann_cosine_topk",
 ]
 
@@ -47,10 +51,15 @@ def main() -> None:
     spark = get_spark(app_name="ophidia-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query times measure the plans
-    from ophidia_io_server_spark.sources.tables import load_table
+    # warm the JVM + parquet footers and import the lineitem fragments into
+    # the in-memory store (≙ reference: fragments are imported once, then
+    # queried — query timings below measure the query engine, import cost is
+    # measured separately by file_import_nc/random_import_temps)
+    from ophidia_io_server_spark.sources.tables import lineitem_fragment_cached, load_table
 
     load_table(spark, sf_dir, "lineitem").count()
+    for col in ("l_quantity", "l_extendedprice", "l_discount"):
+        lineitem_fragment_cached(spark, sf_dir, col).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -59,6 +59,24 @@ def lineitem_fragment(spark: SparkSession, sf_dir: str, value_col: str = "l_quan
     )
 
 
+_FRAG_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def lineitem_fragment_cached(spark: SparkSession, sf_dir: str,
+                             value_col: str = "l_quantity") -> DataFrame:
+    """Memoized + Spark-cached fragment build.
+
+    The reference is an in-memory array store: fragments are imported once and
+    live in the MEMORY device across queries (SURVEY §1.1).  Repeated
+    workloads therefore query the cached fragment instead of re-running the
+    lineitem groupBy; keyed by session so tests with separate sessions don't
+    share plans."""
+    key = (id(spark), sf_dir, value_col)
+    if key not in _FRAG_CACHE:
+        _FRAG_CACHE[key] = lineitem_fragment(spark, sf_dir, value_col).cache()
+    return _FRAG_CACHE[key]
+
+
 def fragment_cte(value_col: str = "l_quantity") -> str:
     """DuckDB CTE body equivalent to ``lineitem_fragment``."""
     # tie-break by value: the driver data has duplicate (orderkey, linenumber)
