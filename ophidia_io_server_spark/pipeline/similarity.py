@@ -91,6 +91,85 @@ def _hyperplanes(dim: int, nplanes: int, seed: int = 7):
     ]
 
 
+def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
+                 nprobe: int = 2, iters: int = 3, vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN scale
+    path next to LSH.
+
+    Build: train a coarse quantizer with Lloyd iterations where ONLY the
+    centroids (nlist × dim floats) ever touch the driver — assignment and the
+    element-wise mean are distributed (posexplode → groupBy(cluster, pos)).
+    Search: each query probes its nprobe nearest centroid lists; candidates
+    come from an equi-join on the cluster id; exact cosine rescore; top-k by
+    sorted aggregation.  nprobe == nlist degenerates to exact brute force
+    (the recall-vs-cost dial), which the tests exploit.
+    """
+    base = with_norm(emb, vec_col).select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("v"), "_norm"
+    ).cache()
+
+    def dist_cols(v, cents):
+        return [
+            F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in c]),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda s, d: s + d)
+            for c in cents
+        ]
+
+    def assign(df, cents, out="cluster"):
+        d = F.array(*dist_cols(F.col("v"), cents))
+        return df.withColumn(out, F.array_position(d, F.array_min(d)).cast("int"))
+
+    # deterministic init: the nlist lowest vec_ids
+    cents = [r.v for r in base.orderBy("vec_id").limit(nlist).collect()]
+    for _ in range(iters):
+        assigned = assign(base, cents)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        by_cluster = {r.cluster: r.c for r in means}
+        cents = [by_cluster.get(i + 1, cents[i]) for i in range(nlist)]
+
+    assigned = assign(base, cents).select("vec_id", "v", "_norm", "cluster")
+    qd = F.array(*dist_cols(F.col("qv"), cents))
+    probes = F.slice(
+        F.transform(
+            F.array_sort(F.transform(qd, lambda d, i: F.struct(d.alias("d"), (i + 1).alias("c")))),
+            lambda s: s["c"],
+        ), 1, nprobe)
+    queries = (
+        assigned.filter(query_pred)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("_norm").alias("qn"))
+        .withColumn("cluster", F.explode(probes))
+    )
+    cand = (
+        queries.join(assigned, on="cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("_norm")))
+    )
+    return (
+        cand.groupBy("query_id")
+        .agg(F.slice(
+            F.array_sort(F.collect_list(F.struct((-F.col("cosine")).alias("nc"),
+                                                 F.col("vec_id").alias("nid")))),
+            1, k,
+        ).alias("top"))
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "query_id",
+            F.col("t.nid").alias("neighbor_id"),
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
+            F.round(-F.col("t.nc"), 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_ann_topk(emb: DataFrame, query_pred, k: int = 5, nplanes: int = 12,
                  bands: int = 3, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
     """Approximate top-k: sign signature over random hyperplanes, banded into

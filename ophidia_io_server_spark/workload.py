@@ -872,6 +872,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5).orderBy("query_id", "rank")
 
 
+@workload("ann_ivf_topk")  # approximate recall (nprobe<nlist) → rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (distributed Lloyd, driver holds only the
+    nlist×dim centroids); nprobe=nlist would reproduce ann_cosine_topk
+    exactly (asserted in tests/test_similarity_ivf.py)."""
+    from ophidia_io_server_spark.pipeline.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, F.col("vec_id") < 10, k=5, nlist=8, nprobe=3) \
+        .orderBy("query_id", "rank")
+
+
 @workload(
     "multimodal_features",
     oracle="""
