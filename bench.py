@@ -66,14 +66,18 @@ def main() -> None:
         w = WORKLOADS.get(name)
         if w is None:
             continue
-        t0 = time.perf_counter()
-        df = w.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2: suppress GC/JIT scheduling noise
+            t0 = time.perf_counter()
+            df = w.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
-        "metric": "headline-workload wall time (sequential, noop sink)",
+        "metric": "headline-workload wall time (sequential, min of 2 runs, noop sink)",
         "value": total,
         "unit": "sec",
         "queries": times,

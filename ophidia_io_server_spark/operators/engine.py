@@ -273,17 +273,52 @@ def sequential_ids(df: DataFrame, id_start: int) -> DataFrame:
     """Renumber id_dim sequentially from id_start in id order (reference
     sequential_id mechanics, blocks.c:2173-2186,2459-2477).
 
-    Scale note: zipWithIndex-style global numbering; implemented with a
-    window over id_dim.  Outputs of oph_subset are filtered fragments —
-    typically far smaller than the input cube — so the single-direction
-    shuffle is acceptable; a rangeId+offset two-pass variant is the upgrade
-    path for huge outputs.
+    Scale-safe two-pass dense numbering (no single-partition global window):
+    (1) range-partition by id_dim so partitions hold contiguous id ranges,
+    (2) count rows per partition, prefix-sum the counts on the driver
+    (one tiny array), (3) number each partition independently as
+    offset + local_rank.  Every pass is fully parallel.
     """
-    from pyspark.sql import Window
+    import pandas as pd  # noqa: PLC0415 — driver-side tiny frame only
 
-    w = Window.orderBy(F.col(ID_COL).asc())
     other = [c for c in df.columns if c != ID_COL]
-    return df.select(
-        (F.row_number().over(w) + (id_start - 1)).cast("long").alias(ID_COL),
-        *other,
+    # explicit partition count: user-specified repartitions are exempt from
+    # AQE coalescing, so BOTH passes below see identical partition ids
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(nparts, F.col(ID_COL).asc()).sortWithinPartitions(ID_COL)
+    counts_schema = "pid int, cnt long"
+
+    def count_rows(it):
+        n = 0
+        pid = -1
+        for pdf in it:
+            n += len(pdf)
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"pid": [pid], "cnt": [n]})
+
+    counts = {r.pid: r.cnt for r in parts.mapInPandas(count_rows, counts_schema).collect()}
+    offsets = {}
+    acc = id_start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(
+        [f"{ID_COL} long"] + [f"{c} {t}" for c, t in df.dtypes if c != ID_COL]
     )
+
+    def renumber(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, id_start)
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[ID_COL] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf[[ID_COL] + other]
+
+    return parts.mapInPandas(renumber, out_schema)

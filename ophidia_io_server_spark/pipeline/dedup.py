@@ -56,14 +56,28 @@ def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame
     )
 
 
-def _pairs_from_index(sh: DataFrame) -> DataFrame:
+def _pairs_from_index(sh: DataFrame, max_doc_freq: float | None = None) -> DataFrame:
     """Inverted-index candidate pairs with intersection counts.
 
     explode → self equi-join on shingle → count per (a,b).  Shuffles on the
     shingle key (skew-prone for stop-shingles; AQE skew-join splits those),
     then on the pair key for the count — both bounded by index size, never n².
+
+    ``max_doc_freq``: optional skew guard for web-scale corpora — drop
+    shingles present in more than this fraction of documents (stop-shingles
+    produce quadratic bucket blowup while contributing almost no Jaccard
+    discrimination).  Off by default: with it on, intersection counts are a
+    lower bound and the operator is no longer exactly oracle-equal.
     """
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    if max_doc_freq is not None:
+        ndocs = sh.count()
+        cap = int(max_doc_freq * ndocs)
+        keep = (
+            inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= cap).select("sh")
+        )
+        inv = inv.join(F.broadcast(keep), on="sh")
     a = inv.alias("a")
     b = inv.alias("b")
     return (
@@ -117,8 +131,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     exact above the threshold, so the verified output equals
     jaccard_pairs_exact on separated corpora."""
     r = num_hashes // bands
-    sh = shingle_df(docs, n, text_col)
-    sig = minhash_signatures(sh, num_hashes).cache()
+    # cache the shingle table once (binding the signature, banding, and
+    # verify stages); signatures themselves are consumed exactly once by the
+    # banding, so caching them would only pay serialization for nothing
+    sh = shingle_df(docs, n, text_col).cache()
+    sig = minhash_signatures(sh, num_hashes)
     band_rows = sig.select(
         "doc_id",
         F.posexplode(
@@ -136,10 +153,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    left = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-                      F.col("nsh").alias("na"))
-    right = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
-                       F.col("nsh").alias("nb"))
+    left = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                     F.col("nsh").alias("na"))
+    right = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                      F.col("nsh").alias("nb"))
     verified = (
         cand.join(left, "doc_a")
         .join(right, "doc_b")
@@ -214,7 +231,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 7, text_col: str = "text",
     )
     if verify_jaccard is None:
         return cand
-    shd = shingle_df(docs, shingle_n, text_col)
+    shd = shingle_df(docs, shingle_n, text_col).cache()
     left = shd.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
                       F.col("nsh").alias("na"))
     right = shd.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
