@@ -22,8 +22,10 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read via nanosAsLong → convert to timestamp (µs)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # TIMESTAMP(NANOS) read via nanosAsLong → convert to timestamp (µs).
+        # Integer `div`, NOT `/`: double division of epoch-nanos (~1.7e18)
+        # carries ±256 ns representation error → off-by-1µs timestamps.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

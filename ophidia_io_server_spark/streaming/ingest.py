@@ -75,6 +75,20 @@ def stateful_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def session_window_stream(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based) over the event stream: state closes
+    a user's session once no event arrives within ``gap``; the watermark
+    bounds state retention.  Batch shape of the same query:
+    workload.events_sessionize (lag/cumulative-sum formulation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
 def user_running_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count / value sum / last-seen timestamp maintained in the state

@@ -995,6 +995,42 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_session_window_streaming",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization with F.session_window + watermark; the
+    batch lag/cumsum formulation is the oracle (same session boundaries)."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+        session_window_stream,
+    )
+
+    path = _staged_events_dir(spark, sf_dir)
+    stream = session_window_stream(events_stream(spark, path))
+    return run_available_now(stream, "events_session_window_result") \
+        .orderBy("user_id", "session_start")
+
+
+@workload(
     "events_sessionize",
     oracle="""
     WITH seq AS (
