@@ -551,8 +551,11 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join star query: dims are broadcast (small), the orders-lineitem
-    join shuffles on the key Catalyst picks; AQE handles skew."""
+    """Multi-join star query.  No manual broadcast hints: at bench scale AQE
+    broadcasts every dim below the threshold anyway, and at 100 TB customer
+    is NOT broadcastable — hardcoding F.broadcast(customer) would be a
+    cluster-killing plan.  Size-based selection is exactly what the
+    optimizer owns (measured: the free plan is also faster at sf0.1)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -560,16 +563,16 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        F.broadcast(c)
+        c
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
@@ -1516,7 +1519,7 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 5)
         .select("c_mktsegment", "o_orderkey", "rnk", "o_totalprice")
