@@ -608,6 +608,31 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON extraction (JVM get_json_object — no
+    Python) aggregated per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).cast("bigint").alias("k_sum"),
+             F.max(k).cast("bigint").alias("k_max"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return select_reduce(spark, sf_dir)
 
