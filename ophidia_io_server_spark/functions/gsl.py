@@ -143,19 +143,36 @@ def oph_gsl_idwt(args, ctx):
 
 
 @primitive("oph_gsl_fit_linear", doc="least-squares line fit → fitted values")
-def oph_gsl_fit_linear(args, ctx):
-    from ophidia_io_server_spark.functions.pandas_kernels import fit_linear_udf
+def _fit_linear_terms(m):
+    """Closed-form least squares over (x=0..n-1, y): pure Column math — no
+    Python, bitwise SQL-reproducible (same left folds, same IEEE ops)."""
+    n = F.size(m).cast("double")
+    sx = n * (n - 1) / 2
+    sxx = (n - 1) * n * (2 * n - 1) / 6
+    sy = F.aggregate(m, F.lit(0.0), lambda a, x: a + x)
+    sxy = F.aggregate(
+        F.zip_with(m, F.sequence(F.lit(0), F.size(m) - 1),
+                   lambda y, i: y * i.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return slope, intercept
 
+
+def oph_gsl_fit_linear(args, ctx):
     args = strip_type_tags(args)
-    return EV(fit_linear_udf(args[0].col.cast("array<double>")))
+    m = args[0].col.cast("array<double>")
+    slope, intercept = _fit_linear_terms(m)
+    return EV(F.transform(F.sequence(F.lit(0), F.size(m) - 1),
+                          lambda i: intercept + slope * i.cast("double")))
 
 
 @primitive("oph_gsl_fit_linear_coeff", doc="least-squares line fit → [intercept, slope]")
 def oph_gsl_fit_linear_coeff(args, ctx):
-    from ophidia_io_server_spark.functions.pandas_kernels import fit_linear_coeff_udf
-
     args = strip_type_tags(args)
-    return EV(fit_linear_coeff_udf(args[0].col.cast("array<double>")))
+    slope, intercept = _fit_linear_terms(args[0].col.cast("array<double>"))
+    return EV(F.array(intercept, slope))
 
 
 @primitive("oph_gsl_spline", doc="resample the array to new_size points (linear interpolation)")

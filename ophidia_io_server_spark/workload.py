@@ -1452,6 +1452,66 @@ def find_pad_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "gsl_fit_hist_corr",
+    oracle=f"""
+    {_FRAG_BOTH_CTE},
+    base AS (
+      SELECT a.id_dim AS id_dim, a.measure AS m, b.measure AS m2,
+             CAST(len(a.measure) AS DOUBLE) AS n
+      FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
+      WHERE a.id_dim <= 400 AND len(a.measure) >= 2
+    ),
+    t AS (
+      SELECT *,
+             n * (n - 1) / 2 AS sx,
+             (n - 1) * n * (2 * n - 1) / 6 AS sxx,
+             list_aggregate(m, 'sum') AS sy,
+             list_aggregate(list_transform(range(1, CAST(n AS BIGINT) + 1),
+                                           i -> m[i] * (i - 1)), 'sum') AS sxy,
+             list_aggregate(m, 'min') AS lo,
+             list_aggregate(m, 'max') AS hi
+      FROM base
+    ),
+    f AS (
+      SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM t
+    )
+    SELECT id_dim,
+           [(sy - slope * sx) / n, slope] AS coeff,
+           list_transform(range(0, 4), b ->
+             CAST(len(list_filter(m, x ->
+               x >= lo + b * ((hi - lo) / 4)
+               AND (CASE WHEN b = 3 THEN x <= lo + (b + 1) * ((hi - lo) / 4)
+                         ELSE x < lo + (b + 1) * ((hi - lo) / 4) END)))
+               AS DOUBLE)) AS hist,
+           ROUND((list_aggregate(list_transform(range(1, CAST(n AS BIGINT) + 1),
+                                                i -> m[i] * m2[i]), 'sum')
+                  - list_aggregate(m, 'sum') * list_aggregate(m2, 'sum') / n)
+                 / sqrt((list_aggregate(list_transform(m, x -> x * x), 'sum')
+                         - list_aggregate(m, 'sum') * list_aggregate(m, 'sum') / n)
+                        * (list_aggregate(list_transform(m2, x -> x * x), 'sum')
+                           - list_aggregate(m2, 'sum') * list_aggregate(m2, 'sum') / n)),
+                 6) AS corr
+    FROM f ORDER BY id_dim
+    """,
+)
+def gsl_fit_hist_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_gsl_fit_linear_coeff (closed-form least squares, pure Column),
+    oph_gsl_histogram (GSL bin rule: last bin closed), oph_gsl_correlation
+    (Pearson across two fragments)."""
+    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
+    out = srv.execute(
+        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
+        "field=id_dim|oph_gsl_fit_linear_coeff(a.measure)"
+        "|oph_gsl_histogram(a.measure,4)"
+        "|oph_gsl_correlation(a.measure,b.measure);"
+        "select_alias=id_dim|coeff|hist|corr;"
+        "where=id_dim<=400&oph_size_array(a.measure)>=2;order=id_dim"
+    )
+    return out.withColumn("corr", F.round("corr", 6))
+
+
 @workload("gsl_fft")  # spectral kernel: no closed-form SQL oracle → rows-only
 def gsl_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = _server(spark, sf_dir)

@@ -80,3 +80,29 @@ def test_projection_boolean_cast(server):
     )
     vals = sorted(r["is_one"] for r in out.collect())
     assert vals == [0, 0, 1]  # ids 0, 1, 2 → only id 1 matches
+
+
+def test_validate_dense_rejects_gappy_ids(spark):
+    from ophidia_io_server_spark.operators import IOServer
+    from ophidia_io_server_spark.operators.select import QueryExecError
+    import pytest as _pytest
+
+    srv = IOServer(spark, validate_dense=True)
+    dense = spark.createDataFrame([(i, [1.0]) for i in range(1, 6)],
+                                  "id_dim long, measure array<double>")
+    gappy = spark.createDataFrame([(i, [1.0]) for i in (1, 2, 4, 7)],
+                                  "id_dim long, measure array<double>")
+    srv.catalog.put("d1", dense, cache=False)
+    srv.catalog.put("d2", dense, cache=False)
+    srv.catalog.put("g1", gappy, cache=False)
+    # dense fragments join fine
+    assert srv.execute(
+        "operation=select;from=d1|d2;from_alias=a|b;"
+        "field=id_dim|oph_sum_array(a.measure,b.measure);"
+        "select_alias=id_dim|s;where=id_dim>=1").count() == 5
+    # gappy ids rejected (reference blocks.c:859-876)
+    with _pytest.raises(QueryExecError, match="not dense"):
+        srv.execute(
+            "operation=select;from=d1|g1;from_alias=a|b;"
+            "field=id_dim|oph_sum_array(a.measure,b.measure);"
+            "select_alias=id_dim|s;where=id_dim>=1").count()
