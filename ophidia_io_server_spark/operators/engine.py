@@ -175,6 +175,13 @@ class IOServer:
 
     # -- sources --------------------------------------------------------
 
+    _MEASURE_TYPES = {
+        # reference element types (oph-lib-binary-io.h:61-68); bit → boolean
+        "oph_byte": "tinyint", "oph_short": "smallint", "oph_int": "int",
+        "oph_long": "bigint", "oph_float": "float", "oph_double": "double",
+        "oph_bit": "boolean",
+    }
+
     def _op_random_import(self, q, params) -> None:
         frag_name = self._frag_name(q)
         nrows = int(q.get("nrows", 100))
@@ -182,6 +189,14 @@ class IOServer:
         algorithm = q.get("algorithm", "default")
         seed = int(q.get("seed", 42))
         df = random_fragment(self.spark, nrows, array_len, algorithm=algorithm, seed=seed)
+        mtype = str(q.get("measure_type", "oph_double")).lower()
+        if mtype not in self._MEASURE_TYPES:
+            raise QueryExecError(f"random_import: unknown measure_type {mtype!r}")
+        t = self._MEASURE_TYPES[mtype]
+        if t == "boolean":
+            df = df.withColumn("measure", F.transform("measure", lambda x: x >= 0.5))
+        elif t != "double":
+            df = df.withColumn("measure", F.col("measure").cast(f"array<{t}>"))
         self.catalog.put(frag_name, df, cache=True)
         return None
 

@@ -20,6 +20,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the driver may hand us a session built without our defaults; the
+        # testdata events.ts is TIMESTAMP(NANOS), unreadable unless this
+        # legacy conf is on (runtime-settable)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong → convert to timestamp (µs).

@@ -44,9 +44,32 @@ class Workload:
 WORKLOADS: dict[str, Workload] = {}
 
 
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """The driver runs queries() with ITS OWN SparkSession.  Pin the
+    runtime-settable confs whose defaults would change RESULTS:
+    UTC timestamps (window/date_trunc values must match the tz-naive DuckDB
+    oracle), non-ANSI eval (reference C semantics: OOB element_at → NULL,
+    no strict-mode errors), nanos-as-long parquet reads (events.ts)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — keep going
+
+
 def workload(name: str, oracle: str | None = None):
     def deco(fn):
-        WORKLOADS[name] = Workload(name=name, fn=fn, oracle=oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        WORKLOADS[name] = Workload(name=name, fn=wrapped, oracle=oracle)
         return fn
 
     return deco
@@ -634,7 +657,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    return select_reduce(spark, sf_dir)
+    return WORKLOADS["select_reduce"].fn(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -90,3 +90,14 @@ def test_dense_id_validation(server, spark):
     gappy = ok.filter(F.col("id_dim") % 7 != 0)
     with pytest.raises(QueryExecError):
         assert_dense_ids(gappy, "gappy")
+
+
+def test_random_import_measure_types(spark):
+    from ophidia_io_server_spark.operators import IOServer
+
+    srv = IOServer(spark)
+    for mtype, pytype in (("oph_long", int), ("oph_float", float), ("oph_bit", bool)):
+        srv.execute(f"operation=random_import;frag_name=r_{mtype};nrows=5;"
+                    f"array_len=3;measure_type={mtype}")
+        row = srv.catalog.df(f"r_{mtype}").orderBy("id_dim").collect()[0]
+        assert isinstance(row.measure[0], pytype), (mtype, row.measure)
