@@ -33,18 +33,50 @@ class ExprError(ValueError):
 
 @dataclass
 class EV:
-    """A compiled expression value: Spark Column + static metadata."""
+    """A compiled expression value: Spark Column + static metadata.
+
+    ``elem_src``/``elem_fn`` carry element-wise lineage for primitive-chain
+    fusion: when an element-wise primitive consumes an EV produced by another
+    element-wise primitive, it composes the lambdas into ONE ``transform``
+    instead of nesting them (Catalyst does not fuse across higher-order
+    function boundaries, so unfused chains materialize an intermediate array
+    per step per row)."""
 
     col: Column
     boolean: bool = False  # Column is BooleanType (needs !=0 nowhere)
     pyval: Any = None  # python literal value when statically known
     is_literal: bool = False
+    elem_src: Column | None = None  # base array column of an element-wise chain
+    elem_fn: Any = None             # Column -> Column lambda over one element
 
     def truthy(self) -> Column:
         return self.col if self.boolean else self.col != 0
 
     def numeric(self) -> Column:
         return self.col.cast("long") if self.boolean else self.col
+
+
+def elementwise(arg, fn) -> EV:
+    """Build a fused element-wise EV: ``fn`` applied per element of ``arg``
+    (an EV or Column).  Composes with an upstream element-wise chain."""
+    from pyspark.sql import functions as F
+
+    if isinstance(arg, EV) and arg.elem_fn is not None:
+        base = arg.elem_src
+        composed = _compose_elem(arg.elem_fn, fn)
+    else:
+        base = arg.col if isinstance(arg, EV) else arg
+        composed = fn
+    return EV(F.transform(base, composed), elem_src=base, elem_fn=composed)
+
+
+def _compose_elem(inner, outer):
+    # single-parameter closure: PySpark HOFs sniff the lambda's arity, so
+    # captured values must not appear as default parameters
+    def f(e):
+        return outer(inner(e))
+
+    return f
 
 
 @dataclass

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ophidia_io_server_spark.dialect.expression import EV, ExprError, compile_lambda
+from ophidia_io_server_spark.dialect.expression import EV, ExprError, compile_lambda, elementwise
 from ophidia_io_server_spark.functions import primitive, str_arg, int_arg, num_arg
 
 _TYPE_TAGS = {
@@ -67,29 +67,29 @@ def _binop(op: str):
 @primitive("oph_sum_scalar", doc="x + s for each array element")
 def oph_sum_scalar(args, ctx):
     args = strip_type_tags(args)
-    m, s = args[0].col, args[1].numeric()
-    return EV(F.transform(m, lambda x: x + s))
+    s = args[1].numeric()
+    return elementwise(args[0], lambda x: x + s)
 
 
 @primitive("oph_mul_scalar", doc="x * s for each array element")
 def oph_mul_scalar(args, ctx):
     args = strip_type_tags(args)
-    m, s = args[0].col, args[1].numeric()
-    return EV(F.transform(m, lambda x: x * s))
+    s = args[1].numeric()
+    return elementwise(args[0], lambda x: x * s)
 
 
 @primitive("oph_sum_scalar2", doc="a*x + b for each element (affine transform)")
 def oph_sum_scalar2(args, ctx):
     args = strip_type_tags(args)
-    m, a, b = args[0].col, args[1].numeric(), args[2].numeric()
-    return EV(F.transform(m, lambda x: a * x + b))
+    a, b = args[1].numeric(), args[2].numeric()
+    return elementwise(args[0], lambda x: a * x + b)
 
 
 @primitive("oph_mul_scalar2", doc="a*(x*b) for each element (two-scalar product)")
 def oph_mul_scalar2(args, ctx):
     args = strip_type_tags(args)
-    m, a, b = args[0].col, args[1].numeric(), args[2].numeric()
-    return EV(F.transform(m, lambda x: a * (x * b)))
+    a, b = args[1].numeric(), args[2].numeric()
+    return elementwise(args[0], lambda x: a * (x * b))
 
 
 # -- element-wise binary ops over two measures ------------------------------
@@ -160,8 +160,8 @@ def oph_math(args, ctx):
         raise ExprError(f"oph_math: unknown function {fname!r}")
     fn = _MATH_FNS[fname]
     if fname in ("floor", "ceil"):
-        return EV(F.transform(m, lambda x: fn(x).cast("double")))
-    return EV(F.transform(m, fn))
+        return elementwise(args[0], lambda x: fn(x).cast("double"))
+    return elementwise(args[0], fn)
 
 
 @primitive("oph_predicate", doc="element-wise if expr(x) <op> 0 then then(x) else else(x)")
@@ -187,7 +187,7 @@ def oph_predicate(args, ctx):
     if key not in comps:
         raise ExprError(f"oph_predicate: unsupported comparator {comp!r}")
     cond = comps[key]
-    return EV(F.transform(m, lambda x: F.when(cond(e(x)), t(x)).otherwise(z(x))))
+    return elementwise(args[0], lambda x: F.when(cond(e(x)), t(x)).otherwise(z(x)))
 
 
 def _maybe_nan_lambda(src: str):
@@ -242,9 +242,9 @@ def oph_replace(args, ctx):
     old_is_nan = args[1].is_literal and isinstance(args[1].pyval, str) and args[1].pyval.upper() == "NAN"
     new = args[2].numeric()
     if old_is_nan:
-        return EV(F.transform(m, lambda x: F.when(F.isnan(x), new).otherwise(x)))
+        return elementwise(args[0], lambda x: F.when(F.isnan(x), new).otherwise(x))
     old = args[1].numeric()
-    return EV(F.transform(m, lambda x: F.when(x == old, new).otherwise(x)))
+    return elementwise(args[0], lambda x: F.when(x == old, new).otherwise(x))
 
 
 # -- normalization / quantization -------------------------------------------
@@ -277,7 +277,7 @@ def oph_quantize(args, ctx):
             c = c + F.when(x > t, 1.0).otherwise(0.0)
         return c
 
-    return EV(F.transform(m, level))
+    return elementwise(args[0], level)
 
 
 @primitive("oph_padding", doc="right-pad array with value to target length")
