@@ -142,7 +142,6 @@ def oph_gsl_idwt(args, ctx):
     return EV(idwt_udf(args[0].col.cast("array<double>")))
 
 
-@primitive("oph_gsl_fit_linear", doc="least-squares line fit → fitted values")
 def _fit_linear_terms(m):
     """Closed-form least squares over (x=0..n-1, y): pure Column math — no
     Python, bitwise SQL-reproducible (same left folds, same IEEE ops)."""
@@ -160,6 +159,7 @@ def _fit_linear_terms(m):
     return slope, intercept
 
 
+@primitive("oph_gsl_fit_linear", doc="least-squares line fit → fitted values")
 def oph_gsl_fit_linear(args, ctx):
     args = strip_type_tags(args)
     m = args[0].col.cast("array<double>")

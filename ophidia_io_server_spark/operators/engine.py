@@ -218,6 +218,8 @@ class IOServer:
             dim_starts=q.get("dim_start"),
             dim_ends=q.get("dim_end"),
             sub_operation=q.get("sub_operation"),
+            row_start=int(q["row_start"]) if q.get("row_start") else None,
+            nrows_limit=int(q["nrows"]) if q.get("nrows") else None,
         )
 
     def _op_file_import(self, q, params) -> None:

@@ -251,12 +251,21 @@ def import_variable(
     dim_ends: list[str] | None = None,
     sub_operation: str | None = None,
     partitions: int | None = None,
+    row_start: int | None = None,
+    nrows_limit: int | None = None,
 ) -> DataFrame:
     """Distributed hyperslab import → DataFrame(id_dim long, measure double[]).
 
     Each task converts its id range to hyperslabs, bulk-reads them, transposes
     file order → (explicit-by-level, implicit-by-level), reshapes to
     (rows, array_len), optionally applies the push-down reduce kernel.
+
+    ``row_start`` (1-based) / ``nrows_limit`` select a sub-range of the
+    explicit-row space — the reference's fragment-of-a-cube import
+    (``frag_key_start``/``nrows``, oph_io_server_nc.c:565-614): the Ophidia
+    framework carves one datacube into fragments by row ranges, each imported
+    by a different server.  Ids stay GLOBAL (cube-absolute), so fragments
+    re-join on id_dim.
     """
     backend = backend_for(src_path)
     file_dims = backend.dims(src_path, measure)
@@ -284,7 +293,12 @@ def import_variable(
             raise QueryExecError(f"import: unknown sub_operation {sub_operation!r}")
         kernel = op
 
-    nparts = partitions or min(spark.sparkContext.defaultParallelism, max(1, nrows // 1024) or 1)
+    lo = (row_start - 1) if row_start else 0
+    hi = min(nrows, lo + nrows_limit) if nrows_limit else nrows
+    if not (0 <= lo < hi <= nrows):
+        raise QueryExecError(f"import: bad row range [{lo + 1}, {hi}] of {nrows}")
+    n_sel = hi - lo
+    nparts = partitions or min(spark.sparkContext.defaultParallelism, max(1, n_sel // 1024) or 1)
 
     def read_partition(iterator):
         import pandas as pd  # noqa: PLC0415
@@ -325,7 +339,7 @@ def import_variable(
                 "measure": list(vals),
             })
 
-    rng = spark.range(0, nrows, numPartitions=nparts)
+    rng = spark.range(lo, hi, numPartitions=nparts)
     return rng.mapInPandas(read_partition, "id_dim long, measure array<double>")
 
 

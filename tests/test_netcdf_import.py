@@ -149,3 +149,30 @@ def test_synthetic_backend_read_strides():
     block = b.read("synthetic://t?dims=a:3,b:4,c:5", "m", (1, 2, 3), (2, 1, 2))
     full = np.arange(60, dtype=np.float64).reshape(3, 4, 5)
     assert np.array_equal(block, full[1:3, 2:3, 3:5])
+
+
+def test_import_fragment_row_range(spark):
+    """row_start/nrows carve a cube into fragments with GLOBAL ids (the
+    reference's frag_key_start mechanism) — fragments re-join on id_dim."""
+    path = "synthetic://t?dims=lat:10,time:4"
+    kw = dict(dim_names=["lat", "time"], dim_types=["1", "0"])
+    whole = import_variable(spark, path, "m", **kw)
+    f1 = import_variable(spark, path, "m", **kw, row_start=1, nrows_limit=4)
+    f2 = import_variable(spark, path, "m", **kw, row_start=5, nrows_limit=6)
+    assert f1.count() == 4 and f2.count() == 6
+    ids1 = {r.id_dim for r in f1.collect()}
+    ids2 = {r.id_dim for r in f2.collect()}
+    assert ids1 == set(range(1, 5)) and ids2 == set(range(5, 11))
+    got = {r.id_dim: r.measure for r in f1.unionAll(f2).collect()}
+    want = {r.id_dim: r.measure for r in whole.collect()}
+    assert got == want
+
+
+def test_engine_import_row_range(spark):
+    srv = IOServer(spark)
+    srv.execute(
+        "operation=file_import;frag_name=part2;src_path=synthetic://t?dims=lat:10,time:4;"
+        "measure=m;dim=lat|time;dim_type=1|0;row_start=5;nrows=6"
+    )
+    out = srv.execute("operation=function;function=oph_export;arg='part2'").collect()
+    assert [r.id_dim for r in out] == list(range(5, 11))

@@ -188,3 +188,22 @@ def test_aggregate_stats_partial_final(spark):
     want_min = arr.min(axis=0)
     want_max = arr.max(axis=0)
     assert got == pytest.approx(list(want_mean) + list(want_min) + list(want_max))
+
+
+def test_fft_ifft_roundtrip(frag):
+    """ifft(fft(x)) reproduces x interleaved with zero imaginary parts."""
+    got = run1(frag, "oph_gsl_complex_get_real(oph_gsl_ifft(oph_gsl_fft(measure)))")
+    assert got == pytest.approx(A1, abs=1e-9)
+    imag = run1(frag, "oph_gsl_complex_get_imag(oph_gsl_ifft(oph_gsl_fft(measure)))")
+    assert imag == pytest.approx([0.0] * len(A1), abs=1e-9)
+
+
+def test_dwt_idwt_roundtrip(frag):
+    got = run1(frag, "oph_gsl_idwt(oph_gsl_dwt(measure))")
+    assert got == pytest.approx(A1, abs=1e-9)
+
+
+def test_fit_linear_fitted_values(frag):
+    got = run1(frag, "oph_gsl_fit_linear(measure)")
+    # A1 = [1,2,3,4] is exactly linear: fitted == input
+    assert got == pytest.approx(A1, abs=1e-9)
