@@ -201,7 +201,10 @@ class IOServer:
         return None
 
     def _import_df(self, q) -> DataFrame:
-        from ophidia_io_server_spark.sources.netcdf_import import import_variable
+        from ophidia_io_server_spark.sources.netcdf_import import (
+            import_variable,
+            import_variable_multifile,
+        )
 
         src = q.get("src_path")
         measure = q.get("measure")
@@ -210,6 +213,14 @@ class IOServer:
         dims = q.get("dim") or []
         if isinstance(dims, str):
             dims = [dims]
+        if "|" in src:  # multi-file concat along the record dimension
+            return import_variable_multifile(
+                self.spark, [p.strip() for p in src.split("|")], measure,
+                dim_names=dims,
+                dim_types=q.get("dim_type") or [],
+                dim_indexes=q.get("dim_index"),
+                sub_operation=q.get("sub_operation"),
+            )
         return import_variable(
             self.spark, src, measure,
             dim_names=dims,

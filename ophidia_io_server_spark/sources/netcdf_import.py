@@ -343,6 +343,61 @@ def import_variable(
     return rng.mapInPandas(read_partition, "id_dim long, measure array<double>")
 
 
+def import_variable_multifile(
+    spark: SparkSession,
+    src_paths: list[str],
+    measure: str,
+    dim_names: list[str],
+    dim_types: list[str],
+    dim_indexes: list[str] | None = None,
+    sub_operation: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Multi-file import concatenated along the unlimited (record) dimension
+    (reference: unlimited-dim multi-file offsets, oph_io_server_nc.c v2
+    import; the record dim is NetCDF's leftmost dimension).
+
+    The record dim must be the OUTERMOST explicit dimension (level-0, first
+    in file order) — then the concatenated cube's ids are sequential across
+    files and the whole import is a union of per-file distributed imports
+    with id offsets: no cross-file reads, each file scanned in parallel.
+    """
+    if len(src_paths) == 1:
+        return import_variable(spark, src_paths[0], measure, dim_names, dim_types,
+                               dim_indexes, sub_operation=sub_operation,
+                               partitions=partitions)
+    per_file = []
+    rec_name = None
+    inner_rows = None
+    for p in src_paths:
+        fd = backend_for(p).dims(p, measure)
+        specs = build_dim_specs(fd, dim_names, dim_types, dim_indexes, None, None)
+        exp = _ordered(specs, True)
+        if specs[0].name != exp[0].name or not specs[0].explicit:
+            raise QueryExecError(
+                "multi-file import: the record (first) dimension must be the "
+                "outermost explicit dimension")
+        if rec_name is None:
+            rec_name = specs[0].name
+            inner_rows = math.prod(s.sub_size for s in exp[1:]) if exp[1:] else 1
+        elif specs[0].name != rec_name:
+            raise QueryExecError("multi-file import: record dim differs across files")
+        per_file.append((p, specs[0].size))
+    out = None
+    offset = 0
+    for p, rec_size in per_file:
+        df = import_variable(spark, p, measure, dim_names, dim_types,
+                             dim_indexes, sub_operation=sub_operation,
+                             partitions=partitions)
+        from pyspark.sql import functions as F
+
+        if offset:
+            df = df.select((F.col("id_dim") + offset).alias("id_dim"), "measure")
+        out = df if out is None else out.unionAll(df)
+        offset += rec_size * inner_rows
+    return out
+
+
 def synthetic_oracle_sql(path: str, dim_names: list[str], dim_types: list[str],
                          dim_indexes: list[str] | None = None,
                          dim_starts: list[str] | None = None,

@@ -176,3 +176,44 @@ def test_engine_import_row_range(spark):
     )
     out = srv.execute("operation=function;function=oph_export;arg='part2'").collect()
     assert [r.id_dim for r in out] == list(range(5, 11))
+
+
+def test_multifile_record_dim_concat(spark):
+    """Two files concatenated along the record (outermost explicit) dim:
+    global ids are sequential across files; values come from each file."""
+    from ophidia_io_server_spark.sources.netcdf_import import import_variable_multifile
+
+    p1 = "synthetic://f1?dims=time:3,lat:2,lev:4"
+    p2 = "synthetic://f2?dims=time:5,lat:2,lev:4"
+    kw = dict(dim_names=["time", "lat", "lev"], dim_types=["1", "1", "0"])
+    df = import_variable_multifile(spark, [p1, p2], "m", **kw)
+    rows = {r.id_dim: r.measure for r in df.collect()}
+    assert set(rows) == set(range(1, 17))  # (3+5) records x 2 lat
+    w1 = {r.id_dim: r.measure for r in import_variable(spark, p1, "m", **kw).collect()}
+    w2 = {r.id_dim: r.measure for r in import_variable(spark, p2, "m", **kw).collect()}
+    for i in range(1, 7):
+        assert rows[i] == w1[i]
+    for i in range(1, 11):
+        assert rows[6 + i] == w2[i]
+
+
+def test_multifile_engine_and_errors(spark):
+    srv = IOServer(spark)
+    srv.execute(
+        "operation=file_import;frag_name=mf;"
+        "src_path=synthetic://f1?dims=t:2,x:3|synthetic://f2?dims=t:4,x:3;"
+        "measure=m;dim=t|x;dim_type=1|0"
+    )
+    assert srv.catalog.df("mf").count() == 6  # 2+4 records
+    with pytest.raises(Exception, match="outermost explicit"):
+        import_variable_multifile_bad(spark)
+
+
+def import_variable_multifile_bad(spark):
+    from ophidia_io_server_spark.sources.netcdf_import import import_variable_multifile
+
+    return import_variable_multifile(
+        spark,
+        ["synthetic://f1?dims=t:2,x:3", "synthetic://f2?dims=t:4,x:3"],
+        "m", dim_names=["t", "x"], dim_types=["0", "1"],
+    )
