@@ -1,0 +1,59 @@
+"""TCP query-server façade: dialect round trips over a real socket."""
+
+import pytest
+
+from ophidia_io_server_spark.server import QueryClient, QueryServer
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    qs = QueryServer(spark)
+    qs.serve_background()
+    yield qs
+    qs.shutdown()
+
+
+def test_server_query_roundtrip(server):
+    host, port = server.address
+    cli = QueryClient(host, port)
+    try:
+        cli.execute("operation=random_import;frag_name=net1;nrows=30;array_len=4")
+        nfields, rows = cli.execute(
+            "operation=select;from=net1;field=id_dim|oph_reduce(measure,'sum')"
+            "|oph_size_array(measure);select_alias=id_dim|s|n;"
+            "where=id_dim<=10;order=id_dim")
+        assert nfields == 3
+        assert len(rows) == 10
+        assert [r[0] for r in rows] == list(range(1, 11))
+        assert all(r[2] == 4 for r in rows)
+    finally:
+        cli.close()
+
+
+def test_server_error_reply(server):
+    host, port = server.address
+    cli = QueryClient(host, port)
+    try:
+        with pytest.raises(RuntimeError, match="unknown operation"):
+            cli.execute("operation=definitely_not_an_op")
+        # connection stays usable after an error
+        cli.execute("operation=random_import;frag_name=net2;nrows=5;array_len=2")
+        _, rows = cli.execute("operation=select;from=net2;field=id_dim;"
+                              "select_alias=id_dim;order=id_dim")
+        assert len(rows) == 5
+    finally:
+        cli.close()
+
+
+def test_server_two_clients_share_catalog(server):
+    host, port = server.address
+    c1 = QueryClient(host, port)
+    c2 = QueryClient(host, port)
+    try:
+        c1.execute("operation=random_import;frag_name=shared;nrows=8;array_len=2")
+        _, rows = c2.execute("operation=select;from=shared;field=id_dim;"
+                             "select_alias=id_dim;order=id_dim")
+        assert len(rows) == 8
+    finally:
+        c1.close()
+        c2.close()
