@@ -960,6 +960,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary_payload(docs)).orderBy("doc_id")
 
 
+@workload(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
+    ),
+    frames AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               range(0, greatest(CAST(FLOOR(payload_bytes / 1024.0) AS BIGINT), 1)),
+               i -> i % 3 = 0)) AS frame_idx
+      FROM media
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx
+    FROM frames ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads: every 3rd 1KB chunk →
+    (doc_id, frame_idx) rows (decode stubbed; explode shape is real)."""
+    from ophidia_io_server_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        frame_sample_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = frame_sample_plan(attach_binary_payload(docs), every_nth=3)
+    return out.select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx")) \
+        .orderBy("doc_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (beyond-reference mandate)
 # ---------------------------------------------------------------------------
