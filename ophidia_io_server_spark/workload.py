@@ -656,6 +656,24 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload("sketch_approx_stats")  # sketches are approximate → rows-only check
+def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch operators for pipeline telemetry at scale: HLL++ distinct
+    users and approximate quantiles per event type — O(sketch) memory and
+    one pass, where exact distinct/percentile would shuffle all values.
+    tests/test_sketches.py bounds the error vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     return WORKLOADS["select_reduce"].fn(spark, sf_dir)
 

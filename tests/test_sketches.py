@@ -1,0 +1,43 @@
+"""Sketch operators: approximation error bounded against exact answers, and
+parser robustness fuzzing (typed errors only)."""
+
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.dialect.parser import QueryParseError, parse_query
+from ophidia_io_server_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_sketch_bounds_vs_exact(spark):
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    got = {r.event_type: r for r in
+           WORKLOADS["sketch_approx_stats"].fn(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    exact = {r.event_type: r for r in (
+        ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        ).collect())}
+    for et, e in exact.items():
+        g = got[et]
+        assert abs(g.approx_users - e.users) <= max(3, 0.05 * e.users)
+        assert abs(g.value_p50_p95[0] - e.p50) <= 0.05 * max(1.0, abs(e.p50))
+
+
+@given(st.text(alphabet=string.printable, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_parser_fuzz_typed_errors_only(q):
+    """Any input either parses to a clause dict or raises QueryParseError —
+    never a stray exception type (wire-facing robustness)."""
+    try:
+        out = parse_query(q)
+        assert isinstance(out, dict) and "operation" in out
+    except QueryParseError:
+        pass
