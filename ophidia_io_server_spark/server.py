@@ -56,11 +56,12 @@ class _Handler(socketserver.BaseRequestHandler):
             if query.strip().upper() == "QUIT":
                 return
             try:
+                params = self._read_binds()
                 # catalog mutations are driver-side dict ops — serialize them
                 # (≙ the reference's MetaDB rwlock); Spark jobs themselves are
                 # thread-safe and run outside the lock via the returned plan
                 with lock:
-                    df = srv.execute(query)
+                    df = srv.execute(query, params=params)
                 self.request.sendall(b"K")
                 if df is not None:
                     for pkt in serialize_result_set(df):
@@ -70,6 +71,29 @@ class _Handler(socketserver.BaseRequestHandler):
             except Exception as e:  # noqa: BLE001 — wire boundary
                 msg = f"{type(e).__name__}: {e}".encode()[:65536]
                 self.request.sendall(b"E" + struct.pack(">i", len(msg)) + msg)
+
+
+    def _read_binds(self) -> dict[int, object]:
+        """Typed ?N bind args following the query (≙ the reference EQ
+        message's DL/DD/DV/DB sub-headers): 4-byte count, then per bind a
+        1-byte tag + payload (L: 8-byte long; D: 8-byte double; S/B: 4-byte
+        length + bytes; B decodes to a list of little-endian float64)."""
+        (nbinds,) = struct.unpack(">i", _recv_exact(self.request, 4))
+        params: dict[int, object] = {}
+        for i in range(1, nbinds + 1):
+            tag = _recv_exact(self.request, 1)
+            if tag == b"L":
+                (params[i],) = struct.unpack(">q", _recv_exact(self.request, 8))
+            elif tag == b"D":
+                (params[i],) = struct.unpack(">d", _recv_exact(self.request, 8))
+            elif tag in (b"S", b"B"):
+                (ln,) = struct.unpack(">i", _recv_exact(self.request, 4))
+                raw = _recv_exact(self.request, ln)
+                params[i] = (list(struct.unpack(f"<{ln // 8}d", raw))
+                             if tag == b"B" else raw.decode())
+            else:
+                raise ValueError(f"bad bind tag {tag!r}")
+        return params
 
 
 class QueryServer(socketserver.ThreadingTCPServer):
@@ -100,9 +124,24 @@ class QueryClient:
     def __init__(self, host: str, port: int):
         self.sock = socket.create_connection((host, port))
 
-    def execute(self, query: str):
+    def execute(self, query: str, params: dict[int, object] | None = None):
         q = query.encode()
-        self.sock.sendall(struct.pack(">i", len(q)) + q)
+        frames = [struct.pack(">i", len(q)) + q]
+        params = params or {}
+        frames.append(struct.pack(">i", len(params)))
+        for i in sorted(params):
+            v = params[i]
+            if isinstance(v, bool) or isinstance(v, int):
+                frames.append(b"L" + struct.pack(">q", int(v)))
+            elif isinstance(v, float):
+                frames.append(b"D" + struct.pack(">d", v))
+            elif isinstance(v, (list, tuple)):
+                raw = struct.pack(f"<{len(v)}d", *[float(x) for x in v])
+                frames.append(b"B" + struct.pack(">i", len(raw)) + raw)
+            else:
+                raw = str(v).encode()
+                frames.append(b"S" + struct.pack(">i", len(raw)) + raw)
+        self.sock.sendall(b"".join(frames))
         status = _recv_exact(self.sock, 1)
         if status == b"E":
             (ln,) = struct.unpack(">i", _recv_exact(self.sock, 4))

@@ -57,3 +57,20 @@ def test_server_two_clients_share_catalog(server):
     finally:
         c1.close()
         c2.close()
+
+
+def test_server_typed_binds(server):
+    host, port = server.address
+    cli = QueryClient(host, port)
+    try:
+        cli.execute("operation=create_frag;frag_name=bnd")
+        cli.execute("operation=insert;frag_name=bnd;value=?,?",
+                    params={1: 7, 2: [1.5, 2.5]})
+        nfields, rows = cli.execute(
+            "operation=select;from=bnd;field=id_dim|oph_sum_scalar(measure,?);"
+            "select_alias=id_dim|m;where=id_dim=?",
+            params={1: 10.0, 2: 7})
+        assert nfields == 2 and len(rows) == 1
+        assert rows[0][0] == 7 and rows[0][1] == [11.5, 12.5]
+    finally:
+        cli.close()
