@@ -106,3 +106,26 @@ def test_validate_dense_rejects_gappy_ids(spark):
             "operation=select;from=d1|g1;from_alias=a|b;"
             "field=id_dim|oph_sum_array(a.measure,b.measure);"
             "select_alias=id_dim|s;where=id_dim>=1").count()
+
+
+def test_everything_query(spark):
+    """Join two fragments, WHERE with binds + id built-ins, inverted LIMIT
+    window, GROUP BY id-derived key, aggregate + first-of-group, ORDER."""
+    from ophidia_io_server_spark.operators import IOServer
+    from ophidia_io_server_spark.sources.random_import import random_fragment
+
+    srv = IOServer(spark)
+    srv.catalog.put("ea", random_fragment(spark, 200, 4, seed=1), cache=False)
+    srv.catalog.put("eb", random_fragment(spark, 200, 4, seed=2), cache=False)
+    out = srv.execute(
+        "operation=select;from=ea|eb;from_alias=a|b;"
+        "field=oph_id(id_dim,?)"
+        "|oph_reduce(oph_aggregate_operator(oph_mul_array(a.measure,b.measure),'oph_sum'),'sum')"
+        ";select_alias=grp|s;"
+        "where=oph_is_in_subset(id_dim,1,2,?)&id_dim>=?;"
+        "group=oph_id(id_dim,?);order=grp;limit=5|40",
+        params={1: 10, 2: 160, 3: 11, 4: 10},
+    ).collect()
+    # ids 11..159 odd → limit window rows 6..45 of that ordered set
+    assert [r.grp for r in out] == sorted({(i - 1) // 10 + 1 for i in range(21, 100, 2)})
+    assert all(r.s > 0 for r in out)
