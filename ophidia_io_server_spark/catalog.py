@@ -136,8 +136,10 @@ class Catalog:
     # is written as parquet under <root>/<db>/<frag>/ and the directory layout
     # IS the schema file — no extra metadata format to version.
 
-    def persist(self, root: str) -> list[str]:
+    def persist(self, root: str, id_files: int | None = None) -> list[str]:
         import shutil
+
+        from pyspark.sql import functions as F
 
         saved = []
         shutil.rmtree(root, ignore_errors=True)
@@ -145,7 +147,16 @@ class Catalog:
             for frag, entry in frags.items():
                 if entry.temp:
                     continue
-                entry.df.write.mode("overwrite").parquet(f"{root}/{db}/{frag}")
+                df = entry.df
+                if "id_dim" in df.columns:
+                    # range-partitioned + sorted layout: each parquet file
+                    # covers a tight contiguous id range, so restored
+                    # fragments get row-group/file skipping on id_dim
+                    # predicates (the cube's partition-pruning backbone)
+                    n = id_files or df.sparkSession.sparkContext.defaultParallelism
+                    df = df.repartitionByRange(n, F.col("id_dim").asc()) \
+                           .sortWithinPartitions("id_dim")
+                df.write.mode("overwrite").parquet(f"{root}/{db}/{frag}")
                 saved.append(f"{db}.{frag}")
         # record empty databases too (they must survive restart)
         import os

@@ -69,3 +69,22 @@ def test_catalog_persist_restore(spark):
 def test_catalog_restore_missing(spark):
     with pytest.raises(CatalogError):
         Catalog.restore(spark, "/tmp/definitely_not_a_catalog_dir_xyz")
+
+
+def test_persist_layout_enables_id_skipping(spark):
+    root = tempfile.mkdtemp(prefix="ophidia_cat_layout_")
+    try:
+        srv = IOServer(spark)
+        srv.catalog.put("big", random_fragment(spark, 10000, 4), cache=False)
+        srv.catalog.persist(root, id_files=8)
+        import glob
+        files = glob.glob(f"{root}/default/big/part-*")
+        assert len(files) == 8  # range-partitioned into id-contiguous files
+
+        cat2 = Catalog.restore(spark, root, cache=False)
+        q = cat2.df("big").where("id_dim >= 1 AND id_dim <= 100")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "LessThanOrEqual(id_dim,100" in plan
+        assert q.count() == 100
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
