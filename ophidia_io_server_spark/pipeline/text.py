@@ -55,6 +55,27 @@ def fingerprint_col(text: Column) -> Column:
     )
 
 
+EN_STOPWORDS = ("the", "a", "an", "of", "and", "is", "to", "in", "that", "it",
+                "on", "for", "as", "with", "was", "are", "be", "this", "by", "at")
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    """Fraction of tokens that are (English) stopwords — the classic junk /
+    boilerplate discriminator in quality scoring."""
+    t = tokens_col(text)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w))))
+    return F.round(hits / F.size(t), 4)
+
+
+def punct_ratio_col(text: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols (not alnum, not
+    whitespace)."""
+    total = F.length(text)
+    stripped = F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    return F.round((total - stripped) / total, 4)
+
+
 def mean_token_len_col(text: Column) -> Column:
     t = tokens_col(text)
     total = F.aggregate(t, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w))

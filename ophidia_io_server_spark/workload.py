@@ -852,6 +852,37 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SW = "['the','a','an','of','and','is','to','in','that','it','on','for','as','with','was','are','be','this','by','at']"
+
+
+@workload(
+    "text_ratios",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(len(list_filter(ws, w -> list_contains({_SW}, lower(w))))
+                 * 1.0 / len(ws), 4) AS stopword_ratio,
+           ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                 * 1.0 / length(text), 4) AS punct_ratio
+    FROM tok ORDER BY doc_id
+    """,
+)
+def text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword + punctuation ratios (quality-scoring discriminators)."""
+    from ophidia_io_server_spark.pipeline.text import punct_ratio_col, stopword_ratio_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stopword_ratio_col(F.col("text")).alias("stopword_ratio"),
+        punct_ratio_col(F.col("text")).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
 @workload(
     "doc_fingerprint",
     oracle="""
