@@ -38,7 +38,11 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "text_quality",
     "token_counts",
+    "text_ratios",
     "ann_cosine_topk",
+    "events_json_props",
+    "gsl_fit_hist_corr",
+    "multimodal_features",
 ]
 
 
