@@ -187,7 +187,14 @@ def oph_predicate(args, ctx):
     if key not in comps:
         raise ExprError(f"oph_predicate: unsupported comparator {comp!r}")
     cond = comps[key]
-    return elementwise(args[0], lambda x: F.when(cond(e(x)), t(x)).otherwise(z(x)))
+
+    def pick(x):
+        v = e(x)
+        # C parity: every comparison involving NaN is false (Spark would
+        # order NaN greater than any value), so NaN takes the else-branch
+        return F.when(~F.isnan(v) & cond(v), t(x)).otherwise(z(x))
+
+    return elementwise(args[0], pick)
 
 
 def _maybe_nan_lambda(src: str):
