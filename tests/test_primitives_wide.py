@@ -207,3 +207,33 @@ def test_fit_linear_fitted_values(frag):
     got = run1(frag, "oph_gsl_fit_linear(measure)")
     # A1 = [1,2,3,4] is exactly linear: fitted == input
     assert got == pytest.approx(A1, abs=1e-9)
+
+
+def test_id3_exact_reference_trace(spark):
+    """Exact values from the C algorithm (oph_query_expression_functions.c:
+    76-135): k=id-1, row=k/bs, rel=row%sum(list), chunk search over the
+    first n-1 entries, out = k%bs + (i + row/sum*len)*bs + 1."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def c_model(id_, lst, bs):
+        k = id_ - 1
+        reduced = sum(lst)
+        row = k // bs
+        rel = row % reduced
+        start = 0
+        i = len(lst) - 1
+        for j, n in enumerate(lst[:-1]):
+            stop = start + n
+            if start <= rel < stop:
+                i = j
+                break
+            start = stop
+        return k % bs + (i + row // reduced * len(lst)) * bs + 1
+
+    df = spark.createDataFrame([(i,) for i in range(1, 41)],
+                               StructType([StructField("id_dim", LongType())]))
+    ctx = ExprContext(resolver=lambda n: df[n])
+    v = compile_expression("oph_id3(id_dim, '2,3', 2)", ctx)
+    got = {r.id_dim: r.v for r in df.select("id_dim", v.col.alias("v")).collect()}
+    for id_ in range(1, 41):
+        assert got[id_] == c_model(id_, [2, 3], 2), id_
