@@ -237,3 +237,25 @@ def test_id3_exact_reference_trace(spark):
     got = {r.id_dim: r.v for r in df.select("id_dim", v.col.alias("v")).collect()}
     for id_ in range(1, 41):
         assert got[id_] == c_model(id_, [2, 3], 2), id_
+
+
+def test_id_to_index_variadic_trace(spark):
+    """Multi-size unravel mirrors the C fold (functions.c:128-156):
+    index = successive modulo-divide, answer from the LAST size."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def c_model(id_, sizes):
+        k = id_ - 1
+        idx = k
+        for s in sizes:
+            idx = k % s
+            k = (k - idx) // s
+        return idx + 1
+
+    df = spark.createDataFrame([(i,) for i in range(1, 61)],
+                               StructType([StructField("id_dim", LongType())]))
+    ctx = ExprContext(resolver=lambda n: df[n])
+    v = compile_expression("oph_id_to_index(id_dim, 3, 4)", ctx)
+    got = {r.id_dim: r.v for r in df.select("id_dim", v.col.alias("v")).collect()}
+    for id_ in range(1, 61):
+        assert got[id_] == c_model(id_, [3, 4]), id_
