@@ -259,3 +259,19 @@ def test_id_to_index_variadic_trace(spark):
     got = {r.id_dim: r.v for r in df.select("id_dim", v.col.alias("v")).collect()}
     for id_ in range(1, 61):
         assert got[id_] == c_model(id_, [3, 4]), id_
+
+
+def test_get_subarray3_multidim(spark):
+    """2x3 row-major block: keep row 2, cols 1 and 3 → elements 4 and 6."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    arr = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    df = spark.createDataFrame([(arr,)],
+                               StructType([StructField("measure", ArrayType(DoubleType()))]))
+    ctx = ExprContext(resolver=lambda n: df[n])
+    ev = compile_expression("oph_get_subarray3(measure, '2,3', '2', '1:2:end')", ctx)
+    got = df.select(ev.col.alias("r")).collect()[0]["r"]
+    assert got == [40.0, 60.0]
+    ev2 = compile_expression("oph_get_subarray3(measure, '2,3', '1:end', '2')", ctx)
+    got2 = df.select(ev2.col.alias("r")).collect()[0]["r"]
+    assert got2 == [20.0, 50.0]
