@@ -165,6 +165,41 @@ class Catalog:
             os.makedirs(f"{root}/{db}", exist_ok=True)
         return saved
 
+    def persist_versioned(self, root: str, id_files: int | None = None) -> int:
+        """Append-only snapshot persistence: each call writes a complete new
+        snapshot under ``root/v<N>/`` and then atomically publishes it by
+        writing ``root/LATEST``.  Readers restoring concurrently see either
+        the previous or the new snapshot, never a half-written tree —
+        object-store-friendly (no in-place mutation), ≙ a minimal
+        Delta-style commit protocol without the log compaction."""
+        import os
+
+        os.makedirs(root, exist_ok=True)
+        existing = [int(d[1:]) for d in os.listdir(root)
+                    if d.startswith("v") and d[1:].isdigit()]
+        version = max(existing, default=0) + 1
+        self.persist(f"{root}/v{version}", id_files=id_files)
+        tmp = f"{root}/.LATEST.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, f"{root}/LATEST")  # atomic publish
+        return version
+
+    @classmethod
+    def restore_versioned(cls, spark: SparkSession, root: str,
+                          version: int | None = None, cache: bool = True) -> "Catalog":
+        import os
+
+        if version is None:
+            try:
+                with open(f"{root}/LATEST") as f:
+                    version = int(f.read().strip())
+            except FileNotFoundError as e:
+                raise CatalogError(f"no published snapshot at {root!r}") from e
+        if not os.path.isdir(f"{root}/v{version}"):
+            raise CatalogError(f"snapshot v{version} not found at {root!r}")
+        return cls.restore(spark, f"{root}/v{version}", cache=cache)
+
     @classmethod
     def restore(cls, spark: SparkSession, root: str, cache: bool = True) -> "Catalog":
         import os

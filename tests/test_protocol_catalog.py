@@ -88,3 +88,25 @@ def test_persist_layout_enables_id_skipping(spark):
         assert q.count() == 100
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_versioned_persist_time_travel(spark):
+    root = tempfile.mkdtemp(prefix="ophidia_cat_ver_")
+    try:
+        srv = IOServer(spark)
+        srv.catalog.put("f", random_fragment(spark, 10, 2), cache=False)
+        v1 = srv.catalog.persist_versioned(root)
+        srv.catalog.put("f", random_fragment(spark, 25, 2), cache=False, overwrite=True)
+        srv.catalog.put("g", random_fragment(spark, 5, 2), cache=False)
+        v2 = srv.catalog.persist_versioned(root)
+        assert (v1, v2) == (1, 2)
+
+        latest = Catalog.restore_versioned(spark, root, cache=False)
+        assert latest.df("f").count() == 25 and latest.exists("g")
+        old = Catalog.restore_versioned(spark, root, version=1, cache=False)
+        assert old.df("f").count() == 10 and not old.exists("g")
+
+        with pytest.raises(CatalogError):
+            Catalog.restore_versioned(spark, root, version=9)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
