@@ -1163,6 +1163,34 @@ def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @workload(
+    "stream_to_dialect",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 4) AS total
+    FROM events WHERE event_id <= 500
+    """,
+)
+def stream_to_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full loop: Structured-Streaming ingest → catalog fragment (foreachBatch
+    ≙ multi-run insert) → dialect select over the stored fragment."""
+    from ophidia_io_server_spark.streaming.ingest import events_stream, streaming_insert_fragment
+
+    srv = IOServer(spark)
+    path = _staged_events_dir(spark, sf_dir)
+    stream = events_stream(spark, path).where(F.col("event_id") <= 500).select(
+        F.col("event_id").alias("id_dim"), F.array(F.col("value")).alias("measure")
+    )
+    streaming_insert_fragment(spark, stream, srv.catalog, "ev_frag")
+    out = srv.execute(
+        "operation=select;from=ev_frag;"
+        "field=oph_count_array(oph_roll_up(measure))|oph_reduce(oph_roll_up(measure),'sum');"
+        "select_alias=n_rows|total"
+    )
+    return out.select(F.col("n_rows").cast("bigint").alias("n_rows"),
+                      F.round("total", 4).alias("total"))
+
+
+@workload(
     "events_sessionize",
     oracle="""
     WITH seq AS (
