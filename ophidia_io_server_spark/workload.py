@@ -885,6 +885,61 @@ def text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "corpus_report",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, source, ws, {_LANG_COUNTS} FROM tok),
+    pred AS (
+      SELECT doc_id, source, ws,
+             CASE WHEN {_G} = 0 THEN 'und'
+                  WHEN de = {_G} THEN 'de'
+                  WHEN en = {_G} THEN 'en'
+                  WHEN es = {_G} THEN 'es'
+                  WHEN fr = {_G} THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM cnt
+    )
+    SELECT source, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+           ROUND(AVG(ROUND(least(len(ws) / 200.0, 1.0) * 0.5
+                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5, 4)), 4)
+             AS mean_quality
+    FROM pred GROUP BY source, pred_lang ORDER BY source, pred_lang
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline report: per (source, predicted language) document counts,
+    token volume and mean quality score — composition of the text operators
+    in one aggregation."""
+    from ophidia_io_server_spark.pipeline.text import (
+        distinct_token_count_col,
+        lang_id_col,
+        token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count_col(t)
+    quality = F.round(
+        F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.5
+        + F.least(distinct_token_count_col(t) / n_tok, F.lit(1.0)) * 0.5, 4)
+    return (
+        docs.select("source", lang_id_col(t).alias("pred_lang"),
+                    n_tok.alias("n_tok"), quality.alias("q"))
+        .groupBy("source", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("total_tokens"),
+             F.round(F.avg("q"), 4).alias("mean_quality"))
+        .orderBy("source", "pred_lang")
+    )
+
+
+@workload(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
