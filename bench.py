@@ -71,7 +71,7 @@ def main() -> None:
         if w is None:
             continue
         best = None
-        for _ in range(2):  # min of 2: suppress GC/JIT scheduling noise
+        for _ in range(3):  # min of 3: suppress GC/JIT/machine-load noise
             t0 = time.perf_counter()
             df = w.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -81,7 +81,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
-        "metric": "headline-workload wall time (sequential, min of 2 runs, noop sink)",
+        "metric": "headline-workload wall time (sequential, min of 3 runs, noop sink)",
         "value": total,
         "unit": "sec",
         "queries": times,
