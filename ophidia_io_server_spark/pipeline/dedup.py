@@ -39,8 +39,22 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # -- shingling ---------------------------------------------------------------
 
 
-def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingles: array<string> distinct word n-grams, nsh)."""
+_SHINGLE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text",
+               memo_key: tuple | None = None) -> DataFrame:
+    """(doc_id, shingles: array<string> distinct word n-grams, nsh).
+
+    ``memo_key`` (e.g. ``(id(spark), sf_dir)``) opts into an explicit
+    Spark-cached memo shared across calls — relying on the CacheManager's
+    plan-identity dedup across separately-built DataFrames proved flaky, and
+    shingling is the dominant dedup cost (import-once-query-many, like the
+    fragment store)."""
+    if memo_key is not None:
+        key = (*memo_key, n, text_col)
+        if key in _SHINGLE_MEMO:
+            return _SHINGLE_MEMO[key]
     toks = tokens_col(F.col(text_col))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     sh = F.array_distinct(
@@ -51,9 +65,13 @@ def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame
             ),
         )
     )
-    return spread(docs).select("doc_id", sh.alias("shingles")).withColumn(
+    out = spread(docs).select("doc_id", sh.alias("shingles")).withColumn(
         "nsh", F.size("shingles").cast("bigint")
     )
+    if memo_key is not None:
+        _SHINGLE_MEMO[key] = out.cache()
+        return _SHINGLE_MEMO[key]
+    return out
 
 
 def _pairs_from_index(sh: DataFrame, max_doc_freq: float | None = None) -> DataFrame:
@@ -89,10 +107,12 @@ def _pairs_from_index(sh: DataFrame, max_doc_freq: float | None = None) -> DataF
 
 
 def jaccard_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text", memo_key: tuple | None = None) -> DataFrame:
     """All pairs with distinct-n-gram Jaccard ≥ threshold (full recall:
     a pair below any intersection never reaches the threshold)."""
-    sh = shingle_df(docs, n, text_col).cache()
+    sh = shingle_df(docs, n, text_col, memo_key=memo_key)
+    if memo_key is None:
+        sh = sh.cache()
     pairs = _pairs_from_index(sh)
     sizes = sh.select("doc_id", "nsh")
     out = (
@@ -123,7 +143,7 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text", memo_key: tuple | None = None) -> DataFrame:
     """MinHash → LSH banding → candidate equi-join → EXACT Jaccard verify.
 
     With r = num_hashes/bands rows per band, P[candidate | j] =
@@ -134,7 +154,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     # cache the shingle table once (binding the signature, banding, and
     # verify stages); signatures themselves are consumed exactly once by the
     # banding, so caching them would only pay serialization for nothing
-    sh = shingle_df(docs, n, text_col).cache()
+    sh = shingle_df(docs, n, text_col, memo_key=memo_key)
+    if memo_key is None:
+        sh = sh.cache()
     sig = minhash_signatures(sh, num_hashes)
     band_rows = sig.select(
         "doc_id",
@@ -198,7 +220,7 @@ def _hamming(a, b):
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 7, text_col: str = "text",
                   verify_jaccard: float | None = 0.5, shingle_n: int = 3,
-                  n_chunks: int = 8) -> DataFrame:
+                  n_chunks: int = 8, memo_key: tuple | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into n_chunks equal
     chunks (pigeonhole: hamming ≤ n_chunks-1 ⇒ at least one chunk identical,
     so candidate recall is EXACT up to max_hamming = n_chunks-1), equi-join on
@@ -231,7 +253,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 7, text_col: str = "text",
     )
     if verify_jaccard is None:
         return cand
-    shd = shingle_df(docs, shingle_n, text_col).cache()
+    shd = shingle_df(docs, shingle_n, text_col, memo_key=memo_key)
+    if memo_key is None:
+        shd = shd.cache()
     left = shd.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
                       F.col("nsh").alias("na"))
     right = shd.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),

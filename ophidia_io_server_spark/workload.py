@@ -735,7 +735,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.dedup import jaccard_pairs_exact
 
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs_exact(docs, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+    return jaccard_pairs_exact(docs, n=3, threshold=0.5,
+                               memo_key=(id(spark), sf_dir)).orderBy("doc_a", "doc_b")
 
 
 @workload("dedup_minhash_pairs", oracle=_JACCARD_ORACLE)
@@ -745,7 +746,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+    return minhash_lsh_pairs(docs, n=3, threshold=0.5,
+                             memo_key=(id(spark), sf_dir)).orderBy("doc_a", "doc_b")
 
 
 @workload("dedup_simhash_pairs", oracle=_JACCARD_ORACLE)
@@ -755,7 +757,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5).orderBy("doc_a", "doc_b")
+    return simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5,
+                         memo_key=(id(spark), sf_dir)).orderBy("doc_a", "doc_b")
 
 
 @workload(
