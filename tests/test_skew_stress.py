@@ -59,3 +59,25 @@ def test_large_array_fragment_stress(spark):
         assert 2 * 65536 < r.s < 4 * 65536
         # accumulate's last element == plain sum of the array
         assert r.acc_last == pytest.approx((r.s / 2) - 65536, rel=1e-9)
+
+
+def test_elementwise_agg_exploded_matches_fold(spark):
+    """Positional-explode aggregate == collect-and-fold aggregate."""
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.functions.aggregates import elementwise_fold
+    from ophidia_io_server_spark.operators.array_agg import elementwise_agg_exploded
+
+    df = random_fragment(spark, 300, 6).withColumn("g", (F.col("id_dim") % 5))
+    for op in ("sum", "max", "min", "avg"):
+        got = {r.g: r.agg for r in
+               elementwise_agg_exploded(df, "g", "measure", op).collect()}
+        if op == "avg":
+            cnt = F.count(F.lit(1)).cast("double")
+            fold = F.transform(elementwise_fold(F.col("measure"), "sum"),
+                               lambda x: x / cnt)
+        else:
+            fold = elementwise_fold(F.col("measure"), op)
+        want = {r.g: r.f for r in df.groupBy("g").agg(fold.alias("f")).collect()}
+        for g in want:
+            assert got[g] == pytest.approx(want[g]), (op, g)
