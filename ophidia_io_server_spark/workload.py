@@ -358,6 +358,30 @@ def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "ctas_rollup",
+    oracle=f"""
+    {_FRAG_QTY_CTE}
+    SELECT 1 + CAST(TRUNC((id_dim - 1.0) / 50) AS BIGINT) AS id_dim,
+           flatten(list(list_slice(measure, 1, 2) ORDER BY id_dim, measure)) AS measure
+    FROM frag_qty WHERE id_dim <= 1000
+    GROUP BY 1 ORDER BY id_dim
+    """,
+)
+def ctas_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_frag_select (CTAS, exactly-2-columns rule) storing a grouped
+    roll_up fragment, then oph_export reads it back — the reference's
+    cube-re-gridding flow (engine.c:35-237)."""
+    srv = _server(spark, sf_dir)
+    srv.execute(
+        "operation=create_frag_select;frag_name=regrid;from=frag_qty;"
+        "field=oph_id(id_dim,50)|oph_roll_up(oph_get_subarray(measure,1,2));"
+        "select_alias=id_dim|measure;"
+        "where=id_dim<=1000;group=oph_id(id_dim,50)"
+    )
+    return srv.execute("operation=function;function=oph_export;arg='regrid'")
+
+
+@workload(
     "global_aggregate",
     oracle=f"""
     {_FRAG_QTY_CTE}
