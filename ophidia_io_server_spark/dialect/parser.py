@@ -160,7 +160,7 @@ def _renumber(value: str, start: int) -> tuple[str, int]:
     return "".join(out), n
 
 
-_LIMIT_RE = re.compile(r"^\s*(?:(\d+)\s*\|)?\s*(-?\d+)\s*$")
+_LIMIT_RE = re.compile(r"^\s*(?:(-?\d+)\s*\|)?\s*(-?\d+)\s*$")
 
 
 def parse_limit(value: str) -> tuple[int, int]:

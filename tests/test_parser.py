@@ -41,3 +41,13 @@ def test_limit_forms():
     assert parse_limit("-3") == (0, 0)
     with pytest.raises(QueryParseError):
         parse_limit("a|b")
+
+
+def test_parse_limit_negative_clamps():
+    from ophidia_io_server_spark.dialect.parser import parse_limit
+
+    # reference blocks.c:699-745: negative values clamp to 0
+    assert parse_limit("-5") == (0, 0)
+    assert parse_limit("3|-2") == (3, 0)
+    assert parse_limit("-1|7") == (0, 7)
+    assert parse_limit("2|9") == (2, 9)
