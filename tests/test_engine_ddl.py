@@ -101,3 +101,13 @@ def test_random_import_measure_types(spark):
                     f"array_len=3;measure_type={mtype}")
         row = srv.catalog.df(f"r_{mtype}").orderBy("id_dim").collect()[0]
         assert isinstance(row.measure[0], pytype), (mtype, row.measure)
+
+
+def test_insert_literal_values(spark):
+    from ophidia_io_server_spark.operators import IOServer
+
+    srv = IOServer(spark)
+    srv.execute("operation=create_frag;frag_name=lit1")
+    srv.execute("operation=insert;frag_name=lit1;value=3,[1.5 2.5 3.5]")
+    row = srv.catalog.df("lit1").collect()[0]
+    assert row.id_dim == 3 and row.measure == [1.5, 2.5, 3.5]
