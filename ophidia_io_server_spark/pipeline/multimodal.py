@@ -70,11 +70,14 @@ def _stub_features(payload: bytes) -> list[float]:
     ]
 
 
-def extract_features(media: DataFrame, batch_size_hint: int = 1000) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     The Arrow batch iteration, output schema and per-partition processing are
-    the production shape; only the per-payload kernel is stubbed."""
+    the production shape; only the per-payload kernel is stubbed.  Batch size
+    is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    (session.py sets 10k — for multi-MB media payloads tune it down so a
+    batch stays within executor memory)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
