@@ -104,3 +104,32 @@ def test_compress_uncompress_identity(spark, arr):
 def test_gsl_sort_properties(spark, arr):
     got = run1(spark, arr, "oph_gsl_sort(measure)")
     assert got == sorted([float(x) for x in arr])
+
+
+@given(arr=ARR)
+@settings(max_examples=10, deadline=None)
+def test_quantile_and_boxplot_permutation_invariant(spark, arr):
+    """Sort-based stats ignore input order: reversing the array changes
+    nothing in median/boxplot/histogram."""
+    for f in ("oph_gsl_quantile(measure,0.5)", "oph_gsl_boxplot(measure)",
+              "oph_gsl_histogram(measure,3)"):
+        a = run1(spark, arr, f)
+        b = run1(spark, arr, f.replace("measure", "oph_reverse(measure)"))
+        assert a == pytest.approx(b), f
+
+
+ARR2 = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=2, max_size=12,
+)
+
+
+@given(arr=ARR2, k=st.floats(min_value=-50, max_value=50, allow_nan=False))
+@settings(max_examples=10, deadline=None)
+def test_fit_shift_equivariance(spark, arr, k):
+    """Shifting y by a constant shifts the intercept, not the slope.
+    (n >= 2: a single point has no defined line.)"""
+    base = run1(spark, arr, "oph_gsl_fit_linear_coeff(measure)")
+    shifted = run1(spark, arr, f"oph_gsl_fit_linear_coeff(oph_sum_scalar(measure,{k}))")
+    assert shifted[1] == pytest.approx(base[1], rel=1e-6, abs=1e-6)   # slope
+    assert shifted[0] == pytest.approx(base[0] + k, rel=1e-6, abs=1e-5)  # intercept
