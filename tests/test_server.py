@@ -74,3 +74,33 @@ def test_server_typed_binds(server):
         assert rows[0][0] == 7 and rows[0][1] == [11.5, 12.5]
     finally:
         cli.close()
+
+
+def test_server_restart_restores_fragments(spark, tmp_path):
+    """Persist catalog → 'restart' (new server on restored catalog) → query
+    over the wire: the reference's MetaDB reload-on-restart flow."""
+    from ophidia_io_server_spark.catalog import Catalog
+    from ophidia_io_server_spark.operators.engine import IOServer
+
+    root = str(tmp_path / "cat")
+    old = QueryServer(spark)
+    old.serve_background()
+    host, port = old.address
+    c = QueryClient(host, port)
+    c.execute("operation=random_import;frag_name=persisted;nrows=12;array_len=3")
+    c.close()
+    old.io_server.catalog.persist_versioned(root)
+    old.shutdown()
+
+    fresh = QueryServer(spark)
+    fresh.io_server = IOServer(spark, catalog=Catalog.restore_versioned(spark, root))
+    fresh.serve_background()
+    c2 = QueryClient(*fresh.address)
+    try:
+        nfields, rows = c2.execute(
+            "operation=select;from=persisted;field=id_dim|oph_size_array(measure);"
+            "select_alias=id_dim|n;order=id_dim")
+        assert len(rows) == 12 and all(r[1] == 3 for r in rows)
+    finally:
+        c2.close()
+        fresh.shutdown()
