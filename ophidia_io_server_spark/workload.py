@@ -681,6 +681,33 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "events_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the exact counterpart of
+    sketch_approx_stats; Spark `percentile` ≙ DuckDB quantile_cont)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @workload("sketch_approx_stats")  # sketches are approximate → rows-only check
 def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch operators for pipeline telemetry at scale: HLL++ distinct
