@@ -382,6 +382,42 @@ def ctas_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "fragment_set_ops",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    a AS (SELECT id_dim FROM frag_qty WHERE id_dim <= 600),
+    b AS (SELECT id_dim FROM frag_qty WHERE id_dim >= 400 AND id_dim <= 900)
+    SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT id_dim FROM a UNION SELECT id_dim FROM b)
+    UNION ALL
+    SELECT 'intersect', CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT id_dim FROM a INTERSECT SELECT id_dim FROM b)
+    UNION ALL
+    SELECT 'except', CAST(COUNT(*) AS BIGINT)
+      FROM (SELECT id_dim FROM a EXCEPT SELECT id_dim FROM b)
+    ORDER BY op
+    """,
+)
+def fragment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over fragment id spaces (absent in the reference —
+    SURVEY §2.6; Spark-native superset): union / intersect / except."""
+    frag = lineitem_fragment_cached(spark, sf_dir)
+    a = frag.where(F.col("id_dim") <= 600).select("id_dim")
+    b = frag.where((F.col("id_dim") >= 400) & (F.col("id_dim") <= 900)).select("id_dim")
+    rows = [
+        ("union", a.union(b).distinct()),
+        ("intersect", a.intersect(b)),
+        ("except", a.exceptAll(b.distinct()).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count(F.lit(1)).cast("bigint").alias("n")) \
+                .select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("op")
+
+
+@workload(
     "global_aggregate",
     oracle=f"""
     {_FRAG_QTY_CTE}
