@@ -1858,6 +1858,51 @@ def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "fragment_row_windows",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    s AS (
+      SELECT id_dim,
+             -- FLOOR, not TRUNC: orderkey 0 exists and floor(-x) != trunc(-x)
+             1 + CAST(FLOOR((id_dim - 1.0) / 500) AS BIGINT) AS bucket,
+             list_aggregate(measure, 'sum') AS row_sum
+      FROM frag_qty WHERE id_dim <= 3000
+    )
+    SELECT id_dim, row_sum,
+           row_sum - lag(row_sum) OVER w AS delta,
+           ROUND(AVG(row_sum) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS mov3
+    FROM s
+    WINDOW w AS (PARTITION BY bucket ORDER BY id_dim)
+    ORDER BY id_dim
+    """,
+)
+def fragment_row_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-row window functions over fragment rows (absent in the
+    reference, SURVEY §2.6; Spark superset).  Windows are PARTITIONED by an
+    id-range bucket — a global unpartitioned window would serialize on one
+    task; bucketed windows scale and the bucket-boundary semantics are
+    explicit in both engines."""
+    from pyspark.sql import Window
+
+    frag = lineitem_fragment_cached(spark, sf_dir)
+    s = frag.where(F.col("id_dim") <= 3000).select(
+        "id_dim",
+        (1 + F.floor((F.col("id_dim") - 1) / 500)).cast("bigint").alias("bucket"),
+        F.aggregate("measure", F.lit(0.0), lambda a, x: a + x).alias("row_sum"),
+    )
+    w = Window.partitionBy("bucket").orderBy("id_dim")
+    return (
+        s.select(
+            "id_dim", "row_sum",
+            (F.col("row_sum") - F.lag("row_sum").over(w)).alias("delta"),
+            F.round(F.avg("row_sum").over(w.rowsBetween(-2, 0)), 6).alias("mov3"),
+        )
+        .orderBy("id_dim")
+    )
+
+
+@workload(
     "orders_topk_per_segment",
     oracle="""
     SELECT c_mktsegment, o_orderkey, rnk, o_totalprice
