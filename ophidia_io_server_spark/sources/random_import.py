@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 
 # LCG parameters (glibc-style multiplier/increment, 2^31 modulus): values in
 # [0,1) with exactly 31 bits of mantissa → every derived double is exact.
+# Known artifact: WITHIN one row the k-sequence is an arithmetic progression
+# (+C per element) — near-constant arrays whose mean == median exactly.
+# Fine for correctness oracles (the point is exact reproducibility); rows
+# differ strongly from each other (id*A mod 2^31 disperses).
 _A = 1103515245
 _C = 12345
 _M = 2147483648  # 2^31
