@@ -31,6 +31,16 @@ def lcg_value(id_col, k_col, seed: int):
     return h / F.lit(float(_M))
 
 
+def mixed_value(id_col, k_col, seed: int):
+    """Deterministic uniform [0,1) WITHOUT the within-row progression of
+    lcg_value: one extra multiply-mod round mixes k into the high bits
+    (h2 = (h*A + C) mod 2^31), so consecutive elements decorrelate.  Still
+    pure integer Column math → bit-exact in ANSI SQL."""
+    h = (id_col * _A + (k_col + 1) * _C + F.lit(seed)) % _M
+    h2 = (h * _A + _C) % _M
+    return h2 / F.lit(float(_M))
+
+
 def random_fragment(
     spark: SparkSession,
     nrows: int,
@@ -48,6 +58,8 @@ def random_fragment(
         value = lambda k: F.lit(250.0) + F.lit(60.0) * lcg_value(idc, k, seed)
     elif algorithm == "default":
         value = lambda k: lcg_value(idc, k, seed)
+    elif algorithm == "mixed":
+        value = lambda k: mixed_value(idc, k, seed)
     else:
         raise ValueError(f"random_import: unknown algorithm {algorithm!r}")
     return rng.select(
@@ -64,6 +76,11 @@ def random_fragment_oracle_sql(nrows: int, array_len: int, algorithm: str = "def
     )
     if algorithm == "temperatures":
         base = f"250.0 + 60.0 * ({base})"
+    elif algorithm == "mixed":
+        base = (
+            f"((((id_dim * {_A} + (k + 1) * {_C} + {seed}) % {_M}) * {_A} + {_C})"
+            f" % {_M}) / {_M}.0"
+        )
     return f"""
         SELECT id_dim,
                list_transform(range(0, {array_len}), k -> {base}) AS measure

@@ -500,6 +500,18 @@ def esdm_import_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srv.execute("operation=function;function=oph_export;arg='cube2'")
 
 
+@workload("random_import_mixed", oracle=random_fragment_oracle_sql(800, 10, "mixed"))
+def random_import_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random_import 'mixed' algorithm — double-round integer mix gives
+    decorrelated within-row values (no arithmetic progression), still
+    bit-exact in the SQL oracle."""
+    srv = IOServer(spark)
+    srv.execute("operation=random_import;frag_name=rndm;nrows=800;array_len=10;"
+                "algorithm=mixed")
+    return srv.execute("operation=select;from=rndm;field=id_dim|measure;"
+                       "select_alias=id_dim|measure;order=id_dim")
+
+
 @workload(
     "subset_procedure",
     oracle=f"""
