@@ -81,3 +81,21 @@ def test_elementwise_agg_exploded_matches_fold(spark):
         want = {r.g: r.f for r in df.groupBy("g").agg(fold.alias("f")).collect()}
         for g in want:
             assert got[g] == pytest.approx(want[g]), (op, g)
+
+
+def test_jaccard_doc_freq_cap(spark):
+    """max_doc_freq=1.0 == uncapped; a tight cap only removes pairs."""
+    from ophidia_io_server_spark.pipeline.dedup import _pairs_from_index, shingle_df
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = shingle_df(docs).cache()
+    base = {(r.doc_a, r.doc_b): r.n_common for r in _pairs_from_index(sh).collect()}
+    full = {(r.doc_a, r.doc_b): r.n_common
+            for r in _pairs_from_index(sh, max_doc_freq=1.0).collect()}
+    assert full == base
+    capped = {(r.doc_a, r.doc_b): r.n_common
+              for r in _pairs_from_index(sh, max_doc_freq=0.01).collect()}
+    assert set(capped) <= set(base)
+    assert all(capped[k] <= base[k] for k in capped)
+    sh.unpersist()
