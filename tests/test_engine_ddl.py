@@ -111,3 +111,22 @@ def test_insert_literal_values(spark):
     srv.execute("operation=insert;frag_name=lit1;value=3,[1.5 2.5 3.5]")
     row = srv.catalog.df("lit1").collect()[0]
     assert row.id_dim == 3 and row.measure == [1.5, 2.5, 3.5]
+
+
+def test_typed_measure_queries(spark):
+    """Primitives over non-double measure types (reference element types):
+    reductions/transforms promote to double like the reference's C math."""
+    from ophidia_io_server_spark.operators import IOServer
+
+    srv = IOServer(spark)
+    for mtype in ("oph_long", "oph_float", "oph_int"):
+        srv.execute(f"operation=random_import;frag_name=t_{mtype};nrows=8;"
+                    f"array_len=4;measure_type={mtype}")
+        out = srv.execute(
+            f"operation=select;from=t_{mtype};"
+            "field=id_dim|oph_reduce(measure,'sum')|oph_sum_scalar(measure,1);"
+            "select_alias=id_dim|s|m1;order=id_dim;limit=3"
+        ).collect()
+        assert len(out) == 3
+        assert all(isinstance(r.s, float) for r in out), mtype
+        assert all(len(r.m1) == 4 for r in out), mtype
