@@ -130,3 +130,21 @@ def test_typed_measure_queries(spark):
         assert len(out) == 3
         assert all(isinstance(r.s, float) for r in out), mtype
         assert all(len(r.m1) == 4 for r in out), mtype
+
+
+def test_bit_measure_queries(spark):
+    """bit (boolean) measures: size + popcount via convert_d (reference
+    bit-packed measure type, oph-lib-binary-io.h:61-68)."""
+    from ophidia_io_server_spark.operators import IOServer
+
+    srv = IOServer(spark)
+    srv.execute("operation=random_import;frag_name=bitsx;nrows=6;array_len=8;"
+                "measure_type=oph_bit;algorithm=mixed")
+    out = srv.execute(
+        "operation=select;from=bitsx;field=id_dim|oph_size_array(measure)"
+        "|oph_reduce(oph_convert_d(measure),'sum');"
+        "select_alias=id_dim|n|ones;order=id_dim").collect()
+    assert len(out) == 6
+    assert all(r.n == 8 and 0.0 <= r.ones <= 8.0 for r in out)
+    # mixed algorithm decorrelates: not every row is all-0 or all-1
+    assert any(0.0 < r.ones < 8.0 for r in out)
