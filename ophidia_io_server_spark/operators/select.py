@@ -27,13 +27,11 @@ from pyspark.sql import functions as F
 
 from ophidia_io_server_spark.catalog import Catalog
 from ophidia_io_server_spark.dialect.expression import (
-    EV,
     ExprContext,
-    ExprError,
     compile_expression,
     expression_uses_aggregate,
 )
-from ophidia_io_server_spark.dialect.parser import QueryParseError, parse_limit
+from ophidia_io_server_spark.dialect.parser import parse_limit
 
 ID_COL = "id_dim"
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ophidia_io_server_spark.sources.random_import import lcg_value
 from ophidia_io_server_spark.sources.tables import spread
 
 

@@ -20,12 +20,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ophidia_io_server_spark.catalog import Catalog
 from ophidia_io_server_spark.operators.engine import IOServer
-from ophidia_io_server_spark.sources.random_import import (
-    random_fragment,
-    random_fragment_oracle_sql,
-)
+from ophidia_io_server_spark.sources.random_import import random_fragment_oracle_sql
 from ophidia_io_server_spark.sources.tables import (
     fragment_cte,
     lineitem_fragment,
