@@ -99,9 +99,12 @@ def build_from(catalog: Catalog, clauses: SelectClauses, validate_dense: bool = 
     """
     dfs: list[DataFrame] = []
     for i, name in enumerate(clauses.frm):
-        entry = catalog.get(name)
-        alias = clauses.aliases[i] if i < len(clauses.aliases) else name.split(".")[-1]
-        dfs.append(entry.df.alias(alias))
+        if name.startswith("@"):
+            df = _pseudo_table(catalog, name)
+        else:
+            df = catalog.get(name).df
+        alias = clauses.aliases[i] if i < len(clauses.aliases) else name.lstrip("@").split(".")[-1]
+        dfs.append(df.alias(alias))
     if len(dfs) == 1:
         return dfs[0], False
     for name, df in zip(clauses.frm, dfs):
@@ -115,6 +118,34 @@ def build_from(catalog: Catalog, clauses: SelectClauses, validate_dense: bool = 
     for df in dfs[1:]:
         out = out.join(df, on=ID_COL, how="inner")
     return out, True
+
+
+def _pseudo_table(catalog: Catalog, name: str) -> DataFrame:
+    """``@info_system`` / ``@info_system_table`` pseudo-tables.
+
+    The reference DECLARES these keywords but never implements them
+    (oph_query_engine_language.h:110-114, no C references) — here they are a
+    working superset: server/catalog introspection through the same select
+    pipeline."""
+    key = name.strip().lower()
+    spark = catalog.spark
+    if key == "@info_system":
+        import pyspark
+
+        return spark.createDataFrame(
+            [(pyspark.__version__, spark.sparkContext.defaultParallelism,
+              len(catalog.dbs))],
+            "spark_version string, parallelism int, n_databases int")
+    if key == "@info_system_table":
+        rows = [
+            (db, frag, e.device, bool(e.temp), bool(e.cached))
+            for db, frags in catalog.dbs.items() for frag, e in frags.items()
+        ]
+        return spark.createDataFrame(
+            rows or [("", "", "", False, False)],
+            "db string, frag string, device string, temp boolean, cached boolean",
+        ).where("db <> ''" if not rows else F.lit(True))
+    raise QueryExecError(f"unknown pseudo-table {name!r}")
 
 
 def assert_dense_ids(df: DataFrame, name: str) -> None:

@@ -129,3 +129,20 @@ def test_everything_query(spark):
     # ids 11..159 odd → limit window rows 6..45 of that ordered set
     assert [r.grp for r in out] == sorted({(i - 1) // 10 + 1 for i in range(21, 100, 2)})
     assert all(r.s > 0 for r in out)
+
+
+def test_info_pseudo_tables(spark):
+    """@info_system / @info_system_table — keywords the reference declares
+    but never implements (language.h:110-114); working superset here."""
+    from ophidia_io_server_spark.operators import IOServer
+    from ophidia_io_server_spark.sources.random_import import random_fragment
+
+    srv = IOServer(spark)
+    srv.catalog.put("inv1", random_fragment(spark, 5, 2), cache=False)
+    info = srv.execute("operation=select;from=@info_system;"
+                       "field=spark_version|parallelism;"
+                       "select_alias=v|p").collect()
+    assert len(info) == 1 and info[0].p > 0
+    inv = srv.execute("operation=select;from=@info_system_table;"
+                      "field=db|frag|device;select_alias=db|frag|device").collect()
+    assert ("default", "inv1", "MEMORY") in {(r.db, r.frag, r.device) for r in inv}
