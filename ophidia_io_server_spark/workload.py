@@ -40,6 +40,41 @@ class Workload:
 WORKLOADS: dict[str, Workload] = {}
 
 
+def _explode_arrays(df: DataFrame, arrays: list[str]) -> DataFrame:
+    """Serialize ArrayType result columns for the driver's canonicalizer
+    (pandas sort_values dies on list cells): zip the array columns
+    positionally, posexplode to one row per element, keep scalars + a
+    1-based ``pos`` column.  Shorter arrays NULL-pad to the longest (same as
+    DuckDB list indexing past the end in ``_exploded_oracle``); rows whose
+    arrays are all empty/NULL disappear on both engines."""
+    scalars = [c for c in df.columns if c not in arrays]
+    zipped = F.arrays_zip(*[F.col(c) for c in arrays])
+    return (
+        df.select(*scalars, F.posexplode(zipped).alias("pos", "__z"))
+        .select(
+            *scalars,
+            (F.col("pos") + 1).cast("bigint").alias("pos"),
+            *[F.col("__z").getField(c).alias(c) for c in arrays],
+        )
+    )
+
+
+def _exploded_oracle(oracle: str, arrays: list[str]) -> str:
+    """Wrap a DuckDB oracle so its array columns are exploded exactly like
+    ``_explode_arrays`` does to the Spark result (verified: list indexing
+    past the end yields NULL, empty/NULL arrays emit no rows, pos is
+    BIGINT)."""
+    lens = ", ".join(f"len({c})" for c in arrays)
+    longest = f"greatest({lens})" if len(arrays) > 1 else f"len({arrays[0]})"
+    excl = ", ".join([*arrays, "pos"])
+    idx = ", ".join(f"{c}[pos] AS {c}" for c in arrays)
+    return f"""
+    WITH __res AS ({oracle}),
+    __pos AS (SELECT *, unnest(range(1, {longest} + 1)) AS pos FROM __res)
+    SELECT * EXCLUDE ({excl}), CAST(pos AS BIGINT) AS pos, {idx} FROM __pos
+    """
+
+
 def _ensure_session_defaults(spark: SparkSession) -> None:
     """The driver runs queries() with ITS OWN SparkSession.  Pin the
     runtime-settable confs whose defaults would change RESULTS:
@@ -57,11 +92,20 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
             pass  # conf not settable on this build — keep going
 
 
-def workload(name: str, oracle: str | None = None):
+def workload(name: str, oracle: str | None = None, explode: list[str] | None = None):
+    """Register a workload.  ``explode`` lists ArrayType output columns to be
+    posexploded (Spark) / unnest-indexed (oracle) into scalar rows — the
+    driver's result canonicalizer cannot hash list cells."""
+    if explode and oracle is not None:
+        oracle = _exploded_oracle(oracle, explode)
+
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_session_defaults(spark)
-            return fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
+            if explode:
+                df = _explode_arrays(df, explode)
+            return df
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
@@ -122,41 +166,29 @@ def select_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "sum_scalar",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim, list_transform(measure, x -> x + 2.5) AS m
-    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
-    """,
-)
-def sum_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;field=id_dim|oph_sum_scalar(measure,2.5);"
-        "select_alias=id_dim|m;where=id_dim<=500;order=id_dim"
-    )
-
-
-@workload(
-    "predicate",
+    "scalar_predicate",
     oracle=f"""
     {_FRAG_QTY_CTE}
     SELECT id_dim,
-           list_transform(measure, x -> CASE WHEN x - 30 > 0 THEN x ELSE 0.0 END) AS m
+           list_transform(measure, x -> x + 2.5) AS m_sum,
+           list_transform(measure, x -> CASE WHEN x - 30 > 0 THEN x ELSE 0.0 END) AS m_pred
     FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
     """,
+    explode=["m_sum", "m_pred"],
 )
-def predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_sum_scalar + oph_predicate element-wise primitives in one select
+    (merged r2 so every §2 family fits the driver's 50-query window)."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
-        "field=id_dim|oph_predicate(measure,'x-30','>0','x','0');"
-        "select_alias=id_dim|m;where=id_dim<=500;order=id_dim"
+        "field=id_dim|oph_sum_scalar(measure,2.5)|oph_predicate(measure,'x-30','>0','x','0');"
+        "select_alias=id_dim|m_sum|m_pred;where=id_dim<=500;order=id_dim"
     )
 
 
 @workload(
-    "subarray_ops",
+    "subarray_reduce",
     oracle=f"""
     {_FRAG_QTY_CTE}
     SELECT id_dim,
@@ -166,26 +198,7 @@ def predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_transform(
              list_filter(range(1, len(measure) + 1), i -> (i - 1) % 2 = 0),
              i -> measure[CAST(i AS BIGINT)]
-           ) AS strided
-    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
-    """,
-)
-def subarray_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_get_subarray(measure,1,2)|oph_reverse(measure)"
-        "|oph_filter(measure,'x>25')|oph_get_subarray2(measure,'1:2:end');"
-        "select_alias=id_dim|first2|rev|big|strided;"
-        "where=id_dim<=500;order=id_dim"
-    )
-
-
-@workload(
-    "reduce_blocks",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
+           ) AS strided,
            list_transform(
              range(0, CAST(ceil(len(measure) / 2.0) AS BIGINT)),
              i -> list_aggregate(list_slice(measure, i * 2 + 1, i * 2 + 2), 'sum')
@@ -194,19 +207,25 @@ def subarray_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_aggregate(measure, 'min') AS mn
     FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
     """,
+    explode=["first2", "rev", "big", "strided", "blocks"],
 )
-def reduce_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def subarray_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subarray family (get_subarray/2, reverse, filter) + block reductions
+    (reduce2, reduce max/min) in one select (merged r2)."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
-        "field=id_dim|oph_reduce2(measure,'sum',2)|oph_reduce(measure,'max')"
+        "field=id_dim|oph_get_subarray(measure,1,2)|oph_reverse(measure)"
+        "|oph_filter(measure,'x>25')|oph_get_subarray2(measure,'1:2:end')"
+        "|oph_reduce2(measure,'sum',2)|oph_reduce(measure,'max')"
         "|oph_reduce(measure,'min');"
-        "select_alias=id_dim|blocks|mx|mn;where=id_dim<=500;order=id_dim"
+        "select_alias=id_dim|first2|rev|big|strided|blocks|mx|mn;"
+        "where=id_dim<=500;order=id_dim"
     )
 
 
 @workload(
-    "moving_avg",
+    "moving_avg_accumulate",
     oracle=f"""
     {_FRAG_QTY_CTE}
     SELECT id_dim,
@@ -219,36 +238,24 @@ def reduce_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
              range(1, len(measure) + 1),
              i -> CASE WHEN i = 1 THEN measure[1]
                        ELSE measure[CAST(i AS BIGINT)] - measure[CAST(i - 1 AS BIGINT)] END
-           ) AS deacc
-    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
-    """,
-)
-def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_moving_avg(measure,2)|oph_deaccumulate(measure);"
-        "select_alias=id_dim|mavg|deacc;where=id_dim<=500;order=id_dim"
-    )
-
-
-@workload(
-    "accumulate",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
+           ) AS deacc,
            list_transform(
              range(1, len(measure) + 1),
              i -> list_aggregate(list_slice(measure, 1, CAST(i AS BIGINT)), 'sum')
            ) AS acc
     FROM frag_qty WHERE id_dim <= 300 ORDER BY id_dim
     """,
+    explode=["mavg", "deacc", "acc"],
 )
-def accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def moving_avg_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_moving_avg + oph_deaccumulate + oph_accumulate running-window
+    primitives in one select (merged r2)."""
     srv = _server(spark, sf_dir)
     return srv.execute(
-        "operation=select;from=frag_qty;field=id_dim|oph_accumulate(measure);"
-        "select_alias=id_dim|acc;where=id_dim<=300;order=id_dim"
+        "operation=select;from=frag_qty;"
+        "field=id_dim|oph_moving_avg(measure,2)|oph_deaccumulate(measure)"
+        "|oph_accumulate(measure);"
+        "select_alias=id_dim|mavg|deacc|acc;where=id_dim<=300;order=id_dim"
     )
 
 
@@ -270,6 +277,7 @@ def accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.id_dim <= 500
     ORDER BY id_dim
     """,
+    explode=["prod"],
 )
 def join_mul_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aligned multi-fragment join on id_dim (the reference's only join,
@@ -300,6 +308,7 @@ def join_mul_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.id_dim <= 600
     ORDER BY id_dim
     """,
+    explode=["net"],
 )
 def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-way aligned fragment join (the reference zips any number of FROM
@@ -332,6 +341,7 @@ def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY grp
     ORDER BY grp
     """,
+    explode=["rolled"],
 )
 def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY an id-derived key; element-wise cross-row aggregate (max/sum
@@ -362,6 +372,7 @@ def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM frag_qty WHERE id_dim <= 1000
     GROUP BY 1 ORDER BY id_dim
     """,
+    explode=["measure"],
 )
 def ctas_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_frag_select (CTAS, exactly-2-columns rule) storing a grouped
@@ -443,16 +454,33 @@ def global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@workload("random_import_temps", oracle=random_fragment_oracle_sql(1000, 12, "temperatures"))
-def random_import_temps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """random_import source, 'temperatures' algorithm — LCG Column math is
-    reproduced exactly by the SQL oracle (sources/random_import.py)."""
+@workload(
+    "random_import",
+    oracle=f"""
+    SELECT 'temperatures' AS algo, id_dim, measure
+    FROM ({random_fragment_oracle_sql(1000, 12, "temperatures")})
+    UNION ALL
+    SELECT 'mixed' AS algo, id_dim, measure
+    FROM ({random_fragment_oracle_sql(800, 10, "mixed")})
+    """,
+    explode=["measure"],
+)
+def random_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random_import source, 'temperatures' + 'mixed' algorithms (merged r2)
+    — the LCG Column math is reproduced exactly by the SQL oracle
+    (sources/random_import.py)."""
     srv = IOServer(spark)
     srv.execute(
         "operation=random_import;frag_name=rnd;nrows=1000;array_len=12;algorithm=temperatures"
     )
-    return srv.execute("operation=select;from=rnd;field=id_dim|measure;"
-                       "select_alias=id_dim|measure;order=id_dim")
+    srv.execute("operation=random_import;frag_name=rndm;nrows=800;array_len=10;"
+                "algorithm=mixed")
+    temps = srv.execute("operation=select;from=rnd;field=id_dim|measure;"
+                        "select_alias=id_dim|measure;order=id_dim")
+    mixed = srv.execute("operation=select;from=rndm;field=id_dim|measure;"
+                        "select_alias=id_dim|measure;order=id_dim")
+    return temps.select(F.lit("temperatures").alias("algo"), "id_dim", "measure") \
+        .unionAll(mixed.select(F.lit("mixed").alias("algo"), "id_dim", "measure"))
 
 
 _NC_PATH = "synthetic://cube?dims=time:16,lat:12,lon:10"
@@ -469,43 +497,36 @@ def _nc_oracle(sub_operation=None) -> str:
     return synthetic_oracle_sql(_NC_PATH, **_NC_ARGS, sub_operation=sub_operation)
 
 
-@workload("file_import_nc", oracle=_nc_oracle())
-def file_import_nc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NetCDF-import dimension algebra end to end: file order (time,lat,lon),
+@workload(
+    "import_nc_esdm",
+    oracle=f"""
+    SELECT 'nc' AS src, id_dim, measure FROM ({_nc_oracle()})
+    UNION ALL
+    SELECT 'esdm' AS src, id_dim, measure FROM ({_nc_oracle("avg")})
+    """,
+    explode=["measure"],
+)
+def import_nc_esdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF-import dimension algebra end to end (file order (time,lat,lon),
     explicit rows (lat,lon), implicit array (time), per-dim subsets — the
-    per-partition slab read + transpose path (sources/netcdf_import.py)."""
+    per-partition slab read + transpose path) PLUS the ESDM-surface import
+    with the push-down stream kernel (sub_operation=avg fused into the
+    partition read, ≙ oph_io_server_esdm.c:611-630).  Merged r2."""
     srv = IOServer(spark)
     srv.execute(
         f"operation=file_import;frag_name=cube;src_path={_NC_PATH};measure=m;"
         "dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
         "dim_start=3|2|1;dim_end=14|11|10"
     )
-    return srv.execute("operation=function;function=oph_export;arg='cube'")
-
-
-@workload("esdm_import_kernel", oracle=_nc_oracle("avg"))
-def esdm_import_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ESDM-surface import with the push-down stream kernel (sub_operation=avg
-    fused into the partition read, ≙ oph_io_server_esdm.c:611-630)."""
-    srv = IOServer(spark)
     srv.execute(
         f"operation=esdm_import;frag_name=cube2;src_path=esdm://cube?dims=time:16,lat:12,lon:10;"
         "measure=m;dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
         "dim_start=3|2|1;dim_end=14|11|10;sub_operation=avg"
     )
-    return srv.execute("operation=function;function=oph_export;arg='cube2'")
-
-
-@workload("random_import_mixed", oracle=random_fragment_oracle_sql(800, 10, "mixed"))
-def random_import_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """random_import 'mixed' algorithm — double-round integer mix gives
-    decorrelated within-row values (no arithmetic progression), still
-    bit-exact in the SQL oracle."""
-    srv = IOServer(spark)
-    srv.execute("operation=random_import;frag_name=rndm;nrows=800;array_len=10;"
-                "algorithm=mixed")
-    return srv.execute("operation=select;from=rndm;field=id_dim|measure;"
-                       "select_alias=id_dim|measure;order=id_dim")
+    nc = srv.execute("operation=function;function=oph_export;arg='cube'")
+    esdm = srv.execute("operation=function;function=oph_export;arg='cube2'")
+    return nc.select(F.lit("nc").alias("src"), "id_dim", "measure") \
+        .unionAll(esdm.select(F.lit("esdm").alias("src"), "id_dim", "measure"))
 
 
 @workload(
@@ -518,6 +539,7 @@ def random_import_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ((id_dim - 1) % 3 = 0) AND id_dim >= 1 AND id_dim <= 2000
     ORDER BY id_dim
     """,
+    explode=["measure"],
 )
 def subset_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """oph_subset stored procedure: WHERE + expression + sequential id
@@ -548,7 +570,9 @@ def size_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "insert_multi",
     oracle="""
-    SELECT * FROM (VALUES
+    SELECT CAST(id_dim AS BIGINT) AS id_dim,
+           CAST(measure AS DOUBLE[]) AS measure
+    FROM (VALUES
       (1, [1.0, 2.0, 3.0]),
       (2, [4.0, 5.0, 6.0]),
       (3, [7.0, 8.0, 9.0]),
@@ -556,6 +580,7 @@ def size_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) AS t(id_dim, measure)
     ORDER BY id_dim
     """,
+    explode=["measure"],
 )
 def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_frag + insert + multi_insert DDL/DML path with ?N binds
