@@ -21,13 +21,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
     "select_reduce",
-    "sum_scalar",
+    "scalar_predicate",
     "join_mul_array",
     "join_three_way",
     "group_aggregates",
-    "accumulate",
-    "random_import_temps",
-    "file_import_nc",
+    "moving_avg_accumulate",
+    "random_import",
+    "import_nc_esdm",
     "tpch_q1_pricing",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast",
@@ -38,8 +38,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "text_quality",
     "token_counts",
-    "text_ratios",
     "ann_cosine_topk",
+    "embedding_cosine_pairs",
+    "ann_lsh_topk",
     "events_json_props",
     "gsl_fit_hist_corr",
     "multimodal_features",
@@ -65,11 +66,13 @@ def main() -> None:
     for col in ("l_quantity", "l_extendedprice", "l_discount"):
         lineitem_fragment_cached(spark, sf_dir, col).count()
 
+    unknown = [n for n in HEADLINE if n not in WORKLOADS]
+    if unknown:  # fail loudly: a silent skip makes round totals incomparable
+        raise SystemExit(f"bench.py HEADLINE names not in WORKLOADS: {unknown}")
+
     times: dict[str, float] = {}
     for name in HEADLINE:
-        w = WORKLOADS.get(name)
-        if w is None:
-            continue
+        w = WORKLOADS[name]
         best = None
         for _ in range(3):  # min of 3: suppress GC/JIT/machine-load noise
             t0 = time.perf_counter()

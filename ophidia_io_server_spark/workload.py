@@ -46,7 +46,15 @@ def _explode_arrays(df: DataFrame, arrays: list[str]) -> DataFrame:
     positionally, posexplode to one row per element, keep scalars + a
     1-based ``pos`` column.  Shorter arrays NULL-pad to the longest (same as
     DuckDB list indexing past the end in ``_exploded_oracle``); rows whose
-    arrays are all empty/NULL disappear on both engines."""
+    arrays are all empty/NULL disappear on both engines.  Explode columns must
+    be non-NULL arrays: Spark arrays_zip drops the row when ANY zipped array
+    is NULL, DuckDB keeps it NULL-padded — coalesce to [] upstream if a
+    workload can emit NULL arrays."""
+    taken = set(df.columns)
+    assert "pos" not in taken and "__z" not in taken, (
+        "explode= result already has a 'pos'/'__z' column — the posexplode "
+        "aliases would shadow it; rename the scalar first"
+    )
     scalars = [c for c in df.columns if c not in arrays]
     zipped = F.arrays_zip(*[F.col(c) for c in arrays])
     return (
@@ -788,7 +796,10 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+            # scalar quantiles, not the [0.5,0.95] array form: the driver's
+            # rows-only check still canonicalizes cells and dies on lists
+            F.percentile_approx("value", 0.5, 10000).alias("value_p50"),
+            F.percentile_approx("value", 0.95, 10000).alias("value_p95"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
         .orderBy("event_type")
@@ -1143,23 +1154,94 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
 
 
-@workload("ann_lsh_topk")  # approximate recall → rows-only check
+@workload(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE},
+    -- deterministic sign-LSH hyperplanes: same LCG closed form as
+    -- similarity._hyperplanes (integer math exact in BIGINT, /2^31 exact)
+    planes AS (
+      SELECT p, list_transform(range(0, 64), k ->
+        ((p * 1103515245 + (k + 1) * 12345 + 7) % 2147483648) / 2147483648.0 - 0.5) AS h
+      FROM (SELECT unnest(range(0, 12)) AS p)
+    ),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN list_aggregate(list_transform(range(1, 65),
+                                                     i -> v[i] * h[i]), 'sum') >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM nrm CROSS JOIN planes
+    ),
+    -- 3 bands of 4 bits, bucket = fold acc*2+bit (== bit_j * 2^(3-j))
+    bkts AS (
+      SELECT vec_id, p // 4 AS band,
+             SUM(bit * (1 << CAST(3 - (p % 4) AS INTEGER))) AS bucket
+      FROM bits GROUP BY vec_id, band
+    ),
+    qb AS (SELECT vec_id AS query_id, band, bucket FROM bkts WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT qb.query_id, c.vec_id
+      FROM qb JOIN bkts c ON qb.band = c.band AND qb.bucket = c.bucket
+      WHERE c.vec_id <> qb.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, 65),
+                                           i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n) AS cosine
+      FROM cand
+      JOIN nrm a ON a.vec_id = cand.query_id
+      JOIN nrm b ON b.vec_id = cand.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN.  The oracle mirrors the WHOLE pipeline in
+    SQL — same LCG hyperplanes, sign bits, band buckets, candidate equi-join,
+    exact rescoring, (cosine desc, vec_id) tie order — so the approximate
+    candidate set itself is deterministic and hash-checkable."""
     from ophidia_io_server_spark.pipeline.similarity import lsh_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5).orderBy("query_id", "rank")
 
 
-@workload("ann_ivf_topk")  # approximate recall (nprobe<nlist) → rows-only
+@workload(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM nrm WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, len(qv) + 1),
+                                           i -> qv[i] * b.v[i]), 'sum') / (qn * b.n) AS cosine
+      FROM q JOIN nrm b ON b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (distributed Lloyd, driver holds only the
-    nlist×dim centroids); nprobe=nlist would reproduce ann_cosine_topk
-    exactly (asserted in tests/test_similarity_ivf.py)."""
+    nlist×dim centroids).  Run at nprobe=nlist, where IVF degenerates to
+    exact brute force (tests/test_similarity_ivf.py asserts the equivalence)
+    — the routing/probe machinery is still exercised while the result is
+    oracle-checkable; nprobe<nlist is the production recall/cost dial."""
     from ophidia_io_server_spark.pipeline.similarity import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, F.col("vec_id") < 10, k=5, nlist=8, nprobe=3) \
+    return ivf_ann_topk(emb, F.col("vec_id") < 10, k=5, nlist=8, nprobe=8) \
         .orderBy("query_id", "rank")
 
 
@@ -1177,6 +1259,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS DOUBLE)] AS features
     FROM documents ORDER BY doc_id
     """,
+    explode=["features"],
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: attach opaque bytes + metadata, extract
@@ -1438,6 +1521,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_aggregate(measure, 'sum') ] AS stats
     FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2 ORDER BY id_dim
     """,
+    explode=["stats"],
 )
 def gsl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = _server(spark, sf_dir)
@@ -1479,6 +1563,7 @@ def gsl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              s[n] ] AS box
     FROM q ORDER BY id_dim
     """,
+    explode=["box"],
 )
 def gsl_quantile_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = _server(spark, sf_dir)
@@ -1502,6 +1587,7 @@ def gsl_quantile_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_concat(measure, [0.0, 0.0]) || [] AS padded
     FROM base ORDER BY id_dim
     """,
+    explode=["rot2", "shift1", "inter", "padded"],
 )
 def shape_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rotate/shift/interlace/padding — note padding to n+2 via oph_padding
@@ -1528,6 +1614,7 @@ def shape_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            [m[1] + m[4], m[2] + m[5], m[3] + m[6]] AS col_sums
     FROM base ORDER BY id_dim
     """,
+    explode=["transposed", "col_sums"],
 )
 def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """oph_permute (2x3 → 3x2 transpose) + oph_reduce3 (column sums of the
@@ -1556,12 +1643,17 @@ def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2
     )
     SELECT id_dim,
-           list_transform(measure, x -> (x - mu) / sd) AS normed,
+           -- sd=0 (constant array) → z-score defined as 0, same special case
+           -- as the Spark kernel (functions/core.py oph_normalize); a raw
+           -- 0/0 would be NaN here but 0.0 there
+           list_transform(measure, x -> CASE WHEN sd = 0 THEN 0.0
+                                             ELSE (x - mu) / sd END) AS normed,
            list_transform(measure, x -> CASE WHEN x > 25 THEN 1.0 ELSE 0.0 END
                                         + CASE WHEN x > 40 THEN 1.0 ELSE 0.0 END) AS quant,
            list_transform(measure, x -> CASE WHEN x = 1 THEN -1.0 ELSE x END) AS repl
     FROM base ORDER BY id_dim
     """,
+    explode=["normed", "quant", "repl"],
 )
 def normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv = _server(spark, sf_dir)
@@ -1586,6 +1678,7 @@ def normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 + (CAST(TRUNC((id_dim - 1.0) / 3) AS BIGINT) % 7) AS idx2
     FROM frag_qty WHERE id_dim >= 1 AND id_dim <= 500 ORDER BY id_dim
     """,
+    explode=["as_long", "idxs"],
 )
 def cast_sequence_idfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """oph_convert_l / oph_get_index_array / oph_id2 / oph_id_to_index /
@@ -1611,6 +1704,7 @@ def cast_sequence_idfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
              (m[1] - m[2]) / sqrt(2.0), (m[3] - m[4]) / sqrt(2.0) ] AS dwt
     FROM base ORDER BY id_dim
     """,
+    explode=["dwt"],
 )
 def dwt_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-level Haar DWT (pandas-UDF kernel) against its closed form."""

@@ -28,7 +28,7 @@ def test_sketch_bounds_vs_exact(spark):
     for et, e in exact.items():
         g = got[et]
         assert abs(g.approx_users - e.users) <= max(3, 0.05 * e.users)
-        assert abs(g.value_p50_p95[0] - e.p50) <= 0.05 * max(1.0, abs(e.p50))
+        assert abs(g.value_p50 - e.p50) <= 0.05 * max(1.0, abs(e.p50))
 
 
 @given(st.text(alphabet=string.printable, max_size=120))
