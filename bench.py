@@ -36,13 +36,13 @@ HEADLINE = [
     # pipeline operators (added as they land)
     "dedup_exact",
     "dedup_minhash_pairs",
-    "text_quality",
-    "token_counts",
+    "text_quality_lang",
+    "doc_text_metrics",
     "ann_cosine_topk",
     "embedding_cosine_pairs",
     "ann_lsh_topk",
-    "events_json_props",
-    "gsl_fit_hist_corr",
+    "events_type_stats",
+    "gsl_stats_fit",
     "multimodal_features",
 ]
 

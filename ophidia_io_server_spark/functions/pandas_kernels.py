@@ -117,12 +117,47 @@ def spline_udf(new_size: int):
 
 
 def kcluster_udf(k: int):
-    """Deterministic 1-D k-means per array: quantile init, 25 Lloyd iterations,
-    returns sorted centroids."""
+    """Deterministic 1-D k-means per array.
+
+    k == 2 (and enough points): EXACT optimal clustering — in 1-D the optimal
+    2-means partition is a split of the sorted values, so enumerate the n-1
+    split points, score each with the integer-exact within-cluster
+    sum-of-squares identity SS = (ssq_l - sum_l²/t) + (ssq_r - sum_r²/(n-t)),
+    first-minimum tie-break.  Deterministic, globally optimal, and closed-form
+    enough for a SQL oracle to mirror bitwise (plain left-to-right sums, one
+    division each — no iterative state).
+
+    k != 2: quantile-init Lloyd (25 iterations), sorted centroids.
+    """
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _k(s: pd.Series) -> pd.Series:
-        def kernel(a):
+        def exact2(a):
+            srt = sorted(float(v) for v in a)
+            n = len(srt)
+            best_t, best_ss = 1, None
+            for t in range(1, n):
+                sl = ssl = 0.0
+                for x in srt[:t]:
+                    sl += x
+                    ssl += x * x
+                sr = ssr = 0.0
+                for x in srt[t:]:
+                    sr += x
+                    ssr += x * x
+                ss = (ssl - sl * sl / t) + (ssr - sr * sr / (n - t))
+                if best_ss is None or ss < best_ss:
+                    best_ss, best_t = ss, t
+            t = best_t
+            sl = 0.0
+            for x in srt[:t]:
+                sl += x
+            sr = 0.0
+            for x in srt[t:]:
+                sr += x
+            return [sl / t, sr / (n - t)]  # sorted by construction
+
+        def lloyd(a):
             x = np.asarray(a, dtype=np.float64)
             cents = np.quantile(x, np.linspace(0, 1, k + 2)[1:-1] if k > 1 else [0.5])
             cents = np.asarray(cents, dtype=np.float64)
@@ -134,6 +169,11 @@ def kcluster_udf(k: int):
                     if len(sel):
                         cents[j] = sel.mean()
             return np.sort(cents).tolist()
+
+        def kernel(a):
+            if k == 2 and len(a) >= 2:
+                return exact2(a)
+            return lloyd(a)
 
         return s.map(kernel)
 

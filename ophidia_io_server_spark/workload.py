@@ -343,17 +343,24 @@ def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 1 + CAST(TRUNC((id_dim - 1.0) / 100) AS BIGINT) AS grp,
            list_aggregate(flatten(list(list_slice(measure, 1, 1) ORDER BY id_dim)), 'max') AS mx,
            list_aggregate(flatten(list(list_slice(measure, 1, 1) ORDER BY id_dim)), 'sum') AS sm,
-           flatten(list(list_slice(measure, 1, 3) ORDER BY id_dim)) AS rolled
+           flatten(list(list_slice(measure, 1, 3) ORDER BY id_dim)) AS rolled,
+           [ AVG(measure[1]),
+             (SUM(measure[1] * measure[1]) - COUNT(*) * AVG(measure[1]) * AVG(measure[1]))
+               / (COUNT(*) - 1),
+             MIN(measure[1]), MAX(measure[1]) ] AS stats
     FROM frag_qty
     WHERE id_dim <= 1000
     GROUP BY grp
     ORDER BY grp
     """,
-    explode=["rolled"],
+    explode=["rolled", "stats"],
 )
 def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY an id-derived key; element-wise cross-row aggregate (max/sum
-    over each group's first element) + roll_up concatenation ordered by id.
+    over each group's first element) + roll_up concatenation ordered by id +
+    oph_aggregate_stats (mean|var|min|max mask) over length-1 arrays so the
+    cross-row stats reduce to scalar SQL aggregates (merged r3:
+    aggregate_stats_group).
 
     The Spark aggregate folds arrays of length 1, so 'mx'/'sm' equal the
     scalar max/sum of first elements — expressed in SQL over the flattened
@@ -364,8 +371,9 @@ def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "field=oph_id(id_dim,100)"
         "|oph_reduce(oph_aggregate_operator(oph_get_subarray(measure,1,1),'oph_max'),'max')"
         "|oph_reduce(oph_aggregate_operator(oph_get_subarray(measure,1,1),'oph_sum'),'sum')"
-        "|oph_roll_up(oph_get_subarray(measure,1,3));"
-        "select_alias=grp|mx|sm|rolled;"
+        "|oph_roll_up(oph_get_subarray(measure,1,3))"
+        "|oph_aggregate_stats(oph_get_subarray(measure,1,1),'11011');"
+        "select_alias=grp|mx|sm|rolled|stats;"
         "where=id_dim<=1000;group=oph_id(id_dim,100);order=grp"
     )
     return df
@@ -734,48 +742,34 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "events_json_props",
+    "events_type_stats",
     oracle="""
     SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM events
-    GROUP BY event_type ORDER BY event_type
-    """,
-)
-def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured props: JSON extraction (JVM get_json_object — no
-    Python) aggregated per event type."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.sum(k).cast("bigint").alias("k_sum"),
-             F.max(k).cast("bigint").alias("k_max"),
-             F.count(F.lit(1)).cast("bigint").alias("n"))
-        .orderBy("event_type")
-    )
-
-
-@workload(
-    "events_percentiles",
-    oracle="""
-    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(quantile_cont(value, 0.5), 6) AS p50,
            ROUND(quantile_cont(value, 0.95), 6) AS p95,
            ROUND(MIN(value), 6) AS lo,
            ROUND(MAX(value), 6) AS hi
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM events
+    GROUP BY event_type ORDER BY event_type
     """,
 )
-def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (the exact counterpart of
-    sketch_approx_stats; Spark `percentile` ≙ DuckDB quantile_cont)."""
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats in one aggregation (merged r3:
+    events_json_props + events_percentiles): semi-structured JSON extraction
+    (JVM get_json_object — no Python) and exact interpolated percentiles
+    (Spark `percentile` ≙ DuckDB quantile_cont, the exact counterpart of
+    sketch_approx_stats)."""
     ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return (
         ev.groupBy("event_type")
         .agg(
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.max(k).cast("bigint").alias("k_max"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
             F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
             F.round(F.min("value"), 6).alias("lo"),
@@ -892,34 +886,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          memo_key=(id(spark), sf_dir)).orderBy("doc_a", "doc_b")
 
 
-@workload(
-    "text_quality",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, text,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(ws) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
-           ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS ttr,
-           ROUND(list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1.0 / len(ws), 4)
-             AS mean_token_len,
-           CAST(length(text) AS BIGINT) AS n_chars_m,
-           ROUND(least(len(ws) / 200.0, 1.0) * 0.5
-                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5, 4)
-             AS quality_score
-    FROM tok ORDER BY doc_id
-    """,
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ophidia_io_server_spark.pipeline.text import quality_features
-
-    docs = load_table(spark, sf_dir, "documents")
-    return quality_features(docs).orderBy("doc_id")
-
-
 _LANG_SETS = {
     "de": "['der','die','das','und','ist','nicht','ein','mit']",
     "en": "['the','a','of','and','is','to','in','that']",
@@ -935,14 +901,25 @@ _G = "greatest(de, en, es, fr, zh)"
 
 
 @workload(
-    "lang_id",
+    "text_quality_lang",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      SELECT doc_id, lang, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
     ),
-    cnt AS (SELECT doc_id, lang, {_LANG_COUNTS} FROM tok)
-    SELECT doc_id, lang AS labeled_lang,
+    cnt AS (SELECT doc_id, lang, text, ws, {_LANG_COUNTS} FROM tok)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS ttr,
+           ROUND(list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1.0 / len(ws), 4)
+             AS mean_token_len,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           ROUND(least(len(ws) / 200.0, 1.0) * 0.5
+                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5, 4)
+             AS quality_score,
+           lang AS labeled_lang,
            CASE WHEN {_G} = 0 THEN 'und'
                 WHEN de = {_G} THEN 'de'
                 WHEN en = {_G} THEN 'en'
@@ -952,38 +929,19 @@ _G = "greatest(de, en, es, fr, zh)"
     FROM cnt ORDER BY doc_id
     """,
 )
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ophidia_io_server_spark.pipeline.text import lang_id_col
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature extraction + n-gram-heuristic language ID per doc
+    (merged r3: text_quality + lang_id)."""
+    from ophidia_io_server_spark.pipeline.text import lang_id_col, quality_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return quality_features(docs).join(
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            lang_id_col(F.col("text")).alias("pred_lang"),
+        ),
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        lang_id_col(F.col("text")).alias("pred_lang"),
-    ).orderBy("doc_id")
-
-
-@workload(
-    "token_counts",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
-             AS ws_tokens,
-           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
-             AS BIGINT) AS bpe_tokens
-    FROM documents ORDER BY doc_id
-    """,
-)
-def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace split and a BPE-ish pre-tokenizer
-    regex (letters/digits/symbol runs) — the LLM-token-count proxy."""
-    from ophidia_io_server_spark.pipeline.text import bpe_token_count_col, token_count_col
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count_col(F.col("text")).alias("ws_tokens"),
-        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
     ).orderBy("doc_id")
 
 
@@ -991,7 +949,7 @@ _SW = "['the','a','an','of','and','is','to','in','that','it','on','for','as','wi
 
 
 @workload(
-    "text_ratios",
+    "doc_text_metrics",
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, text,
@@ -999,22 +957,42 @@ _SW = "['the','a','an','of','and','is','to','in','that','it','on','for','as','wi
       FROM documents
     )
     SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+             AS BIGINT) AS bpe_tokens,
            ROUND(len(list_filter(ws, w -> list_contains({_SW}, lower(w))))
                  * 1.0 / len(ws), 4) AS stopword_ratio,
            ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-                 * 1.0 / length(text), 4) AS punct_ratio
+                 * 1.0 / length(text), 4) AS punct_ratio,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+                         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fp
     FROM tok ORDER BY doc_id
     """,
 )
-def text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword + punctuation ratios (quality-scoring discriminators)."""
-    from ophidia_io_server_spark.pipeline.text import punct_ratio_col, stopword_ratio_col
+def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text metrics in one projection (merged r3: token_counts +
+    text_ratios + doc_fingerprint): whitespace + BPE-ish-regex token counts
+    (the LLM-token-count proxy), stopword/punctuation ratios, and the
+    rolling-hash document fingerprint — all JVM Column/regex expressions."""
+    from ophidia_io_server_spark.pipeline.text import (
+        bpe_token_count_col,
+        fingerprint_col,
+        punct_ratio_col,
+        stopword_ratio_col,
+        token_count_col,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        token_count_col(F.col("text")).alias("ws_tokens"),
+        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
         stopword_ratio_col(F.col("text")).alias("stopword_ratio"),
         punct_ratio_col(F.col("text")).alias("punct_ratio"),
+        fingerprint_col(F.col("text")).alias("fp"),
     ).orderBy("doc_id")
 
 
@@ -1071,25 +1049,6 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("q"), 4).alias("mean_quality"))
         .orderBy("source", "pred_lang")
     )
-
-
-@workload(
-    "doc_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           list_reduce(
-             list_concat([CAST(0 AS BIGINT)],
-                         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (a, b) -> (a * 31 + b) % 1000000007
-           ) AS fp
-    FROM documents ORDER BY doc_id
-    """,
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ophidia_io_server_spark.pipeline.text import fingerprint_col
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
 _EMB_BASE_CTE = """
@@ -1351,18 +1310,23 @@ def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "events_stream_dedup",
+    "stream_dedup_dialect",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           ROUND(SUM(value), 4) AS total_value
+           ROUND(SUM(value), 4) AS total_value,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id <= 500) AS n_rows,
+           (SELECT ROUND(SUM(value), 4) FROM events WHERE event_id <= 500) AS total
     FROM events
     """,
 )
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: the events table staged TWICE (every event a
     duplicate) → dropDuplicatesWithinWatermark recovers exactly the original
-    set; state is watermark-bounded so memory stays O(horizon) at any scale."""
+    set; state is watermark-bounded so memory stays O(horizon) at any scale.
+    Merged r3 with stream_to_dialect (full loop: Structured-Streaming ingest
+    → catalog fragment via foreachBatch ≙ multi-run insert → dialect select
+    over the stored fragment); the two 1-row summaries cross-join into one."""
     import hashlib
     import os
 
@@ -1370,6 +1334,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream,
         run_available_now,
         stateful_dedup_stream,
+        streaming_insert_fragment,
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -1380,11 +1345,25 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition(3).write.mode("append").parquet(path)
     deduped = stateful_dedup_stream(events_stream(spark, path))
     res = run_available_now(deduped, "events_dedup_result", output_mode="append")
-    return res.agg(
+    dedup_row = res.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+    srv = IOServer(spark)
+    clean = _staged_events_dir(spark, sf_dir)
+    stream = events_stream(spark, clean).where(F.col("event_id") <= 500).select(
+        F.col("event_id").alias("id_dim"), F.array(F.col("value")).alias("measure")
+    )
+    streaming_insert_fragment(spark, stream, srv.catalog, "ev_frag")
+    dialect_row = srv.execute(
+        "operation=select;from=ev_frag;"
+        "field=oph_count_array(oph_roll_up(measure))|oph_reduce(oph_roll_up(measure),'sum');"
+        "select_alias=n_rows|total"
+    ).select(F.col("n_rows").cast("bigint").alias("n_rows"),
+             F.round("total", 4).alias("total"))
+    return dedup_row.crossJoin(dialect_row)
 
 
 @workload(
@@ -1421,34 +1400,6 @@ def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     stream = session_window_stream(events_stream(spark, path))
     return run_available_now(stream, "events_session_window_result") \
         .orderBy("user_id", "session_start")
-
-
-@workload(
-    "stream_to_dialect",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 4) AS total
-    FROM events WHERE event_id <= 500
-    """,
-)
-def stream_to_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full loop: Structured-Streaming ingest → catalog fragment (foreachBatch
-    ≙ multi-run insert) → dialect select over the stored fragment."""
-    from ophidia_io_server_spark.streaming.ingest import events_stream, streaming_insert_fragment
-
-    srv = IOServer(spark)
-    path = _staged_events_dir(spark, sf_dir)
-    stream = events_stream(spark, path).where(F.col("event_id") <= 500).select(
-        F.col("event_id").alias("id_dim"), F.array(F.col("value")).alias("measure")
-    )
-    streaming_insert_fragment(spark, stream, srv.catalog, "ev_frag")
-    out = srv.execute(
-        "operation=select;from=ev_frag;"
-        "field=oph_count_array(oph_roll_up(measure))|oph_reduce(oph_roll_up(measure),'sum');"
-        "select_alias=n_rows|total"
-    )
-    return out.select(F.col("n_rows").cast("bigint").alias("n_rows"),
-                      F.round("total", 4).alias("total"))
 
 
 @workload(
@@ -1503,46 +1454,91 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "gsl_stats",
+    "gsl_stats_fit",
     oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
-           [ list_aggregate(measure, 'sum') / len(measure),
-             (list_aggregate(list_transform(measure, x -> x*x), 'sum')
-              - len(measure) * (list_aggregate(measure, 'sum') / len(measure))
-                             * (list_aggregate(measure, 'sum') / len(measure)))
-             / (len(measure) - 1),
-             sqrt((list_aggregate(list_transform(measure, x -> x*x), 'sum')
-              - len(measure) * (list_aggregate(measure, 'sum') / len(measure))
-                             * (list_aggregate(measure, 'sum') / len(measure)))
-             / (len(measure) - 1)),
-             list_aggregate(measure, 'min'),
-             list_aggregate(measure, 'max'),
-             list_aggregate(measure, 'sum') ] AS stats
-    FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2 ORDER BY id_dim
-    """,
-    explode=["stats"],
-)
-def gsl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_gsl_stats(measure,'111111');"
-        "select_alias=id_dim|stats;"
-        "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
+    {_FRAG_BOTH_CTE},
+    base AS (
+      SELECT a.id_dim AS id_dim, a.measure AS m, b.measure AS m2,
+             CAST(len(a.measure) AS DOUBLE) AS n
+      FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
+      WHERE a.id_dim <= 400 AND len(a.measure) >= 2
+    ),
+    t AS (
+      SELECT *,
+             n * (n - 1) / 2 AS sx,
+             (n - 1) * n * (2 * n - 1) / 6 AS sxx,
+             list_aggregate(m, 'sum') AS sy,
+             list_aggregate(list_transform(range(1, CAST(n AS BIGINT) + 1),
+                                           i -> m[i] * (i - 1)), 'sum') AS sxy,
+             list_aggregate(m, 'min') AS lo,
+             list_aggregate(m, 'max') AS hi
+      FROM base
+    ),
+    f AS (
+      SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM t
     )
+    SELECT id_dim,
+           [ list_aggregate(m, 'sum') / len(m),
+             (list_aggregate(list_transform(m, x -> x*x), 'sum')
+              - len(m) * (list_aggregate(m, 'sum') / len(m))
+                       * (list_aggregate(m, 'sum') / len(m)))
+             / (len(m) - 1),
+             sqrt((list_aggregate(list_transform(m, x -> x*x), 'sum')
+              - len(m) * (list_aggregate(m, 'sum') / len(m))
+                       * (list_aggregate(m, 'sum') / len(m)))
+             / (len(m) - 1)),
+             list_aggregate(m, 'min'),
+             list_aggregate(m, 'max'),
+             list_aggregate(m, 'sum') ] AS stats,
+           [(sy - slope * sx) / n, slope] AS coeff,
+           list_transform(range(0, 4), b ->
+             CAST(len(list_filter(m, x ->
+               x >= lo + b * ((hi - lo) / 4)
+               AND (CASE WHEN b = 3 THEN x <= lo + (b + 1) * ((hi - lo) / 4)
+                         ELSE x < lo + (b + 1) * ((hi - lo) / 4) END)))
+               AS DOUBLE)) AS hist,
+           ROUND((list_aggregate(list_transform(range(1, CAST(n AS BIGINT) + 1),
+                                                i -> m[i] * m2[i]), 'sum')
+                  - list_aggregate(m, 'sum') * list_aggregate(m2, 'sum') / n)
+                 / sqrt((list_aggregate(list_transform(m, x -> x * x), 'sum')
+                         - list_aggregate(m, 'sum') * list_aggregate(m, 'sum') / n)
+                        * (list_aggregate(list_transform(m2, x -> x * x), 'sum')
+                           - list_aggregate(m2, 'sum') * list_aggregate(m2, 'sum') / n)),
+                 6) AS corr
+    FROM f ORDER BY id_dim
+    """,
+    explode=["stats", "coeff", "hist"],
+)
+def gsl_stats_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSL stats family in one select (merged r3: gsl_stats +
+    gsl_fit_hist_corr): oph_gsl_stats mask '111111'
+    (mean|var|sd|min|max|sum), oph_gsl_fit_linear_coeff (closed-form least
+    squares, pure Column), oph_gsl_histogram (GSL bin rule: last bin closed),
+    oph_gsl_correlation (Pearson across two fragments)."""
+    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
+    out = srv.execute(
+        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
+        "field=id_dim|oph_gsl_stats(a.measure,'111111')"
+        "|oph_gsl_fit_linear_coeff(a.measure)"
+        "|oph_gsl_histogram(a.measure,4)"
+        "|oph_gsl_correlation(a.measure,b.measure);"
+        "select_alias=id_dim|stats|coeff|hist|corr;"
+        "where=id_dim<=400&oph_size_array(a.measure)>=2;order=id_dim"
+    )
+    return out.withColumn("corr", F.round("corr", 6))
 
 
 @workload(
-    "gsl_quantile_boxplot",
+    "gsl_quantile_fft",
     oracle=f"""
     {_FRAG_QTY_CTE},
     srt AS (
-      SELECT id_dim, list_sort(measure) AS s, len(measure) AS n
+      SELECT id_dim, measure, list_sort(measure) AS s, len(measure) AS n
       FROM frag_qty WHERE id_dim <= 400
     ),
     q AS (
-      SELECT id_dim, s, n,
+      SELECT id_dim, measure, s, n,
              (n - 1) * 0.25 AS h1, (n - 1) * 0.5 AS h2, (n - 1) * 0.75 AS h3
       FROM srt
     )
@@ -1560,18 +1556,33 @@ def gsl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              s[CAST(floor(h3) AS BIGINT) + 1]
                + (h3 - floor(h3)) * (s[least(CAST(floor(h3) AS BIGINT) + 2, n)]
                                      - s[CAST(floor(h3) AS BIGINT) + 1]),
-             s[n] ] AS box
+             s[n] ] AS box,
+           -- naive-DFT magnitude closed form (== numpy FFT to ~1e-10; both
+           -- sides round to 6dp): |X_k| = |Σ_j x_j e^(-2πi jk/n)|
+           list_transform(range(0, n), k ->
+             ROUND(sqrt(
+               pow(list_aggregate(list_transform(range(1, n + 1),
+                     j -> measure[j] * cos(2 * pi() * k * (j - 1) / n)), 'sum'), 2)
+               + pow(list_aggregate(list_transform(range(1, n + 1),
+                     j -> measure[j] * sin(2 * pi() * k * (j - 1) / n)), 'sum'), 2)
+             ), 6)) AS spectrum
     FROM q ORDER BY id_dim
     """,
-    explode=["box"],
+    explode=["box", "spectrum"],
 )
-def gsl_quantile_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gsl_quantile_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSL order-statistics + spectral surface in one select (merged r3:
+    gsl_quantile_boxplot + gsl_fft): oph_gsl_quantile, oph_gsl_boxplot, and
+    the magnitude spectrum |oph_gsl_fft| checked against the naive-DFT
+    closed form (rounded 6dp on both engines)."""
     srv = _server(spark, sf_dir)
-    return srv.execute(
+    out = srv.execute(
         "operation=select;from=frag_qty;"
-        "field=id_dim|oph_gsl_quantile(measure,0.5)|oph_gsl_boxplot(measure);"
-        "select_alias=id_dim|median|box;where=id_dim<=400;order=id_dim"
+        "field=id_dim|oph_gsl_quantile(measure,0.5)|oph_gsl_boxplot(measure)"
+        "|oph_gsl_complex_get_abs(oph_gsl_fft(measure));"
+        "select_alias=id_dim|median|box|spectrum;where=id_dim<=400;order=id_dim"
     )
+    return out.withColumn("spectrum", F.transform("spectrum", lambda x: F.round(x, 6)))
 
 
 @workload(
@@ -1630,7 +1641,7 @@ def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "normalize_quantize",
+    "normalize_find_pad",
     oracle=f"""
     {_FRAG_QTY_CTE},
     base AS (
@@ -1650,24 +1661,36 @@ def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              ELSE (x - mu) / sd END) AS normed,
            list_transform(measure, x -> CASE WHEN x > 25 THEN 1.0 ELSE 0.0 END
                                         + CASE WHEN x > 40 THEN 1.0 ELSE 0.0 END) AS quant,
-           list_transform(measure, x -> CASE WHEN x = 1 THEN -1.0 ELSE x END) AS repl
+           list_transform(measure, x -> CASE WHEN x = 1 THEN -1.0 ELSE x END) AS repl,
+           list_filter(range(1, len(measure) + 1), i -> abs(measure[i] - 30.0) <= 5.0)
+             AS found,
+           list_concat(measure,
+                       CASE WHEN len(measure) >= 8 THEN []
+                            ELSE list_transform(range(0, 8 - len(measure)), z -> 0.0) END)
+             AS padded,
+           [CAST(1.0 AS DOUBLE), 2.0, 3.0] || measure AS with_header
     FROM base ORDER BY id_dim
     """,
-    explode=["normed", "quant", "repl"],
+    explode=["normed", "quant", "repl", "found", "padded", "with_header"],
 )
-def normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def normalize_find_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise transforms in one select (merged r3: normalize_quantize +
+    find_pad_ops): oph_normalize, oph_quantize, oph_replace, oph_find
+    (positions within tolerance), oph_padding to fixed length, oph_concat
+    with an oph_sequence literal header."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_normalize(measure)|oph_quantize(measure,'25,40')"
-        "|oph_replace(measure,1,-1);"
-        "select_alias=id_dim|normed|quant|repl;"
+        "|oph_replace(measure,1,-1)|oph_find(measure,30,5)|oph_padding(measure,8,0)"
+        "|oph_concat(oph_sequence(3),measure);"
+        "select_alias=id_dim|normed|quant|repl|found|padded|with_header;"
         "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
     )
 
 
 @workload(
-    "cast_sequence_idfuncs",
+    "cast_sequence_codec",
     oracle=f"""
     {_FRAG_QTY_CTE}
     SELECT id_dim,
@@ -1675,55 +1698,38 @@ def normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            range(1, len(measure) + 1) AS idxs,
            1 + ((id_dim - 1) % 4) + CAST(TRUNC((id_dim - 1.0) / (5 * 4)) AS BIGINT) * 4 AS id2,
            1 + ((id_dim - 1) % 4) AS idx1,
-           1 + (CAST(TRUNC((id_dim - 1.0) / 3) AS BIGINT) % 7) AS idx2
+           1 + (CAST(TRUNC((id_dim - 1.0) / 3) AS BIGINT) % 7) AS idx2,
+           measure AS roundtrip
     FROM frag_qty WHERE id_dim >= 1 AND id_dim <= 500 ORDER BY id_dim
     """,
-    explode=["as_long", "idxs"],
+    explode=["as_long", "idxs", "roundtrip"],
 )
-def cast_sequence_idfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cast_sequence_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """oph_convert_l / oph_get_index_array / oph_id2 / oph_id_to_index /
-    oph_id_to_index2 projected as columns (index algebra parity)."""
+    oph_id_to_index2 projected as columns (index algebra parity), plus the
+    zlib codec roundtrip oph_uncompress(oph_compress(x)) == x (merged r3:
+    cast_sequence_idfuncs + compress_roundtrip)."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_convert_l(measure)|oph_get_index_array(measure)"
-        "|oph_id2(id_dim,5,4)|oph_id_to_index(id_dim,4)|oph_id_to_index2(id_dim,3,7);"
-        "select_alias=id_dim|as_long|idxs|id2|idx1|idx2;"
+        "|oph_id2(id_dim,5,4)|oph_id_to_index(id_dim,4)|oph_id_to_index2(id_dim,3,7)"
+        "|oph_uncompress(oph_compress(measure));"
+        "select_alias=id_dim|as_long|idxs|id2|idx1|idx2|roundtrip;"
         "where=id_dim>=1&id_dim<=500;order=id_dim"
     )
 
 
 @workload(
-    "dwt_haar",
+    "dwt_spline",
     oracle=f"""
     {_FRAG_QTY_CTE},
-    base AS (SELECT id_dim, list_slice(measure, 1, 4) AS m FROM frag_qty
-             WHERE id_dim <= 2000 AND len(measure) >= 4)
+    base AS (SELECT id_dim, measure, list_slice(measure, 1, 4) AS m,
+                    len(measure) AS n FROM frag_qty
+             WHERE id_dim <= 400 AND len(measure) >= 4)
     SELECT id_dim,
            [ (m[1] + m[2]) / sqrt(2.0), (m[3] + m[4]) / sqrt(2.0),
-             (m[1] - m[2]) / sqrt(2.0), (m[3] - m[4]) / sqrt(2.0) ] AS dwt
-    FROM base ORDER BY id_dim
-    """,
-    explode=["dwt"],
-)
-def dwt_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-level Haar DWT (pandas-UDF kernel) against its closed form."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_gsl_dwt(oph_get_subarray(measure,1,4));"
-        "select_alias=id_dim|dwt;"
-        "where=id_dim<=2000&oph_size_array(measure)>=4;order=id_dim"
-    )
-
-
-@workload(
-    "spline_resample",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    base AS (SELECT id_dim, measure, len(measure) AS n FROM frag_qty
-             WHERE id_dim <= 400 AND len(measure) >= 2)
-    SELECT id_dim,
+             (m[1] - m[2]) / sqrt(2.0), (m[3] - m[4]) / sqrt(2.0) ] AS dwt,
            list_transform(range(0, 8), i ->
              measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1]
              + (i * (n - 1) / 7.0 - floor(i * (n - 1) / 7.0))
@@ -1731,14 +1737,20 @@ def dwt_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1])) AS resampled
     FROM base ORDER BY id_dim
     """,
+    explode=["dwt", "resampled"],
 )
-def spline_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dwt_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wavelet + interpolation kernels in one select (merged r3: dwt_haar +
+    spline_resample): one-level Haar DWT (pandas-UDF kernel) against its
+    closed form, and oph_gsl_spline resampling to 8 points against the
+    piecewise-linear closed form."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
-        "field=id_dim|oph_gsl_spline(measure,8);"
-        "select_alias=id_dim|resampled;"
-        "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
+        "field=id_dim|oph_gsl_dwt(oph_get_subarray(measure,1,4))"
+        "|oph_gsl_spline(measure,8);"
+        "select_alias=id_dim|dwt|resampled;"
+        "where=id_dim<=400&oph_size_array(measure)>=4;order=id_dim"
     )
 
 
@@ -1764,45 +1776,20 @@ def expand_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "math_compare_ops",
-    oracle=f"""
-    {_FRAG_BOTH_CTE}
-    SELECT a.id_dim AS id_dim,
-           list_transform(a.measure, x -> ROUND(sqrt(x), 6)) AS sq,
-           list_transform(a.measure, x -> ROUND(ln(x + 1), 6)) AS lg,
-           CASE WHEN a.measure = b.measure THEN 1.0 ELSE 0.0 END AS same,
-           list_transform(range(1, len(a.measure) + 1),
-                          i -> greatest(a.measure[i], b.measure[i])) AS mx
-    FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
-    WHERE a.id_dim <= 500 ORDER BY id_dim
-    """,
-)
-def math_compare_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_math named functions, oph_compare across fragments,
-    oph_operation_array max — element-wise JVM Column math end to end."""
-    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
-    out = srv.execute(
-        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
-        "field=id_dim|oph_math(a.measure,'sqrt')|oph_math(oph_sum_scalar(a.measure,1),'log')"
-        "|oph_compare(a.measure,b.measure)|oph_operation_array(a.measure,b.measure,'max');"
-        "select_alias=id_dim|sq|lg|same|mx;where=id_dim<=500;order=id_dim"
-    )
-    # transcendentals differ in the last ulp across libm builds → 6dp on both
-    return out.withColumn("sq", F.transform("sq", lambda x: F.round(x, 6))) \
-              .withColumn("lg", F.transform("lg", lambda x: F.round(x, 6)))
-
-
-@workload(
-    "complex_polar_ops",
+    "math_complex_ops",
     oracle=f"""
     {_FRAG_BOTH_CTE},
     base AS (
       SELECT a.id_dim AS id_dim, a.measure AS re, b.measure AS im,
              len(a.measure) AS n
       FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
-      WHERE a.id_dim <= 400
+      WHERE a.id_dim <= 500
     )
     SELECT id_dim,
+           list_transform(re, x -> ROUND(sqrt(x), 6)) AS sq,
+           list_transform(re, x -> ROUND(ln(x + 1), 6)) AS lg,
+           CASE WHEN re = im THEN 1.0 ELSE 0.0 END AS same,
+           list_transform(range(1, n + 1), i -> greatest(re[i], im[i])) AS mx,
            flatten(list_transform(range(1, n + 1),
                                   i -> [ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6),
                                         ROUND(atan2(im[i], re[i]), 6)])) AS polar,
@@ -1811,176 +1798,77 @@ def math_compare_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                           i -> ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6)) AS modulus
     FROM base ORDER BY id_dim
     """,
+    explode=["sq", "lg", "mx", "polar", "imag", "modulus"],
 )
-def complex_polar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interleaved-complex family: interlace two fragments into (re,im),
-    convert to polar, extract imag + modulus (gsl complex surface)."""
+def math_complex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise math + interleaved-complex family in one select (merged
+    r3: math_compare_ops + complex_polar_ops): oph_math named functions,
+    oph_compare across fragments, oph_operation_array max, then interlace the
+    two fragments into (re,im) complex, convert to polar, extract imag +
+    modulus (gsl complex surface).  All JVM Column math end to end."""
     srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
     out = srv.execute(
         "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
-        "field=id_dim|oph_gsl_complex_to_polar(oph_interlace(a.measure,b.measure))"
+        "field=id_dim|oph_math(a.measure,'sqrt')|oph_math(oph_sum_scalar(a.measure,1),'log')"
+        "|oph_compare(a.measure,b.measure)|oph_operation_array(a.measure,b.measure,'max')"
+        "|oph_gsl_complex_to_polar(oph_interlace(a.measure,b.measure))"
         "|oph_gsl_complex_get_imag(oph_interlace(a.measure,b.measure))"
         "|oph_gsl_complex_get_abs(oph_interlace(a.measure,b.measure));"
-        "select_alias=id_dim|polar|imag|modulus;where=id_dim<=400;order=id_dim"
-    )
-    return out.withColumn("polar", F.transform("polar", lambda x: F.round(x, 6))) \
-              .withColumn("modulus", F.transform("modulus", lambda x: F.round(x, 6)))
-
-
-@workload(
-    "find_pad_ops",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
-           list_filter(range(1, len(measure) + 1), i -> abs(measure[i] - 30.0) <= 5.0)
-             AS found,
-           list_concat(measure,
-                       CASE WHEN len(measure) >= 8 THEN []
-                            ELSE list_transform(range(0, 8 - len(measure)), z -> 0.0) END)
-             AS padded,
-           list_transform(measure, x -> CASE WHEN x = 1 THEN -1.0 ELSE x END) AS repl,
-           [CAST(1.0 AS DOUBLE), 2.0, 3.0] || measure AS with_header
-    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
-    """,
-)
-def find_pad_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_find (positions within tolerance), oph_padding to fixed length,
-    oph_replace, oph_concat with an oph_sequence literal header."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_find(measure,30,5)|oph_padding(measure,8,0)"
-        "|oph_replace(measure,1,-1)|oph_concat(oph_sequence(3),measure);"
-        "select_alias=id_dim|found|padded|repl|with_header;"
+        "select_alias=id_dim|sq|lg|same|mx|polar|imag|modulus;"
         "where=id_dim<=500;order=id_dim"
     )
+    # transcendentals differ in the last ulp across libm builds → 6dp on both
+    for c in ("sq", "lg", "polar", "modulus"):
+        out = out.withColumn(c, F.transform(c, lambda x: F.round(x, 6)))
+    return out
+
+
 
 
 @workload(
-    "gsl_fit_hist_corr",
+    "kcluster",
     oracle=f"""
-    {_FRAG_BOTH_CTE},
-    base AS (
-      SELECT a.id_dim AS id_dim, a.measure AS m, b.measure AS m2,
-             CAST(len(a.measure) AS DOUBLE) AS n
-      FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
-      WHERE a.id_dim <= 400 AND len(a.measure) >= 2
+    {_FRAG_QTY_CTE},
+    srt AS (
+      SELECT id_dim, list_sort(measure) AS s, len(measure) AS n
+      FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2
     ),
-    t AS (
-      SELECT *,
-             n * (n - 1) / 2 AS sx,
-             (n - 1) * n * (2 * n - 1) / 6 AS sxx,
-             list_aggregate(m, 'sum') AS sy,
-             list_aggregate(list_transform(range(1, CAST(n AS BIGINT) + 1),
-                                           i -> m[i] * (i - 1)), 'sum') AS sxy,
-             list_aggregate(m, 'min') AS lo,
-             list_aggregate(m, 'max') AS hi
-      FROM base
+    -- 1-D 2-means is a split of the sorted values: score each split t with
+    -- the integer-exact SS identity, pick the first minimum (same tie-break
+    -- as the kernel's strict-< scan)
+    scored AS (
+      SELECT id_dim, s, n,
+             list_transform(range(1, n), t ->
+               (list_aggregate(list_transform(list_slice(s, 1, t), x -> x * x), 'sum')
+                - list_aggregate(list_slice(s, 1, t), 'sum')
+                  * list_aggregate(list_slice(s, 1, t), 'sum') / t)
+               + (list_aggregate(list_transform(list_slice(s, t + 1, n), x -> x * x), 'sum')
+                  - list_aggregate(list_slice(s, t + 1, n), 'sum')
+                    * list_aggregate(list_slice(s, t + 1, n), 'sum') / (n - t))) AS sses
+      FROM srt
     ),
-    f AS (
-      SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
-      FROM t
+    best AS (
+      SELECT id_dim, s, n,
+             list_position(sses, list_aggregate(sses, 'min')) AS t
+      FROM scored
     )
     SELECT id_dim,
-           [(sy - slope * sx) / n, slope] AS coeff,
-           list_transform(range(0, 4), b ->
-             CAST(len(list_filter(m, x ->
-               x >= lo + b * ((hi - lo) / 4)
-               AND (CASE WHEN b = 3 THEN x <= lo + (b + 1) * ((hi - lo) / 4)
-                         ELSE x < lo + (b + 1) * ((hi - lo) / 4) END)))
-               AS DOUBLE)) AS hist,
-           ROUND((list_aggregate(list_transform(range(1, CAST(n AS BIGINT) + 1),
-                                                i -> m[i] * m2[i]), 'sum')
-                  - list_aggregate(m, 'sum') * list_aggregate(m2, 'sum') / n)
-                 / sqrt((list_aggregate(list_transform(m, x -> x * x), 'sum')
-                         - list_aggregate(m, 'sum') * list_aggregate(m, 'sum') / n)
-                        * (list_aggregate(list_transform(m2, x -> x * x), 'sum')
-                           - list_aggregate(m2, 'sum') * list_aggregate(m2, 'sum') / n)),
-                 6) AS corr
-    FROM f ORDER BY id_dim
+           [ list_aggregate(list_slice(s, 1, t), 'sum') / t,
+             list_aggregate(list_slice(s, t + 1, n), 'sum') / (n - t) ] AS centroids
+    FROM best ORDER BY id_dim
     """,
+    explode=["centroids"],
 )
-def gsl_fit_hist_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_gsl_fit_linear_coeff (closed-form least squares, pure Column),
-    oph_gsl_histogram (GSL bin rule: last bin closed), oph_gsl_correlation
-    (Pearson across two fragments)."""
-    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
-    out = srv.execute(
-        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
-        "field=id_dim|oph_gsl_fit_linear_coeff(a.measure)"
-        "|oph_gsl_histogram(a.measure,4)"
-        "|oph_gsl_correlation(a.measure,b.measure);"
-        "select_alias=id_dim|coeff|hist|corr;"
-        "where=id_dim<=400&oph_size_array(a.measure)>=2;order=id_dim"
-    )
-    return out.withColumn("corr", F.round("corr", 6))
-
-
-@workload("gsl_fft")  # spectral kernel: no closed-form SQL oracle → rows-only
-def gsl_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_gsl_complex_get_abs(oph_gsl_fft(measure));"
-        "select_alias=id_dim|spectrum;where=id_dim<=400;order=id_dim"
-    )
-
-
-@workload("kcluster")  # iterative kernel → rows-only
 def kcluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oph_ccluster_kcluster k=2: exact 1-D 2-means (sorted-split
+    enumeration in the kernel) mirrored by the SQL split-scoring closed
+    form — globally optimal and deterministic, so the oracle is exact."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_ccluster_kcluster(measure,2);"
         "select_alias=id_dim|centroids;"
         "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
-    )
-
-
-@workload(
-    "aggregate_stats_group",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    firsts AS (
-      SELECT 1 + CAST(TRUNC((id_dim - 1.0) / 200) AS BIGINT) AS grp,
-             measure[1] AS v
-      FROM frag_qty WHERE id_dim >= 1 AND id_dim <= 2000
-    )
-    SELECT grp,
-           [ AVG(v),
-             (SUM(v * v) - COUNT(*) * AVG(v) * AVG(v)) / (COUNT(*) - 1),
-             MIN(v), MAX(v) ] AS stats
-    FROM firsts GROUP BY grp ORDER BY grp
-    """,
-)
-def aggregate_stats_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_aggregate_stats (mean|var|min|max mask) over length-1 arrays so the
-    cross-row stats reduce to scalar SQL aggregates (quantities are integral
-    ⇒ sums exact in any order)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=oph_id(id_dim,200)|oph_aggregate_stats(oph_get_subarray(measure,1,1),'11011');"
-        "select_alias=grp|stats;"
-        "where=id_dim>=1&id_dim<=2000;group=oph_id(id_dim,200);order=grp"
-    )
-
-
-@workload(
-    "compress_roundtrip",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim, measure AS roundtrip
-    FROM frag_qty WHERE id_dim <= 300 ORDER BY id_dim
-    """,
-)
-def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_uncompress(oph_compress(x)) == x (zlib codec pandas kernels)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_uncompress(oph_compress(measure));"
-        "select_alias=id_dim|roundtrip;where=id_dim<=300;order=id_dim"
     )
 
 
