@@ -99,6 +99,14 @@ class Catalog:
             raise CatalogError(f"database {db!r} does not exist")
         if frag in self.dbs[db] and not overwrite:
             raise CatalogError(f"fragment {db}.{frag} already exists")
+        old = self.dbs[db].get(frag)
+        if old is not None and old.cached:
+            # overwrite replaces the entry: free the superseded cached plan
+            # (otherwise every overwrite leaks an executor-memory cache)
+            try:
+                old.df.unpersist()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
         if cache:
             df = df.cache()
         entry = FragmentEntry(name=frag, db=db, df=df, temp=temp, cached=cache)

@@ -56,7 +56,9 @@ def reduce_array(m: Column, op: str) -> Column:
         return F.aggregate(m, F.lit(1.0), lambda a, x: a * x)
     ss = F.aggregate(m, F.lit(0.0), lambda a, x: a + x * x)
     mean = s / n
-    var = (ss - n * mean * mean) / (n - 1)  # sample variance (GSL convention)
+    # clamp: the ss - n·mean² identity can cancel to a tiny negative for
+    # near-constant arrays, which would make std a NaN
+    var = F.greatest((ss - n * mean * mean) / (n - 1), F.lit(0.0))
     if op == "var":
         return var
     return F.sqrt(var)  # std

@@ -51,6 +51,7 @@ class IOServer:
         if self.catalog is None:
             self.catalog = Catalog(self.spark)
         self._insert_buffers: dict[str, _InsertBuffer] = {}
+        self._flushed: set[str] = set()  # fragments whose insert run completed
 
     # ------------------------------------------------------------------
 
@@ -98,10 +99,14 @@ class IOServer:
         empty = self.spark.createDataFrame([], FRAG_SCHEMA)
         self.catalog.put(frag_name, empty, cache=False)
         self._insert_buffers[frag_name] = _InsertBuffer(frag=frag_name)
+        self._flushed.discard(frag_name)
         return None
 
     def _op_drop_frag(self, q, params) -> None:
-        self.catalog.drop(self._frag_name(q))
+        frag_name = self._frag_name(q)
+        self.catalog.drop(frag_name)
+        self._flushed.discard(frag_name)
+        self._insert_buffers.pop(frag_name, None)
         return None
 
     def _op_create_database(self, q, params) -> None:
@@ -116,6 +121,16 @@ class IOServer:
 
     def _buffer_for(self, frag_name: str) -> _InsertBuffer:
         if frag_name not in self._insert_buffers:
+            if frag_name in self._flushed:
+                # a completed insert run already stored this fragment: the
+                # reference rejects further inserts rather than replacing the
+                # committed rows (oph_io_server_query.c insert path requires
+                # the create_frag-time empty fragment); silently overwriting
+                # would drop data
+                raise QueryExecError(
+                    f"fragment {frag_name!r} already stored; drop/recreate it "
+                    "before inserting again"
+                )
             self._insert_buffers[frag_name] = _InsertBuffer(frag=frag_name)
         return self._insert_buffers[frag_name]
 
@@ -128,6 +143,7 @@ class IOServer:
             FRAG_SCHEMA,
         )
         self.catalog.put(frag_name, df, cache=True, overwrite=True)
+        self._flushed.add(frag_name)
 
     def _op_insert(self, q, params) -> None:
         """insert: one row per statement; tot_run/curr_run control batching."""
@@ -306,6 +322,14 @@ def sequential_ids(df: DataFrame, id_start: int) -> DataFrame:
     (2) count rows per partition, prefix-sum the counts on the driver
     (one tiny array), (3) number each partition independently as
     offset + local_rank.  Every pass is fully parallel.
+
+    The count pass and the renumber pass MUST see the same rows in the same
+    partitions: repartitionByRange samples range boundaries per job, so two
+    independent actions on the unpersisted plan could place rows differently
+    and silently break the dense-id invariant the join contract depends on.
+    So: persist the partitioned frame, materialize it through the count pass,
+    renumber from the pinned cache, materialize the (cached) result, then
+    release the intermediate.
     """
     import pandas as pd  # noqa: PLC0415 — driver-side tiny frame only
 
@@ -313,7 +337,8 @@ def sequential_ids(df: DataFrame, id_start: int) -> DataFrame:
     # explicit partition count: user-specified repartitions are exempt from
     # AQE coalescing, so BOTH passes below see identical partition ids
     nparts = df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(nparts, F.col(ID_COL).asc()).sortWithinPartitions(ID_COL)
+    parts = df.repartitionByRange(nparts, F.col(ID_COL).asc()) \
+        .sortWithinPartitions(ID_COL).persist()
     counts_schema = "pid int, cnt long"
 
     def count_rows(it):
@@ -349,4 +374,7 @@ def sequential_ids(df: DataFrame, id_start: int) -> DataFrame:
             seen += len(pdf)
             yield pdf[[ID_COL] + other]
 
-    return parts.mapInPandas(renumber, out_schema)
+    out = parts.mapInPandas(renumber, out_schema).cache()
+    out.count()  # pin the renumbered rows before freeing the intermediate
+    parts.unpersist()
+    return out

@@ -40,6 +40,18 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 _SHINGLE_MEMO: dict[tuple, DataFrame] = {}
+_SHINGLE_MEMO_MAX = 8  # FIFO-bounded: evicted entries unpersist their cache
+
+
+def _memo_put(key: tuple, df: DataFrame) -> None:
+    while len(_SHINGLE_MEMO) >= _SHINGLE_MEMO_MAX:
+        oldest = next(iter(_SHINGLE_MEMO))
+        evicted = _SHINGLE_MEMO.pop(oldest)
+        try:
+            evicted.unpersist()
+        except Exception:  # noqa: BLE001 — best-effort cache cleanup
+            pass
+    _SHINGLE_MEMO[key] = df
 
 
 def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text",
@@ -69,8 +81,9 @@ def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text",
         "nsh", F.size("shingles").cast("bigint")
     )
     if memo_key is not None:
-        _SHINGLE_MEMO[key] = out.cache()
-        return _SHINGLE_MEMO[key]
+        out = out.cache()
+        _memo_put(key, out)
+        return out
     return out
 
 
@@ -81,11 +94,12 @@ def _pairs_from_index(sh: DataFrame, max_doc_freq: float | None = None) -> DataF
     shingle key (skew-prone for stop-shingles; AQE skew-join splits those),
     then on the pair key for the count — both bounded by index size, never n².
 
-    ``max_doc_freq``: optional skew guard for web-scale corpora — drop
-    shingles present in more than this fraction of documents (stop-shingles
-    produce quadratic bucket blowup while contributing almost no Jaccard
-    discrimination).  Off by default: with it on, intersection counts are a
-    lower bound and the operator is no longer exactly oracle-equal.
+    ``max_doc_freq``: skew guard — drop shingles present in more than this
+    fraction of documents (stop-shingles produce quadratic bucket blowup
+    while contributing almost no Jaccard discrimination).  With it on,
+    intersection counts are a LOWER BOUND (capped shingles aren't counted),
+    so callers that need exact Jaccard must re-verify candidates against the
+    full shingle sets — ``jaccard_pairs_exact`` does exactly that.
     """
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     if max_doc_freq is not None:
@@ -107,22 +121,48 @@ def _pairs_from_index(sh: DataFrame, max_doc_freq: float | None = None) -> DataF
 
 
 def jaccard_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", memo_key: tuple | None = None) -> DataFrame:
-    """All pairs with distinct-n-gram Jaccard ≥ threshold (full recall:
-    a pair below any intersection never reaches the threshold)."""
+                        text_col: str = "text", memo_key: tuple | None = None,
+                        max_doc_freq: float | None = 0.2) -> DataFrame:
+    """All pairs with distinct-n-gram Jaccard ≥ threshold.
+
+    The skew guard is ON by default (``max_doc_freq=0.2``): stop-shingles —
+    present in more than that fraction of documents — are dropped from the
+    inverted index, so no index bucket can exceed 0.2·n docs and the
+    candidate join stays shuffle-bounded at web scale (AQE skew-join splits
+    what remains).  Exactness is preserved by the verify step: candidate
+    pairs are re-scored against the FULL shingle sets (array_intersect), so
+    the capped index only gates candidate GENERATION.  Near-dup pairs above
+    any useful threshold share many shingles, the overwhelming majority
+    non-stop, so recall is unaffected in practice (a pair whose every shared
+    shingle is a stop-shingle is indistinguishable from background overlap).
+    Pass ``max_doc_freq=None`` for the uncapped exact-count path (no verify
+    join needed — the index intersection count is already exact)."""
     sh = shingle_df(docs, n, text_col, memo_key=memo_key)
     if memo_key is None:
         sh = sh.cache()
-    pairs = _pairs_from_index(sh)
-    sizes = sh.select("doc_id", "nsh")
-    out = (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+    pairs = _pairs_from_index(sh, max_doc_freq=max_doc_freq)
+    if max_doc_freq is None:
+        sizes = sh.select("doc_id", "nsh")
+        return (
+            pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+            .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    cand = pairs.select("doc_a", "doc_b")
+    left = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                     F.col("nsh").alias("na"))
+    right = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                      F.col("nsh").alias("nb"))
+    return (
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
         .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 # -- MinHash + LSH ----------------------------------------------------------

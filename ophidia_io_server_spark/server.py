@@ -62,12 +62,18 @@ class _Handler(socketserver.BaseRequestHandler):
                 # thread-safe and run outside the lock via the returned plan
                 with lock:
                     df = srv.execute(query, params=params)
-                self.request.sendall(b"K")
+                # materialize the FULL packet stream before emitting the 'K'
+                # status byte: a Spark runtime error surfacing during the
+                # iteration must become a clean 'E' frame, not an error blob
+                # spliced into a half-sent RS stream the client misparses
+                # (reference: result fully staged before OK, engine.c)
                 if df is not None:
-                    for pkt in serialize_result_set(df):
-                        self.request.sendall(pkt)
+                    pkts = list(serialize_result_set(df))
                 else:
-                    self.request.sendall(struct.pack(">ii", 0, 0) + struct.pack(">i", 0))
+                    pkts = [struct.pack(">ii", 0, 0) + struct.pack(">i", 0)]
+                self.request.sendall(b"K")
+                for pkt in pkts:
+                    self.request.sendall(pkt)
             except Exception as e:  # noqa: BLE001 — wire boundary
                 msg = f"{type(e).__name__}: {e}".encode()[:65536]
                 self.request.sendall(b"E" + struct.pack(">i", len(msg)) + msg)

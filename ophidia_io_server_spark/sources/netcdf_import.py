@@ -182,28 +182,49 @@ class SyntheticBackend:
 
 
 class NetCDF4Backend:
-    """Real NetCDF files via the netCDF4 library (gated import: the lib is
-    not in the test container; executors need file access via shared FS)."""
+    """Real NetCDF files: the netCDF4 library when installed (HDF5-backed
+    NetCDF-4 files, compression, record dims), else the dependency-free
+    classic-format reader (sources/netcdf_classic.py) — so the file-import
+    branch runs for real in containers without the C library stack.
+    Executors need file access via a shared FS either way."""
 
     scheme = "file"
 
-    def _open(self, path: str):
+    @staticmethod
+    def _lib():
         try:
             import netCDF4  # noqa: PLC0415
-        except ImportError as e:  # pragma: no cover - environment-dependent
-            raise QueryExecError(
-                "file_import: the netCDF4 library is not installed; "
-                "install it or use a synthetic:// source") from e
-        return netCDF4.Dataset(re.sub(r"^file://", "", path), "r")
+        except ImportError:  # classic fallback handles CDF-1/CDF-2
+            return None
+        return netCDF4
 
-    def dims(self, path: str, measure: str) -> list[tuple[str, int]]:  # pragma: no cover
-        with self._open(path) as ds:
+    @staticmethod
+    def _fspath(path: str) -> str:
+        return re.sub(r"^file://", "", path)
+
+    def dims(self, path: str, measure: str) -> list[tuple[str, int]]:
+        lib = self._lib()
+        if lib is None:
+            from ophidia_io_server_spark.sources.netcdf_classic import ClassicReader
+
+            try:
+                return ClassicReader(self._fspath(path)).var_dims(measure)
+            except (ValueError, KeyError, OSError) as e:
+                raise QueryExecError(
+                    f"file_import: cannot read {path!r} without the netCDF4 "
+                    f"library (classic-format fallback failed: {e})") from e
+        with lib.Dataset(self._fspath(path), "r") as ds:  # pragma: no cover
             var = ds.variables[measure]
             return [(d, ds.dimensions[d].size) for d in var.dimensions]
 
     def read(self, path: str, measure: str,
-             start: tuple[int, ...], count: tuple[int, ...]) -> np.ndarray:  # pragma: no cover
-        with self._open(path) as ds:
+             start: tuple[int, ...], count: tuple[int, ...]) -> np.ndarray:
+        lib = self._lib()
+        if lib is None:
+            from ophidia_io_server_spark.sources.netcdf_classic import ClassicReader
+
+            return ClassicReader(self._fspath(path)).read(measure, start, count)
+        with lib.Dataset(self._fspath(path), "r") as ds:  # pragma: no cover
             var = ds.variables[measure]
             sl = tuple(slice(s, s + c) for s, c in zip(start, count))
             return np.asarray(var[sl], dtype=np.float64)

@@ -1,0 +1,104 @@
+"""Real-file NetCDF branch: the pure classic-format (CDF-1) reader/writer
+round trip, and file:// imports matching the synthetic:// oracle bit for bit
+(the fixture contains the synthetic backend's flat-index values, so every
+dim-algebra path — explicit/implicit split, levels, subsets, transpose —
+must agree exactly with the already-oracled synthetic import)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from ophidia_io_server_spark.sources.netcdf_classic import ClassicReader, write_classic
+from ophidia_io_server_spark.sources.netcdf_import import import_variable
+
+
+@pytest.fixture(scope="module")
+def nc_fixture(tmp_path_factory):
+    """(time=16, lat=12, lon=10) double cube, cell = file-order flat index —
+    identical to synthetic://cube?dims=time:16,lat:12,lon:10."""
+    shape = (16, 12, 10)
+    path = str(tmp_path_factory.mktemp("nc") / "cube.nc")
+    data = np.arange(math.prod(shape), dtype=np.float64).reshape(shape)
+    write_classic(
+        path,
+        dims=[("time", 16), ("lat", 12), ("lon", 10)],
+        variables={"m": (["time", "lat", "lon"], data)},
+    )
+    return path, shape, data
+
+
+def test_classic_reader_header_and_full_read(nc_fixture):
+    path, shape, data = nc_fixture
+    r = ClassicReader(path)
+    assert r.var_dims("m") == [("time", 16), ("lat", 12), ("lon", 10)]
+    got = r.read("m", (0, 0, 0), shape)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_classic_reader_hyperslabs(nc_fixture):
+    path, _, data = nc_fixture
+    r = ClassicReader(path)
+    for start, count in [((3, 2, 1), (5, 4, 3)), ((0, 0, 0), (1, 1, 1)),
+                         ((15, 11, 9), (1, 1, 1)), ((2, 0, 5), (10, 12, 5))]:
+        sl = tuple(slice(s, s + c) for s, c in zip(start, count))
+        np.testing.assert_array_equal(r.read("m", start, count), data[sl])
+
+
+def test_classic_int_and_float_types(tmp_path):
+    path = str(tmp_path / "typed.nc")
+    ints = np.arange(24, dtype=np.int32).reshape(4, 6)
+    flts = (np.arange(24, dtype=np.float32) / 3).reshape(4, 6)
+    write_classic(path, dims=[("y", 4), ("x", 6)],
+                  variables={"i": (["y", "x"], ints), "f": (["y", "x"], flts)})
+    r = ClassicReader(path)
+    np.testing.assert_array_equal(r.read("i", (1, 2), (2, 3)), ints[1:3, 2:5])
+    np.testing.assert_array_equal(r.read("f", (0, 0), (4, 6)),
+                                  flts.astype(np.float64))
+
+
+def test_file_import_matches_synthetic(spark, nc_fixture):
+    path, _, _ = nc_fixture
+    kwargs = dict(
+        measure="m",
+        dim_names=["time", "lat", "lon"], dim_types=["0", "1", "1"],
+        dim_indexes=["0", "0", "1"], dim_starts=["3", "2", "1"],
+        dim_ends=["14", "11", "10"],
+    )
+    via_file = import_variable(spark, f"file://{path}", **kwargs)
+    via_synth = import_variable(
+        spark, "synthetic://cube?dims=time:16,lat:12,lon:10", **kwargs)
+    a = sorted((r.id_dim, tuple(r.measure)) for r in via_file.collect())
+    b = sorted((r.id_dim, tuple(r.measure)) for r in via_synth.collect())
+    assert a == b and len(a) > 0
+
+
+def test_file_import_pushdown_kernel_matches_synthetic(spark, nc_fixture):
+    path, _, _ = nc_fixture
+    kwargs = dict(
+        measure="m",
+        dim_names=["time", "lat", "lon"], dim_types=["1", "1", "0"],
+        sub_operation="avg",
+    )
+    via_file = import_variable(spark, f"file://{path}", **kwargs)
+    via_synth = import_variable(
+        spark, "synthetic://cube?dims=time:16,lat:12,lon:10", **kwargs)
+    a = sorted((r.id_dim, tuple(r.measure)) for r in via_file.collect())
+    b = sorted((r.id_dim, tuple(r.measure)) for r in via_synth.collect())
+    assert a == b and len(a) > 0
+
+
+def test_engine_file_import_real_file(spark, nc_fixture):
+    from ophidia_io_server_spark.operators.engine import IOServer
+
+    path, _, _ = nc_fixture
+    srv = IOServer(spark)
+    srv.execute(
+        f"operation=file_import;frag_name=real_cube;src_path=file://{path};"
+        "measure=m;dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
+        "dim_start=3|2|1;dim_end=14|11|10"
+    )
+    out = srv.execute("operation=function;function=oph_export;arg='real_cube'")
+    assert out.count() == 100  # 10 lat-rows (2..11) × 10 lon-rows
