@@ -285,6 +285,22 @@ class IOServer:
             return self._proc_subset(args, params)
         if fname == "oph_export":
             return self.catalog.df(args[0]).orderBy(F.col(ID_COL).asc())
+        if fname == "oph_export_nc":
+            # oph_export_nc(frag, path[, sharded]) — write the fragment to a
+            # classic NetCDF file (or one file per partition when sharded),
+            # the write half of the file surface (sources/netcdf_classic.py)
+            from ophidia_io_server_spark.sources.netcdf_classic import (
+                export_fragment_nc,
+                export_fragment_nc_sharded,
+            )
+
+            if len(args) < 2:
+                raise QueryExecError("oph_export_nc needs (frag, path[, sharded])")
+            frag_df = self.catalog.df(args[0])
+            sharded = len(args) > 2 and str(args[2]).lower() in ("1", "yes", "true")
+            n = (export_fragment_nc_sharded(frag_df, args[1]) if sharded
+                 else export_fragment_nc(frag_df, args[1]))
+            return self.spark.createDataFrame([Row(frag=args[0], written=n)])
         if fname == "oph_size":
             entry = self.catalog.get(args[0])
             return self.spark.createDataFrame(

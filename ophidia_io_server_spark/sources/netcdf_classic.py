@@ -198,3 +198,78 @@ def write_classic(path: str, dims: list[tuple[str, int]],
             nc_type = _REV_TYPES[np.dtype(a.dtype.newbyteorder("="))]
             raw = a.astype(_TYPES[nc_type][0]).tobytes(order="C")
             f.write(raw + b"\x00" * _pad4(len(raw)))
+
+
+# ---------------------------------------------------------------------------
+# fragment export (the write half of the file surface)
+# ---------------------------------------------------------------------------
+
+
+def export_fragment_nc(df, path: str, var: str = "m") -> int:
+    """Export a fragment (id_dim long, measure double[]) to ONE classic
+    NetCDF file: dims (id_dim: nrows, array: maxlen), short rows NaN-padded.
+
+    Driver-side collect — the single-file parity surface (the reference's
+    export is likewise one server writing one fragment).  For cluster-scale
+    exports use ``export_fragment_nc_sharded``: one file per partition,
+    written BY the executors, no driver bottleneck."""
+    rows = sorted((r[0], list(r[1] or [])) for r in df.select("id_dim", "measure").collect())
+    n = len(rows)
+    width = max((len(m) for _, m in rows), default=0)
+    data = np.full((n, width), np.nan, dtype=np.float64)
+    ids = np.empty((n,), dtype=np.int32)
+    for i, (rid, m) in enumerate(rows):
+        ids[i] = rid
+        data[i, : len(m)] = m
+    write_classic(
+        path,
+        dims=[("id_dim", n), ("array", width)],
+        variables={var: (["id_dim", "array"], data),
+                   "id_dim": (["id_dim"], ids)},
+    )
+    return n
+
+
+def export_fragment_nc_sharded(df, out_dir: str, var: str = "m") -> int:
+    """Cluster-scale export: range-partition by id_dim and have EACH TASK
+    write its own classic file ``part-<pid>.nc`` under ``out_dir`` (shared
+    FS), so export bandwidth scales with executors — the Spark-native
+    counterpart of Ophidia's one-fragment-per-server layout.  Returns the
+    number of shards written; shards re-import and re-join on the global
+    id_dim (same contract as fragment-of-cube import)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+
+    def write_part(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = sorted((int(r["id_dim"]), list(r["measure"] or [])) for r in it)
+        if not rows:
+            return iter(())
+        n = len(rows)
+        width = max(len(m) for _, m in rows)
+        data = np.full((n, width), np.nan, dtype=np.float64)
+        ids = np.empty((n,), dtype=np.int32)
+        for i, (rid, m) in enumerate(rows):
+            ids[i] = rid
+            data[i, : len(m)] = m
+        write_classic(
+            os.path.join(out_dir, f"part-{pid:05d}.nc"),
+            dims=[("id_dim", n), ("array", width)],
+            variables={var: (["id_dim", "array"], data),
+                       "id_dim": (["id_dim"], ids)},
+        )
+        return iter((1,))
+
+    shards = (
+        df.select("id_dim", "measure")
+        .repartitionByRange(nparts, F.col("id_dim").asc())
+        .rdd.mapPartitions(write_part)
+        .sum()
+    )
+    return int(shards)

@@ -102,3 +102,58 @@ def test_engine_file_import_real_file(spark, nc_fixture):
     )
     out = srv.execute("operation=function;function=oph_export;arg='real_cube'")
     assert out.count() == 100  # 10 lat-rows (2..11) × 10 lon-rows
+
+
+def test_export_roundtrip_single_file(spark, tmp_path):
+    from ophidia_io_server_spark.sources.netcdf_classic import ClassicReader, export_fragment_nc
+
+    df = spark.createDataFrame(
+        [(3, [1.0, 2.0]), (1, [5.0]), (2, [7.0, 8.0])],
+        "id_dim long, measure array<double>")
+    path = str(tmp_path / "frag.nc")
+    assert export_fragment_nc(df, path) == 3
+    r = ClassicReader(path)
+    assert r.var_dims("m") == [("id_dim", 3), ("array", 2)]
+    data = r.read("m", (0, 0), (3, 2))
+    ids = r.read("id_dim", (0,), (3,))
+    assert ids.tolist() == [1.0, 2.0, 3.0]
+    assert data[0][0] == 5.0 and np.isnan(data[0][1])  # short row NaN-padded
+    assert data[2].tolist() == [1.0, 2.0]
+
+
+def test_export_sharded_reimports_to_same_fragment(spark, tmp_path):
+    import glob
+
+    from ophidia_io_server_spark.sources.netcdf_classic import (
+        ClassicReader,
+        export_fragment_nc_sharded,
+    )
+
+    rows = [(i, [float(i), float(i * 2)]) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id_dim long, measure array<double>")
+    out = str(tmp_path / "shards")
+    n = export_fragment_nc_sharded(df, out)
+    files = sorted(glob.glob(f"{out}/part-*.nc"))
+    assert n == len(files) and n >= 2  # actually parallel
+    got = []
+    for fp in files:
+        r = ClassicReader(fp)
+        nrows = dict(r.var_dims("m"))["id_dim"]
+        ids = r.read("id_dim", (0,), (nrows,))
+        data = r.read("m", (0, 0), (nrows, 2))
+        got += [(int(i), list(map(float, d))) for i, d in zip(ids, data)]
+    assert sorted(got) == [(i, m) for i, m in rows]
+
+
+def test_engine_export_nc_procedure(spark, tmp_path):
+    from ophidia_io_server_spark.operators.engine import IOServer
+    from ophidia_io_server_spark.sources.netcdf_classic import ClassicReader
+
+    srv = IOServer(spark)
+    srv.execute("operation=create_frag;frag_name=ex")
+    srv.execute("operation=multi_insert;frag_name=ex;value=(?,?),(?,?);final_statement=yes",
+                params={1: 1, 2: [1.5, 2.5], 3: 2, 4: [3.5, 4.5]})
+    path = str(tmp_path / "ex.nc")
+    out = srv.execute(f"operation=function;function=oph_export_nc;arg='ex'|'{path}'")
+    assert out.collect()[0].written == 2
+    assert ClassicReader(path).read("m", (0, 0), (2, 2)).tolist() == [[1.5, 2.5], [3.5, 4.5]]
