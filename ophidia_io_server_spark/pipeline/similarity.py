@@ -288,14 +288,17 @@ def lsh_ann_topk(emb: DataFrame, query_pred, k: int = 5, nplanes: int = 12,
         queries.join(base, on=["band", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", "qn", "vec_id", "v", "_norm")
-        .dropDuplicates(["query_id", "vec_id"])
         .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("_norm")))
     )
+    # a candidate sharing several band buckets appears once per bucket; its
+    # (cosine, id) struct is bit-identical every time (same deterministic
+    # expression), so collect_set dedups inside the aggregation — one shuffle
+    # on query_id instead of dropDuplicates + groupBy (two)
     topk = (
         cand.groupBy("query_id")
         .agg(F.slice(
-            F.array_sort(F.collect_list(F.struct((-F.col("cosine")).alias("nc"),
-                                                 F.col("vec_id").alias("nid")))),
+            F.array_sort(F.collect_set(F.struct((-F.col("cosine")).alias("nc"),
+                                                F.col("vec_id").alias("nid")))),
             1, k,
         ).alias("top"))
         .select("query_id", F.posexplode("top").alias("pos", "t"))
