@@ -169,11 +169,26 @@ class IOServer:
 
     @staticmethod
     def _parse_value_tuple(vals: str, params: dict) -> tuple:
+        def bind(tok: str):
+            # `?N` → params[N]; typed errors, never a bare KeyError/ValueError
+            try:
+                n = int(tok[1:])
+            except ValueError:
+                raise QueryExecError(f"insert: malformed bind marker {tok!r}") from None
+            if n not in params:
+                raise QueryExecError(f"insert: unbound parameter ?{n}")
+            return params[n]
+
         parts = [p.strip() for p in vals.split(",", 1)]
         idv = parts[0]
         mv = parts[1] if len(parts) > 1 else "?"
-        id_val = params[int(idv[1:])] if idv.startswith("?") else int(idv)
-        m_val = params[int(mv[1:])] if mv.startswith("?") else [float(x) for x in mv.strip("[]").split()]
+        try:
+            id_val = bind(idv) if idv.startswith("?") else int(idv)
+            m_val = bind(mv) if mv.startswith("?") else [float(x) for x in mv.strip("[]").split()]
+        except QueryExecError:
+            raise
+        except ValueError as e:
+            raise QueryExecError(f"insert: bad value literal in {vals!r}: {e}") from None
         return (id_val, m_val)
 
     def _row_from_query(self, q, params) -> tuple:

@@ -1,0 +1,102 @@
+"""Deterministic sampling / splitting / shuffling for training-data curation.
+
+Why not ``df.sample()`` / ``randomSplit()``: those draw from per-partition RNG
+streams, so the selected set changes with partition layout and — worse — with
+task RETRIES (a re-executed task re-draws; at 1000-executor scale some task
+always retries, silently double-including or dropping rows).  Everything here
+derives the decision from ``xxhash64(seed, key)`` of a stable row key instead:
+pure Column expressions, bit-reproducible on any cluster layout, stable under
+retries, and the same row always lands in the same sample/split/position —
+the property a train/val/test split MUST have to avoid leakage across reruns.
+
+Scale notes:
+- sampling/splitting are narrow (no shuffle, no driver state) — they fuse
+  into the scan as a codegen'd filter;
+- ``deterministic_shuffle`` is the one global reorder (range exchange on the
+  hash — the standard "shuffle the corpus once before sharding" step);
+- stratified rates use one tiny driver-side map (strata → fraction), not a
+  per-row lookup table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# decisions quantize the 64-bit hash into this many buckets; 1e6 gives rate
+# resolution of 1e-6 while staying in exact-int territory
+_BUCKETS = 1_000_000
+
+
+def _bucket(key, seed: int):
+    """Uniform bucket in [0, _BUCKETS) from the (seed, key) hash."""
+    return F.pmod(F.xxhash64(F.lit(seed), key), F.lit(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                seed: int = 7) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on ``key_col``.
+
+    The decision is a pure function of (seed, key): reruns, retries and
+    repartitions select the identical set — unlike ``df.sample``.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_bucket(F.col(key_col), seed) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "source", key_col: str = "doc_id",
+                      seed: int = 7, default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic rates — the training-mix rebalancer
+    (downsample over-represented sources, keep rare ones whole).
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed keep
+    ``default_fraction``.  The map is a driver-side literal CASE (tiny),
+    the per-row decision the same hash filter as ``hash_sample``.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    thresh = F.lit(int(default_fraction * _BUCKETS))
+    for val, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == val, int(frac * _BUCKETS)).otherwise(thresh)
+    return df.where(_bucket(F.col(key_col), seed) < thresh)
+
+
+def hash_split(df: DataFrame, weights: list[float], key_col: str = "doc_id",
+               seed: int = 7, split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split: adds ``split_col`` = 0..len-1.
+
+    Buckets partition [0, 1) by cumulative weight, so the splits are exactly
+    disjoint and exhaustive, and a row's split never changes between runs —
+    the no-leakage property ``randomSplit`` does not give you.
+    """
+    if not weights or any(w < 0 for w in weights):
+        raise ValueError(f"weights must be non-negative, got {weights}")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    b = _bucket(F.col(key_col), seed)
+    cum = 0.0
+    expr = F.lit(len(weights) - 1)
+    # build from the last boundary backwards so earlier WHENs win
+    bounds = []
+    for w in weights[:-1]:
+        cum += w / total
+        bounds.append(int(cum * _BUCKETS))
+    for i in reversed(range(len(bounds))):
+        expr = F.when(b < bounds[i], i).otherwise(expr)
+    return df.withColumn(split_col, expr.cast("int"))
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str = "doc_id",
+                          seed: int = 7) -> DataFrame:
+    """Global deterministic permutation: order by (hash(seed, key), key).
+
+    The once-per-corpus "shuffle before sharding" step of a training
+    pipeline.  A range exchange on the hash — uniformly load-balanced by
+    construction, and the only operator in this module that shuffles.
+    Changing ``seed`` gives an independent permutation.
+    """
+    return df.orderBy(F.xxhash64(F.lit(seed), F.col(key_col)), F.col(key_col))

@@ -1,0 +1,110 @@
+"""Deterministic sampling/splitting/shuffling (pipeline/sampling.py).
+
+The load-bearing property everywhere: decisions are pure functions of
+(seed, key) — identical across reruns and partition layouts — which is what
+``df.sample``/``randomSplit`` do NOT guarantee under task retries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.pipeline.sampling import (
+    deterministic_shuffle,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
+from ophidia_io_server_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_hash_sample_deterministic_and_layout_independent(docs):
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect())
+    c = sorted(r.doc_id for r in
+               hash_sample(docs.repartition(7), 0.3).select("doc_id").collect())
+    assert a == b == c and a  # same set, regardless of partitioning
+
+
+def test_hash_sample_rate_and_nesting(docs):
+    n = docs.count()
+    k30 = hash_sample(docs, 0.3).count()
+    assert abs(k30 / n - 0.3) < 0.1
+    # monotone nesting: the 10% sample is a subset of the 30% sample
+    s10 = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    s30 = {r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+    assert s10 <= s30
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == n
+
+
+def test_hash_sample_seed_independence(docs):
+    s1 = {r.doc_id for r in hash_sample(docs, 0.5, seed=1).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, 0.5, seed=2).select("doc_id").collect()}
+    assert s1 != s2  # different seeds → different (overlapping) sets
+
+
+def test_stratified_rates(docs):
+    # rebalance by language: downsample the dominant 'en', keep 'zh' whole
+    fr = {"en": 0.2, "zh": 1.0}
+    out = stratified_sample(docs, fr, strata_col="lang")
+    by = {r.lang: r.n for r in
+          out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by.get("zh", 0) == base["zh"]                   # kept whole
+    assert 0 < by.get("en", 0) < 0.5 * base["en"]          # downsampled
+    for lang in by:                                        # default 0 drops rest
+        assert lang in fr
+
+
+def test_hash_split_disjoint_exhaustive_stable(docs):
+    out = hash_split(docs, [0.8, 0.1, 0.1]).select("doc_id", "split")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows.values()) <= {0, 1, 2}
+    assert len(rows) == docs.count()                       # exhaustive, disjoint
+    again = {r.doc_id: r.split for r in
+             hash_split(docs.repartition(5), [0.8, 0.1, 0.1])
+             .select("doc_id", "split").collect()}
+    assert rows == again                                   # stable across layouts
+    n = len(rows)
+    n0 = sum(1 for s in rows.values() if s == 0)
+    assert abs(n0 / n - 0.8) < 0.1
+
+
+def test_deterministic_shuffle_is_stable_permutation(docs):
+    ids = [r.doc_id for r in deterministic_shuffle(docs).select("doc_id").collect()]
+    ids2 = [r.doc_id for r in
+            deterministic_shuffle(docs.repartition(3)).select("doc_id").collect()]
+    assert ids == ids2                                     # same order every time
+    assert sorted(ids) == sorted(r.doc_id for r in docs.select("doc_id").collect())
+    other = [r.doc_id for r in
+             deterministic_shuffle(docs, seed=99).select("doc_id").collect()]
+    assert other != ids                                    # seed changes the order
+
+
+def test_sampling_is_narrow_no_shuffle(docs):
+    """Samples and splits must fuse into the scan — no exchange in the plan."""
+    for df in (hash_sample(docs, 0.5), hash_split(docs, [0.5, 0.5]),
+               stratified_sample(docs, {"web": 0.5})):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_validation_errors(docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        hash_split(docs, [])
+    with pytest.raises(ValueError):
+        hash_split(docs, [0.0])
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"web": -0.1})
