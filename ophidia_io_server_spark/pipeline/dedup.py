@@ -68,7 +68,9 @@ def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text",
         if key in _SHINGLE_MEMO:
             return _SHINGLE_MEMO[key]
     toks = tokens_col(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # sequence(1, 0) is DESCENDING ([1, 0]) and element_at(_, 0) throws, so
+    # clamp the end to 1 and blank short docs with the outer when()
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     sh = F.array_distinct(
         F.transform(
             idx,
@@ -77,6 +79,7 @@ def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text",
             ),
         )
     )
+    sh = F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
     out = spread(docs).select("doc_id", sh.alias("shingles")).withColumn(
         "nsh", F.size("shingles").cast("bigint")
     )
@@ -162,6 +165,96 @@ def jaccard_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -- cluster resolution ------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → ``(doc_id, cluster_id)``
+    with ``cluster_id`` = the minimum doc_id reachable through the pair graph.
+
+    Pair emission is only half of deduplication: near-duplicate relations are
+    not transitive per-pair (A~B, B~C), so the keep/drop decision needs the
+    transitive closure.  Min-label propagation: every node starts labelled
+    with itself; each round a node takes the minimum label among itself and
+    its neighbours; fixpoint = component minimum.
+
+    Scale shape: each round is one equi-join on the edge list plus a groupBy
+    on node id — the same shuffle-bounded pattern at any corpus size, and
+    rounds needed = graph diameter.  LSH/minhash dup clusters are
+    near-cliques (diameter ≤ ~3 in practice), so this converges in a handful
+    of rounds; ``max_iter`` is a backstop that raises rather than returning a
+    half-merged clustering.  Labels are ``localCheckpoint``-ed each round to
+    keep lineage flat across the loop.  Only documents that appear in at
+    least one pair are returned — callers treat absent docs as singletons.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds — the pair graph "
+        "has a longer path than expected; raise max_iter"
+    )
+
+
+def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
+                       quality_col: str | None = None,
+                       max_iter: int = 25) -> DataFrame:
+    """Full near-dup resolution: docs + pairs → every document labelled with
+    its duplicate cluster and a canonical-keeper flag.
+
+    Adds ``cluster_id`` (component min doc_id; singletons label themselves),
+    ``cluster_size``, and ``is_canonical`` — true for exactly one document
+    per cluster: the highest ``quality_col`` (ties → lowest doc_id), or the
+    lowest doc_id when no quality column is given.  Filtering
+    ``is_canonical`` implements keep-best dedup; the non-canonical rows keep
+    their cluster_id for provenance.
+    """
+    from pyspark.sql import Window
+
+    clusters = dup_clusters(pairs, max_iter=max_iter)
+    labelled = (
+        docs.join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    order = [F.col(quality_col).desc()] if quality_col else []
+    w = Window.partitionBy("cluster_id").orderBy(*order, F.col("doc_id"))
+    return (
+        labelled.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint"),
+        )
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
     )
 
 

@@ -118,6 +118,107 @@ def lang_id_col(text: Column) -> Column:
     return F.when(-top["ns"] > 0, top["lang"]).otherwise(F.lit("und"))
 
 
+# -- repetition signals (Gopher-style quality filters) -----------------------
+#
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher" (Rae et al. 2021, §A1.1) filters documents by duplicate-line /
+# duplicate-n-gram fractions.  The line signals are pure Column expressions;
+# the n-gram signals need per-(doc, gram) counts, so they are DataFrame-level
+# explode→groupBy aggregations (shuffle bounded by corpus token count — the
+# scale-safe shape; per-doc O(k²) array expressions would be quadratic in
+# document length).
+
+
+def lines_col(text: Column) -> Column:
+    """Non-empty lines (split on newline, trimmed empties dropped)."""
+    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+
+
+def dup_line_frac_col(text: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line:
+    (n_lines - n_distinct_lines) / n_lines; 0.0 for single-line docs."""
+    ls = lines_col(text)
+    n = F.size(ls)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round((n - F.size(F.array_distinct(ls))) / n, 4))
+
+
+def dup_line_char_frac_col(text: Column) -> Column:
+    """Fraction of line characters contained in duplicated lines (all
+    occurrences of any line appearing more than once), per Gopher's
+    duplicate-line-character filter.  O(distinct_lines × lines) interpreted
+    array math per row — fine for normal documents, use the n-gram
+    aggregation path for pathological single-doc blobs."""
+    ls = lines_col(text)
+    total = F.aggregate(ls, F.lit(0).cast("bigint"), lambda a, l: a + F.length(l))
+    dup_chars = F.aggregate(
+        F.array_distinct(ls),
+        F.lit(0).cast("bigint"),
+        lambda a, d: a
+        + F.when(
+            F.size(F.filter(ls, lambda l: l == d)) > 1,
+            F.size(F.filter(ls, lambda l: l == d)).cast("bigint") * F.length(d),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.when(total <= 0, F.lit(0.0)).otherwise(F.round(dup_chars / total, 4))
+
+
+def word_ngrams_col(text: Column, n: int) -> Column:
+    """ALL word n-grams in order (repeats kept — unlike shingling, repetition
+    statistics need the multiset)."""
+    toks = tokens_col(text)
+    # guard the short-doc case BEFORE building the index: sequence(1, 0) is
+    # DESCENDING in Spark ([1, 0]) and element_at(_, 0) throws
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(docs: DataFrame, n: int = 2, text_col: str = "text",
+                     doc_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram repetition statistics:
+
+    - ``n_{n}grams``   — total n-gram occurrences,
+    - ``top{n}_cnt``   — occurrences of the most frequent n-gram,
+    - ``top{n}_frac``  — its fraction of all occurrences (Gopher's
+      top-n-gram filter, occurrence-weighted),
+    - ``dup{n}_frac``  — fraction of occurrences whose n-gram appears more
+      than once (Gopher's duplicate-n-gram filter).
+
+    explode → count per (doc, gram) → per-doc aggregate: two key-bounded
+    shuffles, no per-doc quadratic work.  Documents with fewer than ``n``
+    tokens emit zero counts and 0.0 fractions.
+    """
+    p = str(n)
+    grams = docs.select(doc_col, F.explode(word_ngrams_col(F.col(text_col), n)).alias("g"))
+    per_gram = grams.groupBy(doc_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_gram.groupBy(doc_col).agg(
+        F.sum("cnt").cast("bigint").alias(f"n_{p}grams"),
+        F.max("cnt").cast("bigint").alias(f"top{p}_cnt"),
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0))
+        .cast("bigint").alias(f"dup{p}_cnt"),
+    )
+    return (
+        docs.select(doc_col).join(stats, doc_col, "left")
+        .select(
+            doc_col,
+            F.coalesce(f"n_{p}grams", F.lit(0)).cast("bigint").alias(f"n_{p}grams"),
+            F.coalesce(f"top{p}_cnt", F.lit(0)).cast("bigint").alias(f"top{p}_cnt"),
+            F.when(F.coalesce(f"n_{p}grams", F.lit(0)) <= 0, F.lit(0.0))
+            .otherwise(F.round(F.col(f"top{p}_cnt") / F.col(f"n_{p}grams"), 4))
+            .alias(f"top{p}_frac"),
+            F.when(F.coalesce(f"n_{p}grams", F.lit(0)) <= 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce(f"dup{p}_cnt", F.lit(0)) / F.col(f"n_{p}grams"), 4))
+            .alias(f"dup{p}_frac"),
+        )
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text",
                      extra: list[Column] | None = None) -> DataFrame:
     """Quality-scoring feature set: token counts, type-token ratio, mean token

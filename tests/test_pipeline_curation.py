@@ -1,0 +1,203 @@
+"""Training-data curation operators: near-dup cluster resolution, sequence
+packing, Gopher-style repetition signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.pipeline.dedup import dup_clusters, resolve_duplicates
+from ophidia_io_server_spark.pipeline.packing import pack_concat_chunks, pack_first_fit
+from ophidia_io_server_spark.pipeline.text import (
+    dup_line_char_frac_col,
+    dup_line_frac_col,
+    ngram_repetition,
+)
+
+
+# -- cluster resolution ------------------------------------------------------
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(a, b, 0.9) for a, b in edges], "doc_a long, doc_b long, jaccard double"
+    )
+
+
+def test_dup_clusters_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated pair (20,21)
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4),
+                           (10, 11), (10, 12), (11, 12), (20, 21)])
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_long_path_converges(spark):
+    # path of 12 nodes — exercises multi-round propagation to the fixpoint
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 12)])
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_dup_clusters_max_iter_raises(spark):
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 12)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=2)
+
+
+def test_resolve_duplicates_quality_keeper(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5)], "doc_id long, q double"
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    out = resolve_duplicates(docs, pairs, quality_col="q").collect()
+    rows = {r["doc_id"]: r for r in out}
+    # cluster {1,2,3} labelled 1; keeper = highest q, tie → lowest doc_id ⇒ 2
+    assert all(rows[i]["cluster_id"] == 1 for i in (1, 2, 3))
+    assert [rows[i]["is_canonical"] for i in (1, 2, 3)] == [False, True, False]
+    assert rows[1]["cluster_size"] == 3
+    # 7 is a singleton: own cluster, canonical, size 1
+    assert rows[7]["cluster_id"] == 7 and rows[7]["is_canonical"]
+    assert rows[7]["cluster_size"] == 1
+
+
+def test_resolve_duplicates_default_min_id_keeper(spark):
+    docs = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    out = resolve_duplicates(docs, _pairs(spark, [(5, 6)])).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[5]["is_canonical"] and not rows[6]["is_canonical"]
+
+
+def test_dup_clusters_on_real_minhash_pairs(spark):
+    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).cache()
+    labels = dup_clusters(pairs)
+    # every doc in a pair is labelled, labels are component-minimal:
+    # a label must be ≤ every member and itself a member of the component
+    joined = (
+        pairs.select(F.col("doc_a").alias("doc_id")).union(pairs.select("doc_b"))
+        .distinct().join(labels, "doc_id", "left")
+    )
+    assert joined.where(F.col("cluster_id").isNull()).count() == 0
+    assert labels.where(F.col("cluster_id") > F.col("doc_id")).count() == 0
+
+
+# -- sequence packing --------------------------------------------------------
+
+
+def _docs_tok(spark, toks):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks, start=1)], "doc_id long, n_tokens long"
+    )
+
+
+def test_pack_concat_chunks_single_shard_stream(spark):
+    df = _docs_tok(spark, [100, 900, 150, 2048, 10])
+    out = pack_concat_chunks(df, budget=1024, n_shards=1,
+                             shard_expr=F.lit(0)).collect()
+    rows = {r["doc_id"]: r for r in sorted(out, key=lambda r: r["doc_id"])}
+    # cumulative starts: 0, 100, 1000, 1150, 3198
+    assert [(rows[i]["seq_in_shard"], rows[i]["seq_offset"]) for i in range(1, 6)] == [
+        (0, 0), (0, 100), (0, 1000), (1, 126), (3, 126)
+    ]
+
+
+def test_pack_concat_chunks_deterministic_and_partitioned(spark):
+    df = _docs_tok(spark, list(range(1, 300)))
+    a = pack_concat_chunks(df, budget=512, n_shards=8)
+    b = pack_concat_chunks(df.repartition(13), budget=512, n_shards=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # every shard's stream is gapless: offsets within a (shard, seq) are
+    # consistent with cumulative token arithmetic
+    tot = a.groupBy("pack_shard").agg(
+        F.sum("n_tokens").alias("t"), F.max(F.col("seq_in_shard") * 512 + F.col("seq_offset")).alias("m"))
+    assert tot.where(F.col("m") >= F.col("t")).count() == 0
+
+
+def test_pack_first_fit_respects_budget(spark):
+    df = _docs_tok(spark, [300, 800, 500, 200, 700, 100, 1500])
+    out = pack_first_fit(df, budget=1024, n_buckets=2).collect()
+    # no sequence exceeds the budget unless it is a flagged oversize singleton
+    per_seq = {}
+    for r in out:
+        per_seq.setdefault((r["pack_bucket"], r["seq_in_bucket"]), []).append(r)
+    for members in per_seq.values():
+        total = sum(m["n_tokens"] for m in members)
+        if total > 1024:
+            assert len(members) == 1 and members[0]["oversize"]
+    # fill bookkeeping: docs in a sequence tile it without overlap
+    for members in per_seq.values():
+        members.sort(key=lambda m: m["seq_fill"])
+        acc = 0
+        for m in members:
+            assert m["seq_fill"] == acc
+            acc += m["n_tokens"]
+
+
+def test_pack_first_fit_deterministic(spark):
+    df = _docs_tok(spark, list(range(50, 400, 7)))
+    a = pack_first_fit(df, budget=777, n_buckets=4).collect()
+    b = pack_first_fit(df.repartition(11), budget=777, n_buckets=4).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_pack_rejects_bad_budget(spark):
+    df = _docs_tok(spark, [1])
+    with pytest.raises(ValueError):
+        pack_concat_chunks(df, budget=0)
+    with pytest.raises(ValueError):
+        pack_first_fit(df, budget=-5)
+
+
+# -- repetition signals ------------------------------------------------------
+
+
+def _doc(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_dup_line_fracs(spark):
+    text = "aaa\nbbb\naaa\nccc dd\n\naaa"
+    row = _doc(spark, text).select(
+        dup_line_frac_col(F.col("text")).alias("lf"),
+        dup_line_char_frac_col(F.col("text")).alias("cf"),
+    ).collect()[0]
+    # 5 non-empty lines, 3 distinct → dup fraction 2/5; chars: aaa×3 dup'd
+    # (9 chars) over 3+3+3+6+3=18 total
+    assert row["lf"] == 0.4
+    assert row["cf"] == 0.5
+
+
+def test_dup_line_frac_single_line_is_zero(spark):
+    row = _doc(spark, "no newlines here").select(
+        dup_line_frac_col(F.col("text")).alias("lf"),
+        dup_line_char_frac_col(F.col("text")).alias("cf"),
+    ).collect()[0]
+    assert row["lf"] == 0.0 and row["cf"] == 0.0
+
+
+def test_ngram_repetition_counts(spark):
+    # tokens: a b a b a  → 2-grams: "a b","b a","a b","b a" (4 total,
+    # top count 2, all 4 occurrences duplicated)
+    df = _doc(spark, "a b a b a")
+    row = ngram_repetition(df, n=2).collect()[0]
+    assert row["n_2grams"] == 4
+    assert row["top2_cnt"] == 2
+    assert row["top2_frac"] == 0.5
+    assert row["dup2_frac"] == 1.0
+
+
+def test_ngram_repetition_no_repeats(spark):
+    row = ngram_repetition(_doc(spark, "w x y z"), n=2).collect()[0]
+    assert row["n_2grams"] == 3 and row["top2_cnt"] == 1
+    assert row["top2_frac"] == round(1 / 3, 4) and row["dup2_frac"] == 0.0
+
+
+def test_ngram_repetition_short_doc_zeroes(spark):
+    row = ngram_repetition(_doc(spark, "solo"), n=2).collect()[0]
+    assert (row["n_2grams"], row["top2_cnt"], row["top2_frac"], row["dup2_frac"]) == (
+        0, 0, 0.0, 0.0)
