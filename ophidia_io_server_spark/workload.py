@@ -1429,10 +1429,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    )
-    seq = ev.withColumn("new_session", F.when(gap > 1800, 1).otherwise(0))
+    # epoch micros via an explicit TIMESTAMP cast: `ts` arrives as
+    # timestamp_ntz on Spark ≥4.1 (native TIMESTAMP(NANOS) parquet reads
+    # ignore the legacy nanosAsLong conf) and NTZ→BIGINT is not castable;
+    # with the session tz pinned to UTC the NTZ→TZ cast is value-preserving.
+    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = tsl - F.lag(tsl).over(w)
+    seq = ev.withColumn("new_session", F.when(gap > 1800 * 1_000_000, 1).otherwise(0))
     sess = seq.withColumn(
         "session_id",
         F.sum("new_session").over(
