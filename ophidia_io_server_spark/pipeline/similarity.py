@@ -182,22 +182,46 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
     come from an equi-join on the cluster id; exact cosine rescore; top-k by
     sorted aggregation.  nprobe == nlist degenerates to exact brute force
     (the recall-vs-cost dial), which the tests exploit.
+
+    Centroids live in a BROADCAST DataFrame, not the expression tree:
+    assignment is a broadcast cross-join against the nlist centroid rows +
+    one map-side-combined ``min_by`` shuffle (n rows).  The former
+    implementation inlined every centroid as ``F.lit`` arrays —
+    O(nlist·dim) expression nodes, which chokes Catalyst analysis at real
+    ANN scale (nlist ≥ 4k) long before the data does.
     """
+    spark = emb.sparkSession
     base = with_norm(emb, vec_col).select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("v"), "_norm"
     ).cache()
 
-    def dist_cols(v, cents):
-        return [
-            F.aggregate(F.zip_with(v, F.array(*[F.lit(x) for x in c]),
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0), lambda s, d: s + d)
-            for c in cents
-        ]
+    def cents_df(cents):
+        return F.broadcast(spark.createDataFrame(
+            [(i + 1, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cluster int, c array<double>",
+        ))
 
-    def assign(df, cents, out="cluster"):
-        d = F.array(*dist_cols(F.col("v"), cents))
-        return df.withColumn(out, F.array_position(d, F.array_min(d)).cast("int"))
+    def sqdist(v):
+        return F.aggregate(
+            F.zip_with(v, F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda s, d: s + d,
+        )
+
+    def assign(df, cents):
+        # broadcast nlist centroid rows; keep the closest (ties → lowest
+        # cluster id, deterministic).  Partial min_by collapses the nlist
+        # replicas map-side, so the shuffle is n rows.
+        rest = [c for c in df.columns if c != "vec_id"]
+        return (
+            df.crossJoin(cents_df(cents))
+            .withColumn("_d", sqdist(F.col("v")))
+            .groupBy("vec_id")
+            .agg(F.min_by(
+                F.struct(*rest, "cluster"),
+                F.struct(F.col("_d"), F.col("cluster")),
+            ).alias("_s"))
+            .select("vec_id", "_s.*")
+        )
 
     # deterministic init: the nlist lowest vec_ids
     cents = [r.v for r in base.orderBy("vec_id").limit(nlist).collect()]
@@ -215,18 +239,29 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
         cents = [by_cluster.get(i + 1, cents[i]) for i in range(nlist)]
 
     assigned = assign(base, cents).select("vec_id", "v", "_norm", "cluster")
-    qd = F.array(*dist_cols(F.col("qv"), cents))
-    probes = F.slice(
-        F.transform(
-            F.array_sort(F.transform(qd, lambda d, i: F.struct(d.alias("d"), (i + 1).alias("c")))),
-            lambda s: s["c"],
-        ), 1, nprobe)
     queries = (
         assigned.filter(query_pred)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                F.col("_norm").alias("qn"))
-        .withColumn("cluster", F.explode(probes))
+                F.col("qn" if "qn" in assigned.columns else "_norm").alias("qn"))
+        .crossJoin(cents_df(cents))
+        .withColumn("_d", sqdist(F.col("qv")))
+        .groupBy("query_id")
+        .agg(
+            F.first("qv").alias("qv"),
+            F.first("qn").alias("qn"),
+            F.slice(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_d").alias("d"), F.col("cluster").alias("cl")))),
+                1, nprobe,
+            ).alias("_pr"),
+        )
+        .withColumn("cluster", F.explode(F.transform("_pr", lambda s: s["cl"])))
+        .drop("_pr")
     )
+    # training collects are done; release the cache.  The final (lazy) search
+    # re-derives base from source — one cheap scan — instead of pinning
+    # executor memory for the caller's session lifetime.
+    base.unpersist()
     cand = (
         queries.join(assigned, on="cluster")
         .where(F.col("vec_id") != F.col("query_id"))

@@ -782,23 +782,56 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("sketch_approx_stats")  # sketches are approximate → rows-only check
+@workload(
+    "sketch_approx_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS users_ok,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch operators for pipeline telemetry at scale: HLL++ distinct
     users and approximate quantiles per event type — O(sketch) memory and
     one pass, where exact distinct/percentile would shuffle all values.
-    tests/test_sketches.py bounds the error vs exact."""
+
+    Sketches are approximate, but the CHECK is deterministic: Spark computes
+    the sketch AND the exact counterpart in the same aggregation and emits
+    error-within-bound booleans (HLL rsd=0.02 → 10% = 5σ slack;
+    percentile_approx accuracy=10000 → 5% value-space slack on a
+    max(1,|exact|) scale); the oracle computes exact n and literal TRUEs.
+    Both engines are deterministic, so the hash binds.  The exact sides
+    exist only to verify the sketch — production callers use the sketch
+    columns alone (tests/test_sketches.py covers the raw values)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            # scalar quantiles, not the [0.5,0.95] array form: the driver's
-            # rows-only check still canonicalizes cells and dies on lists
-            F.percentile_approx("value", 0.5, 10000).alias("value_p50"),
-            F.percentile_approx("value", 0.95, 10000).alias("value_p95"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("value", 0.95, 10000).alias("ap95"),
+        F.expr("percentile(value, 0.5)").alias("ep50"),
+        F.expr("percentile(value, 0.95)").alias("ep95"),
+    )
+
+    def _ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= 0.05 * F.greatest(F.lit(1.0), F.abs(F.col(exact)))
         )
+
+    return agg.select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("users_ok"),
+        _ok("ap50", "ep50").alias("p50_ok"),
+        _ok("ap95", "ep95").alias("p95_ok"),
     )
 
 
@@ -1821,7 +1854,9 @@ def math_complex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transcendentals differ in the last ulp across libm builds → 6dp on both
     for c in ("sq", "lg", "polar", "modulus"):
         out = out.withColumn(c, F.transform(c, lambda x: F.round(x, 6)))
-    return out
+    # oph_compare returns LONG (reference RET INTEGER); the oracle emits
+    # DOUBLE — align dtypes so the driver's typed value-hash matches.
+    return out.withColumn("same", F.col("same").cast("double"))
 
 
 

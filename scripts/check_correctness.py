@@ -18,19 +18,28 @@ sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.par
 
 
 def _norm_cell(v):
+    """Normalize to plain Python values but PRESERVE the numeric type
+    category — the driver's value-hash is typed (int64 `1` hashes
+    differently from DOUBLE `1.0`), so the mirror must not coerce."""
     if isinstance(v, np.ndarray) and v.ndim == 0:
         return _norm_cell(v.item())
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "timestamp"):  # datetime-like
         return str(v)
-    if isinstance(v, float):
-        return v
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        return float(v)
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return float(v)
+            # DECIMAL vs DOUBLE is itself type drift; surface it as a
+            # distinct wrapper rather than silently floating it.
+            return ("__decimal__", str(v))
     except Exception:
         pass
     return v
@@ -43,18 +52,43 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), key=lambda s: s.map(str)).reset_index(drop=True)
 
 
-def _cells_equal(a, b, tol=1e-9) -> bool:
+def _type_tag(v) -> str:
+    if isinstance(v, tuple):
+        return "array"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
+
+
+def _cells_equal(a, b) -> bool:
+    """Driver-faithful: exact typed equality.  int 1 != float 1.0; no
+    tolerance; NaN == NaN (both engines canonicalize NaN the same way)."""
+    if a is None or b is None:
+        return a is None and b is None
     if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_cells_equal(x, y, tol) for x, y in zip(a, b))
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb or abs(fa - fb) <= tol * max(1.0, abs(fa), abs(fb))
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    if _type_tag(a) != _type_tag(b):
+        return False
+    if isinstance(a, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b
     return a == b
+
+
+def _first_type(col) -> str:
+    for v in col:
+        if v is None:
+            continue
+        if isinstance(v, tuple):
+            inner = next((_type_tag(x) for x in v if x is not None), "?")
+            return f"array<{inner}>"
+        return _type_tag(v)
+    return "all-null"
 
 
 def compare(name: str, spark_df, oracle_df) -> list[str]:
@@ -66,17 +100,20 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
     if len(s) != len(o):
         problems.append(f"row count mismatch: spark={len(s)} oracle={len(o)}")
         return problems
-    exact = True
+    # dtype drift check first: the class of bug an exact value compare can
+    # miss when values coerce-equal (int64 1 vs DOUBLE 1.0)
+    for c in s.columns:
+        ts, to = _first_type(s[c]), _first_type(o[c])
+        if "all-null" not in (ts, to) and ts != to:
+            problems.append(f"dtype mismatch col={c}: spark={ts} oracle={to}")
+    if problems:
+        return problems
     for c in s.columns:
         for i, (a, b) in enumerate(zip(s[c], o[c])):
-            if not _cells_equal(a, b, tol=0.0):
-                exact = False
-                if not _cells_equal(a, b, tol=1e-9):
-                    problems.append(f"value mismatch col={c} row={i}: {a!r} vs {b!r}")
-                    if len(problems) > 5:
-                        return problems
-    if not problems and not exact:
-        problems.append("WARNING: equal only within 1e-9 tolerance (driver hash may differ!)")
+            if not _cells_equal(a, b):
+                problems.append(f"value mismatch col={c} row={i}: {a!r} vs {b!r}")
+                if len(problems) > 5:
+                    return problems
     return problems
 
 

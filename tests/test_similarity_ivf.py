@@ -25,6 +25,21 @@ def test_ivf_full_probe_equals_bruteforce(spark, emb):
     assert ivf == exact
 
 
+def test_ivf_nlist256_plan_analysis_subsecond(spark, emb):
+    """Centroids live in a broadcast DataFrame, not the expression tree: at
+    nlist=256 the former F.lit-array encoding built an O(nlist·dim) ≈ 16k-node
+    expression per assignment and Catalyst analysis took many seconds; the
+    broadcast-join plan must analyze in well under a second."""
+    import time
+
+    pred = F.col("vec_id") < 3
+    df = ivf_ann_topk(emb, pred, k=3, nlist=256, nprobe=2, iters=1)
+    t0 = time.perf_counter()
+    df.select("*").schema  # fresh analyzer pass over the whole tree
+    assert time.perf_counter() - t0 < 1.0
+    assert len(df.limit(3).collect()) > 0
+
+
 def test_ivf_pruned_recall(spark, emb):
     pred = F.col("vec_id") < 10
     exact = _pairs(cosine_topk(emb, pred, k=5))
