@@ -62,21 +62,32 @@ class _Handler(socketserver.BaseRequestHandler):
                 # thread-safe and run outside the lock via the returned plan
                 with lock:
                     df = srv.execute(query, params=params)
-                # materialize the FULL packet stream before emitting the 'K'
-                # status byte: a Spark runtime error surfacing during the
-                # iteration must become a clean 'E' frame, not an error blob
-                # spliced into a half-sent RS stream the client misparses
-                # (reference: result fully staged before OK, engine.c)
+                # materialize only the FIRST packet before emitting the 'K'
+                # status byte: pulling it forces plan execution, so analysis
+                # and early runtime errors surface here and become a clean
+                # 'E' frame.  The rest streams one packet at a time off
+                # toLocalIterator — O(packet) driver memory, the reference's
+                # 4 MB chunking contract (MAX_PACKET_LEN,
+                # etc/oph_ioserver.conf:5) — never a full driver buffer.
                 if df is not None:
-                    pkts = list(serialize_result_set(df))
+                    pkt_iter = serialize_result_set(df)
                 else:
-                    pkts = [struct.pack(">ii", 0, 0) + struct.pack(">i", 0)]
-                self.request.sendall(b"K")
-                for pkt in pkts:
-                    self.request.sendall(pkt)
+                    pkt_iter = iter([struct.pack(">ii", 0, 0) + struct.pack(">i", 0)])
+                first_pkt = next(pkt_iter)
             except Exception as e:  # noqa: BLE001 — wire boundary
                 msg = f"{type(e).__name__}: {e}".encode()[:65536]
                 self.request.sendall(b"E" + struct.pack(">i", len(msg)) + msg)
+                continue
+            self.request.sendall(b"K" + first_pkt)
+            try:
+                for pkt in pkt_iter:
+                    self.request.sendall(pkt)
+            except Exception:  # noqa: BLE001
+                # a failure after 'K' cannot become an 'E' frame (the client
+                # is mid-RS-parse) — it is a connection-level error, exactly
+                # as in the reference's chunked send loop
+                self.request.close()
+                return
 
 
     def _read_binds(self) -> dict[int, object]:

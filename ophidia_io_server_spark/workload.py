@@ -354,13 +354,14 @@ def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
            [ AVG(measure[1]),
              (SUM(measure[1] * measure[1]) - COUNT(*) * AVG(measure[1]) * AVG(measure[1]))
                / (COUNT(*) - 1),
-             MIN(measure[1]), MAX(measure[1]) ] AS stats
+             MIN(measure[1]), MAX(measure[1]) ] AS stats,
+           [ AVG(measure[1]), MIN(measure[1]), MAX(measure[1]) ] AS stats2
     FROM frag_qty
     WHERE id_dim <= 1000
     GROUP BY grp
     ORDER BY grp
     """,
-    explode=["rolled", "stats"],
+    explode=["rolled", "stats", "stats2"],
 )
 def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY an id-derived key; element-wise cross-row aggregate (max/sum
@@ -371,7 +372,16 @@ def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Spark aggregate folds arrays of length 1, so 'mx'/'sm' equal the
     scalar max/sum of first elements — expressed in SQL over the flattened
-    group list (l_quantity is integral ⇒ sum is order-exact)."""
+    group list (l_quantity is integral ⇒ sum is order-exact).
+
+    stats2 (r4) exercises the reference's anticipated two-phase aggregation
+    contract (oph_query_plugin_executor.c:480-680):
+    oph_aggregate_stats_partial per (grp, id parity) sub-group, then
+    oph_aggregate_stats_final mask '10011' (mean|min|max) merges the
+    partials — Spark's native partial+final agg shape, verified against the
+    direct per-group stats."""
+    from ophidia_io_server_spark.dialect.expression import ExprContext, compile_expression
+
     srv = _server(spark, sf_dir)
     df = srv.execute(
         "operation=select;from=frag_qty;"
@@ -383,7 +393,23 @@ def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select_alias=grp|mx|sm|rolled|stats;"
         "where=id_dim<=1000;group=oph_id(id_dim,100);order=grp"
     )
-    return df
+    frag = lineitem_fragment_cached(spark, sf_dir).where(F.col("id_dim") <= 1000)
+    fctx = ExprContext(resolver=lambda n: frag[n])
+    grp_col = compile_expression("oph_id(id_dim,100)", fctx).col
+    sub = frag.select(
+        grp_col.alias("grp"),
+        F.pmod(F.col("id_dim"), F.lit(2)).alias("sg"),
+        "measure",
+    )
+    ctx = ExprContext(resolver=lambda n: sub[n])
+    part = compile_expression(
+        "oph_aggregate_stats_partial(oph_get_subarray(measure,1,1))", ctx)
+    partials = sub.groupBy("grp", "sg").agg(part.col.alias("p"))
+    ctx2 = ExprContext(resolver=lambda n: partials[n])
+    fin = compile_expression("oph_aggregate_stats_final(p,'10011')", ctx2)
+    stats2 = partials.groupBy("grp").agg(fin.col.alias("stats2"))
+    # 10 tiny rows — broadcast so the probe join adds no shuffle to df's plan
+    return df.join(F.broadcast(stats2), "grp")
 
 
 @workload(
@@ -1539,25 +1565,30 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - list_aggregate(m, 'sum') * list_aggregate(m, 'sum') / n)
                         * (list_aggregate(list_transform(m2, x -> x * x), 'sum')
                            - list_aggregate(m2, 'sum') * list_aggregate(m2, 'sum') / n)),
-                 6) AS corr
+                 6) AS corr,
+           list_transform(range(0, CAST(n AS BIGINT)),
+                          i -> (sy - slope * sx) / n + slope * i) AS fitted
     FROM f ORDER BY id_dim
     """,
-    explode=["stats", "coeff", "hist"],
+    explode=["stats", "coeff", "hist", "fitted"],
 )
 def gsl_stats_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GSL stats family in one select (merged r3: gsl_stats +
     gsl_fit_hist_corr): oph_gsl_stats mask '111111'
     (mean|var|sd|min|max|sum), oph_gsl_fit_linear_coeff (closed-form least
     squares, pure Column), oph_gsl_histogram (GSL bin rule: last bin closed),
-    oph_gsl_correlation (Pearson across two fragments)."""
+    oph_gsl_correlation (Pearson across two fragments), and (r4)
+    oph_gsl_fit_linear fitted values — same closed form, so the oracle is
+    bitwise-exact."""
     srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
     out = srv.execute(
         "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
         "field=id_dim|oph_gsl_stats(a.measure,'111111')"
         "|oph_gsl_fit_linear_coeff(a.measure)"
         "|oph_gsl_histogram(a.measure,4)"
-        "|oph_gsl_correlation(a.measure,b.measure);"
-        "select_alias=id_dim|stats|coeff|hist|corr;"
+        "|oph_gsl_correlation(a.measure,b.measure)"
+        "|oph_gsl_fit_linear(a.measure);"
+        "select_alias=id_dim|stats|coeff|hist|corr|fitted;"
         "where=id_dim<=400&oph_size_array(a.measure)>=2;order=id_dim"
     )
     return out.withColumn("corr", F.round("corr", 6))
@@ -1599,24 +1630,44 @@ def gsl_stats_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      j -> measure[j] * cos(2 * pi() * k * (j - 1) / n)), 'sum'), 2)
                + pow(list_aggregate(list_transform(range(1, n + 1),
                      j -> measure[j] * sin(2 * pi() * k * (j - 1) / n)), 'sum'), 2)
-             ), 6)) AS spectrum
+             ), 6)) AS spectrum,
+           list_sort(measure) AS sorted_m,
+           -- sd of measure||measure: doubling keeps len>=2 so the sample-sd
+           -- formula is defined even for singleton arrays; mirrors the Spark
+           -- fold exactly (2s/(2n) == s/n bitwise; var clamped at 0)
+           sqrt(greatest(
+             (2 * list_aggregate(list_transform(measure, x -> x*x), 'sum')
+              - (2 * CAST(n AS DOUBLE))
+                * (list_aggregate(measure, 'sum') / n)
+                * (list_aggregate(measure, 'sum') / n))
+             / (2 * CAST(n AS DOUBLE) - 1), 0.0)) AS sd2,
+           list_transform(measure, x -> ROUND(x, 6)) AS ifft_rt
     FROM q ORDER BY id_dim
     """,
-    explode=["box", "spectrum"],
+    explode=["box", "spectrum", "sorted_m", "ifft_rt"],
 )
 def gsl_quantile_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GSL order-statistics + spectral surface in one select (merged r3:
     gsl_quantile_boxplot + gsl_fft): oph_gsl_quantile, oph_gsl_boxplot, and
     the magnitude spectrum |oph_gsl_fft| checked against the naive-DFT
-    closed form (rounded 6dp on both engines)."""
+    closed form (rounded 6dp on both engines).  Widened r4: oph_gsl_sort,
+    oph_gsl_sd (over the doubled array so singleton rows stay defined) and
+    the oph_gsl_ifft(oph_gsl_fft(x)) roundtrip through
+    oph_gsl_complex_get_real."""
     srv = _server(spark, sf_dir)
     out = srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_gsl_quantile(measure,0.5)|oph_gsl_boxplot(measure)"
-        "|oph_gsl_complex_get_abs(oph_gsl_fft(measure));"
-        "select_alias=id_dim|median|box|spectrum;where=id_dim<=400;order=id_dim"
+        "|oph_gsl_complex_get_abs(oph_gsl_fft(measure))"
+        "|oph_gsl_sort(measure)|oph_gsl_sd(oph_concat(measure,measure))"
+        "|oph_gsl_complex_get_real(oph_gsl_ifft(oph_gsl_fft(measure)));"
+        "select_alias=id_dim|median|box|spectrum|sorted_m|sd2|ifft_rt;"
+        "where=id_dim<=400;order=id_dim"
     )
-    return out.withColumn("spectrum", F.transform("spectrum", lambda x: F.round(x, 6)))
+    return (
+        out.withColumn("spectrum", F.transform("spectrum", lambda x: F.round(x, 6)))
+        .withColumn("ifft_rt", F.transform("ifft_rt", lambda x: F.round(x, 6)))
+    )
 
 
 @workload(
@@ -1629,21 +1680,35 @@ def gsl_quantile_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_concat(list_slice(measure, n - 1, n), list_slice(measure, 1, n - 2)) AS rot2,
            list_concat([CAST('NaN' AS DOUBLE)], list_slice(measure, 1, n - 1)) AS shift1,
            flatten(list_transform(range(1, n + 1), i -> [measure[i], measure[i] * 2])) AS inter,
-           list_concat(measure, [0.0, 0.0]) || [] AS padded
+           list_concat(measure, [0.0, 0.0]) || [] AS padded,
+           measure || measure || list_slice(measure, 1, 2)
+                   || list_transform(measure, x -> -1 * x) AS cat3,
+           flatten(list_transform(range(0, CAST(ceil(n / 2.0) AS BIGINT)),
+                   c -> list_concat(list_slice(measure, 2*c + 1, 2*c + 2),
+                                    list_slice(list_transform(measure, x -> x * 2),
+                                               2*c + 1, 2*c + 2)))) AS inter2,
+           [measure[4], measure[1], measure[2]] AS picked
     FROM base ORDER BY id_dim
     """,
-    explode=["rot2", "shift1", "inter", "padded"],
+    explode=["rot2", "shift1", "inter", "padded", "cat3", "inter2", "picked"],
 )
 def shape_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rotate/shift/interlace/padding — note padding to n+2 via oph_padding
-    requires a literal target, so the dialect pads to size+2 with concat."""
+    """rotate/shift/interlace/padding, plus (r4) the concat alias family
+    oph_concat2/oph_append/oph_extend chained in one column, block-interleave
+    oph_interlace2 and index-pick oph_extract — note padding to n+2 via
+    oph_padding requires a literal target, so the dialect pads to size+2 with
+    concat."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_rotate(measure,2)|oph_shift(measure,1)"
         "|oph_interlace(measure,oph_mul_scalar(measure,2))"
-        "|oph_concat(measure,oph_mul_scalar(oph_get_subarray(oph_sum_scalar(measure,0),1,2),0));"
-        "select_alias=id_dim|rot2|shift1|inter|padded;"
+        "|oph_concat(measure,oph_mul_scalar(oph_get_subarray(oph_sum_scalar(measure,0),1,2),0))"
+        "|oph_append(oph_extend(oph_concat2(measure,measure),oph_get_subarray(measure,1,2)),"
+        "oph_mul_scalar(measure,-1))"
+        "|oph_interlace2(measure,oph_mul_scalar(measure,2),'2,2')"
+        "|oph_extract(measure,'4,1,2');"
+        "select_alias=id_dim|rot2|shift1|inter|padded|cat3|inter2|picked;"
         "where=id_dim<=400&oph_size_array(measure)>=4;order=id_dim"
     )
 
@@ -1656,20 +1721,25 @@ def shape_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE id_dim <= 2000 AND len(measure) >= 6)
     SELECT id_dim,
            [m[1], m[4], m[2], m[5], m[3], m[6]] AS transposed,
-           [m[1] + m[4], m[2] + m[5], m[3] + m[6]] AS col_sums
+           [m[1] + m[4], m[2] + m[5], m[3] + m[6]] AS col_sums,
+           [m[4], m[6]] AS sub3_row2,
+           [m[2], m[5]] AS sub3_col2
     FROM base ORDER BY id_dim
     """,
-    explode=["transposed", "col_sums"],
+    explode=["transposed", "col_sums", "sub3_row2", "sub3_col2"],
 )
 def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """oph_permute (2x3 → 3x2 transpose) + oph_reduce3 (column sums of the
-    2x3 row-major tensor)."""
+    2x3 row-major tensor) + (r4) oph_get_subarray3 multidimensional subsets
+    (row 2 with columns {1,3}; column 2 of every row)."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_permute(oph_get_subarray(measure,1,6),'2,3','2,1')"
-        "|oph_reduce3(oph_get_subarray(measure,1,6),'sum',3);"
-        "select_alias=id_dim|transposed|col_sums;"
+        "|oph_reduce3(oph_get_subarray(measure,1,6),'sum',3)"
+        "|oph_get_subarray3(oph_get_subarray(measure,1,6),'2,3','2','1:2:end')"
+        "|oph_get_subarray3(oph_get_subarray(measure,1,6),'2,3','1:end','2');"
+        "select_alias=id_dim|transposed|col_sums|sub3_row2|sub3_col2;"
         "where=id_dim<=2000&oph_size_array(measure)>=6;order=id_dim"
     )
 
@@ -1733,23 +1803,41 @@ def normalize_find_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 + ((id_dim - 1) % 4) + CAST(TRUNC((id_dim - 1.0) / (5 * 4)) AS BIGINT) * 4 AS id2,
            1 + ((id_dim - 1) % 4) AS idx1,
            1 + (CAST(TRUNC((id_dim - 1.0) / 3) AS BIGINT) % 7) AS idx2,
-           measure AS roundtrip
+           measure AS roundtrip,
+           list_transform(measure, x -> CAST(x AS INTEGER)) AS as_int,
+           list_transform(measure, x -> CAST(CAST(x AS BIGINT) AS DOUBLE)) AS as_dbl,
+           measure AS binrt,
+           [CAST(42.0 AS DOUBLE)] AS vbin,
+           -- oph_id3 C model (oph_query_expression_functions.c:76-135) with
+           -- list='2,3' (reduced=5), block=2:
+           (id_dim - 1) % 2
+             + (CASE WHEN ((id_dim - 1) // 2) % 5 < 2 THEN 0 ELSE 1 END
+                + ((id_dim - 1) // 2 // 5) * 2) * 2 + 1 AS id3,
+           CAST(floor((id_dim - 3.0) / 4) AS BIGINT) + 1 AS subpos
     FROM frag_qty WHERE id_dim >= 1 AND id_dim <= 500 ORDER BY id_dim
     """,
-    explode=["as_long", "idxs", "roundtrip"],
+    explode=["as_long", "idxs", "roundtrip", "as_int", "as_dbl", "binrt", "vbin"],
 )
 def cast_sequence_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """oph_convert_l / oph_get_index_array / oph_id2 / oph_id_to_index /
     oph_id_to_index2 projected as columns (index algebra parity), plus the
     zlib codec roundtrip oph_uncompress(oph_compress(x)) == x (merged r3:
-    cast_sequence_idfuncs + compress_roundtrip)."""
+    cast_sequence_idfuncs + compress_roundtrip).  Widened r4: oph_cast to
+    int, oph_convert_d back from long, the binary codecs
+    oph_from_bin(oph_to_bin(x)) == x and oph_value_to_bin, and the last two
+    id built-ins oph_id3 (irregular-chunk remap) and oph_id_of_subset
+    (position in an arithmetic progression)."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_convert_l(measure)|oph_get_index_array(measure)"
         "|oph_id2(id_dim,5,4)|oph_id_to_index(id_dim,4)|oph_id_to_index2(id_dim,3,7)"
-        "|oph_uncompress(oph_compress(measure));"
-        "select_alias=id_dim|as_long|idxs|id2|idx1|idx2|roundtrip;"
+        "|oph_uncompress(oph_compress(measure))"
+        "|oph_cast(measure,'oph_int')|oph_convert_d(oph_convert_l(measure))"
+        "|oph_from_bin(oph_to_bin(measure))|oph_from_bin(oph_value_to_bin(42))"
+        "|oph_id3(id_dim,'2,3',2)|oph_id_of_subset(id_dim,3,4);"
+        "select_alias=id_dim|as_long|idxs|id2|idx1|idx2|roundtrip"
+        "|as_int|as_dbl|binrt|vbin|id3|subpos;"
         "where=id_dim>=1&id_dim<=500;order=id_dim"
     )
 
@@ -1768,24 +1856,28 @@ def cast_sequence_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
              measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1]
              + (i * (n - 1) / 7.0 - floor(i * (n - 1) / 7.0))
                * (measure[least(CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 2, n)]
-                  - measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1])) AS resampled
+                  - measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1])) AS resampled,
+           list_transform(m, x -> ROUND(x, 6)) AS idwt_rt
     FROM base ORDER BY id_dim
     """,
-    explode=["dwt", "resampled"],
+    explode=["dwt", "resampled", "idwt_rt"],
 )
 def dwt_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wavelet + interpolation kernels in one select (merged r3: dwt_haar +
     spline_resample): one-level Haar DWT (pandas-UDF kernel) against its
-    closed form, and oph_gsl_spline resampling to 8 points against the
-    piecewise-linear closed form."""
+    closed form, oph_gsl_spline resampling to 8 points against the
+    piecewise-linear closed form, and (r4) the oph_gsl_idwt(oph_gsl_dwt(x))
+    roundtrip (rounded 6dp both engines)."""
     srv = _server(spark, sf_dir)
-    return srv.execute(
+    out = srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_gsl_dwt(oph_get_subarray(measure,1,4))"
-        "|oph_gsl_spline(measure,8);"
-        "select_alias=id_dim|dwt|resampled;"
+        "|oph_gsl_spline(measure,8)"
+        "|oph_gsl_idwt(oph_gsl_dwt(oph_get_subarray(measure,1,4)));"
+        "select_alias=id_dim|dwt|resampled|idwt_rt;"
         "where=id_dim<=400&oph_size_array(measure)>=4;order=id_dim"
     )
+    return out.withColumn("idwt_rt", F.transform("idwt_rt", lambda x: F.round(x, 6)))
 
 
 @workload(
@@ -1829,17 +1921,40 @@ def expand_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ROUND(atan2(im[i], re[i]), 6)])) AS polar,
            list_transform(range(1, n + 1), i -> im[i]) AS imag,
            list_transform(range(1, n + 1),
-                          i -> ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6)) AS modulus
+                          i -> ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6)) AS modulus,
+           list_transform(range(1, n + 1), i -> re[i] + im[i]) AS esum,
+           list_transform(range(1, n + 1), i -> greatest(re[i], im[i])) AS emax,
+           list_transform(range(1, n + 1), i -> least(re[i], im[i])) AS emin,
+           list_transform(range(1, n + 1), i -> re[i] / im[i]) AS ediv,
+           list_transform(range(1, n + 1), i -> re[i] - im[i]) AS esub,
+           list_transform(range(1, n + 1), i -> re[i] - im[i]) AS esub2,
+           list_transform(range(1, n + 1),
+                          i -> ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6)) AS eabs,
+           list_transform(range(1, n + 1),
+                          i -> ROUND(atan2(im[i], re[i]), 6)) AS earg,
+           list_transform(re, x -> CASE WHEN x - 30 <> 0 THEN x ELSE 0.0 END) AS emask,
+           list_transform(re, x -> CASE WHEN x - 25 > 0 THEN x ELSE 0.0 END) AS epred,
+           list_transform(re, x -> 2 * (x * 3)) AS emul2,
+           list_transform(range(1, n + 1),
+                          i -> ROUND(atan2(im[i], re[i]), 6)) AS carg,
+           list_transform(range(1, n + 1), i -> re[i]) AS realp,
+           flatten(list_transform(range(1, n + 1),
+                                  i -> [ROUND(re[i], 6), ROUND(im[i], 6)])) AS rect
     FROM base ORDER BY id_dim
     """,
-    explode=["sq", "lg", "mx", "polar", "imag", "modulus"],
+    explode=["sq", "lg", "mx", "polar", "imag", "modulus",
+             "esum", "emax", "emin", "ediv", "esub", "esub2", "eabs", "earg",
+             "emask", "epred", "emul2", "carg", "realp", "rect"],
 )
 def math_complex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise math + interleaved-complex family in one select (merged
-    r3: math_compare_ops + complex_polar_ops): oph_math named functions,
-    oph_compare across fragments, oph_operation_array max, then interlace the
-    two fragments into (re,im) complex, convert to polar, extract imag +
-    modulus (gsl complex surface).  All JVM Column math end to end."""
+    r3: math_compare_ops + complex_polar_ops; widened r4 with the whole
+    element-wise binary family): oph_math named functions, oph_compare across
+    fragments, oph_operation_array max, oph_sum/max/min/div/sub/abs/arg_array,
+    oph_operator_array, oph_mask_array, oph_predicate2, oph_mul_scalar2, then
+    interlace the two fragments into (re,im) complex, convert to polar,
+    extract imag/real/arg + modulus and the polar→rect roundtrip (full gsl
+    complex surface).  All JVM Column math end to end."""
     srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
     out = srv.execute(
         "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
@@ -1847,12 +1962,23 @@ def math_complex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|oph_compare(a.measure,b.measure)|oph_operation_array(a.measure,b.measure,'max')"
         "|oph_gsl_complex_to_polar(oph_interlace(a.measure,b.measure))"
         "|oph_gsl_complex_get_imag(oph_interlace(a.measure,b.measure))"
-        "|oph_gsl_complex_get_abs(oph_interlace(a.measure,b.measure));"
-        "select_alias=id_dim|sq|lg|same|mx|polar|imag|modulus;"
+        "|oph_gsl_complex_get_abs(oph_interlace(a.measure,b.measure))"
+        "|oph_sum_array(a.measure,b.measure)|oph_max_array(a.measure,b.measure)"
+        "|oph_min_array(a.measure,b.measure)|oph_div_array(a.measure,b.measure)"
+        "|oph_operator_array(a.measure,b.measure,'sub')|oph_sub_array(a.measure,b.measure)"
+        "|oph_abs_array(a.measure,b.measure)|oph_arg_array(a.measure,b.measure)"
+        "|oph_mask_array(a.measure,oph_sum_scalar(a.measure,-30),0)"
+        "|oph_predicate2(a.measure,'x-25','>0','x','0')"
+        "|oph_mul_scalar2(a.measure,2,3)"
+        "|oph_gsl_complex_get_arg(oph_interlace(a.measure,b.measure))"
+        "|oph_gsl_complex_get_real(oph_interlace(a.measure,b.measure))"
+        "|oph_gsl_complex_to_rect(oph_gsl_complex_to_polar(oph_interlace(a.measure,b.measure)));"
+        "select_alias=id_dim|sq|lg|same|mx|polar|imag|modulus"
+        "|esum|emax|emin|ediv|esub|esub2|eabs|earg|emask|epred|emul2|carg|realp|rect;"
         "where=id_dim<=500;order=id_dim"
     )
     # transcendentals differ in the last ulp across libm builds → 6dp on both
-    for c in ("sq", "lg", "polar", "modulus"):
+    for c in ("sq", "lg", "polar", "modulus", "eabs", "earg", "carg", "rect"):
         out = out.withColumn(c, F.transform(c, lambda x: F.round(x, 6)))
     # oph_compare returns LONG (reference RET INTEGER); the oracle emits
     # DOUBLE — align dtypes so the driver's typed value-hash matches.

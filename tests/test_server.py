@@ -76,6 +76,68 @@ def test_server_typed_binds(server):
         cli.close()
 
 
+def test_server_runtime_error_still_clean_E(server, spark, tmp_path):
+    """A plan that fails at EXECUTION time (not analysis) must still produce
+    a clean 'E' frame: the handler materializes the first packet before
+    sending 'K'.  Simulated by registering a parquet-backed fragment and
+    deleting its files after planning."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "doomed_frag")
+    spark.range(1, 50).select(
+        F.col("id").alias("id_dim"),
+        F.array(F.col("id").cast("double")).alias("measure"),
+    ).write.parquet(path)
+    doomed = spark.read.parquet(path)
+    server.io_server.catalog.put("doomed", doomed, cache=False)
+    shutil.rmtree(path)
+
+    host, port = server.address
+    cli = QueryClient(host, port)
+    try:
+        with pytest.raises(RuntimeError):
+            cli.execute("operation=select;from=doomed;field=id_dim;"
+                        "select_alias=id_dim;order=id_dim")
+        # the connection survives: the error became a clean 'E', not a
+        # half-sent RS stream
+        cli.execute("operation=random_import;frag_name=after_err;nrows=4;array_len=2")
+        _, rows = cli.execute("operation=select;from=after_err;field=id_dim;"
+                              "select_alias=id_dim;order=id_dim")
+        assert len(rows) == 4
+    finally:
+        cli.close()
+
+
+def test_server_streams_multi_packet_results(server, monkeypatch):
+    """The fetch path streams packet-by-packet (bounded driver memory): with
+    a tiny max_packet_len the handler sends many packets and the client
+    reassembles them exactly."""
+    import functools
+
+    import ophidia_io_server_spark.server as srvmod
+    from ophidia_io_server_spark.protocol import serialize_result_set
+
+    monkeypatch.setattr(
+        srvmod, "serialize_result_set",
+        functools.partial(serialize_result_set, max_packet_len=64),
+    )
+    host, port = server.address
+    cli = QueryClient(host, port)
+    try:
+        cli.execute("operation=random_import;frag_name=bigres;nrows=200;array_len=6")
+        nfields, rows = cli.execute(
+            "operation=select;from=bigres;field=id_dim|measure;"
+            "select_alias=id_dim|measure;order=id_dim")
+        assert nfields == 2
+        assert len(rows) == 200
+        assert [r[0] for r in rows] == list(range(1, 201))
+        assert all(len(r[1]) == 6 for r in rows)
+    finally:
+        cli.close()
+
+
 def test_server_restart_restores_fragments(spark, tmp_path):
     """Persist catalog → 'restart' (new server on restored catalog) → query
     over the wire: the reference's MetaDB reload-on-restart flow."""
