@@ -10,8 +10,16 @@ fallback practical: ``NetCDF4Backend`` (sources/netcdf_import.py) uses the
 file-import branch (reference ``oph_io_server_nc.c:755-1190``) is exercised
 end to end even in containers without the C library stack.
 
-Scope (deliberately): fixed-size (non-record) variables of the numeric
-nc_types, enough for cube import/export parity.  Record variables raise.
+Scope: all numeric nc_types, fixed-size AND record (unlimited-dimension)
+variables.  Record data follows the classic interleaved layout: per record
+``r``, every record variable contributes one record's slab at
+``begin + r * recsize`` where ``recsize`` is the sum of all record vars'
+4-byte-padded per-record sizes (single-record-variable files skip the
+padding, per the spec) — the same offset algebra the reference implements
+for unlimited dims incl. multi-file concat
+(``oph_io_server_nc.c:846-921``).  Reads of record variables go through a
+strided ``np.ndarray`` view over the memmap, so a hyperslab still touches
+only its own bytes.
 
 The writer exists for tests/fixtures and as the `oph_export`-to-file
 counterpart; hyperslab reads go through ``np.memmap`` so a task reading a
@@ -55,6 +63,14 @@ class ClassicVar:
     shape: tuple[int, ...]
     nc_type: int
     begin: int
+    record: bool = False
+
+    def rec_bytes(self) -> int:
+        """Unpadded byte size of one record's worth of data."""
+        n = 1
+        for s in self.shape[1:]:
+            n *= s
+        return n * _TYPES[self.nc_type][1]
 
 
 class ClassicReader:
@@ -109,6 +125,8 @@ class ClassicReader:
         elif not (tag == 0 and count == 0):
             raise ValueError(f"bad dim list tag {tag}")
         self._skip_attrs(f)  # global attributes
+        # the (at most one) unlimited dimension is the dim with size 0
+        rec_dim = next((i for i, (_, sz) in enumerate(self.dims) if sz == 0), None)
         # variables
         tag, count = self._i4(f), self._i4(f)
         self.vars: dict[str, ClassicVar] = {}
@@ -123,13 +141,32 @@ class ClassicReader:
                 begin = (self._i4(f) if self._offsz == 4
                          else struct.unpack(">q", f.read(8))[0])
                 dn = [self.dims[d][0] for d in dimids]
+                record = bool(dimids) and dimids[0] == rec_dim and rec_dim is not None
+                if rec_dim is not None and rec_dim in dimids[1:]:
+                    raise ValueError(
+                        f"variable {nm!r}: the unlimited dimension must be "
+                        "outermost (classic format constraint)")
                 shape = tuple(self.dims[d][1] for d in dimids)
-                if any(s == 0 for s in shape):
-                    raise ValueError(f"record variable {nm!r} unsupported "
-                                     "(classic fallback handles fixed-size only)")
-                self.vars[nm] = ClassicVar(nm, dn, shape, nc_type, begin)
+                if record:
+                    shape = (self.numrecs, *shape[1:])
+                self.vars[nm] = ClassicVar(nm, dn, shape, nc_type, begin, record)
         elif not (tag == 0 and count == 0):
             raise ValueError(f"bad var list tag {tag}")
+        # record stride: sum of padded per-record sizes of all record vars;
+        # a single record variable is stored unpadded/contiguous (spec note)
+        rec_vars = [v for v in self.vars.values() if v.record]
+        if len(rec_vars) == 1:
+            self._recsize = rec_vars[0].rec_bytes()
+        else:
+            self._recsize = sum(rb + _pad4(rb)
+                                for rb in (v.rec_bytes() for v in rec_vars))
+        if rec_vars and self.numrecs < 0:  # STREAMING sentinel (0xFFFFFFFF)
+            import os
+
+            first = min(v.begin for v in rec_vars)
+            self.numrecs = (os.path.getsize(self.path) - first) // self._recsize
+            for v in rec_vars:
+                v.shape = (self.numrecs, *v.shape[1:])
 
     # -- data -----------------------------------------------------------
 
@@ -141,35 +178,74 @@ class ClassicReader:
              count: tuple[int, ...]) -> np.ndarray:
         v = self.vars[measure]
         dt = np.dtype(_TYPES[v.nc_type][0])
-        mm = np.memmap(self.path, dtype=dt, mode="r", offset=v.begin,
-                       shape=v.shape, order="C")
+        if v.record:
+            # records are interleaved across record variables: stride the
+            # outermost axis by recsize instead of the row-major default
+            mm = np.memmap(self.path, dtype=np.uint8, mode="r")
+            strides, acc = [], dt.itemsize
+            for s in reversed(v.shape[1:]):
+                strides.insert(0, acc)
+                acc *= s
+            arr = np.ndarray(shape=v.shape, dtype=dt, buffer=mm,
+                             offset=v.begin, strides=(self._recsize, *strides))
+        else:
+            arr = np.memmap(self.path, dtype=dt, mode="r", offset=v.begin,
+                            shape=v.shape, order="C")
         sl = tuple(slice(s, s + c) for s, c in zip(start, count))
-        return np.asarray(mm[sl], dtype=np.float64)
+        return np.asarray(arr[sl], dtype=np.float64)
 
 
 def write_classic(path: str, dims: list[tuple[str, int]],
                   variables: dict[str, tuple[list[str], np.ndarray]]) -> None:
     """Write a CDF-1 classic file: ``dims`` = ordered (name, size);
-    ``variables`` maps name → (dim_names, row-major ndarray)."""
+    ``variables`` maps name → (dim_names, row-major ndarray).
+
+    A dim with size 0 is the unlimited (record) dimension; variables whose
+    FIRST dim is the unlimited one are written as record variables in the
+    spec's interleaved record layout (numrecs taken from their arrays'
+    first axis, which must agree)."""
     dim_index = {n: i for i, (n, _) in enumerate(dims)}
+    unlim = next((n for n, sz in dims if sz == 0), None)
 
     def name_bytes(s: str) -> bytes:
         b = s.encode()
         return struct.pack(">i", len(b)) + b + b"\x00" * _pad4(len(b))
 
+    items = [(n, dn, np.ascontiguousarray(a)) for n, (dn, a) in variables.items()]
+    rec_items = [(n, dn, a) for n, dn, a in items if dn and dn[0] == unlim]
+    fix_items = [(n, dn, a) for n, dn, a in items if not (dn and dn[0] == unlim)]
+    numrecs = 0
+    if rec_items:
+        lens = {a.shape[0] for _, _, a in rec_items}
+        if len(lens) != 1:
+            raise ValueError(f"record variables disagree on numrecs: {lens}")
+        numrecs = lens.pop()
+
+    def _nct(a):
+        return _REV_TYPES[np.dtype(a.dtype.newbyteorder("="))]
+
+    def _recb(a):  # unpadded per-record byte size
+        n = 1
+        for s in a.shape[1:]:
+            n *= s
+        return n * _TYPES[_nct(a)][1]
+
     header = bytearray()
     header += _MAGIC1
-    header += struct.pack(">i", 0)  # numrecs
+    header += struct.pack(">i", numrecs)
     header += struct.pack(">ii", _NC_DIMENSION, len(dims))
     for n, sz in dims:
         header += name_bytes(n) + struct.pack(">i", sz)
     header += struct.pack(">ii", 0, 0)  # no global attrs
     header += struct.pack(">ii", _NC_VARIABLE, len(variables))
 
-    # first pass with placeholder begins to size the header
-    def var_block(name: str, dim_names: list[str], arr: np.ndarray, begin: int) -> bytes:
-        nc_type = _REV_TYPES[np.dtype(arr.dtype.newbyteorder("="))]
-        vsize = arr.size * _TYPES[nc_type][1]
+    def var_block(name: str, dim_names: list[str], arr: np.ndarray,
+                  begin: int, record: bool) -> bytes:
+        nc_type = _nct(arr)
+        if record:
+            vsize = _recb(arr)
+        else:
+            vsize = arr.size * _TYPES[nc_type][1]
         vsize += _pad4(vsize)
         blk = name_bytes(name)
         blk += struct.pack(">i", len(dim_names))
@@ -179,25 +255,37 @@ def write_classic(path: str, dims: list[tuple[str, int]],
         blk += struct.pack(">iii", nc_type, vsize, begin)
         return bytes(blk)
 
-    items = [(n, dn, np.ascontiguousarray(a)) for n, (dn, a) in variables.items()]
-    probe = b"".join(var_block(n, dn, a, 0) for n, dn, a in items)
+    is_rec = {n: bool(dn) and dn[0] == unlim for n, dn, _ in items}
+    probe = b"".join(var_block(n, dn, a, 0, bool(is_rec[n])) for n, dn, a in items)
     data_start = len(header) + len(probe)
 
-    begins, off = [], data_start
-    for _, _, a in items:
-        begins.append(off)
-        nc_type = _REV_TYPES[np.dtype(a.dtype.newbyteorder("="))]
-        sz = a.size * _TYPES[nc_type][1]
+    # fixed variables first (contiguous), then the record section
+    begins: dict[str, int] = {}
+    off = data_start
+    for n, _, a in fix_items:
+        begins[n] = off
+        sz = a.size * _TYPES[_nct(a)][1]
         off += sz + _pad4(sz)
+    rec_start = off
+    pad_records = len(rec_items) != 1  # sole record var: unpadded (spec note)
+    for n, _, a in rec_items:
+        begins[n] = off
+        rb = _recb(a)
+        off += rb + (_pad4(rb) if pad_records else 0)
 
     with open(path, "wb") as f:
         f.write(header)
-        for (n, dn, a), b in zip(items, begins):
-            f.write(var_block(n, dn, a, b))
         for n, dn, a in items:
-            nc_type = _REV_TYPES[np.dtype(a.dtype.newbyteorder("="))]
-            raw = a.astype(_TYPES[nc_type][0]).tobytes(order="C")
+            f.write(var_block(n, dn, a, begins[n], bool(is_rec[n])))
+        for n, dn, a in fix_items:
+            raw = a.astype(_TYPES[_nct(a)][0]).tobytes(order="C")
             f.write(raw + b"\x00" * _pad4(len(raw)))
+        for r in range(numrecs):
+            for n, dn, a in rec_items:
+                raw = a[r].astype(_TYPES[_nct(a)][0]).tobytes(order="C")
+                if pad_records:
+                    raw += b"\x00" * _pad4(len(raw))
+                f.write(raw)
 
 
 # ---------------------------------------------------------------------------

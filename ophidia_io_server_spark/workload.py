@@ -1488,13 +1488,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # epoch micros via an explicit TIMESTAMP cast: `ts` arrives as
-    # timestamp_ntz on Spark ≥4.1 (native TIMESTAMP(NANOS) parquet reads
-    # ignore the legacy nanosAsLong conf) and NTZ→BIGINT is not castable;
-    # with the session tz pinned to UTC the NTZ→TZ cast is value-preserving.
-    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = tsl - F.lag(tsl).over(w)
-    seq = ev.withColumn("new_session", F.when(gap > 1800 * 1_000_000, 1).otherwise(0))
+    # timezone-independent gap: ts − lag(ts) is a day-time interval whether
+    # `ts` arrives as timestamp_ntz (Spark ≥4.1 native TIMESTAMP(NANOS)
+    # reads) or timestamp (nanosAsLong conversion path), so no NTZ→LTZ cast
+    # routes through the session timezone — a non-UTC session with a DST
+    # transition inside a gap would have shifted a boundary by an hour.
+    gap = F.col("ts") - F.lag("ts").over(w)
+    seq = ev.withColumn(
+        "new_session", F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
     sess = seq.withColumn(
         "session_id",
         F.sum("new_session").over(
@@ -1756,6 +1757,28 @@ def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * (list_aggregate(measure, 'sum') / len(measure)))
                   / (len(measure) - 1)) AS sd
       FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2
+    ),
+    -- 1-D 2-means (former kcluster row): split of the sorted values scored
+    -- with the integer-exact SS identity, first minimum (kernel tie-break)
+    ksrt AS (SELECT id_dim, list_sort(measure) AS s, len(measure) AS n FROM base),
+    kscored AS (
+      SELECT id_dim, s, n,
+             list_transform(range(1, n), t ->
+               (list_aggregate(list_transform(list_slice(s, 1, t), x -> x * x), 'sum')
+                - list_aggregate(list_slice(s, 1, t), 'sum')
+                  * list_aggregate(list_slice(s, 1, t), 'sum') / t)
+               + (list_aggregate(list_transform(list_slice(s, t + 1, n), x -> x * x), 'sum')
+                  - list_aggregate(list_slice(s, t + 1, n), 'sum')
+                    * list_aggregate(list_slice(s, t + 1, n), 'sum') / (n - t))) AS sses
+      FROM ksrt
+    ),
+    kbest AS (
+      SELECT id_dim,
+             [ list_aggregate(list_slice(s, 1, t), 'sum') / t,
+               list_aggregate(list_slice(s, t + 1, n), 'sum') / (n - t) ] AS centroids
+      FROM (SELECT id_dim, s, n,
+                   list_position(sses, list_aggregate(sses, 'min')) AS t
+            FROM kscored)
     )
     SELECT id_dim,
            -- sd=0 (constant array) → z-score defined as 0, same special case
@@ -1772,23 +1795,26 @@ def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CASE WHEN len(measure) >= 8 THEN []
                             ELSE list_transform(range(0, 8 - len(measure)), z -> 0.0) END)
              AS padded,
-           [CAST(1.0 AS DOUBLE), 2.0, 3.0] || measure AS with_header
-    FROM base ORDER BY id_dim
+           [CAST(1.0 AS DOUBLE), 2.0, 3.0] || measure AS with_header,
+           centroids
+    FROM base JOIN kbest USING (id_dim) ORDER BY id_dim
     """,
-    explode=["normed", "quant", "repl", "found", "padded", "with_header"],
+    explode=["normed", "quant", "repl", "found", "padded", "with_header", "centroids"],
 )
 def normalize_find_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise transforms in one select (merged r3: normalize_quantize +
-    find_pad_ops): oph_normalize, oph_quantize, oph_replace, oph_find
-    (positions within tolerance), oph_padding to fixed length, oph_concat
-    with an oph_sequence literal header."""
+    find_pad_ops; r4 folds in the former kcluster row — same base row set):
+    oph_normalize, oph_quantize, oph_replace, oph_find (positions within
+    tolerance), oph_padding to fixed length, oph_concat with an oph_sequence
+    literal header, and oph_ccluster_kcluster 1-D 2-means centroids (oracle:
+    closed-form best split of the sorted values)."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_normalize(measure)|oph_quantize(measure,'25,40')"
         "|oph_replace(measure,1,-1)|oph_find(measure,30,5)|oph_padding(measure,8,0)"
-        "|oph_concat(oph_sequence(3),measure);"
-        "select_alias=id_dim|normed|quant|repl|found|padded|with_header;"
+        "|oph_concat(oph_sequence(3),measure)|oph_ccluster_kcluster(measure,2);"
+        "select_alias=id_dim|normed|quant|repl|found|padded|with_header|centroids;"
         "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
     )
 
@@ -1988,53 +2014,6 @@ def math_complex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "kcluster",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    srt AS (
-      SELECT id_dim, list_sort(measure) AS s, len(measure) AS n
-      FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2
-    ),
-    -- 1-D 2-means is a split of the sorted values: score each split t with
-    -- the integer-exact SS identity, pick the first minimum (same tie-break
-    -- as the kernel's strict-< scan)
-    scored AS (
-      SELECT id_dim, s, n,
-             list_transform(range(1, n), t ->
-               (list_aggregate(list_transform(list_slice(s, 1, t), x -> x * x), 'sum')
-                - list_aggregate(list_slice(s, 1, t), 'sum')
-                  * list_aggregate(list_slice(s, 1, t), 'sum') / t)
-               + (list_aggregate(list_transform(list_slice(s, t + 1, n), x -> x * x), 'sum')
-                  - list_aggregate(list_slice(s, t + 1, n), 'sum')
-                    * list_aggregate(list_slice(s, t + 1, n), 'sum') / (n - t))) AS sses
-      FROM srt
-    ),
-    best AS (
-      SELECT id_dim, s, n,
-             list_position(sses, list_aggregate(sses, 'min')) AS t
-      FROM scored
-    )
-    SELECT id_dim,
-           [ list_aggregate(list_slice(s, 1, t), 'sum') / t,
-             list_aggregate(list_slice(s, t + 1, n), 'sum') / (n - t) ] AS centroids
-    FROM best ORDER BY id_dim
-    """,
-    explode=["centroids"],
-)
-def kcluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_ccluster_kcluster k=2: exact 1-D 2-means (sorted-split
-    enumeration in the kernel) mirrored by the SQL split-scoring closed
-    form — globally optimal and deterministic, so the oracle is exact."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_ccluster_kcluster(measure,2);"
-        "select_alias=id_dim|centroids;"
-        "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
-    )
-
-
-@workload(
     "fragment_row_windows",
     oracle=f"""
     {_FRAG_QTY_CTE},
@@ -2106,4 +2085,90 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 5)
         .select("c_mktsegment", "o_orderkey", "rnk", "o_totalprice")
+    )
+
+
+@workload(
+    "curation_split_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    cpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
+              UNION ALL SELECT doc_b, doc_a FROM cpairs),
+    -- transitive closure -> min reachable label == connected-component min
+    reach(u, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    lab AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    ),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM alldocs GROUP BY cluster_id)
+    SELECT a.doc_id, a.cluster_id, s.cluster_size,
+           a.doc_id = a.cluster_id AS is_canonical,
+           TRUE AS split_stable, TRUE AS split_in_range, TRUE AS fractions_ok
+    FROM alldocs a JOIN sz s ON a.cluster_id = s.cluster_id
+    ORDER BY a.doc_id
+    """,
+)
+def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation operators, driver-verified (r4):
+
+    1. Near-dup cluster resolution (pipeline/dedup.py resolve_duplicates):
+       min-label connected components over the verified MinHash pair graph +
+       canonical-keeper flag.  The oracle recomputes the components with a
+       recursive transitive-closure CTE over the exact-Jaccard pair set, so
+       cluster ids, sizes and keeper flags hash-bind exactly.
+    2. Deterministic hash split (pipeline/sampling.py hash_split): the split
+       decision is a pure function of (seed, doc_id), so the oracle cannot
+       recompute Spark's xxhash64 — instead the INVARIANTS that make the
+       operator correct are computed inside Spark as booleans and the oracle
+       emits literal TRUEs (same pattern as sketch_approx_stats):
+       ``split_stable`` (identical assignment under a different partition
+       layout — the retry/layout property df.randomSplit lacks),
+       ``split_in_range`` (every row assigned a real split), and
+       ``fractions_ok`` (per-split mass within 5% of the 80/10/10 weights).
+    """
+    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs, resolve_duplicates
+    from ophidia_io_server_spark.pipeline.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5,
+                              memo_key=(id(spark), sf_dir))
+    resolved = resolve_duplicates(docs, pairs).select(
+        "doc_id", "cluster_id", "cluster_size", "is_canonical")
+
+    ids = docs.select("doc_id")
+    weights = [0.8, 0.1, 0.1]
+    s1 = hash_split(ids, weights)
+    s2 = hash_split(ids.repartition(13), weights).withColumnRenamed("split", "split2")
+    splits = s1.join(s2, "doc_id")
+    w_of = F.when(F.col("split") == 0, 0.8).otherwise(0.1)
+    per = s1.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    tot = s1.agg(F.count(F.lit(1)).alias("t"))
+    frac_ok = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("dev", F.abs(F.col("n") / F.col("t") - w_of))
+        .agg((F.max("dev") <= F.lit(0.05)).alias("fractions_ok"))
+    )
+    return (
+        resolved.join(splits, "doc_id")
+        .crossJoin(F.broadcast(frac_ok))
+        .select(
+            "doc_id", "cluster_id", "cluster_size", "is_canonical",
+            (F.col("split") == F.col("split2")).alias("split_stable"),
+            ((F.col("split") >= 0) & (F.col("split") <= len(weights) - 1)
+             ).alias("split_in_range"),
+            "fractions_ok",
+        )
     )
