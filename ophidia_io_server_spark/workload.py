@@ -2113,11 +2113,38 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
     ),
     sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-           FROM alldocs GROUP BY cluster_id)
+           FROM alldocs GROUP BY cluster_id),
+    -- benchmark decontamination: word 8-grams shared with the eval subset
+    tok8 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    sh8 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 7, 0) + 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                 || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                 || ' ' || ws[i+7]
+             )) AS g8
+      FROM tok8
+    ),
+    evg AS (SELECT list_distinct(flatten(list(g8))) AS gl
+            FROM sh8 WHERE doc_id % 89 = 0),
+    cont AS (
+      SELECT s.doc_id,
+             CAST(len(list_intersect(s.g8, evg.gl)) AS BIGINT) AS n_eval_grams_hit
+      FROM sh8 s CROSS JOIN evg
+    )
     SELECT a.doc_id, a.cluster_id, s.cluster_size,
            a.doc_id = a.cluster_id AS is_canonical,
-           TRUE AS split_stable, TRUE AS split_in_range, TRUE AS fractions_ok
-    FROM alldocs a JOIN sz s ON a.cluster_id = s.cluster_id
+           TRUE AS split_stable, TRUE AS split_in_range, TRUE AS fractions_ok,
+           a.doc_id % 89 = 0 AS is_eval,
+           c.n_eval_grams_hit,
+           (NOT a.doc_id % 89 = 0) AND c.n_eval_grams_hit > 0 AS contaminated
+    FROM alldocs a
+    JOIN sz s ON a.cluster_id = s.cluster_id
+    JOIN cont c ON a.doc_id = c.doc_id
     ORDER BY a.doc_id
     """,
 )
@@ -2138,7 +2165,12 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
        layout — the retry/layout property df.randomSplit lacks),
        ``split_in_range`` (every row assigned a real split), and
        ``fractions_ok`` (per-split mass within 5% of the 80/10/10 weights).
+    3. Benchmark decontamination (pipeline/decontaminate.py): docs sharing
+       a word 8-gram with the eval subset (doc_id % 89 == 0 plays the
+       benchmark) are flagged; the oracle recomputes the distinct-gram
+       intersection in SQL, so flags and hit counts hash-bind exactly.
     """
+    from ophidia_io_server_spark.pipeline.decontaminate import contamination_flags
     from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs, resolve_duplicates
     from ophidia_io_server_spark.pipeline.sampling import hash_split
 
@@ -2161,14 +2193,17 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dev", F.abs(F.col("n") / F.col("t") - w_of))
         .agg((F.max("dev") <= F.lit(0.05)).alias("fractions_ok"))
     )
+    cont = contamination_flags(docs, F.pmod(F.col("doc_id"), F.lit(89)) == 0, n=8)
     return (
         resolved.join(splits, "doc_id")
         .crossJoin(F.broadcast(frac_ok))
+        .join(cont, "doc_id")
         .select(
             "doc_id", "cluster_id", "cluster_size", "is_canonical",
             (F.col("split") == F.col("split2")).alias("split_stable"),
             ((F.col("split") >= 0) & (F.col("split") <= len(weights) - 1)
              ).alias("split_in_range"),
             "fractions_ok",
+            "is_eval", "n_eval_grams_hit", "contaminated",
         )
     )

@@ -201,3 +201,30 @@ def test_ngram_repetition_short_doc_zeroes(spark):
     row = ngram_repetition(_doc(spark, "solo"), n=2).collect()[0]
     assert (row["n_2grams"], row["top2_cnt"], row["top2_frac"], row["dup2_frac"]) == (
         0, 0, 0.0, 0.0)
+
+
+# -- benchmark decontamination ------------------------------------------------
+
+
+def test_contamination_flags(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ophidia_io_server_spark.pipeline.decontaminate import contamination_flags
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    eval_text = "one two three four"          # the benchmark doc
+    leak = "zzz one two three four yyy"       # shares the 4-gram → contaminated
+    clean = "five six seven eight nine"       # no shared 4-gram
+    short = "tiny"                            # shorter than n → no grams
+    docs = spark.createDataFrame(
+        [(1, eval_text), (2, leak), (3, clean), (4, short)], schema)
+    out = {r.doc_id: r for r in
+           contamination_flags(docs, F.col("doc_id") == 1, n=4).collect()}
+    assert out[1].is_eval and not out[1].contaminated
+    assert out[1].n_eval_grams_hit == 1       # its own single 4-gram
+    assert not out[2].is_eval and out[2].contaminated
+    assert out[2].n_eval_grams_hit == 1
+    assert not out[3].contaminated and out[3].n_eval_grams_hit == 0
+    assert not out[4].contaminated and out[4].n_eval_grams_hit == 0
+    assert len(out) == 4                      # every doc reported exactly once

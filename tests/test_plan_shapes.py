@@ -39,3 +39,33 @@ def test_tpch_q1_partial_aggregation(spark):
     p = plan_of(spark, "tpch_q1_pricing")
     assert "partial_" in p  # map-side combine before the exchange
     assert "PushedFilters" in p  # shipdate predicate reaches the scan
+
+
+def test_curation_and_contamination_no_cartesian(spark):
+    """The r4 curation row composes cluster resolution, hash-split checks
+    and decontamination: everything must stay equi-join shaped — the only
+    cross joins are the two broadcast single-row invariant columns."""
+    p = plan_of(spark, "curation_split_clusters")
+    assert "CartesianProduct" not in p
+    # single-row invariant broadcasts are fine; a non-broadcast NLJ is not
+    assert "NestedLoopJoin" not in p.replace("BroadcastNestedLoopJoin", "")
+    bnlj = p.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 2, f"unexpected extra BNLJ ({bnlj}) in curation plan"
+
+
+def test_ivf_assignment_is_broadcast_not_literal(spark):
+    """IVF centroid assignment must be a broadcast join, not an
+    O(nlist·dim) literal expression tree (r4 fix)."""
+    p = plan_of(spark, "ann_ivf_topk")
+    assert "BroadcastExchange" in p
+    assert "min_by" in p
+
+
+def test_sketch_single_aggregation_pass(spark):
+    """sketch + exact verification compute in ONE groupBy (no second scan
+    of events for the exact side)."""
+    df = WORKLOADS["sketch_approx_stats"].fn(spark, SF)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    # one scan NODE (the formatted detail section repeats the node header)
+    assert p.count("Location: InMemoryFileIndex") == 1
