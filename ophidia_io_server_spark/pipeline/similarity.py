@@ -59,7 +59,7 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5,
 
 
 def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
-                 vec_col: str = "embedding", blocks: int = 16) -> DataFrame:
+                 vec_col: str = "embedding", blocks: int | None = None) -> DataFrame:
     """All (a<b) pairs with cosine ≥ threshold — EXACT, and shuffle-bounded.
 
     Exact all-pairs is Ω(n²) comparisons in the worst case; the scale
@@ -73,10 +73,19 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
     one of the B(B+1)/2 block-pair tasks, the plan is a plain shuffled
     equi-join (no BNLJ / CartesianProduct), each task holds ~(n/B)² work and
     2·n/B rows, and replication is ~B/2 rows per side — the standard
-    distributed all-pairs shape.  Raise ``blocks`` with cluster size.
+    distributed all-pairs shape.
+
+    ``blocks`` defaults to √(8·defaultParallelism) (≥16): B(B+1)/2 block
+    pairs ≈ 4 tasks per core, so the parameter self-scales with cluster
+    size instead of being pinned to a bench-size constant.  The OUTPUT is
+    identical for any ``blocks`` value (every unordered pair meets exactly
+    once), so the oracle does not depend on it.
 
     For the approximate sub-quadratic path use ``cosine_pairs_lsh`` (banded
     sign-LSH candidates + exact verify) or ``lsh_ann_topk``."""
+    if blocks is None:
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        blocks = max(16, int((8 * par) ** 0.5))
     base = with_norm(emb, vec_col).select(
         F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v"), F.col("_norm"),
         F.pmod(F.xxhash64("vec_id"), F.lit(blocks)).cast("int").alias("g"),

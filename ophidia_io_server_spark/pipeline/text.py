@@ -195,7 +195,10 @@ def ngram_repetition(docs: DataFrame, n: int = 2, text_col: str = "text",
     tokens emit zero counts and 0.0 fractions.
     """
     p = str(n)
-    grams = docs.select(doc_col, F.explode(word_ngrams_col(F.col(text_col), n)).alias("g"))
+    from ophidia_io_server_spark.sources.tables import spread
+
+    grams = spread(docs).select(
+        doc_col, F.explode(word_ngrams_col(F.col(text_col), n)).alias("g"))
     per_gram = grams.groupBy(doc_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
     stats = per_gram.groupBy(doc_col).agg(
         F.sum("cnt").cast("bigint").alias(f"n_{p}grams"),

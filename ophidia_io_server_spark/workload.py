@@ -633,8 +633,13 @@ def size_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_frag + insert + multi_insert DDL/DML path with ?N binds
-    (reference oph_io_server_query.c:135-339)."""
+    (reference oph_io_server_query.c:135-339), run inside a created-then-
+    dropped database namespace so create_database / drop_frag /
+    drop_database (dispatch oph_io_server_query.c:448-483) are also
+    driver-verified: any DDL failure raises and turns the row red."""
     srv = IOServer(spark)
+    srv.execute("operation=create_database;db_name=wdb")
+    srv.catalog.use("wdb")
     srv.execute("operation=create_frag;frag_name=ins")
     srv.execute("operation=insert;frag_name=ins;value=?,?;tot_run=2;curr_run=1",
                 params={1: 1, 2: [1.0, 2.0, 3.0]})
@@ -645,7 +650,11 @@ def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv.execute("operation=create_frag;frag_name=ins2")
     srv.execute("operation=multi_insert;frag_name=ins2;value=(?,?),(?,?);final_statement=yes",
                 params={1: 3, 2: [7.0, 8.0, 9.0], 3: 4, 4: [10.0, 11.0, 12.0]})
-    return buf_rows.unionAll(srv.catalog.df("ins2"))
+    out = buf_rows.unionAll(srv.catalog.df("ins2"))
+    # reference contract: drop refuses on a non-empty database
+    srv.execute("operation=drop_frag;frag_name=ins2")
+    srv.execute("operation=drop_database;db_name=wdb")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2135,16 +2144,65 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.doc_id,
              CAST(len(list_intersect(s.g8, evg.gl)) AS BIGINT) AS n_eval_grams_hit
       FROM sh8 s CROSS JOIN evg
+    ),
+    -- 2-gram repetition stats (multiset, not distinct-shingled)
+    rep_raw AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(CASE WHEN len(ws) >= 2
+                               THEN list_transform(range(1, len(ws)),
+                                                   i -> ws[i] || ' ' || ws[i+1])
+                               ELSE [] END) AS gram
+            FROM tok8)
+      GROUP BY doc_id, gram
+    ),
+    rep AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_2grams,
+             CAST(MAX(c) AS BIGINT) AS top2_cnt,
+             CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup2_cnt
+      FROM rep_raw GROUP BY doc_id
+    ),
+    -- duplicate-line signals (Gopher filters)
+    lns AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+      FROM documents
+    ),
+    linesig AS (
+      SELECT doc_id,
+             CASE WHEN len(ls) <= 0 THEN 0.0
+                  ELSE ROUND((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 4)
+             END AS dup_line_frac,
+             CASE WHEN list_aggregate(list_transform(ls, l -> length(l)), 'sum') <= 0
+                       OR len(ls) <= 0 THEN 0.0
+                  ELSE ROUND(
+                    list_aggregate(list_transform(list_distinct(ls), d ->
+                      CASE WHEN len(list_filter(ls, l -> l = d)) > 1
+                           THEN len(list_filter(ls, l -> l = d)) * length(d)
+                           ELSE 0 END), 'sum')
+                    * 1.0 / list_aggregate(list_transform(ls, l -> length(l)), 'sum'), 4)
+             END AS dup_line_char_frac
+      FROM lns
     )
     SELECT a.doc_id, a.cluster_id, s.cluster_size,
            a.doc_id = a.cluster_id AS is_canonical,
            TRUE AS split_stable, TRUE AS split_in_range, TRUE AS fractions_ok,
            a.doc_id % 89 = 0 AS is_eval,
            c.n_eval_grams_hit,
-           (NOT a.doc_id % 89 = 0) AND c.n_eval_grams_hit > 0 AS contaminated
+           (NOT a.doc_id % 89 = 0) AND c.n_eval_grams_hit > 0 AS contaminated,
+           COALESCE(r.n_2grams, 0) AS n_2grams,
+           COALESCE(r.top2_cnt, 0) AS top2_cnt,
+           CASE WHEN COALESCE(r.n_2grams, 0) <= 0 THEN 0.0
+                ELSE ROUND(r.top2_cnt * 1.0 / r.n_2grams, 4) END AS top2_frac,
+           CASE WHEN COALESCE(r.n_2grams, 0) <= 0 THEN 0.0
+                ELSE ROUND(COALESCE(r.dup2_cnt, 0) * 1.0 / r.n_2grams, 4) END AS dup2_frac,
+           ln.dup_line_frac, ln.dup_line_char_frac
     FROM alldocs a
     JOIN sz s ON a.cluster_id = s.cluster_id
     JOIN cont c ON a.doc_id = c.doc_id
+    LEFT JOIN rep r ON a.doc_id = r.doc_id
+    JOIN linesig ln ON a.doc_id = ln.doc_id
     ORDER BY a.doc_id
     """,
 )
@@ -2169,10 +2227,19 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
        a word 8-gram with the eval subset (doc_id % 89 == 0 plays the
        benchmark) are flagged; the oracle recomputes the distinct-gram
        intersection in SQL, so flags and hit counts hash-bind exactly.
+    4. Repetition signals (pipeline/text.py): Gopher-style duplicate-line
+       fraction, duplicate-line-character fraction, and 2-gram repetition
+       stats (top fraction, duplicated-occurrence fraction) — all mirrored
+       in SQL closed form.
     """
     from ophidia_io_server_spark.pipeline.decontaminate import contamination_flags
     from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs, resolve_duplicates
     from ophidia_io_server_spark.pipeline.sampling import hash_split
+    from ophidia_io_server_spark.pipeline.text import (
+        dup_line_char_frac_col,
+        dup_line_frac_col,
+        ngram_repetition,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5,
@@ -2194,10 +2261,18 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.max("dev") <= F.lit(0.05)).alias("fractions_ok"))
     )
     cont = contamination_flags(docs, F.pmod(F.col("doc_id"), F.lit(89)) == 0, n=8)
+    rep = ngram_repetition(docs, n=2)
+    linesig = docs.select(
+        "doc_id",
+        dup_line_frac_col(F.col("text")).alias("dup_line_frac"),
+        dup_line_char_frac_col(F.col("text")).alias("dup_line_char_frac"),
+    )
     return (
         resolved.join(splits, "doc_id")
         .crossJoin(F.broadcast(frac_ok))
         .join(cont, "doc_id")
+        .join(rep, "doc_id")
+        .join(linesig, "doc_id")
         .select(
             "doc_id", "cluster_id", "cluster_size", "is_canonical",
             (F.col("split") == F.col("split2")).alias("split_stable"),
@@ -2205,5 +2280,7 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).alias("split_in_range"),
             "fractions_ok",
             "is_eval", "n_eval_grams_hit", "contaminated",
+            "n_2grams", "top2_cnt", "top2_frac", "dup2_frac",
+            "dup_line_frac", "dup_line_char_frac",
         )
     )
