@@ -219,22 +219,24 @@ def scalar_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
              i -> list_aggregate(list_slice(measure, i * 2 + 1, i * 2 + 2), 'sum')
            ) AS blocks,
            list_aggregate(measure, 'max') AS mx,
-           list_aggregate(measure, 'min') AS mn
+           list_aggregate(measure, 'min') AS mn,
+           list_aggregate(measure, 'sum') AS tot
     FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
     """,
     explode=["first2", "rev", "big", "strided", "blocks"],
 )
 def subarray_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subarray family (get_subarray/2, reverse, filter) + block reductions
-    (reduce2, reduce max/min) in one select (merged r2)."""
+    (reduce2, reduce max/min) in one select (merged r2; r4 adds
+    oph_operator, the whole-array named aggregation)."""
     srv = _server(spark, sf_dir)
     return srv.execute(
         "operation=select;from=frag_qty;"
         "field=id_dim|oph_get_subarray(measure,1,2)|oph_reverse(measure)"
         "|oph_filter(measure,'x>25')|oph_get_subarray2(measure,'1:2:end')"
         "|oph_reduce2(measure,'sum',2)|oph_reduce(measure,'max')"
-        "|oph_reduce(measure,'min');"
-        "select_alias=id_dim|first2|rev|big|strided|blocks|mx|mn;"
+        "|oph_reduce(measure,'min')|oph_operator(measure,'oph_sum');"
+        "select_alias=id_dim|first2|rev|big|strided|blocks|mx|mn|tot;"
         "where=id_dim<=500;order=id_dim"
     )
 
@@ -1848,7 +1850,23 @@ def normalize_find_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
            (id_dim - 1) % 2
              + (CASE WHEN ((id_dim - 1) // 2) % 5 < 2 THEN 0 ELSE 1 END
                 + ((id_dim - 1) // 2 // 5) * 2) * 2 + 1 AS id3,
-           CAST(floor((id_dim - 3.0) / 4) AS BIGINT) + 1 AS subpos
+           CAST(floor((id_dim - 3.0) / 4) AS BIGINT) + 1 AS subpos,
+           -- oph_dump: hex of the packed little-endian float64 bytes; the
+           -- IEEE bit pattern of the (integral, >=1) values is rebuilt in
+           -- SQL: bits = (1023+e)<<52 | mantissa, then byte-reversed hex
+           list_aggregate(
+             list_transform(list_slice(measure, 1, 2), x ->
+               list_aggregate(
+                 list_transform(range(0, 8), k ->
+                   substr(
+                     lpad(lower(to_hex(
+                       (1023 + CAST(floor(log2(x)) AS BIGINT)) * 4503599627370496
+                       + CAST(x * power(2, 52 - floor(log2(x))) AS BIGINT)
+                       - 4503599627370496
+                     )), 16, '0'),
+                     CAST(15 - 2*k AS BIGINT), 2)),
+                 'string_agg', '')
+             ), 'string_agg', '') AS dump2
     FROM frag_qty WHERE id_dim >= 1 AND id_dim <= 500 ORDER BY id_dim
     """,
     explode=["as_long", "idxs", "roundtrip", "as_int", "as_dbl", "binrt", "vbin"],
@@ -1870,9 +1888,10 @@ def cast_sequence_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|oph_uncompress(oph_compress(measure))"
         "|oph_cast(measure,'oph_int')|oph_convert_d(oph_convert_l(measure))"
         "|oph_from_bin(oph_to_bin(measure))|oph_from_bin(oph_value_to_bin(42))"
-        "|oph_id3(id_dim,'2,3',2)|oph_id_of_subset(id_dim,3,4);"
+        "|oph_id3(id_dim,'2,3',2)|oph_id_of_subset(id_dim,3,4)"
+        "|oph_dump(oph_get_subarray(measure,1,2));"
         "select_alias=id_dim|as_long|idxs|id2|idx1|idx2|roundtrip"
-        "|as_int|as_dbl|binrt|vbin|id3|subpos;"
+        "|as_int|as_dbl|binrt|vbin|id3|subpos|dump2;"
         "where=id_dim>=1&id_dim<=500;order=id_dim"
     )
 
