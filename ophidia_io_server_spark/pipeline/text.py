@@ -222,6 +222,25 @@ def ngram_repetition(docs: DataFrame, n: int = 2, text_col: str = "text",
     )
 
 
+def char_entropy_col(text: Column) -> Column:
+    """Shannon entropy (nats) of the character distribution — a cheap
+    gibberish/boilerplate signal: ~0 for repeated filler, high for random
+    bytes, mid-range for natural language.  Pure HOF math per row
+    (O(distinct_chars × len) interpreted — character alphabets are small),
+    no shuffle."""
+    cs = F.split(text, "")
+    n = F.size(cs)
+
+    def p_of(d):
+        return F.size(F.filter(cs, lambda c: c == d)) / n
+
+    ent = F.aggregate(
+        F.array_distinct(cs), F.lit(0.0),
+        lambda acc, d: acc - p_of(d) * F.log(p_of(d)),
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(F.round(ent, 4))
+
+
 def quality_features(df: DataFrame, text_col: str = "text",
                      extra: list[Column] | None = None) -> DataFrame:
     """Quality-scoring feature set: token counts, type-token ratio, mean token

@@ -228,3 +228,44 @@ def test_contamination_flags(spark):
     assert not out[3].contaminated and out[3].n_eval_grams_hit == 0
     assert not out[4].contaminated and out[4].n_eval_grams_hit == 0
     assert len(out) == 4                      # every doc reported exactly once
+
+
+# -- PII redaction + char entropy ---------------------------------------------
+
+
+def test_redact_categories_and_counts(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ophidia_io_server_spark.pipeline.redact import redact
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    docs = spark.createDataFrame([
+        (1, "mail me at jo.doe+x@example.org or visit https://ex.org/a?b=1 ok"),
+        (2, "server 10.0.255.3 answered, call +1 (555) 123-4567 today"),
+        (3, "clean text with the number 42 and v1.2 left intact"),
+    ], schema)
+    out = {r.doc_id: r for r in redact(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_url == 1 and out[1].has_pii
+    assert "<EMAIL>" in out[1].text_redacted and "<URL>" in out[1].text_redacted
+    assert "example.org" not in out[1].text_redacted
+    assert out[2].n_ipv4 == 1 and out[2].n_phone == 1 and out[2].has_pii
+    assert "<IP>" in out[2].text_redacted and "<PHONE>" in out[2].text_redacted
+    assert not out[3].has_pii
+    assert out[3].text_redacted == docs.collect()[2].text  # untouched
+    # short harmless numbers are NOT phone-matched (precision-first)
+    assert out[3].n_phone == 0
+
+
+def test_char_entropy(spark):
+    import math
+
+    from ophidia_io_server_spark.pipeline.text import char_entropy_col
+
+    rows = _doc(spark, "aaaa").select(char_entropy_col(F.col("text")).alias("e")).collect()
+    assert rows[0].e == 0.0
+    e_ab = _doc(spark, "ab").select(char_entropy_col(F.col("text")).alias("e")).collect()[0].e
+    assert e_ab == round(math.log(2), 4)
+    e_en = _doc(spark, "the quick brown fox jumps over the lazy dog").select(
+        char_entropy_col(F.col("text")).alias("e")).collect()[0].e
+    assert 2.5 < e_en < 4.5  # natural-language range
