@@ -229,3 +229,46 @@ def test_engine_export_nc_procedure(spark, tmp_path):
     out = srv.execute(f"operation=function;function=oph_export_nc;arg='ex'|'{path}'")
     assert out.collect()[0].written == 2
     assert ClassicReader(path).read("m", (0, 0), (2, 2)).tolist() == [[1.5, 2.5], [3.5, 4.5]]
+
+
+def test_classic_record_roundtrip_property(tmp_path):
+    """Property sweep over shapes/dtypes/var-counts for the record layout:
+    write → parse → full read and a random hyperslab must equal the numpy
+    source for every combination (incl. the 1-record-var unpadded case and
+    odd per-record byte sizes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dtypes = [np.float64, np.float32, np.int32, np.int16, np.int8]
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        t=st.integers(1, 6), lat=st.integers(1, 4), lon=st.integers(1, 3),
+        nvars=st.integers(1, 3), dt_idx=st.integers(0, len(dtypes) - 1),
+        seed=st.integers(0, 10_000),
+    )
+    def check(t, lat, lon, nvars, dt_idx, seed):
+        rng = np.random.default_rng(seed)
+        dt = dtypes[dt_idx]
+        path = str(tmp_path / f"prop-{t}-{lat}-{lon}-{nvars}-{dt_idx}-{seed}.nc")
+        arrs = {
+            f"v{i}": (["time", "lat", "lon"],
+                      rng.integers(-100, 100, size=(t, lat, lon)).astype(dt))
+            for i in range(nvars)
+        }
+        write_classic(path, dims=[("time", 0), ("lat", lat), ("lon", lon)],
+                      variables=arrs)
+        r = ClassicReader(path)
+        assert r.numrecs == t
+        for name, (_, a) in arrs.items():
+            np.testing.assert_array_equal(
+                r.read(name, (0, 0, 0), (t, lat, lon)), a.astype(np.float64))
+        # one random hyperslab per example
+        s = (int(rng.integers(0, t)), int(rng.integers(0, lat)), int(rng.integers(0, lon)))
+        c = (int(rng.integers(1, t - s[0] + 1)), int(rng.integers(1, lat - s[1] + 1)),
+             int(rng.integers(1, lon - s[2] + 1)))
+        sl = tuple(slice(x, x + n) for x, n in zip(s, c))
+        a0 = next(iter(arrs.values()))[1]
+        np.testing.assert_array_equal(r.read("v0", s, c), a0[sl].astype(np.float64))
+
+    check()
