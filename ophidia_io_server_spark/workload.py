@@ -2164,6 +2164,15 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_intersect(s.g8, evg.gl)) AS BIGINT) AS n_eval_grams_hit
       FROM sh8 s CROSS JOIN evg
     ),
+    -- concat-then-chunk sequence packing (budget 256 tokens, 4 SQL shards)
+    pk AS (
+      SELECT doc_id,
+             CAST(doc_id % 4 AS BIGINT) AS pack_shard,
+             CAST(SUM(len(ws)) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                  - len(ws) AS BIGINT) AS tok_start
+      FROM tok8
+    ),
     -- 2-gram repetition stats (multiset, not distinct-shingled)
     rep_raw AS (
       SELECT doc_id, gram, COUNT(*) AS c
@@ -2216,12 +2225,16 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE ROUND(r.top2_cnt * 1.0 / r.n_2grams, 4) END AS top2_frac,
            CASE WHEN COALESCE(r.n_2grams, 0) <= 0 THEN 0.0
                 ELSE ROUND(COALESCE(r.dup2_cnt, 0) * 1.0 / r.n_2grams, 4) END AS dup2_frac,
-           ln.dup_line_frac, ln.dup_line_char_frac
+           ln.dup_line_frac, ln.dup_line_char_frac,
+           p.pack_shard,
+           p.tok_start // 256 AS seq_in_shard,
+           p.tok_start % 256 AS seq_offset
     FROM alldocs a
     JOIN sz s ON a.cluster_id = s.cluster_id
     JOIN cont c ON a.doc_id = c.doc_id
     LEFT JOIN rep r ON a.doc_id = r.doc_id
     JOIN linesig ln ON a.doc_id = ln.doc_id
+    JOIN pk p ON a.doc_id = p.doc_id
     ORDER BY a.doc_id
     """,
 )
@@ -2250,14 +2263,20 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
        fraction, duplicate-line-character fraction, and 2-gram repetition
        stats (top fraction, duplicated-occurrence fraction) — all mirrored
        in SQL closed form.
+    5. Sequence packing (pipeline/packing.py pack_concat_chunks): GPT-style
+       concat-then-chunk assignment (budget 256) using the plain-SQL shard
+       expression ``doc_id % 4`` so the window arithmetic is reproducible
+       in the oracle verbatim.
     """
     from ophidia_io_server_spark.pipeline.decontaminate import contamination_flags
     from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs, resolve_duplicates
+    from ophidia_io_server_spark.pipeline.packing import pack_concat_chunks
     from ophidia_io_server_spark.pipeline.sampling import hash_split
     from ophidia_io_server_spark.pipeline.text import (
         dup_line_char_frac_col,
         dup_line_frac_col,
         ngram_repetition,
+        token_count_col,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2281,6 +2300,10 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = contamination_flags(docs, F.pmod(F.col("doc_id"), F.lit(89)) == 0, n=8)
     rep = ngram_repetition(docs, n=2)
+    packed = pack_concat_chunks(
+        docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens")),
+        budget=256, shard_expr=F.pmod(F.col("doc_id"), F.lit(4)), n_shards=4,
+    ).select("doc_id", "pack_shard", "seq_in_shard", "seq_offset")
     linesig = docs.select(
         "doc_id",
         dup_line_frac_col(F.col("text")).alias("dup_line_frac"),
@@ -2292,6 +2315,7 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cont, "doc_id")
         .join(rep, "doc_id")
         .join(linesig, "doc_id")
+        .join(packed, "doc_id")
         .select(
             "doc_id", "cluster_id", "cluster_size", "is_canonical",
             (F.col("split") == F.col("split2")).alias("split_stable"),
@@ -2301,5 +2325,6 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_eval", "n_eval_grams_hit", "contaminated",
             "n_2grams", "top2_cnt", "top2_frac", "dup2_frac",
             "dup_line_frac", "dup_line_char_frac",
+            "pack_shard", "seq_in_shard", "seq_offset",
         )
     )
