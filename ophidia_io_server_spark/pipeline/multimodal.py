@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -100,3 +101,52 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
         "doc_id",
         F.explode(F.filter(idx, lambda i: i % every_nth == 0)).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("out_h", LongType()),
+    StructField("out_w", LongType()),
+    StructField("channels", LongType()),
+    StructField("resized", BinaryType()),
+])
+
+
+def _stub_resize(payload: bytes, h: int, w: int, channels: int = 3) -> bytes:
+    """Deterministic fake of decode→resize→re-encode: nearest-neighbour
+    sample of the raw payload bytes onto an h×w×c grid (so output size and
+    content are a pure function of the input — testable plumbing).  The real
+    kernel replaces this with PIL/opencv decode + interpolation."""
+    n = h * w * channels
+    if len(payload) == 0:
+        return bytes(n)
+    src = np.frombuffer(payload, dtype=np.uint8)
+    idx = (np.arange(n, dtype=np.int64) * len(src)) // n
+    return src[idx].tobytes()
+
+
+def resize_media(media: DataFrame, height: int = 32, width: int = 32,
+                 channels: int = 3) -> DataFrame:
+    """mapInPandas resize over binary payloads — the batch-transform shape of
+    image preprocessing at scale: payloads stay executor-side (never a
+    driver collect), each Arrow batch maps to fixed-size output buffers of
+    h·w·c bytes, and typed output metadata travels with the bytes.  Only the
+    pixel kernel is stubbed (no codec libs in this container); the schema,
+    batching and size contracts are the production ones."""
+    if height <= 0 or width <= 0 or channels <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "out_h": np.full(len(pdf), height, dtype=np.int64),
+                "out_w": np.full(len(pdf), width, dtype=np.int64),
+                "channels": np.full(len(pdf), channels, dtype=np.int64),
+                "resized": pdf["payload"].map(
+                    lambda b: _stub_resize(bytes(b), height, width, channels)),
+            })
+
+    return media.mapInPandas(process, schema=RESIZE_SCHEMA)
