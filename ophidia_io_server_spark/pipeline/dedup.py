@@ -58,7 +58,8 @@ def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text",
                memo_key: tuple | None = None) -> DataFrame:
     """(doc_id, shingles: array<string> distinct word n-grams, nsh).
 
-    ``memo_key`` (e.g. ``(id(spark), sf_dir)``) opts into an explicit
+    ``memo_key`` (e.g. ``(spark.sparkContext.applicationId, sf_dir)``; never
+    ``id(spark)`` — a GC'd session's id() can be reused) opts into an explicit
     Spark-cached memo shared across calls — relying on the CacheManager's
     plan-identity dedup across separately-built DataFrames proved flaky, and
     shingling is the dominant dedup cost (import-once-query-many, like the

@@ -251,7 +251,7 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
     queries = (
         assigned.filter(query_pred)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                F.col("qn" if "qn" in assigned.columns else "_norm").alias("qn"))
+                F.col("_norm").alias("qn"))
         .crossJoin(cents_df(cents))
         .withColumn("_d", sqdist(F.col("qv")))
         .groupBy("query_id")

@@ -15,6 +15,13 @@ with a result set, the RS packet stream (terminated by its zero-row packet),
 for ok without result an empty RS stream, and for errors a 4-byte length +
 UTF-8 message.  ``QUIT`` closes the connection.
 
+Error contract: analysis errors and runtime errors that surface while
+producing the FIRST packet become clean ``E`` frames.  Because packets then
+stream one at a time (O(packet) driver memory), a Spark failure after ``K``
+has been sent cannot be reframed — the connection is closed mid-stream, and
+clients must treat a truncated RS stream as a query failure, exactly as with
+the reference's chunked send loop.
+
 This is a developer/parity façade: production deployments should front Spark
 with Spark Connect / Livy-style services instead of a hand-rolled socket
 protocol.

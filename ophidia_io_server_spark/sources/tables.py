@@ -66,7 +66,7 @@ def lineitem_fragment(spark: SparkSession, sf_dir: str, value_col: str = "l_quan
     )
 
 
-_FRAG_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_FRAG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def lineitem_fragment_cached(spark: SparkSession, sf_dir: str,
@@ -77,8 +77,9 @@ def lineitem_fragment_cached(spark: SparkSession, sf_dir: str,
     live in the MEMORY device across queries (SURVEY §1.1).  Repeated
     workloads therefore query the cached fragment instead of re-running the
     lineitem groupBy; keyed by session so tests with separate sessions don't
-    share plans."""
-    key = (id(spark), sf_dir, value_col)
+    share plans.  applicationId (not ``id(spark)``) — a GC'd session's id()
+    can be reused, which could serve a stale cache to a new session."""
+    key = (spark.sparkContext.applicationId, sf_dir, value_col)
     if key not in _FRAG_CACHE:
         _FRAG_CACHE[key] = lineitem_fragment(spark, sf_dir, value_col).cache()
     return _FRAG_CACHE[key]

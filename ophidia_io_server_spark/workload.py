@@ -933,7 +933,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_exact(docs, n=3, threshold=0.5,
-                               memo_key=(id(spark), sf_dir))
+                               memo_key=(spark.sparkContext.applicationId, sf_dir))
 
 
 @workload("dedup_minhash_pairs", oracle=_JACCARD_ORACLE)
@@ -944,7 +944,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, n=3, threshold=0.5,
-                             memo_key=(id(spark), sf_dir))
+                             memo_key=(spark.sparkContext.applicationId, sf_dir))
 
 
 @workload("dedup_simhash_pairs", oracle=_JACCARD_ORACLE)
@@ -955,7 +955,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5,
-                         memo_key=(id(spark), sf_dir))
+                         memo_key=(spark.sparkContext.applicationId, sf_dir))
 
 
 _LANG_SETS = {
@@ -1499,14 +1499,21 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # timezone-independent gap: ts − lag(ts) is a day-time interval whether
-    # `ts` arrives as timestamp_ntz (Spark ≥4.1 native TIMESTAMP(NANOS)
-    # reads) or timestamp (nanosAsLong conversion path), so no NTZ→LTZ cast
-    # routes through the session timezone — a non-UTC session with a DST
-    # transition inside a gap would have shifted a boundary by an hour.
-    gap = F.col("ts") - F.lag("ts").over(w)
-    seq = ev.withColumn(
-        "new_session", F.when(gap > F.expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+    if spark.conf.get("spark.sql.session.timeZone", "") == "UTC":
+        # Fast path: with the session tz pinned to UTC (get_spark guarantees
+        # this) the NTZ→LTZ cast is value-preserving — UTC has no DST — so
+        # the gap is plain long arithmetic in whole-stage codegen. The
+        # interval-typed compare below measures ~1.5× slower at sf0.1
+        # (PERF.md r5): DayTimeInterval comparisons fall out of codegen.
+        tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap_cond = (tsl - F.lag(tsl).over(w)) > 1800 * 1_000_000
+    else:
+        # Timezone-independent gap for foreign sessions: ts − lag(ts) is a
+        # day-time interval, so no NTZ→LTZ cast routes through a non-UTC
+        # session timezone (a DST transition inside a gap would have
+        # shifted a boundary by an hour).
+        gap_cond = (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES")
+    seq = ev.withColumn("new_session", F.when(gap_cond, 1).otherwise(0))
     sess = seq.withColumn(
         "session_id",
         F.sum("new_session").over(
@@ -2157,7 +2164,10 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
              )) AS g8
       FROM tok8
     ),
-    evg AS (SELECT list_distinct(flatten(list(g8))) AS gl
+    -- COALESCE: with zero eval docs at a small SF, list(g8) aggregates to
+    -- NULL and every n_eval_grams_hit would go NULL — the Spark side
+    -- degrades to 0 hits, so the oracle must too
+    evg AS (SELECT COALESCE(list_distinct(flatten(list(g8))), []) AS gl
             FROM sh8 WHERE doc_id % 89 = 0),
     cont AS (
       SELECT s.doc_id,
@@ -2281,7 +2291,7 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5,
-                              memo_key=(id(spark), sf_dir))
+                              memo_key=(spark.sparkContext.applicationId, sf_dir))
     resolved = resolve_duplicates(docs, pairs).select(
         "doc_id", "cluster_id", "cluster_size", "is_canonical")
 
