@@ -1,22 +1,57 @@
 """Similarity search over embedding columns (array<float>).
 
-- ``cosine_topk``: exact brute-force top-k — broadcast the (small) query set,
-  one pass over candidates, per-query top-k via aggregation.  The baseline.
-- ``cosine_pairs``: all pairs above a cosine threshold via block-nested
-  equi-join on a coarse LSH bucket (exact verify), avoiding n² at scale.
+- ``cosine_topk``: exact brute-force top-k — the query matrix rides along
+  with a ``mapInPandas`` scan (batch-local BLAS top-k), one pass over
+  candidates, global top-k over the pruned candidate set.  The baseline.
+- ``cosine_pairs``: all pairs above a cosine threshold via a triangle block
+  cogroup — per block pair one ``A @ B.T`` BLAS matmul — avoiding both n²
+  shuffle rows and interpreted per-element arithmetic at scale.
 - ``lsh_ann_topk``: hyperplane-LSH bucketed approximate top-k — the scale
   path (candidates share ≥1 band bucket).
 
-Dot products are left-to-right ``F.aggregate`` folds over ``zip_with`` —
-JVM-side, no UDF; cosine uses precomputed norms.
+Exact kernels take ``kernel=`` one of:
+
+- ``"blas"`` — Arrow-batched numpy matmul.  Higher-order-function lambdas
+  do not enter whole-stage codegen, so the per-element fold is a measured
+  16-25× CPU tax once tiles grow (8k vectors: 18.9 s HOF vs 1.2 s BLAS;
+  20k: 84 s vs 3.4 s — PERF.md r5).  The right path at data scale.
+- ``"hof"`` — pure-JVM ``F.aggregate`` fold over ``zip_with``: no Python
+  workers, bit-exact left-to-right fold order matching the SQL oracles.
+  Faster below a few thousand vectors, where Arrow transfer + Python
+  worker spin-up dominates the tiny matmuls.
+- ``"auto"`` (default) — one ``count()`` of the input (metadata-only on
+  parquet) picks BLAS at ≥ ``AUTO_BLAS_MIN_ROWS`` rows, HOF below.
+  Callers that know their scale should pin the kernel explicitly.
+
+Both kernels agree to the last bit on every value after the public 6-dp
+rounding at the tested scales (verified empirically over the full sf0.01 +
+sf0.1 outputs, PERF.md r5); ``tests/test_similarity_ivf.py`` pins the
+parity.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ophidia_io_server_spark.sources.tables import spread
+
+# Measured HOF↔BLAS crossover (PERF.md r5): HOF wins at 2k vectors, BLAS
+# wins ≥16× at 8k.  Between, the two are within noise of each other.
+AUTO_BLAS_MIN_ROWS = 4096
+
+
+def _resolve_kernel(kernel: str, emb: DataFrame) -> str:
+    if kernel == "auto":
+        return "blas" if emb.count() >= AUTO_BLAS_MIN_ROWS else "hof"
+    if kernel not in ("blas", "hof"):
+        raise ValueError(f"kernel must be 'auto', 'blas' or 'hof', got {kernel!r}")
+    return kernel
 
 
 def _dot(a, b):
@@ -32,23 +67,70 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def cosine_topk(emb: DataFrame, query_pred, k: int = 5,
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding", kernel: str = "auto") -> DataFrame:
     """Exact top-k cosine neighbors for every query vector (query_pred filters
-    the query set).  Queries are broadcast; candidates stream by partition;
-    the per-query top-k is a window over (sim desc, vec_id) — at cluster
-    scale swap for the aggregation top-k in lsh_ann_topk."""
+    the query set — small by contract, like the reference's query vectors).
+
+    ``kernel="blas"``: the query matrix (q×dim doubles — the same data the
+    HOF path ships in a broadcast) rides along in the ``mapInPandas`` closure;
+    each Arrow batch computes ``V @ Q.T`` and keeps only its batch-local
+    top-k per query under the global (cosine desc, vec_id asc) total order,
+    so the candidate set entering the final window is ≤ q·k per batch
+    instead of q·n — map-side top-k pruning, no join, one scan.
+
+    ``kernel="hof"``: broadcast-join + JVM fold; candidates stream by
+    partition; per-query top-k is a window over (sim desc, vec_id)."""
+    kernel = _resolve_kernel(kernel, emb)
     base = with_norm(emb, vec_col).select(
         F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v"), F.col("_norm")
     )
-    queries = base.filter(query_pred).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("_norm").alias("qn")
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(base, F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("_norm")))
-    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    if kernel == "blas":
+        # driver pulls ONLY the query set — the exact rows F.broadcast would
+        # collect to the driver JVM anyway; candidates never leave executors
+        qrows = base.filter(query_pred).collect()
+        if not qrows:
+            return emb.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, rank long, cosine double")
+        qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+        qmat = np.array([r.v for r in qrows], dtype=np.float64)
+        qn = np.array([r._norm for r in qrows], dtype=np.float64)
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if b.empty:
+                    continue
+                vids = b["vec_id"].to_numpy(dtype=np.int64)
+                vmat = np.stack(b["v"].to_numpy())
+                sims = (vmat @ qmat.T) / np.outer(b["_norm"].to_numpy(), qn)
+                out_q, out_v, out_c = [], [], []
+                for j in range(len(qids)):
+                    col = sims[:, j]
+                    keep = vids != qids[j]
+                    # batch-local top-k under the global total order
+                    # (cosine desc, vec_id asc): the global top-k is a
+                    # subset of the union of batch top-k's
+                    order = np.lexsort((vids[keep], -col[keep]))[:k]
+                    out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                    out_v.append(vids[keep][order])
+                    out_c.append(col[keep][order])
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
+                    "vec_id": np.concatenate(out_v) if out_v else np.array([], dtype=np.int64),
+                    "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+                })
+
+        scored = base.mapInPandas(scan, "query_id long, vec_id long, cosine double")
+    else:
+        queries = base.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("_norm").alias("qn")
+        )
+        scored = (
+            F.broadcast(queries)
+            .join(base, F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("_norm")))
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -59,7 +141,8 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5,
 
 
 def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
-                 vec_col: str = "embedding", blocks: int | None = None) -> DataFrame:
+                 vec_col: str = "embedding", blocks: int | None = None,
+                 kernel: str = "auto") -> DataFrame:
     """All (a<b) pairs with cosine ≥ threshold — EXACT, and shuffle-bounded.
 
     Exact all-pairs is Ω(n²) comparisons in the worst case; the scale
@@ -81,8 +164,17 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
     identical for any ``blocks`` value (every unordered pair meets exactly
     once), so the oracle does not depend on it.
 
+    ``kernel="blas"`` replaces the equi-join's n²/B² per-task joined ROWS
+    with a cogroup: each block-pair task receives its 2·n/B input rows once
+    (same shuffle volume as the join's build side) and computes the whole
+    ``A @ B.T`` tile in one BLAS call — the n² arithmetic never exists as
+    rows, Arrow traffic is O(n·B), and only above-threshold pairs are
+    emitted.  ``kernel="hof"`` keeps the plain shuffled equi-join + JVM
+    fold (bit-exact left-fold order).
+
     For the approximate sub-quadratic path use ``cosine_pairs_lsh`` (banded
     sign-LSH candidates + exact verify) or ``lsh_ann_topk``."""
+    kernel = _resolve_kernel(kernel, emb)
     if blocks is None:
         par = emb.sparkSession.sparkContext.defaultParallelism
         blocks = max(16, int((8 * par) ** 0.5))
@@ -90,27 +182,76 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
         F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v"), F.col("_norm"),
         F.pmod(F.xxhash64("vec_id"), F.lit(blocks)).cast("int").alias("g"),
     )
-    left = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("_norm").alias("na"), F.col("g").alias("ga"),
-        F.explode(F.sequence(F.col("g"), F.lit(blocks - 1))).alias("jb"),
-    ).withColumn("pair_id", F.col("ga") * blocks + F.col("jb"))
-    right = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("_norm").alias("nb"), F.col("g").alias("gb"),
-        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("ia"),
-    ).withColumn("pair_id", F.col("ia") * blocks + F.col("gb"))
-    joined = left.join(right, "pair_id").where(
-        # same block: order by id (also drops self-pairs and mirror dups);
-        # distinct blocks: every cross pair meets exactly once, keep it
-        ((F.col("ga") == F.col("gb")) & (F.col("vec_a") < F.col("vec_b")))
-        | (F.col("ga") != F.col("gb"))
-    )
-    scored = (
-        joined
-        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-        .where(F.col("cosine") >= threshold)
-    )
+    if kernel == "blas":
+        nblocks = blocks
+
+        def tile(key, ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                  "vec_b": pd.Series(dtype="int64"),
+                                  "cosine": pd.Series(dtype="float64")})
+            if ldf.empty or rdf.empty:
+                return empty
+            (pair_id,) = key
+            same_block = (pair_id // nblocks) == (pair_id % nblocks)
+            ids_a = ldf["vec_a"].to_numpy(dtype=np.int64)
+            ids_b = rdf["vec_b"].to_numpy(dtype=np.int64)
+            amat = np.stack(ldf["va"].to_numpy())
+            bmat = np.stack(rdf["vb"].to_numpy())
+            sims = (amat @ bmat.T) / np.outer(ldf["na"].to_numpy(),
+                                              rdf["nb"].to_numpy())
+            mask = sims >= threshold
+            if same_block:
+                # order by id: drops self-pairs and mirror duplicates
+                mask &= ids_a[:, None] < ids_b[None, :]
+            ia, ib = np.nonzero(mask)
+            if not len(ia):
+                return empty
+            return pd.DataFrame({"vec_a": ids_a[ia], "vec_b": ids_b[ib],
+                                 "cosine": sims[ia, ib]})
+
+        # distinct aliases per side: both sides derive from `base`, and a
+        # self-cogroup with shared expression ids lets column pruning strip
+        # the right child down to the grouping key (observed on Spark 4.1 —
+        # the pandas frame arrived with only `pair_id`); fresh Alias ids on
+        # each side keep the pruner honest, mirroring the HOF join's naming
+        left = base.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+            F.col("_norm").alias("na"),
+            F.explode(F.sequence(F.col("g"), F.lit(blocks - 1))).alias("jb"),
+            F.col("g"),
+        ).select("vec_a", "va", "na",
+                 (F.col("g") * blocks + F.col("jb")).alias("pair_id"))
+        right = base.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+            F.col("_norm").alias("nb"),
+            F.explode(F.sequence(F.lit(0), F.col("g"))).alias("ia"),
+            F.col("g"),
+        ).select("vec_b", "vb", "nb",
+                 (F.col("ia") * blocks + F.col("g")).alias("pair_id"))
+        scored = left.groupBy("pair_id").cogroup(right.groupBy("pair_id")).applyInPandas(
+            tile, "vec_a long, vec_b long, cosine double")
+    else:
+        left = base.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+            F.col("_norm").alias("na"), F.col("g").alias("ga"),
+            F.explode(F.sequence(F.col("g"), F.lit(blocks - 1))).alias("jb"),
+        ).withColumn("pair_id", F.col("ga") * blocks + F.col("jb"))
+        right = base.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+            F.col("_norm").alias("nb"), F.col("g").alias("gb"),
+            F.explode(F.sequence(F.lit(0), F.col("g"))).alias("ia"),
+        ).withColumn("pair_id", F.col("ia") * blocks + F.col("gb"))
+        joined = left.join(right, "pair_id").where(
+            # same block: order by id (also drops self-pairs and mirror dups);
+            # distinct blocks: every cross pair meets exactly once, keep it
+            ((F.col("ga") == F.col("gb")) & (F.col("vec_a") < F.col("vec_b")))
+            | (F.col("ga") != F.col("gb"))
+        )
+        scored = (
+            joined
+            .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            .where(F.col("cosine") >= threshold)
+        )
     return scored.select(
         F.least("vec_a", "vec_b").alias("vec_a"),
         F.greatest("vec_a", "vec_b").alias("vec_b"),
@@ -180,7 +321,8 @@ def _hyperplanes(dim: int, nplanes: int, seed: int = 7):
 
 
 def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
-                 nprobe: int = 2, iters: int = 3, vec_col: str = "embedding") -> DataFrame:
+                 nprobe: int = 2, iters: int = 3, vec_col: str = "embedding",
+                 kernel: str = "auto") -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other standard ANN scale
     path next to LSH.
 
@@ -198,7 +340,15 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
     implementation inlined every centroid as ``F.lit`` arrays —
     O(nlist·dim) expression nodes, which chokes Catalyst analysis at real
     ANN scale (nlist ≥ 4k) long before the data does.
+
+    ``kernel="blas"``: the rescore cogroups (probing queries × assigned
+    vectors) per cluster and computes each inverted list's ``Q @ V.T`` tile
+    in one BLAS call, keeping only the per-cluster top-k per query (the
+    global top-k over nprobe lists is a subset of the union of per-list
+    top-k's), so the final merge aggregation sees ≤ q·nprobe·k rows.
+    ``kernel="hof"`` is the cluster equi-join + JVM fold.
     """
+    kernel = _resolve_kernel(kernel, emb)
     spark = emb.sparkSession
     base = with_norm(emb, vec_col).select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("v"), "_norm"
@@ -271,11 +421,42 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
     # re-derives base from source — one cheap scan — instead of pinning
     # executor memory for the caller's session lifetime.
     base.unpersist()
-    cand = (
-        queries.join(assigned, on="cluster")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("_norm")))
-    )
+    if kernel == "blas":
+        def rescore(key, qdf: pd.DataFrame, vdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                  "vec_id": pd.Series(dtype="int64"),
+                                  "cosine": pd.Series(dtype="float64")})
+            if qdf.empty or vdf.empty:
+                return empty
+            qids = qdf["query_id"].to_numpy(dtype=np.int64)
+            vids = vdf["vec_id"].to_numpy(dtype=np.int64)
+            qmat = np.stack(qdf["qv"].to_numpy())
+            vmat = np.stack(vdf["v"].to_numpy())
+            sims = (qmat @ vmat.T) / np.outer(qdf["qn"].to_numpy(),
+                                              vdf["_norm"].to_numpy())
+            out = []
+            for i in range(len(qids)):
+                keep = vids != qids[i]
+                col = sims[i][keep]
+                # per-list top-k under the final merge's total order
+                # (-cosine asc, vec_id asc)
+                order = np.lexsort((vids[keep], -col))[:k]
+                out.append(pd.DataFrame({
+                    "query_id": np.full(len(order), qids[i], dtype=np.int64),
+                    "vec_id": vids[keep][order], "cosine": col[order]}))
+            return pd.concat(out, ignore_index=True) if out else empty
+
+        cand = (
+            queries.select("cluster", "query_id", "qv", "qn").groupBy("cluster")
+            .cogroup(assigned.groupBy("cluster"))
+            .applyInPandas(rescore, "query_id long, vec_id long, cosine double")
+        )
+    else:
+        cand = (
+            queries.join(assigned, on="cluster")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("_norm")))
+        )
     return (
         cand.groupBy("query_id")
         .agg(F.slice(

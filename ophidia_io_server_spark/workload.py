@@ -1182,7 +1182,10 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.similarity import cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4)
+    # kernel pinned to "blas": this gate row is the hash-exact proof of the
+    # cogrouped A@B.T kernel against the oracle's sequential-fold SQL (auto
+    # would pick hof at driver SFs; both kernels are parity-pinned in tests)
+    return cosine_pairs(emb, threshold=0.4, kernel="blas")
 
 
 @workload(
