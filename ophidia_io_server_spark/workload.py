@@ -1017,12 +1017,31 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SW = "['the','a','an','of','and','is','to','in','that','it','on','for','as','with','was','are','be','this','by','at']"
 
 
+def _redact_oracle_exprs() -> str:
+    """DuckDB mirror of pipeline.redact: the same RE2-safe pattern strings,
+    applied in the same order, counting matches on the progressively-redacted
+    text exactly as ``redact_cols`` does (Java and RE2 both use leftmost-first
+    alternation, so match sets agree — pinned by the gate hash)."""
+    from ophidia_io_server_spark.pipeline.redact import PATTERNS
+
+    work = "text"
+    selects = []
+    for name, pat, token in PATTERNS:
+        sqlpat = pat.replace("'", "''")
+        selects.append(
+            f"CAST(len(regexp_extract_all({work}, '{sqlpat}')) AS BIGINT) AS n_{name}")
+        work = f"regexp_replace({work}, '{sqlpat}', '{token}', 'g')"
+    selects.append(f"{work} AS text_redacted")
+    return ",\n           ".join(selects)
+
+
 @workload(
     "doc_text_metrics",
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, text,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             string_split(text, '') AS cs
       FROM documents
     )
     SELECT doc_id,
@@ -1037,17 +1056,31 @@ _SW = "['the','a','an','of','and','is','to','in','that','it','on','for','as','wi
              list_concat([CAST(0 AS BIGINT)],
                          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (a, b) -> (a * 31 + b) % 1000000007
-           ) AS fp
+           ) AS fp,
+           {_redact_oracle_exprs()},
+           (n_url + n_email + n_ipv4 + n_phone) > 0 AS has_pii,
+           CASE WHEN len(cs) <= 0 THEN 0.0 ELSE ROUND(
+             list_reduce(
+               list_concat([0.0], list_transform(list_distinct(cs), d ->
+                 -(len(list_filter(cs, c -> c = d)) * 1.0 / len(cs))
+                  * ln(len(list_filter(cs, c -> c = d)) * 1.0 / len(cs)))),
+               (a, b) -> a + b
+             ), 4) END AS char_entropy
     FROM tok ORDER BY doc_id
     """,
 )
 def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text metrics in one projection (merged r3: token_counts +
-    text_ratios + doc_fingerprint): whitespace + BPE-ish-regex token counts
-    (the LLM-token-count proxy), stopword/punctuation ratios, and the
-    rolling-hash document fingerprint — all JVM Column/regex expressions."""
+    text_ratios + doc_fingerprint; r5: + PII redaction and char entropy):
+    whitespace + BPE-ish-regex token counts (the LLM-token-count proxy),
+    stopword/punctuation ratios, the rolling-hash document fingerprint,
+    the full redaction projection (redacted text + per-category counts +
+    has_pii) and the Shannon character-entropy quality signal — all JVM
+    Column/regex expressions, one scan."""
+    from ophidia_io_server_spark.pipeline.redact import redact_cols
     from ophidia_io_server_spark.pipeline.text import (
         bpe_token_count_col,
+        char_entropy_col,
         fingerprint_col,
         punct_ratio_col,
         stopword_ratio_col,
@@ -1057,6 +1090,7 @@ def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.sources.tables import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
+    rcols = redact_cols(F.col("text"))
     return docs.select(
         "doc_id",
         token_count_col(F.col("text")).alias("ws_tokens"),
@@ -1064,6 +1098,8 @@ def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio_col(F.col("text")).alias("stopword_ratio"),
         punct_ratio_col(F.col("text")).alias("punct_ratio"),
         fingerprint_col(F.col("text")).alias("fp"),
+        *[c.alias(n) for n, c in rcols.items()],
+        char_entropy_col(F.col("text")).alias("char_entropy"),
     )
 
 

@@ -257,6 +257,51 @@ def test_redact_categories_and_counts(spark):
     assert out[3].n_phone == 0
 
 
+def test_redact_phone_adversarial(spark):
+    """The r4 phone pattern matched any 7+ digit/separator run, redacting
+    dates, year pairs, score ranges and spaced decimals (VERDICT r4).  The
+    structured pattern must pass ALL of these through untouched while still
+    catching real phone formats."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ophidia_io_server_spark.pipeline.redact import redact
+
+    passthrough = [
+        "between 2019 2020 the trend held",
+        "dated 2026-08-13 and signed",
+        "scores were 10 - 20 - 30 overall",
+        "pi is 3.14159 26535 approximately",
+        "version 1.2.3 released",
+        "range 1990-2020 covered",
+        "math gives 2+345 678 9012 somehow",
+        "order id 1234567890123",
+        "timestamp 2026-08-13 10:30 recorded",
+    ]
+    phones = [
+        "call +1 (555) 123-4567 today",
+        "fax 555-123-4567 works",
+        "ring +44 20 7946 0958 now",
+        "dial (555) 123-4567 please",
+        "or 555.123.4567 alternatively",
+        "tel:+44 20 7946 0958",
+    ]
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    docs = spark.createDataFrame(
+        list(enumerate(passthrough + phones + [None])), schema)
+    out = {r.doc_id: r for r in redact(docs).collect()}
+    for i, t in enumerate(passthrough):
+        assert out[i].n_phone == 0 and out[i].text_redacted == t, (t, out[i])
+    for j, t in enumerate(phones):
+        r = out[len(passthrough) + j]
+        assert r.n_phone >= 1 and "<PHONE>" in r.text_redacted, (t, r)
+    # NULL text: redacted stays NULL, counts degrade to 0, has_pii false
+    rn = out[len(passthrough) + len(phones)]
+    assert rn.text_redacted is None
+    assert rn.n_phone == rn.n_url == rn.n_email == rn.n_ipv4 == 0
+    assert rn.has_pii is False
+
+
 def test_char_entropy(spark):
     import math
 
