@@ -7,11 +7,16 @@ Two packing disciplines, matching how LLM pretraining actually batches text:
   laid end-to-end in a deterministic order and the stream is cut every
   ``budget`` tokens; a document may straddle a chunk boundary.  Pure window
   arithmetic (cumulative sums), no Python.
-- ``pack_first_fit`` — no-split next-fit: each document lands whole in the
-  first sequence with room, sequences never exceed ``budget`` (oversized
-  documents get a flagged singleton sequence).  Inherently sequential per
-  stream, so it runs as per-bucket Arrow ``applyInPandas`` over many small
-  deterministic hash buckets.
+- ``pack_first_fit`` — no-split FIRST-fit: each document lands whole in the
+  first open sequence with room (earlier sequences are revisited), sequences
+  never exceed ``budget`` (oversized documents get a flagged singleton
+  sequence).  Packs tighter than next-fit — never more sequences, often
+  fewer.  Inherently sequential per stream, so it runs as per-bucket Arrow
+  ``applyInPandas`` over many small deterministic hash buckets.
+- ``pack_next_fit`` — no-split next-fit: same contract, but only the
+  CURRENT sequence is a candidate; when a document does not fit, the
+  sequence is closed for good.  O(1) state per stream (first-fit keeps the
+  open-sequence fill list), the classical streaming trade-off.
 
 Scale design: there is no single global order anywhere.  Both operators shard
 the corpus into ``n_shards``/``n_buckets`` deterministic streams (hash of the
@@ -60,22 +65,19 @@ def pack_concat_chunks(df: DataFrame, budget: int, token_col: str = "n_tokens",
     )
 
 
-_FIRST_FIT_COLS = ("pack_bucket", "seq_in_bucket", "seq_fill", "oversize")
+_FIT_COLS = ("pack_bucket", "seq_in_bucket", "seq_fill", "oversize")
 
 
-def pack_first_fit(df: DataFrame, budget: int, token_col: str = "n_tokens",
-                   key_col: str = "doc_id", n_buckets: int = 64,
-                   seed: int = 7) -> DataFrame:
-    """No-split next-fit packing: adds ``pack_bucket``, ``seq_in_bucket``,
-    ``seq_fill`` (tokens already in the sequence before this document) and
-    ``oversize`` (document alone exceeds the budget → its own flagged
-    sequence).
+def _pack_no_split(df: DataFrame, budget: int, token_col: str, key_col: str,
+                   n_buckets: int, seed: int, discipline: str) -> DataFrame:
+    """Shared no-split packing scaffold: deterministic hash-bucket sharding,
+    (xxhash64(seed+1, key), key) visit order inside each bucket, and a
+    per-bucket Arrow kernel applying ``discipline`` ('first' or 'next').
 
-    Within each deterministic hash bucket, documents are visited in
-    (xxhash64(seed, key), key) order — a stable pseudo-shuffle — and appended
-    to the current sequence unless that would exceed ``budget``, in which
-    case a new sequence starts.  Next-fit (not best-fit) keeps the visit
-    order the only state, so the result is reproducible row-for-row.
+    Adds ``pack_bucket``, ``seq_in_bucket``, ``seq_fill`` (tokens already in
+    the sequence before this document) and ``oversize`` (document alone
+    exceeds the budget → its own flagged sequence: nothing else ever fits
+    next to it because its fill already exceeds the budget).
 
     The pandas kernel sees one bucket at a time (corpus_size / n_buckets
     rows); size ``n_buckets`` so a bucket fits executor memory — the same
@@ -85,7 +87,7 @@ def pack_first_fit(df: DataFrame, budget: int, token_col: str = "n_tokens",
         raise ValueError(f"budget must be positive, got {budget}")
     import pandas as pd
 
-    clash = [c for c in _FIRST_FIT_COLS if c in df.columns]
+    clash = [c for c in _FIT_COLS if c in df.columns]
     if clash:
         raise ValueError(f"input already has packing columns {clash}")
 
@@ -107,18 +109,29 @@ def pack_first_fit(df: DataFrame, budget: int, token_col: str = "n_tokens",
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ord", key_col], kind="mergesort")
-        seq, fill = 0, 0
+        open_fills: list[int] = []  # fill per open sequence, index = seq id
         seqs, fills, overs = [], [], []
-        first = True
         for tok in pdf[token_col]:
             tok = int(tok)
-            if not first and fill + tok > budget:
-                seq, fill = seq + 1, 0
-            seqs.append(seq)
-            fills.append(fill)
+            placed = None
+            if discipline == "first":
+                # revisit every open sequence, earliest first — O(nseq) scan
+                # per doc; nseq is bounded by the bucket, and buckets are
+                # executor-sized by construction
+                for i, fl in enumerate(open_fills):
+                    if fl + tok <= budget:
+                        placed = i
+                        break
+            else:  # next-fit: only the latest sequence is a candidate
+                if open_fills and open_fills[-1] + tok <= budget:
+                    placed = len(open_fills) - 1
+            if placed is None:
+                open_fills.append(0)
+                placed = len(open_fills) - 1
+            seqs.append(placed)
+            fills.append(open_fills[placed])
             overs.append(tok > budget)
-            fill += tok
-            first = False
+            open_fills[placed] += tok
         pdf = pdf.copy()
         pdf["seq_in_bucket"] = seqs
         pdf["seq_fill"] = fills
@@ -129,3 +142,30 @@ def pack_first_fit(df: DataFrame, budget: int, token_col: str = "n_tokens",
         base.groupBy("pack_bucket").applyInPandas(pack, schema=out_schema)
         .drop("__ord")
     )
+
+
+def pack_first_fit(df: DataFrame, budget: int, token_col: str = "n_tokens",
+                   key_col: str = "doc_id", n_buckets: int = 64,
+                   seed: int = 7) -> DataFrame:
+    """No-split FIRST-fit packing: each document goes to the EARLIEST open
+    sequence with room (revisiting earlier sequences), else opens a new one.
+    Never produces more sequences than ``pack_next_fit`` on the same stream,
+    and typically fewer — use this when sizing token budgets.
+
+    (Until r5 this name implemented next-fit — a user sizing budgets off the
+    name got systematically more, emptier sequences than first-fit promises.)
+    """
+    return _pack_no_split(df, budget, token_col, key_col, n_buckets, seed,
+                          discipline="first")
+
+
+def pack_next_fit(df: DataFrame, budget: int, token_col: str = "n_tokens",
+                  key_col: str = "doc_id", n_buckets: int = 64,
+                  seed: int = 7) -> DataFrame:
+    """No-split next-fit packing: a document either extends the CURRENT
+    sequence or closes it and opens a new one — O(1) packing state per
+    stream, at the cost of more sequences than first-fit.  The streaming
+    discipline: right when documents arrive incrementally and sequences
+    must be emitted as soon as they close."""
+    return _pack_no_split(df, budget, token_col, key_col, n_buckets, seed,
+                          discipline="next")
