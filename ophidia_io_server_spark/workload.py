@@ -554,6 +554,14 @@ def _nc_oracle(sub_operation=None) -> str:
     SELECT 'nc' AS src, id_dim, measure FROM ({_nc_oracle()})
     UNION ALL
     SELECT 'esdm' AS src, id_dim, measure FROM ({_nc_oracle("avg")})
+    UNION ALL
+    SELECT 'ctas_file' AS src, id_dim,
+           list_transform(measure, x -> x * 2.0) AS measure
+    FROM ({_nc_oracle()})
+    UNION ALL
+    SELECT 'ctas_esdm' AS src, id_dim,
+           list_transform(measure, x -> -x) AS measure
+    FROM ({_nc_oracle("avg")})
     """,
     explode=["measure"],
 )
@@ -562,7 +570,14 @@ def import_nc_esdm(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit rows (lat,lon), implicit array (time), per-dim subsets — the
     per-partition slab read + transpose path) PLUS the ESDM-surface import
     with the push-down stream kernel (sub_operation=avg fused into the
-    partition read, ≙ oph_io_server_esdm.c:611-630).  Merged r2."""
+    partition read, ≙ oph_io_server_esdm.c:611-630).  Merged r2.
+
+    r5 folds in the @file/@esdm CTAS variants (create_frag_select_file /
+    create_frag_select_esdm, reference dispatch oph_io_server_query.c:72-105):
+    the import result is registered as a temporary fragment, a 2-column
+    select (with a primitive applied) materializes the new fragment, and the
+    temp import is dropped — the oracle recomputes the same select over the
+    synthetic source closed form."""
     srv = IOServer(spark)
     srv.execute(
         f"operation=file_import;frag_name=cube;src_path={_NC_PATH};measure=m;"
@@ -574,10 +589,28 @@ def import_nc_esdm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure=m;dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
         "dim_start=3|2|1;dim_end=14|11|10;sub_operation=avg"
     )
-    nc = srv.execute("operation=function;function=oph_export;arg='cube'")
-    esdm = srv.execute("operation=function;function=oph_export;arg='cube2'")
-    return nc.select(F.lit("nc").alias("src"), "id_dim", "measure") \
-        .unionAll(esdm.select(F.lit("esdm").alias("src"), "id_dim", "measure"))
+    srv.execute(
+        f"operation=create_frag_select_file;frag_name=cube3;from=@file;"
+        "field=id_dim|oph_mul_scalar(measure,2.0);select_alias=id_dim|measure;"
+        f"src_path={_NC_PATH};measure=m;"
+        "dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
+        "dim_start=3|2|1;dim_end=14|11|10"
+    )
+    srv.execute(
+        "operation=create_frag_select_esdm;frag_name=cube4;from=@esdm;"
+        "field=id_dim|oph_mul_scalar(measure,-1.0);select_alias=id_dim|measure;"
+        "src_path=esdm://cube?dims=time:16,lat:12,lon:10;measure=m;"
+        "dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
+        "dim_start=3|2|1;dim_end=14|11|10;sub_operation=avg"
+    )
+    def arm(frag, tag):
+        df = srv.execute(f"operation=function;function=oph_export;arg='{frag}'")
+        return df.select(F.lit(tag).alias("src"), "id_dim", "measure")
+
+    return (
+        arm("cube", "nc").unionAll(arm("cube2", "esdm"))
+        .unionAll(arm("cube3", "ctas_file")).unionAll(arm("cube4", "ctas_esdm"))
+    )
 
 
 @workload(
@@ -622,7 +655,8 @@ def size_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
     "insert_multi",
     oracle="""
     SELECT CAST(id_dim AS BIGINT) AS id_dim,
-           CAST(measure AS DOUBLE[]) AS measure
+           CAST(measure AS DOUBLE[]) AS measure,
+           TRUE AS rs_roundtrip_ok
     FROM (VALUES
       (1, [1.0, 2.0, 3.0]),
       (2, [4.0, 5.0, 6.0]),
@@ -653,6 +687,18 @@ def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     srv.execute("operation=multi_insert;frag_name=ins2;value=(?,?),(?,?);final_statement=yes",
                 params={1: 3, 2: [7.0, 8.0, 9.0], 3: 4, 4: [10.0, 11.0, 12.0]})
     out = buf_rows.unionAll(srv.catalog.df("ins2"))
+    # r5: RS-sink round-trip gate — frame the result through the wire
+    # protocol (tiny max_packet_len forces the multi-packet path, covering
+    # L/D/B cell tags and the zero-row terminator), decode it client-side
+    # and compare against the DataFrame rows.  rs_roundtrip_ok feeds the
+    # hash gate (oracle emits literal TRUE); any framing drift reddens the
+    # row.  Driver cost: 4 rows through toLocalIterator.
+    from ophidia_io_server_spark.protocol import deserialize_packets, serialize_result_set
+
+    nfields, wire_rows = deserialize_packets(serialize_result_set(out, max_packet_len=64))
+    local = [[r.id_dim, list(r.measure)] for r in out.collect()]
+    rs_ok = nfields == 2 and sorted(wire_rows) == sorted(local)
+    out = out.withColumn("rs_roundtrip_ok", F.lit(bool(rs_ok)))
     # reference contract: drop refuses on a non-empty database
     srv.execute("operation=drop_frag;frag_name=ins2")
     srv.execute("operation=drop_database;db_name=wdb")
@@ -2265,6 +2311,8 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id, a.cluster_id, s.cluster_size,
            a.doc_id = a.cluster_id AS is_canonical,
            TRUE AS split_stable, TRUE AS split_in_range, TRUE AS fractions_ok,
+           TRUE AS sample_stable, TRUE AS strat_ok, TRUE AS sample_rate_ok,
+           TRUE AS shuffle_pos_stable, TRUE AS shuffle_is_perm,
            a.doc_id % 89 = 0 AS is_eval,
            c.n_eval_grams_hit,
            (NOT a.doc_id % 89 = 0) AND c.n_eval_grams_hit > 0 AS contaminated,
@@ -2304,6 +2352,14 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
        layout — the retry/layout property df.randomSplit lacks),
        ``split_in_range`` (every row assigned a real split), and
        ``fractions_ok`` (per-split mass within 5% of the 80/10/10 weights).
+       r5 extends the same pattern to the rest of pipeline/sampling.py:
+       ``sample_stable`` (hash_sample membership layout-independent),
+       ``sample_rate_ok`` (global keep-rate near the fraction),
+       ``strat_ok`` (stratified_sample: 0.0-fraction stratum excluded,
+       1.0-fraction stratum kept whole, unlisted strata ≡ plain Bernoulli
+       at the default fraction — an exact identity, no tolerance), and
+       ``shuffle_pos_stable`` / ``shuffle_is_perm`` (deterministic_shuffle
+       is a layout-independent exact permutation).
     3. Benchmark decontamination (pipeline/decontaminate.py): docs sharing
        a word 8-gram with the eval subset (doc_id % 89 == 0 plays the
        benchmark) are flagged; the oracle recomputes the distinct-gram
@@ -2320,13 +2376,19 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.decontaminate import contamination_flags
     from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs, resolve_duplicates
     from ophidia_io_server_spark.pipeline.packing import pack_concat_chunks
-    from ophidia_io_server_spark.pipeline.sampling import hash_split
+    from ophidia_io_server_spark.pipeline.sampling import (
+        deterministic_shuffle,
+        hash_sample,
+        hash_split,
+        stratified_sample,
+    )
     from ophidia_io_server_spark.pipeline.text import (
         dup_line_char_frac_col,
         dup_line_frac_col,
         ngram_repetition,
         token_count_col,
     )
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5,
@@ -2347,6 +2409,53 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dev", F.abs(F.col("n") / F.col("t") - w_of))
         .agg((F.max("dev") <= F.lit(0.05)).alias("fractions_ok"))
     )
+    # r5: deterministic sampling / stratified / shuffle invariants (same
+    # oracle-literal-TRUE pattern — the oracle cannot recompute xxhash64,
+    # so Spark computes the properties that MAKE the operators correct):
+    # - sample_stable: Bernoulli membership identical under another layout
+    # - sample_rate_ok: global keep-rate near the requested fraction
+    # - strat_ok (per doc): a 0.0-fraction stratum is excluded, a
+    #   1.0-fraction stratum kept whole, and unlisted strata behave exactly
+    #   like plain hash_sample at the default fraction (uniform map ≡
+    #   Bernoulli — a crisp identity, no tolerance)
+    # - shuffle_pos_stable: the permutation position of every doc is
+    #   layout-independent; shuffle_is_perm: positions are exactly 1..n
+    src_ids = docs.select("doc_id", "source")
+    samp1 = hash_sample(ids, 0.4).select("doc_id", F.lit(1).alias("m1"))
+    samp2 = hash_sample(ids.repartition(7), 0.4).select("doc_id", F.lit(1).alias("m2"))
+    plain = hash_sample(src_ids, 0.4).select("doc_id", F.lit(1).alias("mp"))
+    strat = stratified_sample(src_ids, {"src0": 0.0, "src1": 1.0},
+                              default_fraction=0.4).select("doc_id", F.lit(1).alias("ms"))
+    sampflags = (
+        ids.join(samp1, "doc_id", "left").join(samp2, "doc_id", "left")
+        .join(plain, "doc_id", "left").join(strat, "doc_id", "left")
+        .join(src_ids, "doc_id")
+        .select(
+            "doc_id",
+            (F.coalesce("m1", F.lit(0)) == F.coalesce("m2", F.lit(0))
+             ).alias("sample_stable"),
+            F.when(F.col("source") == "src0", F.col("ms").isNull())
+             .when(F.col("source") == "src1", F.col("ms").isNotNull())
+             .otherwise(F.coalesce("ms", F.lit(0)) == F.coalesce("mp", F.lit(0)))
+             .alias("strat_ok"),
+        )
+    )
+    rate_ok = (
+        samp1.agg(F.count(F.lit(1)).alias("k")).crossJoin(F.broadcast(tot))
+        .agg((F.max(F.abs(F.col("k") / F.col("t") - 0.4)) <= F.lit(0.08)
+              ).alias("sample_rate_ok"))
+    )
+    shuffle_w = Window.orderBy(F.xxhash64(F.lit(7), F.col("doc_id")), F.col("doc_id"))
+    sh1 = deterministic_shuffle(ids).withColumn(
+        "pos", F.row_number().over(shuffle_w).cast("bigint"))
+    sh2 = deterministic_shuffle(ids.repartition(11)).withColumn(
+        "pos2", F.row_number().over(shuffle_w).cast("bigint"))
+    shflags = sh1.join(sh2, "doc_id").select(
+        "doc_id", (F.col("pos") == F.col("pos2")).alias("shuffle_pos_stable"))
+    perm_ok = sh1.agg(
+        ((F.max("pos") == F.count(F.lit(1)))
+         & (F.count_distinct(F.col("pos")) == F.count(F.lit(1)))
+         ).alias("shuffle_is_perm"))
     cont = contamination_flags(docs, F.pmod(F.col("doc_id"), F.lit(89)) == 0, n=8)
     rep = ngram_repetition(docs, n=2)
     packed = pack_concat_chunks(
@@ -2365,12 +2474,18 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, "doc_id")
         .join(linesig, "doc_id")
         .join(packed, "doc_id")
+        .join(sampflags, "doc_id")
+        .join(shflags, "doc_id")
+        .crossJoin(F.broadcast(rate_ok))
+        .crossJoin(F.broadcast(perm_ok))
         .select(
             "doc_id", "cluster_id", "cluster_size", "is_canonical",
             (F.col("split") == F.col("split2")).alias("split_stable"),
             ((F.col("split") >= 0) & (F.col("split") <= len(weights) - 1)
              ).alias("split_in_range"),
             "fractions_ok",
+            "sample_stable", "strat_ok", "sample_rate_ok",
+            "shuffle_pos_stable", "shuffle_is_perm",
             "is_eval", "n_eval_grams_hit", "contaminated",
             "n_2grams", "top2_cnt", "top2_frac", "dup2_frac",
             "dup_line_frac", "dup_line_char_frac",
