@@ -1,14 +1,32 @@
-"""Minimal pure-Python NetCDF *classic* (CDF-1/CDF-2) reader + writer.
+"""Minimal pure-Python NetCDF *classic* (CDF-1/CDF-2/CDF-5) reader + writer.
 
 The classic file layout is a public Unidata specification (the "NetCDF
-Classic Format Spec"): a header — magic ``CDF\\x01``/``CDF\\x02``, numrecs,
-dim list, global attributes, variable list (name, dimids, attributes,
-nc_type, vsize, begin offset) — followed by fixed-size variable data stored
-contiguously, row-major, big-endian.  That simplicity makes a dependency-free
-fallback practical: ``NetCDF4Backend`` (sources/netcdf_import.py) uses the
-``netCDF4`` library when installed and this module otherwise, so the real
-file-import branch (reference ``oph_io_server_nc.c:755-1190``) is exercised
-end to end even in containers without the C library stack.
+Classic Format Spec"): a header — magic ``CDF\\x01``/``CDF\\x02``/
+``CDF\\x05``, numrecs, dim list, global attributes, variable list (name,
+dimids, attributes, nc_type, vsize, begin offset) — followed by fixed-size
+variable data stored contiguously, row-major, big-endian.  That simplicity
+makes a dependency-free fallback practical: ``NetCDF4Backend``
+(sources/netcdf_import.py) uses the ``netCDF4`` library when installed and
+this module otherwise, so the real file-import branch (reference
+``oph_io_server_nc.c:755-1190``) is exercised end to end even in containers
+without the C library stack.
+
+Format variants (all public specs):
+- **CDF-1**: 32-bit sizes/counts, 32-bit begin offsets.
+- **CDF-2** (64-bit *offset*): as CDF-1 but 64-bit begin offsets.
+- **CDF-5** (64-bit *data*, the pnetcdf extension adopted by netcdf-c): every
+  NON_NEG header entity (numrecs, list counts, name lengths, dim sizes,
+  ndims, dimids, vsize) widens to INT64, offsets are 64-bit, and five
+  integer types join the classic set: NC_UBYTE(7), NC_USHORT(8), NC_UINT(9),
+  NC_INT64(10), NC_UINT64(11).  Tags and nc_type stay 32-bit; 4-byte
+  alignment rules are unchanged; the STREAMING numrecs sentinel is the
+  all-ones INT64 (reads as −1 signed, same test as CDF-1/2).
+
+NetCDF-4/HDF5 is NOT covered (see README "Format support"): it is an HDF5
+container, and a hand-rolled HDF5 reader could not be independently
+verified in this environment (no h5py/netCDF4) — the ``netCDF4`` branch
+picks it up transparently where that library exists, exactly like the
+reference's libnetcdf does.
 
 Scope: all numeric nc_types, fixed-size AND record (unlimited-dimension)
 variables.  Record data follows the classic interleaved layout: per record
@@ -35,11 +53,12 @@ import numpy as np
 
 _MAGIC1 = b"CDF\x01"
 _MAGIC2 = b"CDF\x02"
+_MAGIC5 = b"CDF\x05"
 _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
 _NC_ATTRIBUTE = 0x0C
 
-# nc_type → (numpy big-endian dtype, element size)
+# nc_type → (numpy big-endian dtype, element size); 7-11 are CDF-5-only
 _TYPES = {
     1: (">i1", 1),  # NC_BYTE
     2: ("S1", 1),   # NC_CHAR
@@ -47,9 +66,18 @@ _TYPES = {
     4: (">i4", 4),  # NC_INT
     5: (">f4", 4),  # NC_FLOAT
     6: (">f8", 8),  # NC_DOUBLE
+    7: (">u1", 1),  # NC_UBYTE
+    8: (">u2", 2),  # NC_USHORT
+    9: (">u4", 4),  # NC_UINT
+    10: (">i8", 8),  # NC_INT64
+    11: (">u8", 8),  # NC_UINT64
 }
+_CDF5_ONLY_TYPES = frozenset({7, 8, 9, 10, 11})
 _REV_TYPES = {np.dtype(np.float64): 6, np.dtype(np.float32): 5,
-              np.dtype(np.int32): 4, np.dtype(np.int16): 3, np.dtype(np.int8): 1}
+              np.dtype(np.int32): 4, np.dtype(np.int16): 3, np.dtype(np.int8): 1,
+              np.dtype(np.uint8): 7, np.dtype(np.uint16): 8,
+              np.dtype(np.uint32): 9, np.dtype(np.int64): 10,
+              np.dtype(np.uint64): 11}
 
 
 def _pad4(n: int) -> int:
@@ -86,15 +114,21 @@ class ClassicReader:
     def _i4(self, f) -> int:
         return struct.unpack(">i", f.read(4))[0]
 
+    def _nn(self, f) -> int:
+        """NON_NEG header entity: INT in CDF-1/2, INT64 in CDF-5."""
+        if self._fmt == 5:
+            return struct.unpack(">q", f.read(8))[0]
+        return self._i4(f)
+
     def _name(self, f) -> str:
-        n = self._i4(f)
+        n = self._nn(f)
         s = f.read(n).decode()
         f.read(_pad4(n))
         return s
 
     def _skip_attrs(self, f) -> None:
         tag = self._i4(f)
-        count = self._i4(f)
+        count = self._nn(f)
         if tag == 0 and count == 0:
             return
         if tag != _NC_ATTRIBUTE:
@@ -102,42 +136,48 @@ class ClassicReader:
         for _ in range(count):
             self._name(f)
             t = self._i4(f)
-            n = self._i4(f)
+            n = self._nn(f)
             size = n * _TYPES[t][1]
             f.read(size + _pad4(size))
 
     def _parse(self, f) -> None:
         magic = f.read(4)
         if magic == _MAGIC1:
-            self._offsz = 4
+            self._fmt, self._offsz = 1, 4
         elif magic == _MAGIC2:
-            self._offsz = 8
+            self._fmt, self._offsz = 2, 8
+        elif magic == _MAGIC5:
+            self._fmt, self._offsz = 5, 8
         else:
             raise ValueError(f"not a classic NetCDF file: magic {magic!r}")
-        self.numrecs = self._i4(f)
+        # STREAMING sentinel: all-ones, reads as −1 signed in every variant
+        self.numrecs = self._nn(f)
         # dimensions
-        tag, count = self._i4(f), self._i4(f)
+        tag, count = self._i4(f), self._nn(f)
         self.dims: list[tuple[str, int]] = []
         if tag == _NC_DIMENSION:
             for _ in range(count):
                 nm = self._name(f)
-                self.dims.append((nm, self._i4(f)))
+                self.dims.append((nm, self._nn(f)))
         elif not (tag == 0 and count == 0):
             raise ValueError(f"bad dim list tag {tag}")
         self._skip_attrs(f)  # global attributes
         # the (at most one) unlimited dimension is the dim with size 0
         rec_dim = next((i for i, (_, sz) in enumerate(self.dims) if sz == 0), None)
         # variables
-        tag, count = self._i4(f), self._i4(f)
+        tag, count = self._i4(f), self._nn(f)
         self.vars: dict[str, ClassicVar] = {}
         if tag == _NC_VARIABLE:
             for _ in range(count):
                 nm = self._name(f)
-                ndims = self._i4(f)
-                dimids = [self._i4(f) for _ in range(ndims)]
+                ndims = self._nn(f)
+                dimids = [self._nn(f) for _ in range(ndims)]
                 self._skip_attrs(f)
                 nc_type = self._i4(f)
-                self._i4(f)  # vsize (padded; recomputed from shape)
+                if nc_type in _CDF5_ONLY_TYPES and self._fmt != 5:
+                    raise ValueError(
+                        f"variable {nm!r}: nc_type {nc_type} requires CDF-5")
+                self._nn(f)  # vsize (padded; recomputed from shape)
                 begin = (self._i4(f) if self._offsz == 4
                          else struct.unpack(">q", f.read(8))[0])
                 dn = [self.dims[d][0] for d in dimids]
@@ -196,20 +236,29 @@ class ClassicReader:
 
 
 def write_classic(path: str, dims: list[tuple[str, int]],
-                  variables: dict[str, tuple[list[str], np.ndarray]]) -> None:
-    """Write a CDF-1 classic file: ``dims`` = ordered (name, size);
-    ``variables`` maps name → (dim_names, row-major ndarray).
+                  variables: dict[str, tuple[list[str], np.ndarray]],
+                  version: int = 1) -> None:
+    """Write a classic file: ``dims`` = ordered (name, size); ``variables``
+    maps name → (dim_names, row-major ndarray).  ``version`` 1 (CDF-1,
+    default) or 5 (CDF-5: 64-bit header entities + the unsigned/64-bit
+    integer types).
 
     A dim with size 0 is the unlimited (record) dimension; variables whose
     FIRST dim is the unlimited one are written as record variables in the
     spec's interleaved record layout (numrecs taken from their arrays'
     first axis, which must agree)."""
+    if version not in (1, 5):
+        raise ValueError(f"version must be 1 (CDF-1) or 5 (CDF-5), got {version}")
     dim_index = {n: i for i, (n, _) in enumerate(dims)}
     unlim = next((n for n, sz in dims if sz == 0), None)
 
+    def nn(v: int) -> bytes:
+        """NON_NEG header entity: INT in CDF-1, INT64 in CDF-5."""
+        return struct.pack(">q" if version == 5 else ">i", v)
+
     def name_bytes(s: str) -> bytes:
         b = s.encode()
-        return struct.pack(">i", len(b)) + b + b"\x00" * _pad4(len(b))
+        return nn(len(b)) + b + b"\x00" * _pad4(len(b))
 
     items = [(n, dn, np.ascontiguousarray(a)) for n, (dn, a) in variables.items()]
     rec_items = [(n, dn, a) for n, dn, a in items if dn and dn[0] == unlim]
@@ -222,7 +271,11 @@ def write_classic(path: str, dims: list[tuple[str, int]],
         numrecs = lens.pop()
 
     def _nct(a):
-        return _REV_TYPES[np.dtype(a.dtype.newbyteorder("="))]
+        t = _REV_TYPES[np.dtype(a.dtype.newbyteorder("="))]
+        if t in _CDF5_ONLY_TYPES and version != 5:
+            raise ValueError(
+                f"dtype {a.dtype} (nc_type {t}) requires version=5 (CDF-5)")
+        return t
 
     def _recb(a):  # unpadded per-record byte size
         n = 1
@@ -231,13 +284,13 @@ def write_classic(path: str, dims: list[tuple[str, int]],
         return n * _TYPES[_nct(a)][1]
 
     header = bytearray()
-    header += _MAGIC1
-    header += struct.pack(">i", numrecs)
-    header += struct.pack(">ii", _NC_DIMENSION, len(dims))
+    header += _MAGIC5 if version == 5 else _MAGIC1
+    header += nn(numrecs)
+    header += struct.pack(">i", _NC_DIMENSION) + nn(len(dims))
     for n, sz in dims:
-        header += name_bytes(n) + struct.pack(">i", sz)
-    header += struct.pack(">ii", 0, 0)  # no global attrs
-    header += struct.pack(">ii", _NC_VARIABLE, len(variables))
+        header += name_bytes(n) + nn(sz)
+    header += struct.pack(">i", 0) + nn(0)  # no global attrs
+    header += struct.pack(">i", _NC_VARIABLE) + nn(len(variables))
 
     def var_block(name: str, dim_names: list[str], arr: np.ndarray,
                   begin: int, record: bool) -> bytes:
@@ -248,11 +301,13 @@ def write_classic(path: str, dims: list[tuple[str, int]],
             vsize = arr.size * _TYPES[nc_type][1]
         vsize += _pad4(vsize)
         blk = name_bytes(name)
-        blk += struct.pack(">i", len(dim_names))
+        blk += nn(len(dim_names))
         for dn in dim_names:
-            blk += struct.pack(">i", dim_index[dn])
-        blk += struct.pack(">ii", 0, 0)  # no var attrs
-        blk += struct.pack(">iii", nc_type, vsize, begin)
+            blk += nn(dim_index[dn])
+        blk += struct.pack(">i", 0) + nn(0)  # no var attrs
+        blk += struct.pack(">i", nc_type) + nn(vsize)
+        # begin offset: 32-bit in CDF-1, 64-bit in CDF-2/5
+        blk += struct.pack(">q" if version == 5 else ">i", begin)
         return bytes(blk)
 
     is_rec = {n: bool(dn) and dn[0] == unlim for n, dn, _ in items}

@@ -272,3 +272,130 @@ def test_classic_record_roundtrip_property(tmp_path):
         np.testing.assert_array_equal(r.read("v0", s, c), a0[sl].astype(np.float64))
 
     check()
+
+
+# -- CDF-5 (64-bit data classic format) ---------------------------------------
+
+
+def test_cdf5_magic_and_roundtrip_all_types(tmp_path):
+    """CDF-5: 64-bit header entities, all 11 numeric nc_types including the
+    CDF-5-only unsigned/64-bit integers — write → parse → read equals
+    source (public pnetcdf/netcdf-c '64-bit data' spec)."""
+    path = str(tmp_path / "c5.nc")
+    mk = lambda dt: np.arange(12, dtype=dt).reshape(3, 4)  # noqa: E731
+    arrs = {
+        "f8": mk(np.float64), "f4": mk(np.float32),
+        "i4": mk(np.int32), "i2": mk(np.int16), "i1": mk(np.int8),
+        "u1": mk(np.uint8), "u2": mk(np.uint16), "u4": mk(np.uint32),
+        "i8": mk(np.int64), "u8": mk(np.uint64),
+    }
+    write_classic(path, dims=[("y", 3), ("x", 4)],
+                  variables={n: (["y", "x"], a) for n, a in arrs.items()},
+                  version=5)
+    with open(path, "rb") as f:
+        assert f.read(4) == b"CDF\x05"
+    r = ClassicReader(path)
+    for n, a in arrs.items():
+        np.testing.assert_array_equal(r.read(n, (0, 0), (3, 4)),
+                                      a.astype(np.float64))
+        np.testing.assert_array_equal(r.read(n, (1, 1), (2, 2)),
+                                      a[1:3, 1:3].astype(np.float64))
+
+
+def test_cdf5_record_variables_and_streaming_numrecs(tmp_path):
+    """Record variables in CDF-5 use the same interleaved layout; the
+    STREAMING sentinel is the all-ones INT64 at offset 4 and numrecs must be
+    rederived from the file size."""
+    path = str(tmp_path / "c5rec.nc")
+    t, x = 6, 5
+    a = np.arange(t * x, dtype=np.int64).reshape(t, x)
+    b = (np.arange(t * x, dtype=np.float32) / 4).reshape(t, x)
+    write_classic(path, dims=[("time", 0), ("x", x)],
+                  variables={"a": (["time", "x"], a), "b": (["time", "x"], b)},
+                  version=5)
+    r = ClassicReader(path)
+    assert r.numrecs == t
+    np.testing.assert_array_equal(r.read("a", (0, 0), (t, x)), a)
+    np.testing.assert_array_equal(r.read("b", (2, 1), (3, 3)),
+                                  b[2:5, 1:4].astype(np.float64))
+    # patch numrecs to the 8-byte STREAMING sentinel
+    with open(path, "r+b") as f:
+        f.seek(4)
+        f.write(b"\xff" * 8)
+    r2 = ClassicReader(path)
+    assert r2.numrecs == t
+    np.testing.assert_array_equal(r2.read("a", (0, 0), (t, x)), a)
+
+
+def test_cdf5_only_types_rejected_in_cdf1(tmp_path):
+    import pytest
+
+    path = str(tmp_path / "bad.nc")
+    u = np.arange(6, dtype=np.uint32).reshape(2, 3)
+    with pytest.raises(ValueError, match="requires version=5"):
+        write_classic(path, dims=[("y", 2), ("x", 3)],
+                      variables={"u": (["y", "x"], u)})
+    with pytest.raises(ValueError, match="version must be"):
+        write_classic(path, dims=[("y", 2), ("x", 3)],
+                      variables={"u": (["y", "x"], u)}, version=2)
+
+
+def test_cdf5_cross_version_same_data(tmp_path):
+    """The same dataset written as CDF-1 and CDF-5 must read identically —
+    the format variant changes only header field widths, never values."""
+    d = (np.arange(24, dtype=np.float64) / 7).reshape(4, 6)
+    ids = np.arange(4, dtype=np.int32)
+    paths = {}
+    for v in (1, 5):
+        p = str(tmp_path / f"v{v}.nc")
+        write_classic(p, dims=[("id_dim", 4), ("array", 6)],
+                      variables={"m": (["id_dim", "array"], d),
+                                 "id_dim": (["id_dim"], ids)}, version=v)
+        paths[v] = p
+    r1, r5 = ClassicReader(paths[1]), ClassicReader(paths[5])
+    assert r1.var_dims("m") == r5.var_dims("m")
+    np.testing.assert_array_equal(r1.read("m", (0, 0), (4, 6)),
+                                  r5.read("m", (0, 0), (4, 6)))
+    np.testing.assert_array_equal(r1.read("id_dim", (0,), (4,)),
+                                  r5.read("id_dim", (0,), (4,)))
+
+
+def test_cdf5_record_roundtrip_property(tmp_path):
+    """Property sweep for the CDF-5 record layout across shapes, dtypes
+    (incl. CDF-5-only ones) and var counts — mirrors the CDF-1 sweep."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dtypes = [np.float64, np.int64, np.uint16, np.uint8, np.int16]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        t=st.integers(1, 6), lat=st.integers(1, 4), lon=st.integers(1, 3),
+        nvars=st.integers(1, 3), dt_idx=st.integers(0, len(dtypes) - 1),
+        seed=st.integers(0, 10_000),
+    )
+    def check(t, lat, lon, nvars, dt_idx, seed):
+        rng = np.random.default_rng(seed)
+        dt = dtypes[dt_idx]
+        lo = 0 if np.dtype(dt).kind == "u" else -100
+        path = str(tmp_path / f"c5p-{t}-{lat}-{lon}-{nvars}-{dt_idx}-{seed}.nc")
+        arrs = {
+            f"v{i}": (["time", "lat", "lon"],
+                      rng.integers(lo, 100, size=(t, lat, lon)).astype(dt))
+            for i in range(nvars)
+        }
+        write_classic(path, dims=[("time", 0), ("lat", lat), ("lon", lon)],
+                      variables=arrs, version=5)
+        r = ClassicReader(path)
+        assert r.numrecs == t
+        for name, (_, a) in arrs.items():
+            np.testing.assert_array_equal(
+                r.read(name, (0, 0, 0), (t, lat, lon)), a.astype(np.float64))
+        s = (int(rng.integers(0, t)), int(rng.integers(0, lat)), int(rng.integers(0, lon)))
+        c = (int(rng.integers(1, t - s[0] + 1)), int(rng.integers(1, lat - s[1] + 1)),
+             int(rng.integers(1, lon - s[2] + 1)))
+        sl = tuple(slice(x, x + n) for x, n in zip(s, c))
+        a0 = next(iter(arrs.values()))[1]
+        np.testing.assert_array_equal(r.read("v0", s, c), a0[sl].astype(np.float64))
+
+    check()
