@@ -2180,31 +2180,53 @@ def fragment_row_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "orders_topk_per_segment",
     oracle="""
-    SELECT c_mktsegment, o_orderkey, rnk, o_totalprice
+    WITH j AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    segn AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS seg_orders
+             FROM j GROUP BY c_mktsegment)
+    SELECT t.c_mktsegment, t.o_orderkey, t.rnk, t.o_totalprice, s.seg_orders
     FROM (
       SELECT c_mktsegment, o_orderkey, o_totalprice,
              CAST(row_number() OVER (PARTITION BY c_mktsegment
                                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
-      FROM orders JOIN customer ON o_custkey = c_custkey
-    ) WHERE rnk <= 5
-    ORDER BY c_mktsegment, rnk
+      FROM j
+    ) t JOIN segn s USING (c_mktsegment)
+    WHERE t.rnk <= 5
+    ORDER BY t.c_mktsegment, t.rnk
     """,
 )
 def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational window top-k (Spark-native superset of the reference's
-    ORDER+LIMIT): top 5 orders by price per market segment."""
+    ORDER+LIMIT): top 5 orders by price per market segment.
+
+    r5: the dim join runs through ``operators/skew.salted_join`` and the
+    per-segment totals through ``salted_count_by_key`` — the skew utilities'
+    CORRECTNESS contract (salting must never change results) is what the
+    unchanged-oracle hash verifies.  At this dim size a broadcast is the
+    faster plan (and what Catalyst picks for the plain join); salting is
+    the manual fallback for hot keys on two large sides — this row pins
+    result-equivalence, tests/test_skew_stress.py pins the balance."""
     from pyspark.sql import Window
 
+    from ophidia_io_server_spark.operators.skew import salted_count_by_key, salted_join
+
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    joined = salted_join(o, c, on="o_custkey")
+    segn = salted_count_by_key(joined, "c_mktsegment", salts=16).withColumnRenamed(
+        "n", "seg_orders")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        joined
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 5)
-        .select("c_mktsegment", "o_orderkey", "rnk", "o_totalprice")
+        .join(F.broadcast(segn), "c_mktsegment")
+        .select("c_mktsegment", "o_orderkey", "rnk", "o_totalprice", "seg_orders")
     )
 
 
@@ -2313,6 +2335,7 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS split_stable, TRUE AS split_in_range, TRUE AS fractions_ok,
            TRUE AS sample_stable, TRUE AS strat_ok, TRUE AS sample_rate_ok,
            TRUE AS shuffle_pos_stable, TRUE AS shuffle_is_perm,
+           TRUE AS pack_ff_ok,
            a.doc_id % 89 = 0 AS is_eval,
            c.n_eval_grams_hit,
            (NOT a.doc_id % 89 = 0) AND c.n_eval_grams_hit > 0 AS contaminated,
@@ -2375,7 +2398,11 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ophidia_io_server_spark.pipeline.decontaminate import contamination_flags
     from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs, resolve_duplicates
-    from ophidia_io_server_spark.pipeline.packing import pack_concat_chunks
+    from ophidia_io_server_spark.pipeline.packing import (
+        pack_concat_chunks,
+        pack_first_fit,
+        pack_next_fit,
+    )
     from ophidia_io_server_spark.pipeline.sampling import (
         deterministic_shuffle,
         hash_sample,
@@ -2456,6 +2483,44 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.max("pos") == F.count(F.lit(1)))
          & (F.count_distinct(F.col("pos")) == F.count(F.lit(1)))
          ).alias("shuffle_is_perm"))
+    # r5: no-split packing invariants (the pandas first-fit/next-fit kernels
+    # are not SQL-expressible, so their correctness contract rides the same
+    # boolean pattern): pack_ff_ok = layout-stable assignment AND every
+    # non-oversize sequence within budget AND first-fit needs no more
+    # sequences than next-fit (the discipline's defining inequality)
+    tok = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    ffa = pack_first_fit(tok, budget=256, n_buckets=8)
+    ffb = pack_first_fit(tok.repartition(9), budget=256, n_buckets=8)
+    nfa = pack_next_fit(tok, budget=256, n_buckets=8)
+    ffcols = ["pack_bucket", "seq_in_bucket", "seq_fill", "oversize"]
+    ff_stable = (
+        ffa.select("doc_id", *ffcols)
+        .join(ffb.select("doc_id", *[F.col(c).alias(f"{c}2") for c in ffcols]), "doc_id")
+        .agg(F.min(
+            (F.col("pack_bucket") == F.col("pack_bucket2"))
+            & (F.col("seq_in_bucket") == F.col("seq_in_bucket2"))
+            & (F.col("seq_fill") == F.col("seq_fill2"))
+            & (F.col("oversize") == F.col("oversize2"))
+        ).alias("stable"))
+    )
+    ff_budget = (
+        ffa.groupBy("pack_bucket", "seq_in_bucket")
+        .agg(F.sum("n_tokens").alias("tk"), F.count(F.lit(1)).alias("cnt"),
+             F.max(F.col("oversize").cast("int")).alias("ov"))
+        .agg(F.min((F.col("tk") <= 256)
+                   | ((F.col("cnt") == 1) & (F.col("ov") == 1))).alias("budget_ok"))
+    )
+    ff_tighter = (
+        ffa.agg(F.count_distinct(F.struct("pack_bucket", "seq_in_bucket")).alias("nff"))
+        .crossJoin(nfa.agg(
+            F.count_distinct(F.struct("pack_bucket", "seq_in_bucket")).alias("nnf")))
+        .select((F.col("nff") <= F.col("nnf")).alias("tighter"))
+    )
+    pack_ff = (
+        ff_stable.crossJoin(ff_budget).crossJoin(ff_tighter)
+        .select((F.col("stable") & F.col("budget_ok") & F.col("tighter")
+                 ).alias("pack_ff_ok"))
+    )
     cont = contamination_flags(docs, F.pmod(F.col("doc_id"), F.lit(89)) == 0, n=8)
     rep = ngram_repetition(docs, n=2)
     packed = pack_concat_chunks(
@@ -2478,6 +2543,7 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(shflags, "doc_id")
         .crossJoin(F.broadcast(rate_ok))
         .crossJoin(F.broadcast(perm_ok))
+        .crossJoin(F.broadcast(pack_ff))
         .select(
             "doc_id", "cluster_id", "cluster_size", "is_canonical",
             (F.col("split") == F.col("split2")).alias("split_stable"),
@@ -2485,7 +2551,7 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).alias("split_in_range"),
             "fractions_ok",
             "sample_stable", "strat_ok", "sample_rate_ok",
-            "shuffle_pos_stable", "shuffle_is_perm",
+            "shuffle_pos_stable", "shuffle_is_perm", "pack_ff_ok",
             "is_eval", "n_eval_grams_hit", "contaminated",
             "n_2grams", "top2_cnt", "top2_frac", "dup2_frac",
             "dup_line_frac", "dup_line_char_frac",

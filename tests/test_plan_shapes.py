@@ -46,13 +46,15 @@ def test_curation_and_contamination_no_cartesian(spark):
     sampling/shuffle invariants and decontamination: everything must stay
     equi-join shaped — the only cross joins are broadcast single-ROW
     invariant columns (r4: fractions_ok + its total; r5 adds sample_rate_ok
-    with its total, and shuffle_is_perm — five single-row broadcasts)."""
+    with its total, shuffle_is_perm, and the pack_ff_ok composite — which
+    itself combines three single-row aggregates — nine single-row
+    broadcasts total)."""
     p = plan_of(spark, "curation_split_clusters")
     assert "CartesianProduct" not in p
     # single-row invariant broadcasts are fine; a non-broadcast NLJ is not
     assert "NestedLoopJoin" not in p.replace("BroadcastNestedLoopJoin", "")
     bnlj = p.count("BroadcastNestedLoopJoin")
-    assert bnlj <= 5, f"unexpected extra BNLJ ({bnlj}) in curation plan"
+    assert bnlj <= 9, f"unexpected extra BNLJ ({bnlj}) in curation plan"
 
 
 def test_ivf_assignment_is_broadcast_not_literal(spark):
