@@ -19,9 +19,12 @@ Exact kernels take ``kernel=`` one of:
   workers, bit-exact left-to-right fold order matching the SQL oracles.
   Faster below a few thousand vectors, where Arrow transfer + Python
   worker spin-up dominates the tiny matmuls.
-- ``"auto"`` (default) — one ``count()`` of the input (metadata-only on
-  parquet) picks BLAS at ≥ ``AUTO_BLAS_MIN_ROWS`` rows, HOF below.
-  Callers that know their scale should pin the kernel explicitly.
+- ``"auto"`` (default) — dispatches on estimated DOT-PRODUCT count:
+  ``cosine_pairs`` on corpus size (n²/2 work → ``AUTO_BLAS_MIN_ROWS``),
+  the top-k family on q·n (queries × corpus; 10 queries over 20k vectors
+  still favor the JVM fold, 1000 favor BLAS 8.6× — ``AUTO_BLAS_MIN_WORK``).
+  Costs one or two ``count()`` jobs (metadata-only on parquet; cached base
+  for IVF).  Callers that know their scale should pin the kernel.
 
 Both kernels agree to the last bit on every value after the public 6-dp
 rounding at the tested scales (verified empirically over the full sf0.01 +
@@ -41,14 +44,28 @@ from pyspark.sql import functions as F
 
 from ophidia_io_server_spark.sources.tables import spread
 
-# Measured HOF↔BLAS crossover (PERF.md r5): HOF wins at 2k vectors, BLAS
-# wins ≥16× at 8k.  Between, the two are within noise of each other.
-AUTO_BLAS_MIN_ROWS = 4096
+# Measured HOF↔BLAS crossovers (PERF.md r5).  The right dispatch unit is
+# DOT PRODUCTS, not rows: cosine_pairs does ~n²/2 of them, the top-k family
+# q·n (queries × corpus), IVF rescore ~q·n·nprobe/nlist.  all-pairs: HOF
+# wins at 2k vectors (2e6 dots), BLAS wins ≥16× at 8k (3.2e7).  top-k at
+# n=20k: q=10 (2e5 dots) HOF 0.34 s vs BLAS 0.55 s; q=100 (2e6) BLAS 1.6×;
+# q=1000 (2e7) BLAS 8.6× (and 4.2× on the IVF rescore).
+AUTO_BLAS_MIN_ROWS = 4096        # all-pairs: n²/2 ≥ ~8e6 dots
+AUTO_BLAS_MIN_WORK = 1_000_000   # linear family: estimated dot products
 
 
 def _resolve_kernel(kernel: str, emb: DataFrame) -> str:
     if kernel == "auto":
         return "blas" if emb.count() >= AUTO_BLAS_MIN_ROWS else "hof"
+    if kernel not in ("blas", "hof"):
+        raise ValueError(f"kernel must be 'auto', 'blas' or 'hof', got {kernel!r}")
+    return kernel
+
+
+def _resolve_kernel_work(kernel: str, est_dots: float) -> str:
+    """Work-based dispatch for the linear (q·n) kernels."""
+    if kernel == "auto":
+        return "blas" if est_dots >= AUTO_BLAS_MIN_WORK else "hof"
     if kernel not in ("blas", "hof"):
         raise ValueError(f"kernel must be 'auto', 'blas' or 'hof', got {kernel!r}")
     return kernel
@@ -80,10 +97,18 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5,
 
     ``kernel="hof"``: broadcast-join + JVM fold; candidates stream by
     partition; per-query top-k is a window over (sim desc, vec_id)."""
-    kernel = _resolve_kernel(kernel, emb)
     base = with_norm(emb, vec_col).select(
         F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v"), F.col("_norm")
     )
+    if kernel == "auto":
+        # this operator's work is q·n dot products — dispatch on that, not
+        # on n alone (10 queries over 20k vectors still favors the JVM fold;
+        # 1000 queries favor BLAS 8.6×, PERF.md r5)
+        n = emb.count()
+        q = base.filter(query_pred).count()
+        kernel = _resolve_kernel_work(kernel, float(q) * n)
+    else:
+        kernel = _resolve_kernel(kernel, emb)  # validation only (not auto)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     if kernel == "blas":
         # driver pulls ONLY the query set — the exact rows F.broadcast would
@@ -348,11 +373,19 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
     top-k's), so the final merge aggregation sees ≤ q·nprobe·k rows.
     ``kernel="hof"`` is the cluster equi-join + JVM fold.
     """
-    kernel = _resolve_kernel(kernel, emb)
     spark = emb.sparkSession
     base = with_norm(emb, vec_col).select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("v"), "_norm"
     ).cache()
+    if kernel == "auto":
+        # rescore work ≈ q · n · nprobe/nlist dot products (the probed
+        # lists' share of the corpus per query) — counts run on the cached
+        # training base, so they cost one cache scan each
+        n = base.count()
+        q = base.filter(query_pred).count()
+        kernel = _resolve_kernel_work(kernel, float(q) * n * nprobe / max(nlist, 1))
+    else:
+        kernel = _resolve_kernel(kernel, emb)  # validation only (not auto)
 
     def cents_df(cents):
         return F.broadcast(spark.createDataFrame(

@@ -114,3 +114,19 @@ def test_cosine_pairs_blas_plan_is_cogroup(spark, emb):
     hof_plan = cosine_pairs(emb, threshold=0.4, kernel="hof")._jdf.queryExecution().executedPlan().toString()
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in blas_plan and bad not in hof_plan
+
+
+def test_work_based_dispatch_thresholds():
+    """The linear (q·n) family dispatches on estimated dot products — unit
+    check of the threshold function itself."""
+    from ophidia_io_server_spark.pipeline.similarity import (
+        AUTO_BLAS_MIN_WORK, _resolve_kernel_work)
+
+    assert _resolve_kernel_work("auto", AUTO_BLAS_MIN_WORK - 1) == "hof"
+    assert _resolve_kernel_work("auto", AUTO_BLAS_MIN_WORK) == "blas"
+    assert _resolve_kernel_work("blas", 0) == "blas"
+    assert _resolve_kernel_work("hof", 1e12) == "hof"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _resolve_kernel_work("gpu", 1.0)
