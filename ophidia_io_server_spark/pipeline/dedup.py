@@ -402,3 +402,88 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 7, text_col: str = "text",
         .where(F.col("jaccard") >= verify_jaccard)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# -- exact-substring span dedup ---------------------------------------------
+
+
+def duplicate_spans(docs: DataFrame, window: int = 8, text_col: str = "text",
+                    min_count: int = 2) -> DataFrame:
+    """Exact-substring duplication report (the ExactSubstr method of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed in shuffle-bounded Spark instead of a global suffix array):
+    every ``window``-token sliding window whose exact text occurs at least
+    ``min_count`` times corpus-wide marks a duplicated region; per document,
+    overlapping/adjacent duplicated windows are merged into maximal spans
+    (gaps-and-islands with window functions).
+
+    One row per document containing >=1 duplicated window:
+      ``doc_id, n_tokens, dup_windows, n_spans, dup_tokens, dup_frac``
+    where ``dup_tokens`` is the token count covered by the merged spans —
+    the amount ExactSubstr would cut from the doc.
+
+    Scale shape (100 TB):
+      - windows are shuffled as 8-byte ``xxhash64`` keys, never as strings
+        (collision odds over 1e13 windows ~ 1e-6 per corpus — the price of
+        not building a distributed suffix array);
+      - global counts via ``groupBy(h)`` get map-side partial aggregation,
+        and the join-back reuses the hash partitioning on the agg side while
+        AQE skew-join splits hot boilerplate windows;
+      - span merge is two window functions + two groupBys all keyed on
+        ``doc_id`` — a single exchange, per-doc state only.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    base = (
+        spread(docs)
+        .select("doc_id", toks.alias("ws"))
+        .where(F.size("ws") >= window)
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (window - 1)),
+                    lambda i: F.xxhash64(F.concat_ws(
+                        " ", *[F.element_at(F.col("ws"), (i + j).cast("int"))
+                               for j in range(window)])),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    dup = (
+        base.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    hits = base.join(dup, "h")
+    # gaps-and-islands: a window starts a new span iff it begins strictly
+    # after every earlier window's (exclusive) end
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    spans = (
+        hits.withColumn("prev_end", F.max(F.col("pos") + window).over(w_prev))
+        .withColumn("new_span",
+                    (F.col("pos") > F.coalesce("prev_end", F.lit(-1))).cast("int"))
+        .withColumn("grp", F.sum("new_span").over(w_run))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("wins"),
+            (F.max("pos") + window - F.min("pos")).alias("span_len"),
+        )
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.min("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("wins").cast("bigint").alias("dup_windows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        )
+        .withColumn("dup_frac", F.round(F.col("dup_tokens") / F.col("n_tokens"), 4))
+    )

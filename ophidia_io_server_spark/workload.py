@@ -1004,6 +1004,59 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          memo_key=(spark.sparkContext.applicationId, sf_dir))
 
 
+@workload(
+    "dedup_substring_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), win AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, u.i AS pos,
+             list_aggregate(ws[u.i:u.i+7], 'string_agg', ' ') AS gram
+      FROM tok, unnest(range(1, len(ws) - 6)) u(i)
+      WHERE len(ws) >= 8
+    ), dup AS (
+      SELECT gram FROM win GROUP BY gram HAVING COUNT(*) >= 2
+    ), hit AS (
+      SELECT w.doc_id, w.n_tokens, w.pos FROM win w JOIN dup d USING (gram)
+    ), marked AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hit
+    ), grp AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, MIN(n_tokens) AS n_tokens, COUNT(*) AS wins,
+             MAX(pos) + 8 - MIN(pos) AS span_len
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(wins) AS BIGINT) AS dup_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(span_len) * 1.0 / MIN(n_tokens), 4) AS dup_frac
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 2022 ExactSubstr):
+    corpus-wide duplicated 8-token windows merged into per-document maximal
+    spans — the span-level dedup that MinHash/SimHash (document-level) miss.
+    The oracle mirrors the gaps-and-islands formulation on gram text; the
+    engine shuffles xxhash64 keys instead of strings."""
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, window=8)
+
+
 _LANG_SETS = {
     "de": "['der','die','das','und','ist','nicht','ein','mit']",
     "en": "['the','a','of','and','is','to','in','that']",

@@ -340,3 +340,74 @@ def test_char_entropy(spark):
     e_en = _doc(spark, "the quick brown fox jumps over the lazy dog").select(
         char_entropy_col(F.col("text")).alias("e")).collect()[0].e
     assert 2.5 < e_en < 4.5  # natural-language range
+
+
+# -- exact-substring span dedup ---------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_duplicate_spans_basic_and_merge(spark):
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    # doc0/doc1 share a 10-token run -> 3 overlapping dup windows (W=8)
+    # merging into ONE span of 10 tokens in each doc
+    shared = " ".join(f"s{i}" for i in range(10))
+    texts = [
+        "a0 a1 a2 " + shared + " a3 a4",
+        "b0 " + shared + " b1 b2 b3 b4 b5",
+        " ".join(f"c{i}" for i in range(20)),  # no duplication
+    ]
+    got = {r["doc_id"]: r.asDict() for r in duplicate_spans(_docs(spark, texts), window=8).collect()}
+    assert set(got) == {0, 1}
+    for d in (0, 1):
+        assert got[d]["dup_windows"] == 3
+        assert got[d]["n_spans"] == 1
+        assert got[d]["dup_tokens"] == 10
+    assert got[0]["n_tokens"] == 15
+    assert got[0]["dup_frac"] == round(10 / 15, 4)
+
+
+def test_duplicate_spans_disjoint_spans_and_self_repeat(spark):
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    # one doc repeating the same 8-token run twice WITH a gap: the window
+    # occurs twice corpus-wide (both inside doc0) -> two disjoint spans
+    run = " ".join(f"r{i}" for i in range(8))
+    texts = ["x0 " + run + " g0 g1 g2 g3 " + run + " x1"]
+    rows = duplicate_spans(_docs(spark, texts), window=8).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["dup_windows"] == 2
+    assert r["n_spans"] == 2
+    assert r["dup_tokens"] == 16
+
+
+def test_duplicate_spans_adjacent_windows_merge(spark):
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    # doc0 contains the 16-token run once; doc1 contains its two 8-token
+    # halves separately -> in doc0 windows at pos0 and pos8 are adjacent
+    # (pos8 == prev end) and must merge into one 16-token span
+    half1 = " ".join(f"h{i}" for i in range(8))
+    half2 = " ".join(f"k{i}" for i in range(8))
+    texts = [
+        half1 + " " + half2,
+        half1 + " z0 z1 z2 z3 z4 z5 z6 z7 " + half2,
+    ]
+    got = {r["doc_id"]: r.asDict() for r in duplicate_spans(_docs(spark, texts), window=8).collect()}
+    assert got[0]["n_spans"] == 1
+    assert got[0]["dup_tokens"] == 16
+    assert got[1]["n_spans"] == 2
+    assert got[1]["dup_tokens"] == 16
+
+
+def test_duplicate_spans_short_docs_skipped(spark):
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    texts = ["only five tokens in here", "only five tokens in here"]
+    assert duplicate_spans(_docs(spark, texts), window=8).count() == 0
