@@ -230,7 +230,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
                        quality_col: str | None = None,
-                       max_iter: int = 25) -> DataFrame:
+                       max_iter: int = 25, method: str = "min_label") -> DataFrame:
     """Full near-dup resolution: docs + pairs → every document labelled with
     its duplicate cluster and a canonical-keeper flag.
 
@@ -240,10 +240,18 @@ def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
     lowest doc_id when no quality column is given.  Filtering
     ``is_canonical`` implements keep-best dedup; the non-canonical rows keep
     their cluster_id for provenance.
+
+    ``method``: ``"min_label"`` (rounds = graph diameter; right for LSH
+    near-cliques) or ``"star"`` (large-star/small-star contraction,
+    O(log² n) rounds regardless of diameter — the robust choice when the
+    duplicate graph's shape is unknown).
     """
     from pyspark.sql import Window
 
-    clusters = dup_clusters(pairs, max_iter=max_iter)
+    if method not in ("min_label", "star"):
+        raise ValueError(f"unknown CC method {method!r}: use 'min_label' or 'star'")
+    cc = dup_clusters if method == "min_label" else dup_clusters_star
+    clusters = cc(pairs, max_iter=max_iter)
     labelled = (
         docs.join(clusters, "doc_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
@@ -486,4 +494,80 @@ def duplicate_spans(docs: DataFrame, window: int = 8, text_col: str = "text",
             F.sum("span_len").cast("bigint").alias("dup_tokens"),
         )
         .withColumn("dup_frac", F.round(F.col("dup_tokens") / F.col("n_tokens"), 4))
+    )
+
+
+def dup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") —
+    same output contract as ``dup_clusters`` (``doc_id, cluster_id`` =
+    component-minimum doc_id, only for documents appearing in a pair).
+
+    Why a second algorithm: min-label propagation needs rounds = graph
+    DIAMETER, which is fine for LSH near-cliques (≤3) but degrades on
+    chain-shaped duplicate graphs (A~B~C~... from sliding near-dup windows,
+    template families, crawl mirrors-of-mirrors).  Star contraction converges
+    in O(log² n) rounds REGARDLESS of diameter, so it is the robust default
+    when the pair graph's shape is unknown at 100 TB.
+
+    Each round is two groupBy+join passes over the edge list (strictly
+    shuffle-bounded; edges only ever point to smaller ids, so the edge count
+    never grows beyond the input after round 1).  Convergence is detected by
+    an order-independent (count, xxhash64-sum) checksum of the edge set —
+    one tiny aggregate per round, no edge-set diff join.  Raises rather than
+    returning a half-contracted clustering if ``max_iter`` is hit.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        # large-star: every neighbour v > u links to min(N(u) ∪ {u})
+        both = edges.select("a", "b").union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = both.groupBy("a").agg(F.min("b").alias("mb"))
+        large = (
+            both.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.least("a", "mb").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: neighbours v ≤ u (and u itself) link to min(N⁻(u) ∪ {u})
+        small_in = large.select(F.greatest("a", "b").alias("a"),
+                                F.least("a", "b").alias("b"))
+        mins2 = small_in.groupBy("a").agg(F.min("b").alias("mb"))
+        edges = (
+            small_in.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("mb").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("mb").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(edges)
+        if cur == prev:
+            roots = edges.select(F.col("b").alias("doc_id")).distinct()
+            return (
+                edges.select(F.col("a").alias("doc_id"),
+                             F.col("b").alias("cluster_id"))
+                .union(roots.select("doc_id", F.col("doc_id").alias("cluster_id")))
+                .distinct()
+            )
+        prev = cur
+    raise RuntimeError(
+        f"dup_clusters_star did not converge in {max_iter} rounds — "
+        "pathological edge set; raise max_iter"
     )

@@ -411,3 +411,54 @@ def test_duplicate_spans_short_docs_skipped(spark):
 
     texts = ["only five tokens in here", "only five tokens in here"]
     assert duplicate_spans(_docs(spark, texts), window=8).count() == 0
+
+
+# -- star-contraction connected components ----------------------------------
+
+
+def test_star_cc_matches_min_label(spark):
+    import random
+
+    from ophidia_io_server_spark.pipeline.dedup import dup_clusters, dup_clusters_star
+
+    rng = random.Random(7)
+    nodes = list(range(1, 61))
+    edges = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)}
+    pairs = _pairs(spark, sorted(edges))
+    a = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    b = {r["doc_id"]: r["cluster_id"] for r in dup_clusters_star(pairs).collect()}
+    assert a == b
+
+
+def test_star_cc_long_path_few_rounds(spark):
+    from ophidia_io_server_spark.pipeline.dedup import dup_clusters_star
+
+    # path of 120 nodes (diameter 119): min-label would need 119 rounds;
+    # star contraction must finish well inside 12
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 120)])
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters_star(pairs, max_iter=12).collect()}
+    assert got == {i: 1 for i in range(1, 121)}
+
+
+def test_star_cc_cliques_and_pair(spark):
+    from ophidia_io_server_spark.pipeline.dedup import dup_clusters_star
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4),
+                           (10, 11), (10, 12), (11, 12), (20, 21)])
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters_star(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_resolve_duplicates_star_method_equivalent(spark):
+    from ophidia_io_server_spark.pipeline.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    cols = ["doc_id", "cluster_id", "cluster_size", "is_canonical"]
+    a = sorted(tuple(r) for r in resolve_duplicates(docs, pairs).select(cols).collect())
+    b = sorted(tuple(r) for r in resolve_duplicates(docs, pairs, method="star").select(cols).collect())
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        resolve_duplicates(docs, pairs, method="bogus")
