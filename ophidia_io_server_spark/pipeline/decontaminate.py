@@ -20,6 +20,8 @@ SQL oracles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,128 @@ def contamination_flags(docs: DataFrame, eval_pred: Column, n: int = 8,
         sh.select("doc_id", F.explode("shingles").alias("g"))
         .join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_grams_hit"))
+    )
+    return (
+        docs.select("doc_id", eval_pred.alias("is_eval"))
+        .join(hits, "doc_id", "left")
+        .withColumn("n_eval_grams_hit",
+                    F.coalesce("n_eval_grams_hit", F.lit(0).cast("bigint")))
+        .withColumn("contaminated",
+                    ~F.col("is_eval") & (F.col("n_eval_grams_hit") > 0))
+    )
+
+
+# -- Bloom-filter prefilter (the beyond-broadcast scale path) ---------------
+
+
+def build_gram_bloom(grams: DataFrame, col: str = "g",
+                     fpp: float = 0.01) -> tuple:
+    """Build a Bloom filter over a gram column, distributively.
+
+    Spark's own ``bloom_filter_agg`` is not in the public function registry,
+    so the bitmap is assembled with plain DataFrame algebra: k bit positions
+    per gram via Kirsch-Mitzenmacher double hashing of two JVM ``xxhash64``
+    values, ``groupBy(word_index).agg(bit_or)`` (map-side combined), and
+    only the NON-ZERO 64-bit words ever reach the driver — the full bitmap
+    for 1e7 grams at 1% FP is ~12 MB, far under broadcast limits where the
+    gram STRINGS would be GBs.
+
+    Returns ``(bitmap: np.ndarray[int64], m_bits: int, k: int)``.
+    """
+    import math
+
+    n = grams.count()
+    if n == 0:
+        return np.zeros(1, dtype=np.int64), 64, 1
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole words
+    k = max(1, round(m / n * math.log(2)))
+    h = grams.select(
+        F.xxhash64(F.col(col)).alias("h1"),
+        F.xxhash64(F.col(col), F.lit(0x9E3779B9)).alias("h2"),
+    )
+    pos = h.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(F.col("h1") + i.cast("bigint") * F.col("h2"),
+                                 F.lit(m)),
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(F.shiftright("p", 6).alias("w"),
+                   F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("bit"))
+        .groupBy("w").agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    # int64 words throughout: the probe side's bit test must match JVM signed
+    # semantics (pmod on wrapped bigint ≡ numpy int64 floor-mod)
+    bitmap = np.zeros(m // 64, dtype=np.int64)
+    for r in words:
+        bitmap[int(r["w"])] = np.int64(r["word"])
+    return bitmap, m, k
+
+
+def _bloom_member_col(bitmap, m: int, k: int, spark, h1, h2):
+    """Vectorized Arrow-batched membership test over (h1, h2) hash columns
+    against a broadcast bitmap — numpy fancy indexing, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def member(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        bm = bc.value
+        a = h1s.to_numpy(dtype=np.int64)
+        b = h2s.to_numpy(dtype=np.int64)
+        if len(a) == 0:
+            return pd.Series([], dtype=bool)
+        # int64 wraparound multiply/add + floor-mod == the JVM build side's
+        # (ANSI-off) bigint wrap + pmod, bit for bit
+        with np.errstate(over="ignore"):
+            idx = (a[:, None]
+                   + np.arange(k, dtype=np.int64)[None, :] * b[:, None]) % np.int64(m)
+        hit = (bm[idx >> 6] >> (idx & 63)) & np.int64(1)
+        return pd.Series((hit == 1).all(axis=1))
+
+    return member(h1, h2)
+
+
+def contamination_flags_bloom(docs: DataFrame, eval_pred: Column, n: int = 8,
+                              text_col: str = "text",
+                              fpp: float = 0.01) -> DataFrame:
+    """``contamination_flags`` for benchmark sets too large to broadcast as
+    gram strings: the corpus side is prefiltered through a Bloom filter of
+    the eval grams (a few MB broadcast regardless of eval-set size), then
+    the survivors — eval-gram hits plus the fpp false positives — go through
+    the same EXACT equi-join, so the output is bit-identical to the
+    broadcast path (pytest pins the equivalence).  The exact join's left
+    side is now |hits|·(1+fpp) rows instead of the whole corpus gram
+    stream, so it shuffles a sliver of the corpus."""
+    from ophidia_io_server_spark.pipeline.dedup import shingle_df
+
+    spark = docs.sparkSession
+    sh = shingle_df(docs, n, text_col)
+    eval_ids = docs.where(eval_pred).select("doc_id")
+    eval_grams = (
+        sh.join(F.broadcast(eval_ids), "doc_id")
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    bitmap, m, k = build_gram_bloom(eval_grams, "g", fpp)
+    corpus = (
+        sh.select("doc_id", F.explode("shingles").alias("g"))
+        .withColumn("h1", F.xxhash64("g"))
+        .withColumn("h2", F.xxhash64("g", F.lit(0x9E3779B9)))
+    )
+    survivors = corpus.where(
+        _bloom_member_col(bitmap, m, k, spark, F.col("h1"), F.col("h2"))
+    ).select("doc_id", "g")
+    hits = (
+        survivors.join(eval_grams, "g")  # exact verify: no broadcast hint —
+        .groupBy("doc_id")               # the point is eval > broadcast range
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_grams_hit"))
     )
     return (

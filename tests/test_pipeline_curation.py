@@ -462,3 +462,61 @@ def test_resolve_duplicates_star_method_equivalent(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         resolve_duplicates(docs, pairs, method="bogus")
+
+
+# -- Bloom-prefiltered decontamination ---------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    # build/probe bit-for-bit consistency: every inserted gram MUST test
+    # positive (this is what the wraparound-semantics matching guarantees)
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.decontaminate import (
+        _bloom_member_col, build_gram_bloom)
+
+    grams = spark.createDataFrame(
+        [(f"gram {i} alpha beta",) for i in range(500)], "g string")
+    bitmap, m, k = build_gram_bloom(grams, "g", fpp=0.01)
+    probed = grams.withColumn("h1", F.xxhash64("g")).withColumn(
+        "h2", F.xxhash64("g", F.lit(0x9E3779B9)))
+    hits = probed.where(
+        _bloom_member_col(bitmap, m, k, spark, F.col("h1"), F.col("h2"))
+    ).count()
+    assert hits == 500
+    # and unrelated grams mostly miss (FP rate ~1%; allow generous slack)
+    other = spark.createDataFrame(
+        [(f"other {i} gamma delta",) for i in range(500)], "g string")
+    fp = other.withColumn("h1", F.xxhash64("g")).withColumn(
+        "h2", F.xxhash64("g", F.lit(0x9E3779B9)))
+    nfp = fp.where(
+        _bloom_member_col(bitmap, m, k, spark, F.col("h1"), F.col("h2"))
+    ).count()
+    assert nfp <= 25
+
+
+def test_bloom_decontamination_equivalent(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.decontaminate import (
+        contamination_flags, contamination_flags_bloom)
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pred = F.col("doc_id") % 17 == 0
+    cols = ["doc_id", "is_eval", "n_eval_grams_hit", "contaminated"]
+    a = sorted(tuple(r) for r in contamination_flags(docs, pred).select(cols).collect())
+    b = sorted(tuple(r) for r in contamination_flags_bloom(docs, pred).select(cols).collect())
+    assert a == b
+
+
+def test_bloom_empty_eval_set(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.decontaminate import contamination_flags_bloom
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+        "doc_id long, text string")
+    out = contamination_flags_bloom(docs, F.lit(False)).collect()
+    assert all(r["n_eval_grams_hit"] == 0 and not r["contaminated"] for r in out)
