@@ -1057,6 +1057,50 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, window=8)
 
 
+_CLS_W = "((b * 2654435761) % 2000001) / 1000000.0 - 1.0"
+
+
+@workload(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, list_concat(ws,
+        list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs
+      FROM tok
+    ), bk AS (
+      SELECT doc_id, list_transform(fs, t ->
+          CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 65536) AS bs
+      FROM feat
+    ), sc AS (
+      SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_features,
+             CASE WHEN len(bs) > 0 THEN
+               list_reduce(list_concat([0.0], list_transform(bs,
+                   b -> {_CLS_W})), (a, c) -> a + c) / len(bs)
+             ELSE 0.0 END AS raw
+      FROM bk
+    )
+    SELECT doc_id, n_features, ROUND(raw, 6) AS quality_score,
+           raw > 0.0 AS keep
+    FROM sc ORDER BY doc_id
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-n-gram linear classifier scoring — the
+    model-based quality-filter step (CCNet / GPT-3-style) — on the scan-only
+    weight-expression path: unigram+bigram features, md5-bucket hashing
+    (identical in Spark and DuckDB), deterministic closed-form weights
+    standing in for an offline-trained model.  The general
+    ``(bucket, weight)``-table path is pinned equivalent in pytest."""
+    from ophidia_io_server_spark.pipeline.classifier import (
+        demo_weight_fn, score_with_weight_expr)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return score_with_weight_expr(docs, demo_weight_fn, n_buckets=65536)
+
+
 _LANG_SETS = {
     "de": "['der','die','das','und','ist','nicht','ein','mit']",
     "en": "['the','a','of','and','is','to','in','that']",

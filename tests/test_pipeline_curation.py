@@ -520,3 +520,52 @@ def test_bloom_empty_eval_set(spark):
         "doc_id long, text string")
     out = contamination_flags_bloom(docs, F.lit(False)).collect()
     assert all(r["n_eval_grams_hit"] == 0 and not r["contaminated"] for r in out)
+
+
+# -- hashed n-gram linear classifier -----------------------------------------
+
+
+def test_classifier_paths_equivalent(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.classifier import (
+        demo_weight_fn, hashed_feature_buckets_col, score_with_weight_expr,
+        score_with_weights_df)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "lorem ipsum dolor"),
+         (3, ""), (4, "single"), (5, "a b a b a b a b")],
+        "doc_id long, text string")
+    nb = 4096
+    # materialize the closed-form weights into a (bucket, weight) table
+    weights = (
+        docs.select(F.explode(
+            hashed_feature_buckets_col(F.col("text"), nb)).alias("bucket"))
+        .distinct()
+        .select("bucket", demo_weight_fn(F.col("bucket")).alias("weight"))
+    )
+    a = {r["doc_id"]: r for r in
+         score_with_weight_expr(docs, demo_weight_fn, n_buckets=nb).collect()}
+    b = {r["doc_id"]: r for r in
+         score_with_weights_df(docs, weights, n_buckets=nb).collect()}
+    assert set(a) == set(b) == {1, 2, 3, 4, 5}
+    for d in a:
+        assert a[d]["n_features"] == b[d]["n_features"]
+        assert abs(a[d]["quality_score"] - b[d]["quality_score"]) <= 1e-6
+        assert a[d]["keep"] == b[d]["keep"]
+    # featureless doc: zero features, bias score, not kept at threshold 0
+    assert a[3]["n_features"] == 0 and a[3]["quality_score"] == 0.0 and not a[3]["keep"]
+    # unigrams + bigrams: 5 tokens -> 5 + 4 features
+    assert a[1]["n_features"] == 9
+
+
+def test_classifier_threshold_and_bias(spark):
+    from ophidia_io_server_spark.pipeline.classifier import (
+        demo_weight_fn, score_with_weight_expr)
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    lo = score_with_weight_expr(docs, demo_weight_fn, threshold=-10.0).collect()[0]
+    hi = score_with_weight_expr(docs, demo_weight_fn, threshold=10.0).collect()[0]
+    assert lo["keep"] and not hi["keep"]
+    shifted = score_with_weight_expr(docs, demo_weight_fn, bias=5.0).collect()[0]
+    assert abs((shifted["quality_score"] - 5.0) - lo["quality_score"]) <= 2e-6
