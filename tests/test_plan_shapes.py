@@ -73,3 +73,23 @@ def test_sketch_single_aggregation_pass(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     # one scan NODE (the formatted detail section repeats the node header)
     assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_substring_spans_shape(spark):
+    # one hash-exchange for the global window count, doc_id exchange shared by
+    # windows+groupBys, no cartesian, no Python in the plan
+    p = plan_of(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_classifier_scan_only(spark):
+    # the weight-expression path must stay a pure projection: no join, no
+    # aggregate exchange — scoring is embarrassingly parallel at 100 TB
+    p = plan_of(spark, "quality_classifier_score")
+    assert "Join" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    import re
+    # only the dev-local spread() round-robin exchange is allowed
+    assert not re.search(r"Exchange hashpartitioning", p)
