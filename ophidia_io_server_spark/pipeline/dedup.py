@@ -571,3 +571,91 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         f"dup_clusters_star did not converge in {max_iter} rounds — "
         "pathological edge set; raise max_iter"
     )
+
+
+def remove_duplicate_spans(docs: DataFrame, window: int = 8,
+                           text_col: str = "text", min_count: int = 2,
+                           keep_in_min_doc: bool = True) -> DataFrame:
+    """Apply ExactSubstr dedup: cut every duplicated span (as defined by
+    ``duplicate_spans``) out of the corpus text.
+
+    ``keep_in_min_doc=True`` (default) preserves ONE occurrence of each
+    duplicated region: a window is only marked for removal if it is not the
+    corpus-wide canonical occurrence (minimum ``(doc_id, pos)`` among its
+    duplicates) — computed with ``min_by`` inside the same groupBy that
+    counts occurrences, so canonicalization costs no extra shuffle.  With
+    ``False`` every occurrence is cut (Lee et al.'s simpler variant).
+
+    Returns all input columns with ``text`` replaced by the cleaned text
+    plus ``n_tokens, dup_tokens, text_clean`` metadata.  Token-level cut:
+    the cleaned text is the space-join of tokens outside every removed
+    span — whitespace runs are normalized, the documented divergence from
+    byte-level cutting.
+
+    Scale: same two shuffles as ``duplicate_spans`` plus one groupBy(doc_id)
+    to collect span structs (few per doc) and one broadcast-free join back
+    to the docs table on doc_id; the per-token span test is an ``exists``
+    over the doc's own span array (spans per doc ≪ tokens per doc).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    base = (
+        spread(docs)
+        .select("doc_id", toks.alias("ws"))
+        .where(F.size("ws") >= window)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (window - 1)),
+                    lambda i: F.xxhash64(F.concat_ws(
+                        " ", *[F.element_at(F.col("ws"), (i + j).cast("int"))
+                               for j in range(window)])),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    stats = base.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    ).where(F.col("cnt") >= min_count)
+    hits = base.join(stats, "h")
+    if keep_in_min_doc:
+        hits = hits.where(
+            (F.col("doc_id") != F.col("keeper.doc_id"))
+            | (F.col("pos") != F.col("keeper.pos")))
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    spans = (
+        hits.withColumn("prev_end", F.max(F.col("pos") + window).over(w_prev))
+        .withColumn("new_span",
+                    (F.col("pos") > F.coalesce("prev_end", F.lit(-1))).cast("int"))
+        .withColumn("grp", F.sum("new_span").over(w_run))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + window).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    with_spans = docs.join(spans, "doc_id", "left")
+    ws = tokens_col(F.col(text_col))
+    kept = F.filter(
+        F.zip_with(ws, F.sequence(F.lit(0), F.size(ws) - 1),
+                   lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda p: ~F.exists(
+            F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>")),
+            lambda sp: (p["i"] >= sp["s"]) & (p["i"] < sp["e"]),
+        ),
+    )
+    cleaned = F.concat_ws(" ", F.transform(kept, lambda p: p["t"]))
+    return with_spans.withColumn(
+        "n_tokens", F.size(ws).cast("bigint")
+    ).withColumn(
+        "dup_tokens",
+        F.coalesce(
+            F.aggregate("spans", F.lit(0),
+                        lambda a, sp: a + (sp["e"] - sp["s"])),
+            F.lit(0)).cast("bigint"),
+    ).withColumn("text_clean", cleaned).drop("spans")

@@ -569,3 +569,51 @@ def test_classifier_threshold_and_bias(spark):
     assert lo["keep"] and not hi["keep"]
     shifted = score_with_weight_expr(docs, demo_weight_fn, bias=5.0).collect()[0]
     assert abs((shifted["quality_score"] - 5.0) - lo["quality_score"]) <= 2e-6
+
+
+def test_remove_duplicate_spans_keep_canonical(spark):
+    from ophidia_io_server_spark.pipeline.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    texts = [
+        "a0 a1 " + shared + " a2",          # doc 0: canonical (min doc_id)
+        "b0 " + shared + " b1 b2 b3 b4",    # doc 1: occurrence cut
+        "c0 c1 c2 c3 c4 c5 c6 c7 c8",       # doc 2: untouched
+    ]
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(
+        _docs(spark, texts), window=8).collect()}
+    assert out[0]["text_clean"] == texts[0]          # canonical kept whole
+    assert out[0]["dup_tokens"] == 0
+    assert out[1]["text_clean"] == "b0 b1 b2 b3 b4"  # span cut, rest joined
+    assert out[1]["dup_tokens"] == 10
+    assert out[2]["text_clean"] == texts[2]
+    assert out[2]["dup_tokens"] == 0
+
+
+def test_remove_duplicate_spans_cut_all(spark):
+    from ophidia_io_server_spark.pipeline.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    texts = ["x " + shared, shared + " y"]
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(
+        _docs(spark, texts), window=8, keep_in_min_doc=False).collect()}
+    assert out[0]["text_clean"] == "x"
+    assert out[1]["text_clean"] == "y"
+    assert out[0]["dup_tokens"] == out[1]["dup_tokens"] == 8
+
+
+def test_remove_duplicate_spans_report_consistency(spark):
+    # dup_tokens of the cut (keep_in_min_doc=False) matches duplicate_spans'
+    # report for every doc; docs absent from the report keep dup_tokens 0
+    from ophidia_io_server_spark.pipeline.dedup import (duplicate_spans,
+                                                        remove_duplicate_spans)
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rep = {r["doc_id"]: r["dup_tokens"]
+           for r in duplicate_spans(docs, window=8).collect()}
+    cut = {r["doc_id"]: r["dup_tokens"]
+           for r in remove_duplicate_spans(docs, window=8,
+                                           keep_in_min_doc=False).collect()}
+    assert all(cut[d] == rep.get(d, 0) for d in cut)
+    assert sum(1 for v in cut.values() if v > 0) == len(rep)
