@@ -275,3 +275,124 @@ def quality_features(df: DataFrame, text_col: str = "text",
         score.alias("quality_score"),
         *(extra or []),
     )
+
+
+# -- Gopher quality rules (Rae et al. 2021, appendix A1.1) -------------------
+
+# the paper's stop set for the "contains ≥2 stop words" rule
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_cols(text: Column, min_words: int = 50,
+                        max_words: int = 100_000,
+                        min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                        max_symbol_ratio: float = 0.1,
+                        max_bullet_frac: float = 0.9,
+                        max_ellipsis_frac: float = 0.3,
+                        min_alpha_frac: float = 0.8,
+                        min_stop_hits: int = 2) -> dict[str, Column]:
+    """The canonical Gopher document-quality rule set as named Columns, for
+    single-scan folding (same contract as ``redact_cols``): word-count
+    bounds, mean word length, symbol-to-word ratio (# and ellipsis),
+    bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+    presence, and the conjunction ``gopher_keep``.  Everything is JVM
+    Column algebra with explicit 0-word/0-line guards, mirrored exactly by
+    the SQL oracle.  (The paper's repetition rules are the separate
+    ``dup_line*``/``ngram_repetition`` operators.)"""
+    ws = tokens_col(text)
+    n = F.size(ws)
+    nl = F.lit(None).cast("double")
+    mean_len = F.when(n <= 0, nl).otherwise(F.round(
+        F.aggregate(ws, F.lit(0).cast("bigint"),
+                    lambda a, w: a + F.length(w)) / n, 4))
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_cnt = (F.length(text)
+               - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.when(n <= 0, nl).otherwise(
+        F.round((hash_cnt + ell_cnt) / n, 4))
+    alpha_frac = F.when(n <= 0, nl).otherwise(F.round(
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / n, 4))
+    low = F.transform(ws, F.lower)
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    stop_hits = F.size(F.filter(stops, lambda s: F.array_contains(low, s)))
+    ls = lines_col(text)
+    nln = F.size(ls)
+    bullet_frac = F.when(nln <= 0, nl).otherwise(F.round(
+        F.size(F.filter(ls, lambda l: F.ltrim(l).startswith("-")
+                        | F.ltrim(l).startswith("*")
+                        | F.ltrim(l).startswith("•"))) / nln, 4))
+    ellipsis_frac = F.when(nln <= 0, nl).otherwise(F.round(
+        F.size(F.filter(ls, lambda l: F.rtrim(l).endswith("...")
+                        | F.rtrim(l).endswith("…"))) / nln, 4))
+    keep = (
+        (n >= min_words) & (n <= max_words)
+        & mean_len.between(min_mean_len, max_mean_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & F.coalesce(bullet_frac <= max_bullet_frac, F.lit(True))
+        & F.coalesce(ellipsis_frac <= max_ellipsis_frac, F.lit(True))
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return {
+        "n_words": n.cast("bigint"),
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": symbol_ratio,
+        "frac_alpha_words": alpha_frac,
+        "n_stop_hits": stop_hits.cast("bigint"),
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "gopher_keep": F.coalesce(keep, F.lit(False)),
+    }
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
+                         **thresholds) -> DataFrame:
+    """``docs`` + the Gopher rule columns (one projection, no shuffle)."""
+    out = docs
+    for name, col in gopher_quality_cols(F.col(text_col), **thresholds).items():
+        out = out.withColumn(name, col)
+    return out
+
+
+# -- C4 line/page filters (Raffel et al. 2020, §2.2) -------------------------
+
+
+def c4_filter_cols(text: Column, min_line_words: int = 5,
+                   min_sentences: int = 3) -> dict[str, Column]:
+    """C4's cleaning rules as named Columns: keep lines that end in terminal
+    punctuation and carry ≥ ``min_line_words`` words; drop pages with fewer
+    than ``min_sentences`` sentences, a ``{`` (code), or "lorem ipsum".
+    Emits the cleaned text (kept lines re-joined) plus the decision
+    columns — the bad-word list of the original is deliberately out of
+    scope."""
+    ls = lines_col(text)
+    kept = F.filter(
+        ls,
+        lambda l: (F.rtrim(l).endswith(".") | F.rtrim(l).endswith("!")
+                   | F.rtrim(l).endswith("?") | F.rtrim(l).endswith('"'))
+        & (F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+           >= min_line_words),
+    )
+    n_sent = F.length(text) - F.length(F.regexp_replace(text, r"[.!?]", ""))
+    has_brace = text.contains("{")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    keep = ((n_sent >= min_sentences) & ~has_brace & ~has_lorem)
+    return {
+        "n_lines": F.size(ls).cast("bigint"),
+        "n_kept_lines": F.size(kept).cast("bigint"),
+        "c4_kept_frac": F.when(F.size(ls) <= 0, F.lit(None).cast("double"))
+                         .otherwise(F.round(F.size(kept) / F.size(ls), 4)),
+        "text_c4": F.concat_ws("\n", kept),
+        "c4_n_sentences": n_sent.cast("bigint"),
+        "c4_has_brace": F.coalesce(has_brace, F.lit(False)),
+        "c4_has_lorem": F.coalesce(has_lorem, F.lit(False)),
+        "c4_keep": F.coalesce(keep, F.lit(False)),
+    }
+
+
+def c4_filters(docs: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    """``docs`` + the C4 filter columns (one projection, no shuffle)."""
+    out = docs
+    for name, col in c4_filter_cols(F.col(text_col), **kw).items():
+        out = out.withColumn(name, col)
+    return out

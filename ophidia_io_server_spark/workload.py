@@ -1057,6 +1057,96 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, window=8)
 
 
+_GOPHER_STOPS_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@workload(
+    "curation_quality_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, ws, ls,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
+          list_reduce(list_concat([CAST(0 AS BIGINT)],
+              list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+              (a, b) -> a + b) / len(ws), 4) END AS mean_word_len,
+        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
+          ((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3)
+          / len(ws), 4) END AS symbol_word_ratio,
+        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
+          len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+          * 1.0 / len(ws), 4) END AS frac_alpha_words,
+        CAST(len(list_filter({_GOPHER_STOPS_SQL},
+          s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+          AS BIGINT) AS n_stop_hits,
+        CASE WHEN len(ls) <= 0 THEN NULL ELSE ROUND(
+          len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+              OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+          * 1.0 / len(ls), 4) END AS bullet_line_frac,
+        CASE WHEN len(ls) <= 0 THEN NULL ELSE ROUND(
+          len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+              OR ends_with(rtrim(l), '…')))
+          * 1.0 / len(ls), 4) END AS ellipsis_line_frac,
+        list_filter(ls, l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+              OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+              AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5)
+          AS kept,
+        length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS n_sent,
+        contains(text, '{{') AS has_brace,
+        contains(lower(text), 'lorem ipsum') AS has_lorem
+      FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           frac_alpha_words, n_stop_hits, bullet_line_frac, ellipsis_line_frac,
+           COALESCE(n_words >= 50 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_word_ratio <= 0.1
+             AND COALESCE(bullet_line_frac <= 0.9, TRUE)
+             AND COALESCE(ellipsis_line_frac <= 0.3, TRUE)
+             AND frac_alpha_words >= 0.8
+             AND n_stop_hits >= 2, FALSE) AS gopher_keep,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CASE WHEN len(ls) <= 0 THEN NULL
+                ELSE ROUND(len(kept) * 1.0 / len(ls), 4) END AS c4_kept_frac,
+           COALESCE(list_aggregate(kept, 'string_agg', chr(10)), '') AS text_c4,
+           CAST(n_sent AS BIGINT) AS c4_n_sentences,
+           COALESCE(has_brace, FALSE) AS c4_has_brace,
+           COALESCE(has_lorem, FALSE) AS c4_has_lorem,
+           COALESCE(n_sent >= 3 AND NOT has_brace AND NOT has_lorem, FALSE)
+             AS c4_keep
+    FROM g ORDER BY doc_id
+    """,
+)
+def curation_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two canonical published rule-based corpus filters in one scan:
+    Gopher document-quality rules (Rae et al. 2021 A1.1 — word-count bounds,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stop-word presence) and C4 line/page cleaning
+    (Raffel et al. 2020 §2.2 — terminal-punctuation line keep, sentence
+    minimum, brace/lorem-ipsum page drops) with the cleaned text emitted.
+    Pure JVM Column algebra, zero shuffles."""
+    from ophidia_io_server_spark.pipeline.text import (c4_filter_cols,
+                                                       gopher_quality_cols)
+
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    gcols = gopher_quality_cols(F.col("text"))
+    ccols = c4_filter_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in gcols.items()],
+        *[c.alias(n) for n, c in ccols.items()],
+    )
+
+
 _CLS_W = "((b * 2654435761) % 2000001) / 1000000.0 - 1.0"
 
 

@@ -617,3 +617,51 @@ def test_remove_duplicate_spans_report_consistency(spark):
                                            keep_in_min_doc=False).collect()}
     assert all(cut[d] == rep.get(d, 0) for d in cut)
     assert sum(1 for v in cut.values() if v > 0) == len(rep)
+
+
+# -- Gopher rules + C4 filters ----------------------------------------------
+
+
+def test_gopher_rules_branches(spark):
+    from ophidia_io_server_spark.pipeline.text import gopher_quality_flags
+
+    good = " ".join(["the and that have with words here now then"] * 6)  # 54 words
+    texts = [
+        good,                                   # passes every rule
+        "short doc",                            # word count too low
+        good + " " + "#" * 40,                  # symbol ratio blown
+        " ".join(["12345 67890"] * 30),         # no alpha words, no stops
+        "- one\n- two\n- three",                # all bullet lines (and short)
+    ]
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_quality_flags(_docs(spark, texts)).collect()}
+    assert got[0]["gopher_keep"] is True
+    assert got[0]["n_stop_hits"] >= 2
+    assert got[1]["gopher_keep"] is False and got[1]["n_words"] == 2
+    assert got[2]["gopher_keep"] is False
+    assert got[2]["symbol_word_ratio"] > 0.1
+    assert got[3]["gopher_keep"] is False and got[3]["frac_alpha_words"] == 0.0
+    assert got[4]["bullet_line_frac"] == 1.0 and got[4]["gopher_keep"] is False
+
+
+def test_c4_filters_line_and_page_rules(spark):
+    from ophidia_io_server_spark.pipeline.text import c4_filters
+
+    texts = [
+        "This is a proper sentence line.\nshort one.\nno terminal punct here\n"
+        "Another full sentence with enough words!\nAnd a third one right here?",
+        "lorem ipsum dolor sit amet and more words here.",
+        "function f() { return 1; } This has code. More code! Even more?",
+        "",
+    ]
+    got = {r["doc_id"]: r.asDict() for r in c4_filters(_docs(spark, texts)).collect()}
+    d0 = got[0]
+    assert d0["n_lines"] == 5 and d0["n_kept_lines"] == 3
+    assert d0["text_c4"] == ("This is a proper sentence line.\n"
+                             "Another full sentence with enough words!\n"
+                             "And a third one right here?")
+    assert d0["c4_keep"] is True and d0["c4_n_sentences"] == 4
+    assert got[1]["c4_has_lorem"] is True and got[1]["c4_keep"] is False
+    assert got[2]["c4_has_brace"] is True and got[2]["c4_keep"] is False
+    assert got[3]["n_lines"] == 0 and got[3]["text_c4"] == "" \
+        and got[3]["c4_keep"] is False
