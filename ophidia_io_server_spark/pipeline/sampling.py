@@ -100,3 +100,70 @@ def deterministic_shuffle(df: DataFrame, key_col: str = "doc_id",
     Changing ``seed`` gives an independent permutation.
     """
     return df.orderBy(F.xxhash64(F.lit(seed), F.col(key_col)), F.col(key_col))
+
+
+def select_token_budget(df: DataFrame, budget: int,
+                        quality_col: str = "quality",
+                        tokens_col: str = "n_tokens",
+                        key_col: str = "doc_id") -> DataFrame:
+    """Fill a training-token budget with the best documents: take rows in
+    (``quality_col`` DESC, ``key_col`` ASC) order while the cumulative token
+    count BEFORE each row is under ``budget`` — the budget overshoots by at
+    most one document, never undershoots while data remains.
+
+    The naive formulation is a global sort + running sum — a single-partition
+    window at 100 TB.  This implementation never builds a global order:
+
+    1. ``groupBy(quality)`` → per-value token totals (map-side combined; the
+       quality histogram is tiny relative to the corpus — quality scores are
+       rounded/quantized by every upstream scorer here);
+    2. the driver cumulative-scans the sorted histogram (thousands of
+       entries) into per-class OFFSETS (tokens in all better classes) and
+       finds the threshold class — classes above it are taken whole, classes
+       below dropped before any shuffle;
+    3. ``cum_before`` = class offset (broadcast-joined) + a running sum
+       windowed PER QUALITY CLASS (ordered by ``key_col``) — partitions are
+       single classes, never the corpus.  A pathologically popular quality
+       value is the one skew risk; quantize scores coarser if one class
+       outgrows a partition.
+
+    Output = the selected rows + ``cum_before``, row-identical to the
+    global-sort formulation (the gate row's SQL oracle computes exactly that
+    global window for the comparison).
+    """
+    from pyspark.sql import Window
+
+    q = F.col(quality_col)
+    hist = (
+        df.groupBy(q.alias("_q"))
+        .agg(F.sum(F.col(tokens_col).cast("bigint")).alias("_toks"))
+        .orderBy(F.col("_q").desc())
+        .collect()
+    )
+    offsets, run, thresh = [], 0, None
+    for r in hist:
+        if run >= budget:
+            break
+        offsets.append((r["_q"], run))
+        thresh = r["_q"]
+        run += r["_toks"]
+    if thresh is None:  # zero budget or empty input
+        return df.withColumn("cum_before", F.lit(0).cast("bigint")).limit(0)
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, schema=f"_q double, _off long") \
+        if isinstance(hist[0]["_q"], float) else \
+        spark.createDataFrame(offsets, schema="_q long, _off long")
+    w = (Window.partitionBy(q)
+         .orderBy(F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        df.where(q >= F.lit(thresh))
+        .join(F.broadcast(off), q == F.col("_q"))
+        .withColumn(
+            "cum_before",
+            (F.col("_off")
+             + F.coalesce(F.sum(F.col(tokens_col).cast("bigint")).over(w),
+                          F.lit(0))).cast("bigint"))
+        .where(F.col("cum_before") < budget)
+        .drop("_q", "_off")
+    )

@@ -1147,6 +1147,52 @@ def curation_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "token_budget_select",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS BIGINT) AS n_tokens,
+             ROUND(list_reduce(list_concat([CAST(0 AS BIGINT)],
+                 list_transform(list_filter(string_split(text, ' '),
+                                            w -> w <> ''),
+                                w -> CAST(length(w) AS BIGINT))),
+                 (a, b) -> a + b)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 4)
+               AS quality
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, quality,
+             COALESCE(SUM(n_tokens) OVER (
+                ORDER BY quality DESC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, quality, CAST(cum_before AS BIGINT) AS cum_before
+    FROM o WHERE cum_before < 8000 ORDER BY doc_id
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: fill an 8k-token training budget with
+    the best documents (quality = mean word length here; any scorer works).
+    The ORACLE is the textbook global-sort running sum; the ENGINE never
+    builds a global order — histogram → driver threshold scan → per-class
+    windows (`pipeline/sampling.py:select_token_budget`) — and must produce
+    row-identical output including the exact ``cum_before`` audit column."""
+    from ophidia_io_server_spark.pipeline.sampling import select_token_budget
+    from ophidia_io_server_spark.pipeline.text import (mean_token_len_col,
+                                                       token_count_col)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        mean_token_len_col(F.col("text")).alias("quality"),
+    )
+    return select_token_budget(docs, 8000, "quality", "n_tokens")
+
+
 _CLS_W = "((b * 2654435761) % 2000001) / 1000000.0 - 1.0"
 
 

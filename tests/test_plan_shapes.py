@@ -93,3 +93,11 @@ def test_classifier_scan_only(spark):
     import re
     # only the dev-local spread() round-robin exchange is allowed
     assert not re.search(r"Exchange hashpartitioning", p)
+
+
+def test_token_budget_no_global_window(spark):
+    # the engine must never sort the corpus into one partition: no
+    # single-partition Exchange, window partitioned by the quality class
+    p = plan_of(spark, "token_budget_select")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p

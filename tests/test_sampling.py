@@ -108,3 +108,41 @@ def test_validation_errors(docs):
         hash_split(docs, [0.0])
     with pytest.raises(ValueError):
         stratified_sample(docs, {"web": -0.1})
+
+
+# -- token-budget selection --------------------------------------------------
+
+
+def test_token_budget_semantics(spark):
+    from ophidia_io_server_spark.pipeline.sampling import select_token_budget
+
+    rows = [  # (doc_id, n_tokens, quality)
+        (1, 100, 0.9), (2, 100, 0.9), (3, 100, 0.7),
+        (4, 100, 0.5), (5, 100, 0.5), (6, 100, 0.3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality double")
+    got = {r["doc_id"]: r["cum_before"]
+           for r in select_token_budget(df, 250, "quality", "n_tokens").collect()}
+    # order: 1,2 (0.9) then 3 (0.7); cum_before 0,100,200; doc 3 overshoots
+    # the 250 budget but started under it; doc 4 (cum 300) excluded
+    assert got == {1: 0, 2: 100, 3: 200}
+    # boundary INSIDE a tied class: budget 150 → docs 1 and 2 only
+    got2 = {r["doc_id"]: r["cum_before"]
+            for r in select_token_budget(df, 150, "quality", "n_tokens").collect()}
+    assert got2 == {1: 0, 2: 100}
+    # zero budget → empty; huge budget → everything with exact global cumsum
+    assert select_token_budget(df, 0, "quality", "n_tokens").count() == 0
+    all_rows = {r["doc_id"]: r["cum_before"]
+                for r in select_token_budget(df, 10**9, "quality", "n_tokens").collect()}
+    assert all_rows == {1: 0, 2: 100, 3: 200, 4: 300, 5: 400, 6: 500}
+
+
+def test_token_budget_layout_independent(spark):
+    from ophidia_io_server_spark.pipeline.sampling import select_token_budget
+
+    rows = [(i, 10 + (i % 7), round(((i * 37) % 11) / 10.0, 4)) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality double")
+    df8 = df1.repartition(8)
+    a = sorted(tuple(r) for r in select_token_budget(df1, 900, "quality", "n_tokens").collect())
+    b = sorted(tuple(r) for r in select_token_budget(df8, 900, "quality", "n_tokens").collect())
+    assert a == b and len(a) > 0
