@@ -119,3 +119,80 @@ def demo_weight_fn(bucket: Column) -> Column:
     and the SQL oracle compute exactly: ((b·2654435761) mod 2000001)/1e6 − 1.
     Takes the place of offline-trained weights in tests and the gate row."""
     return ((bucket * F.lit(2654435761)) % F.lit(2000001)) / F.lit(1000000.0) - F.lit(1.0)
+
+
+# -- DSIR importance weights (Xie et al. 2023) -------------------------------
+
+
+def dsir_logratio_weights(docs: DataFrame, target_pred,
+                          n_buckets: int = 1 << 16, text_col: str = "text",
+                          alpha: float = 1.0, scale: int = 10_000) -> DataFrame:
+    """Per-bucket importance weights for Data Selection via Importance
+    Resampling: ``w(f) = ln(p_target(f) / p_raw(f))`` over hashed n-gram
+    features, with add-``alpha`` smoothing on both distributions.
+
+    Weights are emitted as INTEGER ``w_int = round(w · scale)`` — summing
+    integers is shuffle-order-free, so document scores are bit-reproducible
+    across layouts AND mirror exactly in the SQL oracle (a float sum would
+    drift in the last ulp with aggregation order).  At ``scale=1e4`` the
+    quantization error per feature is ≤ 5e-5 — far below any selection
+    threshold anyone uses.
+
+    Returns ``(bucket, w_int)`` with at most ``n_buckets`` rows — broadcast
+    range by construction, whatever the corpus size.
+    """
+    feats = hashed_feature_buckets_col(F.col(text_col), n_buckets)
+    base = spread(docs).select(target_pred.alias("_t"), feats.alias("bs"))
+    counts = (
+        base.select("_t", F.explode("bs").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+    )
+    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr")).collect()[0]
+    tt, tr = totals["tt"] or 0, totals["tr"] or 0
+    a, d = float(alpha), float(n_buckets)
+    return counts.select(
+        "bucket",
+        F.round(
+            (F.log((F.col("ct") + a) / (tt + a * d))
+             - F.log((F.col("cr") + a) / (tr + a * d))) * scale
+        ).cast("bigint").alias("w_int"),
+    )
+
+
+def dsir_scores(docs: DataFrame, target_pred, n_buckets: int = 1 << 16,
+                text_col: str = "text", alpha: float = 1.0,
+                scale: int = 10_000) -> DataFrame:
+    """Score every document by summed importance weight of its features:
+    ``doc_id, n_features, dsir_score`` (mean per-feature log ratio, 4 dp;
+    0.0 for featureless docs — they carry no evidence either way).
+
+    Plan: the weight table is ≤ ``n_buckets`` rows → broadcast join against
+    the exploded corpus features, one groupBy(doc_id) summing INTEGERS, so
+    the whole scorer is one corpus shuffle with map-side combine.  Features
+    absent from the weight table cannot exist (weights cover every observed
+    bucket), so the join is inner."""
+    w = dsir_logratio_weights(docs, target_pred, n_buckets, text_col, alpha, scale)
+    feats = hashed_feature_buckets_col(F.col(text_col), n_buckets)
+    base = spread(docs).select(
+        "doc_id", feats.alias("bs"), F.size(feats).cast("bigint").alias("n_features"))
+    summed = (
+        base.select("doc_id", F.explode("bs").alias("bucket"))
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w_int").alias("wsum"))
+    )
+    return (
+        base.select("doc_id", "n_features")
+        .join(summed, "doc_id", "left")
+        .select(
+            "doc_id", "n_features",
+            F.when(F.col("n_features") > 0,
+                   F.round(F.coalesce("wsum", F.lit(0))
+                           / (F.lit(float(scale)) * F.col("n_features")), 4))
+            .otherwise(F.lit(0.0)).alias("dsir_score"),
+        )
+    )

@@ -1193,6 +1193,62 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_token_budget(docs, 8000, "quality", "n_tokens")
 
 
+@workload(
+    "dsir_importance",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source, list_concat(ws,
+        list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs
+      FROM tok
+    ), bk AS (
+      SELECT doc_id, source, list_transform(fs, t ->
+          CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 65536) AS bs
+      FROM feat
+    ), ex AS (
+      SELECT doc_id, source, u.b AS bucket FROM bk, unnest(bs) u(b)
+    ), cnt AS (
+      SELECT bucket,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM ex GROUP BY bucket
+    ), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+    w AS (
+      SELECT bucket,
+             CAST(ROUND((ln((ct + 1.0) / (tt + 65536.0))
+                       - ln((cr + 1.0) / (tr + 65536.0))) * 10000)
+               AS BIGINT) AS w_int
+      FROM cnt, tot
+    ), sums AS (
+      SELECT e.doc_id, SUM(w.w_int) AS wsum
+      FROM ex e JOIN w USING (bucket) GROUP BY e.doc_id
+    ), nf AS (
+      SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_features FROM bk
+    )
+    SELECT nf.doc_id, nf.n_features,
+           CASE WHEN nf.n_features > 0
+                THEN ROUND(COALESCE(s.wsum, 0) / (10000.0 * nf.n_features), 4)
+                ELSE 0.0 END AS dsir_score
+    FROM nf LEFT JOIN sums s ON nf.doc_id = s.doc_id
+    ORDER BY nf.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-document mean log-likelihood ratio of hashed
+    n-gram features between the target domain (source = 'src0' stands in)
+    and the raw corpus.  Weights are integer-scaled so shuffle-order cannot
+    move a single bit of the score — the oracle recomputes the identical
+    integer pipeline in SQL."""
+    from ophidia_io_server_spark.pipeline.classifier import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_scores(docs, F.col("source") == "src0", n_buckets=65536)
+
+
 _CLS_W = "((b * 2654435761) % 2000001) / 1000000.0 - 1.0"
 
 

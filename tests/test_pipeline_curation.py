@@ -665,3 +665,44 @@ def test_c4_filters_line_and_page_rules(spark):
     assert got[2]["c4_has_brace"] is True and got[2]["c4_keep"] is False
     assert got[3]["n_lines"] == 0 and got[3]["text_c4"] == "" \
         and got[3]["c4_keep"] is False
+
+
+# -- DSIR importance scoring -------------------------------------------------
+
+
+def test_dsir_separates_domains(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.classifier import dsir_scores
+
+    # target docs use one vocabulary, raw-only docs another: target-like
+    # docs must score higher
+    tgt = [" ".join(["alpha beta gamma delta"] * 5)] * 4
+    raw = [" ".join(["omega psi chi phi"] * 5)] * 4
+    docs = spark.createDataFrame(
+        [(i, t, "tgt") for i, t in enumerate(tgt)]
+        + [(100 + i, t, "raw") for i, t in enumerate(raw)],
+        "doc_id long, text string, source string")
+    got = {r["doc_id"]: r["dsir_score"]
+           for r in dsir_scores(docs, F.col("source") == "tgt",
+                                n_buckets=4096).collect()}
+    assert all(got[i] > got[100 + j] for i in range(4) for j in range(4))
+    # and scores are layout-independent (integer weight sums)
+    got8 = {r["doc_id"]: r["dsir_score"]
+            for r in dsir_scores(docs.repartition(8),
+                                 F.col("source") == "tgt",
+                                 n_buckets=4096).collect()}
+    assert got == got8
+
+
+def test_dsir_weight_table_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.classifier import dsir_logratio_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}", "s") for i in range(50)],
+        "doc_id long, text string, source string")
+    w = dsir_logratio_weights(docs, F.col("source") == "s", n_buckets=256)
+    assert w.count() <= 256
+    assert dict(w.dtypes)["w_int"] == "bigint"
