@@ -181,3 +181,50 @@ def contamination_flags_bloom(docs: DataFrame, eval_pred: Column, n: int = 8,
         .withColumn("contaminated",
                     ~F.col("is_eval") & (F.col("n_eval_grams_hit") > 0))
     )
+
+
+def source_overlap_matrix(docs: DataFrame, n: int = 8,
+                          group_col: str = "source",
+                          text_col: str = "text",
+                          memo_key: tuple | None = None) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the dataset-audit view of
+    contamination: for every pair of sources, how many distinct word
+    n-grams they share and the gram-set Jaccard.  High overlap between a
+    crawl slice and a curated slice signals mirroring/leakage and informs
+    mixing weights.
+
+    Scale shape: grams are reduced to DISTINCT (gram, source) pairs first
+    (groupBy with map-side combine — the corpus never self-joins), then the
+    pair counts come from a self equi-join on gram whose per-gram fan-out is
+    bounded by the number of SOURCES (a handful), not documents.  One row
+    per unordered source pair.
+    """
+    from ophidia_io_server_spark.pipeline.dedup import shingle_df
+
+    sh = shingle_df(docs, n, text_col, memo_key=memo_key)
+    gs = (
+        docs.select("doc_id", F.col(group_col).alias("src"))
+        .join(sh, "doc_id")
+        .select("src", F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    sizes = gs.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = gs.alias("a"), gs.alias("b")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col("src").alias("src_a"),
+                                F.col("n").alias("n_grams_a")), "src_a")
+        .join(sizes.select(F.col("src").alias("src_b"),
+                           F.col("n").alias("n_grams_b")), "src_b")
+        .select(
+            "src_a", "src_b", "n_grams_a", "n_grams_b", "n_shared",
+            F.round(F.col("n_shared")
+                    / (F.col("n_grams_a") + F.col("n_grams_b")
+                       - F.col("n_shared")), 6).alias("jaccard"),
+        )
+    )

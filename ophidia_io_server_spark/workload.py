@@ -1249,6 +1249,47 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(docs, F.col("source") == "src0", n_buckets=65536)
 
 
+@workload(
+    "source_overlap_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM tok WHERE len(ws) >= 3
+    ), gsrc AS (
+      SELECT DISTINCT source AS src, u.g AS g FROM sh, unnest(gs) u(g)
+    ), sizes AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM gsrc GROUP BY src
+    ), inter AS (
+      SELECT a.src AS src_a, b.src AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM gsrc a JOIN gsrc b USING (g) WHERE a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT src_a, src_b, sa.n AS n_grams_a, sb.n AS n_grams_b, n_shared,
+           ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.src = src_a
+               JOIN sizes sb ON sb.src = src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram overlap matrix — the dataset-audit operator:
+    distinct-gram Jaccard for every source pair, from distinct (gram,
+    source) pairs so the per-gram join fan-out is bounded by the source
+    count, never the corpus."""
+    from ophidia_io_server_spark.pipeline.decontaminate import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(
+        docs, n=3, memo_key=(spark.sparkContext.applicationId, sf_dir))
+
+
 _CLS_W = "((b * 2654435761) % 2000001) / 1000000.0 - 1.0"
 
 

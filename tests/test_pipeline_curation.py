@@ -706,3 +706,24 @@ def test_dsir_weight_table_bounded(spark):
     w = dsir_logratio_weights(docs, F.col("source") == "s", n_buckets=256)
     assert w.count() <= 256
     assert dict(w.dtypes)["w_int"] == "bigint"
+
+
+def test_source_overlap_matrix_math(spark):
+    from ophidia_io_server_spark.pipeline.decontaminate import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s1"),       # grams: abc bcd cde
+            (2, "c d e f g", "s2"),       # grams: cde def efg  (shares cde)
+            (3, "x y z w v", "s3"),       # disjoint
+            (4, "a b c d e", "s1"),       # duplicate doc: distinct per source
+        ],
+        "doc_id long, text string, source string")
+    rows = {(r["src_a"], r["src_b"]): r.asDict()
+            for r in source_overlap_matrix(docs, n=3).collect()}
+    r12 = rows[("s1", "s2")]
+    assert r12["n_grams_a"] == 3 and r12["n_grams_b"] == 3
+    assert r12["n_shared"] == 1
+    assert r12["jaccard"] == round(1 / 5, 6)
+    # disjoint source pairs emit no row (inner join on shared grams)
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
