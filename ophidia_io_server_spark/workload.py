@@ -1435,13 +1435,16 @@ def _redact_oracle_exprs() -> str:
            ) AS fp,
            {_redact_oracle_exprs()},
            (n_url + n_email + n_ipv4 + n_phone) > 0 AS has_pii,
+           -- ln(n) - (sum of c*ln(c))/n with terms in SORTED-char order:
+           -- the exact summation sequence of the engine's run-length fold
            CASE WHEN len(cs) <= 0 THEN 0.0 ELSE ROUND(
-             list_reduce(
-               list_concat([0.0], list_transform(list_distinct(cs), d ->
-                 -(len(list_filter(cs, c -> c = d)) * 1.0 / len(cs))
-                  * ln(len(list_filter(cs, c -> c = d)) * 1.0 / len(cs)))),
+             ln(len(cs)) - list_reduce(
+               list_concat([0.0], list_transform(
+                 list_distinct(list_sort(cs)),
+                 d -> len(list_filter(cs, c -> c = d))
+                      * ln(len(list_filter(cs, c -> c = d))))),
                (a, b) -> a + b
-             ), 4) END AS char_entropy
+             ) / len(cs), 4) END AS char_entropy
     FROM tok ORDER BY doc_id
     """,
 )
