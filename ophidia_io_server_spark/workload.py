@@ -1290,6 +1290,56 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, memo_key=(spark.sparkContext.applicationId, sf_dir))
 
 
+@workload(
+    "embedding_pca_invariants",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS dims_ok, TRUE AS mean_centered,
+           TRUE AS variances_descending, TRUE AS decorrelated,
+           TRUE AS whitened_unit_var
+    FROM embeddings
+    """,
+)
+def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA/whitening (`pipeline/embeddings.py`) verified by the
+    invariant-boolean pattern: the engine fits PCA (one Arrow partial-moment
+    pass), whitens (one broadcast matmul pass), re-measures the projected
+    moments, and must find — exactly, in Spark — the properties PCA
+    guarantees: centered output, descending component variances,
+    decorrelated coordinates, unit variance after whitening.  The oracle
+    contributes the exact vector count + literal TRUEs (the same contract
+    as the sketch row)."""
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.embeddings import (_moments, fit_pca,
+                                                             transform_pca)
+
+    k = 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, var = fit_pca(emb, "embedding", k=k)
+    proj = transform_pca(emb, mean, comps, var, whiten=True)
+    dims_ok = proj.where(F.size("proj") != k).count() == 0
+    n2, s2, ss2 = _moments(proj.select(F.col("proj").alias("v")), "v", k)
+    m2 = s2 / n2
+    cov2 = ss2 / n2 - np.outer(m2, m2)
+    # tolerances: the random test embeddings have a nearly-flat spectrum
+    # (eigh error ∝ 1/eigen-gap) and whitening rescales by 1/√λ ≈ 7, so the
+    # honest numerical floor is ~5e-8 here; a WRONG projection produces
+    # O(0.1-1) values, so 1e-4 still separates correct from broken cleanly
+    mean_centered = bool(np.abs(m2).max() < 1e-4)
+    variances_descending = bool(np.all(np.diff(var) <= 1e-12))
+    off = cov2 - np.diag(np.diag(cov2))
+    decorrelated = bool(np.abs(off).max() < 1e-4)
+    whitened_unit_var = bool(np.abs(np.diag(cov2) - 1.0).max() < 1e-4)
+    return spark.createDataFrame(
+        [(int(n2), dims_ok, mean_centered, variances_descending,
+          decorrelated, whitened_unit_var)],
+        "n_vectors long, dims_ok boolean, mean_centered boolean, "
+        "variances_descending boolean, decorrelated boolean, "
+        "whitened_unit_var boolean",
+    )
+
+
 _CLS_W = "((b * 2654435761) % 2000001) / 1000000.0 - 1.0"
 
 

@@ -130,3 +130,66 @@ def test_work_based_dispatch_thresholds():
 
     with _pytest.raises(ValueError):
         _resolve_kernel_work("gpu", 1.0)
+
+
+# -- PCA / whitening ---------------------------------------------------------
+
+
+def test_pca_recovers_planted_structure(spark):
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.embeddings import fit_pca, transform_pca
+
+    # plant variance concentrated on two known directions in R^8
+    rng = np.random.RandomState(3)
+    d1, d2 = np.zeros(8), np.zeros(8)
+    d1[0] = 1.0
+    d2[3] = 1.0
+    V = (rng.randn(400, 1) * 5.0 * d1 + rng.randn(400, 1) * 2.0 * d2
+         + rng.randn(400, 8) * 0.01)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>")
+    mean, comps, var = fit_pca(emb, k=2)
+    # top component ≈ ±e0, second ≈ ±e3 (sign pinned positive)
+    assert abs(comps[0, 0]) > 0.99 and comps[0, 0] > 0
+    assert abs(comps[3, 1]) > 0.99 and comps[3, 1] > 0
+    assert var[0] > var[1] > 0
+    # projection matches numpy exactly (same matmul, same mean)
+    proj = {r["vec_id"]: np.array(r["proj"])
+            for r in transform_pca(emb, mean, comps, var).collect()}
+    expect = (V - mean) @ comps
+    for i in range(0, 400, 57):
+        assert np.allclose(proj[i], expect[i], atol=1e-12)
+
+
+def test_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.embeddings import pca_whiten
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(300, 6) * np.array([9, 5, 3, 2, 1, 0.5])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>")
+    P = np.stack([r["proj"] for r in pca_whiten(emb, k=4).collect()])
+    cov = np.cov(P.T, bias=True)
+    assert np.abs(np.diag(cov) - 1.0).max() < 1e-6
+    assert np.abs(cov - np.diag(np.diag(cov))).max() < 1e-6
+
+
+def test_pca_layout_independent(spark):
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.embeddings import fit_pca
+
+    rng = np.random.RandomState(5)
+    V = rng.randn(200, 5)
+    rows = [(i, v.tolist()) for i, v in enumerate(V)]
+    e1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m1, c1, v1 = fit_pca(e1, k=3)
+    m2, c2, v2 = fit_pca(e1.repartition(7), k=3)
+    assert np.allclose(m1, m2, atol=1e-12)
+    assert np.allclose(v1, v2, atol=1e-9)
+    assert np.allclose(np.abs(c1), np.abs(c2), atol=1e-7)
