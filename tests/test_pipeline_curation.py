@@ -727,3 +727,47 @@ def test_source_overlap_matrix_math(spark):
     assert r12["jaccard"] == round(1 / 5, 6)
     # disjoint source pairs emit no row (inner join on shared grams)
     assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+# -- end-to-end curation recipe ----------------------------------------------
+
+
+def test_curate_corpus_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.recipe import curate_corpus
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    res = curate_corpus(
+        docs, eval_pred=F.col("doc_id") % 89 == 0, report=True)
+    out = res.docs.cache()
+    n_out = out.count()
+    # funnel is monotone non-increasing through the filtering stages
+    f = res.funnel
+    assert f["input"] >= f["rule_filters"] >= 0
+    assert f["exact_dedup"] >= f["near_dedup"] >= f["decontaminated"] >= 0
+    assert f["output"] == n_out
+    # output schema: provenance + split present, one row per surviving doc
+    assert {"doc_id", "text", "cluster_id", "split"} <= set(out.columns)
+    assert out.select("doc_id").distinct().count() == n_out
+    assert out.where(~F.col("split").isin(0, 1, 2)).count() == 0
+    # determinism: a second run selects the identical corpus
+    res2 = curate_corpus(docs, eval_pred=F.col("doc_id") % 89 == 0)
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in res2.docs.select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_curate_corpus_stages_toggle(spark):
+    from ophidia_io_server_spark.pipeline.recipe import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["the and of that with have words here now then"] * 6))
+         for i in range(6)],
+        "doc_id long, text string")
+    # all docs identical → exact dedup keeps exactly one
+    res = curate_corpus(docs, rule_filters=False, redact_pii=False,
+                        span_window=0, report=True)
+    assert res.funnel["exact_dedup"] == 1 and res.funnel["output"] == 1
