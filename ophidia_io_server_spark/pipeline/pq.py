@@ -1,0 +1,199 @@
+"""Product-quantization (PQ) approximate nearest neighbour — the MEMORY
+scale path: a d-dim float corpus (4d bytes/vector) compresses to m one-byte
+codes (m ≈ d/8), so a 100 TB embedding store's index fits in ~1.5 TB and
+each executor scans its shard from RAM.
+
+Standard shape (Jégou et al. 2011, the FAISS baseline):
+- TRAIN on a bounded deterministic sample (collected to the driver, like
+  FAISS trains codebooks on ≤256k samples whatever the corpus size): split
+  the d dims into m subspaces, run fixed-iteration Lloyd per subspace.
+- ENCODE distributively: one Arrow batch matmul per subspace argmin —
+  ``codes: array<int>`` per vector, no shuffle.
+- SEARCH with asymmetric distance (ADC): per query, an m×ncent lookup
+  table of exact subspace distances; a corpus scan sums table entries at
+  the stored codes (pure numpy fancy-indexing per batch) and emits only
+  each BATCH's top-k per query, so the final exact merge aggregates
+  ≤ batches·q·k rows — the same bounded-merge pattern as the IVF kernel.
+
+Determinism: sampling is ``ORDER BY vec_id LIMIT n``, init is the first
+ncent sample points per subspace, iterations are fixed-count, numpy argmin
+breaks ties to the lowest index — identical results on any layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_pq(emb: DataFrame, m: int = 8, ncent: int = 16,
+             sample: int = 4096, iters: int = 10,
+             vec_col: str = "embedding") -> np.ndarray:
+    """Fit PQ codebooks.  Returns ``(m, ncent, d/m)`` float64 centroids."""
+    rows = (emb.select(vec_col).orderBy("vec_id").limit(sample).collect())
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < ncent:
+        raise ValueError(f"sample {n} smaller than ncent={ncent}")
+    dsub = d // m
+    books = np.empty((m, ncent, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        C = Xs[:ncent].copy()          # deterministic init
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ncent):     # empty clusters keep their centroid
+                mask = a == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding", code_col: str = "codes") -> DataFrame:
+    """Add ``codes: array<int>`` (the m per-subspace centroid ids) — one
+    Arrow batch argmin per subspace, no shuffle."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks))
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        B = bc.value
+        m, ncent, dsub = B.shape
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        codes = np.empty((V.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            Xs = V[:, s * dsub:(s + 1) * dsub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per argmin
+            d2 = -2.0 * (Xs @ B[s].T) + (B[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return emb.withColumn(code_col, enc(F.col(vec_col)))
+
+
+def pq_topk(emb: DataFrame, query_pred, codebooks: np.ndarray, k: int = 5,
+            vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k: ``query_id, neighbor_id, rank, approx_dist`` (squared L2
+    under the quantization; rank 1 = nearest).  Queries are the (small)
+    predicate subset, collected once for their exact distance tables; the
+    corpus scan is one ``mapInPandas`` over the encoded vectors emitting
+    per-batch top-k per query, merged by a bounded sorted aggregation."""
+    spark = emb.sparkSession
+    B = np.asarray(codebooks)
+    m, ncent, dsub = B.shape
+    qrows = emb.where(query_pred).select("vec_id", vec_col) \
+        .orderBy("vec_id").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, approx_dist double")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    # exact subspace distance tables: (q, m, ncent)
+    tables = np.empty((len(qids), m, ncent))
+    for s in range(m):
+        Qs = Q[:, s * dsub:(s + 1) * dsub]
+        diff = Qs[:, None, :] - B[s][None, :, :]
+        tables[:, s, :] = (diff ** 2).sum(axis=2)
+    bc = spark.sparkContext.broadcast((qids, tables))
+    enc = pq_encode(emb, B, vec_col).select("vec_id", "codes")
+
+    def scan(batches):
+        qi, T = bc.value
+        nq = len(qi)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            C = np.stack(b["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            # dist[q, v] = Σ_s T[q, s, C[v, s]]
+            D = np.zeros((nq, len(ids)))
+            for s in range(m):
+                D += T[:, s, :][:, C[:, s]]
+            mask = ids[None, :] == qi[:, None]   # exclude self-matches
+            D[mask] = np.inf
+            kk = min(k, len(ids))
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            out_q = np.repeat(qi, kk)
+            out_v = ids[part].reshape(-1)
+            out_d = np.take_along_axis(D, part, axis=1).reshape(-1)
+            keep = np.isfinite(out_d)
+            yield pd.DataFrame({"query_id": out_q[keep],
+                                "neighbor_id": out_v[keep],
+                                "approx_dist": out_d[keep]})
+
+    cand = enc.mapInPandas(
+        scan, "query_id long, neighbor_id long, approx_dist double")
+    return (
+        cand.groupBy("query_id")
+        .agg(F.slice(
+            F.array_sort(F.collect_list(
+                F.struct(F.round("approx_dist", 9).alias("d"),
+                         F.col("neighbor_id").alias("nid")))),
+            1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select("query_id", F.col("t.nid").alias("neighbor_id"),
+                (F.col("pos") + 1).cast("bigint").alias("rank"),
+                F.col("t.d").alias("approx_dist"))
+    )
+
+
+def exact_l2_topk(emb: DataFrame, query_pred, k: int = 5,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Exact squared-L2 top-k with the same bounded scan-and-merge shape as
+    ``pq_topk`` (queries broadcast, per-batch numpy distances, per-batch
+    top-k, sorted-aggregation merge) — the recall baseline PQ is judged
+    against, and a useful exact operator in its own right."""
+    spark = emb.sparkSession
+    qrows = emb.where(query_pred).select("vec_id", vec_col) \
+        .orderBy("vec_id").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, dist double")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def scan(batches):
+        qi, Qm = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            # cumsum = strict left-to-right fold, bitwise-matching the SQL
+            # oracle's list_aggregate 'sum' (np.sum is pairwise and would
+            # drift in the last ulp, risking rounded-tie rank flips)
+            D = np.cumsum((Qm[:, None, :] - V[None, :, :]) ** 2,
+                          axis=2)[:, :, -1]
+            D[ids[None, :] == qi[:, None]] = np.inf
+            kk = min(k, len(ids))
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            out_d = np.take_along_axis(D, part, axis=1).reshape(-1)
+            keep = np.isfinite(out_d)
+            yield pd.DataFrame({"query_id": np.repeat(qi, kk)[keep],
+                                "neighbor_id": ids[part].reshape(-1)[keep],
+                                "dist": out_d[keep]})
+
+    cand = emb.select("vec_id", vec_col).mapInPandas(
+        scan, "query_id long, neighbor_id long, dist double")
+    return (
+        cand.groupBy("query_id")
+        .agg(F.slice(
+            F.array_sort(F.collect_list(
+                F.struct(F.round("dist", 9).alias("d"),
+                         F.col("neighbor_id").alias("nid")))),
+            1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select("query_id", F.col("t.nid").alias("neighbor_id"),
+                (F.col("pos") + 1).cast("bigint").alias("rank"),
+                F.col("t.d").alias("dist"))
+    )

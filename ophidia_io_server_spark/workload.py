@@ -2941,3 +2941,84 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_shard", "seq_in_shard", "seq_offset",
         )
     )
+
+
+@workload(
+    "ann_l2_topk",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, len(qv) + 1),
+                 i -> (qv[i] - b.v[i]) * (qv[i] - b.v[i])), 'sum') AS d
+      FROM q JOIN base b ON b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(ROUND(d, 9), 6) AS dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ROUND(d, 9), neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-k via the bounded scan-and-merge kernel
+    (`pipeline/pq.py:exact_l2_topk`): per-batch numpy distances computed as
+    a strict left fold (cumsum) so the oracle's ``list_aggregate`` sum is
+    bitwise-identical, per-batch top-k, sorted-aggregation merge."""
+    from ophidia_io_server_spark.pipeline.pq import exact_l2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = exact_l2_topk(emb, F.col("vec_id") < 10, k=5)
+    return out.withColumn("dist", F.round("dist", 6))
+
+
+@workload(
+    "ann_pq_invariants",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS codes_ok, TRUE AS ranks_ok, TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def ann_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`pipeline/pq.py`: sample-trained codebooks,
+    Arrow-batched encode, ADC scan with per-batch top-k) verified by the
+    invariant-boolean pattern: every vector encodes into range, ADC ranks
+    are distance-monotone, and recall@5 against the exact-L2 baseline beats
+    20× the random-guess floor on the (worst-case, unclustered) synthetic
+    embeddings.  The whole pipeline is deterministic (fixed sample order,
+    init, iteration count; argmin ties to lowest index)."""
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.pq import (exact_l2_topk, pq_encode,
+                                                     pq_topk, train_pq)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=16, ncent=16, sample=4096, iters=10)
+    enc = pq_encode(emb, books)
+    n = emb.count()
+    codes_ok = bool(
+        enc.where(
+            (F.size("codes") != 16)
+            | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+        ).count() == 0
+        and enc.count() == n)
+    pq = pq_topk(emb, F.col("vec_id") < 10, books, k=5).cache()
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy("rank")
+    ranks_ok = bool(
+        pq.withColumn("prev", F.lag("approx_dist").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("approx_dist") < F.col("prev")))
+        .count() == 0)
+    exact = exact_l2_topk(emb, F.col("vec_id") < 10, k=5)
+    hits = pq.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")).count()
+    total = exact.count()
+    recall_ok = bool(total > 0 and hits / total >= 0.2)
+    pq.unpersist()
+    return spark.createDataFrame(
+        [(int(n), codes_ok, ranks_ok, recall_ok)],
+        "n_vectors long, codes_ok boolean, ranks_ok boolean, recall_ok boolean")

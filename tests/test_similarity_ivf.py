@@ -193,3 +193,68 @@ def test_pca_layout_independent(spark):
     assert np.allclose(m1, m2, atol=1e-12)
     assert np.allclose(v1, v2, atol=1e-9)
     assert np.allclose(np.abs(c1), np.abs(c2), atol=1e-7)
+
+
+# -- product quantization ----------------------------------------------------
+
+
+def _emb_df(spark, V):
+    return spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>")
+
+
+def test_pq_exact_when_codebook_holds_all_points(spark):
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.pq import pq_encode, pq_topk, train_pq
+
+    # 8 well-separated points, ncent=8, m=1: quantization is lossless, so
+    # ADC top-k must equal exact L2 top-k
+    rng = np.random.RandomState(2)
+    V = rng.randn(8, 4) * 10
+    emb = _emb_df(spark, V)
+    books = train_pq(emb, m=1, ncent=8, sample=8, iters=20)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in pq_topk(emb, __import__("pyspark").sql.functions.col("vec_id") < 2,
+                            books, k=3).collect()}
+    for q in (0, 1):
+        d = ((V - V[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        expect = np.argsort(d)[:3]
+        assert [got[(q, r)] for r in (1, 2, 3)] == list(expect)
+
+
+def test_pq_recall_on_planted_clusters(spark):
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.pq import pq_topk, train_pq
+
+    # 10 tight clusters of 20 points: a query's true neighbours are its own
+    # cluster; PQ recall@5 should be high
+    rng = np.random.RandomState(4)
+    centers = rng.randn(10, 16) * 20
+    V = np.concatenate([c + rng.randn(20, 16) * 0.1 for c in centers])
+    emb = _emb_df(spark, V)
+    books = train_pq(emb, m=4, ncent=16, sample=200, iters=10)
+    from pyspark.sql import functions as F
+    res = pq_topk(emb, F.col("vec_id") % 20 == 0, books, k=5).collect()
+    hits = sum(1 for r in res
+               if r["neighbor_id"] // 20 == r["query_id"] // 20)
+    assert hits / len(res) >= 0.9
+
+
+def test_pq_encode_layout_independent(spark):
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.pq import pq_encode, train_pq
+
+    rng = np.random.RandomState(9)
+    V = rng.randn(100, 8)
+    emb = _emb_df(spark, V)
+    books = train_pq(emb, m=2, ncent=4, sample=100, iters=5)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: r["codes"]
+         for r in pq_encode(emb.repartition(7), books).collect()}
+    assert a == b
+    assert all(0 <= c < 4 for codes in a.values() for c in codes)
