@@ -99,3 +99,45 @@ def test_jaccard_doc_freq_cap(spark):
     assert set(capped) <= set(base)
     assert all(capped[k] <= base[k] for k in capped)
     sh.unpersist()
+
+
+def test_duplicate_spans_hot_window_skew(spark):
+    # one boilerplate 8-token run repeated in EVERY doc (the hot-hash case
+    # the groupBy-count path must absorb): counts stay exact, every doc is
+    # reported, and the span covers exactly the boilerplate
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b " + boiler + f" u{i}c u{i}d") for i in range(2000)],
+        "doc_id long, text string")
+    out = duplicate_spans(docs, window=8)
+    agg = out.agg(F.count("*").alias("n"), F.sum("dup_tokens").alias("t"),
+                  F.max("n_spans").alias("mx")).collect()[0]
+    assert agg["n"] == 2000
+    assert agg["t"] == 2000 * 8
+    assert agg["mx"] == 1
+
+
+def test_duplicate_spans_randomized_invariants(spark):
+    # property sweep: on random corpora the report must satisfy
+    # 0 < dup_tokens <= n_tokens, dup_windows >= n_spans, and dup_frac
+    # consistent with the two counts
+    import random
+
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(5, 60)))
+             for _ in range(300)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    for r in duplicate_spans(docs, window=5).collect():
+        assert 0 < r["dup_tokens"] <= r["n_tokens"]
+        assert r["dup_windows"] >= r["n_spans"] >= 1
+        assert r["dup_frac"] == round(r["dup_tokens"] / r["n_tokens"], 4)
+        # a span is at least one window long
+        assert r["dup_tokens"] >= 5
