@@ -167,3 +167,32 @@ def select_token_budget(df: DataFrame, budget: int,
         .where(F.col("cum_before") < budget)
         .drop("_q", "_off")
     )
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          key_col: str = "doc_id", seed: int = 7,
+                          fmt: str = "parquet", mode: str = "error") -> None:
+    """Materialize a curated corpus as training shards: every row lands in
+    shard ``xxhash64(seed, key) % n_shards`` with a deterministic position
+    inside its shard — re-running the writer (any cluster layout, any retry
+    schedule) produces byte-identical shard membership and order, which is
+    what makes training runs reproducible and resumable.
+
+    Implementation: the shard id is a pure Column; ``repartition(n, shard)``
+    routes each shard to one task and ``sortWithinPartitions`` fixes the
+    intra-shard order (hash position, then key) — no global sort.  Written
+    with ``partitionBy(shard)`` so a trainer reads ``shard=K/`` directories
+    independently.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(n_shards))
+    pos = F.xxhash64(F.lit(seed + 1), F.col(key_col))
+    out = (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("_pos", pos)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_pos", key_col)
+        .drop("_pos")
+    )
+    out.write.mode(mode).partitionBy("shard").format(fmt).save(path)

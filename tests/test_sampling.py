@@ -146,3 +146,30 @@ def test_token_budget_layout_independent(spark):
     a = sorted(tuple(r) for r in select_token_budget(df1, 900, "quality", "n_tokens").collect())
     b = sorted(tuple(r) for r in select_token_budget(df8, 900, "quality", "n_tokens").collect())
     assert a == b and len(a) > 0
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    import os
+
+    from ophidia_io_server_spark.pipeline.sampling import write_training_shards
+
+    rows = [(i, f"text {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df, p1, n_shards=4)
+    write_training_shards(df.repartition(13), p2, n_shards=4)
+    r1 = spark.read.parquet(p1)
+    r2 = spark.read.parquet(p2)
+    # same membership per shard regardless of input layout
+    a = sorted((r["shard"], r["doc_id"]) for r in r1.collect())
+    b = sorted((r["shard"], r["doc_id"]) for r in r2.collect())
+    assert a == b and len(a) == 500
+    # all shards populated, every row exactly once
+    shards = {s for s, _ in a}
+    assert shards == {0, 1, 2, 3}
+    assert sorted(d for _, d in a) == list(range(500))
+    # shard directories exist for independent reading
+    assert sorted(d for d in os.listdir(p1) if d.startswith("shard="))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        write_training_shards(df, str(tmp_path / "c"), n_shards=0)
