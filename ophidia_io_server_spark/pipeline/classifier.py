@@ -33,8 +33,11 @@ from ophidia_io_server_spark.sources.tables import spread
 
 def hashed_feature_buckets_col(text: Column, n_buckets: int,
                                bigrams: bool = True) -> Column:
-    """array<bigint> of hashed feature buckets: unigrams + ``a_b`` bigrams."""
-    toks = tokens_col(text)
+    """array<bigint> of hashed feature buckets: unigrams + ``a_b`` bigrams.
+    NULL text degrades to an empty feature array (without the guard,
+    ``size(split(NULL))`` is -1 under ANSI-off and n_features goes
+    negative)."""
+    toks = F.coalesce(tokens_col(text), F.array().cast("array<string>"))
     feats = toks
     if bigrams:
         bi = F.when(

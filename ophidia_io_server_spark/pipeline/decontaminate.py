@@ -64,17 +64,28 @@ def contamination_flags(docs: DataFrame, eval_pred: Column, n: int = 8,
 # -- Bloom-filter prefilter (the beyond-broadcast scale path) ---------------
 
 
+def _bloom_positions(col, m: int, k: int):
+    """array<bigint> of the k bit positions for a gram: k independently
+    SEEDED ``xxhash64`` values mod m.  Pure hashing — no multiply/add that
+    could overflow, so the construction is identical under ANSI and legacy
+    arithmetic (the previous Kirsch-Mitzenmacher ``h1 + i·h2`` needed
+    ANSI-off bigint wraparound and a bit-matching numpy reimplementation)."""
+    return F.array(*[
+        F.pmod(F.xxhash64(col, F.lit(1_000_003 + i)), F.lit(m))
+        for i in range(k)
+    ])
+
+
 def build_gram_bloom(grams: DataFrame, col: str = "g",
                      fpp: float = 0.01) -> tuple:
     """Build a Bloom filter over a gram column, distributively.
 
     Spark's own ``bloom_filter_agg`` is not in the public function registry,
-    so the bitmap is assembled with plain DataFrame algebra: k bit positions
-    per gram via Kirsch-Mitzenmacher double hashing of two JVM ``xxhash64``
-    values, ``groupBy(word_index).agg(bit_or)`` (map-side combined), and
-    only the NON-ZERO 64-bit words ever reach the driver — the full bitmap
-    for 1e7 grams at 1% FP is ~12 MB, far under broadcast limits where the
-    gram STRINGS would be GBs.
+    so the bitmap is assembled with plain DataFrame algebra: k seeded-hash
+    bit positions per gram, ``groupBy(word_index).agg(bit_or)`` (map-side
+    combined), and only the NON-ZERO 64-bit words ever reach the driver —
+    the full bitmap for 1e7 grams at 1% FP is ~12 MB, far under broadcast
+    limits where the gram STRINGS would be GBs.
 
     Returns ``(bitmap: np.ndarray[int64], m_bits: int, k: int)``.
     """
@@ -86,56 +97,39 @@ def build_gram_bloom(grams: DataFrame, col: str = "g",
     m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
     m = ((m + 63) // 64) * 64  # whole words
     k = max(1, round(m / n * math.log(2)))
-    h = grams.select(
-        F.xxhash64(F.col(col)).alias("h1"),
-        F.xxhash64(F.col(col), F.lit(0x9E3779B9)).alias("h2"),
-    )
-    pos = h.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda i: F.pmod(F.col("h1") + i.cast("bigint") * F.col("h2"),
-                                 F.lit(m)),
-            )
-        ).alias("p")
-    )
+    pos = grams.select(
+        F.explode(_bloom_positions(F.col(col), m, k)).alias("p"))
     words = (
         pos.select(F.shiftright("p", 6).alias("w"),
                    F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("bit"))
         .groupBy("w").agg(F.bit_or("bit").alias("word"))
         .collect()
     )
-    # int64 words throughout: the probe side's bit test must match JVM signed
-    # semantics (pmod on wrapped bigint ≡ numpy int64 floor-mod)
     bitmap = np.zeros(m // 64, dtype=np.int64)
     for r in words:
         bitmap[int(r["w"])] = np.int64(r["word"])
     return bitmap, m, k
 
 
-def _bloom_member_col(bitmap, m: int, k: int, spark, h1, h2):
-    """Vectorized Arrow-batched membership test over (h1, h2) hash columns
-    against a broadcast bitmap — numpy fancy indexing, no per-row Python."""
+def _bloom_member_col(bitmap, m: int, k: int, spark, gram_col):
+    """Membership test Column: positions are computed JVM-side by the SAME
+    ``_bloom_positions`` expression the build used, and the Arrow-batched
+    UDF only does vectorized bitmap lookups — no arithmetic to keep in sync
+    across engines."""
     from pyspark.sql.functions import pandas_udf
 
     bc = spark.sparkContext.broadcast(bitmap)
 
     @pandas_udf("boolean")
-    def member(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+    def member(pos: pd.Series) -> pd.Series:
         bm = bc.value
-        a = h1s.to_numpy(dtype=np.int64)
-        b = h2s.to_numpy(dtype=np.int64)
-        if len(a) == 0:
+        if len(pos) == 0:
             return pd.Series([], dtype=bool)
-        # int64 wraparound multiply/add + floor-mod == the JVM build side's
-        # (ANSI-off) bigint wrap + pmod, bit for bit
-        with np.errstate(over="ignore"):
-            idx = (a[:, None]
-                   + np.arange(k, dtype=np.int64)[None, :] * b[:, None]) % np.int64(m)
+        idx = np.stack(pos.to_numpy()).astype(np.int64)  # (rows, k)
         hit = (bm[idx >> 6] >> (idx & 63)) & np.int64(1)
         return pd.Series((hit == 1).all(axis=1))
 
-    return member(h1, h2)
+    return member(_bloom_positions(gram_col, m, k))
 
 
 def contamination_flags_bloom(docs: DataFrame, eval_pred: Column, n: int = 8,
@@ -159,14 +153,18 @@ def contamination_flags_bloom(docs: DataFrame, eval_pred: Column, n: int = 8,
         .select(F.explode("shingles").alias("g"))
         .distinct()
     )
-    bitmap, m, k = build_gram_bloom(eval_grams, "g", fpp)
-    corpus = (
-        sh.select("doc_id", F.explode("shingles").alias("g"))
-        .withColumn("h1", F.xxhash64("g"))
-        .withColumn("h2", F.xxhash64("g", F.lit(0x9E3779B9)))
-    )
+    # persist: the eval-gram set is otherwise re-derived three times (the
+    # sizing count, the bitmap build, the exact verify join) — at the very
+    # scale this function exists for, that triples the eval-side shingling
+    eval_grams = eval_grams.persist()
+    try:
+        bitmap, m, k = build_gram_bloom(eval_grams, "g", fpp)
+    except Exception:
+        eval_grams.unpersist()
+        raise
+    corpus = sh.select("doc_id", F.explode("shingles").alias("g"))
     survivors = corpus.where(
-        _bloom_member_col(bitmap, m, k, spark, F.col("h1"), F.col("h2"))
+        _bloom_member_col(bitmap, m, k, spark, F.col("g"))
     ).select("doc_id", "g")
     hits = (
         survivors.join(eval_grams, "g")  # exact verify: no broadcast hint —

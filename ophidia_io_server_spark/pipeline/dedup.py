@@ -58,8 +58,9 @@ def shingle_df(docs: DataFrame, n: int = 3, text_col: str = "text",
                memo_key: tuple | None = None) -> DataFrame:
     """(doc_id, shingles: array<string> distinct word n-grams, nsh).
 
-    ``memo_key`` (e.g. ``(spark.sparkContext.applicationId, sf_dir)``; never
-    ``id(spark)`` — a GC'd session's id() can be reused) opts into an explicit
+    ``memo_key`` (e.g. ``(*session_key(spark), sf_dir)`` — never
+    ``id(spark)``, which can be reused after GC, nor bare applicationId,
+    which merges sibling ``newSession()`` sessions) opts into an explicit
     Spark-cached memo shared across calls — relying on the CacheManager's
     plan-identity dedup across separately-built DataFrames proved flaky, and
     shingling is the dominant dedup cost (import-once-query-many, like the
@@ -415,6 +416,55 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 7, text_col: str = "text",
 # -- exact-substring span dedup ---------------------------------------------
 
 
+def _dup_window_base(docs: DataFrame, window: int, text_col: str,
+                     with_tokens: bool) -> DataFrame:
+    """(doc_id[, n_tokens], pos, h): every ``window``-token sliding window as
+    an xxhash64 key — the shared base of the span REPORT and the span CUT
+    (one construction, so the two can never desynchronize).  NULL/short
+    texts produce no windows (size(NULL tokens) is -1 under ANSI-off and
+    fails the >= window guard)."""
+    toks = tokens_col(F.col(text_col))
+    cols = ["doc_id"]
+    if with_tokens:
+        cols.append(F.size("ws").cast("bigint").alias("n_tokens"))
+    return (
+        spread(docs)
+        .select("doc_id", toks.alias("ws"))
+        .where(F.size("ws") >= window)
+        .select(
+            *cols,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (window - 1)),
+                    lambda i: F.xxhash64(F.concat_ws(
+                        " ", *[F.element_at(F.col("ws"), (i + j).cast("int"))
+                               for j in range(window)])),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+
+
+def _merge_spans(hits: DataFrame, window: int):
+    """Gaps-and-islands merge of duplicated windows into maximal per-doc
+    spans: returns the grouped-by-(doc_id, grp) DataFrame builder — a window
+    starts a new span iff it begins strictly after every earlier window's
+    (exclusive) end.  One doc_id exchange serves both window functions and
+    the downstream groupBys."""
+    from pyspark.sql import Window
+
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("prev_end", F.max(F.col("pos") + window).over(w_prev))
+        .withColumn("new_span",
+                    (F.col("pos") > F.coalesce("prev_end", F.lit(-1))).cast("int"))
+        .withColumn("grp", F.sum("new_span").over(w_run))
+    )
+
+
 def duplicate_spans(docs: DataFrame, window: int = 8, text_col: str = "text",
                     min_count: int = 2) -> DataFrame:
     """Exact-substring duplication report (the ExactSubstr method of Lee et
@@ -440,44 +490,15 @@ def duplicate_spans(docs: DataFrame, window: int = 8, text_col: str = "text",
       - span merge is two window functions + two groupBys all keyed on
         ``doc_id`` — a single exchange, per-doc state only.
     """
-    from pyspark.sql import Window
-
-    toks = tokens_col(F.col(text_col))
-    base = (
-        spread(docs)
-        .select("doc_id", toks.alias("ws"))
-        .where(F.size("ws") >= window)
-        .select(
-            "doc_id",
-            F.size("ws").cast("bigint").alias("n_tokens"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (window - 1)),
-                    lambda i: F.xxhash64(F.concat_ws(
-                        " ", *[F.element_at(F.col("ws"), (i + j).cast("int"))
-                               for j in range(window)])),
-                )
-            ).alias("pos", "h"),
-        )
-    )
+    base = _dup_window_base(docs, window, text_col, with_tokens=True)
     dup = (
         base.groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= min_count)
         .select("h")
     )
-    hits = base.join(dup, "h")
-    # gaps-and-islands: a window starts a new span iff it begins strictly
-    # after every earlier window's (exclusive) end
-    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    w_run = (Window.partitionBy("doc_id").orderBy("pos")
-             .rowsBetween(Window.unboundedPreceding, 0))
     spans = (
-        hits.withColumn("prev_end", F.max(F.col("pos") + window).over(w_prev))
-        .withColumn("new_span",
-                    (F.col("pos") > F.coalesce("prev_end", F.lit(-1))).cast("int"))
-        .withColumn("grp", F.sum("new_span").over(w_run))
+        _merge_spans(base.join(dup, "h"), window)
         .groupBy("doc_id", "grp")
         .agg(
             F.min("n_tokens").alias("n_tokens"),
@@ -577,45 +598,36 @@ def remove_duplicate_spans(docs: DataFrame, window: int = 8,
                            text_col: str = "text", min_count: int = 2,
                            keep_in_min_doc: bool = True) -> DataFrame:
     """Apply ExactSubstr dedup: cut every duplicated span (as defined by
-    ``duplicate_spans``) out of the corpus text.
+    ``duplicate_spans`` — both are built from the same ``_dup_window_base``
+    and ``_merge_spans`` helpers, so report and cut cannot desynchronize)
+    out of the corpus text.
 
     ``keep_in_min_doc=True`` (default) preserves ONE occurrence of each
     duplicated region: a window is only marked for removal if it is not the
     corpus-wide canonical occurrence (minimum ``(doc_id, pos)`` among its
-    duplicates) — computed with ``min_by`` inside the same groupBy that
-    counts occurrences, so canonicalization costs no extra shuffle.  With
+    duplicates) — computed with ``min`` inside the same groupBy that counts
+    occurrences, so canonicalization costs no extra shuffle.  With
     ``False`` every occurrence is cut (Lee et al.'s simpler variant).
 
     Returns all input columns with ``text`` replaced by the cleaned text
-    plus ``n_tokens, dup_tokens, text_clean`` metadata.  Token-level cut:
-    the cleaned text is the space-join of tokens outside every removed
-    span — whitespace runs are normalized, the documented divergence from
-    byte-level cutting.
+    plus ``n_tokens, dup_tokens, text_clean`` metadata (raises if the input
+    already carries those columns — silently overwriting caller data is the
+    failure mode ``pack_*`` also refuses).  NULL text stays NULL in
+    ``text_clean`` with 0 counts.  Token-level cut: the cleaned text is the
+    space-join of tokens outside every removed span — whitespace runs are
+    normalized, the documented divergence from byte-level cutting.
 
     Scale: same two shuffles as ``duplicate_spans`` plus one groupBy(doc_id)
-    to collect span structs (few per doc) and one broadcast-free join back
-    to the docs table on doc_id; the per-token span test is an ``exists``
-    over the doc's own span array (spans per doc ≪ tokens per doc).
+    to collect span structs (few per doc) and one join back to the docs
+    table on doc_id; the per-token span test is an ``exists`` over the
+    doc's own span array (spans per doc ≪ tokens per doc).
     """
-    from pyspark.sql import Window
-
-    toks = tokens_col(F.col(text_col))
-    base = (
-        spread(docs)
-        .select("doc_id", toks.alias("ws"))
-        .where(F.size("ws") >= window)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (window - 1)),
-                    lambda i: F.xxhash64(F.concat_ws(
-                        " ", *[F.element_at(F.col("ws"), (i + j).cast("int"))
-                               for j in range(window)])),
-                )
-            ).alias("pos", "h"),
-        )
-    )
+    clash = {"n_tokens", "dup_tokens", "text_clean", "spans"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"remove_duplicate_spans would overwrite input columns {sorted(clash)}; "
+            "rename them first")
+    base = _dup_window_base(docs, window, text_col, with_tokens=False)
     stats = base.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "pos")).alias("keeper"),
@@ -625,24 +637,18 @@ def remove_duplicate_spans(docs: DataFrame, window: int = 8,
         hits = hits.where(
             (F.col("doc_id") != F.col("keeper.doc_id"))
             | (F.col("pos") != F.col("keeper.pos")))
-    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    w_run = (Window.partitionBy("doc_id").orderBy("pos")
-             .rowsBetween(Window.unboundedPreceding, 0))
     spans = (
-        hits.withColumn("prev_end", F.max(F.col("pos") + window).over(w_prev))
-        .withColumn("new_span",
-                    (F.col("pos") > F.coalesce("prev_end", F.lit(-1))).cast("int"))
-        .withColumn("grp", F.sum("new_span").over(w_run))
+        _merge_spans(hits, window)
         .groupBy("doc_id", "grp")
         .agg(F.min("pos").alias("s"), (F.max("pos") + window).alias("e"))
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
     )
     with_spans = docs.join(spans, "doc_id", "left")
-    ws = tokens_col(F.col(text_col))
+    text = F.col(text_col)
+    ws = tokens_col(text)
     kept = F.filter(
-        F.zip_with(ws, F.sequence(F.lit(0), F.size(ws) - 1),
+        F.zip_with(ws, F.sequence(F.lit(0), F.greatest(F.size(ws), F.lit(1)) - 1),
                    lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
         lambda p: ~F.exists(
             F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>")),
@@ -651,11 +657,15 @@ def remove_duplicate_spans(docs: DataFrame, window: int = 8,
     )
     cleaned = F.concat_ws(" ", F.transform(kept, lambda p: p["t"]))
     return with_spans.withColumn(
-        "n_tokens", F.size(ws).cast("bigint")
+        "n_tokens",
+        F.when(text.isNull(), F.lit(0)).otherwise(F.size(ws)).cast("bigint"),
     ).withColumn(
         "dup_tokens",
         F.coalesce(
             F.aggregate("spans", F.lit(0),
                         lambda a, sp: a + (sp["e"] - sp["s"])),
             F.lit(0)).cast("bigint"),
-    ).withColumn("text_clean", cleaned).drop("spans")
+    ).withColumn(
+        "text_clean",
+        F.when(text.isNull(), F.lit(None).cast("string")).otherwise(cleaned),
+    ).drop("spans")

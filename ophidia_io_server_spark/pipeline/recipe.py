@@ -48,7 +48,11 @@ def curate_corpus(docs: DataFrame, *, eval_pred: Column | None = None,
     ``text_col``).  Returns the curated corpus with ``text`` rewritten
     (redacted, span-cut), per-doc provenance columns (``cluster_id``,
     ``quality_score`` when scoring is on, ``split``), and — with
-    ``report=True`` — the per-stage survivor funnel."""
+    ``report=True`` — the per-stage survivor funnel.
+
+    Input docs must not already carry ``n_tokens``/``dup_tokens``/
+    ``text_clean`` columns — the span-cut stage refuses to overwrite them
+    (ValueError); rename such columns before curating."""
     from ophidia_io_server_spark.pipeline.dedup import (
         exact_duplicates, minhash_lsh_pairs, remove_duplicate_spans,
         resolve_duplicates)

@@ -130,10 +130,15 @@ def select_token_budget(df: DataFrame, budget: int,
     Output = the selected rows + ``cum_before``, row-identical to the
     global-sort formulation (the gate row's SQL oracle computes exactly that
     global window for the comparison).
+
+    NULL quality ranks LAST (the SQL ``ORDER BY quality DESC NULLS LAST``
+    convention): unscored rows are taken only after every scored class, by
+    normalizing NULL to −inf internally.
     """
     from pyspark.sql import Window
 
-    q = F.col(quality_col)
+    q = F.coalesce(F.col(quality_col).cast("double"),
+                   F.lit(float("-inf")))
     hist = (
         df.groupBy(q.alias("_q"))
         .agg(F.sum(F.col(tokens_col).cast("bigint")).alias("_toks"))
@@ -150,9 +155,7 @@ def select_token_budget(df: DataFrame, budget: int,
     if thresh is None:  # zero budget or empty input
         return df.withColumn("cum_before", F.lit(0).cast("bigint")).limit(0)
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets, schema=f"_q double, _off long") \
-        if isinstance(hist[0]["_q"], float) else \
-        spark.createDataFrame(offsets, schema="_q long, _off long")
+    off = spark.createDataFrame(offsets, schema="_q double, _off long")
     w = (Window.partitionBy(q)
          .orderBy(F.col(key_col).asc())
          .rowsBetween(Window.unboundedPreceding, -1))

@@ -48,3 +48,18 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def session_key(spark: SparkSession) -> tuple:
+    """Stable identity tuple for per-session caches/memos.
+
+    ``applicationId`` alone merges sibling sessions (``spark.newSession()``
+    shares the application), and ``id(spark)`` can be reused after GC; the
+    JVM ``sessionUUID`` is unique per SparkSession for the app's lifetime.
+    Falls back to applicationId-only where the internal accessor is absent
+    (e.g. Spark Connect)."""
+    app = spark.sparkContext.applicationId
+    try:
+        return (app, spark._jsparkSession.sessionUUID())
+    except Exception:  # noqa: BLE001 — accessor shape varies by deployment
+        return (app,)

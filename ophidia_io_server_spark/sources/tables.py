@@ -77,9 +77,12 @@ def lineitem_fragment_cached(spark: SparkSession, sf_dir: str,
     live in the MEMORY device across queries (SURVEY §1.1).  Repeated
     workloads therefore query the cached fragment instead of re-running the
     lineitem groupBy; keyed by session so tests with separate sessions don't
-    share plans.  applicationId (not ``id(spark)``) — a GC'd session's id()
-    can be reused, which could serve a stale cache to a new session."""
-    key = (spark.sparkContext.applicationId, sf_dir, value_col)
+    share plans.  ``session_key`` = (applicationId, sessionUUID): id(spark)
+    can be reused after GC, and applicationId alone would merge sibling
+    ``newSession()`` sessions into one cache entry."""
+    from ophidia_io_server_spark.session import session_key
+
+    key = (*session_key(spark), sf_dir, value_col)
     if key not in _FRAG_CACHE:
         _FRAG_CACHE[key] = lineitem_fragment(spark, sf_dir, value_col).cache()
     return _FRAG_CACHE[key]

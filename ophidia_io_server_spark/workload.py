@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ophidia_io_server_spark.operators.engine import IOServer
 from ophidia_io_server_spark.sources.random_import import random_fragment_oracle_sql
+from ophidia_io_server_spark.session import session_key
 from ophidia_io_server_spark.sources.tables import (
     fragment_cte,
     lineitem_fragment,
@@ -979,7 +980,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_exact(docs, n=3, threshold=0.5,
-                               memo_key=(spark.sparkContext.applicationId, sf_dir))
+                               memo_key=(*session_key(spark), sf_dir))
 
 
 @workload("dedup_minhash_pairs", oracle=_JACCARD_ORACLE)
@@ -990,7 +991,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, n=3, threshold=0.5,
-                             memo_key=(spark.sparkContext.applicationId, sf_dir))
+                             memo_key=(*session_key(spark), sf_dir))
 
 
 @workload("dedup_simhash_pairs", oracle=_JACCARD_ORACLE)
@@ -1001,7 +1002,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5,
-                         memo_key=(spark.sparkContext.applicationId, sf_dir))
+                         memo_key=(*session_key(spark), sf_dir))
 
 
 @workload(
@@ -1287,7 +1288,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_overlap_matrix(
-        docs, n=3, memo_key=(spark.sparkContext.applicationId, sf_dir))
+        docs, n=3, memo_key=(*session_key(spark), sf_dir))
 
 
 @workload(
@@ -2802,7 +2803,7 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5,
-                              memo_key=(spark.sparkContext.applicationId, sf_dir))
+                              memo_key=(*session_key(spark), sf_dir))
     resolved = resolve_duplicates(docs, pairs).select(
         "doc_id", "cluster_id", "cluster_size", "is_canonical")
 
@@ -2855,11 +2856,21 @@ def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.max(F.abs(F.col("k") / F.col("t") - 0.4)) <= F.lit(0.08)
               ).alias("sample_rate_ok"))
     )
-    shuffle_w = Window.orderBy(F.xxhash64(F.lit(7), F.col("doc_id")), F.col("doc_id"))
-    sh1 = deterministic_shuffle(ids).withColumn(
-        "pos", F.row_number().over(shuffle_w).cast("bigint"))
-    sh2 = deterministic_shuffle(ids.repartition(11)).withColumn(
-        "pos2", F.row_number().over(shuffle_w).cast("bigint"))
+    # observe the operator's ACTUAL output order (monotonically_increasing_id
+    # stamped after the orderBy: ascending within partitions, partition index
+    # follows the range exchange) — re-deriving the sort formula in a window
+    # here would verify the formula against itself, not deterministic_shuffle
+    def _shuffle_pos(df, name):
+        return (
+            deterministic_shuffle(df)
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn(name, F.row_number().over(
+                Window.orderBy("_mid")).cast("bigint"))
+            .drop("_mid")
+        )
+
+    sh1 = _shuffle_pos(ids, "pos")
+    sh2 = _shuffle_pos(ids.repartition(11), "pos2")
     shflags = sh1.join(sh2, "doc_id").select(
         "doc_id", (F.col("pos") == F.col("pos2")).alias("shuffle_pos_stable"))
     perm_ok = sh1.agg(

@@ -468,8 +468,8 @@ def test_resolve_duplicates_star_method_equivalent(spark):
 
 
 def test_bloom_no_false_negatives(spark):
-    # build/probe bit-for-bit consistency: every inserted gram MUST test
-    # positive (this is what the wraparound-semantics matching guarantees)
+    # build/probe consistency: every inserted gram MUST test positive (both
+    # sides now evaluate the SAME JVM _bloom_positions expression)
     from pyspark.sql import functions as F
 
     from ophidia_io_server_spark.pipeline.decontaminate import (
@@ -478,20 +478,14 @@ def test_bloom_no_false_negatives(spark):
     grams = spark.createDataFrame(
         [(f"gram {i} alpha beta",) for i in range(500)], "g string")
     bitmap, m, k = build_gram_bloom(grams, "g", fpp=0.01)
-    probed = grams.withColumn("h1", F.xxhash64("g")).withColumn(
-        "h2", F.xxhash64("g", F.lit(0x9E3779B9)))
-    hits = probed.where(
-        _bloom_member_col(bitmap, m, k, spark, F.col("h1"), F.col("h2"))
-    ).count()
+    hits = grams.where(
+        _bloom_member_col(bitmap, m, k, spark, F.col("g"))).count()
     assert hits == 500
     # and unrelated grams mostly miss (FP rate ~1%; allow generous slack)
     other = spark.createDataFrame(
         [(f"other {i} gamma delta",) for i in range(500)], "g string")
-    fp = other.withColumn("h1", F.xxhash64("g")).withColumn(
-        "h2", F.xxhash64("g", F.lit(0x9E3779B9)))
-    nfp = fp.where(
-        _bloom_member_col(bitmap, m, k, spark, F.col("h1"), F.col("h2"))
-    ).count()
+    nfp = other.where(
+        _bloom_member_col(bitmap, m, k, spark, F.col("g"))).count()
     assert nfp <= 25
 
 
@@ -771,3 +765,37 @@ def test_curate_corpus_stages_toggle(spark):
     res = curate_corpus(docs, rule_filters=False, redact_pii=False,
                         span_window=0, report=True)
     assert res.funnel["exact_dedup"] == 1 and res.funnel["output"] == 1
+
+
+def test_remove_duplicate_spans_null_text_and_clash(spark):
+    import pytest as _pt
+
+    from ophidia_io_server_spark.pipeline.dedup import remove_duplicate_spans
+
+    run = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, "x " + run), (2, run + " y"), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in remove_duplicate_spans(docs, window=8,
+                                           keep_in_min_doc=False).collect()}
+    # NULL text: preserved as NULL, zero counts (was n_tokens=-1, '' before)
+    assert out[3]["text_clean"] is None
+    assert out[3]["n_tokens"] == 0 and out[3]["dup_tokens"] == 0
+    # column-clash guard (the pack_* convention: refuse, don't overwrite)
+    with _pt.raises(ValueError, match="overwrite"):
+        remove_duplicate_spans(
+            docs.withColumn("n_tokens", docs.doc_id), window=8)
+
+
+def test_classifier_null_text_zero_features(spark):
+    from ophidia_io_server_spark.pipeline.classifier import (demo_weight_fn,
+                                                             score_with_weight_expr)
+
+    docs = spark.createDataFrame([(1, None), (2, "a b c")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           score_with_weight_expr(docs, demo_weight_fn, n_buckets=64).collect()}
+    assert got[1]["n_features"] == 0 and got[1]["quality_score"] == 0.0
+    assert not got[1]["keep"]
+    assert got[2]["n_features"] == 5

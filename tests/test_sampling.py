@@ -173,3 +173,19 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         write_training_shards(df, str(tmp_path / "c"), n_shards=0)
+
+
+def test_token_budget_null_quality_ranks_last(spark):
+    # regression (r5 review): NULL quality used to truncate the whole
+    # selection; it must instead rank last, like ORDER BY ... NULLS LAST
+    from ophidia_io_server_spark.pipeline.sampling import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 100, 0.9), (2, 100, 0.7), (3, 100, None)],
+        "doc_id long, n_tokens long, quality double")
+    all_rows = {r["doc_id"]: r["cum_before"]
+                for r in select_token_budget(df, 10**9, "quality", "n_tokens").collect()}
+    assert all_rows == {1: 0, 2: 100, 3: 200}
+    # a budget covering only scored rows excludes the NULL row
+    scored = {r["doc_id"] for r in select_token_budget(df, 150, "quality", "n_tokens").collect()}
+    assert scored == {1, 2}
