@@ -3033,3 +3033,64 @@ def ann_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n), codes_ok, ranks_ok, recall_ok)],
         "n_vectors long, codes_ok boolean, ranks_ok boolean, recall_ok boolean")
+
+@workload(
+    "stream_curation",
+    oracle="""
+    WITH dd AS (
+      SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS BIGINT) AS n_tokens
+      FROM dd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(SUM(CASE WHEN n_tokens >= 40 THEN n_tokens ELSE 0 END)
+             AS BIGINT) AS kept_tokens
+    FROM m
+    """,
+)
+def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation: the documents table staged TWICE (every doc a
+    duplicate) is re-ingested as a file stream; the quality projection (the
+    same pure-Column shape as the batch operators) and a content-hash
+    ``dropDuplicates`` run INCREMENTALLY, and the aggregate over the
+    deduplicated stream must equal the batch computation over distinct
+    texts.  availableNow + unwatermarked dedup state here (bounded by the
+    staged corpus); the unbounded-stream variant is
+    ``streaming/ingest.stateful_dedup_stream`` (watermark-bounded state),
+    exercised by the events streaming rows."""
+    import hashlib
+    import os
+
+    from ophidia_io_server_spark.pipeline.text import token_count_col
+    from ophidia_io_server_spark.streaming.ingest import run_available_now
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/ophidia_stream_docs_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.unionAll(docs).write.mode("overwrite").parquet(path)
+        open(f"{path}/_SUCCESS", "a").close()
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema).parquet(path)
+        .withColumn("h", F.md5("text"))
+        .dropDuplicates(["h"])
+        .select(
+            "doc_id",
+            token_count_col(F.col("text")).alias("n_tokens"),
+        )
+    )
+    per_doc = run_available_now(stream, f"stream_curation_{tag}",
+                                output_mode="append")
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_tokens") >= 40, 1).otherwise(0))
+         .cast("bigint").alias("n_keep"),
+        F.sum(F.when(F.col("n_tokens") >= 40, F.col("n_tokens")).otherwise(0))
+         .cast("bigint").alias("kept_tokens"),
+    )
