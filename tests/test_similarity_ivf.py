@@ -258,3 +258,45 @@ def test_pq_encode_layout_independent(spark):
          for r in pq_encode(emb.repartition(7), books).collect()}
     assert a == b
     assert all(0 <= c < 4 for codes in a.values() for c in codes)
+
+
+def test_pca_rotation_composes_with_pq(spark):
+    """OPQ-lite: on coordinate-correlated data, decorrelating with PCA
+    before PQ must not hurt (and typically helps) quantization quality —
+    the operators compose through the standard (vec_id, array) contract."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.embeddings import fit_pca, transform_pca
+    from ophidia_io_server_spark.pipeline.pq import pq_encode, train_pq
+
+    # strongly correlated dims: x replicated across subspace boundaries, so
+    # independent per-subspace quantizers waste codes on shared variance
+    rng = np.random.RandomState(13)
+    base = rng.randn(600, 2)
+    V = np.concatenate([base @ rng.randn(2, 4) + rng.randn(600, 4) * 0.05
+                        for _ in range(2)], axis=1)  # dim 8, rank ~2+noise
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>")
+
+    def recon_err(df):
+        books = train_pq(df, m=2, ncent=8, sample=600, iters=10)
+        enc = {r["vec_id"]: r["codes"] for r in pq_encode(df, books).collect()}
+        X = {r["vec_id"]: np.array(r["embedding"])
+             for r in df.select("vec_id", "embedding").collect()}
+        err = 0.0
+        for vid, codes in enc.items():
+            rec = np.concatenate([books[s][codes[s]] for s in range(2)])
+            err += float(((X[vid] - rec) ** 2).sum())
+        return err / len(enc)
+
+    raw_err = recon_err(emb)
+    mean, comps, var = fit_pca(emb, k=8)
+    rot = transform_pca(emb, mean, comps, var).select(
+        "vec_id", F.col("proj").alias("embedding"))
+    rot_err = recon_err(rot)
+    # rotation concentrates variance into few dims -> per-subspace
+    # quantizers cover it with the same code budget at lower error
+    assert rot_err <= raw_err * 1.05
