@@ -3094,3 +3094,61 @@ def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_tokens") >= 40, F.col("n_tokens")).otherwise(0))
          .cast("bigint").alias("kept_tokens"),
     )
+
+@workload(
+    "events_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        / 7) AS BIGINT) AS week
+      FROM events GROUP BY 1, 2
+    ), cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_week
+    )
+    SELECT c.cohort_week,
+           CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           ROUND(COUNT(*) * 1.0 / s.cohort_size, 4) AS retention
+    FROM wk w JOIN cohort c USING (user_id)
+              JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, week_offset, s.cohort_size
+    ORDER BY c.cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix — the classic product-analytics rollup:
+    users grouped by first-activity week, the (cohort, week-offset) cells
+    counting how many stayed active.  Shape: distinct (user, week) pairs →
+    per-user min (two groupBys sharing the user partitioning) → broadcast
+    cohort-size join — no window over the event stream, no skew beyond the
+    user key."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "user_id",
+            F.floor(F.datediff(F.col("ts").cast("date"),
+                               F.lit("2024-01-01").cast("date")) / 7)
+             .cast("bigint").alias("week"),
+        )
+        .distinct()
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week"))
+                 .cast("bigint").alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4)
+             .alias("retention"),
+        )
+    )
