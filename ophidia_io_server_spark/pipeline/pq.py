@@ -197,3 +197,137 @@ def exact_l2_topk(emb: DataFrame, query_pred, k: int = 5,
                 (F.col("pos") + 1).cast("bigint").alias("rank"),
                 F.col("t.d").alias("dist"))
     )
+
+
+# -- IVF-PQ composite (coarse quantizer + PQ on residuals) -------------------
+
+
+def train_ivfpq(emb: DataFrame, nlist: int = 8, m: int = 8, ncent: int = 16,
+                sample: int = 4096, iters: int = 10,
+                vec_col: str = "embedding"):
+    """Fit the composite index (the FAISS IVFPQ shape): a coarse nlist-way
+    quantizer plus PQ codebooks trained on the RESIDUALS ``x − c(x)`` —
+    residuals concentrate around 0, so the same code budget quantizes them
+    far finer than raw vectors.  Returns ``(coarse (nlist, d), books)``.
+    Same determinism contract as ``train_pq``."""
+    rows = emb.select(vec_col).orderBy("vec_id").limit(sample).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n, d = X.shape
+    if n < nlist:
+        raise ValueError(f"sample {n} smaller than nlist={nlist}")
+    C = X[:nlist].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(nlist):
+            mask = a == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    R = X - C[a]
+    dsub = d // m
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    books = np.empty((m, ncent, dsub))
+    for s in range(m):
+        Rs = R[:, s * dsub:(s + 1) * dsub]
+        B = Rs[:ncent].copy()
+        for _ in range(iters):
+            d2 = ((Rs[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            ra = d2.argmin(axis=1)
+            for c in range(ncent):
+                mask = ra == c
+                if mask.any():
+                    B[c] = Rs[mask].mean(axis=0)
+        books[s] = B
+    return C, books
+
+
+def ivfpq_topk(emb: DataFrame, query_pred, coarse: np.ndarray,
+               books: np.ndarray, k: int = 5, nprobe: int = 2,
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ ADC search: each query probes its ``nprobe`` nearest inverted
+    lists; candidate distance ≈ ||q − c_l − r̂_x||² via a per-(query, list)
+    m×ncent lookup table.  One ``mapInPandas`` corpus scan assigns, encodes
+    and scores every vector in-batch (index structures broadcast), emitting
+    per-batch top-k per query — the bounded-merge pattern of ``pq_topk``.
+    ``nprobe = nlist`` removes the coarse-pruning error entirely (the
+    recall dial, like IVF's)."""
+    spark = emb.sparkSession
+    C = np.asarray(coarse)
+    B = np.asarray(books)
+    nlist, d = C.shape
+    m, ncent, dsub = B.shape
+    nprobe = min(nprobe, nlist)
+    qrows = emb.where(query_pred).select("vec_id", vec_col) \
+        .orderBy("vec_id").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, approx_dist double")
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    # per query: probed lists + ADC table per probed list
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)      # (q, nlist)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]                   # (q, nprobe)
+    # tables[qi, pi, s, j] = ||(q - c_l)_s - B[s, j]||²
+    tables = np.empty((len(qids), nprobe, m, ncent))
+    for qi in range(len(qids)):
+        for pi in range(nprobe):
+            res = Q[qi] - C[probes[qi, pi]]
+            for s in range(m):
+                diff = res[s * dsub:(s + 1) * dsub][None, :] - B[s]
+                tables[qi, pi, s, :] = (diff ** 2).sum(axis=1)
+    bc = spark.sparkContext.broadcast((qids, probes, tables, C, B))
+
+    def scan(batches):
+        qi, pr, T, Cm, Bm = bc.value
+        nq = len(qi)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            assign = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2) \
+                .argmin(axis=1)                                   # (n,)
+            R = V - Cm[assign]
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                Rs = R[:, s * dsub:(s + 1) * dsub]
+                d2 = -2.0 * (Rs @ Bm[s].T) + (Bm[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            out_q, out_v, out_d = [], [], []
+            for qx in range(nq):
+                # vectors whose list is probed by this query
+                probe_set = pr[qx]
+                pi_of_list = {int(l): p for p, l in enumerate(probe_set)}
+                mask = np.isin(assign, probe_set) & (ids != qi[qx])
+                if not mask.any():
+                    continue
+                vidx = np.nonzero(mask)[0]
+                pi = np.array([pi_of_list[int(l)] for l in assign[vidx]])
+                dist = np.zeros(len(vidx))
+                for s in range(m):
+                    dist += T[qx, pi, s, codes[vidx, s]]
+                kk = min(k, len(vidx))
+                part = np.argpartition(dist, kk - 1)[:kk]
+                out_q.extend([qi[qx]] * kk)
+                out_v.extend(ids[vidx][part].tolist())
+                out_d.extend(dist[part].tolist())
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_v,
+                                    "approx_dist": out_d})
+
+    cand = emb.select("vec_id", vec_col).mapInPandas(
+        scan, "query_id long, neighbor_id long, approx_dist double")
+    return (
+        cand.groupBy("query_id")
+        .agg(F.slice(
+            F.array_sort(F.collect_list(
+                F.struct(F.round("approx_dist", 9).alias("d"),
+                         F.col("neighbor_id").alias("nid")))),
+            1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select("query_id", F.col("t.nid").alias("neighbor_id"),
+                (F.col("pos") + 1).cast("bigint").alias("rank"),
+                F.col("t.d").alias("approx_dist"))
+    )

@@ -300,3 +300,66 @@ def test_pca_rotation_composes_with_pq(spark):
     # rotation concentrates variance into few dims -> per-subspace
     # quantizers cover it with the same code budget at lower error
     assert rot_err <= raw_err * 1.05
+
+
+def test_ivfpq_lossless_configuration_matches_exact(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.pq import (exact_l2_topk, ivfpq_topk,
+                                                     train_ivfpq)
+
+    rng = np.random.RandomState(6)
+    V = rng.randn(12, 4) * 10
+    emb = _emb_df(spark, V)
+    # nlist=1 (no pruning), m=1, ncent >= n: residual quantization lossless
+    C, B = train_ivfpq(emb, nlist=1, m=1, ncent=12, sample=12, iters=25)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivfpq_topk(emb, F.col("vec_id") < 2, C, B,
+                               k=3, nprobe=1).collect()}
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in exact_l2_topk(emb, F.col("vec_id") < 2, k=3).collect()}
+    assert got == exact
+
+
+def test_ivfpq_recall_and_probe_dial(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.pq import ivfpq_topk, train_ivfpq
+
+    rng = np.random.RandomState(8)
+    centers = rng.randn(8, 16) * 20
+    V = np.concatenate([c + rng.randn(25, 16) * 0.1 for c in centers])
+    emb = _emb_df(spark, V)
+    C, B = train_ivfpq(emb, nlist=8, m=4, ncent=16, sample=200, iters=10)
+    pred = F.col("vec_id") % 25 == 0
+
+    def recall(nprobe):
+        res = ivfpq_topk(emb, pred, C, B, k=5, nprobe=nprobe).collect()
+        return sum(1 for r in res
+                   if r["neighbor_id"] // 25 == r["query_id"] // 25) / len(res)
+
+    r_full = recall(8)
+    assert r_full >= 0.9            # residual PQ resolves tight clusters
+    assert recall(2) >= 0.8         # coarse pruning keeps own-cluster lists
+
+
+def test_ivfpq_layout_independent(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.pq import ivfpq_topk, train_ivfpq
+
+    rng = np.random.RandomState(14)
+    V = rng.randn(150, 8)
+    emb = _emb_df(spark, V)
+    C, B = train_ivfpq(emb, nlist=4, m=2, ncent=8, sample=150, iters=6)
+    pred = F.col("vec_id") < 5
+    a = sorted(tuple(r) for r in ivfpq_topk(emb, pred, C, B, k=4, nprobe=2).collect())
+    b = sorted(tuple(r) for r in ivfpq_topk(emb.repartition(9), pred, C, B,
+                                            k=4, nprobe=2).collect())
+    assert a == b and len(a) > 0
