@@ -3195,3 +3195,75 @@ def ann_ivfpq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n), ranks_ok, results_complete, recall_ok)],
         "n_vectors long, ranks_ok boolean, results_complete boolean, "
         "recall_ok boolean")
+
+@workload(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM s2) * 1.0
+                 / (SELECT COUNT(*) FROM s1), 4) AS view_to_click,
+           ROUND((SELECT COUNT(*) FROM s3) * 1.0
+                 / (SELECT COUNT(*) FROM s2), 4) AS click_to_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase, strictly
+    time-increasing per user).  The ORACLE is the textbook three-stage
+    conditional-min formulation (3 joins); the ENGINE does it in ONE
+    shuffle: per-user sorted event list folded left-to-right, the
+    accumulator carrying the first qualifying timestamp of each step —
+    per-user event counts are bounded, so the collect_list is safe at any
+    corpus width."""
+    ev = load_table(spark, sf_dir, "events")
+    lst = (
+        # NTZ→LTZ cast is value-preserving under the UTC session pin (the
+        # same argument as the sessionize epoch-micros fast path)
+        ev.select("user_id",
+                  F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                           F.col("event_type").alias("e")).alias("s"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("evs"))
+    )
+    nil = F.lit(None).cast("bigint")
+    zero = F.struct(nil.alias("t1"), nil.alias("t2"), nil.alias("t3"))
+    folded = lst.select(
+        "user_id",
+        F.aggregate(
+            "evs", zero,
+            lambda a, e: F.struct(
+                F.when(a["t1"].isNull() & (e["e"] == "view"), e["t"])
+                 .otherwise(a["t1"]).alias("t1"),
+                F.when(a["t2"].isNull() & a["t1"].isNotNull()
+                       & (e["e"] == "click") & (e["t"] > a["t1"]), e["t"])
+                 .otherwise(a["t2"]).alias("t2"),
+                F.when(a["t3"].isNull() & a["t2"].isNotNull()
+                       & (e["e"] == "purchase") & (e["t"] > a["t2"]), e["t"])
+                 .otherwise(a["t3"]).alias("t3"),
+            ),
+        ).alias("f"),
+    )
+    return folded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("f.t1").isNotNull().cast("int")).cast("bigint").alias("n_view"),
+        F.sum(F.col("f.t2").isNotNull().cast("int")).cast("bigint").alias("n_click"),
+        F.sum(F.col("f.t3").isNotNull().cast("int")).cast("bigint").alias("n_purchase"),
+    ).select(
+        "n_users", "n_view", "n_click", "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 4).alias("click_to_purchase"),
+    )
