@@ -331,3 +331,79 @@ def ivfpq_topk(emb: DataFrame, query_pred, coarse: np.ndarray,
                 (F.col("pos") + 1).cast("bigint").alias("rank"),
                 F.col("t.d").alias("approx_dist"))
     )
+
+
+# -- OPQ: optimized product quantization (learned rotation) ------------------
+
+
+def train_opq(emb: DataFrame, m: int = 8, ncent: int = 16,
+              sample: int = 4096, iters_pq: int = 10, iters_opq: int = 8,
+              vec_col: str = "embedding"):
+    """Optimized PQ (Ge et al. 2013, non-parametric): alternate between
+    fitting PQ codebooks in the rotated space and re-solving the orthogonal
+    Procrustes problem ``R = argmin ‖XR − X̂‖²`` (SVD of ``Xᵀ X̂``), so the
+    rotation redistributes correlated variance across subspaces before
+    quantization.  Driver-side on the deterministic sample, like
+    ``train_pq``.  Returns ``(R (d, d), books)``; encode/search run in the
+    rotated space (rotation is one broadcast matmul — compose with
+    ``transform_pca``-style application or ``opq_topk``)."""
+    rows = emb.select(vec_col).orderBy("vec_id").limit(sample).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    R = np.eye(d)
+
+    def fit_books(Y):
+        books = np.empty((m, ncent, dsub))
+        for s in range(m):
+            Ys = Y[:, s * dsub:(s + 1) * dsub]
+            C = Ys[:ncent].copy()
+            for _ in range(iters_pq):
+                d2 = ((Ys[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                for c in range(ncent):
+                    mask = a == c
+                    if mask.any():
+                        C[c] = Ys[mask].mean(axis=0)
+            books[s] = C
+        return books
+
+    def reconstruct(Y, books):
+        out = np.empty_like(Y)
+        for s in range(m):
+            Ys = Y[:, s * dsub:(s + 1) * dsub]
+            d2 = ((Ys[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s * dsub:(s + 1) * dsub] = books[s][d2.argmin(axis=1)]
+        return out
+
+    books = None
+    for _ in range(iters_opq):
+        Y = X @ R
+        books = fit_books(Y)
+        Yhat = reconstruct(Y, books)
+        U, _, Vt = np.linalg.svd(X.T @ Yhat)
+        R = U @ Vt
+    books = fit_books(X @ R)
+    return R, books
+
+
+def opq_rotate(emb: DataFrame, R: np.ndarray, vec_col: str = "embedding",
+               out_col: str = "embedding") -> DataFrame:
+    """Apply the OPQ rotation (one broadcast matmul per Arrow batch),
+    keeping ``vec_id`` so the result plugs straight into ``pq_encode`` /
+    ``pq_topk``."""
+    from ophidia_io_server_spark.pipeline.embeddings import transform_pca
+
+    d = R.shape[0]
+    out = transform_pca(emb, np.zeros(d), R, vec_col=vec_col, out_col="_rot")
+    return out.drop(vec_col).withColumnRenamed("_rot", out_col)
+
+
+def opq_topk(emb: DataFrame, query_pred, R: np.ndarray, books: np.ndarray,
+             k: int = 5, vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k in the learned-rotation space (rotation preserves L2, so
+    ranks are comparable to raw-space search — just quantized better)."""
+    return pq_topk(opq_rotate(emb, R, vec_col, vec_col), query_pred,
+                   books, k, vec_col)

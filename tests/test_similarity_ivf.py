@@ -363,3 +363,54 @@ def test_ivfpq_layout_independent(spark):
     b = sorted(tuple(r) for r in ivfpq_topk(emb.repartition(9), pred, C, B,
                                             k=4, nprobe=2).collect())
     assert a == b and len(a) > 0
+
+
+def test_opq_beats_plain_pq_on_correlated_data(spark):
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.pq import (opq_rotate, pq_encode,
+                                                     train_opq, train_pq)
+
+    rng = np.random.RandomState(21)
+    base = rng.randn(500, 2)
+    V = np.concatenate([base @ rng.randn(2, 4) + rng.randn(500, 4) * 0.05
+                        for _ in range(2)], axis=1)
+    emb = _emb_df(spark, V)
+
+    def recon_err(df, books):
+        enc = {r["vec_id"]: r["codes"] for r in pq_encode(df, books).collect()}
+        X = {r["vec_id"]: np.array(r["embedding"])
+             for r in df.select("vec_id", "embedding").collect()}
+        m, ncent, dsub = books.shape
+        err = 0.0
+        for vid, codes in enc.items():
+            rec = np.concatenate([books[s][codes[s]] for s in range(m)])
+            err += float(((X[vid] - rec) ** 2).sum())
+        return err / len(enc)
+
+    pq_books = train_pq(emb, m=2, ncent=8, sample=500, iters=10)
+    raw_err = recon_err(emb, pq_books)
+    R, opq_books = train_opq(emb, m=2, ncent=8, sample=500,
+                             iters_pq=10, iters_opq=6)
+    assert np.allclose(R @ R.T, np.eye(8), atol=1e-10)  # orthogonal
+    rot_err = recon_err(opq_rotate(emb, R), opq_books)
+    # the learned rotation must quantize correlated data strictly better
+    assert rot_err < raw_err * 0.9
+
+
+def test_opq_topk_valid_and_deterministic(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.pq import opq_topk, train_opq
+
+    rng = np.random.RandomState(30)
+    V = rng.randn(120, 8)
+    emb = _emb_df(spark, V)
+    R, books = train_opq(emb, m=2, ncent=8, sample=120, iters_pq=6, iters_opq=4)
+    pred = F.col("vec_id") < 4
+    a = sorted(tuple(r) for r in opq_topk(emb, pred, R, books, k=3).collect())
+    b = sorted(tuple(r) for r in opq_topk(emb.repartition(7), pred, R, books, k=3).collect())
+    assert a == b
+    assert len(a) == 4 * 3
