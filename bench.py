@@ -80,14 +80,25 @@ def main() -> None:
         # steady-state engine throughput, not JVM warm-up.
         df = w.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        best = None
-        for _ in range(3):  # min of 3 after warm-up: suppress GC/load noise
+
+    # min of 3 after warm-up, with the 3 timed runs INTERLEAVED as whole-
+    # suite passes rather than back-to-back per query: a transient host
+    # stall (noisy-neighbor steal lasting seconds) then poisons at most one
+    # PASS of each query instead of every timed run of whichever query it
+    # landed on — same total work, same metric definition, far less
+    # gate-to-gate variance on shared machines (PERF.md r5).
+    best: dict[str, float] = {}
+    for _ in range(3):
+        for name in HEADLINE:
+            w = WORKLOADS[name]
             t0 = time.perf_counter()
             df = w.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    for name in HEADLINE:
+        times[name] = round(best[name], 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
