@@ -36,6 +36,31 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def canonical_text_col(text):
+    """Canonicalization before hashing (the CCNet/near-web-dedup practice):
+    lowercase, strip everything but letters/digits/whitespace, collapse
+    whitespace runs, trim.  Exact dedup over the canonical form catches
+    case/punctuation/spacing variants of the same content that byte-exact
+    hashing misses — mirrored 1:1 in the SQL oracle."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_duplicates_canonical(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``exact_duplicates`` over the canonicalized text: one row per distinct
+    canonical form with the representative doc and the variant count."""
+    return (
+        docs.groupBy(F.md5(canonical_text_col(F.col(text_col)))
+                     .alias("canonical_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 # -- shingling ---------------------------------------------------------------
 
 

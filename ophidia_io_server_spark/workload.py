@@ -3267,3 +3267,24 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
         F.round(F.col("n_purchase") / F.col("n_click"), 4).alias("click_to_purchase"),
     )
+
+@workload(
+    "dedup_exact_canonical",
+    oracle="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+             AS canonical_hash,
+           MIN(doc_id) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY canonical_hash
+    """,
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over CANONICALIZED text (lowercase, punctuation
+    stripped, whitespace collapsed — the CCNet normalize-before-hash
+    practice): catches case/punctuation/spacing variants byte-exact
+    hashing misses."""
+    from ophidia_io_server_spark.pipeline.dedup import exact_duplicates_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates_canonical(docs)

@@ -799,3 +799,18 @@ def test_classifier_null_text_zero_features(spark):
     assert got[1]["n_features"] == 0 and got[1]["quality_score"] == 0.0
     assert not got[1]["keep"]
     assert got[2]["n_features"] == 5
+
+
+def test_canonical_dedup_catches_variants(spark):
+    from ophidia_io_server_spark.pipeline.dedup import (exact_duplicates,
+                                                        exact_duplicates_canonical)
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "HELLO WORLD."),
+         (4, "something else")],
+        "doc_id long, text string")
+    byte_exact = exact_duplicates(docs).count()
+    canon = {r["rep_doc_id"]: r["n_docs"]
+             for r in exact_duplicates_canonical(docs).collect()}
+    assert byte_exact == 4            # all byte-distinct
+    assert canon == {1: 3, 4: 1}      # three variants collapse to doc 1
