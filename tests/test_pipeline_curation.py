@@ -814,3 +814,30 @@ def test_canonical_dedup_catches_variants(spark):
              for r in exact_duplicates_canonical(docs).collect()}
     assert byte_exact == 4            # all byte-distinct
     assert canon == {1: 3, 4: 1}      # three variants collapse to doc 1
+
+
+def test_simhash_recall_bound_is_the_real_boundary(spark):
+    """At sf0.001 exactly one true Jaccard≥0.5 pair sits at simhash hamming
+    9 — BEYOND the 8-chunk banding guarantee (≤7).  Pin that the operator
+    misses exactly the pairs outside its documented contract and nothing
+    inside it: every exact pair at hamming ≤ 7 is found."""
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.dedup import (jaccard_pairs_exact,
+                                                        simhash_df,
+                                                        simhash_pairs)
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5).collect()}
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in jaccard_pairs_exact(docs, n=3, threshold=0.5).collect()}
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_df(docs).collect()}
+    missed = exact - got
+    assert got <= exact                       # precision stays exact (verify)
+    for a, b in missed:
+        assert bin(sig[a] ^ sig[b]).count("1") > 7   # outside the contract
+    for a, b in exact - missed:
+        pass  # found
+    assert len(missed) == 1                   # the known hamming-9 pair
