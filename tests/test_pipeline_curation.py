@@ -841,3 +841,69 @@ def test_simhash_recall_bound_is_the_real_boundary(spark):
     for a, b in exact - missed:
         pass  # found
     assert len(missed) == 1                   # the known hamming-9 pair
+
+
+def test_duplicate_spans_differential_vs_python_reference(spark):
+    """Brute-force Python reference on random corpora: identical report."""
+    import random
+    from collections import Counter, defaultdict
+
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    rng = random.Random(41)
+    W = 4
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30)))
+             for _ in range(120)]
+
+    # reference: count windows globally, merge per-doc intervals
+    wins = Counter()
+    per_doc = defaultdict(list)
+    for d, t in enumerate(texts):
+        ws = t.split()
+        for i in range(len(ws) - W + 1):
+            g = " ".join(ws[i:i + W])
+            wins[g] += 1
+            per_doc[d].append((i, g))
+    expect = {}
+    for d, t in enumerate(texts):
+        hits = sorted(i for i, g in per_doc[d] if wins[g] >= 2)
+        if not hits:
+            continue
+        spans, cur_s, cur_e = [], hits[0], hits[0] + W
+        for i in hits[1:]:
+            if i > cur_e:
+                spans.append((cur_s, cur_e))
+                cur_s = i
+            cur_e = max(cur_e, i + W)
+        spans.append((cur_s, cur_e))
+        expect[d] = (len(t.split()), len(hits), len(spans),
+                     sum(e - s for s, e in spans))
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_windows"], r["n_spans"],
+                         r["dup_tokens"])
+           for r in duplicate_spans(docs, window=W).collect()}
+    assert got == expect and len(got) > 10
+
+
+def test_token_budget_differential_vs_python_reference(spark):
+    import random
+
+    from ophidia_io_server_spark.pipeline.sampling import select_token_budget
+
+    rng = random.Random(51)
+    rows = [(i, rng.randint(1, 50), round(rng.choice([0.1, 0.3, 0.5, 0.9]), 4))
+            for i in range(300)]
+    budget = 2000
+    order = sorted(rows, key=lambda r: (-r[2], r[0]))
+    expect, run = {}, 0
+    for doc_id, toks, _q in order:
+        if run < budget:
+            expect[doc_id] = run
+        run += toks
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality double")
+    got = {r["doc_id"]: r["cum_before"]
+           for r in select_token_budget(df, budget, "quality", "n_tokens").collect()}
+    assert got == expect
