@@ -36,7 +36,8 @@ class CurationResult:
 
 def curate_corpus(docs: DataFrame, *, eval_pred: Column | None = None,
                   text_col: str = "text",
-                  rule_filters: bool = True,
+                  rule_filters: bool | str = True,
+                  gopher_kwargs: dict | None = None,
                   redact_pii: bool = True,
                   near_dup_threshold: float = 0.5,
                   span_window: int = 8,
@@ -71,11 +72,26 @@ def curate_corpus(docs: DataFrame, *, eval_pred: Column | None = None,
 
     cur = note("input", docs)
 
-    # 1. rule filters — one projection computes both rule sets
+    # 1. rule filters — one projection computes the selected rule sets.
+    # ``rule_filters``: True = Gopher AND C4; "gopher" / "c4" = one set only
+    # (C4's terminal-punctuation line rule zeroes out corpora without
+    # sentence punctuation — pick "gopher" for such inputs); False = skip.
+    # ``gopher_kwargs`` forwards threshold overrides (e.g. a corpus whose
+    # vocabulary carries no English stop words needs min_stop_hits=0).
     if rule_filters:
-        g = gopher_quality_cols(F.col(text_col))
-        c = c4_filter_cols(F.col(text_col))
-        cur = note("rule_filters", cur.where(g["gopher_keep"] & c["c4_keep"]))
+        keeps = []
+        if rule_filters in (True, "gopher"):
+            keeps.append(gopher_quality_cols(
+                F.col(text_col), **(gopher_kwargs or {}))["gopher_keep"])
+        if rule_filters in (True, "c4"):
+            keeps.append(c4_filter_cols(F.col(text_col))["c4_keep"])
+        if not keeps:
+            raise ValueError(
+                f"rule_filters must be True/False/'gopher'/'c4', got {rule_filters!r}")
+        pred = keeps[0]
+        for k in keeps[1:]:
+            pred = pred & k
+        cur = note("rule_filters", cur.where(pred))
 
     # 2. PII redaction (rewrites the text; dedup then sees redacted content,
     # so identically-redacted docs still dedup together)

@@ -72,6 +72,33 @@ def main() -> None:
     print(f"socket result: {nfields} cols, rows={rows}")
     cli.close()
     qs.shutdown()
+
+    print("\n== 6. training-data curation ==")
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.recipe import curate_corpus
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    res = curate_corpus(docs, eval_pred=F.col("doc_id") % 89 == 0,
+                        rule_filters="gopher",
+                        gopher_kwargs={"min_stop_hits": 0, "min_words": 30},
+                        report=True)
+    print("funnel:", res.funnel)
+    print("splits:", {r["split"]: r["n"] for r in
+                      res.docs.groupBy("split").agg(F.count("*").alias("n"))
+                      .collect()})
+
+    print("\n== 7. quantized ANN ==")
+    from ophidia_io_server_spark.pipeline.pq import ivfpq_topk, train_ivfpq
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    C, B = train_ivfpq(emb, nlist=8, m=8, ncent=16, sample=1000, iters=5)
+    top = ivfpq_topk(emb, F.col("vec_id") < 3, C, B, k=3, nprobe=2)
+    for r in top.orderBy("query_id", "rank").collect():
+        print(f"  q{r['query_id']} #{r['rank']}: vec {r['neighbor_id']} "
+              f"(adc {r['approx_dist']:.3f})")
     print("\ndemo complete")
 
 
