@@ -914,3 +914,47 @@ def test_token_budget_differential_vs_python_reference(spark):
     got = {r["doc_id"]: r["cum_before"]
            for r in select_token_budget(df, budget, "quality", "n_tokens").collect()}
     assert got == expect
+
+
+def test_remove_spans_keep_canonical_differential(spark):
+    """Python reference for keep_in_min_doc=True: a window is cut iff it is
+    duplicated corpus-wide AND not the minimum-(doc_id, pos) occurrence."""
+    import random
+    from collections import Counter, defaultdict
+
+    from ophidia_io_server_spark.pipeline.dedup import remove_duplicate_spans
+
+    rng = random.Random(61)
+    W = 4
+    vocab = [f"v{i}" for i in range(10)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 24)))
+             for _ in range(80)]
+
+    wins = Counter()
+    keeper = {}
+    occ = defaultdict(list)
+    for d, t in enumerate(texts):
+        ws = t.split()
+        for i in range(len(ws) - W + 1):
+            g = " ".join(ws[i:i + W])
+            wins[g] += 1
+            occ[(d)].append((i, g))
+            if g not in keeper or (d, i) < keeper[g]:
+                keeper[g] = (d, i)
+    expect = {}
+    for d, t in enumerate(texts):
+        ws = t.split()
+        cut = sorted(i for i, g in occ[d]
+                     if wins[g] >= 2 and keeper[g] != (d, i))
+        removed = set()
+        for i in cut:
+            removed.update(range(i, i + W))
+        expect[d] = " ".join(w for j, w in enumerate(ws) if j not in removed)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"]
+           for r in remove_duplicate_spans(docs, window=W).collect()}
+    assert got == expect
+    # and something was actually cut somewhere (non-vacuous)
+    assert any(got[d] != texts[d] for d in got)
