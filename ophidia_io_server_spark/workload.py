@@ -3288,3 +3288,116 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_duplicates_canonical(docs)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of, interval) — operators Spark lacks as built-ins
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "events_asof_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts,
+                 value AS click_value
+          FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.event_id, c.click_id, c.click_ts, c.click_value,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts),
+    m AS (SELECT event_id, click_id, click_ts, click_value
+          FROM cand WHERE rn = 1)
+    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+           m.click_id, m.click_ts, m.click_value,
+           COALESCE(m.click_ts IS NOT NULL
+                    AND p.ts - m.click_ts <= INTERVAL 2 HOUR, FALSE) AS attributed
+    FROM p LEFT JOIN m ON p.event_id = m.event_id
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase as-of-joined to the latest
+    prior click by the same user, plus an attributed flag (click within
+    2 h).  The ENGINE is the union-merge as-of join (one shuffle on
+    user_id, |p|+|c| rows — ``operators/temporal.py``); the ORACLE is the
+    textbook inequality-join + ROW_NUMBER formulation whose intermediate
+    is O(|p|·|c|) per user — exactly the blowup the merge form avoids.
+    Tie-break (equal click_ts → max click_id) is pinned on both sides."""
+    from ophidia_io_server_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value"))
+    j = asof_join(p, c, on="user_id", ts_col="ts", right_ts_col="click_ts",
+                  seq_col="click_id", prefix="c_")
+    lt = F.unix_micros(F.col("ts").cast("timestamp"))
+    ct = F.unix_micros(F.col("c_click_ts").cast("timestamp"))
+    return j.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.col("c_click_id").alias("click_id"),
+        F.col("c_click_ts").alias("click_ts"),
+        F.col("c_click_value").alias("click_value"),
+        F.coalesce(F.col("c_click_ts").isNotNull()
+                   & ((lt - ct) <= 7200 * 1_000_000), F.lit(False))
+         .alias("attributed"),
+    )
+
+
+@workload(
+    "events_interval_join",
+    oracle="""
+    WITH err AS (SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS e
+                 FROM events WHERE event_type = 'error'),
+    seq AS (
+      SELECT user_id, ts, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts > MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_w
+      FROM err),
+    w AS (SELECT user_id, ts, e,
+                 SUM(new_w) OVER (PARTITION BY user_id ORDER BY ts, e
+                                  ROWS UNBOUNDED PRECEDING) AS wid
+          FROM seq),
+    iv AS (SELECT user_id, MIN(ts) AS outage_start, MAX(e) AS outage_end
+           FROM w GROUP BY user_id, wid),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, iv.outage_start, iv.outage_end,
+           (iv.outage_start IS NOT NULL) AS in_outage
+    FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+       AND p.ts >= iv.outage_start AND p.ts < iv.outage_end
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join without a BNLJ: per-user error events grow
+    30-min outage windows, overlapping windows merge (gaps-and-islands),
+    purchases land in [start, end) via the BINNED equi-join
+    (``operators/temporal.py``: intervals replicate per covered 30-min
+    bucket, points hash to exactly one, residual predicate finishes the
+    exact match).  The ORACLE is the plain inequality join DuckDB can
+    afford at this scale.  Merged windows are disjoint per user, so each
+    purchase matches ≤1 window and the left join preserves row count."""
+    from ophidia_io_server_spark.operators.temporal import interval_join, merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
+    outages = merge_intervals(err, on="user_id")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    j = interval_join(p, outages, on="user_id", ts_col="ts",
+                      bin_seconds=1800, how="left", point_id_col="event_id")
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("start_ts").alias("outage_start"),
+        F.col("end_ts").alias("outage_end"),
+        F.col("start_ts").isNotNull().alias("in_outage"),
+    )

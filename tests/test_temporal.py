@@ -1,0 +1,171 @@
+"""as-of join + interval join: differential tests against pandas.merge_asof
+and a brute-force inequality join, plus plan-shape guards (no BNLJ)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    merge_intervals,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=float(sec))
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rand_events(rng, n, n_keys, tmax):
+    return [
+        (int(i), int(rng.integers(0, n_keys)), _ts(float(rng.uniform(0, tmax))),
+         float(np.round(rng.uniform(0, 100), 2)))
+        for i in range(n)
+    ]
+
+
+SCHEMA = "event_id long, user_id long, ts timestamp, value double"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 40.0])
+def test_asof_matches_pandas_merge_asof(spark, direction, tolerance):
+    rng = np.random.default_rng(42)
+    left_rows = _rand_events(rng, 300, 8, 1000)
+    right_rows = _rand_events(rng, 200, 8, 1000)
+    left = _mk(spark, left_rows, SCHEMA)
+    right = _mk(spark, right_rows, SCHEMA).select(
+        F.col("event_id").alias("rid"), "user_id", "ts",
+        F.col("value").alias("rvalue"))
+
+    got = asof_join(
+        left, right, on="user_id", ts_col="ts", seq_col="rid",
+        direction=direction, tolerance_sec=tolerance,
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts", "value"])
+    rp = pd.DataFrame(right_rows, columns=["rid", "user_id", "ts", "rvalue"])
+    # pandas keeps the LAST right row among equal timestamps in sort order —
+    # sort by (ts, rid) so ties resolve to max rid, matching seq_col
+    rp = rp.sort_values(["ts", "rid"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        lp.sort_values("ts"), rp, on="ts", by="user_id", direction=direction,
+        tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+        suffixes=("", "_r"),
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(exp) == 300
+    for i in range(300):
+        g, e = got.iloc[i], exp.iloc[i]
+        assert g["event_id"] == e["event_id"]
+        ge, ee = g["r_rid"], e["rid"]
+        assert (pd.isna(ge) and pd.isna(ee)) or ge == ee, (
+            f"row {i} (dir={direction} tol={tolerance}): got rid={ge}, want {ee}")
+    # r_ts must be the matched RIGHT row's ts (merge_asof only keeps left ts)
+    rid_ts = dict(zip(rp["rid"], rp["ts"]))
+    for _, g in got.iterrows():
+        if not pd.isna(g["r_rid"]):
+            assert g["r_ts"] == rid_ts[int(g["r_rid"])]
+
+
+def test_asof_exact_match_toggle(spark):
+    left = _mk(spark, [(1, 0, _ts(100), 1.0)], SCHEMA)
+    right = _mk(spark, [(7, 0, _ts(100), 5.0), (6, 0, _ts(50), 3.0)], SCHEMA)
+    on = asof_join(left, right, on="user_id", seq_col="event_id").collect()[0]
+    off = asof_join(left, right, on="user_id", seq_col="event_id",
+                    allow_exact_matches=False).collect()[0]
+    assert on["r_event_id"] == 7        # equal-ts row visible
+    assert off["r_event_id"] == 6       # equal-ts row hidden → earlier row
+
+
+def test_asof_equal_ts_tiebreak_is_max_seq(spark):
+    left = _mk(spark, [(1, 0, _ts(100), 1.0)], SCHEMA)
+    right = _mk(spark, [(3, 0, _ts(90), 1.0), (9, 0, _ts(90), 2.0),
+                        (5, 0, _ts(90), 3.0)], SCHEMA)
+    row = asof_join(left, right, on="user_id", seq_col="event_id").collect()[0]
+    assert row["r_event_id"] == 9
+
+
+def test_asof_no_bnlj(spark):
+    left = _mk(spark, [(1, 0, _ts(1), 1.0)], SCHEMA)
+    right = _mk(spark, [(2, 0, _ts(0), 2.0)], SCHEMA)
+    plan = asof_join(left, right, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def _brute_interval_join(points, intervals):
+    out = []
+    for pid, key, ts in points:
+        hits = [iv for iv in intervals
+                if iv[0] == key and iv[1] <= ts < iv[2]]
+        out.append((pid, sorted((iv[1], iv[2]) for iv in hits)))
+    return dict(out)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    points = [(int(i), int(rng.integers(0, 5)), _ts(float(rng.uniform(0, 5000))))
+              for i in range(400)]
+    raw_ivs = [(int(rng.integers(0, 5)), float(rng.uniform(0, 4800)),
+                float(rng.uniform(30, 900))) for _ in range(60)]
+    intervals = [(k, _ts(s), _ts(s + w)) for k, s, w in raw_ivs]
+    pdf = _mk(spark, points, "pid long, user_id long, ts timestamp")
+    ivdf = _mk(spark, intervals, "user_id long, start_ts timestamp, end_ts timestamp")
+
+    for bins in (60, 1800, 7200):
+        got = interval_join(pdf, ivdf, on="user_id", bin_seconds=bins).collect()
+        exp = _brute_interval_join(points, intervals)
+        got_map: dict[int, list] = {p[0]: [] for p in points}
+        for r in got:
+            got_map.setdefault(r["pid"], []).append((r["start_ts"], r["end_ts"]))
+        for pid, ivs in exp.items():
+            assert sorted(got_map.get(pid, [])) == ivs, f"pid {pid} bins={bins}"
+
+    left = interval_join(pdf, ivdf, on="user_id", how="left",
+                         point_id_col="pid").collect()
+    # left join: every point appears; matched rows == inner rows;
+    # unmatched have NULL interval cols
+    n_inner = sum(len(v) for v in _brute_interval_join(points, intervals).values())
+    n_unmatched = sum(1 for v in _brute_interval_join(points, intervals).values() if not v)
+    assert len(left) == n_inner + n_unmatched
+    assert sum(1 for r in left if r["start_ts"] is None) == n_unmatched
+
+
+def test_interval_join_no_bnlj_and_clash_guard(spark):
+    pdf = _mk(spark, [(1, 0, _ts(1))], "pid long, user_id long, ts timestamp")
+    ivdf = _mk(spark, [(0, _ts(0), _ts(2))],
+               "user_id long, start_ts timestamp, end_ts timestamp")
+    plan = interval_join(pdf, ivdf, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    bad = ivdf.withColumnRenamed("start_ts", "ts")
+    with pytest.raises(ValueError, match="clash"):
+        interval_join(pdf, bad, on="user_id")
+
+
+def test_merge_intervals(spark):
+    rows = [
+        (0, _ts(0), _ts(100)), (0, _ts(50), _ts(150)),   # overlap → merge
+        (0, _ts(150), _ts(200)),                          # touching → merge
+        (0, _ts(300), _ts(400)),                          # gap → separate
+        (1, _ts(0), _ts(10)),
+    ]
+    df = _mk(spark, rows, "user_id long, start_ts timestamp, end_ts timestamp")
+    got = sorted(
+        ((r["user_id"], r["start_ts"], r["end_ts"])
+         for r in merge_intervals(df, on="user_id").collect()))
+    assert got == [
+        (0, _ts(0), _ts(200)), (0, _ts(300), _ts(400)), (1, _ts(0), _ts(10))]
