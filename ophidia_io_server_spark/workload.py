@@ -3401,3 +3401,43 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_ts").alias("outage_end"),
         F.col("start_ts").isNotNull().alias("in_outage"),
     )
+
+
+@workload(
+    "bm25_doc_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM toks),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dls),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+           FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dls) u
+           WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    con AS (SELECT tf.doc_id, tf.term,
+                   ln(1 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / g.avgdl)) AS c
+            FROM tf JOIN dfq USING (term) CROSS JOIN g),
+    sc AS (SELECT doc_id,
+                  ROUND(list_aggregate(list(c ORDER BY term), 'sum'), 6) AS score
+           FROM con GROUP BY doc_id)
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM sc ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 for the query {hash, merge, scan} over documents —
+    lexical retrieval for corpus curation (``pipeline/retrieval.py``).
+    Postings materialize only for the query terms (filter before the one
+    shuffle); df table and corpus stats ride broadcasts; top-k is
+    TakeOrderedAndProject.  Scores are term-sorted left-fold sums so both
+    engines add in the same order; idf's ln is inside the 6-dp rounding."""
+    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "merge", "scan"], k=25)
