@@ -3441,3 +3441,40 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["hash", "merge", "scan"], k=25)
+
+
+@workload(
+    "orders_rollup_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 4) AS avg_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (status → priority → grand total)
+    with grouping-id disambiguation — the OLAP subtotal surface on top of
+    the engine's flat GROUP BY.  Money sums go through round-to-cents
+    BIGINT so the cross-row sum is order-free (double sums are not);
+    averages derive from the exact cents total.  Spark executes rollup as
+    one Expand + single hash aggregate (no per-level re-scan)."""
+    ords = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        ords.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+            F.round(F.sum(cents) / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
+                "total_cents", "avg_price")
+    )
