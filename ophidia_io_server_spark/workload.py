@@ -3478,3 +3478,38 @@ def orders_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
                 "total_cents", "avg_price")
     )
+
+
+@workload(
+    "doc_chunk_sliding",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    sz AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) > 0),
+    st AS (SELECT doc_id, tk, n,
+                  CASE WHEN n <= 32 THEN 0
+                       ELSE ((n - 32 + 24 - 1) // 24) * 24 END AS last
+           FROM sz),
+    ex AS (SELECT doc_id, tk, unnest(range(0, last + 1, 24)) AS chunk_start
+           FROM st)
+    SELECT doc_id,
+           CAST(chunk_start // 24 AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(tk[chunk_start + 1 : chunk_start + 32]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(tk[chunk_start + 1 : chunk_start + 32], ' ')
+             AS chunk_text
+    FROM ex
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into overlapping
+    32-token windows at stride 24 (``pipeline/chunking.py`` — tokenizer-
+    overflow window rule, integer boundary arithmetic, shuffle-free
+    explode).  The oracle replays the same rule with DuckDB list slicing."""
+    from ophidia_io_server_spark.pipeline.chunking import chunk_sliding
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_sliding(docs, window=32, stride=24)
