@@ -1,0 +1,114 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+signal (score each document by an LM trained on the corpus; outlier
+perplexity ⇒ boilerplate, gibberish, or wrong-language text).
+
+A full KenLM is out of scope for a container without the library; the
+distributed shape is the same for any fixed n, so this implements the
+bigram case end-to-end:
+
+- **Train** = two aggregations over the exploded bigram stream:
+  ``c(w1,w2)`` and the context total ``c(w1) = Σ_w2 c(w1,w2)``, plus the
+  corpus vocabulary size ``V`` (one distinct-count).  All map-side
+  combined; the model lives as DataFrames, never on the driver.
+- **Score** = add-one smoothed conditional
+  ``P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)``; a document's score is the mean
+  ``ln P`` over its bigrams, and ``ppl = exp(−mean)``.
+- The per-document sum folds the bigrams in POSITION order
+  (sort-then-left-fold), so the SQL oracle adds the same floats in the
+  same order; ln/exp are transcendental and sit inside the public 6-dp
+  rounding.
+
+Scale shape: the score join is a shuffled equi-join of the corpus bigram
+stream against the bigram-count table on (w1, w2) — the natural key, with
+AQE handling the Zipfian skew of frequent bigrams; the context-count join
+rides the same shuffle key prefix.  V and any global stats are scalar
+broadcasts.  Self-training (score the corpus that trained the model) is
+the CCNet bootstrap; ``train`` and ``score`` are separable so a clean
+reference corpus can supply the model instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.pipeline.text import tokens_col
+from ophidia_io_server_spark.sources.tables import spread
+
+
+def bigram_stream(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, w1, w2) — one row per adjacent token pair, pos 1-based."""
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tk"))
+        .withColumn("n", F.size("tk").cast("bigint"))
+        .where(F.col("n") >= 2)
+    )
+    pair = F.transform(
+        F.sequence(F.lit(1), (F.col("n") - 1).cast("int")),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.element_at("tk", i.cast("int")).alias("w1"),
+            F.element_at("tk", (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    return toks.select(id_col, F.explode(pair).alias("b")).select(
+        id_col, "b.pos", "b.w1", "b.w2")
+
+
+def train_bigram_model(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Returns (bigram_counts, context_counts, vocab_size_df): the add-one
+    bigram model as DataFrames — (w1, w2, c12), (w1, c1), and a single-row
+    (vsz) frame for broadcast."""
+    big = bigram_stream(spread(docs), text_col, id_col)
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    cc = big.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vocab = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").cast("bigint").alias("vsz"))
+    )
+    return bc, cc, vocab
+
+
+def perplexity_scores(docs: DataFrame, model=None, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, n_bigrams, avg_logprob, ppl) per document with ≥1 bigram.
+
+    ``model`` is a (bigram_counts, context_counts, vocab_df) triple from
+    ``train_bigram_model``; None self-trains on ``docs`` (CCNet bootstrap).
+    """
+    bc, cc, vocab = model if model is not None else train_bigram_model(
+        docs, text_col, id_col)
+    big = bigram_stream(spread(docs), text_col, id_col)
+    lp = (
+        # left joins + coalesce-to-0: when scoring against an EXTERNAL model
+        # an unseen bigram/context backs off to the smoothed floor
+        # (0+1)/(0+V) instead of silently dropping the bigram; for the
+        # self-trained bootstrap every pair is present and this is an exact
+        # inner join
+        big.join(bc, on=["w1", "w2"], how="left")
+        .join(cc, on="w1", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsz"))))
+    )
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("ls"),
+        )
+        .select(
+            id_col, "n_bigrams",
+            F.aggregate(F.col("ls"), F.lit(0.0), lambda s, x: s + x["lp"]).alias("slp"),
+        )
+        .select(
+            id_col, "n_bigrams",
+            F.round(F.col("slp") / F.col("n_bigrams"), 6).alias("avg_logprob"),
+            F.round(F.exp(-(F.col("slp") / F.col("n_bigrams"))), 6).alias("ppl"),
+        )
+    )

@@ -3513,3 +3513,44 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_sliding(docs, window=32, stride=24)
+
+
+@workload(
+    "doc_perplexity_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    big AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM big GROUP BY w1, w2),
+    cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
+          FROM (SELECT unnest(tk) AS t FROM toks)),
+    lp AS (SELECT big.doc_id, big.pos,
+                  ln((bc.c12 + 1) / (cc.c1 + v.vsz)) AS lp
+           FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v),
+    s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 list_aggregate(list(lp ORDER BY pos), 'sum') AS slp
+          FROM lp GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           ROUND(slp / n_bigrams, 6) AS avg_logprob,
+           ROUND(exp(-(slp / n_bigrams)), 6) AS ppl
+    FROM s
+    """,
+)
+def doc_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: self-trained add-one bigram model,
+    per-document mean log-probability and perplexity
+    (``pipeline/lm.py``).  Train = two map-side-combined count
+    aggregations; score = shuffled equi-join on (w1, w2) with the context
+    join riding the same key prefix; V is a scalar broadcast.  Per-doc
+    sums fold bigrams in position order so both engines add the same
+    floats in the same sequence; ln/exp sit inside the 6-dp rounding."""
+    from ophidia_io_server_spark.pipeline.lm import perplexity_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_scores(docs)

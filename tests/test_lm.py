@@ -1,0 +1,94 @@
+"""Bigram-LM perplexity: differential test vs a pure-Python reference,
+external-model backoff, and edge cases."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from ophidia_io_server_spark.pipeline.lm import (
+    perplexity_scores,
+    train_bigram_model,
+)
+
+VOCAB = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast", "big"]
+
+
+def _corpus(rng, n_docs):
+    rows = []
+    for i in range(n_docs):
+        n = int(rng.integers(0, 25))
+        rows.append((i, " ".join(rng.choice(VOCAB, size=n)) if n else ""))
+    rows.append((n_docs, None))
+    return rows
+
+
+def _ref_scores(train_rows, score_rows):
+    def toks(t):
+        return [w for w in t.split(" ") if w] if t is not None else []
+
+    bigs = Counter()
+    ctx = Counter()
+    vocab = set()
+    for _, t in train_rows:
+        tk = toks(t)
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            bigs[(a, b)] += 1
+            ctx[a] += 1
+    v = len(vocab)
+    out = {}
+    for i, t in score_rows:
+        tk = toks(t)
+        if len(tk) < 2:
+            continue
+        lps = [math.log((bigs[(a, b)] + 1) / (ctx[a] + v))
+               for a, b in zip(tk, tk[1:])]
+        s = 0.0
+        for x in lps:        # position order, matching the engine's fold
+            s += x
+        avg = s / len(lps)
+        out[i] = (len(lps), round(avg, 6), round(math.exp(-avg), 6))
+    return out
+
+
+def test_self_trained_matches_reference(spark):
+    rng = np.random.default_rng(5)
+    rows = _corpus(rng, 80)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["ppl"])
+           for r in perplexity_scores(docs).collect()}
+    exp = _ref_scores(rows, rows)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], abs=2e-6), f"doc {i}"
+        assert got[i][2] == pytest.approx(exp[i][2], abs=2e-5), f"doc {i}"
+
+
+def test_external_model_backoff(spark):
+    train = spark.createDataFrame([(0, "the cat sat")], "doc_id long, text string")
+    score_rows = [(1, "the cat"), (2, "dog ran")]   # seen / fully unseen
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    model = train_bigram_model(train)
+    got = {r["doc_id"]: r for r in perplexity_scores(score, model=model).collect()}
+    v = 3  # {the, cat, sat}
+    assert got[1]["avg_logprob"] == pytest.approx(
+        round(math.log((1 + 1) / (1 + v)), 6), abs=2e-6)
+    # unseen bigram AND unseen context: floor (0+1)/(0+V)
+    assert got[2]["avg_logprob"] == pytest.approx(
+        round(math.log(1 / v), 6), abs=2e-6)
+    # unseen text scores strictly worse (lower logprob, higher ppl)
+    assert got[2]["ppl"] > got[1]["ppl"]
+
+
+def test_short_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(0, "single"), (1, ""), (2, None), (3, "two tokens")],
+        "doc_id long, text string")
+    got = perplexity_scores(docs).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    assert got[0]["n_bigrams"] == 1
