@@ -3554,3 +3554,49 @@ def doc_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return perplexity_scores(docs)
+
+
+@workload(
+    "bpe_train_invariants",
+    oracle="""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY word)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars,
+           TRUE AS learned_in_range,
+           TRUE AS all_reconstruct,
+           TRUE AS compression_ok
+    FROM w
+    """,
+)
+def bpe_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training in the gate (iterative argmax — not one-query SQL, so
+    the oracled surface is exact corpus stats + invariant booleans, the
+    sketch-row pattern): 12 merges over the documents word-type table
+    (``pipeline/bpe.py``).  ``all_reconstruct`` proves every word type's
+    symbol sequence concatenates back to the word after all merges;
+    ``compression_ok`` proves each merge round removed ≥min_pair_freq
+    symbol occurrences (total mass ≤ chars − 2·k).  The merge SEQUENCE
+    itself is pinned against a pure-Python Sennrich reference in
+    ``tests/test_bpe.py``."""
+    from ophidia_io_server_spark.pipeline.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, wf = train_bpe(docs, 12)
+    k = len(merges)
+    return wf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum(F.col("freq") * F.length("word")).cast("bigint").alias("total_chars"),
+        F.sum(F.col("freq") * F.size("symbols")).cast("bigint").alias("_syms"),
+        F.bool_and(F.concat_ws("", F.col("symbols")) == F.col("word"))
+         .alias("all_reconstruct"),
+    ).select(
+        "n_word_types", "total_chars",
+        F.lit(1 <= k <= 12).alias("learned_in_range"),
+        "all_reconstruct",
+        ((F.col("_syms") + 2 * k) <= F.col("total_chars")).alias("compression_ok"),
+    )
