@@ -3600,3 +3600,52 @@ def bpe_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all_reconstruct",
         ((F.col("_syms") + 2 * k) <= F.col("total_chars")).alias("compression_ok"),
     )
+
+
+@workload(
+    "lang_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT list_aggregate(list(pow(n_docs, 0.7) ORDER BY lang), 'sum')
+                   AS denom,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_total
+          FROM c)
+    SELECT c.lang, c.n_docs,
+           ROUND(pow(c.n_docs, 0.7) / t.denom, 6) AS weight,
+           ROUND(LEAST(1.0, pow(c.n_docs, 0.7) / t.denom * t.n_total * 0.5
+                            / c.n_docs), 6) AS target_rate,
+           TRUE AS rate_ok
+    FROM c CROSS JOIN t
+    """,
+)
+def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature source mixing over the (skewed) language strata:
+    the per-language sampling plan (``pipeline/mixing.py`` — n^α weights
+    normalized by a language-ordered fold, capped Bernoulli rates) plus a
+    ``rate_ok`` boolean proving the deterministic hash selection lands
+    inside the 4σ binomial envelope of its target rate.  Plan algebra is
+    exact SQL; the xxhash64 selection is the invariant-boolean surface
+    (same pattern as the sampling/split rows)."""
+    from ophidia_io_server_spark.pipeline.mixing import (
+        source_mixing_plan,
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = source_mixing_plan(docs, 0.7, 0.5, source_col="lang")
+    got = (
+        temperature_sample(docs, 0.7, 0.5, source_col="lang",
+                           key_col="doc_id", seed=11)
+        .groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_sel"))
+    )
+    sd = F.sqrt(F.col("target_rate") * (1 - F.col("target_rate")) * F.col("n_docs"))
+    return (
+        plan.join(got, on="lang", how="left")
+        .select(
+            "lang", "n_docs", "weight", "target_rate",
+            (F.abs(F.coalesce(F.col("n_sel"), F.lit(0))
+                   - F.col("target_rate") * F.col("n_docs"))
+             <= 4 * sd + 1).alias("rate_ok"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Temperature source mixing: weight math vs a Python reference, rate
+caps, layout independence, and flattening behavior across alpha."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ophidia_io_server_spark.pipeline.mixing import (
+    source_mixing_plan,
+    temperature_sample,
+)
+
+
+def _docs(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for s, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, s, f"text {i}"))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_plan_matches_reference(spark):
+    sizes = {"web": 800, "books": 150, "code": 50}
+    docs = _docs(spark, sizes)
+    alpha, frac = 0.7, 0.5
+    plan = {r["source"]: r for r in
+            source_mixing_plan(docs, alpha, frac).collect()}
+    denom = sum(n ** alpha for _, n in sorted(sizes.items()))
+    n_total = sum(sizes.values())
+    for s, n in sizes.items():
+        w = n ** alpha / denom
+        assert plan[s]["n_docs"] == n
+        assert plan[s]["weight"] == pytest.approx(round(w, 6), abs=1e-6)
+        assert plan[s]["target_rate"] == pytest.approx(
+            round(min(1.0, w * n_total * frac / n), 6), abs=1e-6)
+
+
+def test_alpha_flattens_and_caps(spark):
+    sizes = {"big": 1000, "tiny": 20}
+    docs = _docs(spark, sizes)
+    # α=1: natural proportions — every source rate equals target_fraction
+    p1 = {r["source"]: r["target_rate"]
+          for r in source_mixing_plan(docs, 1.0, 0.5).collect()}
+    assert p1["big"] == pytest.approx(0.5, abs=1e-6)
+    assert p1["tiny"] == pytest.approx(0.5, abs=1e-6)
+    # α→0: equal weights — the tiny source caps at rate 1
+    p0 = {r["source"]: r["target_rate"]
+          for r in source_mixing_plan(docs, 0.0, 0.5).collect()}
+    assert p0["tiny"] == 1.0
+    assert p0["big"] < 0.5
+
+
+def test_sample_is_deterministic_and_rate_true(spark):
+    sizes = {"web": 2000, "books": 500}
+    docs = _docs(spark, sizes)
+    a = temperature_sample(docs, 0.7, 0.5, seed=3)
+    ids1 = sorted(r["doc_id"] for r in a.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  temperature_sample(docs.repartition(7), 0.7, 0.5, seed=3).collect())
+    assert ids1 == ids2                       # layout-independent
+    assert a.columns == docs.columns          # schema passthrough
+    plan = {r["source"]: r["target_rate"]
+            for r in source_mixing_plan(docs, 0.7, 0.5).collect()}
+    got = {r["source"]: r["cnt"] for r in
+           a.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    for s, n in sizes.items():
+        r = plan[s]
+        sd = (r * (1 - r) * n) ** 0.5
+        assert abs(got.get(s, 0) - r * n) <= 4 * sd + 1, s
