@@ -3649,3 +3649,43 @@ def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= 4 * sd + 1).alias("rate_ok"),
         )
     )
+
+
+@workload(
+    "events_pivot_hourly",
+    oracle="""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_n,
+           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                         FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+             AS purchase_cents
+    FROM events GROUP BY hour(ts)
+    """,
+)
+def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide conditional aggregation): per hour-of-day, one column
+    per event type — Spark's ``groupBy().pivot(values).agg()`` with the
+    value list pinned (no extra distinct-scan job), executed as a single
+    hash aggregate; the oracle is the equivalent FILTER aggregation.
+    Money goes through round-to-cents BIGINT (order-free sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wide = (
+        ev.withColumn("hour", F.hour(F.col("ts").cast("timestamp")).cast("bigint"))
+        .groupBy("hour")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("cents"))
+    )
+    return wide.select(
+        "hour",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"{t}_n")
+          for t in types],
+        F.coalesce(F.col("purchase_cents"), F.lit(0)).cast("bigint")
+         .alias("purchase_cents"),
+    )
