@@ -80,6 +80,10 @@ def asof_join(
         F.col(rts).alias(prefix + rts),
         *[F.col(c).alias(prefix + c) for c in rpayload if c != rts],
     )
+    # a NULL-ts right row would sort to the partition front and be carried
+    # into every left row until the first real right row — drop them (they
+    # cannot be "nearest" to anything)
+    right = right.where(F.col(rts).isNotNull())
     rs = right.select(
         *keys,
         F.col(rts).alias("_ats"),
@@ -170,6 +174,7 @@ def interval_join(
     bin_seconds: int = 1800,
     how: str = "inner",
     point_id_col: str | None = None,
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Exact point-in-[start, end) join as a shuffled EQUI-join.
 
@@ -201,14 +206,28 @@ def interval_join(
     pb = points.withColumn(
         "_bin", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(bin_us)))
     iv = intervals.where(F.col(end_col) > F.col(start_col))
+    first_bin = F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(bin_us))
+    # end is exclusive: the bucket of (end − 1µs)
+    last_bin = F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / F.lit(bin_us))
+    # replication guard: one corrupt interval (year-9999 end_ts) would
+    # otherwise explode into millions of rows inside a single task.  Fail
+    # loudly — silently clamping would silently drop matches.
     ib = iv.withColumn(
+        "_nbins", last_bin - first_bin + 1
+    ).withColumn(
         "_bin",
         F.explode(F.sequence(
-            F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / F.lit(bin_us)),
-            # end is exclusive: the bucket of (end − 1µs)
-            F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / F.lit(bin_us)),
+            first_bin,
+            F.when(F.col("_nbins") <= max_bins_per_interval, last_bin).otherwise(
+                F.raise_error(F.concat(
+                    F.lit(f"interval_join: an interval spans > {max_bins_per_interval} "
+                          f"bins of {bin_seconds}s (nbins="),
+                    F.col("_nbins"),
+                    F.lit("); raise bin_seconds or max_bins_per_interval, "
+                          "or filter corrupt intervals"),
+                ).cast("string")).cast("bigint")),
         )),
-    )
+    ).drop("_nbins")
     matched = (
         pb.join(ib, on=[*keys, "_bin"])
         .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))

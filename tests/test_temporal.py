@@ -169,3 +169,26 @@ def test_merge_intervals(spark):
          for r in merge_intervals(df, on="user_id").collect()))
     assert got == [
         (0, _ts(0), _ts(200)), (0, _ts(300), _ts(400)), (1, _ts(0), _ts(10))]
+
+
+def test_asof_null_right_ts_not_carried(spark):
+    left = _mk(spark, [(1, 0, _ts(100), 1.0)], SCHEMA)
+    right = _mk(spark, [(5, 0, None, 9.0), (6, 0, _ts(50), 3.0)], SCHEMA)
+    row = asof_join(left, right, on="user_id", seq_col="event_id").collect()[0]
+    assert row["r_event_id"] == 6          # the NULL-ts row is ignored
+    only_null = _mk(spark, [(5, 0, None, 9.0)], SCHEMA)
+    row = asof_join(left, only_null, on="user_id", seq_col="event_id").collect()[0]
+    assert row["r_event_id"] is None
+
+
+def test_interval_join_replication_guard(spark):
+    pdf = _mk(spark, [(1, 0, _ts(1))], "pid long, user_id long, ts timestamp")
+    huge = _mk(spark, [(0, _ts(0), _ts(86400 * 365))],
+               "user_id long, start_ts timestamp, end_ts timestamp")
+    # a year-long interval at 60 s bins would need >500k replicas → raises
+    with pytest.raises(Exception, match="interval_join"):
+        interval_join(pdf, huge, on="user_id", bin_seconds=60,
+                      max_bins_per_interval=1000).collect()
+    # same interval with an adequate bin width: fine
+    got = interval_join(pdf, huge, on="user_id", bin_seconds=86400 * 30).collect()
+    assert len(got) == 1
