@@ -407,3 +407,30 @@ def opq_topk(emb: DataFrame, query_pred, R: np.ndarray, books: np.ndarray,
     ranks are comparable to raw-space search — just quantized better)."""
     return pq_topk(opq_rotate(emb, R, vec_col, vec_col), query_pred,
                    books, k, vec_col)
+
+
+def train_opq_ivfpq(emb: DataFrame, nlist: int = 8, m: int = 8,
+                    ncent: int = 16, sample: int = 4096, iters: int = 10,
+                    iters_opq: int = 6, vec_col: str = "embedding"):
+    """OPQ pre-transform + IVF-PQ — the FAISS ``OPQ{m},IVF{nlist},PQ{m}``
+    factory composite: learn the Ge et al. rotation on the PQ objective,
+    then train the coarse quantizer and residual codebooks in the ROTATED
+    space, where variance is balanced across subspaces.  Returns
+    ``(R, coarse, books)``; search with ``opq_ivfpq_topk``.  Rotation is
+    orthogonal, so L2 ranks in rotated space equal raw-space ranks — only
+    the quantization error changes (downward, on correlated data)."""
+    R, _ = train_opq(emb, m=m, ncent=ncent, sample=sample,
+                     iters_pq=iters, iters_opq=iters_opq, vec_col=vec_col)
+    rot = opq_rotate(emb, R, vec_col, vec_col)
+    coarse, books = train_ivfpq(rot, nlist=nlist, m=m, ncent=ncent,
+                                sample=sample, iters=iters, vec_col=vec_col)
+    return R, coarse, books
+
+
+def opq_ivfpq_topk(emb: DataFrame, query_pred, R: np.ndarray,
+                   coarse: np.ndarray, books: np.ndarray, k: int = 5,
+                   nprobe: int = 2, vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ ADC search in the learned-rotation space (one broadcast
+    matmul prepended to the ``ivfpq_topk`` pipeline)."""
+    return ivfpq_topk(opq_rotate(emb, R, vec_col, vec_col), query_pred,
+                      coarse, books, k=k, nprobe=nprobe, vec_col=vec_col)

@@ -414,3 +414,58 @@ def test_opq_topk_valid_and_deterministic(spark):
     b = sorted(tuple(r) for r in opq_topk(emb.repartition(7), pred, R, books, k=3).collect())
     assert a == b
     assert len(a) == 4 * 3
+
+
+def test_opq_ivfpq_beats_plain_ivfpq_reconstruction(spark):
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.pq import (train_ivfpq,
+                                                     train_opq_ivfpq)
+
+    rng = np.random.RandomState(33)
+    base = rng.randn(500, 2)
+    V = np.concatenate([base @ rng.randn(2, 4) + rng.randn(500, 4) * 0.05
+                        for _ in range(2)], axis=1)
+    emb = _emb_df(spark, V)
+
+    def ivfpq_recon_err(X, coarse, books):
+        a = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        Res = X - coarse[a]
+        m, ncent, dsub = books.shape
+        rec = np.empty_like(X)
+        for s in range(m):
+            Rs = Res[:, s * dsub:(s + 1) * dsub]
+            d2 = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            rec[:, s * dsub:(s + 1) * dsub] = books[s][d2.argmin(axis=1)]
+        return float((((X - coarse[a]) - rec) ** 2).sum() / len(X))
+
+    c0, b0 = train_ivfpq(emb, nlist=4, m=2, ncent=8, sample=500, iters=10)
+    raw_err = ivfpq_recon_err(V, c0, b0)
+    R, c1, b1 = train_opq_ivfpq(emb, nlist=4, m=2, ncent=8, sample=500,
+                                iters=10, iters_opq=6)
+    assert np.allclose(R @ R.T, np.eye(8), atol=1e-10)
+    rot_err = ivfpq_recon_err(V @ R, c1, b1)
+    assert rot_err < raw_err * 0.9
+
+
+def test_opq_ivfpq_topk_valid_and_deterministic(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.pq import (opq_ivfpq_topk,
+                                                     train_opq_ivfpq)
+
+    rng = np.random.RandomState(34)
+    V = rng.randn(150, 8)
+    emb = _emb_df(spark, V)
+    R, coarse, books = train_opq_ivfpq(emb, nlist=4, m=2, ncent=8,
+                                       sample=150, iters=6, iters_opq=4)
+    pred = F.col("vec_id") < 4
+    a = sorted(tuple(r) for r in
+               opq_ivfpq_topk(emb, pred, R, coarse, books, k=3, nprobe=4).collect())
+    b = sorted(tuple(r) for r in
+               opq_ivfpq_topk(emb.repartition(7), pred, R, coarse, books,
+                              k=3, nprobe=4).collect())
+    assert a == b
+    assert len(a) == 4 * 3
