@@ -140,3 +140,40 @@ def curate_corpus(docs: DataFrame, *, eval_pred: Column | None = None,
     cur = hash_split(cur, list(split_weights), key_col="doc_id", seed=seed)
     out = note("output", cur)
     return CurationResult(docs=out, funnel=funnel)
+
+
+def curate_stream(docs_stream: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  gopher_kwargs: dict | None = None) -> DataFrame:
+    """The STREAMING form of the recipe's stateless prefix: content-hash
+    dedup (Structured Streaming state store) → Gopher rule columns → PII
+    redaction — everything that needs no corpus-global statistics, applied
+    incrementally as documents land.
+
+    Returns a streaming DataFrame with (id, text_redacted, n_words,
+    gopher_keep, has_pii).  Corpus-global stages (near-dup CC, span dedup,
+    token budgets, splits) stay batch: they need a consistent snapshot by
+    definition, and the standard architecture is stream-curate into a
+    landing table, then run the batch recipe over snapshots.
+
+    The dedup state is unbounded here (content hashes accumulate); bound
+    it with ``withWatermark`` on an event-time column before calling when
+    the stream is endless — same trade documented on
+    ``streaming/ingest.stateful_dedup_stream``."""
+    from ophidia_io_server_spark.pipeline.redact import redact_cols
+    from ophidia_io_server_spark.pipeline.text import gopher_quality_cols
+
+    deduped = (
+        docs_stream.where(F.col(text_col).isNotNull())
+        .withColumn("_h", F.md5(F.col(text_col)))
+        .dropDuplicates(["_h"])
+    )
+    g = gopher_quality_cols(F.col(text_col), **(gopher_kwargs or {}))
+    r = redact_cols(F.col(text_col))
+    return deduped.select(
+        id_col,
+        r["text_redacted"].alias("text_redacted"),
+        g["n_words"].alias("n_words"),
+        g["gopher_keep"].alias("gopher_keep"),
+        r["has_pii"].alias("has_pii"),
+    )

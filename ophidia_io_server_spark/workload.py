@@ -3689,3 +3689,64 @@ def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("purchase_cents"), F.lit(0)).cast("bigint")
          .alias("purchase_cents"),
     )
+
+
+_CQR_AS_CTE = (
+    WORKLOADS["curation_quality_rules"].oracle
+    .replace("FROM documents", "FROM dd")
+    .replace("FROM g ORDER BY doc_id", "FROM g")
+)
+
+
+@workload(
+    "stream_curation_recipe",
+    oracle=f"""
+    WITH dd AS (SELECT MIN(doc_id) AS doc_id, text
+                FROM documents WHERE text IS NOT NULL GROUP BY text),
+    cqr AS ({_CQR_AS_CTE}),
+    pii AS (SELECT doc_id,
+           {_redact_oracle_exprs()},
+           (n_url + n_email + n_ipv4 + n_phone) > 0 AS has_pii
+           FROM dd)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gopher_keep,
+           CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_pii,
+           CAST(SUM(CASE WHEN gopher_keep THEN n_words ELSE 0 END) AS BIGINT)
+             AS kept_words
+    FROM cqr JOIN pii USING (doc_id)
+    """,
+)
+def stream_curation_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming RECIPE prefix end-to-end (``pipeline/recipe.py::
+    curate_stream``): the doubled document corpus re-ingested as a file
+    stream, content-hash dedup in the state store, Gopher rules + PII
+    redaction applied incrementally — aggregates over the curated stream
+    must equal the batch rule/redaction oracles over distinct texts.  The
+    oracle REUSES the `curation_quality_rules` SQL mirror verbatim over
+    the deduplicated CTE (one source of truth for the rule algebra)."""
+    import hashlib
+    import os
+
+    from ophidia_io_server_spark.pipeline.recipe import curate_stream
+    from ophidia_io_server_spark.streaming.ingest import run_available_now
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/ophidia_stream_docs_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.unionAll(docs).write.mode("overwrite").parquet(path)
+        open(f"{path}/_SUCCESS", "a").close()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    curated = curate_stream(stream).drop("text_redacted")
+    per_doc = run_available_now(curated, f"stream_recipe_{tag}",
+                                output_mode="append")
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("gopher_keep").cast("int")).cast("bigint")
+         .alias("n_gopher_keep"),
+        F.sum(F.col("has_pii").cast("int")).cast("bigint").alias("n_with_pii"),
+        F.sum(F.when(F.col("gopher_keep"), F.col("n_words")).otherwise(0))
+         .cast("bigint").alias("kept_words"),
+    )
