@@ -1,0 +1,100 @@
+"""Distributed PageRank — the iterative graph-analytics operator beyond the
+connected-components pair in ``pipeline/dedup.py`` (authority scoring for
+web-graph-style corpus curation, transition analysis over event streams).
+
+Power iteration with damping ``d`` over a weighted directed edge table:
+
+    rank'(v) = (1−d)/n + d·( Σ_{u→v} rank(u)·w(u,v)/outw(u) + dang/n )
+
+where ``dang`` is the rank mass parked on dangling (no-out-edge) nodes,
+redistributed uniformly — the standard stochastic-matrix completion, so
+ranks keep summing to 1.
+
+Scale shape per iteration: one equi-join (edges ⋈ ranks on src — the rank
+side is n rows, the edge side E rows; Spark picks broadcast-hash when
+ranks fit, shuffled-hash otherwise) + one groupBy(dst) aggregation; the
+dangling mass is a scalar single-row aggregate (broadcast, no driver
+round-trip inside the plan).  ``localCheckpoint`` every few rounds keeps
+the lineage flat over many iterations — same discipline as the CC loops.
+
+``exact_fold=True`` replaces the ``SUM`` of incoming contributions with a
+source-ordered sort-then-left-fold, making every float addition sequence
+reproducible across engines (the SQL-oracle gate needs it).  It collects
+each node's in-contributions into an array, so it is bounded by max
+in-degree — use the default ``SUM`` on hub-heavy graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 12,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    exact_fold: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, rank) after ``iters`` damped power iterations; ranks sum to 1
+    (up to float error).  Unweighted edges (``weight_col=None``) count 1
+    each; parallel edges accumulate weight."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+                     w.alias("w"))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct().localCheckpoint()
+    )
+    n = nodes.count()
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    ep = e.join(outw, on="src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")).localCheckpoint()
+    dangling = nodes.join(outw.select(F.col("src").alias("node")),
+                          on="node", how="left_anti").localCheckpoint()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    teleport = (1 - damping) / n
+    for i in range(iters):
+        contrib = ep.join(ranks, ep["src"] == ranks["node"]).select(
+            "dst", "src", (F.col("rank") * F.col("p")).alias("c"))
+        if exact_fold:
+            incoming = contrib.groupBy("dst").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    F.lit(0.0), lambda a, x: a + x["c"],
+                ).alias("m"))
+        else:
+            incoming = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        # dangling rank mass (scalar row, broadcast): folded in node order
+        # under exact_fold for the same cross-engine-determinism reason
+        dr = dangling.join(ranks, on="node")
+        if exact_fold:
+            dang = dr.agg(F.aggregate(
+                F.array_sort(F.collect_list(F.struct("node", "rank"))),
+                F.lit(0.0), lambda a, x: a + x["rank"]).alias("dm"))
+        else:
+            dang = dr.agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        ranks = (
+            nodes.join(incoming.withColumnRenamed("dst", "node"),
+                       on="node", how="left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (F.lit(teleport)
+                 + damping * (F.coalesce(F.col("m"), F.lit(0.0))
+                              + F.col("dm") / n)).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

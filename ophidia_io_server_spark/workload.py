@@ -3750,3 +3750,70 @@ def stream_curation_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("gopher_keep"), F.col("n_words")).otherwise(0))
          .cast("bigint").alias("kept_words"),
     )
+
+
+def _pagerank_oracle(iters: int, d: float = 0.85) -> str:
+    """Unrolled power-iteration oracle (recursive CTEs cannot aggregate in
+    the recursive term, so the fixed iteration count is generated as a CTE
+    chain).  Every float expression mirrors `operators/graph.py::pagerank`
+    with exact_fold: incoming contributions fold in src order, dangling
+    mass folds in node order, identical literals and association."""
+    sql = """
+    WITH s AS (SELECT event_type AS src,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS dst
+               FROM events),
+    e AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
+    outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+    ep AS MATERIALIZED (SELECT e.src, e.dst, e.w / outw.ow AS p
+           FROM e JOIN outw USING (src)),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank
+          FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    dang{i} AS (SELECT COALESCE(list_aggregate(list(r.rank ORDER BY r.node),
+                                               'sum'), 0.0) AS dm
+                FROM r{i - 1} r LEFT JOIN outw ON r.node = outw.src
+                WHERE outw.src IS NULL),
+    r{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             (1 - {d}) / nn.n
+               + {d} * (COALESCE(inc.m, 0.0) + dang{i}.dm / nn.n) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN dang{i}
+      LEFT JOIN (SELECT ep.dst AS node,
+                        list_aggregate(list(r.rank * ep.p ORDER BY ep.src),
+                                       'sum') AS m
+                 FROM ep JOIN r{i - 1} r ON ep.src = r.node
+                 GROUP BY ep.dst) inc USING (node))"""
+    sql += f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return sql
+
+
+@workload("events_pagerank_transitions", oracle=_pagerank_oracle(12))
+def events_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the event-type transition graph (edges =
+    consecutive event types per user, weighted by transition count) —
+    the generic distributed power iteration of ``operators/graph.py``
+    (per round: one edges⋈ranks join + one groupBy(dst); dangling mass a
+    broadcast scalar; lineage checkpointed).  ``exact_fold`` orders every
+    float addition so the unrolled-CTE oracle reproduces each iteration
+    bitwise; the numpy differential in ``tests/test_graph.py`` covers the
+    general algorithm on random digraphs with dangling nodes."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    wdw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(F.col("event_type").alias("src"),
+                  F.lead("event_type").over(wdw).alias("dst"))
+    edges = (s.where(F.col("dst").isNotNull())
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    ranks = pagerank(edges, iters=12, weight_col="w", exact_fold=True)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
