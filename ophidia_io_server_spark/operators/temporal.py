@@ -65,6 +65,13 @@ def asof_join(
     only data-size term is |left| + |right| rows through one shuffle —
     the same cost as the sort-merge as-of in kdb/QuestDB/DuckDB, and the
     reason this beats any range-join formulation at scale.
+
+    Skew note: a hot key serializes its per-key sort into one task (the
+    carry-forward needs the full per-key time order); Spark's external
+    sort spills rather than OOMs (measured 1.3× at 90%-hot, PERF.md r5).
+    If one key ever exceeds a task, the mitigation is time-range
+    pre-bucketing with a boundary row carried between buckets — not
+    implemented until a workload needs it.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
