@@ -3817,3 +3817,69 @@ def events_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).cast("double").alias("w")))
     ranks = pagerank(edges, iters=12, weight_col="w", exact_fold=True)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@workload(
+    "events_rolling_zscore",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, value,
+             -- empty trailing frame: Spark collect_list gives [], DuckDB
+             -- list() gives NULL — coalesce to align
+             COALESCE(list(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING),
+                      []) AS vs
+      FROM events),
+    st AS (
+      SELECT event_id, user_id, value,
+             CAST(len(vs) AS BIGINT) AS n_win,
+             list_aggregate(vs, 'sum') AS s,
+             list_aggregate(list_transform(vs, x -> x * x), 'sum') AS ss
+      FROM base),
+    z AS (
+      SELECT event_id, user_id, value, n_win,
+             CASE WHEN n_win >= 5
+                  AND (ss - s * s / n_win) / (n_win - 1) > 0
+                  THEN ROUND((value - s / n_win)
+                             / sqrt((ss - s * s / n_win) / (n_win - 1)), 4)
+             END AS zscore
+      FROM st)
+    SELECT event_id, user_id, n_win, zscore,
+           COALESCE(abs(zscore) > 3.0, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event's value z-scored against the
+    TRAILING 19-event window of the same user (current row excluded — no
+    self-contamination).  The window stats fold the frame's value list in
+    frame order (``collect_list`` over the ROWS frame ↔ DuckDB ``list()
+    OVER``), so both engines add the same floats in the same order —
+    incremental sliding-window aggregates would drift.  Windows under 5
+    samples or with zero variance yield NULL z (flagged false)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, -1))
+    vals = F.collect_list("value").over(w)
+    base = ev.select("event_id", "user_id", "value", vals.alias("vs"))
+    n = F.size("vs").cast("bigint")
+    s = F.aggregate("vs", F.lit(0.0), lambda a, x: a + x)
+    ss = F.aggregate(F.transform("vs", lambda x: x * x),
+                     F.lit(0.0), lambda a, x: a + x)
+    st = base.select("event_id", "user_id", "value",
+                     n.alias("n_win"), s.alias("s"), ss.alias("ss"))
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_win")) \
+        / (F.col("n_win") - 1)
+    zscore = F.when(
+        (F.col("n_win") >= 5) & (var > 0),
+        F.round((F.col("value") - F.col("s") / F.col("n_win")) / F.sqrt(var), 4),
+    )
+    return (
+        st.withColumn("zscore", zscore)
+        .select("event_id", "user_id", "n_win", "zscore",
+                F.coalesce(F.abs(F.col("zscore")) > 3.0, F.lit(False))
+                 .alias("is_anomaly"))
+    )
