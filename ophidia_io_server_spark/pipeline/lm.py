@@ -112,3 +112,88 @@ def perplexity_scores(docs: DataFrame, model=None, text_col: str = "text",
             F.round(F.exp(-(F.col("slp") / F.col("n_bigrams"))), 6).alias("ppl"),
         )
     )
+
+
+# --- order-n generalization -------------------------------------------------
+# The bigram functions above stay the oracled surface; these generalize the
+# same distributed shape to any fixed order: the context key is the previous
+# n−1 tokens joined with an unprintable separator, so the count tables keep
+# the (context, word) equi-join shape whatever the order.
+
+_CTX_SEP = "\x1f"
+
+
+def ngram_stream(docs: DataFrame, order: int, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, ctx, w): one row per order-n window; ctx = the n−1
+    preceding tokens joined with an unprintable separator."""
+    if order < 2:
+        raise ValueError(f"order must be ≥ 2, got {order}")
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tk"))
+        .withColumn("n", F.size("tk").cast("bigint"))
+        .where(F.col("n") >= order)
+    )
+    k = order - 1
+    win = F.transform(
+        F.sequence(F.lit(1), (F.col("n") - k).cast("int")),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.array_join(F.slice("tk", i.cast("int"), k), _CTX_SEP).alias("ctx"),
+            F.element_at("tk", (i + k).cast("int")).alias("w"),
+        ),
+    )
+    return toks.select(id_col, F.explode(win).alias("g")).select(
+        id_col, "g.pos", "g.ctx", "g.w")
+
+
+def train_ngram_model(docs: DataFrame, order: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """(ngram_counts (ctx, w, cnw), context_counts (ctx, cn), vocab_df) —
+    the add-one order-n model; same DataFrame-resident contract as the
+    bigram trainer."""
+    g = ngram_stream(spread(docs), order, text_col, id_col)
+    nc = g.groupBy("ctx", "w").agg(F.count(F.lit(1)).cast("bigint").alias("cnw"))
+    cc = g.groupBy("ctx").agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    vocab = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").cast("bigint").alias("vsz"))
+    )
+    return nc, cc, vocab
+
+
+def ngram_perplexity_scores(docs: DataFrame, order: int = 3, model=None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Order-n mean log-prob + perplexity per document with ≥1 full window;
+    unseen (ctx, w) pairs back off to the smoothed floor like the bigram
+    scorer."""
+    nc, cc, vocab = model if model is not None else train_ngram_model(
+        docs, order, text_col, id_col)
+    g = ngram_stream(spread(docs), order, text_col, id_col)
+    lp = (
+        g.join(nc, on=["ctx", "w"], how="left")
+        .join(cc, on="ctx", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", F.log(
+            (F.coalesce(F.col("cnw"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("cn"), F.lit(0)) + F.col("vsz"))))
+    )
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("ls"),
+        )
+        .select(
+            id_col, "n_ngrams",
+            F.aggregate(F.col("ls"), F.lit(0.0), lambda s, x: s + x["lp"]).alias("slp"),
+        )
+        .select(
+            id_col, "n_ngrams",
+            F.round(F.col("slp") / F.col("n_ngrams"), 6).alias("avg_logprob"),
+            F.round(F.exp(-(F.col("slp") / F.col("n_ngrams"))), 6).alias("ppl"),
+        )
+    )

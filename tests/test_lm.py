@@ -92,3 +92,56 @@ def test_short_docs_excluded(spark):
     got = perplexity_scores(docs).collect()
     assert [r["doc_id"] for r in got] == [3]
     assert got[0]["n_bigrams"] == 1
+
+
+def test_trigram_matches_reference(spark):
+    rng = np.random.default_rng(6)
+    rows = _corpus(rng, 60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from ophidia_io_server_spark.pipeline.lm import ngram_perplexity_scores
+
+    def toks(t):
+        return [w for w in t.split(" ") if w] if t is not None else []
+
+    ngrams = Counter()
+    ctxs = Counter()
+    vocab = set()
+    for _, t in rows:
+        tk = toks(t)
+        vocab.update(tk)
+        for i in range(len(tk) - 2):
+            ngrams[(tk[i], tk[i + 1], tk[i + 2])] += 1
+            ctxs[(tk[i], tk[i + 1])] += 1
+    v = len(vocab)
+    exp = {}
+    for i, t in rows:
+        tk = toks(t)
+        if len(tk) < 3:
+            continue
+        lps = [math.log((ngrams[(a, b, c)] + 1) / (ctxs[(a, b)] + v))
+               for a, b, c in zip(tk, tk[1:], tk[2:])]
+        s = 0.0
+        for x in lps:
+            s += x
+        exp[i] = (len(lps), round(s / len(lps), 6))
+    got = {r["doc_id"]: (r["n_ngrams"], r["avg_logprob"])
+           for r in ngram_perplexity_scores(docs, order=3).collect()}
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], abs=2e-6), f"doc {i}"
+
+
+def test_ngram_order2_equals_bigram_module(spark):
+    rng = np.random.default_rng(7)
+    rows = _corpus(rng, 40)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from ophidia_io_server_spark.pipeline.lm import ngram_perplexity_scores
+
+    a = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["ppl"])
+         for r in perplexity_scores(docs).collect()}
+    b = {r["doc_id"]: (r["n_ngrams"], r["avg_logprob"], r["ppl"])
+         for r in ngram_perplexity_scores(docs, order=2).collect()}
+    assert a == b
