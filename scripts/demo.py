@@ -99,6 +99,34 @@ def main() -> None:
     for r in top.orderBy("query_id", "rank").collect():
         print(f"  q{r['query_id']} #{r['rank']}: vec {r['neighbor_id']} "
               f"(adc {r['approx_dist']:.3f})")
+
+    print("\n== 8. temporal joins, retrieval, PageRank ==")
+    from ophidia_io_server_spark.operators.graph import pagerank
+    from ophidia_io_server_spark.operators.temporal import asof_join
+    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts"))
+    attributed = asof_join(p, c, on="user_id", ts_col="ts",
+                           right_ts_col="cts", seq_col="cid")
+    n_attr = attributed.where(F.col("r_cts").isNotNull()).count()
+    print(f"as-of join: {n_attr}/{attributed.count()} purchases have a prior click")
+
+    hits = bm25_topk(docs, ["hash", "merge"], k=3).collect()
+    print("bm25 top-3:", [(r["doc_id"], r["score"]) for r in hits])
+
+    from pyspark.sql import Window
+    wdw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("event_type").alias("src"),
+                       F.lead("event_type").over(wdw).alias("dst"))
+             .where(F.col("dst").isNotNull())
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    ranks = pagerank(edges, iters=8, weight_col="w")
+    print("event-type pagerank:",
+          {r["node"]: round(r["rank"], 4) for r in ranks.collect()})
     print("\ndemo complete")
 
 
