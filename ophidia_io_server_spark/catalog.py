@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_DB = "default"
 
@@ -226,3 +227,41 @@ class Catalog:
                 if os.path.isdir(fragdir):
                     cat.put(f"{db}.{frag}", spark.read.parquet(fragdir), cache=cache)
         return cat
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str = "id_dim") -> DataFrame:
+    """MERGE-style upsert: rows of ``updates`` replace same-key rows of
+    ``base``; unmatched update rows insert; unmatched base rows survive.
+
+    Both frames must share the schema.  The plan is one shuffled full-outer
+    equi-join on the key (Spark broadcasts the update side when small) with
+    per-column ``coalesce(update, base)`` — the Delta/Iceberg MERGE INTO
+    core without a table format, for the in-memory fragment store.  At
+    warehouse scale co-locate by bucketing both sides on the key to make
+    the join exchange-free (``tests/test_bucketed_join.py`` shows the
+    pattern).
+
+    Columns are taken update-first PER ROW, not per cell: a NULL cell in an
+    update row still wins (marker join, not bare coalesce), matching MERGE
+    semantics."""
+    if set(base.columns) != set(updates.columns):
+        raise CatalogError(
+            f"merge_upsert schema mismatch: base {sorted(base.columns)} vs "
+            f"updates {sorted(updates.columns)}")
+    payload = [c for c in base.columns if c != key]
+    b = base.select(key, F.struct(*payload).alias("_b"))
+    u = updates.select(key, F.struct(*payload).alias("_u"))
+    merged = b.join(u, on=key, how="full_outer").select(
+        key, F.coalesce(F.col("_u"), F.col("_b")).alias("_r"))
+    return merged.select(key, *[F.col("_r")[c].alias(c) for c in payload])
+
+
+def merge_into(catalog: "Catalog", name: str, updates: DataFrame,
+               key: str = "id_dim", cache: bool = True) -> DataFrame:
+    """Upsert ``updates`` into a stored fragment in place (replaces the
+    catalog entry, preserving its database scoping).  Returns the merged
+    DataFrame."""
+    merged = merge_upsert(catalog.df(name), updates, key=key)
+    catalog.drop(name)
+    catalog.put(name, merged, cache=cache)
+    return merged

@@ -3883,3 +3883,40 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.abs(F.col("zscore")) > 3.0, F.lit(False))
                  .alias("is_anomaly"))
     )
+
+
+@workload(
+    "fragment_merge_upsert",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    base AS (SELECT id_dim, measure FROM frag_qty WHERE id_dim <= 1000),
+    upd AS (SELECT id_dim, list_transform(measure, x -> x * 2.0) AS measure
+            FROM frag_qty WHERE id_dim > 500 AND id_dim <= 1500),
+    m AS (SELECT COALESCE(u.id_dim, b.id_dim) AS id_dim,
+                 COALESCE(u.measure, b.measure) AS measure
+          FROM base b FULL JOIN upd u ON b.id_dim = u.id_dim)
+    SELECT id_dim, CAST(len(measure) AS BIGINT) AS n_vals,
+           ROUND(list_aggregate(measure, 'sum'), 6) AS total
+    FROM m
+    """,
+)
+def fragment_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO for the fragment store (``catalog.merge_upsert``):
+    update rows replace same-key rows (ids 500-1000 get 2× measures),
+    unmatched updates insert (ids 1000-1500), unmatched base rows
+    survive (ids ≤ 500) — one full-outer equi-join with row-level
+    update-wins coalesce, the Delta/Iceberg MERGE core on the in-memory
+    store.  Oracle = the FULL JOIN reconstruction."""
+    from ophidia_io_server_spark.catalog import merge_upsert
+
+    frag = lineitem_fragment_cached(spark, sf_dir, "l_quantity")
+    base = frag.where(F.col("id_dim") <= 1000)
+    upd = frag.where((F.col("id_dim") > 500) & (F.col("id_dim") <= 1500)) \
+        .select("id_dim", F.transform("measure", lambda x: x * 2.0).alias("measure"))
+    merged = merge_upsert(base, upd, key="id_dim")
+    return merged.select(
+        "id_dim",
+        F.size("measure").cast("bigint").alias("n_vals"),
+        F.round(F.aggregate("measure", F.lit(0.0), lambda a, x: a + x), 6)
+         .alias("total"),
+    )

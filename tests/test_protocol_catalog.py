@@ -110,3 +110,26 @@ def test_versioned_persist_time_travel(spark):
             Catalog.restore_versioned(spark, root, version=9)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_upsert_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.catalog import Catalog, CatalogError, merge_into, merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, [1.0]), (2, [2.0]), (3, [3.0])], "id_dim long, measure array<double>")
+    upd = spark.createDataFrame(
+        [(2, [20.0]), (3, None), (4, [40.0])], "id_dim long, measure array<double>")
+    got = {r["id_dim"]: r["measure"] for r in merge_upsert(base, upd).collect()}
+    assert got[1] == [1.0]          # untouched base row survives
+    assert got[2] == [20.0]         # update replaces
+    assert got[3] is None           # NULL cell in an update row still WINS
+    assert got[4] == [40.0]         # unmatched update inserts
+    with pytest.raises(CatalogError, match="schema"):
+        merge_upsert(base, upd.withColumnRenamed("measure", "m2"))
+
+    cat = Catalog(spark)
+    cat.put("frag", base, cache=False)
+    merge_into(cat, "frag", upd, cache=False)
+    assert {r["id_dim"] for r in cat.df("frag").collect()} == {1, 2, 3, 4}
