@@ -124,3 +124,70 @@ def encode_with_merges(text: Column, merges: list[tuple[str, str]]) -> Column:
     for a, b in merges:
         enc = F.transform(enc, lambda s: _apply_merge(s, a, b))
     return F.flatten(enc)
+
+
+def encode_with_merges_arrow(text_col_name: str, merges: list[tuple[str, str]]):
+    """Production-path encoder for LARGE merge lists: a rank-table greedy
+    merger inside an Arrow-batched pandas UDF.
+
+    ``encode_with_merges`` compiles one Catalyst fold PER MERGE — fine for
+    the few-hundred-merge vocabs the tests train, quadratic-ish plan size
+    at tokenizer scale (50k merges).  This variant ships the merge-rank
+    dict to executors once (closure broadcast) and applies the standard
+    iterative lowest-rank-pair merge per word — the algorithm GPT-2's
+    encoder uses — so plan size is O(1) in vocab size and the per-batch
+    cost is pure Python/NumPy on Arrow batches.
+
+    Returns a Column expression usable in ``select``:
+    ``df.select(encode_with_merges_arrow("text", merges).alias("toks"))``.
+    Semantics are pinned identical to ``encode_with_merges`` by test.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        sym = list(word)
+        while len(sym) > 1:
+            best, best_r = None, None
+            for i in range(len(sym) - 1):
+                r = rank.get((sym[i], sym[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best, best_r = i, r
+            if best is None:
+                break
+            a, b = merges[best_r]
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    # no type annotations on the UDF: `from __future__ import annotations`
+    # stringifies them and pyspark's hint introspection can't resolve
+    # locally-imported names from strings
+    @pandas_udf("array<string>")
+    def enc(texts):
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                if w not in cache:
+                    cache[w] = encode_word(w)
+                toks.extend(cache[w])
+            out.append(toks)
+        return pd.Series(out)
+
+    return enc(F.col(text_col_name))

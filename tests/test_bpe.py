@@ -116,3 +116,28 @@ def test_word_freqs(spark, corpus):
         wf.update(t.split(" "))
     got = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
     assert got == dict(wf)
+
+
+def test_arrow_encoder_matches_column_encoder(spark, corpus):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.bpe import encode_with_merges_arrow
+
+    rows, docs = corpus
+    merges, _ = train_bpe(docs, 12)
+    sample = spark.createDataFrame(
+        [(0, "banana shash scan hash"), (1, None), (2, "  "), (3, "bandana")],
+        "doc_id long, text string")
+    col_path = {r["doc_id"]: r["t"] for r in sample.select(
+        "doc_id", encode_with_merges(F.col("text"), merges).alias("t")).collect()}
+    arr_path = {r["doc_id"]: r["t"] for r in sample.select(
+        "doc_id", encode_with_merges_arrow("text", merges).alias("t")).collect()}
+    assert arr_path[1] is None          # NULL text stays NULL on the arrow path
+    assert arr_path[2] == []
+    for k in (0, 3):
+        assert arr_path[k] == col_path[k], k
+    # and across the whole training corpus
+    both = docs.select(
+        encode_with_merges(F.col("text"), merges).alias("a"),
+        encode_with_merges_arrow("text", merges).alias("b"))
+    assert both.where(F.col("a") != F.col("b")).count() == 0
