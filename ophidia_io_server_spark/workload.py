@@ -3920,3 +3920,39 @@ def fragment_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("measure", F.lit(0.0), lambda a, x: a + x), 6)
          .alias("total"),
     )
+
+
+@workload(
+    "token_heavy_hitters",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS item
+      FROM documents WHERE text IS NOT NULL)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
+             AS rank
+    FROM t GROUP BY item
+    ORDER BY cnt DESC, item LIMIT 10
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus tokens via Misra-Gries candidates + exact verify
+    (``pipeline/heavy.py``): per-partition MG(64) summaries bound the
+    shuffle at k·partitions rows instead of the vocabulary, then exact
+    counts for candidates only.  The oracle is the full exact top-10 —
+    valid because every item above n/65 support provably survives MG, and
+    this corpus's 10th token sits far above that threshold (the pytest
+    property test covers adversarial layouts)."""
+    from ophidia_io_server_spark.pipeline.heavy import heavy_hitters
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens_col(F.col("text"))).alias("tok"))
+    top = heavy_hitters(toks, "tok", k=64, top_n=10)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return top.select(F.col("item"), "cnt",
+                      F.row_number().over(w).cast("bigint").alias("rank"))
