@@ -694,3 +694,60 @@ def remove_duplicate_spans(docs: DataFrame, window: int = 8,
         "text_clean",
         F.when(text.isNull(), F.lit(None).cast("string")).otherwise(cleaned),
     ).drop("spans")
+
+
+def remove_duplicate_paragraphs(docs: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", min_count: int = 2,
+                                keep_canonical: bool = True,
+                                sep: str = "\n") -> DataFrame:
+    """Paragraph-granularity dedup (the CCNet/C4 boilerplate-line remover):
+    drop any paragraph whose text occurs ≥ ``min_count`` times across the
+    corpus, keeping — with ``keep_canonical`` — its single canonical
+    occurrence (lowest (doc_id, position), the same keeper rule as
+    ``remove_duplicate_spans``).
+
+    Returns (id_col, text_cleaned, n_paragraphs, n_removed).  Documents
+    whose paragraphs are all removed survive with empty text (the caller
+    decides whether to drop them).  Blank/whitespace-only paragraphs are
+    never treated as duplicates — removing "all empty lines but one,
+    corpus-wide" would mangle formatting for no dedup value.
+
+    Scale shape: one explode → one groupBy(paragraph) with a ``min_by``
+    canonical (map-side combined; the count table is the distinct-
+    paragraph set, the standard CCNet working set) → broadcast-or-shuffle
+    equi-join back → one groupBy(doc) rebuild.  Everything JVM."""
+    paras = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+        .alias("idx", "para"))
+    meaningful = F.trim(F.col("para")) != ""
+    counts = (
+        paras.where(meaningful)
+        .groupBy("para")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+             F.min(F.struct(F.col(id_col).alias("d"),
+                            F.col("idx").alias("i"))).alias("canon"))
+    )
+    tagged = paras.join(counts, on="para", how="left")
+    is_canon = (F.col(f"canon.d") == F.col(id_col)) & (F.col("canon.i") == F.col("idx"))
+    keep = (
+        F.col("cnt").isNull()                      # blank paragraph
+        | (F.col("cnt") < min_count)
+        | (F.lit(keep_canonical) & is_canon)
+    )
+    kept = tagged.withColumn("_keep", keep)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(
+                F.struct("idx", F.col("para"), F.col("_keep")))).alias("ps"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.filter("ps", lambda p: p["_keep"]),
+                            lambda p: p["para"]), sep).alias("text_cleaned"),
+            F.size("ps").cast("bigint").alias("n_paragraphs"),
+            F.size(F.filter("ps", lambda p: ~p["_keep"])).cast("bigint")
+             .alias("n_removed"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Paragraph dedup: differential vs a Python reference, canonical-keeper
+semantics, blank-paragraph preservation, layout independence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ophidia_io_server_spark.pipeline.dedup import remove_duplicate_paragraphs
+
+BOILER = ["subscribe to our newsletter", "all rights reserved",
+          "click here to continue"]
+BODY = ["alpha beta gamma", "delta epsilon", "zeta eta theta iota",
+        "kappa lambda", "mu nu xi omicron pi"]
+
+
+def _ref(rows, min_count=2, keep_canonical=True):
+    from collections import Counter
+
+    paras = [(i, j, p) for i, t in rows for j, p in enumerate(t.split("\n"))]
+    cnt = Counter(p for _, _, p in paras if p.strip() != "")
+    canon = {}
+    for i, j, p in paras:
+        if p.strip() != "" and (p not in canon or (i, j) < canon[p]):
+            canon[p] = (i, j)
+    out = {}
+    for i, t in rows:
+        kept, removed = [], 0
+        for j, p in enumerate(t.split("\n")):
+            if p.strip() == "" or cnt[p] < min_count or \
+                    (keep_canonical and canon[p] == (i, j)):
+                kept.append(p)
+            else:
+                removed += 1
+        out[i] = ("\n".join(kept), len(t.split("\n")), removed)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(40):
+        paras = list(rng.choice(BODY, size=int(rng.integers(1, 4)), replace=False))
+        if rng.random() < 0.7:
+            paras.insert(int(rng.integers(0, len(paras) + 1)),
+                         str(rng.choice(BOILER)))
+        if rng.random() < 0.3:
+            paras.append("")           # trailing blank line
+        rows.append((i, "\n".join(paras)))
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("keep_canonical", [True, False])
+def test_matches_reference(spark, corpus, keep_canonical):
+    rows, docs = corpus
+    got = {r["doc_id"]: (r["text_cleaned"], r["n_paragraphs"], r["n_removed"])
+           for r in remove_duplicate_paragraphs(
+               docs, keep_canonical=keep_canonical).collect()}
+    exp = _ref(rows, keep_canonical=keep_canonical)
+    assert got == exp
+
+
+def test_layout_independent(spark, corpus):
+    rows, docs = corpus
+    a = sorted(map(tuple, remove_duplicate_paragraphs(docs).collect()))
+    b = sorted(map(tuple, remove_duplicate_paragraphs(
+        docs.repartition(13)).collect()))
+    assert a == b
+
+
+def test_canonical_is_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [(5, "dup line\nunique five"), (2, "dup line\nunique two"),
+         (9, "pre\ndup line")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text_cleaned"]
+           for r in remove_duplicate_paragraphs(docs).collect()}
+    assert got[2] == "dup line\nunique two"     # lowest doc_id keeps it
+    assert got[5] == "unique five"
+    assert got[9] == "pre"
+
+
+def test_blank_paragraphs_survive(spark):
+    docs = spark.createDataFrame(
+        [(0, "a\n\nb"), (1, "c\n\nd")], "doc_id long, text string")
+    got = {r["doc_id"]: r["text_cleaned"]
+           for r in remove_duplicate_paragraphs(docs).collect()}
+    assert got == {0: "a\n\nb", 1: "c\n\nd"}    # the empty line is not "dup"
