@@ -197,3 +197,114 @@ def ngram_perplexity_scores(docs: DataFrame, order: int = 3, model=None,
             F.round(F.exp(-(F.col("slp") / F.col("n_ngrams"))), 6).alias("ppl"),
         )
     )
+
+
+def trigram_parts_stream(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, w1, w2, w3) — trigram windows with the words separate, so
+    backoff scorers can join each order on its own key."""
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tk"))
+        .withColumn("n", F.size("tk").cast("bigint"))
+        .where(F.col("n") >= 3)
+    )
+    win = F.transform(
+        F.sequence(F.lit(1), (F.col("n") - 2).cast("int")),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.element_at("tk", i.cast("int")).alias("w1"),
+            F.element_at("tk", (i + 1).cast("int")).alias("w2"),
+            F.element_at("tk", (i + 2).cast("int")).alias("w3"),
+        ),
+    )
+    return toks.select(id_col, F.explode(win).alias("g")).select(
+        id_col, "g.pos", "g.w1", "g.w2", "g.w3")
+
+
+def stupid_backoff_scores(train: DataFrame, score: DataFrame,
+                          alpha: float = 0.4, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007) — THE
+    distributed-by-design LM scheme: no normalization pass, every order is
+    a plain count table, scoring is a cascade of left equi-joins.
+
+        S(w3|w1 w2) = c3/c2(w1,w2)              if the trigram was seen
+                      α·c2(w2,w3)/c1(w2)        else if the bigram was
+                      α²·(c1(w3)+1)/(N+V)       else (add-one unigram
+                                                 floor — keeps ln finite
+                                                 for OOV words)
+
+    Returns per scored doc: (id, n_trigrams, n_backoff2, n_backoff1,
+    avg_logscore) with the ln-sum folded in position order (oracle
+    parity).  Scale shape: three count tables (map-side combined), three
+    left joins on their natural keys, scalar (N, V) broadcast."""
+    tg = trigram_parts_stream(spread(train), text_col, id_col)
+    c3 = tg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c3"))
+    toks = (
+        train.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tk"))
+        .withColumn("n", F.size("tk").cast("bigint"))
+    )
+    bi = (
+        toks.where(F.col("n") >= 2)
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(1), (F.col("n") - 1).cast("int")),
+            lambda i: F.struct(
+                F.element_at("tk", i.cast("int")).alias("a"),
+                F.element_at("tk", (i + 1).cast("int")).alias("b")),
+        )).alias("p"))
+        .groupBy("p.a", "p.b").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    uni = (
+        train.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    nv = uni.agg(F.sum("c1").cast("bigint").alias("N"),
+                 F.count(F.lit(1)).cast("bigint").alias("V"))
+
+    sg = trigram_parts_stream(spread(score), text_col, id_col)
+    j = (
+        sg.join(c3, on=["w1", "w2", "w3"], how="left")
+        .join(bi.select(F.col("a").alias("w1"), F.col("b").alias("w2"),
+                        F.col("c2").alias("c2_prefix")),
+              on=["w1", "w2"], how="left")
+        .join(bi.select(F.col("a").alias("w2"), F.col("b").alias("w3"),
+                        F.col("c2").alias("c2_pair")),
+              on=["w2", "w3"], how="left")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c1").alias("c1_ctx")),
+              on="w2", how="left")
+        .join(uni.select(F.col("t").alias("w3"), F.col("c1").alias("c1_w")),
+              on="w3", how="left")
+        .crossJoin(F.broadcast(nv))
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2_prefix"))
+        .when(F.col("c2_pair").isNotNull(),
+              F.lit(alpha) * F.col("c2_pair") / F.col("c1_ctx"))
+        .otherwise(F.lit(alpha) * F.lit(alpha)
+                   * (F.coalesce(F.col("c1_w"), F.lit(0)) + 1)
+                   / (F.col("N") + F.col("V")))
+    )
+    lvl = (F.when(F.col("c3").isNotNull(), 3)
+           .when(F.col("c2_pair").isNotNull(), 2).otherwise(1))
+    scored = j.select(id_col, "pos", F.log(s).alias("ls"), lvl.alias("lvl"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum((F.col("lvl") == 2).cast("int")).cast("bigint")
+             .alias("n_backoff2"),
+            F.sum((F.col("lvl") == 1).cast("int")).cast("bigint")
+             .alias("n_backoff1"),
+            F.array_sort(F.collect_list(F.struct("pos", "ls"))).alias("xs"),
+        )
+        .select(
+            id_col, "n_trigrams", "n_backoff2", "n_backoff1",
+            F.round(
+                F.aggregate("xs", F.lit(0.0), lambda a, x: a + x["ls"])
+                / F.col("n_trigrams"), 6).alias("avg_logscore"),
+        )
+    )

@@ -3956,3 +3956,70 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
     return top.select(F.col("item"), "cnt",
                       F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+@workload(
+    "doc_stupid_backoff_lm",
+    oracle="""
+    WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+    sc AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+    t3 AS MATERIALIZED (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+             CAST(COUNT(*) AS BIGINT) AS c3
+      FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM tr WHERE len(tk) >= 3) GROUP BY 1, 2, 3),
+    t2 AS MATERIALIZED (
+      SELECT tk[i] AS a, tk[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2),
+    t1 AS MATERIALIZED (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(tk) AS t FROM tr) GROUP BY t),
+    nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS N,
+                  CAST(COUNT(*) AS BIGINT) AS V FROM t1),
+    sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                 FROM sc WHERE len(tk) >= 3)),
+    j AS (SELECT sg.doc_id, sg.pos,
+            CASE WHEN t3.c3 IS NOT NULL THEN ln(t3.c3 / p2.c2)
+                 WHEN b2.c2 IS NOT NULL THEN ln(0.4 * b2.c2 / cx.c1)
+                 ELSE ln(0.4 * 0.4 * (COALESCE(cw.c1, 0) + 1)
+                         / (nv.N + nv.V)) END AS ls,
+            CASE WHEN t3.c3 IS NOT NULL THEN 3
+                 WHEN b2.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl
+          FROM sg
+          LEFT JOIN t3 ON sg.w1 = t3.w1 AND sg.w2 = t3.w2 AND sg.w3 = t3.w3
+          LEFT JOIN t2 p2 ON sg.w1 = p2.a AND sg.w2 = p2.b
+          LEFT JOIN t2 b2 ON sg.w2 = b2.a AND sg.w3 = b2.b
+          LEFT JOIN t1 cx ON sg.w2 = cx.t
+          LEFT JOIN t1 cw ON sg.w3 = cw.t
+          CROSS JOIN nv)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff2,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff1,
+           ROUND(list_aggregate(list(ls ORDER BY pos), 'sum') / COUNT(*), 6)
+             AS avg_logscore
+    FROM j GROUP BY doc_id
+    """,
+)
+def doc_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM (Brants et al. 2007 — the
+    distributed-by-construction scheme: unnormalized count tables + a
+    left-join cascade) scored on a true held-out split: even doc_ids
+    train, odd doc_ids score, so the order-2/order-1 backoff paths fire
+    on genuinely unseen n-grams (the backoff counters in the output prove
+    it).  ``pipeline/lm.py::stupid_backoff_scores``; differential vs a
+    Python reference in tests/test_lm.py."""
+    from ophidia_io_server_spark.pipeline.lm import stupid_backoff_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    return stupid_backoff_scores(train, score)

@@ -145,3 +145,60 @@ def test_ngram_order2_equals_bigram_module(spark):
     b = {r["doc_id"]: (r["n_ngrams"], r["avg_logprob"], r["ppl"])
          for r in ngram_perplexity_scores(docs, order=2).collect()}
     assert a == b
+
+
+def test_stupid_backoff_matches_reference(spark):
+    from ophidia_io_server_spark.pipeline.lm import stupid_backoff_scores
+
+    rng = np.random.default_rng(19)
+    rows = _corpus(rng, 100)
+    train_rows = [(i, t) for i, t in rows if i % 2 == 0]
+    score_rows = [(i, t) for i, t in rows if i % 2 == 1]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+
+    def toks(t):
+        return [w for w in t.split(" ") if w] if t is not None else []
+
+    c3, c2, c1 = Counter(), Counter(), Counter()
+    for _, t in train_rows:
+        tk = toks(t)
+        for g in zip(tk, tk[1:], tk[2:]):
+            c3[g] += 1
+        for g in zip(tk, tk[1:]):
+            c2[g] += 1
+        for w in tk:
+            c1[w] += 1
+    N, V = sum(c1.values()), len(c1)
+    a = 0.4
+    exp = {}
+    for i, t in score_rows:
+        tk = toks(t)
+        if len(tk) < 3:
+            continue
+        tot, b2, b1 = 0.0, 0, 0
+        ls = []
+        for w1, w2, w3 in zip(tk, tk[1:], tk[2:]):
+            if (w1, w2, w3) in c3:
+                s = c3[(w1, w2, w3)] / c2[(w1, w2)]
+            elif (w2, w3) in c2:
+                s = a * c2[(w2, w3)] / c1[w2]
+                b2 += 1
+            else:
+                s = a * a * (c1.get(w3, 0) + 1) / (N + V)
+                b1 += 1
+            ls.append(math.log(s))
+        ssum = 0.0
+        for x in ls:
+            ssum += x
+        exp[i] = (len(ls), b2, b1, round(ssum / len(ls), 6))
+    got = {r["doc_id"]: (r["n_trigrams"], r["n_backoff2"], r["n_backoff1"],
+                         r["avg_logscore"])
+           for r in stupid_backoff_scores(train, score).collect()}
+    assert set(got) == set(exp)
+    n_b2 = sum(v[1] for v in exp.values())
+    n_b1 = sum(v[2] for v in exp.values())
+    assert n_b2 > 0 and n_b1 >= 0      # held-out half actually backs off
+    for i in exp:
+        assert got[i][:3] == exp[i][:3], i
+        assert got[i][3] == pytest.approx(exp[i][3], abs=2e-6), i
