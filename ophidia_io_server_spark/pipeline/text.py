@@ -413,3 +413,67 @@ def c4_filters(docs: DataFrame, text_col: str = "text", **kw) -> DataFrame:
     for name, col in c4_filter_cols(F.col(text_col), **kw).items():
         out = out.withColumn(name, col)
     return out
+
+
+def cooccurrence_pmi(docs: DataFrame, window: int = 2, min_count: int = 5,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pointwise mutual information over token co-occurrences within a
+    ±``window`` position distance — the classic word-association miner
+    (collocations, naming conventions, topic seeds) behind count-based
+    embeddings.
+
+    Pairs stream straight off each document's token array (one struct per
+    (i, i+δ), δ ≤ window — no self-join), normalized to unordered
+    (least, greatest) form; one groupBy counts them.  PMI =
+    ln(((c12/P) / (c1a/N)) / (c1b/N)) with P = total pairs, N = total
+    tokens — the division chain is mirrored token-for-token in the SQL
+    oracle so both engines round identically at 6 dp.
+
+    Returns (wa, wb, c12, pmi) for pairs with c12 ≥ ``min_count``."""
+    toks = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tk"))
+        .withColumn("n", F.size("tk").cast("bigint"))
+        .where(F.col("n") >= 2)
+    )
+    pairs_per_doc = F.flatten(F.transform(
+        F.sequence(F.lit(1), (F.col("n") - 1).cast("int")),
+        lambda i: F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(window)),
+                lambda d: F.when(
+                    i + d <= F.col("n"),
+                    F.struct(
+                        F.least(F.element_at("tk", i.cast("int")),
+                                F.element_at("tk", (i + d).cast("int"))).alias("wa"),
+                        F.greatest(F.element_at("tk", i.cast("int")),
+                                   F.element_at("tk", (i + d).cast("int"))).alias("wb"),
+                    ),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        ),
+    ))
+    pair_stream = toks.select(F.explode(pairs_per_doc).alias("p")) \
+        .select("p.wa", "p.wb")
+    c12 = pair_stream.groupBy("wa", "wb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12"))
+    uni = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    totals = c12.agg(F.sum("c12").cast("bigint").alias("P")).crossJoin(
+        uni.agg(F.sum("c1").cast("bigint").alias("N")))
+    return (
+        c12.where(F.col("c12") >= min_count)
+        .join(uni.select(F.col("t").alias("wa"), F.col("c1").alias("ca")), on="wa")
+        .join(uni.select(F.col("t").alias("wb"), F.col("c1").alias("cb")), on="wb")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "wa", "wb", "c12",
+            F.round(F.log(
+                F.col("c12") / F.col("P") / (F.col("ca") / F.col("N"))
+                / (F.col("cb") / F.col("N"))), 6).alias("pmi"),
+        )
+    )

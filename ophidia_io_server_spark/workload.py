@@ -4023,3 +4023,43 @@ def doc_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where(F.col("doc_id") % 2 == 0)
     score = docs.where(F.col("doc_id") % 2 == 1)
     return stupid_backoff_scores(train, score)
+
+
+@workload(
+    "token_pmi_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    c12 AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pr GROUP BY wa, wb),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+    tot AS (SELECT (SELECT CAST(SUM(c12) AS BIGINT) FROM c12) AS P,
+                   (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) AS N)
+    SELECT c12.wa, c12.wb, c12.c12,
+           ROUND(ln(c12.c12 / tot.P / (ca.c1 / tot.N) / (cb.c1 / tot.N)), 6)
+             AS pmi
+    FROM c12
+    JOIN uni ca ON c12.wa = ca.t
+    JOIN uni cb ON c12.wb = cb.t
+    CROSS JOIN tot
+    WHERE c12.c12 >= 5
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI over the corpus (±2 positions,
+    ``pipeline/text.py::cooccurrence_pmi``): pairs stream off each token
+    array with no self-join, one count shuffle, unigram/total joins.
+    The PMI division chain is mirrored token-for-token in the oracle."""
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cooccurrence_pmi(docs, window=2, min_count=5)
