@@ -31,6 +31,8 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
     "events_hourly_window",
     "events_sessionize",
     # pipeline operators (added as they land)

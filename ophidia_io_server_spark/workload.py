@@ -4063,3 +4063,91 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cooccurrence_pmi(docs, window=2, min_count=5)
+
+
+@workload(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e4 DESC, o.o_orderdate, l.l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the driver schema
+    (o_orderpriority in place of the absent o_shippriority): segment
+    filter pushed to the customer scan, broadcast customer→orders join at
+    bench scale / SMJ at warehouse scale via AQE, top-10 as
+    TakeOrderedAndProject.  Revenue is summed in exact 1e-4 units
+    (price·(1−disc) has 4 decimals) so the aggregate is order-free."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
+        .cast("bigint")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderdate"),
+                 F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@workload(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           ROUND(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter + returnflag filters
+    pushed to the scans, nation broadcast, one aggregation, top-20 via
+    TakeOrderedAndProject; revenue in exact 1e-4 units."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
+        .cast("bigint")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .select("c_custkey", "c_name", "n_name", "revenue_e4",
+                F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
