@@ -46,8 +46,9 @@ HEADLINE = [
     "events_type_stats",
     "gsl_stats_fit",
     "multimodal_features",
-    # r5 temporal-join + retrieval operators (HEADLINE grew 23 → 26; totals
-    # are not comparable to earlier rounds — compare per-query, PERF.md r5)
+    # r5 temporal-join + retrieval operators (HEADLINE grew 23 → 28 with
+    # these and tpch q3/q10; totals are not comparable to earlier rounds —
+    # compare per-query, PERF.md r5)
     "events_asof_attribution",
     "events_interval_join",
     "bm25_doc_retrieval",
