@@ -4151,3 +4151,43 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@workload(
+    "doc_quality_deciles",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, lang, n_tokens,
+           CAST(NTILE(10) OVER (PARTITION BY lang
+                                ORDER BY n_tokens, doc_id) AS BIGINT) AS decile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                      ORDER BY n_tokens, doc_id), 6) AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY lang
+                                   ORDER BY n_tokens, doc_id), 6) AS cd
+    FROM m
+    """,
+)
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows for quality bucketing: per-language
+    NTILE deciles + percent_rank/cume_dist over token counts — the
+    select-the-top-X%-per-stratum primitive of curation recipes.  Total
+    order pinned by (n_tokens, doc_id) so rank functions are deterministic
+    and engine-identical."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.pipeline.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = docs.select("doc_id", "lang",
+                    token_count_col(F.col("text")).alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return m.select(
+        "doc_id", "lang", "n_tokens",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
