@@ -4191,3 +4191,43 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@workload(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT date_trunc('month', l.l_shipdate) AS month,
+           CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS promo_e4,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS total_e4,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'ECONOMY'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)), 4) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY date_trunc('month', l.l_shipdate)
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion-revenue share) over the driver's part types:
+    lineitem ⋈ broadcast(part) — the dimension fits every executor — one
+    aggregation per ship month; revenue in exact 1e-4 units so sums and
+    the share ratio are order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
+        .cast("bigint")
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(F.sum(promo).cast("bigint").alias("promo_e4"),
+             F.sum(rev).cast("bigint").alias("total_e4"))
+        .select("month", "promo_e4", "total_e4",
+                F.round(100.0 * F.col("promo_e4") / F.col("total_e4"), 4)
+                 .alias("promo_share"))
+    )
