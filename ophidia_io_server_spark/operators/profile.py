@@ -1,0 +1,72 @@
+"""Table profiling — the data-quality report an engine owes its users
+before they trust a table: per-column cardinalities and null rates, plus
+numeric summary statistics.
+
+One pass over the table computes every column's aggregates in a single
+wide aggregation (Catalyst evaluates them all in one partial+final
+cycle — no per-column scans), then the wide row unpivots to one row per
+column driver-free (a stack/explode projection, not a collect).
+
+Cross-engine determinism contract (the gate hash needs it): counts are
+exact BIGINTs; numeric min/max are exact; means go through exact
+integer-scaled sums when the data is fixed-decimal, else ROUND(avg, 6) —
+the one surface where last-ulp summation order could differ, covered by
+the rounding like every other cross-row double mean in the suite.
+String min/max are byte-order comparisons in both engines (ASCII data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(df: DataFrame, mean_decimals: int | None = None) -> DataFrame:
+    """(col_name, n_rows, n_null, n_distinct, min_num, max_num, mean_num)
+    — one row per column; the *_num columns are NULL for non-numeric
+    columns.  Exact distinct counts (this is a profiling report, not a
+    sketch — the HLL variant is the `sketch_approx_stats` surface).
+
+    ``mean_decimals``: when the numeric columns are fixed-decimal (money,
+    2-dp measurements), pass the decimal count and means are computed from
+    exact integer-scaled sums — shuffle-order-free, hash-gate-safe.  With
+    None, means are ``ROUND(avg, 6)`` (last-ulp summation drift possible
+    right at a rounding boundary — fine for human reports, not for a
+    value-hash gate)."""
+    num_cols = {f.name for f in df.schema.fields
+                if isinstance(f.dataType, NumericType)}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("int")).cast("bigint")
+                    .alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint")
+                    .alias(f"{c}__nd"))
+        if c in num_cols:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__mx"))
+            if mean_decimals is not None:
+                scale = 10 ** mean_decimals
+                aggs.append(F.round(
+                    F.sum(F.round(F.col(c) * scale).cast("bigint"))
+                    / F.lit(scale) / F.count(F.col(c)), 6).alias(f"{c}__av"))
+            else:
+                aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"{c}__av"))
+    wide = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (F.col(f"{c}__mn") if c in num_cols else null_d).alias("min_num"),
+            (F.col(f"{c}__mx") if c in num_cols else null_d).alias("max_num"),
+            (F.col(f"{c}__av") if c in num_cols else null_d).alias("mean_num"),
+        )
+        for c in df.columns
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+    )

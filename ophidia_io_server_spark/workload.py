@@ -4231,3 +4231,40 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(100.0 * F.col("promo_e4") / F.col("total_e4"), 4)
                  .alias("promo_share"))
     )
+
+
+def _profile_oracle_block(col: str, numeric: bool) -> str:
+    base = (f"SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_null, CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, ")
+    if numeric:
+        base += (f"CAST(MIN({col}) AS DOUBLE) AS min_num, "
+                 f"CAST(MAX({col}) AS DOUBLE) AS max_num, "
+                 f"ROUND(SUM(CAST(ROUND({col} * 100) AS BIGINT)) / 100 "
+                 f"/ COUNT({col}), 6) AS mean_num ")
+    else:
+        base += ("CAST(NULL AS DOUBLE) AS min_num, "
+                 "CAST(NULL AS DOUBLE) AS max_num, "
+                 "CAST(NULL AS DOUBLE) AS mean_num ")
+    return base + "FROM orders"
+
+
+@workload(
+    "orders_profile",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_block(c, n) for c, n in (
+            ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+            ("o_totalprice", True), ("o_orderdate", False),
+            ("o_orderpriority", False),
+        )),
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report over orders (``operators/profile.py``): every
+    column's cardinality/null stats plus numeric min/max/mean in ONE wide
+    aggregation (single scan — plan-shape pinned in tests), unpivoted to
+    one row per column with no driver round-trip.  Means use exact
+    2-decimal integer-scaled sums so the hash gate sees order-free
+    values; the oracle is the per-column UNION ALL formulation."""
+    from ophidia_io_server_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"), mean_decimals=2)
