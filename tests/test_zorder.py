@@ -1,0 +1,91 @@
+"""Z-order clustering: Morton-code correctness vs a Python reference and
+the pruning-effectiveness property the layout exists for."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.operators.zorder import (
+    zorder_repartition,
+    zorder_value,
+)
+
+
+def _interleave(qs: list[int], bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            z |= ((q >> i) & 1) << (i * len(qs) + j)
+    return z
+
+
+def test_zvalue_matches_reference(spark):
+    rng = np.random.default_rng(41)
+    rows = [(int(i), float(rng.uniform(0, 1000)), int(rng.integers(0, 100)))
+            for i in range(256)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    bits = 8
+    got = {r["id"]: r["zval"]
+           for r in zorder_value(df, ["x", "y"], bits=bits).collect()}
+    # reference: rank-normalize each column with the same NTILE rule
+    # (256 rows into 256 buckets = exact rank), interleave
+    xs = sorted(rows, key=lambda r: r[1])
+    ys = sorted(rows, key=lambda r: (r[2], ))
+    # ntile ties on y broken by window order; avoid ties: use rank among
+    # stable sort like Spark's ntile over orderBy(y) — ties get adjacent
+    # buckets in window order, so only compare rows with unique y
+    qx = {r[0]: i for i, r in enumerate(xs)}
+    from collections import Counter
+    ycnt = Counter(r[2] for r in rows)
+    for rid, x, y in rows:
+        if ycnt[y] == 1:
+            qy = sum(1 for r in rows if (r[2], ) < (y, ))
+            assert got[rid] == _interleave([qx[rid], qy], bits), rid
+
+
+def test_zorder_layout_prunes_both_columns(spark):
+    rng = np.random.default_rng(42)
+    rows = [(int(i), float(rng.uniform(0, 1000)), float(rng.uniform(0, 1000)))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    parts = 16
+
+    def stats_of(layout):
+        # per-partition (min, max) on both columns — the stats a parquet
+        # writer would record for pruning
+        return (
+            layout.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                 F.min("y").alias("y0"), F.max("y").alias("y1"))
+            .collect())
+
+    def selectivity(stats, col, lo, hi):
+        a, b = (f"{col}0", f"{col}1")
+        return sum(1 for s in stats if s[a] <= hi and s[b] >= lo) / len(stats)
+
+    plain = df.repartitionByRange(parts, "x").sortWithinPartitions("x")
+    zord = zorder_repartition(df, ["x", "y"], bits=8, num_partitions=parts)
+    assert zord.count() == len(rows)
+    assert set(zord.columns) == set(df.columns)      # zval dropped
+    ps, zs = stats_of(plain), stats_of(zord)
+    probes = [(60.0 * k + 10, 60.0 * k + 110) for k in range(15)]
+    # the x-only sort prunes x perfectly but cannot prune y AT ALL; the
+    # z-order layout prunes BOTH.  That balance is the whole point.
+    y_plain = sum(selectivity(ps, "y", lo, hi) for lo, hi in probes) / len(probes)
+    y_z = sum(selectivity(zs, "y", lo, hi) for lo, hi in probes) / len(probes)
+    x_z = sum(selectivity(zs, "x", lo, hi) for lo, hi in probes) / len(probes)
+    assert y_plain > 0.95                      # x-sort reads everything on y
+    assert y_z < 0.6, (y_plain, y_z)           # z-order prunes y
+    assert x_z < 0.6, (x_z,)                   # ...while still pruning x
+
+
+def test_zorder_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="non-empty"):
+        zorder_value(df, [])
+    with pytest.raises(ValueError, match="63 bits"):
+        zorder_value(df, ["a", "b"], bits=32)
