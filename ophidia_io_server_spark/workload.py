@@ -4268,3 +4268,72 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "orders"), mean_decimals=2)
+
+
+@workload(
+    "events_value_median",
+    oracle="""
+    WITH g AS (SELECT event_type, list_sort(list(value)) AS vs,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(CASE WHEN n % 2 = 1 THEN vs[(n + 1) // 2]
+                 ELSE (vs[n // 2] + vs[n // 2 + 1]) / 2 END, 6) AS median,
+           ROUND(vs[(n + 3) // 4], 6) AS q1_lower
+    FROM g
+    """,
+)
+def events_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median via sorted aggregation (the deterministic
+    counterpart of the `sketch_approx_stats` approximate quantiles): one
+    shuffle, per-group sorted value list, explicit element selection so
+    both engines implement the identical midpoint rule (no engine-specific
+    percentile interpolation).  Per-group collect is bounded by group
+    cardinality — the documented trade vs the sketch path at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("vs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    n = F.col("n")
+    vs = F.col("vs")
+    median = F.when(
+        n % 2 == 1, F.element_at(vs, F.expr("CAST((n + 1) div 2 AS INT)"))
+    ).otherwise(
+        (F.element_at(vs, F.expr("CAST(n div 2 AS INT)"))
+         + F.element_at(vs, F.expr("CAST(n div 2 + 1 AS INT)"))) / 2)
+    return g.select(
+        "event_type", "n",
+        F.round(median, 6).alias("median"),
+        F.round(F.element_at(vs, F.expr("CAST((n + 3) div 4 AS INT)")), 6)
+         .alias("q1_lower"),
+    )
+
+
+@workload(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) adapted to the driver schema
+    (returnflag='R' as the lateness predicate): the EXISTS subquery runs
+    as a LEFT SEMI hash join — lineitem never multiplies order rows, the
+    filter pushes to both scans."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
