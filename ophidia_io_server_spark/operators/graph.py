@@ -48,6 +48,12 @@ def pagerank(
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
                      w.alias("w"))
+        # NULL/non-positive weights are dropped BEFORE deriving nodes and
+        # out-weights: a src whose edges all carry NULL weight would
+        # otherwise count as non-dangling while its p=NULL contributions
+        # vanished, leaking rank mass (and weights summing to 0 would make
+        # p = w/0 = NaN and poison downstream ranks)
+        .where(F.col("w").isNotNull() & (F.col("w") > 0))
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
     )
     nodes = (
@@ -56,6 +62,10 @@ def pagerank(
         .distinct().localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty (or fully-invalid-weight) edge set: empty result, not a
+        # driver-side ZeroDivisionError from the teleport constant
+        return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     ep = e.join(outw, on="src").select(
         "src", "dst", (F.col("w") / F.col("ow")).alias("p")).localCheckpoint()

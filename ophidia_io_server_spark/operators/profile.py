@@ -38,8 +38,10 @@ def profile_table(df: DataFrame, mean_decimals: int | None = None) -> DataFrame:
                 if isinstance(f.dataType, NumericType)}
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for c in df.columns:
-        aggs.append(F.sum(F.col(c).isNull().cast("int")).cast("bigint")
-                    .alias(f"{c}__nn"))
+        # coalesce: SUM over an EMPTY table is NULL, not 0 — the report
+        # promises exact BIGINT counts even for empty inputs
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("int")), F.lit(0))
+                    .cast("bigint").alias(f"{c}__nn"))
         aggs.append(F.countDistinct(F.col(c)).cast("bigint")
                     .alias(f"{c}__nd"))
         if c in num_cols:

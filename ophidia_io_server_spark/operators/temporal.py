@@ -79,7 +79,10 @@ def asof_join(
     rts = right_ts_col or ts_col
     lpayload = [c for c in left.columns if c not in keys and c != ts_col]
     rpayload = [c for c in right.columns if c not in keys]
-    clash = {prefix + c for c in [rts, *rpayload]} & set(keys + lpayload)
+    # ts_col included: a prefixed right column named like the left timestamp
+    # would emit two identically-named output columns (AMBIGUOUS_REFERENCE
+    # downstream) — fail early instead
+    clash = {prefix + c for c in [rts, *rpayload]} & set(keys + lpayload + [ts_col])
     if clash:
         raise ValueError(f"prefixed right columns clash with left columns: {sorted(clash)}")
 
@@ -114,7 +117,11 @@ def asof_join(
     # traversal order: backward walks time ascending, forward descending.
     # At equal timestamps the right row must be *visible* to the left row iff
     # exact matches are allowed → right sorts before left exactly then.
-    ts_ord = F.col("_ats").asc() if backward else F.col("_ats").desc()
+    # NULLS FIRST in BOTH traversal directions: a NULL-ts left row must see
+    # no carried right row (desc's default NULLS LAST would sort it after
+    # every right row and fabricate a match with the earliest one)
+    ts_ord = (F.col("_ats").asc_nulls_first() if backward
+              else F.col("_ats").desc_nulls_first())
     side_ord = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
     # among equal-ts right rows the LAST one in traversal order wins the
     # carry-forward → greatest seq for backward, smallest for forward

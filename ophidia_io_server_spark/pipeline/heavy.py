@@ -63,9 +63,12 @@ def _mg_partitions(item_col: str, k: int):
 def heavy_hitter_candidates(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
     """Distinct Misra-Gries survivors across partitions (≤ k·P rows before
     the distinct) — guaranteed superset of every item with global
-    frequency > n/(k+1)."""
+    frequency > n/(k+1).  Works for any atomic item type (the Arrow
+    output schema mirrors the input column's type); nested types would
+    need hashable keys and are rejected by Arrow anyway."""
+    item_type = df.schema[item_col].dataType.simpleString()
     cand = df.select(F.col(item_col).alias("item")).mapInPandas(
-        _mg_partitions("item", k), "item string")
+        _mg_partitions("item", k), f"item {item_type}")
     return cand.distinct()
 
 

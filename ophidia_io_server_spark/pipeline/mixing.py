@@ -82,8 +82,13 @@ def temperature_sample(
     deterministic hash-Bernoulli keep at that source's ``target_rate``.
     Adds nothing and drops rows only — schema passes through."""
     plan = source_mixing_plan(docs, alpha, target_fraction, source_col)
-    withr = docs.join(F.broadcast(plan.select(source_col, "target_rate")),
-                      on=source_col)
+    # null-safe join: the plan counts a NULL-source stratum like any other
+    # (groupBy keeps the NULL group), so a plain inner join would silently
+    # drop those rows while their mass still skewed every weight
+    rates = F.broadcast(
+        plan.select(F.col(source_col).alias("__src"), "target_rate"))
+    withr = docs.join(
+        rates, docs[source_col].eqNullSafe(rates["__src"])).drop("__src")
     # same bucket construction as sampling.hash_sample, rate per row; the
     # 6-dp rate times 1e6 buckets is integral — F.round recovers it exactly
     # (a bare cast would truncate 0.123456·1e6 = 123455.999… to 123455)

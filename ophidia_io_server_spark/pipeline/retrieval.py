@@ -35,15 +35,18 @@ from ophidia_io_server_spark.sources.tables import spread
 
 
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, tk array<string>, dl) — lowercase whitespace tokens, empties
-    dropped, NULL-text rows excluded (a NULL doc can't match any query)."""
+    """(id, tk array<string>, dl) — the SHARED corpus tokenization
+    (``text.tokens_col``: single-space split, empties dropped) applied to
+    case-folded text.  Lowercasing is deliberate for lexical search; the
+    whitespace rule is single-sourced so BM25 document lengths agree with
+    every other pipeline surface (lm/chunking/bpe token counts).  NULL-text
+    rows excluded (a NULL doc can't match any query)."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+
     return (
         docs.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                     lambda x: x != "").alias("tk"),
-        )
+        .select(F.col(id_col),
+                tokens_col(F.lower(F.col(text_col))).alias("tk"))
         .withColumn("dl", F.size("tk").cast("bigint"))
     )
 

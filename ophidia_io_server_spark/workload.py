@@ -3408,7 +3408,7 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split(lower(text), ' '),
                          x -> x <> '') AS tk
       FROM documents WHERE text IS NOT NULL),
     dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM toks),

@@ -72,3 +72,19 @@ def test_pagerank_authority_ordering(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
     assert got[0] == max(got.values())
     assert got[0] > 3 * max(v for k, v in got.items() if k != 0)
+
+
+def test_pagerank_invalid_weights_and_empty(spark):
+    # NULL-weight edges are dropped before node derivation: node 0 (whose
+    # only edge was invalid) is absent, the remaining graph's ranks are
+    # finite and sum to 1 — no NaN poisoning, no leaked rank mass
+    df = spark.createDataFrame(
+        [(0, 1, None), (1, 2, 1), (2, 1, 1)], "src long, dst long, w long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iters=10, weight_col="w").collect()}
+    assert set(got) == {1, 2}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(np.isfinite(v) for v in got.values())
+    # fully-empty edges: empty result, no ZeroDivisionError
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    assert pagerank(empty, iters=3, weight_col="w").count() == 0

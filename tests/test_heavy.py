@@ -55,3 +55,11 @@ def test_nulls_ignored(spark):
     df = spark.createDataFrame([("a",), (None,), ("a",), (None,)], "tok string")
     got = heavy_hitters(df, "tok", k=4).collect()
     assert [(r["item"], r["cnt"]) for r in got] == [("a", 2)]
+
+
+def test_non_string_items(spark):
+    df = spark.createDataFrame([(7,)] * 30 + [(9,)] * 5 + [(i,) for i in range(20)],
+                               "v long")
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "v", k=8).collect()}
+    assert got[7] == 31          # 30 + the range(20) occurrence of 7
+    assert isinstance(list(got)[0], int)

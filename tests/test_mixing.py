@@ -69,3 +69,18 @@ def test_sample_is_deterministic_and_rate_true(spark):
         r = plan[s]
         sd = (r * (1 - r) * n) ** 0.5
         assert abs(got.get(s, 0) - r * n) <= 4 * sd + 1, s
+
+
+def test_null_source_stratum_not_dropped(spark):
+    rows = [(i, "a", "t") for i in range(50)] + \
+        [(100 + i, None, "t") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = {r["source"]: r for r in
+            source_mixing_plan(docs, 1.0, 1.0).collect()}
+    assert plan[None]["n_docs"] == 50        # NULL stratum is counted...
+    kept = temperature_sample(docs, 1.0, 1.0)
+    assert kept.count() == 100               # ...and fully kept at rate 1.0
+    assert kept.where(F.col("source").isNull()).count() == 50
+
+
+from pyspark.sql import functions as F  # noqa: E402

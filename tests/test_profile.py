@@ -28,3 +28,12 @@ def test_profile_single_aggregation_plan(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     # one wide aggregate, not one scan per column
     assert plan.count("FileScan") <= 1
+
+
+def test_profile_empty_table_exact_zero_counts(spark):
+    df = spark.createDataFrame([], "a long, s string")
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    for c in ("a", "s"):
+        assert got[c]["n_rows"] == 0
+        assert got[c]["n_null"] == 0          # not NULL
+        assert got[c]["n_distinct"] == 0

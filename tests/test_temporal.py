@@ -192,3 +192,23 @@ def test_interval_join_replication_guard(spark):
     # same interval with an adequate bin width: fine
     got = interval_join(pdf, huge, on="user_id", bin_seconds=86400 * 30).collect()
     assert len(got) == 1
+
+
+def test_asof_null_left_ts_no_match_either_direction(spark):
+    left = _mk(spark, [(1, 0, None, 1.0), (2, 0, _ts(100), 2.0)], SCHEMA)
+    right = _mk(spark, [(7, 0, _ts(10), 5.0), (8, 0, _ts(200), 6.0)], SCHEMA)
+    for direction in ("backward", "forward"):
+        got = {r["event_id"]: r["r_event_id"] for r in asof_join(
+            left, right, on="user_id", seq_col="event_id",
+            direction=direction).collect()}
+        assert got[1] is None, direction    # NULL-ts left row: no fabricated match
+        assert got[2] == (7 if direction == "backward" else 8)
+
+
+def test_asof_clash_with_ts_col_raises(spark):
+    left = _mk(spark, [(1, 0, _ts(1), 1.0)], SCHEMA) \
+        .withColumnRenamed("ts", "r_ts")
+    right = _mk(spark, [(2, 0, _ts(0), 2.0)], SCHEMA)
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(left, right, on="user_id", ts_col="r_ts",
+                  right_ts_col="ts", prefix="r_")
