@@ -49,8 +49,10 @@ def asof_join(
     """For every left row, attach the nearest right row per key:
     ``direction="backward"`` → the latest right row with
     ``r.ts <= l.ts`` (the pandas ``merge_asof`` default), ``"forward"`` →
-    the earliest with ``r.ts >= l.ts``.  Left rows with no match keep NULL
-    right columns (left-join semantics, row count preserved).
+    the earliest with ``r.ts >= l.ts``, ``"nearest"`` → whichever of the
+    two is closer in time (exact-distance ties go backward, pandas
+    semantics).  Left rows with no match keep NULL right columns
+    (left-join semantics, row count preserved).
 
     Deterministic tie-break: among right rows sharing the boundary
     timestamp the one with the greatest (backward) / smallest (forward)
@@ -73,8 +75,9 @@ def asof_join(
     pre-bucketing with a boundary row carried between buckets — not
     implemented until a workload needs it.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}")
     keys = _keys(on)
     rts = right_ts_col or ts_col
     lpayload = [c for c in left.columns if c not in keys and c != ts_col]
@@ -113,38 +116,62 @@ def asof_join(
     rs = rs.select(*keys, "_ats", "_seq", "_side", "_r",
                    *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lpayload])
 
-    backward = direction == "backward"
-    # traversal order: backward walks time ascending, forward descending.
-    # At equal timestamps the right row must be *visible* to the left row iff
-    # exact matches are allowed → right sorts before left exactly then.
-    # NULLS FIRST in BOTH traversal directions: a NULL-ts left row must see
-    # no carried right row (desc's default NULLS LAST would sort it after
-    # every right row and fabricate a match with the earliest one)
-    ts_ord = (F.col("_ats").asc_nulls_first() if backward
-              else F.col("_ats").desc_nulls_first())
-    side_ord = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
-    # among equal-ts right rows the LAST one in traversal order wins the
-    # carry-forward → greatest seq for backward, smallest for forward
-    seq_ord = F.col("_seq").asc() if backward else F.col("_seq").desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(ts_ord, side_ord, seq_ord)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last("_r", ignorenulls=True).over(w)
+    def carry(backward: bool):
+        # traversal order: backward walks time ascending, forward descending.
+        # At equal timestamps the right row must be *visible* to the left row
+        # iff exact matches are allowed → right sorts before left exactly
+        # then.  NULLS FIRST in BOTH traversal directions: a NULL-ts left
+        # row must see no carried right row (desc's default NULLS LAST
+        # would sort it after every right row and fabricate a match with
+        # the earliest one).  Among equal-ts right rows the LAST one in
+        # traversal order wins the carry-forward → greatest seq for
+        # backward, smallest for forward.
+        ts_ord = (F.col("_ats").asc_nulls_first() if backward
+                  else F.col("_ats").desc_nulls_first())
+        side_ord = (F.col("_side").asc() if allow_exact_matches
+                    else F.col("_side").desc())
+        seq_ord = F.col("_seq").asc() if backward else F.col("_seq").desc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(ts_ord, side_ord, seq_ord)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_r", ignorenulls=True).over(w)
 
-    out = (
-        ls.unionByName(rs)
-        .withColumn("_match", carried)
-        .where(F.col("_side") == 1)
-    )
-    if tolerance_sec is not None:
-        lt = F.unix_micros(F.col("_ats").cast("timestamp"))
-        mt = F.unix_micros(F.col("_match")[prefix + rts].cast("timestamp"))
+    lt = F.unix_micros(F.col("_ats").cast("timestamp"))
+
+    def with_tolerance(match, backward: bool):
+        if tolerance_sec is None:
+            return match
+        mt = F.unix_micros(match[prefix + rts].cast("timestamp"))
         gap = (lt - mt) if backward else (mt - lt)
+        return F.when(gap <= int(tolerance_sec * 1_000_000), match)
+
+    u = ls.unionByName(rs)
+    if direction == "nearest":
+        # both carries ride the SAME hash exchange (identical partitioning;
+        # the second window only adds a sort); the closer match wins,
+        # exact-distance ties go backward (pandas semantics)
+        out = (
+            u.withColumn("_mb", carry(True))
+            .withColumn("_mf", carry(False))
+            .where(F.col("_side") == 1)
+        )
+        mb = with_tolerance(F.col("_mb"), True)
+        mf = with_tolerance(F.col("_mf"), False)
+        gb = lt - F.unix_micros(mb[prefix + rts].cast("timestamp"))
+        gf = F.unix_micros(mf[prefix + rts].cast("timestamp")) - lt
         out = out.withColumn(
             "_match",
-            F.when(gap <= int(tolerance_sec * 1_000_000), F.col("_match")),
+            F.when(mb.isNull(), mf).when(mf.isNull(), mb)
+            .when(gf < gb, mf).otherwise(mb),
+        )
+    else:
+        backward = direction == "backward"
+        out = (
+            u.withColumn("_match", carry(backward))
+            .where(F.col("_side") == 1)
+            .withColumn("_match", with_tolerance(F.col("_match"), backward))
         )
     rcols = [F.col("_match")[f.name].alias(f.name) for f in rtype.fields]
     return out.select(*keys, F.col("_ats").alias(ts_col), *lpayload, *rcols)

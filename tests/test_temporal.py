@@ -212,3 +212,39 @@ def test_asof_clash_with_ts_col_raises(spark):
     with pytest.raises(ValueError, match="clash"):
         asof_join(left, right, on="user_id", ts_col="r_ts",
                   right_ts_col="ts", prefix="r_")
+
+
+@pytest.mark.parametrize("tolerance", [None, 40.0])
+def test_asof_nearest_matches_pandas(spark, tolerance):
+    rng = np.random.default_rng(55)
+    left_rows = _rand_events(rng, 250, 6, 1000)
+    right_rows = _rand_events(rng, 150, 6, 1000)
+    left = _mk(spark, left_rows, SCHEMA)
+    right = _mk(spark, right_rows, SCHEMA).select(
+        F.col("event_id").alias("rid"), "user_id", "ts",
+        F.col("value").alias("rvalue"))
+    got = asof_join(left, right, on="user_id", seq_col="rid",
+                    direction="nearest", tolerance_sec=tolerance
+                    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts", "value"])
+    rp = pd.DataFrame(right_rows, columns=["rid", "user_id", "ts", "rvalue"]) \
+        .sort_values(["ts", "rid"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        lp.sort_values("ts"), rp, on="ts", by="user_id", direction="nearest",
+        tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+        suffixes=("", "_r"),
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp) == 250
+    for i in range(250):
+        g, e = got.iloc[i], exp.iloc[i]
+        ge, ee = g["r_rid"], e["rid"]
+        assert (pd.isna(ge) and pd.isna(ee)) or ge == ee, \
+            f"row {i} tol={tolerance}: got {ge}, want {ee}"
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    left = _mk(spark, [(1, 0, _ts(100), 1.0)], SCHEMA)
+    right = _mk(spark, [(7, 0, _ts(90), 5.0), (8, 0, _ts(110), 6.0)], SCHEMA)
+    row = asof_join(left, right, on="user_id", seq_col="event_id",
+                    direction="nearest").collect()[0]
+    assert row["r_event_id"] == 7          # equidistant → backward wins
