@@ -283,3 +283,60 @@ def interval_join(
                 *[F.lit(None).cast(dict(iv.dtypes)[c]).alias(c) for c in iv_cols])
     )
     return matched.select(*points.columns, *iv_cols).unionByName(unmatched)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bin_seconds: int = 1800,
+    max_bins_per_interval: int = 100_000,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (``aS < bE AND bS < aE``,
+    half-open) as a shuffled equi-join — the session-overlap /
+    concurrent-windows primitive.
+
+    Both sides replicate per covered time bucket like ``interval_join``.
+    Two overlapping intervals can share MANY buckets; instead of a distinct
+    pass over the (potentially huge) matched set, each pair is emitted at
+    exactly ONE bucket — the first bucket of their overlap,
+    ``max(first_bin(a), first_bin(b))``, which both sides provably cover —
+    the standard dedup-free replication-join trick.  The residual overlap
+    predicate makes the match exact.
+
+    Right-side columns must not clash with left's (rename upstream)."""
+    keys = _keys(on)
+    clash = (set(right.columns) - set(keys)) & set(left.columns)
+    if clash:
+        raise ValueError(f"right columns clash with left columns: {sorted(clash)}")
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def binned(df: DataFrame, s: str, e: str, tag: str) -> DataFrame:
+        first = F.floor(F.unix_micros(F.col(s).cast("timestamp")) / F.lit(bin_us))
+        last = F.floor((F.unix_micros(F.col(e).cast("timestamp")) - 1) / F.lit(bin_us))
+        guarded_last = F.when(
+            last - first + 1 <= max_bins_per_interval, last
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"interval_overlap_join: an interval spans > "
+                  f"{max_bins_per_interval} bins of {bin_seconds}s; raise "
+                  f"bin_seconds or max_bins_per_interval"),
+        )).cast("bigint"))
+        return (
+            df.where(F.col(e) > F.col(s))
+            .withColumn(f"_first_{tag}", first)
+            .withColumn("_bin", F.explode(F.sequence(first, guarded_last)))
+        )
+    a = binned(left, left_start, left_end, "a")
+    b = binned(right, right_start, right_end, "b")
+    return (
+        a.join(b, on=[*keys, "_bin"])
+        # exactly-once: keep the pair only at the first bucket BOTH cover
+        .where(F.col("_bin") == F.greatest("_first_a", "_first_b"))
+        .where((F.col(left_start) < F.col(right_end))
+               & (F.col(right_start) < F.col(left_end)))
+        .drop("_bin", "_first_a", "_first_b")
+    )

@@ -4337,3 +4337,85 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
     )
+
+
+@workload(
+    "events_session_outage_overlap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq),
+    sints AS (SELECT user_id, MIN(ts) AS s_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS s_end
+              FROM sess GROUP BY user_id, sid),
+    err AS (SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS e
+            FROM events WHERE event_type = 'error'),
+    eseq AS (
+      SELECT user_id, ts, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts > MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_w
+      FROM err),
+    ew AS (SELECT user_id, ts, e,
+                  SUM(new_w) OVER (PARTITION BY user_id ORDER BY ts, e
+                                   ROWS UNBOUNDED PRECEDING) AS wid
+           FROM eseq),
+    outages AS (SELECT user_id, MIN(ts) AS outage_start,
+                       MAX(e) AS outage_end
+                FROM ew GROUP BY user_id, wid)
+    SELECT s.user_id, s.s_start, s.s_end, o.outage_start, o.outage_end
+    FROM sints s JOIN outages o
+      ON s.user_id = o.user_id
+     AND s.s_start < o.outage_end AND o.outage_start < s.s_end
+    """,
+)
+def events_session_outage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (``operators/temporal.py::
+    interval_overlap_join``): per-user activity sessions (30-min gap rule,
+    extended 30 min past the last event) overlapped with merged error-
+    outage windows.  Each overlapping pair is emitted at exactly ONE
+    shared time bucket (max of the two first-buckets) — no distinct pass —
+    with the residual predicate making the match exact.  Oracle = the
+    plain inequality join."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.operators.temporal import (
+        interval_overlap_join,
+        merge_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (tsl - F.lag(tsl).over(w)) > 1800 * 1_000_000
+    sess = (
+        ev.withColumn("new_s", F.when(gap, 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"),
+             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"))
+        .drop("sid")
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
+    outages = merge_intervals(err, on="user_id").select(
+        "user_id", F.col("start_ts").alias("outage_start"),
+        F.col("end_ts").alias("outage_end"))
+    return interval_overlap_join(
+        sess, outages, on="user_id",
+        left_start="s_start", left_end="s_end",
+        right_start="outage_start", right_end="outage_end",
+        bin_seconds=1800,
+    ).select("user_id", "s_start", "s_end", "outage_start", "outage_end")

@@ -248,3 +248,40 @@ def test_asof_nearest_tie_goes_backward(spark):
     row = asof_join(left, right, on="user_id", seq_col="event_id",
                     direction="nearest").collect()[0]
     assert row["r_event_id"] == 7          # equidistant → backward wins
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    from ophidia_io_server_spark.operators.temporal import interval_overlap_join
+
+    rng = np.random.default_rng(77)
+    def mk_ivs(n, prefix):
+        rows = []
+        for i in range(n):
+            s = float(rng.uniform(0, 4000))
+            rows.append((int(i), int(rng.integers(0, 4)), _ts(s),
+                         _ts(s + float(rng.uniform(10, 1200)))))
+        return rows
+    arows = mk_ivs(80, "a")
+    brows = mk_ivs(90, "b")
+    a = _mk(spark, arows, "aid long, user_id long, start_ts timestamp, end_ts timestamp")
+    b = _mk(spark, brows,
+            "bid long, user_id long, bstart timestamp, bend timestamp")
+    exp = sorted(
+        (ar[0], br[0])
+        for ar in arows for br in brows
+        if ar[1] == br[1] and ar[2] < br[3] and br[2] < ar[3])
+    for bins in (60, 900, 3600):
+        got = sorted(
+            (r["aid"], r["bid"]) for r in interval_overlap_join(
+                a, b, on="user_id", right_start="bstart", right_end="bend",
+                bin_seconds=bins).collect())
+        assert got == exp, f"bins={bins}"   # exact AND exactly-once
+
+
+def test_interval_overlap_join_clash_guard(spark):
+    from ophidia_io_server_spark.operators.temporal import interval_overlap_join
+
+    a = _mk(spark, [(1, 0, _ts(0), _ts(10))],
+            "aid long, user_id long, start_ts timestamp, end_ts timestamp")
+    with pytest.raises(ValueError, match="clash"):
+        interval_overlap_join(a, a, on="user_id")
