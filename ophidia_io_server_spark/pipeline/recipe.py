@@ -11,6 +11,7 @@ run them:
                           occurrence kept
     6. decontamination  — drop docs sharing 8-grams with the eval set
     7. scoring          — hashed n-gram classifier score (optional weights)
+                          + optional CCNet-style LM-perplexity ceiling
     8. split            — deterministic train/val/test hash buckets
 
 Every stage is a lazy DataFrame transformation (near-dup CC is the one
@@ -42,6 +43,7 @@ def curate_corpus(docs: DataFrame, *, eval_pred: Column | None = None,
                   near_dup_threshold: float = 0.5,
                   span_window: int = 8,
                   classifier_weight_fn=None,
+                  max_perplexity: float | None = None,
                   split_weights: tuple = (0.9, 0.05, 0.05),
                   seed: int = 7,
                   report: bool = False) -> CurationResult:
@@ -135,6 +137,19 @@ def curate_corpus(docs: DataFrame, *, eval_pred: Column | None = None,
             cur, classifier_weight_fn, text_col=text_col
         ).select("doc_id", "quality_score")
         cur = cur.join(scores, "doc_id")
+
+    # 7b. LM-perplexity filter (optional, CCNet-style): self-trained
+    # bigram model over the SURVIVING corpus; docs above the absolute
+    # perplexity ceiling (gibberish / boilerplate outliers) drop.  Runs
+    # after dedup so duplicate mass cannot distort the model's counts.
+    if max_perplexity is not None:
+        from ophidia_io_server_spark.pipeline.lm import perplexity_scores
+
+        ppl = perplexity_scores(cur, text_col=text_col).select(
+            "doc_id", F.col("ppl").alias("perplexity"))
+        cur = note("perplexity_filter",
+                   cur.join(ppl, "doc_id")
+                      .where(F.col("perplexity") <= max_perplexity))
 
     # 8. deterministic split
     cur = hash_split(cur, list(split_weights), key_col="doc_id", seed=seed)

@@ -285,3 +285,26 @@ def test_interval_overlap_join_clash_guard(spark):
             "aid long, user_id long, start_ts timestamp, end_ts timestamp")
     with pytest.raises(ValueError, match="clash"):
         interval_overlap_join(a, a, on="user_id")
+
+
+def test_asof_and_interval_multi_key(spark):
+    # composite join keys: (user_id, kind)
+    left = spark.createDataFrame(
+        [(1, 0, "a", _ts(100)), (2, 0, "b", _ts(100))],
+        "event_id long, user_id long, kind string, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, 0, "a", _ts(90)), (8, 0, "b", _ts(95)), (9, 1, "a", _ts(99))],
+        "rid long, user_id long, kind string, ts timestamp")
+    got = {r["event_id"]: r["r_rid"] for r in asof_join(
+        left, right, on=["user_id", "kind"], seq_col="rid").collect()}
+    assert got == {1: 7, 2: 8}       # matches respect BOTH key columns
+
+    pts = spark.createDataFrame(
+        [(1, 0, "a", _ts(5)), (2, 0, "b", _ts(5))],
+        "pid long, user_id long, kind string, ts timestamp")
+    ivs = spark.createDataFrame(
+        [(0, "a", _ts(0), _ts(10))],
+        "user_id long, kind string, start_ts timestamp, end_ts timestamp")
+    got = [r["pid"] for r in interval_join(
+        pts, ivs, on=["user_id", "kind"], bin_seconds=60).collect()]
+    assert got == [1]                # kind='b' point does not cross keys
