@@ -38,3 +38,35 @@ def salted_count_by_key(df: DataFrame, key: str, salts: int = 64) -> DataFrame:
     salted = df.withColumn("__salt", (F.monotonically_increasing_id() % salts).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("bigint").alias("n"))
+
+
+def bloom_semi_join(left, right, key: str, fpp: float = 0.01,
+                    exact: bool = True):
+    """Bloom-prefiltered LEFT SEMI join — the selective-join scale pattern
+    when the right side's key set is too large to broadcast as values but
+    its Bloom bitmap is not (1e7 keys ≈ 12 MB at 1% FP vs GBs of strings).
+
+    The right key set distills to a distributed-built bitmap
+    (``pipeline/decontaminate.build_gram_bloom`` — groupBy+bit_or, only
+    non-zero words reach the driver); the left side drops every
+    definitely-absent row with an Arrow membership probe (zero false
+    negatives by construction), and ``exact=True`` finishes with a real
+    semi join over the ~fpp-sized survivor set — the expensive shuffle
+    now runs on a fraction of the data.  ``exact=False`` keeps the
+    (bounded) false positives when the caller tolerates them.
+
+    Keys are compared as strings (the hash input form); cast upstream if
+    a collision-relevant type distinction matters."""
+    from ophidia_io_server_spark.pipeline.decontaminate import (
+        _bloom_member_col,
+        build_gram_bloom,
+    )
+
+    rk = right.select(F.col(key).cast("string").alias("__k")).distinct()
+    bitmap, m, k = build_gram_bloom(rk, "__k", fpp)
+    spark = left.sparkSession
+    pre = left.where(
+        _bloom_member_col(bitmap, m, k, spark, F.col(key).cast("string")))
+    if not exact:
+        return pre
+    return pre.join(rk, pre[key].cast("string") == rk["__k"], "left_semi")
