@@ -4419,3 +4419,47 @@ def events_session_outage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         right_start="outage_start", right_end="outage_end",
         bin_seconds=1800,
     ).select("user_id", "s_start", "s_end", "outage_start", "outage_end")
+
+
+@workload(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (SELECT l_orderkey FROM lineitem
+                 GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY total_cents DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING subquery runs as an
+    aggregate + semi-style join on orderkey — lineitem is aggregated
+    FIRST, so the big-order filter prunes orders before the wide join;
+    l_quantity is integral-valued so its double sums are order-free, and
+    price goes through exact cents.  Top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+           .where(F.col("q") > 180).select("l_orderkey"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(big.withColumnRenamed("l_orderkey", "big_ok"),
+              F.col("o_orderkey") == F.col("big_ok"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("total_cents"), "sum_qty")
+        .orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
