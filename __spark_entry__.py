@@ -24,12 +24,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ophidia_io_server_spark.workload import WORKLOADS
+    from ophidia_io_server_spark.workload import ordered_workloads
 
-    return {name: w.fn for name, w in WORKLOADS.items()}
+    return {name: w.fn for name, w in ordered_workloads().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from ophidia_io_server_spark.workload import WORKLOADS
+    from ophidia_io_server_spark.workload import ordered_workloads
 
-    return {name: w.oracle for name, w in WORKLOADS.items() if w.oracle is not None}
+    return {
+        name: w.oracle
+        for name, w in ordered_workloads().items()
+        if w.oracle is not None
+    }

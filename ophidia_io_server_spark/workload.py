@@ -3270,7 +3270,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dedup_exact_canonical",
-    oracle="""
+    oracle=r"""
     SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
              AS canonical_hash,
@@ -4463,3 +4463,212 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Suite composites + driver-gate slot curation (round 6)
+#
+# The driver's correctness gate truncates at the FIRST 50 entries of
+# ``queries()``.  Rounds 4-5 grew the registry to 89 oracled workloads, so the
+# newest operator wave (temporal joins, BM25, LMs, BPE, PageRank, heavy
+# hitters, TPC-H q18, cluster resolution) had no hard-signal row.  Fix, per
+# the round-5 verdict: fold low-risk legacy rows into NULL-padded tagged-UNION
+# composites (each member keeps its exact values and its exact oracle — the
+# hash check on the composite is precisely the concatenation of the members'
+# hash checks), freeing slots inside the 50-row window for the round-5
+# operators.  The individual member rows STAY registered beyond the window so
+# the local mirror (scripts/check_correctness.py) and bench still exercise
+# them in isolation.
+# ---------------------------------------------------------------------------
+
+_DUCK_T = {
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "int": "INTEGER",
+    "string": "VARCHAR",
+    "timestamp": "TIMESTAMP",
+}
+
+# Member output schemas, pinned statically so the composite ORACLE can be
+# built at import time without a SparkSession.  Drift between these pins and
+# the live member schemas is caught by tests/test_suite_composites.py.
+_SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
+    # batch window aggregate + its Structured Streaming twin (§2.8)
+    "events_hourly_suite": {
+        "events_hourly_window": [
+            ("hour_start", "timestamp"), ("event_type", "string"),
+            ("n_events", "bigint"), ("total_value", "double"),
+        ],
+        "events_hourly_streaming": [
+            ("hour_start", "timestamp"), ("event_type", "string"),
+            ("n_events", "bigint"), ("total_value", "double"),
+        ],
+    },
+    # three near-dup detectors, one exact-Jaccard oracle each
+    "dedup_near_pairs": {
+        "dedup_ngram_jaccard": [
+            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+        ],
+        "dedup_minhash_pairs": [
+            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+        ],
+        "dedup_simhash_pairs": [
+            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+        ],
+    },
+    # exact brute-force cosine top-k + the LSH and IVF approximate paths
+    "ann_topk_suite": {
+        "ann_cosine_topk": [
+            ("query_id", "bigint"), ("neighbor_id", "bigint"),
+            ("rank", "bigint"), ("cosine", "double"),
+        ],
+        "ann_lsh_topk": [
+            ("query_id", "bigint"), ("neighbor_id", "bigint"),
+            ("rank", "bigint"), ("cosine", "double"),
+        ],
+        "ann_ivf_topk": [
+            ("query_id", "bigint"), ("neighbor_id", "bigint"),
+            ("rank", "bigint"), ("cosine", "double"),
+        ],
+    },
+    "multimodal_suite": {
+        "multimodal_features": [
+            ("doc_id", "bigint"), ("media_type", "string"),
+            ("payload_bytes", "bigint"), ("pos", "bigint"),
+            ("features", "double"),
+        ],
+        "multimodal_frame_sample": [
+            ("doc_id", "bigint"), ("frame_idx", "bigint"),
+        ],
+    },
+    "gsl_suite": {
+        "gsl_stats_fit": [
+            ("id_dim", "bigint"), ("corr", "double"), ("pos", "bigint"),
+            ("stats", "double"), ("coeff", "double"), ("hist", "double"),
+            ("fitted", "double"),
+        ],
+        "gsl_quantile_fft": [
+            ("id_dim", "bigint"), ("median", "double"), ("sd2", "double"),
+            ("pos", "bigint"), ("box", "double"), ("spectrum", "double"),
+            ("sorted_m", "double"), ("ifft_rt", "double"),
+        ],
+    },
+    "tensor_shape_suite": {
+        "shape_ops": [
+            ("id_dim", "bigint"), ("pos", "bigint"), ("rot2", "double"),
+            ("shift1", "double"), ("inter", "double"), ("padded", "double"),
+            ("cat3", "double"), ("inter2", "double"), ("picked", "double"),
+        ],
+        "permute_tensor": [
+            ("id_dim", "bigint"), ("pos", "bigint"), ("transposed", "double"),
+            ("col_sums", "double"), ("sub3_row2", "double"),
+            ("sub3_col2", "double"),
+        ],
+        "normalize_find_pad": [
+            ("id_dim", "bigint"), ("pos", "bigint"), ("normed", "double"),
+            ("quant", "double"), ("repl", "double"), ("found", "int"),
+            ("padded", "double"), ("with_header", "double"),
+            ("centroids", "double"),
+        ],
+    },
+}
+
+
+def _suite_superset(members: dict[str, list[tuple[str, str]]]) -> list[tuple[str, str]]:
+    sup: list[tuple[str, str]] = []
+    for cols in members.values():
+        for c, t in cols:
+            if all(c != s for s, _ in sup):
+                sup.append((c, t))
+    return sup
+
+
+def _suite_oracle(members: dict[str, list[tuple[str, str]]]) -> str:
+    """Tagged NULL-padded UNION ALL of the members' own oracles — each arm's
+    value set is byte-identical to the standalone row's, so the composite's
+    hash check subsumes the members'."""
+    sup = _suite_superset(members)
+    arms = []
+    for m, cols in members.items():
+        have = {c for c, _ in cols}
+        sel = ", ".join(
+            [f"'{m}' AS op"]
+            + [c if c in have else f"CAST(NULL AS {_DUCK_T[t]}) AS {c}"
+               for c, t in sup]
+        )
+        arms.append(f"SELECT {sel} FROM (\n{WORKLOADS[m].oracle}\n)")
+    return "\nUNION ALL\n".join(arms)
+
+
+def _suite_fn(member_names: list[str]):
+    def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dfs = {m: WORKLOADS[m].fn(spark, sf_dir) for m in member_names}
+        sup: list[tuple[str, object]] = []
+        for df in dfs.values():
+            for f in df.schema.fields:
+                if all(f.name != s for s, _ in sup):
+                    sup.append((f.name, f.dataType))
+        parts = []
+        for m, df in dfs.items():
+            have = set(df.columns)
+            parts.append(df.select(
+                F.lit(m).alias("op"),
+                *[(F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+                  for c, t in sup],
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return suite
+
+
+for _sname, _members in _SUITES.items():
+    for _m, _cols in _members.items():
+        assert _m in WORKLOADS and WORKLOADS[_m].oracle is not None, _m
+        assert all(c != "op" for c, _ in _cols), (_sname, _m)
+    _f = _suite_fn(list(_members))
+    _f.__name__ = _sname
+    _f.__doc__ = (
+        f"Suite composite of {', '.join(_members)}: tagged NULL-padded union; "
+        "each arm bitwise-identical to the standalone workload row."
+    )
+    workload(_sname, oracle=_suite_oracle(_members))(_f)
+
+
+# The 50 names the driver's gate will see, in order.  Every §2 operator that
+# was carried by one of the first-50 rows in rounds 1-5 is still inside the
+# window (directly or via its suite composite); the slots freed by the six
+# composites carry the round-5 operator wave.  Everything else stays
+# registered after the window for mirror + bench coverage.
+GATE_ORDER: list[str] = [
+    "select_reduce", "scalar_predicate", "subarray_reduce",
+    "moving_avg_accumulate", "join_mul_array", "join_three_way",
+    "group_aggregates", "ctas_rollup", "fragment_set_ops",
+    "global_aggregate", "random_import", "import_nc_esdm",
+    "subset_procedure", "size_procedure", "insert_multi",
+    "tpch_q1_pricing", "tpch_q6_forecast", "tpch_q5_local_supplier",
+    "events_hourly_suite", "events_type_stats", "sketch_approx_stats",
+    "dedup_exact", "dedup_near_pairs", "dedup_substring_spans",
+    "curation_quality_rules", "token_budget_select", "dsir_importance",
+    "source_overlap_matrix", "embedding_pca_invariants",
+    "quality_classifier_score", "text_quality_lang", "doc_text_metrics",
+    "corpus_report", "ann_topk_suite", "embedding_cosine_pairs",
+    "multimodal_suite", "stream_dedup_dialect",
+    "events_session_window_streaming", "events_sessionize",
+    "gsl_suite", "tensor_shape_suite",
+    "events_asof_attribution", "events_interval_join",
+    "bm25_doc_retrieval", "doc_perplexity_lm", "bpe_train_invariants",
+    "events_pagerank_transitions", "token_heavy_hitters",
+    "curation_split_clusters", "tpch_q18_large_orders",
+]
+
+
+def ordered_workloads() -> dict[str, Workload]:
+    """Registry reordered so the driver's 50-row gate window sees exactly
+    ``GATE_ORDER``; the rest follow in registration order (mirror-covered)."""
+    assert len(GATE_ORDER) == 50, len(GATE_ORDER)
+    missing = [n for n in GATE_ORDER if n not in WORKLOADS]
+    assert not missing, f"GATE_ORDER names not registered: {missing}"
+    rest = [n for n in WORKLOADS if n not in set(GATE_ORDER)]
+    return {n: WORKLOADS[n] for n in [*GATE_ORDER, *rest]}

@@ -125,7 +125,9 @@ def main():
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
     from ophidia_io_server_spark import get_spark
-    from ophidia_io_server_spark.workload import WORKLOADS
+    from ophidia_io_server_spark.workload import ordered_workloads
+
+    WORKLOADS = ordered_workloads()
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
