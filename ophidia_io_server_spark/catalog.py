@@ -229,7 +229,8 @@ class Catalog:
         return cat
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, key: str = "id_dim") -> DataFrame:
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str = "id_dim",
+                 validate: bool = True) -> DataFrame:
     """MERGE-style upsert: rows of ``updates`` replace same-key rows of
     ``base``; unmatched update rows insert; unmatched base rows survive.
 
@@ -243,11 +244,28 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str = "id_dim") -> Da
 
     Columns are taken update-first PER ROW, not per cell: a NULL cell in an
     update row still wins (marker join, not bare coalesce), matching MERGE
-    semantics."""
+    semantics.
+
+    SQL MERGE errors when multiple source rows match one target row; a
+    duplicate key on EITHER side of this full-outer join would silently
+    multiply rows instead.  ``validate=True`` (default) runs a bounded
+    duplicate probe on the update side (one aggregation over update keys —
+    cheap next to the merge join itself) and raises; at warehouse scale a
+    caller that guarantees uniqueness upstream can pass ``validate=False``
+    to skip the probe.  Base-side uniqueness is the fragment store's own
+    invariant (``sequential_ids`` / import paths)."""
     if set(base.columns) != set(updates.columns):
         raise CatalogError(
             f"merge_upsert schema mismatch: base {sorted(base.columns)} vs "
             f"updates {sorted(updates.columns)}")
+    if validate:
+        dup = (updates.groupBy(key).count().where(F.col("count") > 1)
+               .limit(1).collect())
+        if dup:
+            raise CatalogError(
+                f"merge_upsert: duplicate key {dup[0][key]!r} in updates — "
+                "SQL MERGE rejects multiple matches; dedupe the update side "
+                "or pass validate=False if multiplication is intended")
     payload = [c for c in base.columns if c != key]
     b = base.select(key, F.struct(*payload).alias("_b"))
     u = updates.select(key, F.struct(*payload).alias("_u"))

@@ -17,6 +17,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: join types where replicating the small side `salts`× cannot change the
+#: result: each big row matches exactly one (key, salt) replica.  right/full
+#: outer would emit every UNMATCHED small-side row once per salt — silently
+#: duplicated results — so they are rejected.
+_SALTED_JOIN_HOW = frozenset({"inner", "left", "left_outer", "left_semi",
+                              "left_anti", "semi", "anti"})
+
+
 def salted_join(big: DataFrame, small: DataFrame, on: str, salts: int = 16,
                 how: str = "inner") -> DataFrame:
     """Equi-join robust to hot keys in ``big``.
@@ -24,7 +32,15 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, salts: int = 16,
     big gets a random-but-deterministic salt (hash of its row content modulo
     S); small is exploded S× so every (key, salt) pair finds its match.
     Shuffle key = (on, salt) → a hot key's rows split across S reducers.
+    ``how`` must keep the small side non-preserved ({'inner', 'left',
+    'left_semi', 'left_anti'}) — right/full outer joins would emit each
+    unmatched small row once per salt.
     """
+    if how not in _SALTED_JOIN_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded small side "
+            f"would duplicate unmatched rows {salts}x; use one of "
+            "{'inner','left','left_semi','left_anti'}")
     salt_col = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salts).cast("int")
     b = big.withColumn("__salt", salt_col)
     s = small.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
@@ -34,8 +50,14 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, salts: int = 16,
 
 def salted_count_by_key(df: DataFrame, key: str, salts: int = 64) -> DataFrame:
     """count(*) per key under extreme key skew: pre-aggregate on (key, salt)
-    then combine — the hot key's count is computed by S tasks, not one."""
-    salted = df.withColumn("__salt", (F.monotonically_increasing_id() % salts).cast("int"))
+    then combine — the hot key's count is computed by S tasks, not one.
+
+    Salt = spark_partition_id() mod S: deterministic under task retry (a
+    re-executed task reads the same input split, unlike
+    monotonically_increasing_id whose value depends on scheduling), and it
+    is exactly the map-side-combine shape — each input partition contributes
+    at most one partial row per key."""
+    salted = df.withColumn("__salt", (F.spark_partition_id() % salts).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("bigint").alias("n"))
 
@@ -62,7 +84,11 @@ def bloom_semi_join(left, right, key: str, fpp: float = 0.01,
         build_gram_bloom,
     )
 
-    rk = right.select(F.col(key).cast("string").alias("__k")).distinct()
+    # Materialize the (keys-only, distinct) right projection ONCE: both the
+    # bitmap build and the exact-finish semi join read it, and without the
+    # checkpoint each consumer would rescan the full right side.
+    rk = (right.select(F.col(key).cast("string").alias("__k")).distinct()
+          .localCheckpoint(eager=True))
     bitmap, m, k = build_gram_bloom(rk, "__k", fpp)
     spark = left.sparkSession
     pre = left.where(

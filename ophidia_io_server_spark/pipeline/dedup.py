@@ -21,6 +21,13 @@ from ophidia_io_server_spark.pipeline.text import tokens_col
 from ophidia_io_server_spark.sources.tables import spread
 
 
+def _rx_literal(s: str) -> str:
+    """Quote a string for literal matching inside a Java regex (what
+    ``java.util.regex.Pattern.quote`` does): wrap in \\Q..\\E, splicing any
+    embedded \\E so it cannot terminate the quote early."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 # -- exact ------------------------------------------------------------------
 
 
@@ -708,16 +715,22 @@ def remove_duplicate_paragraphs(docs: DataFrame, text_col: str = "text",
 
     Returns (id_col, text_cleaned, n_paragraphs, n_removed).  Documents
     whose paragraphs are all removed survive with empty text (the caller
-    decides whether to drop them).  Blank/whitespace-only paragraphs are
+    decides whether to drop them); NULL-text documents survive with NULL
+    ``text_cleaned`` and zero counts (same contract as
+    ``remove_duplicate_spans``).  Blank/whitespace-only paragraphs are
     never treated as duplicates — removing "all empty lines but one,
-    corpus-wide" would mangle formatting for no dedup value.
+    corpus-wide" would mangle formatting for no dedup value.  ``sep`` is
+    taken LITERALLY (quoted before it reaches the regex-based split).
 
     Scale shape: one explode → one groupBy(paragraph) with a ``min_by``
     canonical (map-side combined; the count table is the distinct-
     paragraph set, the standard CCNet working set) → broadcast-or-shuffle
     equi-join back → one groupBy(doc) rebuild.  Everything JVM."""
     paras = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+        F.col(id_col),
+        F.col(text_col).isNull().alias("_was_null"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             _rx_literal(sep)))
         .alias("idx", "para"))
     meaningful = F.trim(F.col("para")) != ""
     counts = (
@@ -735,19 +748,24 @@ def remove_duplicate_paragraphs(docs: DataFrame, text_col: str = "text",
         | (F.lit(keep_canonical) & is_canon)
     )
     kept = tagged.withColumn("_keep", keep)
+    was_null = F.first("_was_null").alias("_was_null")
     return (
         kept.groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list(
                 F.struct("idx", F.col("para"), F.col("_keep")))).alias("ps"),
+            was_null,
         )
         .select(
             id_col,
-            F.array_join(
-                F.transform(F.filter("ps", lambda p: p["_keep"]),
-                            lambda p: p["para"]), sep).alias("text_cleaned"),
-            F.size("ps").cast("bigint").alias("n_paragraphs"),
-            F.size(F.filter("ps", lambda p: ~p["_keep"])).cast("bigint")
-             .alias("n_removed"),
+            F.when(F.col("_was_null"), F.lit(None).cast("string"))
+             .otherwise(F.array_join(
+                 F.transform(F.filter("ps", lambda p: p["_keep"]),
+                             lambda p: p["para"]), sep)).alias("text_cleaned"),
+            F.when(F.col("_was_null"), F.lit(0)).otherwise(F.size("ps"))
+             .cast("bigint").alias("n_paragraphs"),
+            F.when(F.col("_was_null"), F.lit(0))
+             .otherwise(F.size(F.filter("ps", lambda p: ~p["_keep"])))
+             .cast("bigint").alias("n_removed"),
         )
     )

@@ -87,3 +87,33 @@ def test_blank_paragraphs_survive(spark):
     got = {r["doc_id"]: r["text_cleaned"]
            for r in remove_duplicate_paragraphs(docs).collect()}
     assert got == {0: "a\n\nb", 1: "c\n\nd"}    # the empty line is not "dup"
+
+
+def test_null_text_survives_with_null_cleaned(spark):
+    docs = spark.createDataFrame(
+        [(1, "dup\nbody one\ndup"), (2, None), (3, "dup\nbody two")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_duplicate_paragraphs(docs, min_count=2).collect()}
+    assert set(got) == {1, 2, 3}, "NULL-text doc must not disappear"
+    assert got[2]["text_cleaned"] is None
+    assert got[2]["n_paragraphs"] == 0 and got[2]["n_removed"] == 0
+    assert got[1]["text_cleaned"] == "dup\nbody one"  # canonical keeper
+
+
+def test_separator_is_literal_not_regex(spark):
+    """A '.' or '|' separator must split on the literal character — regex
+    interpretation would explode every document per-character."""
+    docs = spark.createDataFrame(
+        [(1, "dup.body one.dup"), (2, "dup.body two")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_duplicate_paragraphs(docs, min_count=2, sep=".").collect()}
+    assert got[1]["n_paragraphs"] == 3
+    assert got[1]["text_cleaned"] == "dup.body one"
+    assert got[2]["text_cleaned"] == "body two"
+    docs2 = spark.createDataFrame([(1, "a|b|a"), (2, "a|c")],
+                                  "doc_id long, text string")
+    got2 = {r["doc_id"]: r["text_cleaned"] for r in
+            remove_duplicate_paragraphs(docs2, min_count=2, sep="|").collect()}
+    assert got2 == {1: "a|b", 2: "c"}

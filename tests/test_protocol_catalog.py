@@ -133,3 +133,19 @@ def test_merge_upsert_semantics(spark):
     cat.put("frag", base, cache=False)
     merge_into(cat, "frag", upd, cache=False)
     assert {r["id_dim"] for r in cat.df("frag").collect()} == {1, 2, 3, 4}
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    import pytest
+
+    from ophidia_io_server_spark.catalog import CatalogError, merge_upsert
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id_dim long, m double")
+    dup = spark.createDataFrame([(2, 21.0), (2, 22.0)], "id_dim long, m double")
+    with pytest.raises(CatalogError, match="duplicate key"):
+        merge_upsert(base, dup)
+    # explicit opt-out keeps the old (row-multiplying) behavior available
+    assert merge_upsert(base, dup, validate=False).count() == 3
+    ok = spark.createDataFrame([(2, 21.0), (3, 30.0)], "id_dim long, m double")
+    got = {r["id_dim"]: r["m"] for r in merge_upsert(base, ok).collect()}
+    assert got == {1: 10.0, 2: 21.0, 3: 30.0}
