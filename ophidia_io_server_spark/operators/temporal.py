@@ -45,6 +45,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance_sec: float | None = None,
     prefix: str = "r_",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the nearest right row per key:
     ``direction="backward"`` → the latest right row with
@@ -68,12 +69,23 @@ def asof_join(
     the same cost as the sort-merge as-of in kdb/QuestDB/DuckDB, and the
     reason this beats any range-join formulation at scale.
 
-    Skew note: a hot key serializes its per-key sort into one task (the
-    carry-forward needs the full per-key time order); Spark's external
-    sort spills rather than OOMs (measured 1.3× at 90%-hot, PERF.md r5).
-    If one key ever exceeds a task, the mitigation is time-range
-    pre-bucketing with a boundary row carried between buckets — not
-    implemented until a workload needs it.
+    Skew note: by default a hot key serializes its per-key sort into one
+    task (the carry-forward needs the full per-key time order); Spark's
+    external sort spills rather than OOMs (measured 1.3× at 90%-hot,
+    PERF.md r5).  ``bucket_seconds`` opts into hot-key pre-bucketing when
+    one key outgrows a task: the carry window partitions on
+    (key, time-bucket) — a hot key's timeline splits across
+    ⌈span/bucket⌉ tasks — and the cross-bucket boundary is restored
+    exactly from a per-(key, bucket) summary table (one row per bucket:
+    the bucket's latest/earliest right struct), whose per-key prefix scan
+    is O(#buckets) rows and whose result joins back on (key, bucket) and
+    coalesces UNDER the in-bucket carry.  Exactness: equal timestamps land
+    in the same bucket, so tie/visibility ordering (seq,
+    allow_exact_matches) never crosses a bucket boundary, and any
+    carried-in right row is strictly earlier (backward) / later (forward)
+    than every row of the bucket.  Output is row-identical to the default
+    path (differential-tested); cost is two extra small shuffles over the
+    bucket-summary table.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -116,6 +128,8 @@ def asof_join(
     rs = rs.select(*keys, "_ats", "_seq", "_side", "_r",
                    *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lpayload])
 
+    part = list(keys) if bucket_seconds is None else [*keys, "_bkt"]
+
     def carry(backward: bool):
         # traversal order: backward walks time ascending, forward descending.
         # At equal timestamps the right row must be *visible* to the left row
@@ -132,11 +146,34 @@ def asof_join(
                     else F.col("_side").desc())
         seq_ord = F.col("_seq").asc() if backward else F.col("_seq").desc()
         w = (
-            Window.partitionBy(*keys)
+            Window.partitionBy(*part)
             .orderBy(ts_ord, side_ord, seq_ord)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return F.last("_r", ignorenulls=True).over(w)
+
+    def carry_in(u: DataFrame, backward: bool) -> DataFrame:
+        """(keys, _bkt, _cin): the match a left row falls back to when its
+        own bucket holds no earlier (backward) / later (forward) right row
+        — the latest right struct over all STRICTLY earlier buckets (resp.
+        earliest over later ones).  Built from one bucket-summary row per
+        (key, bucket) — the per-key prefix window runs over #buckets rows,
+        not data rows.  NULL-_bkt rows (NULL-ts left rows) never join."""
+        bkts = u.where(F.col("_bkt").isNotNull()).select(*keys, "_bkt").distinct()
+        rrows = u.where(F.col("_side") == 0)
+        pick = F.struct("_ats", "_seq")
+        if backward:
+            summ = rrows.groupBy(*keys, "_bkt").agg(F.max_by("_r", pick).alias("_b_r"))
+            wk = (Window.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+                  .rowsBetween(Window.unboundedPreceding, -1))
+            cin = F.last("_b_r", ignorenulls=True).over(wk)
+        else:
+            summ = rrows.groupBy(*keys, "_bkt").agg(F.min_by("_r", pick).alias("_b_r"))
+            wk = (Window.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+                  .rowsBetween(1, Window.unboundedFollowing))
+            cin = F.first("_b_r", ignorenulls=True).over(wk)
+        return (bkts.join(summ, on=[*keys, "_bkt"], how="left")
+                .withColumn("_cin", cin).drop("_b_r"))
 
     lt = F.unix_micros(F.col("_ats").cast("timestamp"))
 
@@ -148,6 +185,11 @@ def asof_join(
         return F.when(gap <= int(tolerance_sec * 1_000_000), match)
 
     u = ls.unionByName(rs)
+    if bucket_seconds is not None:
+        bkt_us = int(bucket_seconds) * 1_000_000
+        u = u.withColumn(
+            "_bkt",
+            F.floor(F.unix_micros(F.col("_ats").cast("timestamp")) / F.lit(bkt_us)))
     if direction == "nearest":
         # both carries ride the SAME hash exchange (identical partitioning;
         # the second window only adds a sort); the closer match wins,
@@ -157,6 +199,16 @@ def asof_join(
             .withColumn("_mf", carry(False))
             .where(F.col("_side") == 1)
         )
+        if bucket_seconds is not None:
+            cb = carry_in(u, True).withColumnRenamed("_cin", "_cb")
+            cf = carry_in(u, False).withColumnRenamed("_cin", "_cf")
+            out = (
+                out.join(cb, on=[*keys, "_bkt"], how="left")
+                .join(cf, on=[*keys, "_bkt"], how="left")
+                .withColumn("_mb", F.coalesce("_mb", "_cb"))
+                .withColumn("_mf", F.coalesce("_mf", "_cf"))
+                .drop("_cb", "_cf")
+            )
         mb = with_tolerance(F.col("_mb"), True)
         mf = with_tolerance(F.col("_mf"), False)
         gb = lt - F.unix_micros(mb[prefix + rts].cast("timestamp"))
@@ -168,11 +220,14 @@ def asof_join(
         )
     else:
         backward = direction == "backward"
-        out = (
-            u.withColumn("_match", carry(backward))
-            .where(F.col("_side") == 1)
-            .withColumn("_match", with_tolerance(F.col("_match"), backward))
-        )
+        out = u.withColumn("_match", carry(backward)).where(F.col("_side") == 1)
+        if bucket_seconds is not None:
+            out = (
+                out.join(carry_in(u, backward), on=[*keys, "_bkt"], how="left")
+                .withColumn("_match", F.coalesce("_match", "_cin"))
+                .drop("_cin")
+            )
+        out = out.withColumn("_match", with_tolerance(F.col("_match"), backward))
     rcols = [F.col("_match")[f.name].alias(f.name) for f in rtype.fields]
     return out.select(*keys, F.col("_ats").alias(ts_col), *lpayload, *rcols)
 

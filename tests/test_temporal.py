@@ -308,3 +308,68 @@ def test_asof_and_interval_multi_key(spark):
     got = [r["pid"] for r in interval_join(
         pts, ivs, on=["user_id", "kind"], bin_seconds=60).collect()]
     assert got == [1]                # kind='b' point does not cross keys
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("bucket_seconds", [7, 100, 5000])
+def test_asof_bucketed_identical_to_plain(spark, direction, bucket_seconds):
+    """Hot-key pre-bucketing is a pure execution-strategy change: output is
+    row-identical to the default single-task-per-key path for every
+    direction, bucket width (narrower / comparable / wider than the data
+    span), tie pattern, and NULL-ts rows."""
+    rng = np.random.default_rng(7)
+    left_rows = _rand_events(rng, 250, 5, 1000)
+    right_rows = _rand_events(rng, 150, 5, 1000)
+    # equal-ts ties + a NULL-ts left row + a NULL-ts right row
+    right_rows += [(900, 2, _ts(500), 1.0), (901, 2, _ts(500), 2.0)]
+    left_rows += [(800, 2, _ts(500), 0.0), (801, 3, None, 0.0)]
+    right_rows += [(902, 3, None, 9.0)]
+    left = _mk(spark, left_rows, SCHEMA)
+    right = _mk(spark, right_rows, SCHEMA).select(
+        F.col("event_id").alias("rid"), "user_id", "ts",
+        F.col("value").alias("rvalue"))
+    kw = dict(on="user_id", ts_col="ts", seq_col="rid", direction=direction,
+              tolerance_sec=120.0)
+    plain = asof_join(left, right, **kw)
+    bucketed = asof_join(left, right, bucket_seconds=bucket_seconds, **kw)
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.count() == len(left_rows)
+    # the carry window must really partition on the time bucket
+    assert "_bkt" in bucketed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_bucketed_exact_toggle_and_tiebreak(spark):
+    left = _mk(spark, [(1, 0, _ts(100), 1.0)], SCHEMA)
+    right = _mk(spark, [(7, 0, _ts(100), 5.0), (6, 0, _ts(50), 3.0)], SCHEMA)
+    off = asof_join(left, right, on="user_id", seq_col="event_id",
+                    allow_exact_matches=False, bucket_seconds=30).collect()[0]
+    assert off["r_event_id"] == 6  # equal-ts hidden; match carried from an earlier bucket
+    on = asof_join(left, right, on="user_id", seq_col="event_id",
+                   bucket_seconds=30).collect()[0]
+    assert on["r_event_id"] == 7
+
+
+def test_asof_bucketed_hot_key_splits_across_partitions(spark):
+    """90%-hot-key stress: identical output, and the hot key's rows span
+    multiple carry-window partitions (the whole point of the bucketing)."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    left_rows = [(int(i), 0 if i % 10 else int(1 + i % 4),
+                  _ts(float(rng.uniform(0, 40000))), 1.0) for i in range(n)]
+    right_rows = [(int(10_000 + i), 0 if i % 10 else int(1 + i % 4),
+                   _ts(float(rng.uniform(0, 40000))), 2.0) for i in range(1000)]
+    left = _mk(spark, left_rows, SCHEMA)
+    right = _mk(spark, right_rows, SCHEMA).select(
+        F.col("event_id").alias("rid"), "user_id", "ts",
+        F.col("value").alias("rvalue"))
+    kw = dict(on="user_id", ts_col="ts", seq_col="rid")
+    plain = asof_join(left, right, **kw)
+    bucketed = asof_join(left, right, bucket_seconds=600, **kw)
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0
+    # hot key's timeline covers many distinct (key, bucket) partitions
+    n_buckets = (left.where("user_id = 0")
+                 .select((F.unix_micros("ts") / (600 * 1_000_000))
+                         .cast("long").alias("b")).distinct().count())
+    assert n_buckets > 20
