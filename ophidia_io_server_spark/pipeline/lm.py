@@ -308,3 +308,120 @@ def stupid_backoff_scores(train: DataFrame, score: DataFrame,
                 / F.col("n_trigrams"), 6).alias("avg_logscore"),
         )
     )
+
+
+def kneser_ney_scores(train: DataFrame, score: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Interpolated modified Kneser-Ney bigram scoring (Chen & Goodman
+    1998; the KenLM default) on the same count-table architecture as
+    ``stupid_backoff_scores`` — every model component is a DataFrame
+    aggregation, scoring is a left-join cascade, nothing model-sized ever
+    reaches the driver.
+
+        P(w2|w1) = (c(w1,w2) − D(c))/c(w1) + γ(w1)·P_cont(w2)      seen ctx
+                 = P_cont(w2)                                       unseen ctx
+        D(c)     = D1/D2/D3+ for c = 1/2/≥3 — count-of-count estimated:
+                   Y = n1/(n1+2n2), Dk = k − (k+1)·Y·n_{k+1}/n_k,
+                   clamped to [0, k] (each undefined ratio falls back to
+                   the classic 0.75 absolute discount)
+        γ(w1)    = (D1·N1(w1·) + D2·N2(w1·) + D3·N3+(w1·)) / c(w1)
+                   (exactly the mass the discounts removed — the
+                   interpolation weight that keeps Σ_w2 P = 1)
+        P_cont   = (N1+(·w2) + 1)/(T + V) — the continuation unigram
+                   ("in how many contexts was w2 seen"), add-one smoothed
+                   over the vocabulary so OOV scoring words keep a finite
+                   log-prob (KenLM interpolates with uniform the same way).
+
+    Model tables: bigram counts (w1,w2,c12); per-context totals + type
+    counts N1/N2/N3+ (one groupBy over the count table); continuation
+    counts (one more); count-of-counts n1..n4 + T + V as a single
+    broadcast row.  All map-side combined; the scoring joins ride the
+    (w1,w2)/(w1)/(w2) natural keys with AQE absorbing Zipfian skew.
+
+    Returns (id, n_bigrams, n_unseen_pair, n_unseen_ctx, avg_logprob,
+    ppl) per scored doc with ≥1 bigram; the ln-sum folds in position
+    order for oracle parity.  Differential vs a Python reference in
+    tests/test_lm.py."""
+    big_tr = bigram_stream(spread(train), text_col, id_col)
+    bc = big_tr.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12"))
+    cc = bc.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.sum((F.col("c12") == 1).cast("int")).cast("bigint").alias("tn1"),
+        F.sum((F.col("c12") == 2).cast("int")).cast("bigint").alias("tn2"),
+        F.sum((F.col("c12") >= 3).cast("int")).cast("bigint").alias("tn3p"),
+    )
+    # bc holds one row per TYPE, so a plain count per w2 is the distinct-
+    # context (continuation) count N1+(·w2)
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("nprec"))
+    voc = (
+        train.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_col(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").cast("bigint").alias("V"))
+    )
+    coc = bc.agg(
+        F.sum((F.col("c12") == 1).cast("int")).cast("bigint").alias("n1"),
+        F.sum((F.col("c12") == 2).cast("int")).cast("bigint").alias("n2"),
+        F.sum((F.col("c12") == 3).cast("int")).cast("bigint").alias("n3"),
+        F.sum((F.col("c12") == 4).cast("int")).cast("bigint").alias("n4"),
+        F.count(F.lit(1)).cast("bigint").alias("T"),
+    )
+    # discounts — computed in one scalar row; expression ORDER mirrors the
+    # SQL oracle token-for-token (left-assoc chains) so doubles are bitwise
+    y = F.col("n1") / F.nullif(F.col("n1") + F.lit(2.0) * F.col("n2"), F.lit(0.0))
+
+    def _disc(k: int, nk: str, nk1: str):
+        raw = (F.lit(float(k)) - F.lit(float(k + 1)) * F.col("_y") * F.col(nk1)
+               / F.nullif(F.col(nk).cast("double"), F.lit(0.0)))
+        return F.least(F.greatest(F.coalesce(raw, F.lit(0.75)), F.lit(0.0)),
+                       F.lit(float(k)))
+
+    scal = (
+        coc.crossJoin(voc).withColumn("_y", y)
+        .withColumn("d1", _disc(1, "n1", "n2"))
+        .withColumn("d2", _disc(2, "n2", "n3"))
+        .withColumn("d3", _disc(3, "n3", "n4"))
+        .select("T", "V", "d1", "d2", "d3")
+    )
+    sg = bigram_stream(spread(score), text_col, id_col)
+    j = (
+        sg.join(bc, on=["w1", "w2"], how="left")
+        .join(cc, on="w1", how="left")
+        .join(cont, on="w2", how="left")
+        .crossJoin(F.broadcast(scal))
+    )
+    pcont = (F.coalesce(F.col("nprec"), F.lit(0)) + 1) / (F.col("T") + F.col("V"))
+    num = (
+        F.when(F.col("c12").isNull(), F.lit(0.0))
+        .when(F.col("c12") == 1, F.col("c12") - F.col("d1"))
+        .when(F.col("c12") == 2, F.col("c12") - F.col("d2"))
+        .otherwise(F.col("c12") - F.col("d3"))
+    )
+    gamma = (F.col("d1") * F.col("tn1") + F.col("d2") * F.col("tn2")
+             + F.col("d3") * F.col("tn3p")) / F.col("c1")
+    p = (F.when(F.col("c1").isNotNull(), num / F.col("c1") + gamma * pcont)
+         .otherwise(pcont))
+    lvl = (F.when(F.col("c12").isNotNull(), 2)
+           .when(F.col("c1").isNotNull(), 1).otherwise(0))
+    scored = j.select(id_col, "pos", F.log(p).alias("ls"), lvl.alias("lvl"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum((F.col("lvl") == 1).cast("int")).cast("bigint")
+             .alias("n_unseen_pair"),
+            F.sum((F.col("lvl") == 0).cast("int")).cast("bigint")
+             .alias("n_unseen_ctx"),
+            F.array_sort(F.collect_list(F.struct("pos", "ls"))).alias("xs"),
+        )
+        .select(
+            id_col, "n_bigrams", "n_unseen_pair", "n_unseen_ctx",
+            F.aggregate("xs", F.lit(0.0), lambda a, x: a + x["ls"]).alias("slp"),
+        )
+        .select(
+            id_col, "n_bigrams", "n_unseen_pair", "n_unseen_ctx",
+            F.round(F.col("slp") / F.col("n_bigrams"), 6).alias("avg_logprob"),
+            F.round(F.exp(-(F.col("slp") / F.col("n_bigrams"))), 6).alias("ppl"),
+        )
+    )

@@ -4465,6 +4465,97 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "doc_kneser_ney_lm",
+    oracle="""
+    WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+    sc AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+    bg AS MATERIALIZED (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2),
+    cc AS MATERIALIZED (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn1,
+             CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tn2,
+             CAST(SUM(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS tn3p
+      FROM bg GROUP BY w1),
+    cont AS MATERIALIZED (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nprec FROM bg GROUP BY w2),
+    voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS V
+            FROM (SELECT unnest(tk) AS t FROM tr)),
+    coc AS (SELECT
+      CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      CAST(SUM(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+      CAST(COUNT(*) AS BIGINT) AS T FROM bg),
+    ys AS (SELECT coc.*, voc.V,
+                  n1 / NULLIF(n1 + 2.0 * n2, 0.0) AS y
+           FROM coc CROSS JOIN voc),
+    ds AS (SELECT T, V,
+      least(greatest(COALESCE(
+        1.0 - 2.0 * y * n2 / NULLIF(CAST(n1 AS DOUBLE), 0.0), 0.75),
+        0.0), 1.0) AS d1,
+      least(greatest(COALESCE(
+        2.0 - 3.0 * y * n3 / NULLIF(CAST(n2 AS DOUBLE), 0.0), 0.75),
+        0.0), 2.0) AS d2,
+      least(greatest(COALESCE(
+        3.0 - 4.0 * y * n4 / NULLIF(CAST(n3 AS DOUBLE), 0.0), 0.75),
+        0.0), 3.0) AS d3
+      FROM ys),
+    sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                 FROM sc WHERE len(tk) >= 2)),
+    j AS (SELECT sg.doc_id, sg.pos,
+            ln(CASE WHEN cc.c1 IS NOT NULL THEN
+                 (CASE WHEN bg.c12 IS NULL THEN 0.0
+                       WHEN bg.c12 = 1 THEN bg.c12 - ds.d1
+                       WHEN bg.c12 = 2 THEN bg.c12 - ds.d2
+                       ELSE bg.c12 - ds.d3 END) / cc.c1
+                 + (ds.d1 * cc.tn1 + ds.d2 * cc.tn2 + ds.d3 * cc.tn3p)
+                   / cc.c1
+                   * ((COALESCE(cont.nprec, 0) + 1) / (ds.T + ds.V))
+               ELSE (COALESCE(cont.nprec, 0) + 1) / (ds.T + ds.V) END) AS ls,
+            CASE WHEN bg.c12 IS NOT NULL THEN 2
+                 WHEN cc.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+          FROM sg
+          LEFT JOIN bg ON sg.w1 = bg.w1 AND sg.w2 = bg.w2
+          LEFT JOIN cc ON sg.w1 = cc.w1
+          LEFT JOIN cont ON sg.w2 = cont.w2
+          CROSS JOIN ds)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen_pair,
+           CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen_ctx,
+           ROUND(list_aggregate(list(ls ORDER BY pos), 'sum') / COUNT(*), 6)
+             AS avg_logprob,
+           ROUND(exp(-(list_aggregate(list(ls ORDER BY pos), 'sum')
+                       / COUNT(*))), 6) AS ppl
+    FROM j GROUP BY doc_id
+    """,
+)
+def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated modified Kneser-Ney bigram LM (Chen & Goodman 1998 /
+    the KenLM default smoother) on the count-table architecture, scored on
+    a held-out split (even doc_ids train, odd score) so the unseen-pair
+    and unseen-context interpolation paths fire and their counters land in
+    the hash.  ``pipeline/lm.py::kneser_ney_scores``; differential vs a
+    Python reference + a Σ_w P(w|ctx) = 1 normalization proof in
+    tests/test_lm.py."""
+    from ophidia_io_server_spark.pipeline.lm import kneser_ney_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_scores(docs.where(F.col("doc_id") % 2 == 0),
+                             docs.where(F.col("doc_id") % 2 == 1))
+
+
 # ---------------------------------------------------------------------------
 # Suite composites + driver-gate slot curation (round 6)
 #

@@ -202,3 +202,95 @@ def test_stupid_backoff_matches_reference(spark):
     for i in exp:
         assert got[i][:3] == exp[i][:3], i
         assert got[i][3] == pytest.approx(exp[i][3], abs=2e-6), i
+
+
+def _ref_kn(train_rows, score_rows):
+    """Pure-Python interpolated modified Kneser-Ney bigram reference
+    (Chen & Goodman 1998), same clamp/fallback rules as the engine."""
+    def toks(t):
+        return [w for w in t.split(" ") if w] if t is not None else []
+
+    bigs = Counter()
+    vocab = set()
+    for _, t in train_rows:
+        tk = toks(t)
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            bigs[(a, b)] += 1
+    c1 = Counter()
+    tn = {}
+    nprec = Counter()
+    for (a, b), c in bigs.items():
+        c1[a] += c
+        t1, t2, t3 = tn.get(a, (0, 0, 0))
+        tn[a] = (t1 + (c == 1), t2 + (c == 2), t3 + (c >= 3))
+        nprec[b] += 1
+    n = Counter(bigs.values())
+    n1, n2, n3, n4 = n[1], n[2], n[3], n[4]
+    T, V = len(bigs), len(vocab)
+    y = n1 / (n1 + 2.0 * n2) if (n1 + 2.0 * n2) else None
+
+    def disc(k, nk, nk1):
+        raw = (k - (k + 1) * y * nk1 / nk) if (y is not None and nk) else 0.75
+        return min(max(raw, 0.0), float(k))
+
+    d1, d2, d3 = disc(1, n1, n2), disc(2, n2, n3), disc(3, n3, n4)
+    out = {}
+    for i, t in score_rows:
+        tk = toks(t)
+        if len(tk) < 2:
+            continue
+        s, n_up, n_uc = 0.0, 0, 0
+        cnt = 0
+        for a, b in zip(tk, tk[1:]):
+            pc = (nprec.get(b, 0) + 1) / (T + V)
+            if a in c1:
+                c = bigs.get((a, b), 0)
+                if c == 0:
+                    num, n_up = 0.0, n_up + 1
+                elif c == 1:
+                    num = c - d1
+                elif c == 2:
+                    num = c - d2
+                else:
+                    num = c - d3
+                t1, t2, t3 = tn[a]
+                gamma = (d1 * t1 + d2 * t2 + d3 * t3) / c1[a]
+                p = num / c1[a] + gamma * pc
+            else:
+                p, n_uc = pc, n_uc + 1
+            s += math.log(p)
+            cnt += 1
+        avg = s / cnt
+        out[i] = (cnt, n_up, n_uc, round(avg, 6), round(math.exp(-avg), 6))
+    return out
+
+
+def test_kneser_ney_matches_reference(spark):
+    from ophidia_io_server_spark.pipeline.lm import kneser_ney_scores
+
+    rng = np.random.default_rng(13)
+    rows = _corpus(rng, 120)
+    train = [(i, t) for i, t in rows if i % 2 == 0]
+    score = [(i, t) for i, t in rows if i % 2 == 1]
+    # an OOV-bearing scoring doc: unseen words AND unseen contexts
+    score.append((9001, "zzz qqq the cat zzz"))
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_unseen_pair"], r["n_unseen_ctx"],
+                         r["avg_logprob"], r["ppl"])
+           for r in kneser_ney_scores(tdf, sdf).collect()}
+    exp = _ref_kn(train, score)
+    assert set(got) == set(exp)
+    for i in exp:
+        ge, ee = got[i], exp[i]
+        assert ge[:3] == ee[:3], f"doc {i}: counters {ge[:3]} vs {ee[:3]}"
+        assert abs(ge[3] - ee[3]) <= 1e-6 and abs(ge[4] - ee[4]) <= 1e-5, (
+            f"doc {i}: {ge} vs {ee}")
+    # discounted mass must be redistributed, not lost: for a seen context,
+    # sum over the FULL vocab of P(w2|w1) == 1 within float error
+    vocab = sorted({w for _, t in train for w in (t or "").split(" ") if w})
+    probe_ctx = "the"
+    ref = _ref_kn(train, [(j, f"{probe_ctx} {w}") for j, w in enumerate(vocab)])
+    probs = [math.exp(v[3]) for v in ref.values()]  # avg_logprob of 1 bigram = ln P
+    assert abs(sum(probs) - 1.0) < 1e-6
