@@ -95,3 +95,31 @@ def temperature_sample(
     thresh = F.round(F.col("target_rate") * _BUCKETS).cast("bigint")
     kept = withr.where(_bucket(F.col(key_col), seed) < thresh)
     return kept.select(*docs.columns)
+
+
+def temperature_mix_stream(
+    stream: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """The STREAMING form of ``temperature_sample``: apply a (static,
+    broadcast) per-source rate plan to documents as they land — a
+    stream-static inner join + the same deterministic hash-Bernoulli keep.
+
+    Because the selection of a row depends only on (its key hash, its
+    source's rate) and never on other rows, incremental micro-batch
+    application with a FIXED plan is row-identical to the batch operator —
+    the property the gate row proves by equating per-source counts.  The
+    plan is the side input the production shape wants anyway: rates come
+    from a corpus snapshot / previous epoch (α-mixing needs global counts,
+    which an unbounded stream cannot know mid-flight), refreshed between
+    epochs by re-broadcasting.  Stateless: no state store, watermark-free,
+    schema passes through."""
+    rates = F.broadcast(
+        plan.select(F.col(source_col).alias("__src"), "target_rate"))
+    withr = stream.join(
+        rates, stream[source_col].eqNullSafe(rates["__src"])).drop("__src")
+    thresh = F.round(F.col("target_rate") * _BUCKETS).cast("bigint")
+    return withr.where(_bucket(F.col(key_col), seed) < thresh).select(*stream.columns)

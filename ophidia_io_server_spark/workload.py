@@ -4466,6 +4466,84 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "stream_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT list_aggregate(list(pow(n_docs, 0.7) ORDER BY lang), 'sum')
+                   AS denom,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_total
+          FROM c)
+    SELECT c.lang, c.n_docs,
+           ROUND(pow(c.n_docs, 0.7) / t.denom, 6) AS weight,
+           ROUND(LEAST(1.0, pow(c.n_docs, 0.7) / t.denom * t.n_total * 0.5
+                            / c.n_docs), 6) AS target_rate,
+           TRUE AS stream_equals_batch,
+           TRUE AS rate_ok
+    FROM c CROSS JOIN t
+    """,
+)
+def stream_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature mixing as an INCREMENTAL stage
+    (``pipeline/mixing.py::temperature_mix_stream``): the corpus
+    re-ingested as a one-file-per-trigger parquet stream, the batch-built
+    rate plan applied as a broadcast stream-static join + deterministic
+    hash-Bernoulli keep in each micro-batch.  The gate booleans prove (a)
+    ``stream_equals_batch``: per-source selected counts over the drained
+    stream are EXACTLY the batch ``temperature_sample`` counts — the fixed
+    deterministic plan makes incremental application row-identical, the
+    property that lets an epoch's mix be applied on the fly; (b)
+    ``rate_ok``: selection lands inside the 4σ binomial envelope of the
+    SQL-mirrored plan rates."""
+    import hashlib
+    import os
+
+    from ophidia_io_server_spark.pipeline.mixing import (
+        source_mixing_plan,
+        temperature_mix_stream,
+        temperature_sample,
+    )
+    from ophidia_io_server_spark.streaming.ingest import run_available_now
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(f"mix:{sf_dir}".encode()).hexdigest()[:8]
+    path = f"/tmp/ophidia_stream_mix_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs.select("doc_id", "lang").repartition(8).write.mode(
+            "overwrite").parquet(path)
+        open(f"{path}/_SUCCESS", "a").close()
+    plan = source_mixing_plan(docs, 0.7, 0.5, source_col="lang")
+    stream = (
+        spark.readStream.schema("doc_id long, lang string")
+        .option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    mixed = temperature_mix_stream(stream, plan, source_col="lang",
+                                   key_col="doc_id", seed=11)
+    landed = run_available_now(mixed, f"stream_mix_{tag}", output_mode="append")
+    n_stream = landed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stream"))
+    n_batch = (
+        temperature_sample(docs, 0.7, 0.5, source_col="lang",
+                           key_col="doc_id", seed=11)
+        .groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    )
+    sd = F.sqrt(F.col("target_rate") * (1 - F.col("target_rate")) * F.col("n_docs"))
+    return (
+        plan.join(n_stream, on="lang", how="left")
+        .join(n_batch, on="lang", how="left")
+        .select(
+            "lang", "n_docs", "weight", "target_rate",
+            (F.coalesce(F.col("n_stream"), F.lit(0))
+             == F.coalesce(F.col("n_batch"), F.lit(0)))
+             .alias("stream_equals_batch"),
+            (F.abs(F.coalesce(F.col("n_stream"), F.lit(0))
+                   - F.col("target_rate") * F.col("n_docs"))
+             <= 4 * sd + 1).alias("rate_ok"),
+        )
+    )
+
+
+@workload(
     "doc_kneser_ney_lm",
     oracle="""
     WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '),

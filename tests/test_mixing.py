@@ -84,3 +84,39 @@ def test_null_source_stratum_not_dropped(spark):
 
 
 from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_stream_mix_equals_batch_across_micro_batches(spark, tmp_path):
+    """temperature_mix_stream with a fixed plan must select EXACTLY the
+    batch rows, regardless of how the stream is micro-batched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.mixing import (
+        source_mixing_plan,
+        temperature_mix_stream,
+        temperature_sample,
+    )
+
+    rng = np.random.default_rng(2)
+    langs = ["en"] * 700 + ["fr"] * 200 + ["de"] * 80 + ["sw"] * 20
+    rows = [(int(i), langs[i]) for i in rng.permutation(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    path = str(tmp_path / "mixsrc")
+    docs.repartition(6).write.parquet(path)
+
+    plan = source_mixing_plan(docs, 0.5, 0.4, source_col="lang")
+    stream = (spark.readStream.schema("doc_id long, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    mixed = temperature_mix_stream(stream, plan, source_col="lang",
+                                   key_col="doc_id", seed=3)
+    q = (mixed.writeStream.format("memory").queryName("mixq")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 5, (
+        "stream must have been processed in multiple micro-batches")
+    got = {r["doc_id"] for r in spark.table("mixq").collect()}
+    want = {r["doc_id"] for r in
+            temperature_sample(docs, 0.5, 0.4, source_col="lang",
+                               key_col="doc_id", seed=3).collect()}
+    assert got == want and len(got) > 0
