@@ -769,3 +769,133 @@ def remove_duplicate_paragraphs(docs: DataFrame, text_col: str = "text",
              .cast("bigint").alias("n_removed"),
         )
     )
+
+
+def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
+                            max_match: int = 128, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            partitions: int | None = None) -> DataFrame:
+    """Variable-length ExactSubstr: per document, the length of the LONGEST
+    token substring that occurs at ≥2 distinct (doc, pos) sites corpus-wide
+    — the repeat-structure report Lee et al. 2022 derive from a suffix
+    array, where ``duplicate_spans``/``remove_duplicate_spans`` only need
+    the fixed-window form.
+
+    Why fixed windows already suffice for CUTTING (and this operator is a
+    report, not a replacement): position coverage is provably identical —
+    a token position lies inside SOME duplicated substring of length ≥ L
+    iff it lies inside a duplicated L-window (⇒: any length-≥L duplicate
+    containing the position contains an L-sub-window over it, itself
+    duplicated; ⇐: a duplicated L-window IS a duplicated substring of
+    length ≥ L).  What fixed windows cannot tell is HOW LONG the repeated
+    run is; this operator answers that exactly.
+
+    Algorithm (suffix-array-free, shuffle-bounded): the classic suffix-
+    array fact that a suffix's best match is one of its two neighbors in
+    suffix-sorted order still holds under hash-sequence order (suffixes
+    sharing an m-token prefix share the first m hash values, and a
+    lexicographic interval between two such suffixes shares them too), so:
+      1. per doc, token xxhash64 arrays — built row-locally, no shuffle;
+      2. one position-explode with the suffix's first ``max_match`` hashes
+         as an array sort key;
+      3. ONE range exchange (repartitionByRange + sortWithinPartitions) =
+         the global suffix sort; in-partition neighbors via lead(), the
+         ≤ P cross-partition boundary pairs via a bounded per-partition
+         first/last summary;
+      4. neighbor LCP = first mismatch position of the zipped hash arrays
+         (pure column math, no join);
+      5. L(pos) = max over the ≤2 neighbor pairs; per-doc aggregate.
+    Matches longer than ``max_match`` report as ``max_match`` with
+    ``capped = true`` (raise the cap, or accept "≥ cap" — Lee et al. cut
+    at 50 tokens, far below any sane cap).  Cost: the sort key inflates
+    each position to ≤ max_match hashes — an explicit, bounded ×cap blowup
+    instead of the suffix array's log-rounds of global sorts; at 100 TB
+    pick max_match just above the report horizon.  Hash collisions over
+    64-bit keys are the same accepted risk as the window hashing above.
+
+    Returns (id_col, n_tokens, max_dup_len, n_dup_starts, capped) for docs
+    whose longest duplicated substring is ≥ ``min_len``; ``n_dup_starts``
+    counts positions whose longest match is ≥ ``min_len`` (equal to the
+    fixed-window duplicate START set at window = min_len — the
+    cross-algorithm invariant the tests assert).  Differential vs a
+    Python suffix-automaton reference in tests/test_dedup_varlen.py."""
+    from pyspark.sql import Window
+
+    toks = (
+        spread(docs)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("ws"))
+        .where(F.size("ws") >= 1)
+        .select(
+            id_col,
+            F.size("ws").cast("bigint").alias("n_tokens"),
+            F.transform("ws", lambda w: F.xxhash64(w)).alias("ha"),
+        )
+    )
+    pos = toks.select(
+        id_col, "n_tokens",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("ha")),
+            lambda i: F.slice("ha", i, max_match),
+        )).alias("p0", "key"),
+    ).select(
+        id_col, "n_tokens", (F.col("p0") + 1).cast("bigint").alias("pos"), "key",
+    )
+    nparts = partitions or pos.sparkSession.sparkContext.defaultParallelism
+    skey = (
+        pos.repartitionByRange(nparts, "key")
+        .sortWithinPartitions("key")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("pid").orderBy("key")
+    inner = (
+        skey.select(
+            id_col, "pos", "key",
+            F.lead(id_col).over(wp).alias("b_doc"),
+            F.lead("pos").over(wp).alias("b_pos"),
+            F.lead("key").over(wp).alias("b_key"),
+        )
+        .where(F.col("b_key").isNotNull())
+    )
+    # cross-partition neighbor pairs: bounded by the partition count, so the
+    # single-partition window over the first/last summary is O(P) rows
+    edge = F.struct("key", F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    bounds = skey.groupBy("pid").agg(
+        F.min_by(edge, F.col("key")).alias("first"),
+        F.max_by(edge, F.col("key")).alias("last"),
+    )
+    wb = Window.orderBy("pid")
+    boundary = (
+        bounds.select("pid", "first", "last",
+                      F.lead("first").over(wb).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.col("last.d").alias(id_col), F.col("last.p").alias("pos"),
+            F.col("last.key").alias("key"),
+            F.col("nxt.d").alias("b_doc"), F.col("nxt.p").alias("b_pos"),
+            F.col("nxt.key").alias("b_key"),
+        )
+    )
+    pairs = inner.unionByName(boundary)
+    zipped = F.zip_with("key", "b_key", lambda x, y: F.coalesce(x == y, F.lit(False)))
+    miss = F.array_position(zipped, F.lit(False))
+    lcp = (F.when(miss > 0, miss - 1).otherwise(F.size(zipped))).cast("bigint")
+    both = pairs.withColumn("lcp", lcp).select(
+        F.explode(F.array(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"), "lcp"),
+            F.struct(F.col("b_doc").alias("d"), F.col("b_pos").alias("p"), "lcp"),
+        )).alias("e")
+    ).select(F.col("e.d").alias(id_col), F.col("e.p").alias("pos"),
+             F.col("e.lcp").alias("lcp"))
+    per_pos = both.groupBy(id_col, "pos").agg(F.max("lcp").alias("L"))
+    return (
+        per_pos.where(F.col("L") >= min_len)
+        .groupBy(id_col)
+        .agg(
+            F.max("L").cast("bigint").alias("max_dup_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_starts"),
+        )
+        .join(toks.select(id_col, "n_tokens"), on=id_col)
+        .select(id_col, "n_tokens", "max_dup_len", "n_dup_starts",
+                (F.col("max_dup_len") >= max_match).alias("capped"))
+    )

@@ -4634,6 +4634,48 @@ def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                              docs.where(F.col("doc_id") % 2 == 1))
 
 
+@workload(
+    "doc_longest_dup_match",
+    oracle="""
+    WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                            x -> x <> '') AS tk
+                 FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+           FROM tok WHERE len(tk) >= 1),
+    sub AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(l AS BIGINT) AS len,
+             md5(array_to_string(tk[i:i + l - 1], chr(31))) AS h
+      FROM (SELECT doc_id, tk, n, unnest(range(1, n + 1)) AS i FROM tt),
+           unnest(range(1, 101)) AS ls(l)
+      WHERE i + l - 1 <= n),
+    dup AS (SELECT len, h FROM sub GROUP BY len, h HAVING COUNT(*) >= 2),
+    j AS (SELECT s.doc_id, s.pos, s.len FROM sub s JOIN dup USING (len, h)),
+    per AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_dup_len,
+                   CAST(COUNT(DISTINCT CASE WHEN len >= 8 THEN pos END)
+                        AS BIGINT) AS n_dup_starts
+            FROM j GROUP BY doc_id)
+    SELECT per.doc_id, tt.n AS n_tokens, per.max_dup_len, per.n_dup_starts,
+           per.max_dup_len >= 128 AS capped
+    FROM per JOIN tt USING (doc_id)
+    WHERE per.max_dup_len >= 8
+    """,
+)
+def doc_longest_dup_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length ExactSubstr report: per document the LONGEST token
+    substring occurring at ≥2 (doc, pos) sites corpus-wide
+    (``pipeline/dedup.py::longest_duplicate_match`` — suffix order via one
+    range-partitioned sort of per-position hash keys, neighbor LCP by
+    column math; Lee et al. 2022's suffix-array answer without the suffix
+    array).  The oracle is the O(n·maxlen) brute force: every substring
+    hashed, duplicated (len, hash) classes joined back.  Differential vs a
+    Python suffix automaton + the fixed-window coverage-equivalence
+    invariant in tests/test_dedup_varlen.py."""
+    from ophidia_io_server_spark.pipeline.dedup import longest_duplicate_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    return longest_duplicate_match(docs, min_len=8, max_match=128)
+
+
 # ---------------------------------------------------------------------------
 # Suite composites + driver-gate slot curation (round 6)
 #

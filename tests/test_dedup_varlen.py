@@ -1,0 +1,171 @@
+"""Variable-length ExactSubstr (`longest_duplicate_match`): differential vs
+a genuine suffix-automaton reference on synthetic planted substrings, plus
+the fixed-window/variable-length coverage-equivalence invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.pipeline.dedup import (
+    _dup_window_base,
+    longest_duplicate_match,
+)
+
+
+class _SuffixAutomaton:
+    """Token-level suffix automaton (Blumer et al. 1985 construction) with
+    endpos-size counts — the classical exact structure for repeated-factor
+    queries, used here purely as a test oracle."""
+
+    def __init__(self):
+        self.next = [dict()]
+        self.link = [-1]
+        self.length = [0]
+        self.cnt = [0]
+        self.last = 0
+
+    def extend(self, c):
+        cur = len(self.next)
+        self.next.append(dict())
+        self.link.append(0)
+        self.length.append(self.length[self.last] + 1)
+        self.cnt.append(1)
+        p = self.last
+        while p != -1 and c not in self.next[p]:
+            self.next[p][c] = cur
+            p = self.link[p]
+        if p == -1:
+            self.link[cur] = 0
+        else:
+            q = self.next[p][c]
+            if self.length[p] + 1 == self.length[q]:
+                self.link[cur] = q
+            else:
+                clone = len(self.next)
+                self.next.append(dict(self.next[q]))
+                self.link.append(self.link[q])
+                self.length.append(self.length[p] + 1)
+                self.cnt.append(0)
+                while p != -1 and self.next[p].get(c) == q:
+                    self.next[p][c] = clone
+                    p = self.link[p]
+                self.link[q] = clone
+                self.link[cur] = clone
+        self.last = cur
+
+    def finalize(self):
+        order = sorted(range(1, len(self.next)),
+                       key=lambda v: self.length[v], reverse=True)
+        for v in order:
+            if self.link[v] > 0:
+                self.cnt[self.link[v]] += self.cnt[v]
+
+
+def _ref_longest(docs_tokens):
+    """For each doc: longest factor starting at any position that occurs at
+    ≥2 distinct (doc, pos) sites corpus-wide, via ONE automaton over the
+    corpus with unique per-doc separators (factors crossing a separator
+    occur once, so they never count)."""
+    sa = _SuffixAutomaton()
+    for j, tk in enumerate(docs_tokens):
+        for t in tk:
+            sa.extend(("t", t))
+        sa.extend(("sep", j))  # unique separator
+    sa.finalize()
+    out = []
+    for tk in docs_tokens:
+        best_per_pos = []
+        for i in range(len(tk)):
+            state, ln = 0, 0
+            for t in tk[i:]:
+                nxt = sa.next[state].get(("t", t))
+                if nxt is None or sa.cnt[nxt] < 2:
+                    break
+                state, ln = nxt, ln + 1
+            best_per_pos.append(ln)
+        out.append(best_per_pos)
+    return out
+
+
+def _mk_corpus(rng, n_docs=40, planted=None):
+    vocab = [f"w{i}" for i in range(150)]
+    docs = []
+    for _ in range(n_docs):
+        n = int(rng.integers(5, 60))
+        docs.append(list(rng.choice(vocab, size=n)))
+    for (a, pa, b, pb, ln) in planted or []:
+        seg = [f"plant{rng.integers(1e9)}_{k}" for k in range(ln)]
+        docs[a][pa:pa] = seg
+        docs[b][pb:pb] = seg
+    return docs
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_suffix_automaton_reference(spark, seed):
+    rng = np.random.default_rng(seed)
+    # planted exact duplicates of known lengths, incl. one WITHIN-doc repeat
+    docs = _mk_corpus(rng, planted=[(0, 2, 5, 1, 23), (7, 0, 7, 30, 11),
+                                    (3, 4, 9, 9, 8)])
+    ref = _ref_longest(docs)
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           longest_duplicate_match(df, min_len=8, max_match=64).collect()}
+    for i, per_pos in enumerate(ref):
+        mx = max(per_pos, default=0)
+        starts = sum(1 for v in per_pos if v >= 8)
+        if mx >= 8:
+            assert i in got, f"doc {i}: expected max_dup_len {mx}"
+            assert got[i]["max_dup_len"] == mx, (i, got[i]["max_dup_len"], mx)
+            assert got[i]["n_dup_starts"] == starts
+            assert bool(got[i]["capped"]) is (mx >= 64)
+            assert got[i]["n_tokens"] == len(per_pos)
+        else:
+            assert i not in got
+
+
+def test_planted_long_repeat_is_found_exactly(spark):
+    rng = np.random.default_rng(5)
+    docs = _mk_corpus(rng, n_docs=10, planted=[(1, 3, 8, 0, 31)])
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["max_dup_len"] for r in
+           longest_duplicate_match(df, min_len=20, max_match=64).collect()}
+    ref = _ref_longest(docs)
+    assert got[1] == max(ref[1]) and got[8] == max(ref[8])
+    assert got[1] >= 31  # at least the planted run (may extend by accident)
+
+
+def test_cap_reports_capped_flag(spark):
+    seg = " ".join(f"s{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, f"a b {seg}"), (1, f"c {seg} d")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           longest_duplicate_match(df, min_len=8, max_match=16).collect()}
+    assert got[0]["max_dup_len"] == 16 and bool(got[0]["capped"])
+
+
+def test_varlen_starts_equal_fixed_window_starts(spark):
+    """Cross-algorithm invariant: positions whose longest match is ≥ L are
+    exactly the duplicated fixed-L-window start positions."""
+    rng = np.random.default_rng(9)
+    docs = _mk_corpus(rng, planted=[(2, 1, 6, 2, 14), (4, 0, 4, 20, 9)])
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    L = 8
+    base = _dup_window_base(df, L, "text", with_tokens=False)
+    dup = (base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= 2).select("h"))
+    fixed = (base.join(dup, "h").groupBy("doc_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_starts")))
+    fixed_m = {r["doc_id"]: r["n_starts"] for r in fixed.collect()}
+    var_m = {r["doc_id"]: r["n_dup_starts"] for r in
+             longest_duplicate_match(df, min_len=L, max_match=64).collect()}
+    # fixed-window pos is 0-based from posexplode → starts count identical
+    assert var_m == {k: v for k, v in fixed_m.items() if v > 0}
