@@ -434,3 +434,35 @@ def opq_ivfpq_topk(emb: DataFrame, query_pred, R: np.ndarray,
     matmul prepended to the ``ivfpq_topk`` pipeline)."""
     return ivfpq_topk(opq_rotate(emb, R, vec_col, vec_col), query_pred,
                       coarse, books, k=k, nprobe=nprobe, vec_col=vec_col)
+
+
+def pq_reconstruction_error(emb: DataFrame, books: np.ndarray,
+                            R: np.ndarray | None = None,
+                            vec_col: str = "embedding") -> DataFrame:
+    """Corpus mean squared reconstruction error of a (optionally rotated)
+    PQ codec: per Arrow batch, rotate (if ``R``), assign each subspace to
+    its nearest centroid, and accumulate ‖y − ŷ‖² — emitting one partial
+    (n, sse) row per batch, reduced to a single (n_vectors, mse) row.  The
+    quantity OPQ (Ge et al. 2013) minimizes; rotation is orthogonal so
+    raw-space and rotated-space errors are directly comparable."""
+    from typing import Iterator
+
+    m, ncent, dsub = books.shape
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, sse = 0, 0.0
+        for b in batches:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            Y = X @ R if R is not None else X
+            for s in range(m):
+                Ys = Y[:, s * dsub:(s + 1) * dsub]
+                d2 = ((Ys[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                sse += float(d2.min(axis=1).sum())
+            n += len(X)
+        yield pd.DataFrame({"n": [n], "sse": [sse]})
+
+    parts = emb.select(vec_col).mapInPandas(part, "n long, sse double")
+    return parts.agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        (F.sum("sse") / F.sum("n")).alias("mse"),
+    )

@@ -4635,6 +4635,69 @@ def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "ann_opq_invariants",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS rotation_orthogonal_ok, TRUE AS l2_ranks_invariant_ok,
+           TRUE AS recon_not_worse_ok, TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def ann_opq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ (Ge et al. 2013 learned rotation + PQ) verified by the
+    invariant-boolean pattern.  The rotation-invariance parity argument
+    that admits OPQ to the gate: (a) ``RᵀR = I`` to 1e-9 (Procrustes SVD
+    returns an exact orthogonal matrix up to float error), therefore (b)
+    exact L2 top-k in the ROTATED space is rank-for-rank identical to
+    raw-space top-k — checked distributed, not assumed — so OPQ changes
+    only quantization error, never the geometry being searched; (c) the
+    corpus mean reconstruction error of the rotated codec is ≤ plain PQ's
+    at the same (m, ncent) budget within 1e-9 (the OPQ objective; strict
+    improvement on correlated data is pytest-pinned); (d) OPQ-ADC
+    recall@5 vs exact L2 clears the same 0.2 floor as the plain-PQ row.
+    Everything deterministic (fixed sample order/init/iterations)."""
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.pq import (
+        exact_l2_topk,
+        opq_rotate,
+        opq_topk,
+        pq_reconstruction_error,
+        train_opq,
+        train_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    R, obooks = train_opq(emb, m=16, ncent=16, sample=4096,
+                          iters_pq=10, iters_opq=6)
+    rot_ok = bool(np.abs(R.T @ R - np.eye(R.shape[0])).max() < 1e-9)
+
+    exact_raw = exact_l2_topk(emb, F.col("vec_id") < 10, k=5)
+    exact_rot = exact_l2_topk(opq_rotate(emb, R), F.col("vec_id") < 10, k=5)
+    pairs_raw = exact_raw.select("query_id", "rank", "neighbor_id")
+    pairs_rot = exact_rot.select("query_id", "rank", "neighbor_id")
+    l2_ok = bool(
+        pairs_raw.exceptAll(pairs_rot).count() == 0
+        and pairs_rot.exceptAll(pairs_raw).count() == 0)
+
+    pbooks = train_pq(emb, m=16, ncent=16, sample=4096, iters=10)
+    mse_p = pq_reconstruction_error(emb, pbooks).collect()[0]
+    mse_o = pq_reconstruction_error(emb, obooks, R=R).collect()[0]
+    recon_ok = bool(mse_o["mse"] <= mse_p["mse"] + 1e-9)
+
+    opq = opq_topk(emb, F.col("vec_id") < 10, R, obooks, k=5)
+    hits = opq.select("query_id", "neighbor_id").intersect(
+        exact_raw.select("query_id", "neighbor_id")).count()
+    total = exact_raw.count()
+    recall_ok = bool(total > 0 and hits / total >= 0.2)
+    return spark.createDataFrame(
+        [(int(mse_p["n_vectors"]), rot_ok, l2_ok, recon_ok, recall_ok)],
+        "n_vectors long, rotation_orthogonal_ok boolean, "
+        "l2_ranks_invariant_ok boolean, recon_not_worse_ok boolean, "
+        "recall_ok boolean")
+
+
+@workload(
     "doc_longest_dup_match",
     oracle="""
     WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
