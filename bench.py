@@ -52,6 +52,10 @@ HEADLINE = [
     "events_asof_attribution",
     "events_interval_join",
     "bm25_doc_retrieval",
+    # r6 additions (HEADLINE 28 → 30): KN smoothing + the variable-length
+    # ExactSubstr suffix sort — per-query comparison only, PERF.md r6
+    "doc_kneser_ney_lm",
+    "doc_longest_dup_match",
 ]
 
 
