@@ -715,9 +715,11 @@ def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -727,14 +729,23 @@ def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: money through exact integer units (cents / 1e-4 units) —
+    ROUND(SUM(double), 2) was measured drifting one cent between engines
+    at the 10× (6M-row) corpus when the accumulated last-ulp error of
+    differently-ordered double sums straddles a rounding boundary
+    (PERF.md r6); integer-unit sums are order-free at ANY scale.
+    l_quantity is integral-valued, so its sum/avg are exact as-is."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 10000).cast("bigint")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.sum(cents).cast("bigint").alias("sum_base_price_cents"),
+            F.sum(disc_e4).cast("bigint").alias("sum_disc_price_e4"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).cast("bigint").alias("count_order"),
         )
@@ -744,23 +755,29 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "tpch_q6_forecast",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM lineitem
     WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
     """,
 )
 def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue in exact 1e-4 units (order-free sum at any SF —
+    same 10×-boundary fix as tpch_q1_pricing, PERF.md r6)."""
     li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000
+                  ).cast("bigint")
     return li.filter(
         (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
 
 
 @workload(
     "tpch_q5_local_supplier",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -799,7 +816,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * 10000).cast("bigint"))
+            .cast("bigint").alias("revenue_e4")
         )
     )
 
@@ -4632,6 +4651,269 @@ def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return kneser_ney_scores(docs.where(F.col("doc_id") % 2 == 0),
                              docs.where(F.col("doc_id") % 2 == 1))
+
+
+# --- round-6 TPC-H additions.  The synthetic tables are trimmed TPC-H (no
+# partsupp; lineitem lacks shipmode/commitdate/receiptdate; customer lacks
+# phone; part lacks container) — queries needing absent columns are adapted
+# to preserve the SHAPE being exercised (the join/aggregation/subquery
+# structure) on available columns, and say so in their docstrings.  Money is
+# integer 1e-4 revenue units (order-free sums), the q3/q10 discipline.
+
+
+@workload(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations, by year): the
+    two-sided nation-pair disjunction over a 4-table join chain with BOTH
+    nation lookups broadcast; the date filter pushes to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("k1"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("k2"),
+                              F.col("n_name").alias("cust_nation")))
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                  ).cast("bigint")
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, F.col("o_orderkey") == li["l_orderkey"])
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("k1"))
+        .join(n2, F.col("c_nationkey") == F.col("k2"))
+        .where(((F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2"))
+               | ((F.col("supp_nation") == "NATION_2")
+                  & (F.col("cust_nation") == "NATION_1")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+    )
+
+
+@workload(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH base AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS vol_e4,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_e4 ELSE 0 END)
+                AS BIGINT) AS nation_e4,
+           CAST(SUM(vol_e4) AS BIGINT) AS total_e4,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_e4 ELSE 0 END)
+                 / SUM(vol_e4), 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the 8-table star — part filter
+    prunes lineitem first, region restricts the CUSTOMER nation while the
+    share numerator classifies the SUPPLIER nation (two roles for the same
+    broadcast dim), share = conditional/total on exact integer volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("k1"), "n_regionkey"))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("k2"),
+                              F.col("n_name").alias("supp_nation")))
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                  ).cast("bigint")
+    base = (
+        F.broadcast(p).join(li, p["p_partkey"] == li["l_partkey"])
+        .join(s, F.col("s_suppkey") == li["l_suppkey"])
+        .join(o, F.col("o_orderkey") == li["l_orderkey"])
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("k1"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("k2"))
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                vol.alias("vol_e4"), "supp_nation")
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                       F.col("vol_e4")).otherwise(0))
+    return base.groupBy("o_year").agg(
+        nat.cast("bigint").alias("nation_e4"),
+        F.sum("vol_e4").cast("bigint").alias("total_e4"),
+        F.round(nat / F.sum("vol_e4"), 6).alias("mkt_share"),
+    )
+
+
+@workload(
+    "tpch_q12_ship_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority-class counts per shipping class; the
+    synthetic lineitem has no l_shipmode/commitdate/receiptdate, so the
+    class column is l_returnflag and the lateness predicate is the ship
+    window): orders⋈lineitem with the date filter pushed to the lineitem
+    scan and the CASE fold inside one partial+final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+              .alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+              .alias("low_line_count"))
+    )
+
+
+@workload(
+    "tpch_q13_order_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution; the synthetic orders
+    table has no o_comment, so the comment exclusion is dropped): the
+    LEFT-join-then-double-aggregate shape — zero-order customers must
+    survive into the c_count = 0 bucket, which an inner join would lose."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+@workload(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH agg AS (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
+                 FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT))
+                AS BIGINT) AS rev_e4,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT))
+                 / 7.0, 4) AS avg_yearly_e4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN agg ON agg.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#9' AND l.l_quantity < agg.qty_thresh
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue; the synthetic part table
+    has no p_container, so the brand filter alone selects the part class):
+    the correlated AVG subquery decorrelated into a per-part aggregate
+    joined back — lineitem is aggregated once, not per outer row.
+    ``l_quantity`` is integral-valued so the AVG is exact on both engines;
+    the 0.2× threshold and the < compare reproduce bit-identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#9")
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
+    rev = F.round(F.col("l_extendedprice") * 10000).cast("bigint")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(agg, li["l_partkey"] == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+    )
+    return j.agg(
+        F.sum(rev).cast("bigint").alias("rev_e4"),
+        F.round(F.sum(rev) / 7.0, 4).alias("avg_yearly_e4"),
+    )
+
+
+@workload(
+    "tpch_q22_idle_customers",
+    oracle="""
+    WITH cut AS (SELECT AVG(c_acctbal) AS thresh FROM customer
+                 WHERE c_acctbal > 0.0)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c CROSS JOIN cut
+    WHERE c.c_acctbal > cut.thresh
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (promising idle customers; the synthetic customer
+    table has no c_phone, so the country-code grouping becomes
+    c_mktsegment, and "no orders" becomes "no orders since 2000" — the
+    dense synthetic corpus gives every customer SOME order): scalar AVG
+    subquery broadcast as a one-row cross join + LEFT ANTI join against
+    the recent-orders projection (the NOT EXISTS), exact-cents totals."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cut = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("thresh"))
+    return (
+        c.crossJoin(F.broadcast(cut))
+        .where(F.col("c_acctbal") > F.col("thresh"))
+        .join(o.where(F.col("o_orderdate") >= "2000-01-01")
+               .select(F.col("o_custkey").alias("c_custkey")).distinct(),
+              on="c_custkey", how="left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+             F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+              .cast("bigint").alias("totacctbal_cents"))
+    )
 
 
 @workload(
