@@ -344,8 +344,14 @@ def kneser_ney_scores(train: DataFrame, score: DataFrame,
     order for oracle parity.  Differential vs a Python reference in
     tests/test_lm.py."""
     big_tr = bigram_stream(spread(train), text_col, id_col)
+    # Materialize the bigram TYPE table once: four aggregations (context
+    # totals, continuation counts, count-of-counts) and the scoring join
+    # all derive from it, and without the checkpoint each one would replay
+    # the corpus explode+count (measured 6 corpus scans / 20 exchanges →
+    # 3 / 12 at sf0.1, PERF.md r6).  The type table is vocabulary-sized,
+    # not corpus-sized — executor-local storage holds it at any SF.
     bc = big_tr.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c12"))
+        F.count(F.lit(1)).cast("bigint").alias("c12")).localCheckpoint()
     cc = bc.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
         F.sum((F.col("c12") == 1).cast("int")).cast("bigint").alias("tn1"),
