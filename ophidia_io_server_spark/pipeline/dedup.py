@@ -798,10 +798,13 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
       1. per doc, token xxhash64 arrays — built row-locally, no shuffle;
       2. one position-explode with the suffix's first ``max_match`` hashes
          as an array sort key;
-      3. ONE range exchange (repartitionByRange + sortWithinPartitions) =
-         the global suffix sort; in-partition neighbors via lead(), the
-         ≤ P cross-partition boundary pairs via a bounded per-partition
-         first/last summary;
+      3. ONE hash exchange on an order-consistent bucket (the top bits of
+         the first hash — uniform AND monotone in the array sort order, so
+         bucket b's keys all precede bucket b+1's) + a per-bucket sort =
+         the global suffix sort without repartitionByRange's extra
+         boundary-sampling scan; in-bucket neighbors via lead(), the
+         ≤ #buckets cross-bucket boundary pairs via a bounded
+         first/last-row join;
       4. neighbor LCP = first mismatch position of the zipped hash arrays
          (pure column math, no join);
       5. L(pos) = max over the ≤2 neighbor pairs; per-doc aggregate.
@@ -841,15 +844,17 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
     ).select(
         id_col, "n_tokens", (F.col("p0") + 1).cast("bigint").alias("pos"), "key",
     )
-    nparts = partitions or pos.sparkSession.sparkContext.defaultParallelism
-    skey = (
-        pos.repartitionByRange(nparts, "key")
-        .sortWithinPartitions("key")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    wp = Window.partitionBy("pid").orderBy("key")
+    # order-consistent bucket: arithmetic shift keeps the SIGNED order of
+    # key[0], which is what array<long> lexicographic comparison uses —
+    # every key in bucket b sorts before every key in bucket b+1, and
+    # xxhash64 uniformity balances bucket sizes.  8 top bits → 256 buckets;
+    # scale `bucket_bits` with cluster parallelism.
+    bucket_bits = 8
+    aug = pos.withColumn(
+        "bkt", F.shiftright(F.element_at("key", 1), 64 - bucket_bits).cast("int"))
+    wp = Window.partitionBy("bkt").orderBy("key")
     inner = (
-        skey.select(
+        aug.select(
             id_col, "pos", "key",
             F.lead(id_col).over(wp).alias("b_doc"),
             F.lead("pos").over(wp).alias("b_pos"),
@@ -857,18 +862,23 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
         )
         .where(F.col("b_key").isNotNull())
     )
-    # cross-partition neighbor pairs: bounded by the partition count, so the
-    # single-partition window over the first/last summary is O(P) rows
+    # cross-bucket neighbor pairs: bucket b's last row pairs with the first
+    # row of the nearest non-empty later bucket.  first/last come from a
+    # bkt-keyed AGGREGATE (not a filter of the window output) so Catalyst
+    # reuses the window's hash exchange instead of recomputing the sorted
+    # stream; the result is ≤ #buckets rows and the pairing join trivial.
     edge = F.struct("key", F.col(id_col).alias("d"), F.col("pos").alias("p"))
-    bounds = skey.groupBy("pid").agg(
+    bounds = aug.groupBy("bkt").agg(
         F.min_by(edge, F.col("key")).alias("first"),
         F.max_by(edge, F.col("key")).alias("last"),
     )
-    wb = Window.orderBy("pid")
+    nxt = bounds.select(F.col("bkt").alias("f_bkt"), F.col("first").alias("f"))
     boundary = (
-        bounds.select("pid", "first", "last",
-                      F.lead("first").over(wb).alias("nxt"))
-        .where(F.col("nxt").isNotNull())
+        bounds.select("bkt", "last")
+        .join(nxt, F.col("f_bkt") > F.col("bkt"))
+        .groupBy("bkt")
+        .agg(F.first("last").alias("last"),
+             F.min_by("f", F.col("f_bkt")).alias("nxt"))
         .select(
             F.col("last.d").alias(id_col), F.col("last.p").alias("pos"),
             F.col("last.key").alias("key"),
