@@ -1574,8 +1574,9 @@ def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, pred_lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
-           ROUND(AVG(ROUND(least(len(ws) / 200.0, 1.0) * 0.5
-                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5, 4)), 4)
+           ROUND(SUM(CAST(ROUND((least(len(ws) / 200.0, 1.0) * 0.5
+                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5)
+                 * 10000) AS BIGINT)) / COUNT(*) / 10000.0, 4)
              AS mean_quality
     FROM pred GROUP BY source, pred_lang ORDER BY source, pred_lang
     """,
@@ -1583,7 +1584,10 @@ def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline report: per (source, predicted language) document counts,
     token volume and mean quality score — composition of the text operators
-    in one aggregation."""
+    in one aggregation.  The mean goes through integer 1e-4 quality units
+    (sum order-free): AVG of 4dp-rounded DOUBLES was measured drifting in
+    the 4th decimal between engines at the 10× corpus (PERF.md r6) — the
+    same boundary class as the q1 money fix, same discipline."""
     from ophidia_io_server_spark.pipeline.text import (
         distinct_token_count_col,
         lang_id_col,
@@ -1593,18 +1597,20 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     n_tok = token_count_col(t)
-    quality = F.round(
-        F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.5
-        + F.least(distinct_token_count_col(t) / n_tok, F.lit(1.0)) * 0.5, 4)
+    q4 = F.round(
+        (F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.5
+         + F.least(distinct_token_count_col(t) / n_tok, F.lit(1.0)) * 0.5)
+        * 10000).cast("bigint")
     from ophidia_io_server_spark.sources.tables import spread
 
     return (
         spread(docs).select("source", lang_id_col(t).alias("pred_lang"),
-                            n_tok.alias("n_tok"), quality.alias("q"))
+                            n_tok.alias("n_tok"), q4.alias("q4"))
         .groupBy("source", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
              F.sum("n_tok").cast("bigint").alias("total_tokens"),
-             F.round(F.avg("q"), 4).alias("mean_quality"))
+             F.round(F.sum("q4") / F.count(F.lit(1)) / F.lit(10000.0), 4)
+              .alias("mean_quality"))
     )
 
 
