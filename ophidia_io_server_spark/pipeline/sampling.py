@@ -64,6 +64,35 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.where(_bucket(F.col(key_col), seed) < thresh)
 
 
+def bottom_k_sample(df: DataFrame, k: int, key_col: str = "doc_id",
+                    seed: int = 0, strata_col: str | None = None) -> DataFrame:
+    """EXACT-size uniform sample without replacement: the k rows with the
+    smallest (seed, key) hashes — the distributed, deterministic
+    equivalent of reservoir sampling (every size-k subset equally likely
+    under a uniform hash, and the same k rows come back on any layout,
+    any partitioning, any retry — unlike ``rdd.takeSample``/``reservoir``
+    state).  ``hash_sample`` gives a Bernoulli fraction (size varies);
+    this gives exactly min(k, n).
+
+    With ``strata_col``: exactly k per stratum (window row_number over the
+    hash order — one shuffle on the stratum key).  Without: a global
+    TakeOrdered-shaped top-k on the negated criterion — per-partition
+    heads then a merge of k·P candidate rows, never a full sort.
+
+    The hash order is also the standard bottom-k sketch, so two tables
+    sampled with the same seed share their sample on shared keys —
+    the MinHash-style overlap-estimation property for free."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.lit(seed), F.col(key_col))
+    if strata_col is not None:
+        w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col))
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k).drop("_rn"))
+    # global: sort+limit compiles to TakeOrderedAndProject (bounded merge)
+    return df.orderBy(h.asc(), F.col(key_col)).limit(k)
+
+
 def hash_split(df: DataFrame, weights: list[float], key_col: str = "doc_id",
                seed: int = 7, split_col: str = "split") -> DataFrame:
     """Deterministic train/val/test split: adds ``split_col`` = 0..len-1.

@@ -4923,6 +4923,58 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "sample_bottom_k",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_selected,
+           TRUE AS exact_size_ok, TRUE AS is_bottom_k_ok,
+           TRUE AS layout_invariant_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sampling (``pipeline/sampling.py::
+    bottom_k_sample``: the k smallest (seed, key) hashes per stratum — the
+    distributed reservoir-sample replacement).  The hash order is not
+    SQL-expressible, so the gate binds invariant booleans: per-language
+    exact sample size min(k, n); ``is_bottom_k_ok`` proves the selection
+    IS the bottom of the hash order (max selected hash < min unselected
+    hash per stratum); ``layout_invariant_ok`` proves the same rows come
+    back from a repartitioned+reversed input."""
+    from ophidia_io_server_spark.pipeline.sampling import bottom_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    k, seed = 20, 7
+    sel = bottom_k_sample(docs, k, key_col="doc_id", seed=seed,
+                          strata_col="lang").select("lang", "doc_id")
+    h = F.xxhash64(F.lit(seed), F.col("doc_id"))
+    tagged = (
+        docs.select("lang", "doc_id", h.alias("_h"))
+        .join(sel.select("doc_id", F.lit(True).alias("_in")), "doc_id", "left")
+    )
+    per = tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("_in").cast("int")).cast("bigint").alias("n_selected"),
+        F.max(F.when(F.col("_in"), F.col("_h"))).alias("_max_in"),
+        F.min(F.when(F.col("_in").isNull(), F.col("_h"))).alias("_min_out"),
+    )
+    sel2 = bottom_k_sample(
+        docs.repartition(7, "doc_id").orderBy(F.col("doc_id").desc()),
+        k, key_col="doc_id", seed=seed, strata_col="lang",
+    ).select("lang", "doc_id")
+    layout_ok = bool(sel.exceptAll(sel2).count() == 0
+                     and sel2.exceptAll(sel).count() == 0)
+    return per.select(
+        "lang", "n_docs", "n_selected",
+        (F.col("n_selected") == F.least(F.lit(k).cast("bigint"),
+                                        F.col("n_docs"))).alias("exact_size_ok"),
+        (F.col("_min_out").isNull()
+         | (F.col("_max_in") < F.col("_min_out"))).alias("is_bottom_k_ok"),
+        F.lit(layout_ok).alias("layout_invariant_ok"),
+    )
+
+
+@workload(
     "ann_opq_invariants",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,

@@ -120,3 +120,31 @@ def test_stream_mix_equals_batch_across_micro_batches(spark, tmp_path):
             temperature_sample(docs, 0.5, 0.4, source_col="lang",
                                key_col="doc_id", seed=3).collect()}
     assert got == want and len(got) > 0
+
+
+def test_bottom_k_sample_properties(spark):
+    """Exact size, bottom-of-hash-order, layout determinism, and the
+    shared-sample (bottom-k sketch) property across overlapping tables."""
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.sampling import bottom_k_sample
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(500)], "id long, g string")
+    got = bottom_k_sample(df, 10, key_col="id", seed=3, strata_col="g")
+    rows = got.collect()
+    assert len(rows) == 20  # 10 per stratum
+    # global (no strata): exactly k, TakeOrdered plan shape
+    g = bottom_k_sample(df, 25, key_col="id", seed=3)
+    assert g.count() == 25
+    assert "TakeOrderedAndProject" in g._jdf.queryExecution().executedPlan().toString()
+    # k > n degenerates to the whole table
+    assert bottom_k_sample(df.limit(7), 99, key_col="id", seed=3).count() == 7
+    # shared keys → shared sample prefix (bottom-k sketch property)
+    other = df.where(F.col("id") < 250)
+    s_all = {r["id"] for r in bottom_k_sample(df, 30, key_col="id", seed=5).collect()}
+    s_sub = {r["id"] for r in bottom_k_sample(other, 30, key_col="id", seed=5).collect()}
+    # every sampled id of the SUBSET that is also in the full table's
+    # bottom-30 must agree; the subset's bottom-30 restricted to the full
+    # bottom-30 is exactly the intersection restricted both ways
+    assert s_all & set(range(250)) <= s_sub
