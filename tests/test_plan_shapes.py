@@ -101,3 +101,46 @@ def test_token_budget_no_global_window(spark):
     p = plan_of(spark, "token_budget_select")
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_kneser_ney_bounded_scans(spark):
+    """The KN model derives everything from the checkpointed bigram type
+    table: the executed plan must not replay the corpus per aggregation
+    (was 6 scans before the r6 checkpoint)."""
+    df = WORKLOADS["doc_kneser_ney_lm"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") <= 2, p.count("Scan parquet")
+    assert "CartesianProduct" not in p
+
+
+def test_longest_dup_match_no_range_sampling(spark):
+    """The suffix sort rides order-consistent hash-prefix buckets — no
+    repartitionByRange (whose boundary sampling re-scans the stream)."""
+    df = WORKLOADS["doc_longest_dup_match"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_new_tpch_pushdown_and_broadcasts(spark):
+    p = plan_of(spark, "tpch_q7_nation_volume")
+    assert "PushedFilters" in p and "l_shipdate" in p
+    assert "CartesianProduct" not in p
+    p8 = plan_of(spark, "tpch_q8_market_share")
+    assert "BroadcastHashJoin" in WORKLOADS["tpch_q8_market_share"].fn(
+        spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p8
+    # q13 must keep the LEFT join (zero-order bucket depends on it)
+    p13 = plan_of(spark, "tpch_q13_order_histogram")
+    assert "LeftOuter" in p13 or "left_outer" in p13.lower()
+
+
+def test_bottom_k_global_is_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.sampling import bottom_k_sample
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = bottom_k_sample(docs, 10, key_col="doc_id", seed=1)
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
