@@ -248,17 +248,22 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str = "id_dim",
 
     SQL MERGE errors when multiple source rows match one target row; a
     duplicate key on EITHER side of this full-outer join would silently
-    multiply rows instead.  ``validate=True`` (default) runs a bounded
-    duplicate probe on the update side (one aggregation over update keys —
-    cheap next to the merge join itself) and raises; at warehouse scale a
-    caller that guarantees uniqueness upstream can pass ``validate=False``
-    to skip the probe.  Base-side uniqueness is the fragment store's own
-    invariant (``sequential_ids`` / import paths)."""
+    multiply rows instead.  ``validate=True`` (default) checkpoints the
+    update side once and runs a bounded duplicate probe over it (the merge
+    join then reuses the materialized rows — the update lineage executes
+    exactly once either way); a caller that guarantees uniqueness upstream
+    can pass ``validate=False`` to skip probe and materialization both.
+    Base-side uniqueness is the fragment store's own invariant
+    (``sequential_ids`` / import paths)."""
     if set(base.columns) != set(updates.columns):
         raise CatalogError(
             f"merge_upsert schema mismatch: base {sorted(base.columns)} vs "
             f"updates {sorted(updates.columns)}")
     if validate:
+        # the probe must materialize the update side anyway — checkpoint it
+        # so the merge join below reuses the materialized rows instead of
+        # replaying an expensive updates lineage a second time
+        updates = updates.localCheckpoint()
         dup = (updates.groupBy(key).count().where(F.col("count") > 1)
                .limit(1).collect())
         if dup:

@@ -855,9 +855,10 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
     wp = Window.partitionBy("bkt").orderBy("key")
     inner = (
         aug.select(
-            id_col, "pos", "key",
+            id_col, "pos", "n_tokens", "key",
             F.lead(id_col).over(wp).alias("b_doc"),
             F.lead("pos").over(wp).alias("b_pos"),
+            F.lead("n_tokens").over(wp).alias("b_n"),
             F.lead("key").over(wp).alias("b_key"),
         )
         .where(F.col("b_key").isNotNull())
@@ -867,7 +868,8 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
     # bkt-keyed AGGREGATE (not a filter of the window output) so Catalyst
     # reuses the window's hash exchange instead of recomputing the sorted
     # stream; the result is ≤ #buckets rows and the pairing join trivial.
-    edge = F.struct("key", F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    edge = F.struct("key", F.col(id_col).alias("d"), F.col("pos").alias("p"),
+                    F.col("n_tokens").alias("n"))
     bounds = aug.groupBy("bkt").agg(
         F.min_by(edge, F.col("key")).alias("first"),
         F.max_by(edge, F.col("key")).alias("last"),
@@ -881,31 +883,37 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
              F.min_by("f", F.col("f_bkt")).alias("nxt"))
         .select(
             F.col("last.d").alias(id_col), F.col("last.p").alias("pos"),
-            F.col("last.key").alias("key"),
+            F.col("last.n").alias("n_tokens"), F.col("last.key").alias("key"),
             F.col("nxt.d").alias("b_doc"), F.col("nxt.p").alias("b_pos"),
-            F.col("nxt.key").alias("b_key"),
+            F.col("nxt.n").alias("b_n"), F.col("nxt.key").alias("b_key"),
         )
     )
     pairs = inner.unionByName(boundary)
     zipped = F.zip_with("key", "b_key", lambda x, y: F.coalesce(x == y, F.lit(False)))
     miss = F.array_position(zipped, F.lit(False))
     lcp = (F.when(miss > 0, miss - 1).otherwise(F.size(zipped))).cast("bigint")
+    # each endpoint carries its own doc's n_tokens through the explode, so
+    # the final report needs NO join back to the token stream (which would
+    # replay the whole tokenize+hash corpus scan a second time)
     both = pairs.withColumn("lcp", lcp).select(
         F.explode(F.array(
-            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"), "lcp"),
-            F.struct(F.col("b_doc").alias("d"), F.col("b_pos").alias("p"), "lcp"),
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"),
+                     F.col("n_tokens").alias("n"), "lcp"),
+            F.struct(F.col("b_doc").alias("d"), F.col("b_pos").alias("p"),
+                     F.col("b_n").alias("n"), "lcp"),
         )).alias("e")
     ).select(F.col("e.d").alias(id_col), F.col("e.p").alias("pos"),
-             F.col("e.lcp").alias("lcp"))
-    per_pos = both.groupBy(id_col, "pos").agg(F.max("lcp").alias("L"))
+             F.col("e.n").alias("n_tokens"), F.col("e.lcp").alias("lcp"))
+    per_pos = both.groupBy(id_col, "pos").agg(
+        F.max("lcp").alias("L"), F.first("n_tokens").alias("n_tokens"))
     return (
         per_pos.where(F.col("L") >= min_len)
         .groupBy(id_col)
         .agg(
+            F.first("n_tokens").alias("n_tokens"),
             F.max("L").cast("bigint").alias("max_dup_len"),
             F.count(F.lit(1)).cast("bigint").alias("n_dup_starts"),
         )
-        .join(toks.select(id_col, "n_tokens"), on=id_col)
         .select(id_col, "n_tokens", "max_dup_len", "n_dup_starts",
                 (F.col("max_dup_len") >= max_match).alias("capped"))
     )

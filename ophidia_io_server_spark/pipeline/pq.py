@@ -452,6 +452,8 @@ def pq_reconstruction_error(emb: DataFrame, books: np.ndarray,
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n, sse = 0, 0.0
         for b in batches:
+            if len(b) == 0:
+                continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
             Y = X @ R if R is not None else X
             for s in range(m):

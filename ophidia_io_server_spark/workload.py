@@ -4884,14 +4884,15 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "tpch_q22_idle_customers",
     oracle="""
-    WITH cut AS (SELECT AVG(c_acctbal) AS thresh FROM customer
-                 WHERE c_acctbal > 0.0)
+    WITH cut AS (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        * 1.0 / COUNT(*) AS thresh_cents
+                 FROM customer WHERE c_acctbal > 0.0)
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS numcust,
            CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
              AS totacctbal_cents
     FROM customer c CROSS JOIN cut
-    WHERE c.c_acctbal > cut.thresh
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > cut.thresh_cents
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01')
@@ -4904,14 +4905,18 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_mktsegment, and "no orders" becomes "no orders since 2000" — the
     dense synthetic corpus gives every customer SOME order): scalar AVG
     subquery broadcast as a one-row cross join + LEFT ANTI join against
-    the recent-orders projection (the NOT EXISTS), exact-cents totals."""
+    the recent-orders projection (the NOT EXISTS).  The threshold AND the
+    compare run in exact integer cents — AVG over raw 2-decimal doubles
+    is the order-dependent drift class the q1 10× fix eliminated, and a
+    customer on the boundary must not flip between engines."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
     cut = c.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("thresh"))
+        (F.sum(cents) * 1.0 / F.count(F.lit(1))).alias("thresh_cents"))
     return (
         c.crossJoin(F.broadcast(cut))
-        .where(F.col("c_acctbal") > F.col("thresh"))
+        .where(cents > F.col("thresh_cents"))
         .join(o.where(F.col("o_orderdate") >= "2000-01-01")
                .select(F.col("o_custkey").alias("c_custkey")).distinct(),
               on="c_custkey", how="left_anti")
@@ -5049,7 +5054,7 @@ def ann_opq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(l AS BIGINT) AS len,
              md5(array_to_string(tk[i:i + l - 1], chr(31))) AS h
       FROM (SELECT doc_id, tk, n, unnest(range(1, n + 1)) AS i FROM tt),
-           unnest(range(1, 101)) AS ls(l)
+           unnest(range(1, 129)) AS ls(l)
       WHERE i + l - 1 <= n),
     dup AS (SELECT len, h FROM sub GROUP BY len, h HAVING COUNT(*) >= 2),
     j AS (SELECT s.doc_id, s.pos, s.len FROM sub s JOIN dup USING (len, h)),

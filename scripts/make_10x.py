@@ -72,7 +72,6 @@ def main() -> None:
         d = docs.copy()
         d["doc_id"] = d["doc_id"] + rep * OFF
         if rep > 0:
-            rng = np.random.default_rng(rep)
             d["text"] = [
                 None if t is None else
                 " ".join(np.random.default_rng((rep << 20) ^ i).permutation(
