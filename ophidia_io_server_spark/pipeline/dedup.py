@@ -187,19 +187,7 @@ def jaccard_pairs_exact(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         )
-    cand = pairs.select("doc_a", "doc_b")
-    left = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-                     F.col("nsh").alias("na"))
-    right = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
-                      F.col("nsh").alias("nb"))
-    return (
-        cand.join(left, "doc_a")
-        .join(right, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
-        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verify_pairs(pairs.select("doc_a", "doc_b"), sh, threshold)
 
 
 # -- cluster resolution ------------------------------------------------------
@@ -316,6 +304,38 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     return sh.select("doc_id", "shingles", "nsh", sig.alias("sig"))
 
 
+def _band_rows(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(doc_id, band, bucket): one row per LSH band, bucket = hash of the
+    band's r signature slots."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    the full shingle sets — the step that makes every probabilistic
+    candidate generator exact-equal to the brute-force operator."""
+    left = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
+                     F.col("nsh").alias("na"))
+    right = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
+                      F.col("nsh").alias("nb"))
+    return (
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16,
                       text_col: str = "text", memo_key: tuple | None = None) -> DataFrame:
@@ -332,16 +352,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     sh = shingle_df(docs, n, text_col, memo_key=memo_key)
     if memo_key is None:
         sh = sh.cache()
-    sig = minhash_signatures(sh, num_hashes)
-    band_rows = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)])
-                for b in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    )
+    band_rows = _band_rows(minhash_signatures(sh, num_hashes), bands, r)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -350,19 +361,51 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    left = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-                     F.col("nsh").alias("na"))
-    right = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
-                      F.col("nsh").alias("nb"))
-    verified = (
-        cand.join(left, "doc_a")
-        .join(right, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
-        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return _verify_pairs(cand, sh, threshold)
+
+
+def minhash_lsh_pairs_incremental(
+    old_docs: DataFrame, new_docs: DataFrame, n: int = 3,
+    threshold: float = 0.5, num_hashes: int = 64, bands: int = 16,
+    text_col: str = "text", memo_key: tuple | None = None,
+) -> DataFrame:
+    """Continuous-ingestion near-dup detection: all pairs ≥ threshold that
+    INVOLVE a new document (new↔old and new↔new), without re-running the
+    all-pairs band join over the existing corpus.
+
+    The candidate join is new_bands ⋈ all_bands on (band, bucket) — its
+    cost is |new|·bands probe rows against the corpus band index, not the
+    corpus self-join.  In production the old side's signatures/band table
+    is the thing you PERSIST between ingestion batches (signatures are
+    per-doc deterministic, so incremental banding agrees with a fresh
+    run); here the old bands are rebuilt from the docs, which changes cost
+    but not results.  Doc ids must be disjoint across the two frames.
+
+    Invariant (tested + gate-oracled): output ==
+    ``minhash_lsh_pairs(old ∪ new)`` restricted to pairs touching a new
+    doc — banding is per-doc, so a pair's candidacy never depends on which
+    batch its members arrived in."""
+    r = num_hashes // bands
+    all_docs = old_docs.select("doc_id", text_col).unionByName(
+        new_docs.select("doc_id", text_col))
+    sh = shingle_df(all_docs, n, text_col, memo_key=memo_key)
+    if memo_key is None:
+        sh = sh.cache()
+    all_bands = _band_rows(minhash_signatures(sh, num_hashes), bands, r)
+    new_ids = new_docs.select("doc_id").distinct()
+    new_bands = all_bands.join(new_ids, on="doc_id", how="left_semi")
+    a = new_bands.alias("a")
+    b = all_bands.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
     )
-    return verified
+    return _verify_pairs(cand, sh, threshold)
 
 
 # -- SimHash ----------------------------------------------------------------

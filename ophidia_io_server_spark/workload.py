@@ -4928,6 +4928,32 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    SELECT * FROM ({_JACCARD_ORACLE})
+    WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash+LSH for continuous ingestion
+    (``pipeline/dedup.py::minhash_lsh_pairs_incremental``): odd doc_ids
+    arrive as the 'new' batch and are deduped against the even-id
+    'existing' corpus with a new-bands ⋈ all-bands probe join — never the
+    corpus self-join.  The oracle is the exact all-pairs Jaccard SQL
+    restricted to pairs touching a new doc, so the hash proves the
+    incremental path emits exactly the full run's pairs for the arriving
+    batch."""
+    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_incremental(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        memo_key=(*session_key(spark), sf_dir, "incr"),
+    )
+
+
+@workload(
     "sample_bottom_k",
     oracle="""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

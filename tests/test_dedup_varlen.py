@@ -169,3 +169,37 @@ def test_varlen_starts_equal_fixed_window_starts(spark):
              longest_duplicate_match(df, min_len=L, max_match=64).collect()}
     # fixed-window pos is 0-based from posexplode → starts count identical
     assert var_m == {k: v for k, v in fixed_m.items() if v > 0}
+
+
+def test_incremental_minhash_equals_full_run_restriction(spark):
+    """Batch-arrival invariance: incremental(old, new) must equal the full
+    corpus run restricted to pairs touching a new doc — on a corpus with
+    planted near-dups inside old, inside new, and across the split."""
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    rng = np.random.default_rng(21)
+    docs = _mk_corpus(rng, n_docs=60)
+    # near-dup pairs: old-old (ids 2,4), new-new (3,5), cross (6,7)
+    for a, b in ((2, 4), (3, 5), (6, 7)):
+        base = [f"dup{a}{b}_{i}" for i in range(30)]
+        docs[a] = base + docs[a][:3]
+        docs[b] = base + docs[b][:2]
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    old = df.where(F.col("doc_id") % 2 == 0)
+    new = df.where(F.col("doc_id") % 2 == 1)
+    inc = minhash_lsh_pairs_incremental(old, new).collect()
+    full = minhash_lsh_pairs(df).collect()
+    want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in full
+            if r["doc_a"] % 2 == 1 or r["doc_b"] % 2 == 1}
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in inc}
+    assert got == want and len(got) >= 2      # new-new + cross at least
+    # the old-old planted pair must NOT be re-emitted by the incremental run
+    assert (2, 4) not in {(a, b) for a, b, _ in got}
+    assert (2, 4) in {(r["doc_a"], r["doc_b"]) for r in full}
