@@ -52,10 +52,13 @@ HEADLINE = [
     "events_asof_attribution",
     "events_interval_join",
     "bm25_doc_retrieval",
-    # r6 additions (HEADLINE 28 → 30): KN smoothing + the variable-length
-    # ExactSubstr suffix sort — per-query comparison only, PERF.md r6
+    # r6 additions (HEADLINE 28 → 32): KN smoothing, the variable-length
+    # ExactSubstr suffix sort, incremental LSH dedup, exact-k sampling —
+    # per-query comparison only, PERF.md r6
     "doc_kneser_ney_lm",
     "doc_longest_dup_match",
+    "dedup_minhash_incremental",
+    "sample_bottom_k",
 ]
 
 
