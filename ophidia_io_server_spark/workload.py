@@ -4189,10 +4189,15 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, n_tokens,
            CAST(NTILE(10) OVER (PARTITION BY lang
                                 ORDER BY n_tokens, doc_id) AS BIGINT) AS decile,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY lang
-                                      ORDER BY n_tokens, doc_id), 6) AS pr,
-           ROUND(CUME_DIST() OVER (PARTITION BY lang
-                                   ORDER BY n_tokens, doc_id), 6) AS cd
+           CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+           CAST(ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                           ORDER BY n_tokens, doc_id)
+                      * (COUNT(*) OVER (PARTITION BY lang) - 1))
+                AS BIGINT) AS pr_num,
+           CAST(ROUND(CUME_DIST() OVER (PARTITION BY lang
+                                        ORDER BY n_tokens, doc_id)
+                      * COUNT(*) OVER (PARTITION BY lang))
+                AS BIGINT) AS cd_num
     FROM m
     """,
 )
@@ -4201,7 +4206,12 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE deciles + percent_rank/cume_dist over token counts — the
     select-the-top-X%-per-stratum primitive of curation recipes.  Total
     order pinned by (n_tokens, doc_id) so rank functions are deterministic
-    and engine-identical."""
+    and engine-identical.  percent_rank/cume_dist are emitted as their
+    EXACT integer numerators (× (n−1) / × n, recovered by round — the
+    product of k/n with n is k up to one ulp): at the 10× corpus the raw
+    ratios land exactly on the 6dp rounding half-grid (5000-divisor
+    fractions like 0.0640625) where the engines' half-rounding rules
+    disagree (PERF.md r6, third boundary)."""
     from pyspark.sql import Window
 
     from ophidia_io_server_spark.pipeline.text import token_count_col
@@ -4210,11 +4220,15 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.select("doc_id", "lang",
                     token_count_col(F.col("text")).alias("n_tokens"))
     w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wl = Window.partitionBy("lang")
+    n_lang = F.count(F.lit(1)).over(wl)
     return m.select(
         "doc_id", "lang", "n_tokens",
         F.ntile(10).over(w).cast("bigint").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        n_lang.cast("bigint").alias("n_lang"),
+        F.round(F.percent_rank().over(w) * (n_lang - 1)).cast("bigint")
+         .alias("pr_num"),
+        F.round(F.cume_dist().over(w) * n_lang).cast("bigint").alias("cd_num"),
     )
 
 
