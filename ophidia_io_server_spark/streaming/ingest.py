@@ -62,9 +62,10 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .cast("bigint").alias("total_cents"),
         )
-        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_cents")
     )
 
 

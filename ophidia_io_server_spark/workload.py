@@ -829,7 +829,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM events
     GROUP BY hour_start, event_type
     ORDER BY hour_start, event_type
@@ -843,7 +844,8 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .cast("bigint").alias("total_cents"),
         )
     )
 
@@ -1851,7 +1853,8 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM events
     GROUP BY hour_start, event_type
     ORDER BY hour_start, event_type
@@ -1878,7 +1881,8 @@ def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           ROUND(SUM(value), 4) AS total_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id <= 500) AS n_rows,
            (SELECT ROUND(SUM(value), 4) FROM events WHERE event_id <= 500) AS total
     FROM events
@@ -1912,7 +1916,8 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_row = res.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint")
+         .alias("total_cents"),
     )
 
     srv = IOServer(spark)
@@ -5156,11 +5161,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
     "events_hourly_suite": {
         "events_hourly_window": [
             ("hour_start", "timestamp"), ("event_type", "string"),
-            ("n_events", "bigint"), ("total_value", "double"),
+            ("n_events", "bigint"), ("total_cents", "bigint"),
         ],
         "events_hourly_streaming": [
             ("hour_start", "timestamp"), ("event_type", "string"),
-            ("n_events", "bigint"), ("total_value", "double"),
+            ("n_events", "bigint"), ("total_cents", "bigint"),
         ],
     },
     # three near-dup detectors, one exact-Jaccard oracle each

@@ -35,11 +35,12 @@ def test_hourly_counts_stream_matches_batch(spark, events_dir):
         load_table(spark, SF, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-             F.round(F.sum("value"), 4).alias("total_value"))
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              .cast("bigint").alias("total_cents"))
     )
-    got = {(r.hour_start, r.event_type): (r.n_events, r.total_value)
+    got = {(r.hour_start, r.event_type): (r.n_events, r.total_cents)
            for r in stream_result.collect()}
-    want = {(r.hour_start, r.event_type): (r.n_events, r.total_value)
+    want = {(r.hour_start, r.event_type): (r.n_events, r.total_cents)
             for r in batch.collect()}
     assert got == want
 
