@@ -167,3 +167,79 @@ def streaming_insert_fragment(spark: SparkSession, stream: DataFrame, catalog, f
         out = out.unionAll(b)
     catalog.put(frag_name, out, cache=True, overwrite=True)
     return catalog.get(frag_name)
+
+
+def heavy_hitters_stream(items: DataFrame, item_col: str = "item",
+                         k: int = 64, buckets: int = 16) -> DataFrame:
+    """Streaming heavy-hitter candidates with BOUNDED state: per-bucket
+    Misra-Gries counters maintained in the state store across
+    micro-batches via ``applyInPandasWithState``.
+
+    Items hash to exactly ONE of ``buckets`` state groups, so an item's
+    full stream count accumulates inside one MG instance; each group keeps
+    ≤ k counters (state is O(k·buckets) forever — the point, vs the
+    vocabulary-sized state of a plain streaming count).  The MG fold is
+    the same batched one-shot-trim kernel as ``pipeline/heavy.py``
+    (value_counts merge, subtract the (k+1)-th largest) and carries the
+    same guarantee per bucket: any item whose TOTAL stream frequency
+    exceeds W_bucket/(k+1) ≤ W_total/(k+1) is in the bucket's survivors —
+    so the final survivor union is a superset of every global heavy
+    hitter above the classic support bound, over the whole stream, not
+    per batch.
+
+    Each micro-batch EMITS the touched buckets' full survivor snapshots
+    tagged with a per-bucket round number; the stream's final candidate
+    set is the max-round snapshot per bucket (``final_candidates`` does
+    that in batch after an availableNow drain).  Exact counts come from a
+    batch verify join against the landed corpus, exactly like the batch
+    operator."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "bkt integer, round long, item string"
+    state_schema = "items array<string>, counts array<long>, round long"
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        if state.exists:
+            its, cts, rnd = state.get
+            counters = dict(zip(its, cts))
+        else:
+            counters, rnd = {}, 0
+        for pdf in pdfs:
+            for it, w in pdf["item"].value_counts(dropna=True).items():
+                counters[it] = counters.get(it, 0) + int(w)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64,
+                                   count=len(counters))
+                t = int(np.partition(vals, -(k + 1))[-(k + 1)])
+                counters = {it: c - t for it, c in counters.items() if c > t}
+        rnd += 1
+        state.update((list(counters.keys()),
+                      [int(v) for v in counters.values()], rnd))
+        yield pd.DataFrame({
+            "bkt": [key[0]] * len(counters) or [key[0]],
+            "round": [rnd] * max(len(counters), 1),
+            "item": list(counters.keys()) or [None],
+        })
+
+    keyed = items.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(buckets)).cast("int").alias("bkt"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("bkt").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+
+
+def final_candidates(emitted: DataFrame) -> DataFrame:
+    """Distinct items of each bucket's LAST emitted snapshot (max round per
+    bucket) — the stream's final MG survivor set."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bkt")
+    return (
+        emitted.withColumn("_mx", F.max("round").over(w))
+        .where((F.col("round") == F.col("_mx")) & F.col("item").isNotNull())
+        .select("item").distinct()
+    )

@@ -3989,6 +3989,68 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS item
+      FROM documents WHERE text IS NOT NULL)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
+             AS rank
+    FROM t GROUP BY item
+    ORDER BY cnt DESC, item LIMIT 10
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy hitters with bounded state
+    (``streaming/ingest.py::heavy_hitters_stream``): the token stream is
+    ingested one file per trigger; per-bucket Misra-Gries counters live in
+    the state store (O(k·buckets) forever — never vocabulary-sized), each
+    batch emits its buckets' survivor snapshots, the max-round snapshot
+    per bucket is the final candidate set, and a batch verify join
+    computes exact counts for candidates only.  The oracle is the exact
+    corpus top-10 — identical to the batch ``token_heavy_hitters`` row,
+    proving the incremental MG survivors cover the true heavy hitters of
+    the WHOLE stream, not per batch."""
+    import hashlib
+    import os
+
+    from ophidia_io_server_spark.streaming.ingest import (
+        final_candidates,
+        heavy_hitters_stream,
+        run_available_now,
+    )
+
+    tag = hashlib.md5(f"hh:{sf_dir}".encode()).hexdigest()[:8]
+    path = f"/tmp/ophidia_stream_toks_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from ophidia_io_server_spark.pipeline.text import tokens_col
+
+        docs = load_table(spark, sf_dir, "documents")
+        (docs.where(F.col("text").isNotNull())
+         .select(F.explode(tokens_col(F.col("text"))).alias("item"))
+         .repartition(6).write.mode("overwrite").parquet(path))
+        open(f"{path}/_SUCCESS", "a").close()
+    stream = (spark.readStream.schema("item string")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    emitted = run_available_now(
+        heavy_hitters_stream(stream, "item", k=64, buckets=16),
+        f"stream_hh_{tag}", output_mode="update")
+    cand = final_candidates(emitted)
+    corpus = spark.read.parquet(path)
+    exact = (
+        corpus.join(F.broadcast(cand), on="item", how="left_semi")
+        .groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return (exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(10)
+            .select("item", "cnt",
+                    F.row_number().over(w).cast("bigint").alias("rank")))
+
+
+@workload(
     "doc_stupid_backoff_lm",
     oracle="""
     WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '),

@@ -97,3 +97,51 @@ def test_streaming_insert_fragment(spark, events_dir, server):
     assert entry is not None
     n = server.catalog.df("ev_frag").count()
     assert n == load_table(spark, SF, "events").count()
+
+
+def test_stream_heavy_hitters_bounded_state_multi_batch(spark, tmp_path):
+    """MG state across micro-batches: candidates after the drain must
+    contain every item above the support bound, state stays <= k per
+    bucket, and the run must actually span multiple micro-batches."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.streaming.ingest import (
+        final_candidates,
+        heavy_hitters_stream,
+    )
+
+    rng = np.random.default_rng(4)
+    # heavy items with known counts + a zipf tail
+    items = (["hh_alpha"] * 900 + ["hh_beta"] * 700 + ["hh_gamma"] * 500
+             + [f"tail{v}" for v in rng.zipf(1.5, 4000) % 800])
+    rng.shuffle(items)
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    path = str(tmp_path / "toks")
+    df.repartition(8).write.parquet(path)
+    stream = (spark.readStream.schema("item string")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    q = (heavy_hitters_stream(stream, "item", k=16, buckets=4)
+         .writeStream.format("memory").queryName("hhq")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 7   # one batch per file
+    emitted = spark.table("hhq")
+    cand = {r["item"] for r in final_candidates(emitted).collect()}
+    # every item above W_total/(k+1) must survive (here k per bucket=16,
+    # bound is per-bucket and thus LOOSER; the three planted items tower
+    # over any bound)
+    assert {"hh_alpha", "hh_beta", "hh_gamma"} <= cand
+    # bounded state: the last snapshot per bucket holds <= k items
+    from pyspark.sql import Window
+    w = Window.partitionBy("bkt")
+    last = (emitted.withColumn("_mx", F.max("round").over(w))
+            .where(F.col("round") == F.col("_mx")))
+    per_bkt = {r["bkt"]: r["n"] for r in
+               last.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 16 for n in per_bkt.values())
+    # exact verify reproduces true counts for the planted items
+    got = {r["item"]: r["cnt"] for r in
+           df.join(F.broadcast(final_candidates(emitted)), "item", "left_semi")
+             .groupBy("item").count().withColumnRenamed("count", "cnt").collect()}
+    assert got["hh_alpha"] == 900 and got["hh_beta"] == 700 and got["hh_gamma"] == 500
