@@ -108,3 +108,54 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007) with a
+    fully deterministic update: each round every node adopts the label
+    with the greatest total incident edge weight among its neighbours'
+    CURRENT labels, ties broken by the smallest label — (score DESC,
+    label ASC) under row_number, so two engines replay the identical
+    sequence and the SQL-oracle gate can hash a fixed-iteration run
+    (synchronous LPA may oscillate on bipartite structures; the contract
+    is "the labelling after exactly ``iters`` rounds", like the
+    fixed-iteration PageRank row).
+
+    Edges are treated as UNDIRECTED (each input row votes both ways).
+    Integral weights keep the per-label score sums exact in any order —
+    pass counts, not floats, when the oracle must match.
+
+    Scale shape per round: one edges ⋈ labels equi-join on the voting
+    side + one groupBy(node, label) + one per-node top-1 window — all
+    shuffle-bounded by |E|; labels are ``localCheckpoint``-ed per round
+    (flat lineage, the repo's iterative-loop discipline).  Returns
+    (node, label); a label value is the community id (some member node)."""
+    from pyspark.sql import Window
+
+    w = (F.col(weight_col) if weight_col else F.lit(1)).alias("w")
+    fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"), w)
+    und = fwd.unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"), w))
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node"))
+    top = Window.partitionBy("node").orderBy(
+        F.col("score").desc(), F.col("label").asc())
+    for _ in range(iters):
+        scored = (
+            und.join(labels.withColumnRenamed("node", "u"), on="u")
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.sum("w").alias("score"))
+        )
+        labels = (
+            scored.withColumn("_rn", F.row_number().over(top))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -4157,6 +4157,64 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_pmi(docs, window=2, min_count=5)
 
 
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled synchronous-LPA oracle over the token co-occurrence graph
+    (same CTE chain trick as ``_pagerank_oracle``; per-round top-1 is a
+    ROW_NUMBER over the grouped vote sums with the identical
+    (score DESC, label ASC) tie-break as ``operators/graph.py``)."""
+    sql = """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    e AS MATERIALIZED (
+      SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS w
+      FROM pr GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    und AS MATERIALIZED (
+      SELECT wa AS u, wb AS v, w FROM e
+      UNION ALL SELECT wb AS u, wa AS v, w FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT und.v AS node, l.label, SUM(und.w) AS score,
+               ROW_NUMBER() OVER (PARTITION BY und.v
+                                  ORDER BY SUM(und.w) DESC, l.label ASC)
+                 AS rn
+        FROM und JOIN l{i - 1} l ON und.u = l.node
+        GROUP BY und.v, l.label)
+      WHERE rn = 1)"""
+    sql += f"""
+    SELECT node, label FROM l{iters}"""
+    return sql
+
+
+@workload("token_lpa_communities", oracle=_lpa_oracle(8))
+def token_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (``operators/graph.py::label_propagation``) over the token
+    co-occurrence graph (±2-window pairs with count ≥ 5 — the same edge
+    list as ``token_pmi_pairs``, weights = co-occurrence counts).  The
+    oracle replays the identical 8 fixed rounds as an unrolled
+    materialized-CTE chain with the same deterministic tie-break, so the
+    full (node, label) mapping hashes exactly."""
+    from ophidia_io_server_spark.operators.graph import label_propagation
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = cooccurrence_pmi(docs, window=2, min_count=5).select(
+        F.col("wa").alias("src"), F.col("wb").alias("dst"),
+        F.col("c12").alias("w"))
+    return label_propagation(edges, iters=8, weight_col="w")
+
+
 @workload(
     "tpch_q3_shipping_priority",
     oracle="""

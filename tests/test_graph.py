@@ -88,3 +88,44 @@ def test_pagerank_invalid_weights_and_empty(spark):
     # fully-empty edges: empty result, no ZeroDivisionError
     empty = spark.createDataFrame([], "src long, dst long, w long")
     assert pagerank(empty, iters=3, weight_col="w").count() == 0
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two dense cliques joined by one weak bridge: LPA must converge each
+    clique to a single label and keep the two communities apart; a Python
+    replay of the same synchronous rule must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.operators.graph import label_propagation
+
+    edges = []
+    cliq_a = [f"a{i}" for i in range(6)]
+    cliq_b = [f"b{i}" for i in range(6)]
+    for grp in (cliq_a, cliq_b):
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                edges.append((grp[i], grp[j], 5))
+    edges.append(("a0", "b0", 1))  # weak bridge
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, iters=8, weight_col="w").collect()}
+
+    # python replay of the identical synchronous deterministic rule
+    und = {}
+    for s, d, w in edges:
+        und.setdefault(d, []).append((s, w))
+        und.setdefault(s, []).append((d, w))
+    labels = {n: n for n in und}
+    for _ in range(8):
+        new = {}
+        for node, nbrs in und.items():
+            score = {}
+            for u, w in nbrs:
+                score[labels[u]] = score.get(labels[u], 0) + w
+            new[node] = min(score, key=lambda l: (-score[l], l))
+        labels = new
+    assert got == labels
+    # community structure: each clique uniform, communities distinct
+    assert len({got[n] for n in cliq_a}) == 1
+    assert len({got[n] for n in cliq_b}) == 1
+    assert {got[n] for n in cliq_a} != {got[n] for n in cliq_b}
