@@ -4798,6 +4798,48 @@ def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                              docs.where(F.col("doc_id") % 2 == 1))
 
 
+@workload(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS BIGINT) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_e4
+    FROM supplier s
+    JOIN rev ON s.s_suppkey = rev.supplier_no
+    WHERE rev.total_e4 = (SELECT MAX(total_e4) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue-view + MAX-of-aggregate
+    subquery shape — the quarter's per-supplier revenue is aggregated
+    ONCE, checkpointed (both the max probe and the final join read it),
+    the scalar max broadcasts through a one-row cross join, and revenue is
+    exact 1e-4 integer units so the MAX comparison cannot drift."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                           * 10000).cast("bigint")).cast("bigint")
+             .alias("total_e4"))
+        .localCheckpoint()
+    )
+    mx = rev.agg(F.max("total_e4").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s["s_suppkey"] == rev["supplier_no"])
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_e4") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
 # --- round-6 TPC-H additions.  The synthetic tables are trimmed TPC-H (no
 # partsupp; lineitem lacks shipmode/commitdate/receiptdate; customer lacks
 # phone; part lacks container) — queries needing absent columns are adapted
