@@ -415,21 +415,14 @@ def c4_filters(docs: DataFrame, text_col: str = "text", **kw) -> DataFrame:
     return out
 
 
-def cooccurrence_pmi(docs: DataFrame, window: int = 2, min_count: int = 5,
-                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Pointwise mutual information over token co-occurrences within a
-    ±``window`` position distance — the classic word-association miner
-    (collocations, naming conventions, topic seeds) behind count-based
-    embeddings.
-
-    Pairs stream straight off each document's token array (one struct per
-    (i, i+δ), δ ≤ window — no self-join), normalized to unordered
-    (least, greatest) form; one groupBy counts them.  PMI =
-    ln(((c12/P) / (c1a/N)) / (c1b/N)) with P = total pairs, N = total
-    tokens — the division chain is mirrored token-for-token in the SQL
-    oracle so both engines round identically at 6 dp.
-
-    Returns (wa, wb, c12, pmi) for pairs with c12 ≥ ``min_count``."""
+def cooccurrence_counts(docs: DataFrame, window: int = 2,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(wa, wb, c12): unordered token co-occurrence counts within a
+    ±``window`` position distance — pairs stream straight off each
+    document's token array (no self-join), one groupBy counts them.
+    The shared edge-list builder for ``cooccurrence_pmi`` and the LPA
+    community workload (which needs counts, not PMI)."""
     toks = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tk"))
@@ -456,8 +449,26 @@ def cooccurrence_pmi(docs: DataFrame, window: int = 2, min_count: int = 5,
     ))
     pair_stream = toks.select(F.explode(pairs_per_doc).alias("p")) \
         .select("p.wa", "p.wb")
-    c12 = pair_stream.groupBy("wa", "wb").agg(
+    return pair_stream.groupBy("wa", "wb").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12"))
+
+
+def cooccurrence_pmi(docs: DataFrame, window: int = 2, min_count: int = 5,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pointwise mutual information over token co-occurrences within a
+    ±``window`` position distance — the classic word-association miner
+    (collocations, naming conventions, topic seeds) behind count-based
+    embeddings.
+
+    Pairs stream straight off each document's token array (one struct per
+    (i, i+δ), δ ≤ window — no self-join), normalized to unordered
+    (least, greatest) form; one groupBy counts them.  PMI =
+    ln(((c12/P) / (c1a/N)) / (c1b/N)) with P = total pairs, N = total
+    tokens — the division chain is mirrored token-for-token in the SQL
+    oracle so both engines round identically at 6 dp.
+
+    Returns (wa, wb, c12, pmi) for pairs with c12 ≥ ``min_count``."""
+    c12 = cooccurrence_counts(docs, window, text_col, id_col)
     uni = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.explode(tokens_col(F.col(text_col))).alias("t"))

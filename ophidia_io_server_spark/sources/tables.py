@@ -48,6 +48,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def exact_cents_sum(col) -> F.Column:
+    """Order-free exact sum of a 2-decimal money/value DOUBLE column:
+    round each value to integer cents FIRST, sum as BIGINT.  This is the
+    correctness-critical encoding behind the gate's cross-engine hash —
+    `SUM(double)` accumulates in engine-dependent order and its last-ulp
+    error can straddle any output rounding grid at scale (three such
+    boundaries measured at the 10×/100× corpora, PERF.md r6).  SQL mirror:
+    `CAST(SUM(CAST(ROUND(x * 100) AS BIGINT)) AS BIGINT)`."""
+    return F.sum(F.round(F.col(col) * 100).cast("bigint")).cast("bigint")
+
+
 def lineitem_fragment(spark: SparkSession, sf_dir: str, value_col: str = "l_quantity") -> DataFrame:
     """(id_dim=l_orderkey, measure=[value_col ordered by l_linenumber]).
 

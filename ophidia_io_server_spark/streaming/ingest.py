@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.sources.tables import exact_cents_sum
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -62,8 +64,7 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint"))
-             .cast("bigint").alias("total_cents"),
+            exact_cents_sum("value").alias("total_cents"),
         )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_cents")
     )

@@ -31,6 +31,7 @@ from ophidia_io_server_spark.operators.engine import IOServer
 from ophidia_io_server_spark.sources.random_import import random_fragment_oracle_sql
 from ophidia_io_server_spark.session import session_key
 from ophidia_io_server_spark.sources.tables import (
+    exact_cents_sum,
     fragment_cte,
     lineitem_fragment,
     lineitem_fragment_cached,
@@ -129,6 +130,21 @@ def workload(name: str, oracle: str | None = None, explode: list[str] | None = N
         return fn
 
     return deco
+
+
+def _corpus_tag(sf_dir: str, table: str, salt: str = "") -> str:
+    """Staging-directory tag that incorporates the SOURCE parquet's
+    identity (path + size + mtime): a regenerated table at the same path
+    invalidates the staged /tmp copy instead of silently serving stale
+    rows against a fresh oracle."""
+    import hashlib
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    st = os.stat(path)
+    return hashlib.md5(
+        f"{salt}:{path}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
 
 
 def _server(spark: SparkSession, sf_dir: str, frags: dict[str, str] | None = None) -> IOServer:
@@ -844,8 +860,7 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint"))
-             .cast("bigint").alias("total_cents"),
+            exact_cents_sum("value").alias("total_cents"),
         )
     )
 
@@ -1916,8 +1931,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_row = res.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint")
-         .alias("total_cents"),
+        exact_cents_sum("value").alias("total_cents"),
     )
 
     srv = IOServer(spark)
@@ -4021,7 +4035,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    tag = hashlib.md5(f"hh:{sf_dir}".encode()).hexdigest()[:8]
+    tag = _corpus_tag(sf_dir, "documents", salt="hh")
     path = f"/tmp/ophidia_stream_toks_{tag}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         from ophidia_io_server_spark.pipeline.text import tokens_col
@@ -4206,12 +4220,13 @@ def token_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized-CTE chain with the same deterministic tie-break, so the
     full (node, label) mapping hashes exactly."""
     from ophidia_io_server_spark.operators.graph import label_propagation
-    from ophidia_io_server_spark.pipeline.text import cooccurrence_pmi
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = cooccurrence_pmi(docs, window=2, min_count=5).select(
-        F.col("wa").alias("src"), F.col("wb").alias("dst"),
-        F.col("c12").alias("w"))
+    edges = (cooccurrence_counts(docs, window=2)
+             .where(F.col("c12") >= 5)
+             .select(F.col("wa").alias("src"), F.col("wb").alias("dst"),
+                     F.col("c12").alias("w")))
     return label_propagation(edges, iters=8, weight_col="w")
 
 
@@ -4670,7 +4685,7 @@ def stream_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.streaming.ingest import run_available_now
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.md5(f"mix:{sf_dir}".encode()).hexdigest()[:8]
+    tag = _corpus_tag(sf_dir, "documents", salt="mix")
     path = f"/tmp/ophidia_stream_mix_{tag}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         docs.select("doc_id", "lang").repartition(8).write.mode(
@@ -5127,10 +5142,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs_incremental
 
     docs = load_table(spark, sf_dir, "documents")
+    # same memo key as the other dedup rows: even ∪ odd is row-identical to
+    # the full table, so the shared shingle cache serves this row too
     return minhash_lsh_pairs_incremental(
         docs.where(F.col("doc_id") % 2 == 0),
         docs.where(F.col("doc_id") % 2 == 1),
-        memo_key=(*session_key(spark), sf_dir, "incr"),
+        memo_key=(*session_key(spark), sf_dir),
     )
 
 
