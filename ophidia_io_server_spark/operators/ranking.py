@@ -1,0 +1,62 @@
+"""Distributed global ranking — the primitive Spark's window functions
+refuse to give you at scale (a bare ``Window.orderBy`` collapses to ONE
+partition; every textbook distributed sort-rank needs the two-phase
+range-partition + offset pattern instead).
+
+Used by the Manber-Myers suffix-array construction in
+``pipeline/dedup.py::suffix_array_ranks``; reusable anywhere a dense
+global rank over arbitrarily many rows is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_dense_rank(df: DataFrame, cols: list[str],
+                      partitions: int | None = None,
+                      rank_col: str = "rank") -> DataFrame:
+    """Append a DENSE global 1-based rank over the total order of ``cols``
+    without any single-partition stage.
+
+    Two-phase shape:
+      1. one range exchange on ``cols`` — equal keys provably land in the
+         same range partition (the partitioner assigns by key comparison),
+         so no key group is ever split across partitions;
+      2. per-partition dense ranks (window keyed on the partition id) +
+         a per-partition distinct-count summary whose running sum (a
+         window over ≤ P rows — bounded by the partition COUNT, not the
+         data) provides each partition's rank offset, broadcast back.
+
+    Deterministic for any input layout; ties (equal ``cols``) share a
+    rank, as SQL DENSE_RANK does.
+
+    The ranged layout is ``localCheckpoint``-ed before anything reads it:
+    the local-rank branch and the offset branch would otherwise each
+    re-execute the range exchange, and repartitionByRange SAMPLES its
+    boundaries per execution — two executions can draw different
+    boundaries (exchange reuse is plan-identity-dependent, not
+    guaranteed), silently desynchronizing partition ids from offsets.
+    Measured: without the pin, ranks over a 31-token corpus came back
+    with collisions/gaps whenever Catalyst declined to reuse the
+    exchange."""
+    nparts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = (
+        df.repartitionByRange(nparts, *cols)
+        .localCheckpoint()
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = keyed.withColumn("_lrank", F.dense_rank().over(w))
+    counts = local.groupBy("_pid").agg(F.max("_lrank").alias("_nd"))
+    wo = (Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_nd").over(wo), F.lit(0)))
+    return (
+        local.join(F.broadcast(offs.select("_pid", "_off")), on="_pid")
+        .withColumn(rank_col,
+                    (F.col("_lrank") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrank", "_off")
+    )

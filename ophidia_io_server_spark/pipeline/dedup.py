@@ -960,3 +960,59 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
         .select(id_col, "n_tokens", "max_dup_len", "n_dup_starts",
                 (F.col("max_dup_len") >= max_match).alias("capped"))
     )
+
+
+def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       partitions: int | None = None) -> DataFrame:
+    """Distributed suffix array over the tokenized corpus — genuine
+    Manber-Myers rank doubling (the structure Lee et al. 2022 build for
+    ExactSubstr), with NO hashing anywhere: suffixes are ordered by true
+    token-lexicographic comparison, so the result is exact, collision-free
+    and uncapped (the complement to ``longest_duplicate_match``'s
+    hash-keyed, cap-bounded fast path).
+
+    Returns (id_col, pos, rank): a DENSE 1-based rank over all corpus
+    suffixes (suffix = tokens from ``pos`` to the end of its document;
+    a shorter suffix sorts before any suffix it prefixes, the end-sentinel
+    convention).  Identical suffixes in different documents share a rank.
+
+    Algorithm: rank_0 = global dense rank of single tokens (string order);
+    round j doubles the compared prefix — each position pairs its current
+    rank with the rank at ``pos + 2^(j-1)`` (0-sentinel past the doc end)
+    and the pair is re-ranked.  Every round is one self-equi-join on
+    (doc, pos) plus one ``global_dense_rank`` (a range exchange + bounded
+    offset summary — ``operators/ranking.py``); ⌈log2 maxlen⌉ rounds with
+    early exit once all ranks are distinct.  State per round is one
+    (doc, pos, rank) table, localCheckpoint-ed flat."""
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    toks = (
+        spread(docs)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("ws"))
+        .where(F.size("ws") >= 1)
+    )
+    pos = toks.select(
+        id_col,
+        F.posexplode("ws").alias("p0", "tok"),
+    ).select(id_col, (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
+    maxlen = toks.agg(F.max(F.size("ws"))).collect()[0][0] or 0
+    total = pos.count()
+    cur = (global_dense_rank(pos, ["tok"], partitions)
+           .select(id_col, "pos", "rank").localCheckpoint())
+    step = 1
+    while step < maxlen:
+        shifted = cur.select(
+            F.col(id_col), (F.col("pos") - step).alias("pos"),
+            F.col("rank").alias("_r2"))
+        pair = (cur.join(shifted, on=[id_col, "pos"], how="left")
+                .fillna({"_r2": 0}))
+        cur = (global_dense_rank(pair, ["rank", "_r2"], partitions,
+                                 rank_col="_nr")
+               .select(id_col, "pos", F.col("_nr").alias("rank"))
+               .localCheckpoint())
+        step *= 2
+        if cur.agg(F.max("rank")).collect()[0][0] == total:
+            break  # all suffixes distinct — further rounds are no-ops
+    return cur

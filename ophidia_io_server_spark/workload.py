@@ -5152,6 +5152,67 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "doc_suffix_array_invariants",
+    oracle="""
+    SELECT CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                AS BIGINT) AS n_positions,
+           TRUE AS dense_ok, TRUE AS order_ok, TRUE AS shared_rank_ok
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def doc_suffix_array_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Manber-Myers suffix array
+    (``pipeline/dedup.py::suffix_array_ranks`` over
+    ``operators/ranking.py::global_dense_rank``) verified by invariant
+    booleans the hash binds: ``dense_ok`` — ranks are a dense 1..K
+    sequence; ``order_ok`` — for EVERY pair of consecutive ranks the
+    representative suffixes compare strictly ascending under true
+    token-array lexicographic order (the whole point of the structure,
+    checked exhaustively, not sampled); ``shared_rank_ok`` — positions
+    sharing a rank have IDENTICAL suffix token arrays.  The construction
+    itself is differentially pinned against a Python suffix sort in
+    tests/test_dedup_varlen.py."""
+    from ophidia_io_server_spark.pipeline.dedup import suffix_array_ranks
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    sa = suffix_array_ranks(docs)
+    toks = (
+        spread(docs).where(F.col("text").isNotNull())
+        .select("doc_id", tokens_col(F.col("text")).alias("ws"))
+        .where(F.size("ws") >= 1)
+    )
+    suf = (
+        sa.join(toks, on="doc_id")
+        .select("doc_id", "pos", "rank",
+                F.slice("ws", F.col("pos").cast("int"), 1_000_000)
+                 .alias("suffix"))
+    )
+    n_positions = suf.count()
+    agg = sa.agg(F.max("rank").alias("mx"),
+                 F.min("rank").alias("mn"),
+                 F.countDistinct("rank").alias("nd")).collect()[0]
+    dense_ok = bool(agg["mn"] == 1 and agg["mx"] == agg["nd"])
+    reps = suf.groupBy("rank").agg(
+        F.min_by("suffix", F.struct("doc_id", "pos")).alias("suffix"),
+        F.countDistinct("suffix").alias("n_forms"),
+    )
+    shared_rank_ok = bool(
+        reps.agg(F.max("n_forms")).collect()[0][0] == 1)
+    nxt = reps.select((F.col("rank") - 1).alias("rank"),
+                      F.col("suffix").alias("suffix_next"))
+    order_ok = bool(
+        reps.join(nxt, on="rank")
+        .where(~(F.col("suffix") < F.col("suffix_next")))
+        .count() == 0)
+    return spark.createDataFrame(
+        [(int(n_positions), dense_ok, order_ok, shared_rank_ok)],
+        "n_positions long, dense_ok boolean, order_ok boolean, "
+        "shared_rank_ok boolean")
+
+
+@workload(
     "sample_bottom_k",
     oracle="""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -203,3 +203,60 @@ def test_incremental_minhash_equals_full_run_restriction(spark):
     # the old-old planted pair must NOT be re-emitted by the incremental run
     assert (2, 4) not in {(a, b) for a, b, _ in got}
     assert (2, 4) in {(r["doc_a"], r["doc_b"]) for r in full}
+
+
+def _ref_suffix_ranks(docs_tokens):
+    """Dense ranks of all (doc, pos) suffixes under true token-tuple
+    lexicographic order (shorter-prefix-first); identical suffixes share a
+    rank — the exact contract of suffix_array_ranks."""
+    sufs = [((d, p + 1), tuple(tk[p:]))
+            for d, tk in enumerate(docs_tokens) for p in range(len(tk))]
+    sufs.sort(key=lambda x: x[1])
+    ranks, r, prev = {}, 0, None
+    for key, t in sufs:
+        if t != prev:
+            r += 1
+            prev = t
+        ranks[key] = r
+    return ranks
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_suffix_array_matches_python_reference(spark, seed):
+    """Manber-Myers ranks must equal the reference dense ranks exactly —
+    including shared ranks for identical cross-doc suffixes and the
+    shorter-prefix-first convention."""
+    from ophidia_io_server_spark.pipeline.dedup import suffix_array_ranks
+
+    rng = np.random.default_rng(seed)
+    docs = _mk_corpus(rng, n_docs=25, planted=[(0, 1, 4, 2, 12)])
+    # force identical full suffixes across docs (shared-rank path)
+    docs[7] = docs[3][-5:]
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"]): r["rank"]
+           for r in suffix_array_ranks(df, partitions=5).collect()}
+    want = _ref_suffix_ranks(docs)
+    assert got == want
+
+
+def test_global_dense_rank_matches_sql_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    rng = np.random.default_rng(1)
+    vals = [(int(v),) for v in rng.integers(0, 200, size=5000)]
+    df = spark.createDataFrame(vals, "v long").repartition(13)
+    got = global_dense_rank(df, ["v"], partitions=7)
+    rows = got.collect()
+    assert len(rows) == 5000
+    # dense-rank law: rank is order-isomorphic to v, ties share, no gaps
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["v"], set()).add(r["rank"])
+    assert all(len(s) == 1 for s in by_v.values())
+    ordered = sorted(by_v.items())
+    ranks = [next(iter(s)) for _, s in ordered]
+    assert ranks == list(range(1, len(ordered) + 1))
