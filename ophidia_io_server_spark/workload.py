@@ -1899,7 +1899,8 @@ def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
              AS total_cents,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id <= 500) AS n_rows,
-           (SELECT ROUND(SUM(value), 4) FROM events WHERE event_id <= 500) AS total
+           (SELECT CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+            FROM events WHERE event_id <= 500) AS total_dialect_cents
     FROM events
     """,
 )
@@ -1936,8 +1937,12 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     srv = IOServer(spark)
     clean = _staged_events_dir(spark, sf_dir)
+    # The dialect-side total rides the integer-cents grid (r6 ADVICE): the
+    # fragment stores pre-rounded cents, so oph_reduce's engine-order double
+    # sum is exact (integer-valued doubles far below 2^53) and order-free.
     stream = events_stream(spark, clean).where(F.col("event_id") <= 500).select(
-        F.col("event_id").alias("id_dim"), F.array(F.col("value")).alias("measure")
+        F.col("event_id").alias("id_dim"),
+        F.array(F.round(F.col("value") * 100)).alias("measure"),
     )
     streaming_insert_fragment(spark, stream, srv.catalog, "ev_frag")
     dialect_row = srv.execute(
@@ -1945,7 +1950,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "field=oph_count_array(oph_roll_up(measure))|oph_reduce(oph_roll_up(measure),'sum');"
         "select_alias=n_rows|total"
     ).select(F.col("n_rows").cast("bigint").alias("n_rows"),
-             F.round("total", 4).alias("total"))
+             F.col("total").cast("bigint").alias("total_dialect_cents"))
     return dedup_row.crossJoin(dialect_row)
 
 
@@ -4010,7 +4015,8 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE text IS NOT NULL)
     SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
            CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
-             AS rank
+             AS rank,
+           TRUE AS margin_ok
     FROM t GROUP BY item
     ORDER BY cnt DESC, item LIMIT 10
     """,
@@ -4025,7 +4031,18 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes exact counts for candidates only.  The oracle is the exact
     corpus top-10 — identical to the batch ``token_heavy_hitters`` row,
     proving the incremental MG survivors cover the true heavy hitters of
-    the WHOLE stream, not per batch."""
+    the WHOLE stream, not per batch.
+
+    ``margin_ok`` is the distribution-independence certificate (r6
+    ADVICE): MG only guarantees survival for items with frequency >
+    W_bucket/(k+1), so equality with the exact top-10 is conditional.
+    If the 10th candidate count strictly exceeds max_b(W_b)/(k+1), then
+    EVERY corpus item with count ≥ that 10th count is provably a
+    survivor of its own bucket (its bucket's bound is ≤ the max), so
+    the candidate top-10 — including any tie at the rank-10 cut — equals
+    the true corpus top-10.  A regenerated corpus with a flatter tail
+    flips this boolean (one named row) instead of nondeterministically
+    scrambling the top-10 hash."""
     import hashlib
     import os
 
@@ -4059,9 +4076,20 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
-    return (exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(10)
-            .select("item", "cnt",
-                    F.row_number().over(w).cast("bigint").alias("rank")))
+    # Certificate: max per-bucket token window over (k+1) — if the 10th
+    # candidate count clears it, the candidate top-10 IS the corpus top-10.
+    max_w = (corpus.groupBy(
+                F.pmod(F.xxhash64("item"), F.lit(16)).alias("bkt"))
+             .agg(F.count(F.lit(1)).alias("wb"))
+             .agg(F.max("wb").alias("mx")))
+    bound = (max_w.select((F.col("mx") / F.lit(64 + 1)).alias("bound")))
+    top10 = (exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(10)
+             .select("item", "cnt",
+                     F.row_number().over(w).cast("bigint").alias("rank")))
+    return top10.crossJoin(F.broadcast(bound)).select(
+        "item", "cnt", "rank",
+        (F.min("cnt").over(Window.partitionBy()) > F.col("bound"))
+        .alias("margin_ok"))
 
 
 @workload(
@@ -5046,8 +5074,10 @@ def tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM lineitem GROUP BY l_partkey)
     SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT))
                 AS BIGINT) AS rev_e4,
-           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT))
-                 / 7.0, 4) AS avg_yearly_e4
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT)) // 7
+                AS BIGINT) AS avg_yearly_e4_div7,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT)) % 7
+                AS BIGINT) AS avg_yearly_e4_rem7
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN agg ON agg.l_partkey = l.l_partkey
@@ -5071,9 +5101,17 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(agg, li["l_partkey"] == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("qty_thresh"))
     )
+    total = F.sum(rev).cast("bigint")
+    # avg_yearly stays on the order-free integer grid (quotient + remainder
+    # instead of ROUND(bigint/7.0, 4)): near 2^53 the double rounding of the
+    # two engines can disagree by one 1e-4 unit (r6 ADVICE).
     return j.agg(
-        F.sum(rev).cast("bigint").alias("rev_e4"),
-        F.round(F.sum(rev) / 7.0, 4).alias("avg_yearly_e4"),
+        total.alias("rev_e4"),
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) DIV 7"
+            " AS BIGINT)"
+        ).alias("avg_yearly_e4_div7"),
+        (total % F.lit(7)).cast("bigint").alias("avg_yearly_e4_rem7"),
     )
 
 
@@ -5166,11 +5204,18 @@ def doc_suffix_array_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/ranking.py::global_dense_rank``) verified by invariant
     booleans the hash binds: ``dense_ok`` — ranks are a dense 1..K
     sequence; ``order_ok`` — for EVERY pair of consecutive ranks the
-    representative suffixes compare strictly ascending under true
-    token-array lexicographic order (the whole point of the structure,
-    checked exhaustively, not sampled); ``shared_rank_ok`` — positions
-    sharing a rank have IDENTICAL suffix token arrays.  The construction
-    itself is differentially pinned against a Python suffix sort in
+    representative suffixes compare ascending under token-array
+    lexicographic order on a bounded 256-token prefix plus the true
+    suffix length (r6 ADVICE: materializing whole suffixes is
+    O(Σ len²) tokens shuffled — quadratic in document length at the
+    10×/100× mirrors).  The bounded check is exact whenever either
+    suffix fits in the window: equal prefixes with
+    ``len_next <= len`` and ``least(len, len_next) <= 256`` is a
+    provable order violation (a fully-visible suffix must be a PROPER
+    prefix of its successor); only the both-longer-than-256 tie is
+    indeterminate and accepted.  ``shared_rank_ok`` — positions sharing
+    a rank agree on (prefix-256, suffix length).  Full-array exactness
+    stays pinned by the Python differential in
     tests/test_dedup_varlen.py."""
     from ophidia_io_server_spark.pipeline.dedup import suffix_array_ranks
     from ophidia_io_server_spark.pipeline.text import tokens_col
@@ -5183,11 +5228,12 @@ def doc_suffix_array_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens_col(F.col("text")).alias("ws"))
         .where(F.size("ws") >= 1)
     )
+    P = 256
     suf = (
         sa.join(toks, on="doc_id")
         .select("doc_id", "pos", "rank",
-                F.slice("ws", F.col("pos").cast("int"), 1_000_000)
-                 .alias("suffix"))
+                F.slice("ws", F.col("pos").cast("int"), P).alias("pref"),
+                (F.size("ws") - F.col("pos") + 1).cast("bigint").alias("slen"))
     )
     n_positions = suf.count()
     agg = sa.agg(F.max("rank").alias("mx"),
@@ -5195,17 +5241,22 @@ def doc_suffix_array_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("rank").alias("nd")).collect()[0]
     dense_ok = bool(agg["mn"] == 1 and agg["mx"] == agg["nd"])
     reps = suf.groupBy("rank").agg(
-        F.min_by("suffix", F.struct("doc_id", "pos")).alias("suffix"),
-        F.countDistinct("suffix").alias("n_forms"),
+        F.min_by(F.struct("pref", "slen"), F.struct("doc_id", "pos"))
+         .alias("rep"),
+        F.countDistinct(F.struct("pref", "slen")).alias("n_forms"),
     )
     shared_rank_ok = bool(
         reps.agg(F.max("n_forms")).collect()[0][0] == 1)
     nxt = reps.select((F.col("rank") - 1).alias("rank"),
-                      F.col("suffix").alias("suffix_next"))
+                      F.col("rep").alias("rep_next"))
+    violated = (
+        (F.col("rep.pref") > F.col("rep_next.pref"))
+        | ((F.col("rep.pref") == F.col("rep_next.pref"))
+           & (F.col("rep_next.slen") <= F.col("rep.slen"))
+           & (F.least("rep.slen", "rep_next.slen") <= F.lit(P)))
+    )
     order_ok = bool(
-        reps.join(nxt, on="rank")
-        .where(~(F.col("suffix") < F.col("suffix_next")))
-        .count() == 0)
+        reps.join(nxt, on="rank").where(violated).count() == 0)
     return spark.createDataFrame(
         [(int(n_positions), dense_ok, order_ok, shared_rank_ok)],
         "n_positions long, dense_ok boolean, order_ok boolean, "
@@ -5268,7 +5319,7 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_opq_invariants",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           TRUE AS rotation_orthogonal_ok, TRUE AS l2_ranks_invariant_ok,
+           TRUE AS rotation_orthogonal_ok, TRUE AS l2_topk_set_invariant_ok,
            TRUE AS recon_not_worse_ok, TRUE AS recall_ok
     FROM embeddings
     """,
@@ -5304,8 +5355,13 @@ def ann_opq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact_raw = exact_l2_topk(emb, F.col("vec_id") < 10, k=5)
     exact_rot = exact_l2_topk(opq_rotate(emb, R), F.col("vec_id") < 10, k=5)
-    pairs_raw = exact_raw.select("query_id", "rank", "neighbor_id")
-    pairs_rot = exact_rot.select("query_id", "rank", "neighbor_id")
+    # Neighbor SETS per query, not (query, rank, neighbor) triples: an
+    # orthogonal rotation preserves distances only up to float error, so
+    # two neighbors closer than that error may legally swap ranks (r6
+    # ADVICE) — set equality is the rotation-invariance claim that is
+    # actually guaranteed.
+    pairs_raw = exact_raw.select("query_id", "neighbor_id")
+    pairs_rot = exact_rot.select("query_id", "neighbor_id")
     l2_ok = bool(
         pairs_raw.exceptAll(pairs_rot).count() == 0
         and pairs_rot.exceptAll(pairs_raw).count() == 0)
@@ -5323,7 +5379,7 @@ def ann_opq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(mse_p["n_vectors"]), rot_ok, l2_ok, recon_ok, recall_ok)],
         "n_vectors long, rotation_orthogonal_ok boolean, "
-        "l2_ranks_invariant_ok boolean, recon_not_worse_ok boolean, "
+        "l2_topk_set_invariant_ok boolean, recon_not_worse_ok boolean, "
         "recall_ok boolean")
 
 
