@@ -5443,10 +5443,12 @@ def doc_longest_dup_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_T = {
     "bigint": "BIGINT",
+    "boolean": "BOOLEAN",
     "double": "DOUBLE",
     "int": "INTEGER",
     "string": "VARCHAR",
     "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
 }
 
 # Member output schemas, pinned statically so the composite ORACLE can be
@@ -5464,8 +5466,14 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_events", "bigint"), ("total_cents", "bigint"),
         ],
     },
-    # three near-dup detectors, one exact-Jaccard oracle each
-    "dedup_near_pairs": {
+    # the full dedup family: exact hash-groupBy, the three near-dup
+    # detectors (one exact-Jaccard oracle each) and the fixed-window
+    # ExactSubstr span report
+    "dedup_suite": {
+        "dedup_exact": [
+            ("content_hash", "string"), ("rep_doc_id", "bigint"),
+            ("n_docs", "bigint"),
+        ],
         "dedup_ngram_jaccard": [
             ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
         ],
@@ -5474,6 +5482,213 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         ],
         "dedup_simhash_pairs": [
             ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+        ],
+        "dedup_substring_spans": [
+            ("doc_id", "bigint"), ("n_tokens", "bigint"),
+            ("dup_windows", "bigint"), ("n_spans", "bigint"),
+            ("dup_tokens", "bigint"), ("dup_frac", "double"),
+        ],
+    },
+    # the r6 variable-length dedup wave: suffix-sort longest-match report,
+    # Manber-Myers suffix-array invariants, incremental LSH
+    "varlen_dedup_suite": {
+        "doc_longest_dup_match": [
+            ("doc_id", "bigint"), ("n_tokens", "bigint"),
+            ("max_dup_len", "bigint"), ("n_dup_starts", "bigint"),
+            ("capped", "boolean"),
+        ],
+        "doc_suffix_array_invariants": [
+            ("n_positions", "bigint"), ("dense_ok", "boolean"),
+            ("order_ok", "boolean"), ("shared_rank_ok", "boolean"),
+        ],
+        "dedup_minhash_incremental": [
+            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+        ],
+    },
+    # TPC-H pricing trio (exact integer money grid)
+    "tpch_pricing_suite": {
+        "tpch_q1_pricing": [
+            ("l_returnflag", "string"), ("l_linestatus", "string"),
+            ("sum_qty", "bigint"), ("sum_base_price_cents", "bigint"),
+            ("sum_disc_price_e4", "bigint"), ("avg_qty", "double"),
+            ("count_order", "bigint"),
+        ],
+        "tpch_q5_local_supplier": [
+            ("n_name", "string"), ("revenue_e4", "bigint"),
+        ],
+        "tpch_q6_forecast": [("revenue_e4", "bigint")],
+    },
+    # the r6 TPC-H shapes
+    "tpch_suite": {
+        "tpch_q7_nation_volume": [
+            ("supp_nation", "string"), ("cust_nation", "string"),
+            ("l_year", "bigint"), ("revenue_e4", "bigint"),
+        ],
+        "tpch_q8_market_share": [
+            ("o_year", "bigint"), ("nation_e4", "bigint"),
+            ("total_e4", "bigint"), ("mkt_share", "double"),
+        ],
+        "tpch_q12_ship_priority": [
+            ("l_returnflag", "string"), ("high_line_count", "bigint"),
+            ("low_line_count", "bigint"),
+        ],
+        "tpch_q13_order_histogram": [
+            ("c_count", "bigint"), ("custdist", "bigint"),
+        ],
+        "tpch_q15_top_supplier": [
+            ("s_suppkey", "bigint"), ("s_name", "string"),
+            ("total_e4", "bigint"),
+        ],
+        "tpch_q17_small_qty_revenue": [
+            ("rev_e4", "bigint"), ("avg_yearly_e4_div7", "bigint"),
+            ("avg_yearly_e4_rem7", "bigint"),
+        ],
+        "tpch_q22_idle_customers": [
+            ("c_mktsegment", "string"), ("numcust", "bigint"),
+            ("totacctbal_cents", "bigint"),
+        ],
+    },
+    # the r5 TPC-H shapes
+    "tpch_legacy_suite": {
+        "tpch_q3_shipping_priority": [
+            ("l_orderkey", "bigint"), ("revenue_e4", "bigint"),
+            ("o_orderdate", "timestamp_ntz"), ("o_orderpriority", "string"),
+        ],
+        "tpch_q4_order_priority": [
+            ("o_orderpriority", "string"), ("order_count", "bigint"),
+        ],
+        "tpch_q10_returned_items": [
+            ("c_custkey", "bigint"), ("c_name", "string"),
+            ("n_name", "string"), ("revenue_e4", "bigint"),
+            ("c_acctbal", "double"),
+        ],
+        "tpch_q14_promo_share": [
+            ("month", "timestamp"), ("promo_e4", "bigint"),
+            ("total_e4", "bigint"), ("promo_share", "double"),
+        ],
+    },
+    # the three n-gram language models
+    "lm_suite": {
+        "doc_perplexity_lm": [
+            ("doc_id", "bigint"), ("n_bigrams", "bigint"),
+            ("avg_logprob", "double"), ("ppl", "double"),
+        ],
+        "doc_kneser_ney_lm": [
+            ("doc_id", "bigint"), ("n_bigrams", "bigint"),
+            ("n_unseen_pair", "bigint"), ("n_unseen_ctx", "bigint"),
+            ("avg_logprob", "double"), ("ppl", "double"),
+        ],
+        "doc_stupid_backoff_lm": [
+            ("doc_id", "bigint"), ("n_trigrams", "bigint"),
+            ("n_backoff2", "bigint"), ("n_backoff1", "bigint"),
+            ("avg_logscore", "double"),
+        ],
+    },
+    # beyond-reference Structured Streaming: bounded-state Misra-Gries,
+    # stream≡batch temperature mixing, the streaming curation recipe
+    "stream_suite": {
+        "stream_heavy_hitters": [
+            ("item", "string"), ("cnt", "bigint"), ("rank", "bigint"),
+            ("margin_ok", "boolean"),
+        ],
+        "stream_temperature_mix": [
+            ("lang", "string"), ("n_docs", "bigint"), ("weight", "double"),
+            ("target_rate", "double"), ("stream_equals_batch", "boolean"),
+            ("rate_ok", "boolean"),
+        ],
+        "stream_curation_recipe": [
+            ("n_docs", "bigint"), ("n_gopher_keep", "bigint"),
+            ("n_with_pii", "bigint"), ("kept_words", "bigint"),
+        ],
+    },
+    # the two iterative graph operators
+    "graph_suite": {
+        "events_pagerank_transitions": [
+            ("node", "string"), ("rank", "double"),
+        ],
+        "token_lpa_communities": [
+            ("node", "string"), ("label", "string"),
+        ],
+    },
+    # deterministic sampling: budget-fill without a global sort + exact-k
+    # bottom-k
+    "sampling_suite": {
+        "token_budget_select": [
+            ("doc_id", "bigint"), ("n_tokens", "bigint"),
+            ("quality", "double"), ("cum_before", "bigint"),
+        ],
+        "sample_bottom_k": [
+            ("lang", "string"), ("n_docs", "bigint"),
+            ("n_selected", "bigint"), ("exact_size_ok", "boolean"),
+            ("is_bottom_k_ok", "boolean"), ("layout_invariant_ok", "boolean"),
+        ],
+    },
+    # the vector-quantization ANN family (PQ, IVF-PQ, OPQ)
+    "ann_quant_suite": {
+        "ann_pq_invariants": [
+            ("n_vectors", "bigint"), ("codes_ok", "boolean"),
+            ("ranks_ok", "boolean"), ("recall_ok", "boolean"),
+        ],
+        "ann_ivfpq_invariants": [
+            ("n_vectors", "bigint"), ("ranks_ok", "boolean"),
+            ("results_complete", "boolean"), ("recall_ok", "boolean"),
+        ],
+        "ann_opq_invariants": [
+            ("n_vectors", "bigint"), ("rotation_orthogonal_ok", "boolean"),
+            ("l2_topk_set_invariant_ok", "boolean"),
+            ("recon_not_worse_ok", "boolean"), ("recall_ok", "boolean"),
+        ],
+    },
+    # batch gap-sessionization + its session_window streaming twin
+    "session_suite": {
+        "events_sessionize": [
+            ("user_id", "bigint"), ("session_id", "bigint"),
+            ("n_events", "bigint"),
+        ],
+        "events_session_window_streaming": [
+            ("user_id", "bigint"), ("session_start", "timestamp"),
+            ("n_events", "bigint"),
+        ],
+    },
+    # the document text-analysis family
+    "doc_text_suite": {
+        "doc_text_metrics": [
+            ("doc_id", "bigint"), ("ws_tokens", "bigint"),
+            ("bpe_tokens", "bigint"), ("stopword_ratio", "double"),
+            ("punct_ratio", "double"), ("fp", "bigint"),
+            ("text_redacted", "string"), ("n_url", "bigint"),
+            ("n_email", "bigint"), ("n_ipv4", "bigint"),
+            ("n_phone", "bigint"), ("has_pii", "boolean"),
+            ("char_entropy", "double"),
+        ],
+        "corpus_report": [
+            ("source", "string"), ("pred_lang", "string"),
+            ("n_docs", "bigint"), ("total_tokens", "bigint"),
+            ("mean_quality", "double"),
+        ],
+        "text_quality_lang": [
+            ("doc_id", "bigint"), ("n_tokens", "bigint"),
+            ("n_distinct_tokens", "bigint"), ("ttr", "double"),
+            ("mean_token_len", "double"), ("n_chars_m", "bigint"),
+            ("quality_score", "double"), ("labeled_lang", "string"),
+            ("pred_lang", "string"),
+        ],
+    },
+    # classic event-analytics rollups
+    "analytics_suite": {
+        "events_retention_cohorts": [
+            ("cohort_week", "bigint"), ("week_offset", "bigint"),
+            ("n_active", "bigint"), ("cohort_size", "bigint"),
+            ("retention", "double"),
+        ],
+        "events_funnel": [
+            ("n_users", "bigint"), ("n_view", "bigint"),
+            ("n_click", "bigint"), ("n_purchase", "bigint"),
+            ("view_to_click", "double"), ("click_to_purchase", "double"),
+        ],
+        "events_value_median": [
+            ("event_type", "string"), ("n", "bigint"),
+            ("median", "double"), ("q1_lower", "double"),
         ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
@@ -5553,7 +5768,10 @@ def _suite_oracle(members: dict[str, list[tuple[str, str]]]) -> str:
         have = {c for c, _ in cols}
         sel = ", ".join(
             [f"'{m}' AS op"]
-            + [c if c in have else f"CAST(NULL AS {_DUCK_T[t]}) AS {c}"
+            + [(f"CAST({c} AS INTEGER) AS {c}" if t == "boolean" else c)
+               if c in have
+               else ("CAST(NULL AS INTEGER)" if t == "boolean"
+                     else f"CAST(NULL AS {_DUCK_T[t]})") + f" AS {c}"
                for c, t in sup]
         )
         arms.append(f"SELECT {sel} FROM (\n{WORKLOADS[m].oracle}\n)")
@@ -5562,18 +5780,27 @@ def _suite_oracle(members: dict[str, list[tuple[str, str]]]) -> str:
 
 def _suite_fn(member_names: list[str]):
     def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.types import BooleanType, IntegerType
+
         dfs = {m: WORKLOADS[m].fn(spark, sf_dir) for m in member_names}
         sup: list[tuple[str, object]] = []
         for df in dfs.values():
             for f in df.schema.fields:
                 if all(f.name != s for s, _ in sup):
-                    sup.append((f.name, f.dataType))
+                    # booleans ride the composite as INTEGER 0/1: a NULL
+                    # boolean pad maps to pandas dtypes differently per
+                    # engine (bool-object vs float NaN) and flunks the
+                    # driver's typed compare
+                    t = (IntegerType() if isinstance(f.dataType, BooleanType)
+                         else f.dataType)
+                    sup.append((f.name, t))
         parts = []
         for m, df in dfs.items():
             have = set(df.columns)
             parts.append(df.select(
                 F.lit(m).alias("op"),
-                *[(F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+                *[(F.col(c).cast(t) if c in have
+                   else F.lit(None).cast(t)).alias(c)
                   for c, t in sup],
             ))
         out = parts[0]
@@ -5596,31 +5823,36 @@ for _sname, _members in _SUITES.items():
     workload(_sname, oracle=_suite_oracle(_members))(_f)
 
 
-# The 50 names the driver's gate will see, in order.  Every §2 operator that
-# was carried by one of the first-50 rows in rounds 1-5 is still inside the
-# window (directly or via its suite composite); the slots freed by the six
-# composites carry the round-5 operator wave.  Everything else stays
-# registered after the window for mirror + bench coverage.
+# The 50 names the driver's gate will see, in order.  Every §2 operator
+# carried by a gate row in rounds 1-6 is still inside the window (directly
+# or via its suite composite); the r7 re-curation composites the whole r6
+# wave (varlen dedup, KN LM, streaming MG/mix/recipe, LPA, bottom-k, OPQ,
+# the six new TPC-H shapes) plus the remaining r5 stragglers into suites,
+# so 70+ standalone workloads now sit inside the 50 hard-signal slots.
+# STANDING POLICY (r7+): a new operator enters this window in the round it
+# is built — by joining the closest existing suite (zero slot cost) or by
+# a new composite; mirror-only protection is a staging state, not a home.
 GATE_ORDER: list[str] = [
     "select_reduce", "scalar_predicate", "subarray_reduce",
     "moving_avg_accumulate", "join_mul_array", "join_three_way",
     "group_aggregates", "ctas_rollup", "fragment_set_ops",
     "global_aggregate", "random_import", "import_nc_esdm",
     "subset_procedure", "size_procedure", "insert_multi",
-    "tpch_q1_pricing", "tpch_q6_forecast", "tpch_q5_local_supplier",
+    "tpch_pricing_suite", "tpch_suite", "tpch_legacy_suite",
+    "tpch_q18_large_orders",
     "events_hourly_suite", "events_type_stats", "sketch_approx_stats",
-    "dedup_exact", "dedup_near_pairs", "dedup_substring_spans",
-    "curation_quality_rules", "token_budget_select", "dsir_importance",
+    "dedup_suite", "varlen_dedup_suite",
+    "curation_quality_rules", "sampling_suite", "dsir_importance",
     "source_overlap_matrix", "embedding_pca_invariants",
-    "quality_classifier_score", "text_quality_lang", "doc_text_metrics",
-    "corpus_report", "ann_topk_suite", "embedding_cosine_pairs",
+    "quality_classifier_score", "doc_text_suite",
+    "ann_topk_suite", "ann_quant_suite", "embedding_cosine_pairs",
     "multimodal_suite", "stream_dedup_dialect",
-    "events_session_window_streaming", "events_sessionize",
+    "session_suite", "stream_suite",
     "gsl_suite", "tensor_shape_suite",
     "events_asof_attribution", "events_interval_join",
-    "bm25_doc_retrieval", "doc_perplexity_lm", "bpe_train_invariants",
-    "events_pagerank_transitions", "token_heavy_hitters",
-    "curation_split_clusters", "tpch_q18_large_orders",
+    "bm25_doc_retrieval", "lm_suite", "bpe_train_invariants",
+    "graph_suite", "token_heavy_hitters",
+    "curation_split_clusters", "analytics_suite", "doc_quality_deciles",
 ]
 
 

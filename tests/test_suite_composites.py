@@ -43,12 +43,17 @@ def test_member_schema_pins_match_live(spark, suite):
         assert live == pinned, f"{suite}/{m}: schema drift {live} != {pinned}"
 
 
-@pytest.mark.parametrize("suite", ["dedup_near_pairs", "multimodal_suite"])
+@pytest.mark.parametrize("suite", ["dedup_suite", "multimodal_suite",
+                                   "varlen_dedup_suite", "tpch_suite"])
 def test_suite_arm_equals_standalone(spark, suite):
     comp = WORKLOADS[suite].fn(spark, SF_DIR)
     for m, pinned in _SUITES[suite].items():
+        # booleans ride the composite as INTEGER 0/1 (NULL-pad dtype rule);
+        # cast the standalone row the same way before comparing
+        sel = [F.col(c).cast("int").alias(c) if t == "boolean" else F.col(c)
+               for c, t in pinned]
         cols = [c for c, _ in pinned]
         arm = comp.where(F.col("op") == m).select(*cols)
-        solo = WORKLOADS[m].fn(spark, SF_DIR).select(*cols)
+        solo = WORKLOADS[m].fn(spark, SF_DIR).select(*sel)
         assert arm.exceptAll(solo).count() == 0
         assert solo.exceptAll(arm).count() == 0
