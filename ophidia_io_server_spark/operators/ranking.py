@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 def global_dense_rank(df: DataFrame, cols: list[str],
                       partitions: int | None = None,
-                      rank_col: str = "rank") -> DataFrame:
+                      rank_col: str = "rank",
+                      return_max: bool = False):
     """Append a DENSE global 1-based rank over the total order of ``cols``
     without any single-partition stage.
 
@@ -25,12 +26,20 @@ def global_dense_rank(df: DataFrame, cols: list[str],
          same range partition (the partitioner assigns by key comparison),
          so no key group is ever split across partitions;
       2. per-partition dense ranks (window keyed on the partition id) +
-         a per-partition distinct-count summary whose running sum (a
-         window over ≤ P rows — bounded by the partition COUNT, not the
-         data) provides each partition's rank offset, broadcast back.
+         a per-partition distinct-count summary (≤ P rows — bounded by
+         the partition COUNT, not the data) collected to the driver; its
+         prefix sums become each partition's rank offset, joined back as
+         a broadcast literal table.
 
     Deterministic for any input layout; ties (equal ``cols``) share a
     rank, as SQL DENSE_RANK does.
+
+    With ``return_max=True`` returns ``(ranked_df, max_rank)`` — the
+    global max rank is the SUM of the per-partition distinct counts the
+    offset summary already holds, so callers that need it (e.g. the
+    suffix-array doubling loop's all-distinct early exit) get it with
+    ZERO extra passes over the data (r6 verdict #3: the separate
+    ``max(rank)`` action was one full corpus-table scan per round).
 
     The ranged layout is ``localCheckpoint``-ed before anything reads it:
     the local-rank branch and the offset branch would otherwise each
@@ -41,7 +50,8 @@ def global_dense_rank(df: DataFrame, cols: list[str],
     Measured: without the pin, ranks over a 31-token corpus came back
     with collisions/gaps whenever Catalyst declined to reuse the
     exchange."""
-    nparts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    nparts = partitions or spark.sparkContext.defaultParallelism
     keyed = (
         df.repartitionByRange(nparts, *cols)
         .localCheckpoint()
@@ -49,14 +59,20 @@ def global_dense_rank(df: DataFrame, cols: list[str],
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     local = keyed.withColumn("_lrank", F.dense_rank().over(w))
-    counts = local.groupBy("_pid").agg(F.max("_lrank").alias("_nd"))
-    wo = (Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    offs = counts.withColumn(
-        "_off", F.coalesce(F.sum("_nd").over(wo), F.lit(0)))
-    return (
-        local.join(F.broadcast(offs.select("_pid", "_off")), on="_pid")
+    counts = sorted(
+        (r["_pid"], r["_nd"]) for r in
+        local.groupBy("_pid").agg(F.max("_lrank").alias("_nd")).collect()
+    )
+    off, offs_rows = 0, []
+    for pid, nd in counts:
+        offs_rows.append((pid, off))
+        off += nd
+    max_rank = off
+    offs = spark.createDataFrame(offs_rows or [(0, 0)], "_pid int, _off long")
+    ranked = (
+        local.join(F.broadcast(offs), on="_pid")
         .withColumn(rank_col,
                     (F.col("_lrank") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrank", "_off")
     )
+    return (ranked, max_rank) if return_max else ranked

@@ -815,7 +815,7 @@ def remove_duplicate_paragraphs(docs: DataFrame, text_col: str = "text",
 
 
 def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
-                            max_match: int = 128, text_col: str = "text",
+                            max_match: int = 32, text_col: str = "text",
                             id_col: str = "doc_id",
                             partitions: int | None = None) -> DataFrame:
     """Variable-length ExactSubstr: per document, the length of the LONGEST
@@ -855,8 +855,12 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
     ``capped = true`` (raise the cap, or accept "≥ cap" — Lee et al. cut
     at 50 tokens, far below any sane cap).  Cost: the sort key inflates
     each position to ≤ max_match hashes — an explicit, bounded ×cap blowup
-    instead of the suffix array's log-rounds of global sorts; at 100 TB
-    pick max_match just above the report horizon.  Hash collisions over
+    instead of the suffix array's log-rounds of global sorts; the default
+    cap is 32 (the one exchange ships ≤ 32× the corpus token volume —
+    r6 verdict: 128 made that exchange dominate everything at 100 TB),
+    pick max_match just above the report horizon, or use the UNCAPPED
+    ``longest_match_report_sa`` (constant-width exchanges) when the
+    horizon is unknown.  Hash collisions over
     64-bit keys are the same accepted risk as the window hashing above.
 
     Returns (id_col, n_tokens, max_dup_len, n_dup_starts, capped) for docs
@@ -964,7 +968,8 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
 
 def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       partitions: int | None = None) -> DataFrame:
+                       partitions: int | None = None,
+                       return_rounds: bool = False):
     """Distributed suffix array over the tokenized corpus — genuine
     Manber-Myers rank doubling (the structure Lee et al. 2022 build for
     ExactSubstr), with NO hashing anywhere: suffixes are ordered by true
@@ -984,7 +989,14 @@ def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
     (doc, pos) plus one ``global_dense_rank`` (a range exchange + bounded
     offset summary — ``operators/ranking.py``); ⌈log2 maxlen⌉ rounds with
     early exit once all ranks are distinct.  State per round is one
-    (doc, pos, rank) table, localCheckpoint-ed flat."""
+    (doc, pos, rank) table, localCheckpoint-ed flat.
+
+    With ``return_rounds=True`` returns ``(final, lengths, rounds)``:
+    ``lengths`` = (id_col, n_tokens) per doc, and ``rounds`` = the list of
+    ``(width, rank_df)`` checkpoints from every doubling round (rank_df
+    ranks suffixes by their first ``width`` tokens).  The rounds are the
+    free by-product that makes exact UNCAPPED neighbor LCPs computable in
+    ⌈log₂ lcp⌉ constant-width probes (``longest_match_report_sa``)."""
     from ophidia_io_server_spark.operators.ranking import global_dense_rank
 
     toks = (
@@ -997,22 +1009,183 @@ def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
         id_col,
         F.posexplode("ws").alias("p0", "tok"),
     ).select(id_col, (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
-    maxlen = toks.agg(F.max(F.size("ws"))).collect()[0][0] or 0
-    total = pos.count()
-    cur = (global_dense_rank(pos, ["tok"], partitions)
-           .select(id_col, "pos", "rank").localCheckpoint())
+    agg = toks.agg(F.max(F.size("ws")).alias("mx"),
+                   F.sum(F.size("ws")).alias("tot")).collect()[0]
+    maxlen, total = agg["mx"] or 0, agg["tot"] or 0
+    ranked, max_rank = global_dense_rank(pos, ["tok"], partitions,
+                                         return_max=True)
+    cur = ranked.select(id_col, "pos", "rank").localCheckpoint()
+    rounds = [(1, cur)]
     step = 1
-    while step < maxlen:
+    # the early-exit max rank comes from the rank's own offset summary
+    # (r6 verdict #3) — one corpus pass per doubling round, not two
+    while step < maxlen and max_rank != total:
         shifted = cur.select(
             F.col(id_col), (F.col("pos") - step).alias("pos"),
             F.col("rank").alias("_r2"))
         pair = (cur.join(shifted, on=[id_col, "pos"], how="left")
                 .fillna({"_r2": 0}))
-        cur = (global_dense_rank(pair, ["rank", "_r2"], partitions,
-                                 rank_col="_nr")
-               .select(id_col, "pos", F.col("_nr").alias("rank"))
+        ranked, max_rank = global_dense_rank(pair, ["rank", "_r2"],
+                                             partitions, rank_col="_nr",
+                                             return_max=True)
+        cur = (ranked.select(id_col, "pos", F.col("_nr").alias("rank"))
                .localCheckpoint())
         step *= 2
-        if cur.agg(F.max("rank")).collect()[0][0] == total:
-            break  # all suffixes distinct — further rounds are no-ops
-    return cur
+        rounds.append((step, cur))
+    if not return_rounds:
+        return cur
+    lengths = toks.select(id_col, F.size("ws").cast("bigint")
+                          .alias("n_tokens"))
+    return cur, lengths, rounds
+
+
+def _sa_position_lengths(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         partitions: int | None = None) -> DataFrame:
+    """Per-position longest-duplicate length from the suffix array —
+    UNCAPPED and hash-free.  For every corpus position, L = the length of
+    the longest token substring starting there that occurs at ≥2 distinct
+    (doc, pos) sites corpus-wide.  Returns (id_col, pos, n_tokens, L)
+    with one row for EVERY tokenized position (L = 0 when nothing
+    repeats).
+
+    The suffix-array form of the classic fact: a suffix's best match is a
+    suffix-order neighbor, so L(pos) = max(LCP with the previous rank's
+    suffix, LCP with the next rank's suffix, full suffix length if the
+    rank is shared — identical suffixes).  Neighbor LCPs come from the
+    Manber-Myers doubling rounds ``suffix_array_ranks`` already built:
+    greedy binary descent — probe the width-2^j rank table at the current
+    matched offset, add 2^j on rank equality — gives the EXACT LCP in
+    ⌈log₂ maxlen⌉ rounds of two constant-width equi-joins each (the r6
+    verdict's replacement for the hash path's ×max_match sort-key
+    payload; ``longest_duplicate_match`` keeps the single-exchange capped
+    fast path).  An equal-rank probe can overshoot only when both
+    remaining suffixes are identical, in which case the true LCP is the
+    common remaining length — restored by the final least(lcp, slen_a,
+    slen_b) clamp."""
+    from pyspark.sql import Window  # noqa: F401  (parity with callers)
+
+    final, lengths, rounds = suffix_array_ranks(
+        docs, text_col, id_col, partitions, return_rounds=True)
+    sa = (final.join(lengths, on=id_col)
+          .select(id_col, "pos", "rank", "n_tokens",
+                  (F.col("n_tokens") - F.col("pos") + 1).cast("bigint")
+                  .alias("slen")))
+    reps = (sa.groupBy("rank").agg(
+        F.min_by(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"),
+                          F.col("slen").alias("s")),
+                 F.struct(id_col, "pos")).alias("a"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).localCheckpoint())
+    nxt = reps.select((F.col("rank") - 1).alias("rank"),
+                      F.col("a").alias("b"))
+    pairs = (reps.join(nxt, on="rank")
+             .select("rank",
+                     F.col("a.d").alias("d1"), F.col("a.p").alias("p1"),
+                     F.col("a.s").alias("s1"),
+                     F.col("b.d").alias("d2"), F.col("b.p").alias("p2"),
+                     F.col("b.s").alias("s2"))
+             .withColumn("lcp", F.lit(0).cast("bigint")))
+    for w, rw in sorted(rounds, key=lambda t: -t[0]):
+        r1 = rw.select(F.col(id_col).alias("d1"),
+                       F.col("pos").alias("_q1"), F.col("rank").alias("_ra"))
+        r2 = rw.select(F.col(id_col).alias("d2"),
+                       F.col("pos").alias("_q2"), F.col("rank").alias("_rb"))
+        pairs = (
+            pairs
+            .withColumn("_q1", F.col("p1") + F.col("lcp"))
+            .withColumn("_q2", F.col("p2") + F.col("lcp"))
+            .join(r1, on=["d1", "_q1"], how="left")
+            .join(r2, on=["d2", "_q2"], how="left")
+            .withColumn(
+                "lcp",
+                F.when(F.col("_ra").isNotNull()
+                       & (F.col("_ra") == F.col("_rb")),
+                       F.col("lcp") + F.lit(w)).otherwise(F.col("lcp")))
+            .drop("_q1", "_q2", "_ra", "_rb")
+            .localCheckpoint()  # keep the per-round plan flat
+        )
+    pairs = pairs.withColumn("lcp", F.least("lcp", "s1", "s2"))
+    neigh = (pairs.select("rank", "lcp")
+             .unionByName(pairs.select((F.col("rank") + 1).alias("rank"),
+                                       "lcp")))
+    nl = neigh.groupBy("rank").agg(F.max("lcp").alias("_nlcp"))
+    l_rank = (reps.join(nl, on="rank", how="left")
+              .select("rank",
+                      F.greatest(
+                          F.coalesce(F.col("_nlcp"), F.lit(0)),
+                          F.when(F.col("cnt") >= 2, F.col("a.s"))
+                           .otherwise(F.lit(0))).cast("bigint").alias("L")))
+    return sa.join(l_rank, on="rank").select(id_col, "pos", "n_tokens", "L")
+
+
+def longest_match_report_sa(docs: DataFrame, min_len: int = 8,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            partitions: int | None = None) -> DataFrame:
+    """UNCAPPED variable-length ExactSubstr report from the suffix array —
+    the exact-LCP rebase of ``longest_duplicate_match`` (r6 verdict #2):
+    same (id, n_tokens, max_dup_len, n_dup_starts) semantics, no
+    ``max_match`` cap and no ×cap exchange payload; every exchange ships
+    constant-width rows.  Differential vs the suffix-automaton reference
+    and row-identity vs the capped path (below its cap) in
+    tests/test_dedup_varlen.py."""
+    per_pos = _sa_position_lengths(docs, text_col, id_col, partitions)
+    return (
+        per_pos.where(F.col("L") >= min_len)
+        .groupBy(id_col)
+        .agg(F.first("n_tokens").alias("n_tokens"),
+             F.max("L").cast("bigint").alias("max_dup_len"),
+             F.count(F.lit(1)).cast("bigint").alias("n_dup_starts"))
+    )
+
+
+def remove_duplicate_spans_varlen(docs: DataFrame, min_len: int = 50,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  partitions: int | None = None) -> DataFrame:
+    """Variable-length ExactSubstr CUT (Lee et al. 2022 §3: remove every
+    substring occurrence whose maximal corpus-wide duplicated match is
+    ≥ ``min_len`` tokens) — thresholded on TRUE match length from the
+    suffix array, not on fixed-window coverage.  A position p is cut iff
+    some position q ≤ p in the same document has L(q) ≥ min_len and
+    q + L(q) > p (it lies inside a long-enough duplicated run); that
+    reach is one per-doc running-max window over the
+    ``_sa_position_lengths`` table.  By the coverage-equivalence theorem
+    (documented at ``remove_duplicate_spans``) the REMOVED POSITION SET
+    equals fixed-window coverage at window = min_len — asserted as a
+    cross-algorithm test, not assumed.
+
+    NULL-text and empty docs pass through unchanged with n_removed = 0.
+    Returns (id_col, text_cleaned, n_tokens, n_removed)."""
+    from pyspark.sql import Window
+
+    per_pos = _sa_position_lengths(docs, text_col, id_col, partitions)
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    reach = F.max(F.when(F.col("L") >= min_len,
+                         F.col("pos") + F.col("L"))).over(w)
+    flagged = per_pos.withColumn(
+        "covered", F.coalesce(reach > F.col("pos"), F.lit(False)))
+    per_doc = flagged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "covered"))).alias("fl"))
+    toks = docs.select(
+        id_col, F.col(text_col),
+        F.when(F.col(text_col).isNotNull(),
+               tokens_col(F.col(text_col))).alias("ws"))
+    return (
+        toks.join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.when(F.col("fl").isNull(), F.col(text_col))
+             .otherwise(F.array_join(
+                 F.filter(
+                     F.zip_with("ws", F.col("fl"),
+                                lambda t, f: F.when(~f["covered"], t)),
+                     lambda x: x.isNotNull()), " ")).alias("text_cleaned"),
+            F.when(F.col("ws").isNull(), F.lit(0))
+             .otherwise(F.size("ws")).cast("bigint").alias("n_tokens"),
+            F.when(F.col("fl").isNull(), F.lit(0))
+             .otherwise(F.size(F.filter("fl", lambda f: f["covered"])))
+             .cast("bigint").alias("n_removed"),
+        )
+    )

@@ -5425,6 +5425,100 @@ def doc_longest_dup_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_duplicate_match(docs, min_len=8, max_match=128)
 
 
+@workload(
+    "doc_varlen_sa_report",
+    oracle="""
+    WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                            x -> x <> '') AS tk
+                 FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+           FROM tok WHERE len(tk) >= 1),
+    sub AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(l AS BIGINT) AS len,
+             md5(array_to_string(tk[i:i + l - 1], chr(31))) AS h
+      FROM (SELECT doc_id, tk, n, unnest(range(1, n + 1)) AS i FROM tt) t,
+           unnest(range(1, t.n - t.i + 2)) AS ls(l)),
+    dup AS (SELECT len, h FROM sub GROUP BY len, h HAVING COUNT(*) >= 2),
+    j AS (SELECT s.doc_id, s.pos, s.len FROM sub s JOIN dup USING (len, h)),
+    per AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_dup_len,
+                   CAST(COUNT(DISTINCT CASE WHEN len >= 8 THEN pos END)
+                        AS BIGINT) AS n_dup_starts
+            FROM j GROUP BY doc_id)
+    SELECT per.doc_id, tt.n AS n_tokens, per.max_dup_len, per.n_dup_starts
+    FROM per JOIN tt USING (doc_id)
+    WHERE per.max_dup_len >= 8
+    """,
+)
+def doc_varlen_sa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED variable-length ExactSubstr report from the distributed
+    suffix array (``pipeline/dedup.py::longest_match_report_sa``): exact
+    neighbor LCPs via greedy binary descent over the Manber-Myers doubling
+    rounds — log-rounds of constant-width equi-joins, no ×max_match
+    sort-key payload (the r6 verdict's rebase of
+    ``doc_longest_dup_match``).  The oracle is the fully UNCAPPED brute
+    force: every substring of every length hashed (lateral
+    per-position length range), duplicated (len, hash) classes joined
+    back.  Differential vs the suffix-automaton reference + row-identity
+    with the capped path below its cap in tests/test_dedup_varlen.py."""
+    from ophidia_io_server_spark.pipeline.dedup import longest_match_report_sa
+
+    docs = load_table(spark, sf_dir, "documents")
+    return longest_match_report_sa(docs, min_len=8)
+
+
+@workload(
+    "doc_varlen_cut",
+    oracle="""
+    WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                            x -> x <> '') AS tk
+                 FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+           FROM tok WHERE len(tk) >= 1),
+    win AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(tk[i:i + 7], chr(31))) AS h
+      FROM (SELECT doc_id, tk, n, unnest(range(1, n - 8 + 2)) AS i
+            FROM tt WHERE n >= 8)),
+    dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (SELECT DISTINCT w.doc_id, c.p
+            FROM win w JOIN dup USING (h),
+                 unnest(range(w.pos, w.pos + 8)) AS c(p)),
+    posl AS (SELECT doc_id, tk, n, unnest(range(1, n + 1)) AS p FROM tt),
+    kept AS (SELECT pl.doc_id,
+                    COALESCE(string_agg(CASE WHEN cov.p IS NULL
+                                             THEN pl.tk[pl.p] END,
+                                        ' ' ORDER BY pl.p), '')
+                      AS text_cleaned,
+                    CAST(COUNT(cov.p) AS BIGINT) AS n_removed
+             FROM posl pl LEFT JOIN cov
+               ON cov.doc_id = pl.doc_id AND cov.p = pl.p
+             GROUP BY pl.doc_id)
+    SELECT k.doc_id, k.text_cleaned, tt.n AS n_tokens, k.n_removed
+    FROM kept k JOIN tt USING (doc_id)
+    """,
+)
+def doc_varlen_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length ExactSubstr CUT (Lee et al. 2022: remove every
+    position inside a maximal duplicated run of TRUE length ≥ 8 tokens)
+    via ``pipeline/dedup.py::remove_duplicate_spans_varlen`` — per-position
+    longest-match lengths from the suffix array, then one per-doc
+    running-max reach window.  The oracle exploits the coverage-
+    equivalence theorem (positions inside a length-≥T duplicate ≡
+    positions inside a duplicated T-window, documented at
+    ``remove_duplicate_spans``): it computes fixed-8-window coverage and
+    rebuilds the kept text — so the hash binds the theorem itself, plus
+    the cut differential in tests/test_dedup_varlen.py."""
+    from ophidia_io_server_spark.pipeline.dedup import (
+        remove_duplicate_spans_varlen,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()))
+    docs = docs.where(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")) >= 1)
+    return remove_duplicate_spans_varlen(docs, min_len=8)
+
+
 # ---------------------------------------------------------------------------
 # Suite composites + driver-gate slot curation (round 6)
 #
@@ -5503,6 +5597,14 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         ],
         "dedup_minhash_incremental": [
             ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+        ],
+        "doc_varlen_sa_report": [
+            ("doc_id", "bigint"), ("n_tokens", "bigint"),
+            ("max_dup_len", "bigint"), ("n_dup_starts", "bigint"),
+        ],
+        "doc_varlen_cut": [
+            ("doc_id", "bigint"), ("text_cleaned", "string"),
+            ("n_tokens", "bigint"), ("n_removed", "bigint"),
         ],
     },
     # TPC-H pricing trio (exact integer money grid)

@@ -260,3 +260,121 @@ def test_global_dense_rank_matches_sql_semantics(spark):
     ordered = sorted(by_v.items())
     ranks = [next(iter(s)) for _, s in ordered]
     assert ranks == list(range(1, len(ordered) + 1))
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_sa_report_matches_suffix_automaton_reference(spark, seed):
+    """The suffix-array rebase must be EXACT and uncapped: per-doc longest
+    duplicated substring + start counts equal the automaton reference."""
+    from ophidia_io_server_spark.pipeline.dedup import longest_match_report_sa
+
+    rng = np.random.default_rng(seed)
+    docs = _mk_corpus(rng, planted=[(0, 2, 5, 1, 23), (7, 0, 7, 30, 11),
+                                    (3, 4, 9, 9, 8)])
+    ref = _ref_longest(docs)
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           longest_match_report_sa(df, min_len=8).collect()}
+    for i, per_pos in enumerate(ref):
+        mx = max(per_pos, default=0)
+        starts = sum(1 for v in per_pos if v >= 8)
+        if mx >= 8:
+            assert got[i]["max_dup_len"] == mx
+            assert got[i]["n_dup_starts"] == starts
+            assert got[i]["n_tokens"] == len(per_pos)
+        else:
+            assert i not in got
+
+
+def test_sa_report_agrees_with_capped_path_below_cap(spark):
+    """Row-identity between the hash-bucket capped path and the SA rebase
+    wherever the cap does not bind (max_dup_len < cap)."""
+    rng = np.random.default_rng(11)
+    docs = _mk_corpus(rng, planted=[(1, 3, 8, 0, 31), (2, 1, 6, 2, 14)])
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    from ophidia_io_server_spark.pipeline.dedup import longest_match_report_sa
+
+    capped = {r["doc_id"]: r for r in
+              longest_duplicate_match(df, min_len=8, max_match=64).collect()}
+    sa = {r["doc_id"]: r for r in
+          longest_match_report_sa(df, min_len=8).collect()}
+    assert set(capped) == set(sa)
+    for i, r in sa.items():
+        assert not capped[i]["capped"]
+        for c in ("n_tokens", "max_dup_len", "n_dup_starts"):
+            assert r[c] == capped[i][c], (i, c)
+
+
+def test_varlen_cut_matches_reference_cut(spark):
+    """Cut differential: remove exactly the positions inside a duplicated
+    run of true length >= T, per the automaton reference lengths."""
+    from ophidia_io_server_spark.pipeline.dedup import (
+        remove_duplicate_spans_varlen,
+    )
+
+    rng = np.random.default_rng(4)
+    docs = _mk_corpus(rng, planted=[(0, 2, 5, 1, 23), (7, 0, 7, 30, 11)])
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    T = 10
+    ref = _ref_longest(docs)
+    got = {r["doc_id"]: r for r in
+           remove_duplicate_spans_varlen(df, min_len=T).collect()}
+    for i, per_pos in enumerate(ref):
+        covered = [False] * len(per_pos)
+        for q, L in enumerate(per_pos):
+            if L >= T:
+                for p in range(q, min(len(per_pos), q + L)):
+                    covered[p] = True
+        kept = " ".join(t for t, c in zip(docs[i], covered) if not c)
+        assert got[i]["text_cleaned"] == kept, i
+        assert got[i]["n_removed"] == sum(covered)
+        assert got[i]["n_tokens"] == len(per_pos)
+
+
+def test_varlen_cut_null_and_empty_text_pass_through(spark):
+    from ophidia_io_server_spark.pipeline.dedup import (
+        remove_duplicate_spans_varlen,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a b c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_duplicate_spans_varlen(df, min_len=5).collect()}
+    assert got[0]["text_cleaned"] is None and got[0]["n_removed"] == 0
+    assert got[1]["text_cleaned"] == "" and got[1]["n_removed"] == 0
+    assert got[2]["text_cleaned"] == "a b c" and got[2]["n_tokens"] == 3
+
+
+def test_varlen_cut_coverage_equals_fixed_window_coverage(spark):
+    """The coverage-equivalence theorem, asserted cross-algorithm: the
+    varlen cut's removed POSITION SET at threshold T equals fixed-window
+    duplicate coverage at window T."""
+    from ophidia_io_server_spark.pipeline.dedup import (
+        remove_duplicate_spans_varlen,
+    )
+
+    rng = np.random.default_rng(13)
+    docs = _mk_corpus(rng, planted=[(2, 1, 6, 2, 14), (4, 0, 4, 20, 9)])
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    T = 8
+    base = _dup_window_base(df, T, "text", with_tokens=False)
+    dup = (base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= 2).select("h"))
+    # fixed coverage: positions [q, q+T) for every duplicated window start q
+    fixed_cov = {}
+    for r in base.join(dup, "h").select("doc_id", "pos").collect():
+        s = fixed_cov.setdefault(r["doc_id"], set())
+        s.update(range(r["pos"], r["pos"] + T))  # 0-based starts
+    got = {r["doc_id"]: r for r in
+           remove_duplicate_spans_varlen(df, min_len=T).collect()}
+    for i, tk in enumerate(docs):
+        want_removed = len(fixed_cov.get(i, set()))
+        assert got[i]["n_removed"] == want_removed, i
