@@ -244,3 +244,75 @@ def final_candidates(emitted: DataFrame) -> DataFrame:
         .where((F.col("round") == F.col("_mx")) & F.col("item").isNotNull())
         .select("item").distinct()
     )
+
+
+def minhash_lsh_stream(stream_docs: DataFrame, n: int = 3,
+                       threshold: float = 0.5, num_hashes: int = 64,
+                       bands: int = 16, text_col: str = "text",
+                       timeout_sec: int = 300) -> DataFrame:
+    """Streaming incremental MinHash+LSH dedup (the foreachBatch
+    realization of ``pipeline/dedup.py::minhash_lsh_pairs_incremental`` —
+    its docstring's "persist the signatures between batches" note made
+    real, r6 verdict #6).
+
+    Per micro-batch: shingle + sign ONLY the arriving docs, probe their
+    band rows against the PERSISTED corpus band index (plus the batch's
+    own rows, for new↔new pairs), exact-verify the candidates against the
+    persisted shingle table, emit the verified pairs, then append the
+    batch's bands/shingles to the persisted state.  Per-batch probe cost
+    is |batch|·bands rows against the index — the corpus is never
+    re-banded, never self-joined.
+
+    Because banding and signatures are per-doc deterministic, the UNION
+    of emitted pairs over any batch decomposition equals the one-shot
+    ``minhash_lsh_pairs`` over the whole corpus (the batch-arrival
+    invariance the incremental operator gates) — asserted as the
+    ``stream_equals_batch`` boolean in the ``stream_minhash_incremental``
+    workload.  State is the band index + shingle table, exactly what a
+    production pipeline persists between ingestion runs.
+
+    Returns the union of per-batch verified (doc_a, doc_b, jaccard) rows.
+    Doc ids must be unique across the stream."""
+    from ophidia_io_server_spark.pipeline.dedup import (
+        _band_rows,
+        _verify_pairs,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    r = num_hashes // bands
+    state: dict = {"bands": None, "sh": None}
+    emitted: list[DataFrame] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", text_col).localCheckpoint()
+        if batch.rdd.isEmpty():
+            return
+        sh_new = shingle_df(batch, n, text_col).localCheckpoint()
+        bands_new = _band_rows(minhash_signatures(sh_new, num_hashes),
+                               bands, r).localCheckpoint()
+        all_bands = (bands_new if state["bands"] is None
+                     else state["bands"].unionByName(bands_new))
+        all_sh = (sh_new if state["sh"] is None
+                  else state["sh"].unionByName(sh_new))
+        a = bands_new.alias("a")
+        b = all_bands.alias("b")
+        cand = (
+            a.join(b, on=["band", "bucket"])
+            .where(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"))
+            .distinct()
+        )
+        emitted.append(_verify_pairs(cand, all_sh, threshold).localCheckpoint())
+        state["bands"], state["sh"] = all_bands, all_sh
+
+    q = (stream_docs.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+    if not emitted:
+        return None
+    out = emitted[0]
+    for p in emitted[1:]:
+        out = out.unionByName(p)
+    return out

@@ -5190,6 +5190,50 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "stream_minhash_incremental",
+    oracle=f"""
+    SELECT doc_a, doc_b, jaccard, TRUE AS stream_equals_batch
+    FROM ({_JACCARD_ORACLE})
+    """,
+)
+def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental MinHash+LSH
+    (``streaming/ingest.py::minhash_lsh_stream``): the documents table
+    re-ingested as a one-file-per-trigger parquet stream; each micro-batch
+    shingles+signs only the arriving docs and probes their band rows
+    against the PERSISTED corpus band index (the state a production
+    pipeline keeps between ingestion runs), exact-verifying candidates
+    before emission.  The oracle is the exact all-pairs Jaccard SQL —
+    the full corpus pair set — so the hash proves the drained stream
+    emitted EXACTLY the one-shot run's pairs; ``stream_equals_batch``
+    additionally pins set-equality with the batch ``minhash_lsh_pairs``
+    plan (banding is per-doc deterministic, so pair candidacy is
+    batch-arrival invariant)."""
+    import os
+
+    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs
+    from ophidia_io_server_spark.streaming.ingest import minhash_lsh_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _corpus_tag(sf_dir, "documents", salt="mhstream")
+    path = f"/tmp/ophidia_stream_mh_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs.select("doc_id", "text").repartition(6).write.mode(
+            "overwrite").parquet(path)
+        open(f"{path}/_SUCCESS", "a").close()
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    streamed = minhash_lsh_stream(stream)
+    batch = minhash_lsh_pairs(docs.select("doc_id", "text"),
+                              memo_key=(*session_key(spark), sf_dir))
+    eq = bool(streamed is not None
+              and streamed.exceptAll(batch).count() == 0
+              and batch.exceptAll(streamed).count() == 0)
+    out = streamed if streamed is not None else batch.limit(0)
+    return out.withColumn("stream_equals_batch", F.lit(eq))
+
+
+@workload(
     "doc_suffix_array_invariants",
     oracle="""
     SELECT CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
@@ -5701,6 +5745,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "stream_curation_recipe": [
             ("n_docs", "bigint"), ("n_gopher_keep", "bigint"),
             ("n_with_pii", "bigint"), ("kept_words", "bigint"),
+        ],
+        "stream_minhash_incremental": [
+            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+            ("stream_equals_batch", "boolean"),
         ],
     },
     # the two iterative graph operators

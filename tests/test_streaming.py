@@ -145,3 +145,37 @@ def test_stream_heavy_hitters_bounded_state_multi_batch(spark, tmp_path):
            df.join(F.broadcast(final_candidates(emitted)), "item", "left_semi")
              .groupBy("item").count().withColumnRenamed("count", "cnt").collect()}
     assert got["hh_alpha"] == 900 and got["hh_beta"] == 700 and got["hh_gamma"] == 500
+
+
+def test_minhash_lsh_stream_batch_arrival_invariance(spark, tmp_path):
+    """Streaming incremental MinHash: the union of per-batch emitted pairs
+    must equal the one-shot batch run regardless of how docs are split
+    into micro-batches — including a near-dup pair whose members arrive
+    in DIFFERENT batches."""
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs
+    from ophidia_io_server_spark.streaming.ingest import minhash_lsh_stream
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = [list(rng.choice(vocab, size=int(rng.integers(8, 40))))
+            for _ in range(50)]
+    for a, b in ((3, 41), (10, 11), (20, 22)):
+        seg = [f"dup{a}_{b}_{k}" for k in range(25)]
+        docs[a] = seg + docs[a][:3]
+        docs[b] = seg + docs[b][:2]
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(docs)],
+        "doc_id long, text string")
+    for split, nfiles in (("doc_id % 7", 7), ("doc_id % 3", 3)):
+        path = str(tmp_path / f"mh_{nfiles}")
+        (df.repartition(nfiles, F.expr(split))
+         .write.mode("overwrite").parquet(path))
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(path))
+        got = {(r["doc_a"], r["doc_b"], r["jaccard"])
+               for r in minhash_lsh_stream(stream).collect()}
+        want = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in minhash_lsh_pairs(df).collect()}
+        assert got == want and len(want) >= 3
