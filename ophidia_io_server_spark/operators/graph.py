@@ -39,10 +39,16 @@ def pagerank(
     weight_col: str | None = None,
     exact_fold: bool = False,
     checkpoint_every: int = 4,
+    round_times: list | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` damped power iterations; ranks sum to 1
     (up to float error).  Unweighted edges (``weight_col=None``) count 1
-    each; parallel edges accumulate weight."""
+    each; parallel edges accumulate weight.
+
+    ``round_times``: pass a list to collect per-iteration wall seconds
+    (scale-probe instrumentation).  Timing mode forces a localCheckpoint
+    every round so each append measures exactly one power iteration —
+    slightly different from the production ``checkpoint_every`` cadence."""
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
     e = (
@@ -72,9 +78,12 @@ def pagerank(
     dangling = nodes.join(outw.select(F.col("src").alias("node")),
                           on="node", how="left_anti").localCheckpoint()
 
+    import time
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1 - damping) / n
     for i in range(iters):
+        t0 = time.monotonic() if round_times is not None else 0.0
         contrib = ep.join(ranks, ep["src"] == ranks["node"]).select(
             "dst", "src", (F.col("rank") * F.col("p")).alias("c"))
         if exact_fold:
@@ -105,7 +114,10 @@ def pagerank(
                               + F.col("dm") / n)).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        if round_times is not None:
+            ranks = ranks.localCheckpoint()
+            round_times.append(time.monotonic() - t0)
+        elif (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
 
@@ -116,6 +128,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    round_times: list | None = None,
 ) -> DataFrame:
     """Synchronous weighted label propagation (Raghavan et al. 2007) with a
     fully deterministic update: each round every node adopts the label
@@ -144,9 +157,12 @@ def label_propagation(
         edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"), w))
     labels = und.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node"))
+    import time
+
     top = Window.partitionBy("node").orderBy(
         F.col("score").desc(), F.col("label").asc())
     for _ in range(iters):
+        t0 = time.monotonic() if round_times is not None else 0.0
         scored = (
             und.join(labels.withColumnRenamed("node", "u"), on="u")
             .groupBy(F.col("v").alias("node"), "label")
@@ -158,4 +174,6 @@ def label_propagation(
             .select("node", "label")
             .localCheckpoint()
         )
+        if round_times is not None:
+            round_times.append(time.monotonic() - t0)
     return labels

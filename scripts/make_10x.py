@@ -17,7 +17,20 @@ Replication rules (replica k = 0..9, offset = k * 10_000_000):
 - embeddings: vec_id shifts; one coordinate gets a +k*1e-3 deterministic
   nudge so replicas are not bit-identical (no cosine ties to break).
 
-Usage: python scripts/make_10x.py [src_sf_dir] [dst_dir] [k]
+--skew (r6 verdict #8) builds the ADVERSARIAL variant instead of the
+benign one: the replication deliberately plants the two regimes the
+default replica avoids --
+- a 90%-hot join/window key: every event with event_id %% 10 != 0 is
+  re-assigned to one hot user (user_id 424242), so per-user windows
+  (sessionize, as-of, session_window) and user equi-joins see one key
+  carrying 90% of the fact table;
+- a near-dup clique cluster: replicas of docs with doc_id %% 50 == 7 keep
+  their text UNPERMUTED, so each such doc becomes a k-replica exact/
+  near-dup clique (the quadratic candidate regime for MinHash/LSH).
+Used by scripts/skew_probe.py to prove the AQE-skew/salting/
+bucket_seconds paths fire at scale (PERF.md r7).
+
+Usage: python scripts/make_10x.py [src_sf_dir] [dst_dir] [k] [--skew]
 """
 
 from __future__ import annotations
@@ -32,9 +45,11 @@ OFF = 10_000_000
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ophidia_sf10x"
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    dst = args[1] if len(args) > 1 else "/tmp/ophidia_sf10x"
+    k = int(args[2]) if len(args) > 2 else 10
     Path(dst).mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
@@ -61,7 +76,15 @@ def main() -> None:
         cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM {rd(t)}").fetchall()]
         sel = ", ".join(
             f"{c} + r.k * {OFF} AS {c}" if c in keys else c for c in cols)
-        wr(f"SELECT {sel} FROM {rd(t)} CROSS JOIN (SELECT unnest(range({k})) AS k) r", t)
+        base = f"SELECT {sel} FROM {rd(t)} CROSS JOIN (SELECT unnest(range({k})) AS k) r"
+        if skew and t == "events":
+            # 90%-hot key: 9 of 10 events land on one user (event_id is
+            # already replica-shifted, so the residue is replica-uniform)
+            base = (f"SELECT event_id, ts, "
+                    f"CASE WHEN event_id % 10 != 0 THEN 424242 "
+                    f"ELSE user_id END AS user_id, "
+                    f"event_type, value, props FROM ({base})")
+        wr(base, t)
 
     # documents: pandas side for the seeded per-replica token permutation
     import pandas as pd
@@ -72,10 +95,13 @@ def main() -> None:
         d = docs.copy()
         d["doc_id"] = d["doc_id"] + rep * OFF
         if rep > 0:
+            # --skew: docs with source id % 50 == 7 keep their text
+            # verbatim across replicas -> k-clique near-dup clusters
             d["text"] = [
                 None if t is None else
-                " ".join(np.random.default_rng((rep << 20) ^ i).permutation(
-                    [w for w in t.split(" ") if w]))
+                (t if skew and (i - rep * OFF) % 50 == 7 else
+                 " ".join(np.random.default_rng((rep << 20) ^ i).permutation(
+                     [w for w in t.split(" ") if w])))
                 for i, t in zip(d["doc_id"], d["text"])
             ]
         out.append(d)
