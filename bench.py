@@ -58,6 +58,12 @@ HEADLINE = [
     "doc_kneser_ney_lm",
     "doc_longest_dup_match",
     "dedup_minhash_incremental",
+    # r7 additions (HEADLINE 32 -> 35): uncapped suffix-array report,
+    # variable-length cut, streaming incremental MinHash - per-query
+    # comparison only, PERF.md r7
+    "doc_varlen_sa_report",
+    "doc_varlen_cut",
+    "stream_minhash_incremental",
     "sample_bottom_k",
 ]
 

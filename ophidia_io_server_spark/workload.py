@@ -5626,6 +5626,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("dup_windows", "bigint"), ("n_spans", "bigint"),
             ("dup_tokens", "bigint"), ("dup_frac", "double"),
         ],
+        "dedup_exact_canonical": [
+            ("canonical_hash", "string"), ("rep_doc_id", "bigint"),
+            ("n_docs", "bigint"),
+        ],
     },
     # the r6 variable-length dedup wave: suffix-sort longest-match report,
     # Manber-Myers suffix-array invariants, incremental LSH
@@ -5750,6 +5754,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
             ("stream_equals_batch", "boolean"),
         ],
+        "stream_curation": [
+            ("n_docs", "bigint"), ("n_keep", "bigint"),
+            ("kept_tokens", "bigint"),
+        ],
     },
     # the two iterative graph operators
     "graph_suite": {
@@ -5772,6 +5780,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_selected", "bigint"), ("exact_size_ok", "boolean"),
             ("is_bottom_k_ok", "boolean"), ("layout_invariant_ok", "boolean"),
         ],
+        "lang_temperature_mix": [
+            ("lang", "string"), ("n_docs", "bigint"), ("weight", "double"),
+            ("target_rate", "double"), ("rate_ok", "boolean"),
+        ],
     },
     # the vector-quantization ANN family (PQ, IVF-PQ, OPQ)
     "ann_quant_suite": {
@@ -5787,6 +5799,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_vectors", "bigint"), ("rotation_orthogonal_ok", "boolean"),
             ("l2_topk_set_invariant_ok", "boolean"),
             ("recon_not_worse_ok", "boolean"), ("recall_ok", "boolean"),
+        ],
+        "ann_l2_topk": [
+            ("query_id", "bigint"), ("neighbor_id", "bigint"),
+            ("rank", "bigint"), ("dist", "double"),
         ],
     },
     # batch gap-sessionization + its session_window streaming twin
@@ -5823,6 +5839,15 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("quality_score", "double"), ("labeled_lang", "string"),
             ("pred_lang", "string"),
         ],
+        "doc_chunk_sliding": [
+            ("doc_id", "bigint"), ("chunk_idx", "bigint"),
+            ("chunk_start", "bigint"), ("n_chunk_tokens", "bigint"),
+            ("chunk_text", "string"),
+        ],
+        "token_pmi_pairs": [
+            ("wa", "string"), ("wb", "string"), ("c12", "bigint"),
+            ("pmi", "double"),
+        ],
     },
     # classic event-analytics rollups
     "analytics_suite": {
@@ -5839,6 +5864,31 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_value_median": [
             ("event_type", "string"), ("n", "bigint"),
             ("median", "double"), ("q1_lower", "double"),
+        ],
+        "events_type_stats": [
+            ("event_type", "string"), ("k_sum", "bigint"),
+            ("k_max", "bigint"), ("n", "bigint"), ("p50", "double"),
+            ("p95", "double"), ("lo", "double"), ("hi", "double"),
+        ],
+        "sketch_approx_stats": [
+            ("event_type", "string"), ("n", "bigint"),
+            ("users_ok", "boolean"), ("p50_ok", "boolean"),
+            ("p95_ok", "boolean"),
+        ],
+        "events_rolling_zscore": [
+            ("event_id", "bigint"), ("user_id", "bigint"),
+            ("n_win", "bigint"), ("zscore", "double"),
+            ("is_anomaly", "boolean"),
+        ],
+        "events_pivot_hourly": [
+            ("hour", "bigint"), ("click_n", "bigint"), ("error_n", "bigint"),
+            ("purchase_n", "bigint"), ("signup_n", "bigint"),
+            ("view_n", "bigint"), ("purchase_cents", "bigint"),
+        ],
+        "events_session_outage_overlap": [
+            ("user_id", "bigint"), ("s_start", "timestamp_ntz"),
+            ("s_end", "timestamp_ntz"), ("outage_start", "timestamp_ntz"),
+            ("outage_end", "timestamp_ntz"),
         ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
@@ -5877,6 +5927,20 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("pos", "bigint"), ("box", "double"), ("spectrum", "double"),
             ("sorted_m", "double"), ("ifft_rt", "double"),
         ],
+        "dwt_spline": [
+            ("id_dim", "bigint"), ("pos", "bigint"), ("dwt", "double"),
+            ("resampled", "double"), ("idwt_rt", "double"),
+        ],
+        "math_complex_ops": [
+            ("id_dim", "bigint"), ("same", "double"), ("pos", "bigint"),
+            ("sq", "double"), ("lg", "double"), ("mx", "double"),
+            ("polar", "double"), ("imag", "double"), ("modulus", "double"),
+            ("esum", "double"), ("emax", "double"), ("emin", "double"),
+            ("ediv", "double"), ("esub", "double"), ("esub2", "double"),
+            ("eabs", "double"), ("earg", "double"), ("emask", "double"),
+            ("epred", "double"), ("emul2", "double"), ("carg", "double"),
+            ("realp", "double"), ("rect", "double"),
+        ],
     },
     "tensor_shape_suite": {
         "shape_ops": [
@@ -5894,6 +5958,45 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("quant", "double"), ("repl", "double"), ("found", "int"),
             ("padded", "double"), ("with_header", "double"),
             ("centroids", "double"),
+        ],
+        "cast_sequence_codec": [
+            ("id_dim", "bigint"), ("id2", "bigint"), ("idx1", "bigint"),
+            ("idx2", "bigint"), ("id3", "bigint"), ("subpos", "bigint"),
+            ("dump2", "string"), ("pos", "bigint"), ("as_long", "bigint"),
+            ("idxs", "bigint"), ("roundtrip", "double"), ("as_int", "int"),
+            ("as_dbl", "double"), ("binrt", "double"), ("vbin", "double"),
+        ],
+        "expand_rows": [
+            ("id_dim", "bigint"), ("measure", "double"),
+        ],
+    },
+    # relational rollup/profile/top-k family over orders
+    "orders_suite": {
+        "orders_rollup_cube": [
+            ("o_orderstatus", "string"), ("o_orderpriority", "string"),
+            ("gid", "bigint"), ("n_orders", "bigint"),
+            ("total_cents", "bigint"), ("avg_price", "double"),
+        ],
+        "orders_profile": [
+            ("col_name", "string"), ("n_rows", "bigint"),
+            ("n_null", "bigint"), ("n_distinct", "bigint"),
+            ("min_num", "double"), ("max_num", "double"),
+            ("mean_num", "double"),
+        ],
+        "orders_topk_per_segment": [
+            ("c_mktsegment", "string"), ("o_orderkey", "bigint"),
+            ("rnk", "bigint"), ("o_totalprice", "double"),
+            ("seg_orders", "bigint"),
+        ],
+    },
+    # fragment-store row windows + MERGE upsert
+    "fragment_ops_suite": {
+        "fragment_row_windows": [
+            ("id_dim", "bigint"), ("row_sum", "double"),
+            ("delta", "double"), ("mov3", "double"),
+        ],
+        "fragment_merge_upsert": [
+            ("id_dim", "bigint"), ("n_vals", "bigint"), ("total", "double"),
         ],
     },
 }
@@ -5990,7 +6093,7 @@ GATE_ORDER: list[str] = [
     "subset_procedure", "size_procedure", "insert_multi",
     "tpch_pricing_suite", "tpch_suite", "tpch_legacy_suite",
     "tpch_q18_large_orders",
-    "events_hourly_suite", "events_type_stats", "sketch_approx_stats",
+    "events_hourly_suite", "orders_suite", "fragment_ops_suite",
     "dedup_suite", "varlen_dedup_suite",
     "curation_quality_rules", "sampling_suite", "dsir_importance",
     "source_overlap_matrix", "embedding_pca_invariants",
