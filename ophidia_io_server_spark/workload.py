@@ -1696,6 +1696,91 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.4, kernel="blas")
 
 
+def _kmeans_semdedup_oracle(k: int, iters: int, d: int, grid: int,
+                            cos_grid: int, tau_pct: int) -> str:
+    """Unrolled-CTE DuckDB mirror of integer-grid Lloyd's k-means +
+    SemDeDup (same pattern as the LPA unrolled oracle): every iteration
+    is exact int64 arithmetic plus one correctly-rounded double division,
+    so the two engines agree bitwise."""
+    dist = (f"CAST(CAST(list_sum(list_transform(range(1, {d + 1}), i -> "
+            "(c.n*g.qv[i]-c.s[i])*(c.n*g.qv[i]-c.s[i]))) AS BIGINT) "
+            "AS DOUBLE) / CAST(c.n*c.n AS DOUBLE)")
+    parts = [
+        f"""g AS (SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {grid}.0 + 0.5) AS BIGINT))
+               AS qv
+          FROM embeddings)""",
+        f"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS cluster, qv AS s, CAST(1 AS BIGINT) AS n
+           FROM (SELECT vec_id, qv FROM g ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (SELECT vec_id, qv, cluster FROM (
+             SELECT g.vec_id, g.qv, c.cluster,
+                    row_number() OVER (PARTITION BY g.vec_id
+                                       ORDER BY {dist} ASC, c.cluster ASC)
+                      AS rn
+             FROM g CROSS JOIN c{it - 1} c) WHERE rn = 1)""")
+        if it < iters:
+            parts.append(
+                f"""u{it} AS (SELECT cluster, list(sv ORDER BY dim) AS s,
+                    MAX(cnt) AS n FROM (
+               SELECT cluster, dim, CAST(SUM(qv[dim]) AS BIGINT) AS sv,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM a{it}, UNNEST(range(1, {d + 1})) AS t(dim)
+               GROUP BY cluster, dim) GROUP BY cluster)""")
+            parts.append(
+                f"""c{it} AS (SELECT * FROM u{it} UNION ALL
+               SELECT * FROM c{it - 1}
+               WHERE cluster NOT IN (SELECT cluster FROM u{it}))""")
+    dot = (f"CAST(list_sum(list_transform(range(1, {d + 1}), "
+           "i -> a.q[i]*b.q[i])) AS BIGINT)")
+    nsq = ("CAST(list_sum(list_transform(range(1, %d), "
+           "i -> %s.q[i]*%s.q[i])) AS BIGINT)")
+    parts.append(
+        f"""cq AS (SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {cos_grid}.0 + 0.5)
+                         AS BIGINT)) AS q
+          FROM embeddings)""")
+    parts.append(
+        f"""j AS (SELECT a{iters}.vec_id, a{iters}.cluster, cq.q
+          FROM a{iters} JOIN cq USING (vec_id))""")
+    parts.append(
+        f"""drp AS (SELECT DISTINCT b.vec_id
+           FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE {dot} > 0
+             AND {dot} * {dot} * 10000
+                 >= {tau_pct * tau_pct} * {nsq % (d + 1, 'a', 'a')}
+                                        * {nsq % (d + 1, 'b', 'b')})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT j.vec_id, j.cluster, (drp.vec_id IS NULL) AS kept
+    FROM j LEFT JOIN drp ON j.vec_id = drp.vec_id
+    """)
+
+
+@workload(
+    "embedding_kmeans_semdedup",
+    oracle=_kmeans_semdedup_oracle(k=10, iters=3, d=64, grid=1024,
+                                   cos_grid=256, tau_pct=40),
+)
+def embedding_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): distributed integer-grid Lloyd's
+    k-means over the embedding column, then within-cluster cosine dedup —
+    one row per vector with its final cluster and a ``kept`` flag.
+
+    The gate binds THREE iterations of the actual distributed clustering
+    loop bitwise (assignment = map-only broadcast argmin; update = one
+    partial-aggregatable groupBy emitting k·(d+1) numbers), not just the
+    final dedup — the oracle unrolls the same iterations as exact-integer
+    CTEs.  See ``pipeline/cluster.py`` for the 100 TB shape and the
+    int64 overflow budget."""
+    from ophidia_io_server_spark.pipeline.cluster import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=10, iters=3, tau_pct=40)
+
+
 @workload(
     "ann_lsh_topk",
     oracle=f"""
@@ -5190,6 +5275,77 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "doc_pack_sequences",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) AS BIGINT)
+                        AS n_tokens
+               FROM documents WHERE text IS NOT NULL),
+    s AS (SELECT doc_id, n_tokens, doc_id % 8 AS pack_shard,
+                 SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+                   - n_tokens AS strt
+          FROM t)
+    SELECT doc_id, n_tokens, CAST(pack_shard AS BIGINT) AS pack_shard,
+           CAST(strt // 512 AS BIGINT) AS seq_in_shard,
+           CAST(strt % 512 AS BIGINT) AS seq_offset,
+           TRUE AS ff_fill_ok, TRUE AS ff_not_worse_than_next_fit,
+           TRUE AS ff_exactly_once
+    FROM s
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (``pipeline/packing.py``), the r5
+    candidate gate row.  The hashed rows are the GPT-style concat-then-
+    chunk arm with plain-arithmetic sharding (``doc_id % 8``, budget 512)
+    — chunk index and in-chunk offset per document are exact window
+    arithmetic the SQL mirror reproduces bitwise.  The three booleans
+    bind the NO-SPLIT first-fit arm's contracts, which a sequential
+    packing discipline cannot express in SQL: ``ff_fill_ok`` — no
+    non-oversize sequence exceeds the budget and every oversize doc sits
+    alone in its flagged sequence; ``ff_not_worse_than_next_fit`` —
+    first-fit opens no more sequences than next-fit in EVERY bucket (the
+    algebraic relation that distinguishes the disciplines);
+    ``ff_exactly_once`` — every document lands in exactly one sequence.
+    Shard identity is (bucket, seq_in_bucket) derived from row keys only
+    — stable under repartitioning and retries (the 100 TB property)."""
+    from ophidia_io_server_spark.pipeline.packing import (
+        pack_concat_chunks,
+        pack_first_fit,
+        pack_next_fit,
+    )
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.size(tokens_col(F.col("text"))).cast("bigint")
+                    .alias("n_tokens")))
+    budget = 512
+    concat = pack_concat_chunks(
+        docs, budget, n_shards=8, shard_expr=F.col("doc_id") % 8)
+    ff = pack_first_fit(docs, budget, n_buckets=16).localCheckpoint()
+    nf = pack_next_fit(docs, budget, n_buckets=16)
+    fill_bad = ff.where(
+        (~F.col("oversize") & (F.col("seq_fill") + F.col("n_tokens")
+                               > budget))
+        | (F.col("oversize") & (F.col("seq_fill") != 0))).count()
+    seqs = lambda d: (d.groupBy("pack_bucket")  # noqa: E731
+                      .agg((F.max("seq_in_bucket") + 1).alias("ns")))
+    worse = (seqs(ff).withColumnRenamed("ns", "ff_ns")
+             .join(seqs(nf).withColumnRenamed("ns", "nf_ns"), "pack_bucket")
+             .where(F.col("ff_ns") > F.col("nf_ns")).count())
+    once = bool(ff.count() == docs.count()
+                and ff.select("doc_id").distinct().count() == docs.count())
+    return concat.select(
+        "doc_id", "n_tokens", "pack_shard", "seq_in_shard", "seq_offset",
+        F.lit(fill_bad == 0).alias("ff_fill_ok"),
+        F.lit(worse == 0).alias("ff_not_worse_than_next_fit"),
+        F.lit(once).alias("ff_exactly_once"),
+    )
+
+
+@workload(
     "stream_minhash_incremental",
     oracle=f"""
     SELECT doc_a, doc_b, jaccard, TRUE AS stream_equals_batch
@@ -5784,6 +5940,13 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("lang", "string"), ("n_docs", "bigint"), ("weight", "double"),
             ("target_rate", "double"), ("rate_ok", "boolean"),
         ],
+        "doc_pack_sequences": [
+            ("doc_id", "bigint"), ("n_tokens", "bigint"),
+            ("pack_shard", "bigint"), ("seq_in_shard", "bigint"),
+            ("seq_offset", "bigint"), ("ff_fill_ok", "boolean"),
+            ("ff_not_worse_than_next_fit", "boolean"),
+            ("ff_exactly_once", "boolean"),
+        ],
     },
     # the vector-quantization ANN family (PQ, IVF-PQ, OPQ)
     "ann_quant_suite": {
@@ -5803,6 +5966,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "ann_l2_topk": [
             ("query_id", "bigint"), ("neighbor_id", "bigint"),
             ("rank", "bigint"), ("dist", "double"),
+        ],
+        "embedding_kmeans_semdedup": [
+            ("vec_id", "bigint"), ("cluster", "bigint"),
+            ("kept", "boolean"),
         ],
     },
     # batch gap-sessionization + its session_window streaming twin
