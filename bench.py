@@ -65,6 +65,7 @@ HEADLINE = [
     "doc_varlen_cut",
     "stream_minhash_incremental",
     "sample_bottom_k",
+    "embedding_kmeans_semdedup",
 ]
 
 

@@ -28,9 +28,11 @@ Spark shape at 100 TB:
   int64, and the single division is IEEE correctly-rounded, so the
   iteration is bit-reproducible across engines, partitionings and
   retries (the property the DuckDB oracle gate binds).  Overflow bound:
-  Σ over d dims of (2·n·grid)² must stay < 2^63 — with grid=1024, d=64
-  that allows ~3.7e8 members per cluster; SemDeDup's k ∝ N keeps real
-  cluster sizes far below that.
+  Σ over d dims of (2·n·grid·max|x|)² must stay < 2^63 — with grid=1024,
+  d=64, |x| ≤ 0.55 that allows ~3·10⁵ members per EXACT-kernel cluster;
+  SemDeDup's k ∝ N discipline keeps cluster sizes constant and far
+  below that, and the large-k BLAS kernel (float64 distances) has no
+  such bound.
 * **Ties** (two centroids at exactly equal distance) break toward the
   smaller cluster id — pinned identically in the SQL mirror.
 
@@ -57,16 +59,25 @@ def quantize_vec(vec_col: Column, grid: int) -> Column:
         .cast("bigint"))
 
 
-def _dist_expr(qv: Column, s: list[int], n: int) -> Column:
-    """Exact squared L2 distance to centroid (Σs/n) on the common
-    denominator: double(Σ_i (n·qv_i − s_i)²) / double(n²)."""
-    arr = F.array(*[F.lit(int(v)).cast("bigint") for v in s])
-    num = F.aggregate(
-        F.zip_with(qv, arr,
-                   lambda x, c: (F.lit(n).cast("bigint") * x - c)
-                   * (F.lit(n).cast("bigint") * x - c)),
-        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
-    return num.cast("double") / F.lit(float(n * n))
+def _sq_norm_expr(qv: Column, dim: int) -> Column:
+    """Σ qv_i² as plain element_at arithmetic.  Higher-order array
+    functions (zip_with/aggregate) evaluate INTERPRETED; an expanded
+    per-element sum stays inside whole-stage codegen — measured 4×
+    faster on the assignment hot path."""
+    terms = [F.element_at(qv, i + 1) * F.element_at(qv, i + 1)
+             for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _dot_lit_expr(qv: Column, s: list[int]) -> Column:
+    """Σ s_i·qv_i against a literal integer vector — codegen-able."""
+    out = F.lit(int(s[0])).cast("bigint") * F.element_at(qv, 1)
+    for i in range(1, len(s)):
+        out = out + F.lit(int(s[i])).cast("bigint") * F.element_at(qv, i + 1)
+    return out
 
 
 def kmeans_assign(df: DataFrame, centroids: list[tuple[list[int], int]],
@@ -74,18 +85,107 @@ def kmeans_assign(df: DataFrame, centroids: list[tuple[list[int], int]],
     """Add ``cluster`` = argmin over the broadcast centroid list.
 
     ``centroids[c] = (s, n)`` with s the exact coordinate sums and n the
-    member count.  argmin via struct-ordered ``array_min`` — ties break
-    on the cluster id (second struct field)."""
+    member count.  The exact numerator Σ_i (n·qv_i − s_i)² is computed
+    in its expanded form  n²·Σqv² − 2n·(s·qv) + Σs²  so the per-row
+    Σqv² term is shared across the k candidates and everything is plain
+    codegen arithmetic (identical integer value — int64 arithmetic is
+    exact under rearrangement, so the SQL mirror's folded form agrees
+    bitwise).  argmin via struct-ordered ``array_min`` — ties break on
+    the cluster id (second struct field)."""
+    dim = len(centroids[0][0])
+    x2 = F.col("_x2")
     cands = F.array(*[
-        F.struct(_dist_expr(F.col(qv_col), s, n).alias("d"),
-                 F.lit(c).cast("bigint").alias("c"))
+        F.struct(
+            ((F.lit(n * n).cast("bigint") * x2
+              - F.lit(2 * n).cast("bigint") * _dot_lit_expr(F.col(qv_col), s)
+              + F.lit(sum(v * v for v in s)).cast("bigint")).cast("double")
+             / F.lit(float(n * n))).alias("d"),
+            F.lit(c).cast("bigint").alias("c"))
         for c, (s, n) in enumerate(centroids)])
-    return df.withColumn("cluster", F.array_min(cands)["c"])
+    return (df.withColumn("_x2", _sq_norm_expr(F.col(qv_col), dim))
+            .withColumn("cluster", F.array_min(cands)["c"])
+            .drop("_x2"))
+
+
+def kmeans_assign_exact(df: DataFrame,
+                        centroids: list[tuple[list[int], int]],
+                        qv_col: str = "qv") -> DataFrame:
+    """Arrow-batched EXACT assignment — bit-identical to the JVM
+    expression kernel, but with no per-iteration codegen compile.
+
+    Lloyd's rebuilds the plan every iteration with fresh centroids;
+    inlining them as JVM literals makes Spark recompile ~2 s of
+    generated code per iteration, which dominates at small scale.  Here
+    the distance numerator n_c²·Σx² − 2n_c·(x·s_c) + Σs_c² is computed
+    in numpy int64 (matmul on int64 is exact — no float accumulation),
+    the single division is float64 correctly-rounded, and argmin ties
+    break to the lowest index exactly like the struct-ordered
+    ``array_min``.  Same int64 overflow budget as the JVM kernel."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.stack([np.asarray(s, dtype=np.int64) for s, _ in centroids])
+    n = np.asarray([c[1] for c in centroids], dtype=np.int64)      # (k,)
+    s2 = (S * S).sum(axis=1)                                       # (k,)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + ", cluster bigint"
+
+    def part(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.stack(b[qv_col].to_numpy()).astype(np.int64)    # (m, d)
+            x2 = (X * X).sum(axis=1)                               # (m,)
+            num = (n * n)[None, :] * x2[:, None] \
+                - 2 * n[None, :] * (X @ S.T) + s2[None, :]         # int64
+            dist = num.astype(np.float64) / (n * n).astype(np.float64)
+            out = b.copy()
+            out["cluster"] = pd.Series(dist.argmin(axis=1), index=b.index,
+                                       dtype="int64")
+            yield out
+
+    return df.mapInPandas(part, schema)
+
+
+def kmeans_assign_blas(df: DataFrame,
+                       centroids: list[tuple[list[int], int]],
+                       qv_col: str = "qv") -> DataFrame:
+    """Large-k assignment kernel: one Arrow-batch matmul argmin against
+    the broadcast (k×d) centroid matrix — the same dispatch pattern as
+    ``pq.py``'s encoders.  Float64 distances, so near-exact ties may
+    break differently from the exact kernel (argmin index, not distance,
+    is all downstream consumers read); the gate rows pin the exact
+    kernel, large-k production sweeps use this one."""
+    import numpy as np
+    import pandas as pd
+
+    M = np.stack([np.asarray(s, dtype=np.float64) / n
+                  for s, n in centroids])          # (k, d) means
+    half_msq = 0.5 * (M * M).sum(axis=1)           # (k,)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields) + ", cluster bigint"
+
+    def part(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            X = np.stack(b[qv_col].to_numpy()).astype(np.float64)
+            # argmin_c ‖x−m_c‖² == argmin_c (½‖m_c‖² − x·m_c); ties →
+            # numpy argmin picks the lowest c, matching the exact kernel
+            a = (half_msq[None, :] - X @ M.T).argmin(axis=1)
+            out = b.copy()
+            out["cluster"] = pd.Series(a, index=b.index, dtype="int64")
+            yield out
+
+    return df.mapInPandas(part, schema)
 
 
 def kmeans_fit(df: DataFrame, k: int = 10, iters: int = 3,
                grid: int = 1024, vec_col: str = "embedding",
-               id_col: str = "vec_id") -> tuple[DataFrame, list]:
+               id_col: str = "vec_id",
+               kernel: str = "auto") -> tuple[DataFrame, list]:
     """Integer-grid Lloyd's k-means.  Returns ``(assigned, centroids)``
     where ``assigned`` carries ``id_col, qv, cluster`` (final assignment
     after ``iters`` rounds) and ``centroids`` is the final driver-side
@@ -94,7 +194,20 @@ def kmeans_fit(df: DataFrame, k: int = 10, iters: int = 3,
     Init: the k lowest-``id_col`` rows, in id order, are singleton
     centroids (deterministic, data-defined — no RNG state).  A cluster
     that empties keeps its previous centroid.
+
+    ``kernel``: "exact" = Arrow int64 kernel (bit-reproducible,
+    oracle-gated, any k within the overflow budget); "jvm" = the same
+    exact arithmetic as inlined JVM expressions (pays a per-iteration
+    codegen recompile — kept for the no-Python plan guarantee); "blas" =
+    float64 dgemm argmin (no overflow bound, near-ties may flip);
+    "auto" = exact up to k=64, blas above (numpy int64 matmul has no
+    BLAS backend — at k=1000 the exact kernel's n·k·d integer products
+    run ~5× slower than dgemm; measured in PERF.md r7).
     """
+    if kernel == "auto":
+        kernel = "exact" if k <= 64 else "blas"
+    assign = {"exact": kmeans_assign_exact, "jvm": kmeans_assign,
+              "blas": kmeans_assign_blas}[kernel]
     dim = len(df.select(vec_col).first()[0])
     base = (df.select(F.col(id_col), quantize_vec(F.col(vec_col), grid)
                       .alias("qv"))
@@ -105,7 +218,7 @@ def kmeans_fit(df: DataFrame, k: int = 10, iters: int = 3,
 
     assigned = None
     for _ in range(iters):
-        assigned = kmeans_assign(base, centroids)
+        assigned = assign(base, centroids)
         upd = (assigned.groupBy("cluster")
                .agg(*[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
                       for i in range(dim)],
@@ -134,7 +247,7 @@ def cosine_ge_grid(qa: Column, qb: Column, tau_pct: int) -> Column:
 def semantic_dedup(df: DataFrame, k: int = 10, iters: int = 3,
                    tau_pct: int = 40, kmeans_grid: int = 1024,
                    cos_grid: int = 256, vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id", kernel: str = "auto") -> DataFrame:
     """SemDeDup: k-means then within-cluster cosine dedup.  Returns one
     row per vector: ``(id_col, cluster, kept)`` — ``kept`` is false iff
     an earlier-id member of the SAME cluster is cosine-≥τ similar.
@@ -144,22 +257,44 @@ def semantic_dedup(df: DataFrame, k: int = 10, iters: int = 3,
     bound.  The cosine predicate runs on its own (coarser) grid so the
     squared terms stay in int64 — see ``cosine_ge_grid``."""
     assigned, _ = kmeans_fit(df, k=k, iters=iters, grid=kmeans_grid,
-                             vec_col=vec_col, id_col=id_col)
+                             vec_col=vec_col, id_col=id_col, kernel=kernel)
     cq = (assigned
           .join(df.select(F.col(id_col),
                           quantize_vec(F.col(vec_col), cos_grid)
                           .alias("cq")), id_col)
           .select(id_col, "cluster", "cq")
-          .localCheckpoint())  # both join sides below read this layout
-    a = cq.select(F.col(id_col).alias("a_id"), "cluster",
-                  F.col("cq").alias("a_cq"))
-    b = cq.select(F.col(id_col).alias("b_id"), "cluster",
-                  F.col("cq").alias("b_cq"))
-    dropped = (a.join(b, "cluster")
-               .where((F.col("a_id") < F.col("b_id"))
-                      & cosine_ge_grid(F.col("a_cq"), F.col("b_cq"),
-                                       tau_pct))
-               .select(F.col("b_id").alias(id_col)).distinct())
+          .localCheckpoint())  # the group-by and the kept join share this
+    # per-cluster exact-int64 Gram tile (the similarity.py "blas"
+    # pattern): one shuffle by cluster, then m×m numpy inside the group —
+    # a join+filter would evaluate the 64-term predicate interpreted per
+    # candidate pair inside the SMJ inner loop (measured 5× slower).
+    # Row-block chunking bounds the tile at blk·m int64 entries.
+    import numpy as np
+    import pandas as pd
+
+    t2 = tau_pct * tau_pct
+
+    def dropped_in_cluster(key, g: pd.DataFrame):
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        Q = np.stack(g["cq"].to_numpy())[order].astype(np.int64)
+        nsq = (Q * Q).sum(axis=1)
+        m = len(ids)
+        drop = np.zeros(m, dtype=bool)
+        blk = 1024
+        for lo in range(0, m, blk):
+            hi = min(lo + blk, m)
+            G = Q[lo:hi] @ Q.T                     # int64 exact
+            ok = (G > 0) & (G * G * 10000 >= t2 * nsq[lo:hi, None]
+                            * nsq[None, :])
+            # a (row) must sort before b (col): ids sorted → a idx < b idx
+            ok &= (lo + np.arange(hi - lo))[:, None] < np.arange(m)[None, :]
+            drop |= ok.any(axis=0)
+        return pd.DataFrame({id_col: ids[drop]})
+
+    dropped = (cq.groupBy("cluster")
+               .applyInPandas(dropped_in_cluster, f"{id_col} long"))
     return (cq.join(dropped.withColumn("_drop", F.lit(True)),
                     id_col, "left")
             .select(id_col, "cluster",
