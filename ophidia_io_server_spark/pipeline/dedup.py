@@ -985,11 +985,15 @@ def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
     Algorithm: rank_0 = global dense rank of single tokens (string order);
     round j doubles the compared prefix — each position pairs its current
     rank with the rank at ``pos + 2^(j-1)`` (0-sentinel past the doc end)
-    and the pair is re-ranked.  Every round is one self-equi-join on
-    (doc, pos) plus one ``global_dense_rank`` (a range exchange + bounded
+    and the pair is re-ranked.  Positions are DENSE 1..n per document, so
+    the classic self-equi-join on (doc, pos+2^j) is just
+    ``lead(rank, 2^j)`` over the per-doc position window — one exchange
+    per round (by doc) instead of three (two join sides + the range
+    exchange), then ``global_dense_rank`` (range exchange + bounded
     offset summary — ``operators/ranking.py``); ⌈log2 maxlen⌉ rounds with
-    early exit once all ranks are distinct.  State per round is one
-    (doc, pos, rank) table, localCheckpoint-ed flat.
+    early exit once all ranks are distinct.  Round state rides
+    ``global_dense_rank``'s own internal checkpoint — no extra
+    materialization per round.
 
     With ``return_rounds=True`` returns ``(final, lengths, rounds)``:
     ``lengths`` = (id_col, n_tokens) per doc, and ``rounds`` = the list of
@@ -1005,31 +1009,50 @@ def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
         .select(F.col(id_col), tokens_col(F.col(text_col)).alias("ws"))
         .where(F.size("ws") >= 1)
     )
-    pos = toks.select(
-        id_col,
-        F.posexplode("ws").alias("p0", "tok"),
-    ).select(id_col, (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
     agg = toks.agg(F.max(F.size("ws")).alias("mx"),
                    F.sum(F.size("ws")).alias("tot")).collect()[0]
     maxlen, total = agg["mx"] or 0, agg["tot"] or 0
-    ranked, max_rank = global_dense_rank(pos, ["tok"], partitions,
+    from pyspark.sql import Window
+
+    # Base rank at width 8, not 1: rank the slice(pos, 8) token arrays
+    # directly (array sort order IS the suffix order with the
+    # end-sentinel convention — a shorter slice sorts before anything it
+    # prefixes).  This removes THREE doubling rounds (widths 1→2→4→8);
+    # at the gate/bench corpus each round is ~1 s of fixed per-round
+    # overhead, and at 100 TB each is a full corpus exchange.  The ×8
+    # key payload in this one exchange is the same budget the capped
+    # hash path ships per row.  ``_sa_position_lengths`` resolves the
+    # <8-token LCP residual with one direct slice comparison.
+    pos8 = (toks.select(
+        id_col,
+        F.posexplode(F.expr("transform(ws, (x, i) -> slice(ws, i + 1, 8))"))
+        .alias("p0", "key8"))
+        .select(id_col, (F.col("p0") + 1).cast("bigint").alias("pos"),
+                "key8"))
+    ranked, max_rank = global_dense_rank(pos8, ["key8"], partitions,
                                          return_max=True)
-    cur = ranked.select(id_col, "pos", "rank").localCheckpoint()
-    rounds = [(1, cur)]
-    step = 1
+    cur = ranked.select(id_col, "pos", "rank")
+    rounds = [(8, cur)]
+    step = 8
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
     # the early-exit max rank comes from the rank's own offset summary
     # (r6 verdict #3) — one corpus pass per doubling round, not two
+    nparts = (partitions
+              or docs.sparkSession.sparkContext.defaultParallelism)
     while step < maxlen and max_rank != total:
-        shifted = cur.select(
-            F.col(id_col), (F.col("pos") - step).alias("pos"),
-            F.col("rank").alias("_r2"))
-        pair = (cur.join(shifted, on=[id_col, "pos"], how="left")
-                .fillna({"_r2": 0}))
-        ranked, max_rank = global_dense_rank(pair, ["rank", "_r2"],
-                                             partitions, rank_col="_nr",
-                                             return_max=True)
-        cur = (ranked.select(id_col, "pos", F.col("_nr").alias("rank"))
-               .localCheckpoint())
+        pair = cur.withColumn(
+            "_r2", F.coalesce(F.lead("rank", step).over(wdoc),
+                              F.lit(0).cast("bigint")))
+        # ranks are dense 1..max_rank: the bucket is computable directly
+        # (monotone, never splits a rank) — skips the range partitioner's
+        # sampling pass, which would re-execute the lead() window
+        prev_max = max_rank
+        ranked, max_rank = global_dense_rank(
+            pair, ["rank", "_r2"], partitions, rank_col="_nr",
+            return_max=True,
+            bucket_of=lambda r: ((r - 1) * nparts / F.lit(prev_max))
+            .cast("bigint"))
+        cur = ranked.select(id_col, "pos", F.col("_nr").alias("rank"))
         step *= 2
         rounds.append((step, cur))
     if not return_rounds:
@@ -1103,8 +1126,47 @@ def _sa_position_lengths(docs: DataFrame, text_col: str = "text",
                        & (F.col("_ra") == F.col("_rb")),
                        F.col("lcp") + F.lit(w)).otherwise(F.col("lcp")))
             .drop("_q1", "_q2", "_ra", "_rb")
-            .localCheckpoint()  # keep the per-round plan flat
         )
+    # <8-token residual: the greedy descent's uncertainty after the
+    # width-8 probe is < 8 tokens — resolve it by fetching the actual
+    # 8-token slices at the current matched offset and counting the
+    # common prefix directly (two joins TOTAL, replacing the three
+    # width-4/2/1 probe rounds the width-1 base needed).
+    sl8 = (spread(docs)
+           .where(F.col(text_col).isNotNull())
+           .select(F.col(id_col), tokens_col(F.col(text_col)).alias("ws"))
+           .where(F.size("ws") >= 1)
+           .select(
+               id_col,
+               F.posexplode(
+                   F.expr("transform(ws, (x, i) -> slice(ws, i + 1, 8))"))
+               .alias("p0", "key8"))
+           .select(id_col, (F.col("p0") + 1).cast("bigint").alias("pos"),
+                   "key8"))
+    k1 = sl8.select(F.col(id_col).alias("d1"), F.col("pos").alias("_q1"),
+                    F.col("key8").alias("_k1"))
+    k2 = sl8.select(F.col(id_col).alias("d2"), F.col("pos").alias("_q2"),
+                    F.col("key8").alias("_k2"))
+    eqs = F.zip_with(
+        F.col("_k1"), F.col("_k2"),
+        lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(0))
+        .otherwise((a == b).cast("int")))
+    common = F.aggregate(
+        eqs, F.struct(F.lit(0).alias("c"), F.lit(1).alias("alive")),
+        lambda acc, x: F.struct(
+            (acc["c"] + acc["alive"] * x).alias("c"),
+            (acc["alive"] * x).alias("alive")))["c"]
+    pairs = (
+        pairs
+        .withColumn("_q1", F.col("p1") + F.col("lcp"))
+        .withColumn("_q2", F.col("p2") + F.col("lcp"))
+        .join(k1, on=["d1", "_q1"], how="left")
+        .join(k2, on=["d2", "_q2"], how="left")
+        .withColumn("lcp", F.col("lcp")
+                    + F.when(F.col("_k1").isNull() | F.col("_k2").isNull(),
+                             F.lit(0)).otherwise(common).cast("bigint"))
+        .drop("_q1", "_q2", "_k1", "_k2")
+    )
     pairs = pairs.withColumn("lcp", F.least("lcp", "s1", "s2"))
     neigh = (pairs.select("rank", "lcp")
              .unionByName(pairs.select((F.col("rank") + 1).alias("rank"),
