@@ -286,7 +286,7 @@ def minhash_lsh_stream(stream_docs: DataFrame, n: int = 3,
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", text_col).localCheckpoint()
-        if batch.rdd.isEmpty():
+        if not batch.take(1):
             return
         sh_new = shingle_df(batch, n, text_col).localCheckpoint()
         bands_new = _band_rows(minhash_signatures(sh_new, num_hashes),

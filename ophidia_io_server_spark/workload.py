@@ -5371,10 +5371,14 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.streaming.ingest import minhash_lsh_stream
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = _corpus_tag(sf_dir, "documents", salt="mhstream")
+    tag = _corpus_tag(sf_dir, "documents", salt="mhstream4")
     path = f"/tmp/ophidia_stream_mh_{tag}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        docs.select("doc_id", "text").repartition(6).write.mode(
+        # 4 files → 4 micro-batches: enough to exercise multi-batch
+        # state carry (old↔new and new↔new candidate classes) while the
+        # row's wall time stays trigger-bounded; pair emission is
+        # batch-arrival invariant, so the oracle is unaffected
+        docs.select("doc_id", "text").repartition(4).write.mode(
             "overwrite").parquet(path)
         open(f"{path}/_SUCCESS", "a").close()
     stream = (spark.readStream.schema("doc_id long, text string")
