@@ -431,3 +431,73 @@ def kneser_ney_scores(train: DataFrame, score: DataFrame,
             F.round(F.exp(-(F.col("slp") / F.col("n_bigrams"))), 6).alias("ppl"),
         )
     )
+
+
+def ccnet_chunk_buckets(docs: DataFrame, chunk_tokens: int = 16,
+                        model=None, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style segment filtering (Wenzek et al. 2020): split each
+    document into fixed ``chunk_tokens`` segments (the paper's
+    paragraphs — the synthetic corpus has no newline structure, so the
+    segmenter is positional), score every segment's mean bigram
+    log-probability under the corpus LM, rank ALL segments corpus-wide
+    and bucket them into head/middle/tail terciles (head = best-scoring
+    = kept unconditionally in CCNet; tail = dropped).
+
+    Returns one row per document:
+    (id, n_chunks, n_head, n_middle, n_tail).
+
+    Cross-engine exactness: segment scores are position-ordered float
+    folds (identical in both engines) but ln differs by ≤1 ulp between
+    libm and the JVM — so the corpus-wide ordering key is the INTEGER
+    ``-floor(mean·10⁶)`` (a 1-ulp discrepancy flips floor only on an
+    exact 10⁻⁶ grid point, measure-zero for ln sums), with (id, chunk)
+    tie-breaks.  The global rank is ``global_dense_rank`` — unique keys
+    make it a row_number — so there is no single-partition window
+    anywhere; tercile membership is integer arithmetic on (rank, total).
+
+    Scale shape: train + score are the ``perplexity_scores`` joins; the
+    extra work is one groupBy to segment granularity and one
+    ``global_dense_rank`` over corpus/chunk_tokens rows."""
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    bc, cc, vocab = model if model is not None else train_bigram_model(
+        docs, text_col, id_col)
+    big = bigram_stream(spread(docs), text_col, id_col)
+    lp = (
+        big.join(bc, on=["w1", "w2"], how="left")
+        .join(cc, on="w1", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsz"))))
+        # a bigram is internal to its segment iff it does not straddle a
+        # chunk boundary: tokens pos, pos+1 share (pos-1)//W
+        .where(F.col("pos") % chunk_tokens != 0)
+        .withColumn("chunk",
+                    ((F.col("pos") - 1) / chunk_tokens).cast("bigint"))
+    )
+    seg = (
+        lp.groupBy(id_col, "chunk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"),
+             F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("xs"))
+        .select(
+            id_col, "chunk",
+            (-F.floor(F.aggregate("xs", F.lit(0.0),
+                                  lambda a, x: a + x["lp"])
+                      / F.col("nb") * 1e6)).cast("bigint").alias("nunits"))
+    )
+    ranked, total = global_dense_rank(seg, ["nunits", id_col, "chunk"],
+                                      rank_col="rn", return_max=True)
+    b = ranked.withColumn(
+        "bucket", ((F.col("rn") - 1) * 3 / F.lit(total)).cast("bigint"))
+    return (
+        b.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+             F.sum((F.col("bucket") == 0).cast("int")).cast("bigint")
+             .alias("n_head"),
+             F.sum((F.col("bucket") == 1).cast("int")).cast("bigint")
+             .alias("n_middle"),
+             F.sum((F.col("bucket") == 2).cast("int")).cast("bigint")
+             .alias("n_tail"))
+    )

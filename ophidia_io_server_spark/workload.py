@@ -3691,6 +3691,62 @@ def doc_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "doc_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    big AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM big GROUP BY w1, w2),
+    cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
+          FROM (SELECT unnest(tk) AS t FROM toks)),
+    lp AS (SELECT big.doc_id, big.pos,
+                  ln((bc.c12 + 1) / (cc.c1 + v.vsz)) AS lp
+           FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+           WHERE big.pos % 16 <> 0),
+    cs AS (SELECT doc_id, CAST((pos - 1) // 16 AS BIGINT) AS chunk,
+                  CAST(COUNT(*) AS BIGINT) AS nb,
+                  list_aggregate(list(lp ORDER BY pos), 'sum') AS slp
+           FROM lp GROUP BY doc_id, chunk),
+    rk AS (SELECT doc_id, chunk,
+                  row_number() OVER (
+                    ORDER BY CAST(-FLOOR(slp / nb * 1e6) AS BIGINT),
+                             doc_id, chunk) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM cs)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_head,
+           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_middle,
+           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail
+    FROM rk GROUP BY doc_id
+    """,
+)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet segment filtering (Wenzek et al. 2020,
+    ``pipeline/lm.py::ccnet_chunk_buckets``): 16-token segments scored
+    by mean bigram log-probability under the self-trained corpus LM,
+    ranked corpus-wide via ``global_dense_rank`` (no single-partition
+    window), bucketed into head/middle/tail terciles by integer
+    arithmetic on (rank, total).  The ordering key is the integer
+    ``-floor(mean·10⁶)`` so the ≤1-ulp ln() discrepancy between libm
+    and the JVM cannot flip the corpus-wide order (a flip needs an
+    exact 10⁻⁶ grid hit, measure-zero for ln sums); ties break on
+    (doc_id, chunk) in both engines."""
+    from ophidia_io_server_spark.pipeline.lm import ccnet_chunk_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_chunk_buckets(docs, chunk_tokens=16)
+
+
+@workload(
     "bpe_train_invariants",
     oracle="""
     WITH w AS (
@@ -5892,6 +5948,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("doc_id", "bigint"), ("n_trigrams", "bigint"),
             ("n_backoff2", "bigint"), ("n_backoff1", "bigint"),
             ("avg_logscore", "double"),
+        ],
+        "doc_ccnet_buckets": [
+            ("doc_id", "bigint"), ("n_chunks", "bigint"),
+            ("n_head", "bigint"), ("n_middle", "bigint"),
+            ("n_tail", "bigint"),
         ],
     },
     # beyond-reference Structured Streaming: bounded-state Misra-Gries,

@@ -294,3 +294,41 @@ def test_kneser_ney_matches_reference(spark):
     ref = _ref_kn(train, [(j, f"{probe_ctx} {w}") for j, w in enumerate(vocab)])
     probs = [math.exp(v[3]) for v in ref.values()]  # avg_logprob of 1 bigram = ln P
     assert abs(sum(probs) - 1.0) < 1e-6
+
+
+def test_ccnet_buckets_contract(spark):
+    """Tercile sizes are balanced (differ by ≤1 corpus-wide), every
+    scored chunk lands in exactly one bucket, and the result is
+    layout-invariant (rank keys are row values, not partitioning)."""
+    from ophidia_io_server_spark.pipeline.lm import ccnet_chunk_buckets
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = ccnet_chunk_buckets(docs, chunk_tokens=16)
+    rows = out.collect()
+    heads = sum(r["n_head"] for r in rows)
+    mids = sum(r["n_middle"] for r in rows)
+    tails = sum(r["n_tail"] for r in rows)
+    total = sum(r["n_chunks"] for r in rows)
+    assert heads + mids + tails == total
+    assert max(heads, mids, tails) - min(heads, mids, tails) <= 1
+    rows2 = ccnet_chunk_buckets(docs.repartition(13, "lang"),
+                                chunk_tokens=16).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ccnet_buckets_orders_by_score(spark):
+    """A document made of the corpus's most predictable bigram should
+    land its chunks in head; a gibberish document lands in tail."""
+    common = " ".join(["a b"] * 24)           # high-count bigram
+    rare = " ".join(f"zq{i} xw{i}" for i in range(24))
+    filler = [(10 + i, "c d " * 8) for i in range(4)]
+    df = spark.createDataFrame(
+        [(1, common), (2, rare), *filler], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           __import__("ophidia_io_server_spark.pipeline.lm",
+                      fromlist=["ccnet_chunk_buckets"])
+           .ccnet_chunk_buckets(df, chunk_tokens=16).collect()}
+    assert out[1]["n_tail"] == 0          # predictable text is never tail
+    assert out[2]["n_head"] == 0          # gibberish is never head
+    assert out[2]["n_tail"] == out[2]["n_chunks"]
