@@ -727,6 +727,53 @@ def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _zorder_oracle(cols: list[str], bits: int) -> str:
+    """DuckDB mirror of ``operators/zorder.py::zorder_value``: per-column
+    dense rank → exact integer scaling onto [0, 2^bits) → column-major
+    bit interleave, all plain integer arithmetic."""
+    nb = 1 << bits
+    dr = ",\n      ".join(
+        f"dense_rank() OVER (ORDER BY {c} ASC NULLS FIRST) AS dr{j}"
+        for j, c in enumerate(cols))
+    mx = ", ".join(f"MAX(dr{j}) AS mx{j}" for j in range(len(cols)))
+    q = ", ".join(f"(dr{j} - 1) * {nb} // mx{j} AS q{j}"
+                  for j in range(len(cols)))
+    terms = " + ".join(
+        f"((q{j} // {1 << i}) % 2) * {1 << (i * len(cols) + j)}"
+        for i in range(bits) for j in range(len(cols)))
+    return f"""
+    WITH r AS (
+      SELECT o_orderkey,
+      {dr}
+      FROM orders),
+    m AS (SELECT {mx} FROM r),
+    q AS (SELECT o_orderkey, {q} FROM r CROSS JOIN m)
+    SELECT o_orderkey, CAST({terms} AS BIGINT) AS zval FROM q
+    """
+
+
+@workload(
+    "orders_zorder_layout",
+    oracle=_zorder_oracle(["o_custkey", "o_totalprice", "o_orderdate"], 8),
+)
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering codes — the layout operator behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` (``operators/zorder.py``),
+    hashed row-exactly: every order's 24-bit Morton code over
+    (o_custkey, o_totalprice, o_orderdate).  The r7 rewrite made the
+    rank normalization DISTRIBUTED (``global_dense_rank``, no
+    single-partition NTILE window) and layout-deterministic (dense rank
+    gives tied values one code; NTILE split ties in sort-arrival
+    order), which is what makes this row oracle-able at all."""
+    from ophidia_io_server_spark.operators.zorder import zorder_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (zorder_value(orders,
+                         ["o_custkey", "o_totalprice", "o_orderdate"],
+                         bits=8)
+            .select("o_orderkey", "zval"))
+
+
 @workload(
     "tpch_q1_pricing",
     oracle="""
@@ -6214,6 +6261,9 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_null", "bigint"), ("n_distinct", "bigint"),
             ("min_num", "double"), ("max_num", "double"),
             ("mean_num", "double"),
+        ],
+        "orders_zorder_layout": [
+            ("o_orderkey", "bigint"), ("zval", "bigint"),
         ],
         "orders_topk_per_segment": [
             ("c_mktsegment", "string"), ("o_orderkey", "bigint"),

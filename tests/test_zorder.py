@@ -30,20 +30,37 @@ def test_zvalue_matches_reference(spark):
     bits = 8
     got = {r["id"]: r["zval"]
            for r in zorder_value(df, ["x", "y"], bits=bits).collect()}
-    # reference: rank-normalize each column with the same NTILE rule
-    # (256 rows into 256 buckets = exact rank), interleave
-    xs = sorted(rows, key=lambda r: r[1])
-    ys = sorted(rows, key=lambda r: (r[2], ))
-    # ntile ties on y broken by window order; avoid ties: use rank among
-    # stable sort like Spark's ntile over orderBy(y) — ties get adjacent
-    # buckets in window order, so only compare rows with unique y
-    qx = {r[0]: i for i, r in enumerate(xs)}
-    from collections import Counter
-    ycnt = Counter(r[2] for r in rows)
+    # reference: dense-rank-normalize each column (ties share a code —
+    # the deterministic rule; NTILE's within-tie split depended on the
+    # sort's arbitrary tie order), scale onto [0, 2^bits), interleave.
+    # Checkable for EVERY row, duplicates included.
+    nb = 1 << bits
+
+    def codes(vals):
+        distinct = sorted(set(vals))
+        dr = {v: i + 1 for i, v in enumerate(distinct)}
+        mx = len(distinct)
+        return {v: (dr[v] - 1) * nb // mx for v in distinct}
+
+    cx = codes([r[1] for r in rows])
+    cy = codes([r[2] for r in rows])
     for rid, x, y in rows:
-        if ycnt[y] == 1:
-            qy = sum(1 for r in rows if (r[2], ) < (y, ))
-            assert got[rid] == _interleave([qx[rid], qy], bits), rid
+        assert got[rid] == _interleave([cx[x], cy[y]], bits), rid
+
+
+def test_zvalue_layout_invariant_with_ties(spark):
+    """Tied values share a Morton code at every partitioning — the
+    determinism NTILE could not give."""
+    rows = [(i, i % 7, float(i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a long, b double")
+    z1 = {r["id"]: r["zval"] for r in zorder_value(df, ["a", "b"], 8).collect()}
+    z2 = {r["id"]: r["zval"]
+          for r in zorder_value(df.repartition(17, "b"), ["a", "b"], 8).collect()}
+    assert z1 == z2
+    by_key = {}
+    for i, a, b in rows:
+        by_key.setdefault((a, b), set()).add(z1[i])
+    assert all(len(s) == 1 for s in by_key.values())
 
 
 def test_zorder_layout_prunes_both_columns(spark):
