@@ -4628,6 +4628,50 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue under a disjunction of
+    brand/size/quantity clauses), adapted to the trimmed schema: the
+    reference query's shipmode/container/shipinstruct conjuncts have no
+    source columns, so each OR-branch keeps its brand + size + quantity
+    ranges.  The shape this row pins: an OR-of-ANDs predicate spanning
+    BOTH join sides still broadcasts the dimension and pushes the
+    single-side conjunct residues (brand/size) into the part scan;
+    revenue rides exact 1e-4 units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * 10000).cast("bigint")
+    branch = [
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11),
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20),
+        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30),
+    ]
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .where(branch[0] | branch[1] | branch[2])
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"),
+             F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+
+
 def _profile_oracle_block(col: str, numeric: bool) -> str:
     base = (f"SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
@@ -5959,6 +6003,9 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "tpch_q22_idle_customers": [
             ("c_mktsegment", "string"), ("numcust", "bigint"),
             ("totacctbal_cents", "bigint"),
+        ],
+        "tpch_q19_disjunctive_revenue": [
+            ("revenue_e4", "bigint"), ("n_lines", "bigint"),
         ],
     },
     # the r5 TPC-H shapes
