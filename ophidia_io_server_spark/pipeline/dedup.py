@@ -1251,3 +1251,88 @@ def remove_duplicate_spans_varlen(docs: DataFrame, min_len: int = 50,
              .cast("bigint").alias("n_removed"),
         )
     )
+
+
+# --- Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003) --------------
+
+_WIN_POS_BITS = 20  # docs are capped at 2^20 gram positions (~1M tokens)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    token k-gram, slide a w-window over the hash sequence and select the
+    minimum of each window (rightmost on ties — the paper's rule), then
+    keep the DISTINCT selected (position, hash) pairs.  Guarantees: any
+    shared run of ≥ w+k−1 tokens between two documents yields at least
+    one shared fingerprint, and the density of selections is ~2/(w+1).
+
+    Gram hashes are the corpus-wide polynomial character hash
+    (``text.py::fingerprint_col`` — h·31+code mod 1e9+7), a pure integer
+    fold both engines reproduce bitwise; the rightmost-tie window min is
+    one BIGINT ``min()`` over the packed key ``h·2^20 + (2^20−1−pos)``.
+
+    Scale shape: per-document window functions only (partitioned by doc,
+    ordered by position) — no exchange beyond the doc partitioning, no
+    state beyond the w-row frame.  Documents shorter than k+w−1 tokens
+    have no full window and emit no fingerprints (documented contract).
+
+    Returns (id_col, pos, h): selected gram start positions + hashes."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.pipeline.text import fingerprint_col
+
+    toks = (spread(docs)
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tk"))
+            .withColumn("P", F.size("tk").cast("bigint"))
+            .where(F.col("P") >= k))
+    grams = (toks.select(
+        id_col, "P",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), (F.col("P") - (k - 1)).cast("int")),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at("tk", (i + j).cast("int")) for j in range(k)])))
+        .alias("p0", "g"))
+        .select(id_col, "P", (F.col("p0") + 1).cast("bigint").alias("pos"),
+                fingerprint_col(F.col("g")).alias("h")))
+    cap = 1 << _WIN_POS_BITS
+    key = (F.col("h") * cap + (cap - 1 - F.col("pos")))
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    sel = (grams
+           .withColumn("_sel", F.min(key).over(win))
+           # only full windows select: start positions 1..(P-k+1)-w+1
+           .where(F.col("pos") <= F.col("P") - (k - 1) - (w - 1))
+           .select(id_col,
+                   (F.lit(cap - 1) - (F.col("_sel") % cap)).alias("pos"),
+                   (F.col("_sel") / cap).cast("bigint").alias("h"))
+           .distinct())
+    return sel
+
+
+def winnow_pairs(docs: DataFrame, k: int = 3, w: int = 4,
+                 min_shared: int = 2, max_doc_freq: int = 50,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Document near-dup pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing ≥ ``min_shared`` DISTINCT
+    fingerprint hashes.  The pair join is an inverted-index equi-join on
+    the hash; ubiquitous hashes (> ``max_doc_freq`` docs — boilerplate)
+    are dropped first, the same fan-out guard as ``ngram_jaccard_pairs``,
+    so per-hash fan-out is bounded and there is no all-pairs term."""
+    fp = (winnow_fingerprints(docs, k, w, text_col, id_col)
+          .select(id_col, "h").distinct())
+    keep = (fp.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("h"))
+    fp = fp.join(keep, on="h")
+    a = fp.select(F.col(id_col).alias("doc_a"), "h")
+    b = fp.select(F.col(id_col).alias("doc_b"), "h")
+    return (a.join(b, on="h")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

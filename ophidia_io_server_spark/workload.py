@@ -1056,6 +1056,56 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs)
 
 
+@workload(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS P, CAST(i AS BIGINT) AS pos,
+             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM toks WHERE len(tk) >= 3)),
+    h AS (
+      SELECT doc_id, P, pos,
+             list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(string_split(g, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM g),
+    sel AS (
+      SELECT doc_id, pos, P,
+             MIN(h * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+      FROM h),
+    fp AS (SELECT DISTINCT doc_id, s // 1048576 AS h
+           FROM sel WHERE pos <= P - 5),
+    keep AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM fp GROUP BY h)
+             WHERE c <= 50),
+    fk AS (SELECT doc_id, h FROM fp JOIN keep USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (Schleimer et al. 2003 — the MOSS
+    fingerprints; ``pipeline/dedup.py::winnow_pairs``): token-3-gram
+    polynomial hashes, rightmost-min selection over a 4-window
+    (guarantee: any shared ≥6-token run yields a shared fingerprint),
+    inverted-index pair join with the ubiquitous-hash fan-out guard.
+    Per-doc window functions + one hash equi-join — no all-pairs term.
+    The SQL mirror reproduces the hash fold, the packed-key window min
+    and the tie rule bitwise."""
+    from ophidia_io_server_spark.pipeline.dedup import winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=3, w=4, min_shared=2, max_doc_freq=50)
+
+
 @workload("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
@@ -5921,6 +5971,9 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         ],
         "dedup_ngram_jaccard": [
             ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+        ],
+        "dedup_winnow_pairs": [
+            ("doc_a", "bigint"), ("doc_b", "bigint"), ("n_shared", "bigint"),
         ],
         "dedup_minhash_pairs": [
             ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),

@@ -117,3 +117,51 @@ def test_separator_is_literal_not_regex(spark):
     got2 = {r["doc_id"]: r["text_cleaned"] for r in
             remove_duplicate_paragraphs(docs2, min_count=2, sep="|").collect()}
     assert got2 == {1: "a|b", 2: "c"}
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) -------------------------
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Any shared run of >= w+k-1 tokens yields >= 1 shared fingerprint
+    (the paper's correctness guarantee), checked on a planted overlap."""
+    from ophidia_io_server_spark.pipeline.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"        # 6 = w+k-1 tokens
+    d1 = "one two three " + shared + " four five six seven"
+    d2 = "red green blue " + shared + " cyan magenta yellow black"
+    df = spark.createDataFrame([(1, d1), (2, d2)],
+                               "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=3, w=4)
+    h1 = {r["h"] for r in fp.where("doc_id = 1").collect()}
+    h2 = {r["h"] for r in fp.where("doc_id = 2").collect()}
+    assert h1 & h2, "shared >=(w+k-1)-token run must share a fingerprint"
+
+
+def test_winnow_disjoint_docs_share_nothing(spark):
+    from ophidia_io_server_spark.pipeline.dedup import winnow_pairs
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(30))),
+         (2, " ".join(f"b{i}" for i in range(30)))],
+        "doc_id long, text string")
+    assert winnow_pairs(df, min_shared=1).count() == 0
+
+
+def test_winnow_density_and_layout_invariance(spark):
+    """Selection density is near the paper's 2/(w+1); fingerprints are
+    identical at any partitioning (window keys are row values)."""
+    from ophidia_io_server_spark.pipeline.dedup import winnow_fingerprints
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fp = winnow_fingerprints(docs, k=3, w=4)
+    n_sel = fp.count()
+    n_windows = (docs.where("text IS NOT NULL")
+                 .selectExpr("size(split(trim(text), ' +')) AS P")
+                 .where("P >= 6").selectExpr("sum(P - 5)").first()[0])
+    # distinct-collapse pulls density below the 2/(w+1)=0.4 expectation
+    assert 0.1 < n_sel / n_windows < 0.6
+    fp2 = winnow_fingerprints(docs.repartition(13, "lang"), k=3, w=4)
+    assert (fp.exceptAll(fp2).count() == 0
+            and fp2.exceptAll(fp).count() == 0)
