@@ -1283,11 +1283,19 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
 
     from ophidia_io_server_spark.pipeline.text import fingerprint_col
 
+    cap = 1 << _WIN_POS_BITS
     toks = (spread(docs)
             .where(F.col(text_col).isNotNull())
             .select(F.col(id_col), tokens_col(F.col(text_col)).alias("tk"))
             .withColumn("P", F.size("tk").cast("bigint"))
-            .where(F.col("P") >= k))
+            .where(F.col("P") >= k)
+            # the packed rightmost-tie key reserves _WIN_POS_BITS for the
+            # position; fail loudly (not silently mis-tie-break) beyond it
+            .withColumn("P", F.when(F.col("P") < cap, F.col("P"))
+                        .otherwise(F.raise_error(F.concat(
+                            F.lit(f"winnow: doc exceeds 2^{_WIN_POS_BITS}"
+                                  " tokens: "),
+                            F.col(id_col).cast("string"))))))
     grams = (toks.select(
         id_col, "P",
         F.posexplode(F.transform(
@@ -1297,7 +1305,6 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
         .alias("p0", "g"))
         .select(id_col, "P", (F.col("p0") + 1).cast("bigint").alias("pos"),
                 fingerprint_col(F.col("g")).alias("h")))
-    cap = 1 << _WIN_POS_BITS
     key = (F.col("h") * cap + (cap - 1 - F.col("pos")))
     win = (Window.partitionBy(id_col).orderBy("pos")
            .rowsBetween(Window.currentRow, w - 1))
