@@ -12,10 +12,12 @@ constant as the corpus grows.
 Spark shape at 100 TB:
 
 * **Assignment is map-only.**  The k centroids are a k·d-sized driver
-  object broadcast into JVM expressions — each row computes its k
-  distances with ``zip_with``/``aggregate`` array arithmetic inside
-  whole-stage codegen (no Python, no shuffle) and takes the argmin via
-  struct-ordered ``array_min``.
+  object broadcast into the assignment kernel — no shuffle, no
+  row-amplifying centroid join.  Three kernels share the same exact
+  semantics: the default Arrow int64 kernel (numpy exact integers, no
+  per-iteration codegen compile), the JVM expression kernel (pure
+  Catalyst, pays a recompile per Lloyd's iteration — kept for the
+  no-Python plan guarantee), and a float64 dgemm kernel for large k.
 * **The update step is one partial-aggregatable groupBy per iteration.**
   ``groupBy(cluster).agg(sum(qv[i])…, count)`` emits d+1 aggregate
   columns — map-side combine reduces every partition to ≤k rows before
