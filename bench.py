@@ -66,6 +66,11 @@ HEADLINE = [
     "stream_minhash_incremental",
     "sample_bottom_k",
     "embedding_kmeans_semdedup",
+    # r7 third session (HEADLINE 36 -> 39): Q21's aggregate-ladder rewrite,
+    # Count-Min sketch estimation, watermarked stream-stream join
+    "tpch_q21_waiting_suppliers",
+    "token_countmin_freq",
+    "stream_view_attribution",
 ]
 
 

@@ -31,7 +31,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -98,3 +98,63 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 64,
     if top_n is not None:
         exact = exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(top_n)
     return exact
+
+
+def _cms_positions(item: Column, depth: int, width: int, seed: int) -> Column:
+    """The d counter positions of ``item``: row r uses ``xxhash64(item,
+    seed+r)`` reduced mod width (pmod keeps it non-negative).  Independent
+    seeds per row stand in for the pairwise-independent hash family of
+    Cormode & Muthukrishnan 2005 §3."""
+    return F.array(*[
+        F.pmod(F.xxhash64(item, F.lit(seed + r)), F.lit(width))
+        for r in range(depth)
+    ])
+
+
+def countmin_build(df: DataFrame, item_col: str, depth: int = 5,
+                   width: int = 2048, seed: int = 7) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a tiny DataFrame
+    of ``(r, pos, cnt)`` counters — a mergeable frequency summary whose
+    size is depth·width REGARDLESS of corpus size.
+
+    Spark shape: posexplode of the d positions, then one
+    ``groupBy(r, pos).count()`` — map-side combine reduces every partition
+    to ≤ depth·width rows before the single bounded shuffle, so at 100 TB
+    the exchange carries O(partitions · d · w) counter rows, never the
+    vocabulary.  Sketches of disjoint corpus shards merge by summing
+    counters (the same groupBy), which is what makes this the streaming /
+    federated complement to the exact MG+verify pipeline above."""
+    pos = _cms_positions(F.col(item_col), depth, width, seed)
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(F.posexplode(pos).alias("r", "pos"))
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(sketch: DataFrame, queries: DataFrame, item_col: str,
+                      depth: int = 5, width: int = 2048,
+                      seed: int = 7) -> DataFrame:
+    """Point-estimate ``est`` for each distinct query item: min over the
+    item's d counters (0 for a counter no item hashed to).  Guarantees:
+    ``est >= true count`` always (every occurrence increments all d of the
+    item's counters); overshoot per counter row has mean (N − c_i)/width,
+    and the min over d rows exceeds t·N/width with probability ≤ t^−d
+    (Markov per row, independent rows).
+
+    The sketch side is ≤ depth·width rows — broadcast it; the probe is
+    map-only over the queries."""
+    q = queries.select(F.col(item_col).alias("item")).where(
+        F.col("item").isNotNull()).distinct()
+    qpos = q.select(
+        "item",
+        F.posexplode(_cms_positions(F.col("item"), depth, width, seed))
+         .alias("r", "pos"),
+    )
+    return (
+        qpos.join(F.broadcast(sketch), on=["r", "pos"], how="left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint")
+              .alias("est"))
+    )

@@ -132,6 +132,43 @@ def user_running_stats_stream(events: DataFrame, watermark: str = "2 hours") -> 
     )
 
 
+def stream_stream_attribution(views: DataFrame, purchases: DataFrame,
+                              window_minutes: int = 120,
+                              watermark: str = "4 hours") -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: each purchase joined to the
+    same user's view events in the preceding ``window_minutes``.
+
+    This is Spark's canonical bounded-state stream-stream join: both
+    inputs are watermarked and the join condition carries an explicit
+    event-time range, so the state store can evict a buffered view row as
+    soon as the purchase-side watermark passes ``v_ts + window`` (and
+    vice versa) — state is O(events inside the watermark horizon), not
+    O(stream length).  Output mode must be ``append`` (stream-stream
+    joins emit a pair exactly once, when both sides have arrived).
+
+    The batch twin is the identical join on static DataFrames; the
+    correctness gate asserts the drained stream result set-equals the
+    batch result (``workload.stream_view_attribution``)."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts")
+           - F.expr(f"INTERVAL {int(window_minutes)} MINUTES")),
+        "inner",
+    ).drop("v_user")
+
+
 def run_available_now(sdf: DataFrame, query_name: str, output_mode: str = "complete",
                       timeout_sec: int = 300) -> DataFrame:
     """Process everything currently available, write to an in-memory sink,

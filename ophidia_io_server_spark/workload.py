@@ -5920,6 +5920,266 @@ def doc_varlen_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans_varlen(docs, min_len=8)
 
 
+@workload(
+    "token_countmin_freq",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS item
+      FROM documents WHERE text IS NOT NULL)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
+             AS rank,
+           TRUE AS est_ge_exact_ok, TRUE AS est_within_bound_ok
+    FROM t GROUP BY item
+    ORDER BY cnt DESC, item LIMIT 15
+    """,
+)
+def token_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation
+    (``pipeline/heavy.py::countmin_build/countmin_estimate``, Cormode &
+    Muthukrishnan 2005): the corpus token stream folded into a
+    depth·width counter table (d=5, w=2048 — constant-size regardless of
+    corpus), then the exact top-15 tokens point-estimated from the sketch
+    alone.  Certificates carried per row: ``est_ge_exact_ok`` (the CMS
+    one-sided guarantee, est ≥ true count, holds unconditionally) and
+    ``est_within_bound_ok`` (est ≤ true + ⌊10·N/w⌋; a single counter row
+    exceeds 10·N/w overshoot with probability ≤ 1/10 by Markov, the min
+    over 5 independent rows with probability ≤ 1e-5 — verified green at
+    sf0.001/sf0.01/sf0.1).  The oracle is the exact top-15 with both
+    certificates asserted; the sketch is deterministic (xxhash64, fixed
+    seed) so the row is reproducible bit-for-bit."""
+    from ophidia_io_server_spark.pipeline.heavy import (
+        countmin_build,
+        countmin_estimate,
+        heavy_hitters,
+    )
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens_col(F.col("text"))).alias("tok"))
+    depth, width = 5, 2048
+    sketch = countmin_build(toks, "tok", depth=depth, width=width, seed=7)
+    sketch = sketch.persist()
+    top = heavy_hitters(toks, "tok", k=64, top_n=15)
+    est = countmin_estimate(sketch, top.select(F.col("item").alias("tok")),
+                            "tok", depth=depth, width=width, seed=7)
+    # N from the sketch itself (row 0's counters sum to the stream length)
+    # as a single-row scalar broadcast — no extra corpus pass.
+    n_total = (sketch.where(F.col("r") == 0)
+               .agg(F.sum("cnt").cast("bigint").alias("n_total")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return (
+        top.join(est, on="item")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "item", "cnt",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            (F.col("est") >= F.col("cnt")).alias("est_ge_exact_ok"),
+            (F.col("est") <= F.col("cnt")
+             + F.expr(f"10 * n_total div {width}")).alias("est_within_bound_ok"),
+        )
+    )
+
+
+@workload(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH l AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    per_os AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(SUM(late) AS BIGINT) AS n_late,
+             MAX(late) AS any_late
+      FROM l GROUP BY 1, 2),
+    per_o AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp,
+             SUM(any_late) AS n_late_supp
+      FROM per_os GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(SUM(po.n_late) AS BIGINT) AS numwait
+    FROM per_os po
+    JOIN per_o t ON t.l_orderkey = po.l_orderkey
+    JOIN supplier s ON s.s_suppkey = po.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE po.any_late = 1 AND t.n_supp > 1 AND t.n_late_supp = 1
+    GROUP BY 1, 2, 3
+    ORDER BY numwait DESC, s.s_suppkey LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted to the
+    trimmed schema: no l_commitdate/l_receiptdate, so "late" :=
+    l_shipdate > o_orderdate + 60 days (ship lag), on finalized ('F')
+    orders.  The reference formulation is a correlated EXISTS + NOT
+    EXISTS double self-join on lineitem; here both subqueries collapse
+    into ONE aggregation ladder — per-(order, supplier) late flags, then
+    per-order supplier/late-supplier counts — so lineitem is shuffled
+    once on orderkey instead of three times (the aggregate-instead-of-
+    correlated-subquery rewrite Catalyst cannot do on its own).  A
+    supplier's late lines count exactly when the order has >1 supplier
+    and that supplier is the ONLY late one.  Supplier and nation are
+    broadcast; top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int")
+    per_os = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("late").cast("bigint").alias("n_late"),
+             F.max("late").alias("any_late"))
+    )
+    per_o = (
+        per_os.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"),
+             F.sum("any_late").alias("n_late_supp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        per_os.join(per_o, on="l_orderkey")
+        .where((F.col("any_late") == 1) & (F.col("n_supp") > 1)
+               & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.sum("n_late").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(100)
+    )
+
+
+@workload(
+    "tpch_q9_profit_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)
+                    - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT) * 60) AS BIGINT)
+             AS profit_e4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year) adapted to the
+    trimmed schema: no partsupp, so supply cost := 60% of the part's
+    retail price per unit (ps_supplycost's role in the profit formula,
+    kept on the exact integer grid — retail cents × integral quantity
+    × 60 is e4 units with zero rounding).  The widest join chain in the
+    suite: lineitem × part × supplier × orders × nation, with the
+    p_name filter pushed into the part scan so the part-side broadcast
+    prunes lineitem FIRST (the selective dimension leads); supplier and
+    nation broadcast; profit summed as exact e4 integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    rev_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     * 10000).cast("bigint")
+    cost_e4 = (F.round(F.col("p_retailprice") * 100).cast("bigint")
+               * F.col("l_quantity").cast("bigint") * 60)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(rev_e4 - cost_e4).cast("bigint").alias("profit_e4"))
+    )
+
+
+@workload(
+    "stream_view_attribution",
+    oracle="""
+    SELECT p.event_id AS p_event_id, v.event_id AS v_event_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us,
+           TRUE AS stream_equals_batch
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 120 MINUTE
+    """,
+)
+def stream_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join
+    (``streaming/ingest.py::stream_stream_attribution``): purchases
+    joined to the same user's views in the preceding 2 h, both sides
+    watermarked so buffered state is evicted once the opposite side's
+    watermark passes the join-window horizon — O(horizon) state at any
+    stream length, the missing piece between the repo's stream-static
+    joins and its stateful aggregations.  Run here with availableNow
+    over the staged corpus (single batch — event-time disorder across
+    arbitrary file splits exceeds a 4 h watermark; the multi-batch path
+    is exercised in tests/test_streaming.py with a horizon-covering
+    watermark) and checked two ways: the oracle's inequality join, and
+    the ``stream_equals_batch`` boolean asserting the drained stream
+    result set-equals the identical batch-plan join."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+        stream_stream_attribution,
+    )
+
+    path = _staged_events_dir(spark, sf_dir)
+    src = events_stream(spark, path)
+    joined = stream_stream_attribution(
+        src.where(F.col("event_type") == "view"),
+        src.where(F.col("event_type") == "purchase"),
+        window_minutes=120, watermark="4 hours",
+    )
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    landed = run_available_now(joined, f"stream_ss_attr_{tag}",
+                               output_mode="append")
+    ev = load_table(spark, sf_dir, "events")
+    bv = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    bp = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    batch = bp.join(
+        bv,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 120 MINUTES")),
+        "inner",
+    ).select("p_event_id", "v_event_id", "user_id", "p_ts", "v_ts")
+    got = landed.select("p_event_id", "v_event_id", "user_id", "p_ts", "v_ts")
+    ok = (got.exceptAll(batch).count() == 0
+          and batch.exceptAll(got).count() == 0)
+    return landed.select(
+        "p_event_id", "v_event_id", "user_id",
+        (F.unix_micros(F.col("p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("v_ts").cast("timestamp"))).alias("lag_us"),
+        F.lit(ok).alias("stream_equals_batch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Suite composites + driver-gate slot curation (round 6)
 #
@@ -6060,6 +6320,14 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "tpch_q19_disjunctive_revenue": [
             ("revenue_e4", "bigint"), ("n_lines", "bigint"),
         ],
+        "tpch_q21_waiting_suppliers": [
+            ("s_suppkey", "bigint"), ("s_name", "string"),
+            ("n_name", "string"), ("numwait", "bigint"),
+        ],
+        "tpch_q9_profit_by_nation": [
+            ("nation", "string"), ("o_year", "bigint"),
+            ("profit_e4", "bigint"),
+        ],
     },
     # the r5 TPC-H shapes
     "tpch_legacy_suite": {
@@ -6125,6 +6393,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "stream_curation": [
             ("n_docs", "bigint"), ("n_keep", "bigint"),
             ("kept_tokens", "bigint"),
+        ],
+        "stream_view_attribution": [
+            ("p_event_id", "bigint"), ("v_event_id", "bigint"),
+            ("user_id", "bigint"), ("lag_us", "bigint"),
+            ("stream_equals_batch", "boolean"),
         ],
     },
     # the two iterative graph operators
@@ -6226,6 +6499,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "token_pmi_pairs": [
             ("wa", "string"), ("wb", "string"), ("c12", "bigint"),
             ("pmi", "double"),
+        ],
+        "token_countmin_freq": [
+            ("item", "string"), ("cnt", "bigint"), ("rank", "bigint"),
+            ("est_ge_exact_ok", "boolean"),
+            ("est_within_bound_ok", "boolean"),
         ],
     },
     # classic event-analytics rollups

@@ -63,3 +63,66 @@ def test_non_string_items(spark):
     got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "v", k=8).collect()}
     assert got[7] == 31          # 30 + the range(20) occurrence of 7
     assert isinstance(list(got)[0], int)
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+def test_countmin_est_ge_exact_for_every_item(spark):
+    from ophidia_io_server_spark.pipeline.heavy import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    rng = np.random.default_rng(5)
+    items = [f"w{int(x)}" for x in rng.zipf(1.4, 3000) if x < 500]
+    df = _items_df(spark, items)
+    sketch = countmin_build(df, "tok", depth=4, width=64, seed=3)
+    # tiny width on purpose: collisions guaranteed, one-sidedness must hold
+    est = {r["item"]: r["est"]
+           for r in countmin_estimate(sketch, df, "tok", depth=4, width=64,
+                                      seed=3).collect()}
+    exact = Counter(items)
+    assert set(est) == set(exact)
+    for it, c in exact.items():
+        assert est[it] >= c, (it, est[it], c)
+    # sketch size is bounded by depth*width regardless of vocabulary
+    assert sketch.count() <= 4 * 64
+    # total mass per row == stream length
+    row0 = sketch.where("r = 0").agg({"cnt": "sum"}).collect()[0][0]
+    assert row0 == len(items)
+
+
+def test_countmin_shard_merge_equals_full_build(spark):
+    """CMS counters are mergeable: build per shard, sum counters, get the
+    full-corpus sketch bit-for-bit (the federated/streaming property)."""
+    from pyspark.sql import functions as F
+
+    from ophidia_io_server_spark.pipeline.heavy import countmin_build
+
+    items = [f"a{i % 17}" for i in range(400)] + [f"b{i % 5}" for i in range(100)]
+    df = _items_df(spark, items)
+    full = countmin_build(df, "tok", depth=3, width=32, seed=9)
+    sh1 = countmin_build(df.where(F.crc32("tok") % 2 == 0), "tok",
+                         depth=3, width=32, seed=9)
+    sh2 = countmin_build(df.where(F.crc32("tok") % 2 == 1), "tok",
+                         depth=3, width=32, seed=9)
+    merged = (sh1.unionByName(sh2).groupBy("r", "pos")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_countmin_estimate_unseen_item_zero_or_collision(spark):
+    from ophidia_io_server_spark.pipeline.heavy import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    df = _items_df(spark, ["x"] * 10)
+    sketch = countmin_build(df, "tok", depth=4, width=1024, seed=1)
+    q = spark.createDataFrame([("never-seen",)], "tok string")
+    est = countmin_estimate(sketch, q, "tok", depth=4, width=1024,
+                            seed=1).collect()
+    # with one distinct item in 1024 buckets the probe almost surely finds
+    # an empty counter; at minimum the estimate is bounded by the stream
+    assert est[0]["est"] in (0, 10)

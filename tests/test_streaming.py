@@ -179,3 +179,47 @@ def test_minhash_lsh_stream_batch_arrival_invariance(spark, tmp_path):
         want = {(r["doc_a"], r["doc_b"], r["jaccard"])
                 for r in minhash_lsh_pairs(df).collect()}
         assert got == want and len(want) >= 3
+
+
+def test_stream_stream_attribution_multibatch_matches_batch(spark, tmp_path):
+    """Stream-stream inner join drained file-by-file equals the batch join
+    when the watermark covers the corpus's event-time disorder (31 days
+    ≥ the staged events' full span) — buffered state is never evicted
+    before its partner can arrive, so append-mode emission is exactly the
+    batch result regardless of file arrival order."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        stream_stream_attribution,
+    )
+
+    # watermarks require TIMESTAMP (ltz) event time, not the parquet NTZ
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ss_events")
+    ev.repartition(5).write.mode("overwrite").parquet(path)
+    src = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    joined = stream_stream_attribution(
+        src.where(F.col("event_type") == "view"),
+        src.where(F.col("event_type") == "purchase"),
+        window_minutes=120, watermark="31 days",
+    )
+    got = run_available_now(joined, "t_ss_attr", output_mode="append")
+    bv = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    bp = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    want = bp.join(
+        bv,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 120 MINUTES")),
+        "inner",
+    )
+    g = {(r["p_event_id"], r["v_event_id"])
+         for r in got.select("p_event_id", "v_event_id").collect()}
+    w = {(r["p_event_id"], r["v_event_id"])
+         for r in want.select("p_event_id", "v_event_id").collect()}
+    assert g == w and len(w) >= 5
