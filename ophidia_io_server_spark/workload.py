@@ -6111,6 +6111,67 @@ def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_hll_rollup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS est_ok, TRUE AS merge_consistent_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches as DATA (Apache DataSketches via
+    ``hll_sketch_agg``/``hll_union_agg``): per-(event_type, day) binary
+    sketches built once, then rolled up to per-type distinct-user
+    estimates by UNION-merging the daily sketches — the production shape
+    where a 100 TB history keeps one tiny sketch per rollup cell and
+    re-aggregation at any grain is register-wise max over sketches, never
+    a re-scan.  Two certificates: ``est_ok`` (merged estimate within 10%
+    of exact — lgConfigK=12 is ~1.6% rsd) and ``merge_consistent_ok``
+    (the DAY-sketch union estimate within 5% of the HOUR-sketch union
+    estimate — both unions summarize the identical user set).  Exact
+    cross-grain equality is deliberately NOT claimed: DataSketches picks
+    the estimator per union-input MODES (coupon inputs keep the exact/HIP
+    path, any dense input flips the out-of-order flag to the composite
+    estimator), so two shardings of the same set can legitimately land on
+    different estimator paths — observed live at the 10× corpus, where
+    day cells go dense while hour cells stay sparse.  Each single union
+    IS deterministic (all-coupon unions are exact-set semantics; any
+    dense input forces the order-independent composite path), which is
+    what makes this a gateable row.  ``sketch_approx_stats`` checks the
+    scalar ``approx_count_distinct`` path; this row checks the
+    persistable/mergeable sketch objects."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def union_est(grain, label: str) -> DataFrame:
+        cells = (
+            ev.groupBy("event_type", grain.alias("cell"))
+            .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        )
+        return (
+            cells.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+                  .alias(label))
+        )
+
+    by_day = union_est(F.date_trunc("day", "ts"), "est_day")
+    by_hour = union_est(F.date_trunc("hour", "ts"), "est_hour")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    return (
+        exact.join(by_day, on="event_type").join(by_hour, on="event_type")
+        .select(
+            "event_type", "n_users",
+            (F.abs(F.col("est_day") - F.col("n_users"))
+             <= 0.10 * F.greatest(F.lit(1), F.col("n_users")))
+             .alias("est_ok"),
+            (F.abs(F.col("est_day") - F.col("est_hour"))
+             <= 0.05 * F.greatest(F.lit(1), F.col("est_day")))
+             .alias("merge_consistent_ok"),
+        )
+    )
+
+
+@workload(
     "stream_view_attribution",
     oracle="""
     SELECT p.event_id AS p_event_id, v.event_id AS v_event_id,
@@ -6531,6 +6592,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("event_type", "string"), ("n", "bigint"),
             ("users_ok", "boolean"), ("p50_ok", "boolean"),
             ("p95_ok", "boolean"),
+        ],
+        "events_hll_rollup": [
+            ("event_type", "string"), ("n_users", "bigint"),
+            ("est_ok", "boolean"), ("merge_consistent_ok", "boolean"),
         ],
         "events_rolling_zscore": [
             ("event_id", "bigint"), ("user_id", "bigint"),

@@ -41,3 +41,29 @@ def test_parser_fuzz_typed_errors_only(q):
         assert isinstance(out, dict) and "operation" in out
     except QueryParseError:
         pass
+
+
+def test_hll_union_deterministic_across_partitionings(spark):
+    """A single hll_union_agg over the SAME cell sketches is deterministic
+    regardless of how Spark partitions the merge (all-coupon unions are
+    exact-set semantics; any dense input forces the order-independent
+    composite estimator) — the property that makes events_hll_rollup
+    gateable.  Cross-grain equality is NOT asserted (estimator path
+    depends on input modes; see the workload docstring)."""
+    ev = load_table(spark, SF, "events")
+    daily = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+             .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")))
+    ests = []
+    for parts in (1, 3, 16):
+        u = (daily.repartition(parts)
+             .groupBy("event_type")
+             .agg(F.hll_sketch_estimate(
+                 F.hll_union_agg("sk", F.lit(False))).alias("est")))
+        ests.append(sorted((r.event_type, r.est) for r in u.collect()))
+    assert ests[0] == ests[1] == ests[2]
+    # and the estimates are near-exact at this cardinality
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    for et, est in ests[0]:
+        assert abs(est - exact[et]) <= max(1.0, 0.1 * exact[et])
