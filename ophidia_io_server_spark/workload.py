@@ -6111,6 +6111,216 @@ def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT a.l_partkey, s.s_suppkey, s.s_name, n.n_name,
+             CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM assoc a
+      JOIN supplier s ON s.s_suppkey = a.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    best AS (SELECT l_partkey, MIN(acctbal_cents) AS min_cents
+             FROM cand GROUP BY 1)
+    SELECT c.acctbal_cents, c.s_name, c.n_name, p.p_partkey, p.p_brand
+    FROM cand c
+    JOIN best b ON b.l_partkey = c.l_partkey
+               AND c.acctbal_cents = b.min_cents
+    JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_type = 'LARGE' AND p.p_size < 25
+    ORDER BY c.acctbal_cents DESC, c.n_name, c.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted to the trimmed schema: no
+    partsupp/ps_supplycost, so "cost" := the supplier's account balance
+    (exact cents) and the part↔supplier candidates are the DISTINCT
+    traded pairs from lineitem; the region scope, part filters, the
+    correlated MIN subquery, the tie-preserving equality join back, and
+    the top-100 ordering all keep Q2's structure.  Spark shape: the
+    supplier×nation×region candidate dimension is built broadcast-only;
+    the one wide shuffle is the association distinct; the decorrelated
+    MIN + join-back runs on the grouped (≤ |parts|-row) side.  Ties on
+    the minimum are preserved exactly like the reference query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    assoc = li.select("l_partkey", "l_suppkey").distinct()
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supp = (s.join(n, s["s_nationkey"] == n["n_nationkey"])
+            .join(r, n["n_regionkey"] == r["r_regionkey"])
+            .select("s_suppkey", "s_name", "n_name",
+                    F.round(F.col("s_acctbal") * 100).cast("bigint")
+                     .alias("acctbal_cents")))
+    cand = assoc.join(F.broadcast(supp),
+                      assoc["l_suppkey"] == supp["s_suppkey"])
+    best = cand.groupBy("l_partkey").agg(
+        F.min("acctbal_cents").alias("min_cents"))
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 25))
+    return (
+        cand.join(best, on="l_partkey")
+        .where(F.col("acctbal_cents") == F.col("min_cents"))
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select("acctbal_cents", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.col("acctbal_cents").desc(), "n_name", "s_name",
+                 "p_partkey")
+        .limit(100)
+    )
+
+
+@workload(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS value_e4
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(value_e4) AS tv, COUNT(*) AS np FROM pv)
+    SELECT pv.l_partkey, CAST(pv.value_e4 AS BIGINT) AS value_e4
+    FROM pv, t
+    WHERE 3 * pv.value_e4 * t.np > 4 * t.tv
+    ORDER BY value_e4 DESC, pv.l_partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) adapted to the trimmed
+    schema: no partsupp, so a part's "stock value" is its traded revenue
+    in lineitem, and the Q11 scalar-subquery threshold (value > fraction
+    × total) is made scale-free exactly as the reference query scales its
+    fraction by 1/SF — a part qualifies when its share exceeds 4/3 of
+    the uniform share, tested in EXACT integer arithmetic
+    (3·v·n_parts > 4·total, all e4-unit bigints; no division).  Spark
+    shape: one groupBy on partkey; the global (total, n_parts) summary
+    is a single-row broadcast cross join — the decorrelated form of
+    Q11's scalar subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * 10000).cast("bigint")
+    pv = li.groupBy("l_partkey").agg(F.sum(rev).alias("value_e4"))
+    t = pv.agg(F.sum("value_e4").alias("tv"),
+               F.count(F.lit(1)).alias("np"))
+    return (
+        pv.crossJoin(F.broadcast(t))
+        .where(3 * F.col("value_e4") * F.col("np") > 4 * F.col("tv"))
+        .select("l_partkey", F.col("value_e4").cast("bigint").alias("value_e4"))
+        .orderBy(F.col("value_e4").desc(), "l_partkey")
+    )
+
+
+@workload(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT a.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM assoc a JOIN part p ON p.p_partkey = a.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND a.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted to the trimmed
+    schema: no partsupp, so the part↔supplier association is the DISTINCT
+    (l_partkey, l_suppkey) pairs actually traded in lineitem; no
+    s_comment, so the complaint-supplier exclusion becomes a low-balance
+    exclusion (s_acctbal < 500 — non-empty at the gate SF).  Spark
+    shape: the association distinct is the one wide shuffle; the
+    filtered part dimension and the excluded-supplier set are both
+    broadcast (the NOT IN is a broadcast LEFT ANTI join — safe here
+    because s_suppkey is never NULL, documented vs the SQL NOT-IN NULL
+    trap); COUNT(DISTINCT) rides the partial-aggregate path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    assoc = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 500).select("s_suppkey")
+    return (
+        assoc.join(F.broadcast(bad),
+                   assoc["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type",
+                 F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint")
+              .alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@workload(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, SUM(q) AS qt FROM shipped GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_dominant
+    FROM shipped sh
+    JOIN tot t ON t.l_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE 2 * sh.q > t.qt
+    GROUP BY 1, 2, 3
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (suppliers with excess stock) adapted to the trimmed
+    schema: no partsupp/ps_availqty, so the Q20 predicate "availqty >
+    50% of shipped quantity" becomes its shipped-side mirror — suppliers
+    who shipped MORE than half a part's 1996 volume of name-matched
+    parts ("dominant" suppliers), the same correlated-scalar-subquery
+    shape decorrelated into aggregates.  Spark shape: part filter
+    broadcast-prunes lineitem before the one groupBy shuffle on
+    (partkey, suppkey); the per-part total is a window over partkey (no
+    second wide exchange of the base data); the dominance test is exact
+    integer arithmetic (2q > qt — quantities are integral).  Supplier
+    and nation broadcast."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%widget%")).select("p_partkey")
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+              .alias("q"))
+    )
+    tot = F.sum("q").over(Window.partitionBy("l_partkey"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        shipped.withColumn("qt", tot)
+        .where(2 * F.col("q") > F.col("qt"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts_dominant"))
+        .orderBy("s_suppkey")
+    )
+
+
+@workload(
     "events_hll_rollup",
     oracle="""
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -6388,6 +6598,22 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "tpch_q9_profit_by_nation": [
             ("nation", "string"), ("o_year", "bigint"),
             ("profit_e4", "bigint"),
+        ],
+        "tpch_q16_supplier_counts": [
+            ("p_brand", "string"), ("p_type", "string"),
+            ("p_size", "bigint"), ("supplier_cnt", "bigint"),
+        ],
+        "tpch_q20_dominant_suppliers": [
+            ("s_suppkey", "bigint"), ("s_name", "string"),
+            ("n_name", "string"), ("n_parts_dominant", "bigint"),
+        ],
+        "tpch_q2_min_cost_supplier": [
+            ("acctbal_cents", "bigint"), ("s_name", "string"),
+            ("n_name", "string"), ("p_partkey", "bigint"),
+            ("p_brand", "string"),
+        ],
+        "tpch_q11_important_parts": [
+            ("l_partkey", "bigint"), ("value_e4", "bigint"),
         ],
     },
     # the r5 TPC-H shapes
