@@ -93,6 +93,60 @@ def bottom_k_sample(df: DataFrame, k: int, key_col: str = "doc_id",
     return df.orderBy(h.asc(), F.col(key_col)).limit(k)
 
 
+def weighted_bottom_k(df: DataFrame, k: int, weight_col: str,
+                      key_col: str = "doc_id", salt: str = "",
+                      max_weight: int = 65536,
+                      priority_col: str = "priority") -> DataFrame:
+    """EXACT-size weighted sample without replacement (integer weights):
+    the k rows with the smallest *priority*, where a row's priority is the
+    minimum of ``w`` independent uniform hashes — the integer-weight case
+    of bottom-k/"exponential race" sampling (Efraimidis & Spirakis 2006
+    via replication: a row of weight w behaves exactly like w unit-weight
+    clones, and min-of-clones ~ Beta(1, w) ~ U^(1/w), so heavier rows win
+    proportionally more often; the replicas never materialize as rows —
+    the min folds inside one codegen'd projection).
+
+    Everything stays on an exact integer grid: each clone hash is the
+    first 15 hex digits of ``md5(key || ':' || j)`` (60 bits, the proven
+    cross-engine recipe from ``pipeline/classifier.py``) — no
+    transcendentals, no float compares, so selection is bit-reproducible
+    across engines, retries and partitionings, unlike ``u^(1/w)`` scoring
+    whose last-ulp ``ln``/``pow`` differences can flip the k-th seat.
+
+    Scale: per-row cost is O(w) hash evaluations fused into the scan (cap
+    enforced by ``max_weight``); selection is a TakeOrdered top-k — never
+    a full sort, never a shuffle proportional to Σw.  Samples drawn with
+    the same salt share clone hashes on shared keys (coordinated
+    bottom-k sketches).  Weights must be ≥ 1; rows with NULL weight or
+    NULL key are excluded (no defensible priority)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("bigint")
+    key = F.col(key_col).cast("string")
+    # clone string: "key:j", or "key#salt:j" for an independent draw —
+    # '#' delimits so no (key, salt, j) triple can collide with another
+    pref = F.concat(key, F.lit(f"#{salt}:")) if salt else F.concat(key, F.lit(":"))
+    clone = lambda j: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(pref, j.cast("bigint").cast("string"))),
+                    1, 15), 16, 10).cast("bigint")
+    pr = F.array_min(F.transform(
+        F.sequence(F.lit(0), (F.least(w, F.lit(max_weight)) - 1).cast("int")),
+        clone))
+    out = (
+        df.where(F.col(key_col).isNotNull() & w.isNotNull() & (w >= 1))
+        .withColumn(priority_col, pr)
+    )
+    bad = F.col(weight_col).cast("bigint") > max_weight
+    out = out.withColumn(
+        priority_col,
+        F.when(bad, F.raise_error(F.concat(
+            F.lit(f"weighted_bottom_k: weight exceeds max_weight={max_weight} "
+                  f"for key "), F.col(key_col).cast("string")))
+        ).otherwise(F.col(priority_col)),
+    )
+    return out.orderBy(F.col(priority_col).asc(), F.col(key_col)).limit(k)
+
+
 def hash_split(df: DataFrame, weights: list[float], key_col: str = "doc_id",
                seed: int = 7, split_col: str = "split") -> DataFrame:
     """Deterministic train/val/test split: adds ``split_col`` = 0..len-1.
