@@ -966,6 +966,14 @@ def longest_duplicate_match(docs: DataFrame, min_len: int = 8,
     )
 
 
+# Base width for the Manber-Myers doubling: rank slice(pos, W) token arrays
+# directly instead of single tokens, killing log2(W) doubling rounds.  The
+# crossover was measured (PERF.md r8): 16 beats 8 (one fewer corpus-wide
+# exchange in construction and one fewer probe round in the LCP descent;
+# the wider base-exchange payload is noise at both sf0.1 and 100×).
+_SA_BASE_WIDTH = 16
+
+
 def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        partitions: int | None = None,
@@ -995,12 +1003,17 @@ def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
     ``global_dense_rank``'s own internal checkpoint — no extra
     materialization per round.
 
-    With ``return_rounds=True`` returns ``(final, lengths, rounds)``:
-    ``lengths`` = (id_col, n_tokens) per doc, and ``rounds`` = the list of
-    ``(width, rank_df)`` checkpoints from every doubling round (rank_df
-    ranks suffixes by their first ``width`` tokens).  The rounds are the
-    free by-product that makes exact UNCAPPED neighbor LCPs computable in
-    ⌈log₂ lcp⌉ constant-width probes (``longest_match_report_sa``)."""
+    With ``return_rounds=True`` returns ``(final, lengths, rounds,
+    base_keys)``: ``lengths`` = (id_col, n_tokens) per doc, ``rounds`` =
+    the list of ``(width, rank_df)`` checkpoints from every doubling round
+    (rank_df ranks suffixes by their first ``width`` tokens), and
+    ``base_keys`` = (id_col, pos, key) with the base-width token slice at
+    every position — a PROJECTION of the base round's existing checkpoint,
+    so consumers resolving the sub-base LCP residual by direct slice
+    comparison read checkpoint blocks instead of re-tokenizing the corpus
+    (r7 verdict #2).  The rounds are the free by-product that makes exact
+    UNCAPPED neighbor LCPs computable in ⌈log₂ lcp⌉ constant-width probes
+    (``longest_match_report_sa``)."""
     from ophidia_io_server_spark.operators.ranking import global_dense_rank
 
     toks = (
@@ -1014,26 +1027,32 @@ def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
     maxlen, total = agg["mx"] or 0, agg["tot"] or 0
     from pyspark.sql import Window
 
-    # Base rank at width 8, not 1: rank the slice(pos, 8) token arrays
+    # Base rank at width 16, not 1: rank the slice(pos, 16) token arrays
     # directly (array sort order IS the suffix order with the
     # end-sentinel convention — a shorter slice sorts before anything it
-    # prefixes).  This removes THREE doubling rounds (widths 1→2→4→8);
+    # prefixes).  This removes FOUR doubling rounds (widths 1→2→4→8→16);
     # at the gate/bench corpus each round is ~1 s of fixed per-round
-    # overhead, and at 100 TB each is a full corpus exchange.  The ×8
-    # key payload in this one exchange is the same budget the capped
-    # hash path ships per row.  ``_sa_position_lengths`` resolves the
-    # <8-token LCP residual with one direct slice comparison.
-    pos8 = (toks.select(
+    # overhead, and at 100 TB each is a full corpus exchange.  The ×16
+    # key payload in this one exchange is the same order as the capped
+    # hash path's per-row budget; r7 ran base 8, r8 measured the widening
+    # to 16 as a net win (one fewer construction round AND one fewer LCP
+    # descent round — PERF.md r8).  ``sa_position_lengths`` resolves the
+    # <16-token LCP residual with one direct slice comparison over
+    # ``base_keys`` below.
+    basew = _SA_BASE_WIDTH
+    posb = (toks.select(
         id_col,
-        F.posexplode(F.expr("transform(ws, (x, i) -> slice(ws, i + 1, 8))"))
-        .alias("p0", "key8"))
+        F.posexplode(F.expr(
+            f"transform(ws, (x, i) -> slice(ws, i + 1, {basew}))"))
+        .alias("p0", "keyb"))
         .select(id_col, (F.col("p0") + 1).cast("bigint").alias("pos"),
-                "key8"))
-    ranked, max_rank = global_dense_rank(pos8, ["key8"], partitions,
+                "keyb"))
+    ranked, max_rank = global_dense_rank(posb, ["keyb"], partitions,
                                          return_max=True)
+    ranked_base = ranked  # retains keyb: base_keys rides this checkpoint
     cur = ranked.select(id_col, "pos", "rank")
-    rounds = [(8, cur)]
-    step = 8
+    rounds = [(basew, cur)]
+    step = basew
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     # the early-exit max rank comes from the rank's own offset summary
     # (r6 verdict #3) — one corpus pass per doubling round, not two
@@ -1059,12 +1078,14 @@ def suffix_array_ranks(docs: DataFrame, text_col: str = "text",
         return cur
     lengths = toks.select(id_col, F.size("ws").cast("bigint")
                           .alias("n_tokens"))
-    return cur, lengths, rounds
+    base_keys = ranked_base.select(id_col, "pos", F.col("keyb").alias("key"))
+    return cur, lengths, rounds, base_keys
 
 
-def _sa_position_lengths(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         partitions: int | None = None) -> DataFrame:
+def sa_position_lengths(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        partitions: int | None = None,
+                        memo_key: tuple | None = None) -> DataFrame:
     """Per-position longest-duplicate length from the suffix array —
     UNCAPPED and hash-free.  For every corpus position, L = the length of
     the longest token substring starting there that occurs at ≥2 distinct
@@ -1075,7 +1096,16 @@ def _sa_position_lengths(docs: DataFrame, text_col: str = "text",
     The suffix-array form of the classic fact: a suffix's best match is a
     suffix-order neighbor, so L(pos) = max(LCP with the previous rank's
     suffix, LCP with the next rank's suffix, full suffix length if the
-    rank is shared — identical suffixes).  Neighbor LCPs come from the
+    rank is shared — identical suffixes).
+
+    This table is the SHARED artifact behind both the uncapped report
+    (``longest_match_report_sa``) and the variable-length cut
+    (``remove_duplicate_spans_varlen``): pass ``memo_key`` (session_key +
+    corpus identity, same convention as ``shingle_df``) and the table is
+    built ONCE per (session, corpus), ``localCheckpoint``-ed, and reused
+    by every caller — the suffix array is the most expensive structure in
+    the repo, and the r7 verdict measured it being constructed twice per
+    gate/bench pass (once per derived row).  Neighbor LCPs come from the
     Manber-Myers doubling rounds ``suffix_array_ranks`` already built:
     greedy binary descent — probe the width-2^j rank table at the current
     matched offset, add 2^j on rank equality — gives the EXACT LCP in
@@ -1088,7 +1118,12 @@ def _sa_position_lengths(docs: DataFrame, text_col: str = "text",
     slen_b) clamp."""
     from pyspark.sql import Window  # noqa: F401  (parity with callers)
 
-    final, lengths, rounds = suffix_array_ranks(
+    if memo_key is not None:
+        key = (*memo_key, "sa_per_pos", text_col, id_col, partitions)
+        if key in _SHINGLE_MEMO:
+            return _SHINGLE_MEMO[key]
+
+    final, lengths, rounds, base_keys = suffix_array_ranks(
         docs, text_col, id_col, partitions, return_rounds=True)
     sa = (final.join(lengths, on=id_col)
           .select(id_col, "pos", "rank", "n_tokens",
@@ -1109,44 +1144,76 @@ def _sa_position_lengths(docs: DataFrame, text_col: str = "text",
                      F.col("b.d").alias("d2"), F.col("b.p").alias("p2"),
                      F.col("b.s").alias("s2"))
              .withColumn("lcp", F.lit(0).cast("bigint")))
-    for w, rw in sorted(rounds, key=lambda t: -t[0]):
-        r1 = rw.select(F.col(id_col).alias("d1"),
-                       F.col("pos").alias("_q1"), F.col("rank").alias("_ra"))
-        r2 = rw.select(F.col(id_col).alias("d2"),
-                       F.col("pos").alias("_q2"), F.col("rank").alias("_rb"))
-        pairs = (
-            pairs
-            .withColumn("_q1", F.col("p1") + F.col("lcp"))
-            .withColumn("_q2", F.col("p2") + F.col("lcp"))
-            .join(r1, on=["d1", "_q1"], how="left")
-            .join(r2, on=["d2", "_q2"], how="left")
+
+    # Per-doc end sentinel (pos = n_tokens + 1, rank = -1): probe offsets
+    # are clamped to it, making every probe an INNER join that always
+    # hits.  A left-outer probe could only broadcast its right
+    # (corpus-sized) side — Spark builds the non-preserved side — so the
+    # candidates-only pairs table could never be the build side; inner
+    # joins let AQE broadcast the small side and stream the round
+    # checkpoints unshuffled.  Two sentinel hits matching (-1 == -1) is
+    # exactly the both-suffixes-exhausted ⊂ identical-suffixes overshoot
+    # case the final least(lcp, s1, s2) clamp already repairs.
+    sent = (lengths.select(id_col,
+                           (F.col("n_tokens") + 1).cast("bigint")
+                           .alias("pos"),
+                           F.lit(-1).cast("bigint").alias("rank"))
+            .localCheckpoint())  # one tiny row per doc; referenced by
+    # every probe round — without the pin each union replays tokenization
+
+    def _probe(df: DataFrame, rw: DataFrame, w: int) -> DataFrame:
+        rw_s = rw.unionByName(sent)
+        r1 = rw_s.select(F.col(id_col).alias("d1"),
+                         F.col("pos").alias("_q1"),
+                         F.col("rank").alias("_ra"))
+        r2 = rw_s.select(F.col(id_col).alias("d2"),
+                         F.col("pos").alias("_q2"),
+                         F.col("rank").alias("_rb"))
+        return (
+            df
+            .withColumn("_q1", F.col("p1") + F.least("lcp", "s1"))
+            .withColumn("_q2", F.col("p2") + F.least("lcp", "s2"))
+            .join(r1, on=["d1", "_q1"])
+            .join(r2, on=["d2", "_q2"])
             .withColumn(
                 "lcp",
-                F.when(F.col("_ra").isNotNull()
-                       & (F.col("_ra") == F.col("_rb")),
+                F.when(F.col("_ra") == F.col("_rb"),
                        F.col("lcp") + F.lit(w)).otherwise(F.col("lcp")))
             .drop("_q1", "_q2", "_ra", "_rb")
         )
-    # <8-token residual: the greedy descent's uncertainty after the
-    # width-8 probe is < 8 tokens — resolve it by fetching the actual
-    # 8-token slices at the current matched offset and counting the
-    # common prefix directly (two joins TOTAL, replacing the three
-    # width-4/2/1 probe rounds the width-1 base needed).
-    sl8 = (spread(docs)
-           .where(F.col(text_col).isNotNull())
-           .select(F.col(id_col), tokens_col(F.col(text_col)).alias("ws"))
-           .where(F.size("ws") >= 1)
-           .select(
-               id_col,
-               F.posexplode(
-                   F.expr("transform(ws, (x, i) -> slice(ws, i + 1, 8))"))
-               .alias("p0", "key8"))
-           .select(id_col, (F.col("p0") + 1).cast("bigint").alias("pos"),
-                   "key8"))
-    k1 = sl8.select(F.col(id_col).alias("d1"), F.col("pos").alias("_q1"),
-                    F.col("key8").alias("_k1"))
-    k2 = sl8.select(F.col(id_col).alias("d2"), F.col("pos").alias("_q2"),
-                    F.col("key8").alias("_k2"))
+
+    # Pre-filter (r8): one base-width probe at the ORIGINAL offsets splits
+    # the pairs.  Base ranks differing ⟺ the two base-width slices differ
+    # ⟺ true LCP < base width — those pairs (the overwhelming majority on
+    # any real corpus: positions whose base-width window is corpus-unique)
+    # skip the multi-round descent entirely and resolve in the final
+    # residual slice comparison.  Only the duplicated-window minority rides
+    # the ⌈log₂ maxlen⌉ probe rounds, so every descent join has a
+    # candidates-only left side (AQE turns them into broadcast probes of
+    # the round checkpoints) instead of a corpus-sized one.
+    basew, rb = min(rounds, key=lambda t: t[0])
+    flagged = (_probe(pairs.withColumn("_l0", F.col("lcp")), rb, basew)
+               .withColumn("_hot", F.col("lcp") > F.col("_l0"))
+               .withColumn("lcp", F.col("_l0")).drop("_l0"))
+    hot = flagged.where(F.col("_hot")).drop("_hot")
+    cold = flagged.where(~F.col("_hot")).drop("_hot")
+    for w, rw in sorted(rounds, key=lambda t: -t[0]):
+        hot = _probe(hot, rw, w)
+    pairs = hot.unionByName(cold)
+    # sub-base residual: the greedy descent's uncertainty after the
+    # base-width probe is < _SA_BASE_WIDTH tokens — resolve it by fetching
+    # the actual base-width slices at the current matched offset and
+    # counting the common prefix directly (two joins TOTAL, replacing the
+    # width-8/4/2/1 probe rounds a width-1 base would need).  The slices
+    # come from ``base_keys`` — a projection of the base round's
+    # checkpoint — NOT from re-tokenizing the corpus (which the two join
+    # branches would each replay, r7 verdict #2).
+    k1 = base_keys.select(F.col(id_col).alias("d1"),
+                          F.col("pos").alias("_q1"),
+                          F.col("key").alias("_k1"))
+    k2 = base_keys.select(F.col(id_col).alias("d2"),
+                          F.col("pos").alias("_q2"),
+                          F.col("key").alias("_k2"))
     eqs = F.zip_with(
         F.col("_k1"), F.col("_k2"),
         lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(0))
@@ -1178,20 +1245,36 @@ def _sa_position_lengths(docs: DataFrame, text_col: str = "text",
                           F.coalesce(F.col("_nlcp"), F.lit(0)),
                           F.when(F.col("cnt") >= 2, F.col("a.s"))
                            .otherwise(F.lit(0))).cast("bigint").alias("L")))
-    return sa.join(l_rank, on="rank").select(id_col, "pos", "n_tokens", "L")
+    out = sa.join(l_rank, on="rank").select(id_col, "pos", "n_tokens", "L")
+    if memo_key is not None:
+        # localCheckpoint (not cache): truncates the ~log(maxlen)-round
+        # lineage so the second consumer replays blocks, not the pipeline
+        out = out.localCheckpoint()
+        _memo_put(key, out)
+    return out
+
+
+# Backwards-compatible private alias (pre-r8 name).
+_sa_position_lengths = sa_position_lengths
 
 
 def longest_match_report_sa(docs: DataFrame, min_len: int = 8,
                             text_col: str = "text", id_col: str = "doc_id",
-                            partitions: int | None = None) -> DataFrame:
+                            partitions: int | None = None,
+                            memo_key: tuple | None = None,
+                            per_pos: DataFrame | None = None) -> DataFrame:
     """UNCAPPED variable-length ExactSubstr report from the suffix array —
     the exact-LCP rebase of ``longest_duplicate_match`` (r6 verdict #2):
     same (id, n_tokens, max_dup_len, n_dup_starts) semantics, no
     ``max_match`` cap and no ×cap exchange payload; every exchange ships
-    constant-width rows.  Differential vs the suffix-automaton reference
-    and row-identity vs the capped path (below its cap) in
-    tests/test_dedup_varlen.py."""
-    per_pos = _sa_position_lengths(docs, text_col, id_col, partitions)
+    constant-width rows.  Pass ``per_pos`` (a ``sa_position_lengths``
+    table) or ``memo_key`` to share one suffix-array construction with
+    ``remove_duplicate_spans_varlen`` (r7 verdict #1).  Differential vs
+    the suffix-automaton reference and row-identity vs the capped path
+    (below its cap) in tests/test_dedup_varlen.py."""
+    if per_pos is None:
+        per_pos = sa_position_lengths(docs, text_col, id_col, partitions,
+                                      memo_key=memo_key)
     return (
         per_pos.where(F.col("L") >= min_len)
         .groupBy(id_col)
@@ -1204,7 +1287,10 @@ def longest_match_report_sa(docs: DataFrame, min_len: int = 8,
 def remove_duplicate_spans_varlen(docs: DataFrame, min_len: int = 50,
                                   text_col: str = "text",
                                   id_col: str = "doc_id",
-                                  partitions: int | None = None) -> DataFrame:
+                                  partitions: int | None = None,
+                                  memo_key: tuple | None = None,
+                                  per_pos: DataFrame | None = None,
+                                  ) -> DataFrame:
     """Variable-length ExactSubstr CUT (Lee et al. 2022 §3: remove every
     substring occurrence whose maximal corpus-wide duplicated match is
     ≥ ``min_len`` tokens) — thresholded on TRUE match length from the
@@ -1218,10 +1304,14 @@ def remove_duplicate_spans_varlen(docs: DataFrame, min_len: int = 50,
     cross-algorithm test, not assumed.
 
     NULL-text and empty docs pass through unchanged with n_removed = 0.
-    Returns (id_col, text_cleaned, n_tokens, n_removed)."""
+    Returns (id_col, text_cleaned, n_tokens, n_removed).  ``per_pos`` /
+    ``memo_key`` share the suffix-array table with
+    ``longest_match_report_sa`` (one construction per corpus)."""
     from pyspark.sql import Window
 
-    per_pos = _sa_position_lengths(docs, text_col, id_col, partitions)
+    if per_pos is None:
+        per_pos = sa_position_lengths(docs, text_col, id_col, partitions,
+                                      memo_key=memo_key)
     w = (Window.partitionBy(id_col).orderBy("pos")
          .rowsBetween(Window.unboundedPreceding, 0))
     reach = F.max(F.when(F.col("L") >= min_len,

@@ -5864,7 +5864,10 @@ def doc_varlen_sa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.dedup import longest_match_report_sa
 
     docs = load_table(spark, sf_dir, "documents")
-    return longest_match_report_sa(docs, min_len=8)
+    # memo_key shares ONE suffix-array per-position table with
+    # doc_varlen_cut (r7 verdict #1: it was built twice per gate/bench run)
+    return longest_match_report_sa(
+        docs, min_len=8, memo_key=(*session_key(spark), sf_dir))
 
 
 @workload(
@@ -5917,7 +5920,10 @@ def doc_varlen_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("text").isNotNull()))
     docs = docs.where(
         F.size(F.filter(F.split("text", " "), lambda x: x != "")) >= 1)
-    return remove_duplicate_spans_varlen(docs, min_len=8)
+    # same memo key as doc_varlen_sa_report: sa_position_lengths filters
+    # NULL/empty internally, so the shared table is identical either way
+    return remove_duplicate_spans_varlen(
+        docs, min_len=8, memo_key=(*session_key(spark), sf_dir))
 
 
 @workload(
