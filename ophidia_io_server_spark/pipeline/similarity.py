@@ -71,6 +71,23 @@ def _resolve_kernel_work(kernel: str, est_dots: float) -> str:
     return kernel
 
 
+def _est_rows(df: DataFrame, row_bytes: float) -> float:
+    """Catalyst row-count estimate — NO Spark job.  CBO rowCount when the
+    catalog has stats; otherwise optimizedPlan sizeInBytes / row_bytes.
+    Used only for kernel dispatch (either kernel is correct), so a crude
+    estimate is fine; an eager ``count()`` here would be a full corpus
+    scan per call on a 100 TB table (r7 verdict #4).  Unknown → +inf,
+    which dispatches to the kernel that scales (blas)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return float(str(rc.get()))
+        return float(str(stats.sizeInBytes())) / max(row_bytes, 1.0)
+    except Exception:  # noqa: BLE001 — Connect/stats accessor shape varies
+        return float("inf")
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
 
@@ -100,12 +117,20 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5,
     base = with_norm(emb, vec_col).select(
         F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v"), F.col("_norm")
     )
+    qrows = None
     if kernel == "auto":
         # this operator's work is q·n dot products — dispatch on that, not
         # on n alone (10 queries over 20k vectors still favors the JVM fold;
-        # 1000 queries favor BLAS 8.6×, PERF.md r5)
-        n = emb.count()
-        q = base.filter(query_pred).count()
+        # 1000 queries favor BLAS 8.6×, PERF.md r5).  q comes from the
+        # query-set collect BOTH kernels pay anyway (blas ships it in the
+        # closure, hof broadcasts the same rows to the driver JVM); n is
+        # the Catalyst plan estimate — no eager count() jobs (r7 verdict
+        # #4: two full corpus scans per call at 100 TB just to pick a
+        # kernel).
+        qrows = base.filter(query_pred).collect()
+        q = len(qrows)
+        dim = len(qrows[0].v) if qrows else 1
+        n = _est_rows(emb, 8.0 * dim + 24)
         kernel = _resolve_kernel_work(kernel, float(q) * n)
     else:
         kernel = _resolve_kernel(kernel, emb)  # validation only (not auto)
@@ -113,7 +138,8 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 5,
     if kernel == "blas":
         # driver pulls ONLY the query set — the exact rows F.broadcast would
         # collect to the driver JVM anyway; candidates never leave executors
-        qrows = base.filter(query_pred).collect()
+        if qrows is None:
+            qrows = base.filter(query_pred).collect()
         if not qrows:
             return emb.sparkSession.createDataFrame(
                 [], "query_id long, neighbor_id long, rank long, cosine double")
@@ -352,8 +378,10 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
     path next to LSH.
 
     Build: train a coarse quantizer with Lloyd iterations where ONLY the
-    centroids (nlist × dim floats) ever touch the driver — assignment and the
-    element-wise mean are distributed (posexplode → groupBy(cluster, pos)).
+    centroids (nlist × dim floats) ever touch the driver — assignment is a
+    broadcast-centroid map and the mean update a d+1-column partial
+    aggregate (``cluster.py``'s update shape: per-dimension sums + count,
+    map-side combined, no row amplification).
     Search: each query probes its nprobe nearest centroid lists; candidates
     come from an equi-join on the cluster id; exact cosine rescore; top-k by
     sorted aggregation.  nprobe == nlist degenerates to exact brute force
@@ -379,9 +407,12 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
     ).cache()
     if kernel == "auto":
         # rescore work ≈ q · n · nprobe/nlist dot products (the probed
-        # lists' share of the corpus per query) — counts run on the cached
-        # training base, so they cost one cache scan each
-        n = base.count()
+        # lists' share of the corpus per query).  n is the Catalyst plan
+        # estimate (no job, r7 verdict #4); q is a count on the cached
+        # training base Lloyd scans 2·iters times anyway — one cache scan,
+        # not a source re-read
+        dim = len(emb.select(vec_col).first()[0])
+        n = _est_rows(emb, 8.0 * dim + 24)
         q = base.filter(query_pred).count()
         kernel = _resolve_kernel_work(kernel, float(q) * n * nprobe / max(nlist, 1))
     else:
@@ -417,17 +448,20 @@ def ivf_ann_topk(emb: DataFrame, query_pred, k: int = 5, nlist: int = 8,
 
     # deterministic init: the nlist lowest vec_ids
     cents = [r.v for r in base.orderBy("vec_id").limit(nlist).collect()]
+    dim = len(cents[0])
     for _ in range(iters):
         assigned = assign(base, cents)
-        means = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
-            .collect()
-        )
-        by_cluster = {r.cluster: r.c for r in means}
+        # d+1-column partial aggregate (cluster.py's update shape, r7
+        # verdict #2): per-dimension sums + count combine map-side with NO
+        # row amplification — the former posexplode → groupBy(cluster, pos)
+        # update shuffled n·d intermediate rows per iteration
+        upd = (assigned.groupBy("cluster")
+               .agg(*[F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                      for i in range(dim)],
+                    F.count(F.lit(1)).alias("n"))
+               .collect())
+        by_cluster = {int(r["cluster"]): [r[f"s{i}"] / r["n"]
+                                          for i in range(dim)] for r in upd}
         cents = [by_cluster.get(i + 1, cents[i]) for i in range(nlist)]
 
     assigned = assign(base, cents).select("vec_id", "v", "_norm", "cluster")
