@@ -194,8 +194,10 @@ def kmeans_fit(df: DataFrame, k: int = 10, iters: int = 3,
     ``[(s, n)]`` list.
 
     Init: the k lowest-``id_col`` rows, in id order, are singleton
-    centroids (deterministic, data-defined — no RNG state).  A cluster
-    that empties keeps its previous centroid.
+    centroids (deterministic, data-defined — no RNG state); k is clamped
+    to the corpus size (fewer than k vectors → one cluster per vector),
+    and an empty corpus raises ValueError.  A cluster that empties keeps
+    its previous centroid.
 
     ``kernel``: "exact" = Arrow int64 kernel (bit-reproducible,
     oracle-gated, any k within the overflow budget); "jvm" = the same
@@ -210,11 +212,20 @@ def kmeans_fit(df: DataFrame, k: int = 10, iters: int = 3,
         kernel = "exact" if k <= 64 else "blas"
     assign = {"exact": kmeans_assign_exact, "jvm": kmeans_assign,
               "blas": kmeans_assign_blas}[kernel]
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("kmeans_fit: input has no vectors")
+    dim = len(head[0])
     base = (df.select(F.col(id_col), quantize_vec(F.col(vec_col), grid)
                       .alias("qv"))
             .localCheckpoint())  # pin the quantized layout; scanned 2·iters times
     seed = base.orderBy(id_col).limit(k).collect()
+    if not seed:
+        raise ValueError("kmeans_fit: input has no vectors")
+    # a corpus with fewer than k vectors seeds fewer centroids; clamp k so
+    # the update loop never indexes past the seed list (r7 ADVICE: the
+    # IndexError crash semantic_dedup inherited on small inputs)
+    k = min(k, len(seed))
     centroids: list[tuple[list[int], int]] = [
         (list(r["qv"]), 1) for r in seed]
 
@@ -276,11 +287,30 @@ def semantic_dedup(df: DataFrame, k: int = 10, iters: int = 3,
 
     t2 = tau_pct * tau_pct
 
+    # int64 budget for the Gram inequality G²·10⁴ ≥ τ²·‖a‖²·‖b‖²: with
+    # ‖·‖² ≤ NSQ_MAX every product stays < 2^63.  numpy int64 overflow is
+    # SILENT — an out-of-range embedding (‖x‖ ≫ 1 on this grid) would
+    # flip kept/dropped decisions without any error, so the kernel
+    # validates the bound and fails loudly instead (r7 ADVICE).
+    import math
+
+    nsq_max_budget = math.isqrt((2 ** 63 - 1) // 10000)
+
     def dropped_in_cluster(key, g: pd.DataFrame):
         ids = g[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         Q = np.stack(g["cq"].to_numpy())[order].astype(np.int64)
+        # per-element check BEFORE squaring: (Q*Q).sum itself overflows
+        # silently if a coordinate is extreme, so bound |q| such that the
+        # worst-case squared norm d·q² is still inside the budget
+        qmax_budget = math.isqrt(nsq_max_budget // max(Q.shape[1], 1))
+        if Q.size and int(np.abs(Q).max()) > qmax_budget:
+            raise ValueError(
+                f"semantic_dedup: quantized coordinate {int(np.abs(Q).max())} "
+                f"exceeds the int64 Gram budget |q| <= {qmax_budget} "
+                f"(cos_grid={cos_grid} assumes |embedding| <= ~1; rescale "
+                "the vectors or lower cos_grid)")
         nsq = (Q * Q).sum(axis=1)
         m = len(ids)
         drop = np.zeros(m, dtype=bool)

@@ -1368,6 +1368,15 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     state beyond the w-row frame.  Documents shorter than k+w−1 tokens
     have no full window and emit no fingerprints (documented contract).
 
+    Position budget: the packed tie-break key reserves ``_WIN_POS_BITS``
+    bits, so documents beyond 2^20 gram positions (~1M tokens) FAIL
+    LOUDLY (``raise_error``) rather than silently mis-tie-breaking —
+    boundary asserted in tests/test_paragraph_dedup.py.  The production
+    answer for longer inputs is to CHUNK them first (split on a stable
+    boundary, fingerprint per chunk): winnowing's guarantee is local to
+    any w+k−1-token run, so chunking with a k+w−2-token overlap preserves
+    every match guarantee while keeping positions inside the budget.
+
     Returns (id_col, pos, h): selected gram start positions + hashes."""
     from pyspark.sql import Window
 

@@ -474,8 +474,12 @@ def ccnet_chunk_buckets(docs: DataFrame, chunk_tokens: int = 16,
         # a bigram is internal to its segment iff it does not straddle a
         # chunk boundary: tokens pos, pos+1 share (pos-1)//W
         .where(F.col("pos") % chunk_tokens != 0)
-        .withColumn("chunk",
-                    ((F.col("pos") - 1) / chunk_tokens).cast("bigint"))
+        # DIV, not `/`: Spark `/` is double division and the truncating
+        # cast can cross an integer boundary once the numerator nears
+        # 2^52 — DIV keeps the arithmetic on exact integers, matching the
+        # DuckDB oracle's `//` (r7 ADVICE)
+        .withColumn("chunk", F.expr(
+            f"CAST((pos - 1) DIV {int(chunk_tokens)} AS BIGINT)"))
     )
     seg = (
         lp.groupBy(id_col, "chunk")
@@ -490,7 +494,7 @@ def ccnet_chunk_buckets(docs: DataFrame, chunk_tokens: int = 16,
     ranked, total = global_dense_rank(seg, ["nunits", id_col, "chunk"],
                                       rank_col="rn", return_max=True)
     b = ranked.withColumn(
-        "bucket", ((F.col("rn") - 1) * 3 / F.lit(total)).cast("bigint"))
+        "bucket", F.expr(f"CAST(((rn - 1) * 3) DIV {int(total)} AS BIGINT)"))
     return (
         b.groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_chunks"),

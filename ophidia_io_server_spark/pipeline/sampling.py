@@ -107,8 +107,9 @@ def weighted_bottom_k(df: DataFrame, k: int, weight_col: str,
     the min folds inside one codegen'd projection).
 
     Everything stays on an exact integer grid: each clone hash is the
-    first 15 hex digits of ``md5(key || ':' || j)`` (60 bits, the proven
-    cross-engine recipe from ``pipeline/classifier.py``) — no
+    first 15 hex digits of ``md5(md5(key) || '#' || salt || ':' || j)``
+    (60 bits, the proven cross-engine recipe from
+    ``pipeline/classifier.py``) — no
     transcendentals, no float compares, so selection is bit-reproducible
     across engines, retries and partitionings, unlike ``u^(1/w)`` scoring
     whose last-ulp ``ln``/``pow`` differences can flip the k-th seat.
@@ -123,9 +124,14 @@ def weighted_bottom_k(df: DataFrame, k: int, weight_col: str,
         raise ValueError(f"k must be positive, got {k}")
     w = F.col(weight_col).cast("bigint")
     key = F.col(key_col).cast("string")
-    # clone string: "key:j", or "key#salt:j" for an independent draw —
-    # '#' delimits so no (key, salt, j) triple can collide with another
-    pref = F.concat(key, F.lit(f"#{salt}:")) if salt else F.concat(key, F.lit(":"))
+    # clone string: "md5(key)#salt:j".  The key rides as its FIXED-WIDTH
+    # md5 hex (32 chars, no delimiter characters), so the decomposition is
+    # unambiguous for ANY key and salt contents: chars 1-32 are the key
+    # field, '#' is structural, and j (digits-only) splits off at the last
+    # ':'.  The previous "key#salt:j" form collided across (key, salt)
+    # pairs when keys contained '#'/':' — e.g. key 'a#b' with no salt vs
+    # key 'a' with salt 'b' (r7 ADVICE).
+    pref = F.concat(F.md5(key), F.lit(f"#{salt}:"))
     clone = lambda j: F.conv(  # noqa: E731
         F.substring(F.md5(F.concat(pref, j.cast("bigint").cast("string"))),
                     1, 15), 16, 10).cast("bigint")

@@ -348,7 +348,10 @@ def minhash_lsh_stream(stream_docs: DataFrame, n: int = 3,
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_sec)
     if not emitted:
-        return None
+        # consistent return type on an all-empty stream (r7 ADVICE: a
+        # None here forced every caller to special-case it)
+        return stream_docs.sparkSession.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, jaccard double")
     out = emitted[0]
     for p in emitted[1:]:
         out = out.unionByName(p)
