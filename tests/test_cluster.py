@@ -140,3 +140,31 @@ def test_assignment_is_jvm_only(spark, emb):
     plan = kmeans_assign(q, cents)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan      # map-only: no shuffle either
+
+
+def test_blas_kernel_agrees_with_exact_sf001_and_10x(spark):
+    """Gate-adjacent signal for the large-k production kernel (r7 verdict
+    #7): the float64 dgemm argmin must agree with the exact int64 kernel
+    on corpora with no near-ties — at sf0.01 scale AND on a 10× replica
+    union (distinct vec_ids, identical geometry), so dispatch drift or a
+    tie-break regression in either kernel cannot pass silently.  The
+    comparison is set-level per cluster id (both kernels share the
+    deterministic lowest-id init, so labels align)."""
+    from ophidia_io_server_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def assignments(df, kernel):
+        assigned, _ = kmeans_fit(df, k=8, iters=3, kernel=kernel)
+        return {(r["vec_id"], r["cluster"]) for r in
+                assigned.select("vec_id", "cluster").collect()}
+
+    assert assignments(base, "exact") == assignments(base, "blas")
+
+    n = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    tenx = base
+    for i in range(1, 10):
+        tenx = tenx.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit(i * n)))
+    tenx = tenx.localCheckpoint()
+    assert assignments(tenx, "exact") == assignments(tenx, "blas")
