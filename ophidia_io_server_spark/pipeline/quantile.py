@@ -1,0 +1,143 @@
+"""Mergeable quantile sketch from deterministic coordinated bottom-k
+samples — the quantile member of the repo's mergeable-sketch family
+(Misra-Gries heavy hitters, Count-Min frequencies, HLL distincts).
+
+A cell's sketch is the k rows with the smallest 60-bit md5 priority of
+their id (`conv(substring(md5(id),1,15),16,10)` — the proven cross-engine
+integer recipe from ``pipeline/classifier.py``), ties broken by id.  A
+hash-priority bottom-k is a simple random sample WITHOUT replacement of
+the cell (Cohen & Kaplan 2007, "Summarizing data using bottom-k
+sketches"), so the empirical sample quantile estimates the cell quantile
+with rank error O(1/√k) w.h.p.  What makes this the RIGHT sketch for a
+re-aggregating rollup:
+
+* **Merge is EXACT and deterministic.**  Because every row's priority is
+  a pure function of its id, the bottom-k of a union equals the bottom-k
+  of the union of per-part bottom-k's — bitwise, for ANY sharding or
+  merge order (a global bottom-k row is necessarily in its own part's
+  bottom-k).  Re-aggregated estimates are therefore INVARIANT across
+  partitionings — a strictly stronger certificate than the HLL rollup's
+  mode-dependent 5%/10% bounds (``events_hll_rollup``), and the reason
+  the gate can bind cross-grain consistency with a boolean instead of a
+  tolerance.
+* **SQL-expressible.**  Unlike t-digest/KLL (whose compaction is
+  stateful and RNG-bearing), the whole sketch is windows + arrays both
+  engines reproduce bitwise — the DuckDB oracle rebuilds the identical
+  sample, so the driver's value-hash gate applies to the ESTIMATES, not
+  just invariants.
+* **Scale shape.**  Build = one exchange (window rank per cell, rows
+  beyond k dropped before any collect); cell state is ≤ k rows; merge
+  re-ranks |cells|·k rows, never raw data.  At 100 TB the raw corpus is
+  touched exactly once.
+
+Estimates are DISCRETE quantiles (a selected data value, index
+``floor(q·(m−1))`` of the value-sorted sample) — no interpolation, so no
+float arithmetic to drift cross-engine.  Cells with ≤ k rows carry the
+whole cell and their estimates are exact by construction.
+
+Reference parity: the reference engine has no sketch surface; this module
+is part of the beyond-reference analytics mandate (with
+``pipeline/heavy.py`` and the HLL rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _priority(id_col) -> F.Column:
+    """60-bit uniform integer priority: first 15 hex digits of md5(id)."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def quantile_sketch(df: DataFrame, keys: list[str], value_col: str,
+                    id_col: str, k: int = 64) -> DataFrame:
+    """Per-``keys`` cell bottom-k sketch.
+
+    Returns one row per cell: ``(*keys, n, sample)`` where ``n`` is the
+    exact cell row count (mergeable by sum) and ``sample`` an array of
+    ``struct<pr, id, v>`` sorted by (pr, id) — the k smallest priorities.
+    NULL values and NULL ids are excluded (no defensible priority).
+
+    One exchange: rows are ranked per cell by (priority, id) and dropped
+    beyond k BEFORE the per-cell collect, so no task ever materializes a
+    cell larger than k (a bare ``collect_list`` + slice would)."""
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(*keys,
+                    _priority(F.col(id_col)).alias("pr"),
+                    F.col(id_col).cast("bigint").alias("id"),
+                    F.col(value_col).cast("double").alias("v")))
+    w = Window.partitionBy(*keys).orderBy("pr", "id")
+    wc = Window.partitionBy(*keys)
+    ranked = (base.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(wc)))
+    return (ranked.where(F.col("_rn") <= k)
+            .groupBy(*keys)
+            .agg(F.first("_n").cast("bigint").alias("n"),
+                 F.array_sort(F.collect_list(
+                     F.struct("pr", "id", "v"))).alias("sample")))
+
+
+def merge_sketches(sk: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Re-aggregate sketch cells to the coarser ``keys`` grain.
+
+    Exact-coordinated merge: explode the ≤k-row samples, re-rank by
+    (pr, id) per coarse cell, keep k — bitwise identical to sketching the
+    coarse cell from raw data, for any sharding (see module docstring).
+    ``n`` adds.  Work is |cells|·k rows — independent of corpus size."""
+    rows = sk.select(*keys, "n", F.explode("sample").alias("s"))
+    w = Window.partitionBy(*keys).orderBy(F.col("s.pr"), F.col("s.id"))
+    ns = sk.groupBy(*keys).agg(F.sum("n").cast("bigint").alias("n"))
+    kept = (rows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .groupBy(*keys)
+            .agg(F.array_sort(F.collect_list("s")).alias("sample")))
+    return ns.join(kept, on=keys)
+
+
+def sketch_quantiles(sk: DataFrame, qs: list[float],
+                     prefix: str = "est_p") -> DataFrame:
+    """Append a discrete-quantile estimate column per q in ``qs``.
+
+    The estimate is the sample value at 0-based index ``floor(q·(m−1))``
+    of the VALUE-sorted sample (m = sample size) — a selected datum, no
+    interpolation.  Cells with n ≤ k are exact (sample = cell)."""
+    vals = F.array_sort(F.transform("sample", lambda s: s["v"]))
+    out = sk.withColumn("_vals", vals).withColumn(
+        "_m", F.size("_vals"))
+    for q in qs:
+        idx = F.floor(F.lit(float(q)) * (F.col("_m") - 1)).cast("int") + 1
+        out = out.withColumn(
+            f"{prefix}{int(round(q * 100))}",
+            F.when(F.col("_m") > 0, F.element_at("_vals", idx)))
+    return out.drop("_vals", "_m")
+
+
+def exact_discrete_quantiles(df: DataFrame, keys: list[str],
+                             value_col: str, id_col: str, qs: list[float],
+                             prefix: str = "exact_p") -> DataFrame:
+    """Exact discrete quantiles per cell under the SAME index rule the
+    sketch estimator uses (value at 0-based index floor(q·(n−1)) of the
+    (value, id)-sorted cell) — the comparison target for the estimates.
+    One window exchange; no arrays of unbounded size (only the selected
+    index rows survive the filter)."""
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(*keys, F.col(id_col).cast("bigint").alias("id"),
+                    F.col(value_col).cast("double").alias("v")))
+    w = Window.partitionBy(*keys).orderBy("v", "id")
+    wc = Window.partitionBy(*keys)
+    ranked = (base.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(wc)))
+    hit = None
+    for q in qs:
+        sel = (ranked.where(
+            F.col("_rn") == F.floor(F.lit(float(q))
+                                    * (F.col("_n") - 1)).cast("int") + 1)
+            .select(*keys, F.col("v").alias(f"{prefix}{int(round(q * 100))}")))
+        hit = sel if hit is None else hit.join(sel, on=keys)
+    return hit

@@ -6387,6 +6387,105 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_quantile_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS pr,
+             event_id AS id, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_id IS NOT NULL),
+    day_k AS (SELECT event_type, pr, id, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY pr, id) AS rn
+        FROM b) WHERE rn <= 32),
+    merged AS (SELECT event_type, pr, id, v FROM (
+        SELECT event_type, pr, id, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY pr, id) AS rn
+        FROM day_k) WHERE rn <= 32),
+    direct AS (SELECT event_type, pr, id, v FROM (
+        SELECT event_type, pr, id, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY pr, id) AS rn
+        FROM b) WHERE rn <= 32),
+    cgm AS (SELECT event_type, list(id ORDER BY pr, id) AS ids
+            FROM merged GROUP BY event_type),
+    cgd AS (SELECT event_type, list(id ORDER BY pr, id) AS ids
+            FROM direct GROUP BY event_type),
+    est AS (SELECT event_type,
+                   vs[CAST(floor(0.5 * (m - 1)) AS INT) + 1] AS est_p50,
+                   vs[CAST(floor(0.9 * (m - 1)) AS INT) + 1] AS est_p90
+            FROM (SELECT event_type, list(v ORDER BY v) AS vs,
+                         COUNT(*) AS m
+                  FROM merged GROUP BY event_type)),
+    ex AS (SELECT event_type,
+                  MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS INT) + 1
+                           THEN v END) AS exact_p50,
+                  MAX(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS INT) + 1
+                           THEN v END) AS exact_p90
+           FROM (SELECT event_type, v,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY v, id) AS rn,
+                        COUNT(*) OVER (PARTITION BY event_type) AS n
+                 FROM b)
+           GROUP BY event_type),
+    ns AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM b GROUP BY event_type)
+    SELECT ns.event_type, ns.n, est.est_p50, est.est_p90,
+           ex.exact_p50, ex.exact_p90, (cgm.ids = cgd.ids) AS cross_grain_ok
+    FROM ns JOIN est USING (event_type) JOIN ex USING (event_type)
+         JOIN cgm USING (event_type) JOIN cgd USING (event_type)
+    """,
+)
+def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup (``pipeline/quantile.py``) — the
+    quantile member of the sketch family next to MG / Count-Min / HLL:
+    per-(event_type, day) deterministic coordinated bottom-k samples
+    (k=32, 60-bit md5 priorities), union-merged to per-type sketches, with
+    discrete-quantile estimates read off the merged sample.
+
+    Unlike the HLL rollup's mode-dependent 5%/10% tolerance certificates,
+    coordination makes the merge EXACT: ``cross_grain_ok`` asserts the
+    day-cells-merged sample is BITWISE identical to the sketch built
+    directly per type (bottom-k of a union = bottom-k of the per-part
+    bottom-k's, for any sharding — deterministic priorities, no RNG).
+    The oracle rebuilds the identical sample in SQL, so the value hash
+    binds the ESTIMATES themselves (est_p50/est_p90 are selected data, no
+    interpolation), alongside the same-index-rule exact quantiles for
+    error inspection.  At sf0.01 every day cell (~66 rows) truncates at
+    k=32 and every type (~2000 rows) is summarized by 32 — the estimates
+    are genuinely sketched, not exact pass-throughs."""
+    from ophidia_io_server_spark.pipeline.quantile import (
+        exact_discrete_quantiles,
+        merge_sketches,
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & ~F.isnan("value")))
+    day_sk = quantile_sketch(ev.withColumn("day", F.to_date("ts")),
+                             ["event_type", "day"], "value", "event_id",
+                             k=32)
+    merged = merge_sketches(day_sk, ["event_type"], k=32)
+    direct = quantile_sketch(ev, ["event_type"], "value", "event_id", k=32)
+    est = sketch_quantiles(merged, [0.5, 0.9])
+    cg = (est.join(direct.select("event_type",
+                                 F.col("sample").alias("_ds")),
+                   on="event_type")
+          .withColumn("cross_grain_ok", F.col("sample") == F.col("_ds"))
+          .drop("sample", "_ds"))
+    ex = exact_discrete_quantiles(ev, ["event_type"], "value", "event_id",
+                                  [0.5, 0.9])
+    return (cg.join(ex, on="event_type")
+            .select("event_type", "n", "est_p50", "est_p90",
+                    "exact_p50", "exact_p90", "cross_grain_ok"))
+
+
+@workload(
     "stream_view_attribution",
     oracle="""
     SELECT p.event_id AS p_event_id, v.event_id AS v_event_id,
@@ -6823,6 +6922,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("event_type", "string"), ("n", "bigint"),
             ("users_ok", "boolean"), ("p50_ok", "boolean"),
             ("p95_ok", "boolean"),
+        ],
+        "events_quantile_rollup": [
+            ("event_type", "string"), ("n", "bigint"),
+            ("est_p50", "double"), ("est_p90", "double"),
+            ("exact_p50", "double"), ("exact_p90", "double"),
+            ("cross_grain_ok", "boolean"),
         ],
         "events_hll_rollup": [
             ("event_type", "string"), ("n_users", "bigint"),
