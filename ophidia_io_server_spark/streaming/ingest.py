@@ -283,6 +283,58 @@ def final_candidates(emitted: DataFrame) -> DataFrame:
     )
 
 
+def quantile_sketch_stream(stream_df: DataFrame, keys: list[str],
+                           value_col: str, id_col: str, k: int = 64,
+                           timeout_sec: int = 300) -> DataFrame:
+    """Streaming incremental quantile-sketch rollup (the foreachBatch
+    realization of ``pipeline/quantile.py``): each micro-batch sketches
+    ONLY its arriving rows (one window exchange over |batch|), then
+    merges into the persisted per-cell state — merge work is
+    |cells|·k rows regardless of history length, so per-batch cost is
+    O(|batch| + cells·k), never O(stream).
+
+    Because the sketch's bottom-k priorities are pure functions of row
+    ids, the merged state after draining is BITWISE equal to the
+    one-shot batch sketch over the whole input — for ANY batch
+    decomposition (the exact-coordination theorem, module docstring of
+    ``pipeline/quantile.py``).  That upgrades the usual stream≡batch
+    set-equality certificate to bitwise sample equality, which the
+    ``stream_quantile_rollup`` workload asserts.
+
+    Returns the drained per-cell state ``(*keys, n, sample)``; an
+    all-empty stream returns an empty DataFrame with the same schema."""
+    from ophidia_io_server_spark.pipeline.quantile import (
+        merge_sketches,
+        quantile_sketch,
+    )
+
+    state: dict = {"sk": None}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        if not batch.take(1):
+            return
+        sk_new = quantile_sketch(batch, keys, value_col, id_col, k)
+        if state["sk"] is None:
+            state["sk"] = sk_new.localCheckpoint()
+        else:
+            state["sk"] = merge_sketches(
+                state["sk"].unionByName(sk_new), keys, k).localCheckpoint()
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+    if state["sk"] is not None:
+        return state["sk"]
+    spark = stream_df.sparkSession
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream_df.schema.fields if f.name in keys)
+    return spark.createDataFrame(
+        [], f"{key_fields}, n bigint, "
+            "sample array<struct<pr: bigint, id: bigint, v: double>>")
+
+
 def minhash_lsh_stream(stream_docs: DataFrame, n: int = 3,
                        threshold: float = 0.5, num_hashes: int = 64,
                        bands: int = 16, text_col: str = "text",

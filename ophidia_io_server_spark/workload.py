@@ -6486,6 +6486,71 @@ def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "stream_quantile_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS pr,
+             event_id AS id, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_id IS NOT NULL),
+    direct AS (SELECT event_type, pr, id, v FROM (
+        SELECT event_type, pr, id, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY pr, id) AS rn
+        FROM b) WHERE rn <= 32),
+    est AS (SELECT event_type,
+                   vs[CAST(floor(0.5 * (m - 1)) AS INT) + 1] AS est_p50,
+                   vs[CAST(floor(0.9 * (m - 1)) AS INT) + 1] AS est_p90
+            FROM (SELECT event_type, list(v ORDER BY v) AS vs,
+                         COUNT(*) AS m
+                  FROM direct GROUP BY event_type)),
+    ns AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM b GROUP BY event_type)
+    SELECT ns.event_type, ns.n, est.est_p50, est.est_p90,
+           TRUE AS stream_equals_batch
+    FROM ns JOIN est USING (event_type)
+    """,
+)
+def stream_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental quantile sketch
+    (``streaming/ingest.py::quantile_sketch_stream``): events arrive in 4
+    micro-batches (maxFilesPerTrigger=1); each batch is sketched alone and
+    merged into the persisted per-type state — O(|batch| + cells·k) per
+    batch, never a history re-scan.  The coordination theorem upgrades the
+    usual stream≡batch SET equality to BITWISE sample equality for any
+    batch decomposition, asserted here by comparing the drained state to
+    the one-shot batch sketch struct-for-struct
+    (``stream_equals_batch``); the oracle rebuilds the identical sample
+    in SQL and hash-binds the estimates."""
+    from ophidia_io_server_spark.pipeline.quantile import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        quantile_sketch_stream,
+    )
+
+    path = _staged_events_dir(spark, sf_dir)
+    src = (events_stream(spark, path, max_files_per_trigger=1)
+           .where(F.col("value").isNotNull() & ~F.isnan("value")))
+    streamed = quantile_sketch_stream(src, ["event_type"], "value",
+                                      "event_id", k=32)
+    batch = quantile_sketch(
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ~F.isnan("value")),
+        ["event_type"], "value", "event_id", k=32)
+    eq = bool(streamed.exceptAll(batch).count() == 0
+              and batch.exceptAll(streamed).count() == 0)
+    return (sketch_quantiles(streamed, [0.5, 0.9])
+            .select("event_type", "n", "est_p50", "est_p90")
+            .withColumn("stream_equals_batch", F.lit(eq)))
+
+
+@workload(
     "stream_view_attribution",
     oracle="""
     SELECT p.event_id AS p_event_id, v.event_id AS v_event_id,
@@ -6788,6 +6853,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "stream_view_attribution": [
             ("p_event_id", "bigint"), ("v_event_id", "bigint"),
             ("user_id", "bigint"), ("lag_us", "bigint"),
+            ("stream_equals_batch", "boolean"),
+        ],
+        "stream_quantile_rollup": [
+            ("event_type", "string"), ("n", "bigint"),
+            ("est_p50", "double"), ("est_p90", "double"),
             ("stream_equals_batch", "boolean"),
         ],
     },

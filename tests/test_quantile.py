@@ -101,3 +101,30 @@ def test_sketch_error_within_rank_bound(spark):
         vs = r["vs"]
         rank = sum(1 for v in vs if v <= est) / len(vs)
         assert abs(rank - 0.5) <= 4 / (32 ** 0.5), (r["event_type"], rank)
+
+
+def test_stream_sketch_batch_arrival_invariance(spark, tmp_path):
+    """The drained streaming sketch is BITWISE identical to the one-shot
+    batch sketch under two different file splits (2-file vs 5-file) —
+    the coordination theorem carried into foreachBatch state."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        quantile_sketch_stream,
+    )
+
+    ev = (_events(spark)
+          .select("event_id", "event_type", "value").limit(400)
+          .localCheckpoint())
+    batch = quantile_sketch(ev, ["event_type"], "value", "event_id", k=16)
+    want = _sample_sets(batch, ["event_type"])
+
+    for nfiles in (2, 5):
+        p = str(tmp_path / f"split{nfiles}")
+        ev.repartition(nfiles).write.mode("overwrite").parquet(p)
+        src = (spark.readStream
+               .schema("event_id long, event_type string, value double")
+               .option("maxFilesPerTrigger", 1).parquet(p))
+        got = quantile_sketch_stream(src, ["event_type"], "value",
+                                     "event_id", k=16)
+        assert _sample_sets(got, ["event_type"]) == want
+        assert ({r["event_type"]: r["n"] for r in got.collect()}
+                == {r["event_type"]: r["n"] for r in batch.collect()})
