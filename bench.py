@@ -71,6 +71,11 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "token_countmin_freq",
     "stream_view_attribution",
+    # r8 (HEADLINE 39 -> 41): coordinated bottom-k quantile sketch rollup
+    # (batch cross-grain + streaming incremental) - per-query comparison
+    # only, PERF.md r8
+    "events_quantile_rollup",
+    "stream_quantile_rollup",
 ]
 
 

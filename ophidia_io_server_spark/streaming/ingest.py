@@ -21,6 +21,8 @@ batch query also checks the streaming result (processed with availableNow).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +35,34 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+# State partitions follow per-batch VOLUME, not cluster CPU count: every
+# stateful store commits one delta file per partition per micro-batch, so
+# a stream whose batches hold thousands-not-billions of rows pays pure
+# commit overhead for each extra partition.  Measured
+# (scripts/stream_steady_probe.py, PERF.md r8): the stream-stream join's
+# per-batch marginal cost drops 3.39 s → 0.86 s going 32 → 8 partitions
+# on identical data.  At production volume raise it to keep
+# rows-per-partition-per-batch bounded — it is a per-query start-time
+# knob, pinned into the checkpoint thereafter.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession,
+                              n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming-query
+    START (the value is captured into the query's state checkpoint at
+    first batch; restoring after start does not affect the running
+    query).  Results are partition-count invariant — the gate re-verifies
+    every streaming row under a different count than the bench runs."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 EVENTS_SCHEMA = StructType([
     StructField("event_id", LongType()),
@@ -175,14 +205,15 @@ def run_available_now(sdf: DataFrame, query_name: str, output_mode: str = "compl
     return the result table.  Used by tests and the correctness gate to check
     streaming plans against batch oracles."""
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    with stream_shuffle_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
     return spark.table(query_name)
 
 
