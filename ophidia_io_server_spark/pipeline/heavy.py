@@ -158,3 +158,31 @@ def countmin_estimate(sketch: DataFrame, queries: DataFrame, item_col: str,
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint")
               .alias("est"))
     )
+
+
+def countmin_inner_product(ska: DataFrame, skb: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two Count-Min sketches (Cormode &
+    Muthukrishnan 2005 §4.2): ``|A ⋈_k B| = Σ_k fA(k)·fB(k)`` is
+    estimated by ``min over rows r of Σ_pos cA(r,pos)·cB(r,pos)``.
+
+    Guarantees: ``est ≥ exact`` UNCONDITIONALLY (expanding the per-bucket
+    product picks up every same-key term plus non-negative collision
+    cross-terms), and a single row's overshoot exceeds ``t·NA·NB/width``
+    with probability ≤ 1/t (Markov: expected collision mass per row is ≤
+    NA·NB/width), so the min over d independent rows exceeds it with
+    probability ≤ t^−d.
+
+    This is the optimizer-statistics primitive: join cardinality for ANY
+    key pair from two d·w counter tables built in one pass each — no
+    sampling re-scan, mergeable across shards (counters sum), usable to
+    pick broadcast-vs-shuffle or detect a blow-up join BEFORE running it.
+    Both sketch sides are ≤ d·w rows; the probe join broadcasts one and
+    never touches raw data.  Returns a single row ``(est)``."""
+    a = ska.select("r", "pos", F.col("cnt").alias("ca"))
+    b = skb.select("r", "pos", F.col("cnt").alias("cb"))
+    return (
+        a.join(F.broadcast(b), on=["r", "pos"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("est"))
+    )

@@ -5991,6 +5991,68 @@ def token_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "orders_join_size_estimate",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM orders o
+                 JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+                AS BIGINT) AS exact_rows,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NOT NULL)
+                AS BIGINT) AS n_orders,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+                AS BIGINT) AS n_lineitem,
+           TRUE AS est_ge_exact_ok, TRUE AS est_within_bound_ok
+    """,
+)
+def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches
+    (``pipeline/heavy.py::countmin_inner_product``) — the
+    optimizer-statistics primitive: |orders ⋈ lineitem| estimated from
+    two d·w counter tables (one single-pass build per side, d=5,
+    w=65536), never from a sampling re-scan of either input.  At 100 TB
+    this is how an engine prices a join (broadcast vs shuffle, blow-up
+    detection) before running it; sketches are mergeable across shards so
+    per-partition statistics sum into table statistics.
+
+    Certificates (same discipline as ``token_countmin_freq``):
+    ``est_ge_exact_ok`` — the inner-product estimate over-counts
+    unconditionally (collision cross-terms are non-negative);
+    ``est_within_bound_ok`` — est ≤ exact + 10·N_A·N_B/w (a single
+    counter row's collision mass exceeds that with probability ≤ 1/10 by
+    Markov, the min over 5 independent rows with probability ≤ 1e-5).
+    The oracle carries the exact join size and asserts both booleans."""
+    from ophidia_io_server_spark.pipeline.heavy import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    depth, width = 5, 65536
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey").isNotNull())
+         .select(F.col("o_orderkey").alias("k")))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey").isNotNull())
+          .select(F.col("l_orderkey").alias("k")))
+    ska = countmin_build(o, "k", depth=depth, width=width, seed=11)
+    skb = countmin_build(li, "k", depth=depth, width=width, seed=11)
+    est = countmin_inner_product(ska, skb)
+    exact = (o.join(li, on="k")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("exact_rows")))
+    na = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    nb = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitem"))
+    return (
+        exact.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "exact_rows", "n_orders", "n_lineitem",
+            (F.col("est") >= F.col("exact_rows")).alias("est_ge_exact_ok"),
+            (F.col("est") <= F.col("exact_rows")
+             + F.expr(f"10 * n_orders * n_lineitem div {width}"))
+             .alias("est_within_bound_ok"),
+        )
+    )
+
+
+@workload(
     "tpch_q21_waiting_suppliers",
     oracle="""
     WITH l AS (
@@ -7118,6 +7180,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("c_mktsegment", "string"), ("o_orderkey", "bigint"),
             ("rnk", "bigint"), ("o_totalprice", "double"),
             ("seg_orders", "bigint"),
+        ],
+        "orders_join_size_estimate": [
+            ("exact_rows", "bigint"), ("n_orders", "bigint"),
+            ("n_lineitem", "bigint"), ("est_ge_exact_ok", "boolean"),
+            ("est_within_bound_ok", "boolean"),
         ],
     },
     # fragment-store row windows + MERGE upsert

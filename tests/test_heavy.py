@@ -7,6 +7,7 @@ from collections import Counter
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from ophidia_io_server_spark.pipeline.heavy import (
     heavy_hitter_candidates,
@@ -126,3 +127,46 @@ def test_countmin_estimate_unseen_item_zero_or_collision(spark):
     # with one distinct item in 1024 buckets the probe almost surely finds
     # an empty counter; at minimum the estimate is bounded by the stream
     assert est[0]["est"] in (0, 10)
+
+
+def test_countmin_inner_product_bounds_join_size(spark):
+    """est >= exact unconditionally; est == exact when the width is large
+    enough that no two keys collide in any row (collision mass ~ 0)."""
+    from ophidia_io_server_spark.pipeline.heavy import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 2, 3, 3, 3]], "k long")
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 3, 4]], "k long")
+    exact = a.join(b, on="k").count()  # 2*1 + 1*2 + 3*1 = 7
+    assert exact == 7
+    ska = countmin_build(a, "k", depth=5, width=4096, seed=3)
+    skb = countmin_build(b, "k", depth=5, width=4096, seed=3)
+    est = countmin_inner_product(ska, skb).collect()[0]["est"]
+    assert est >= exact
+    # 4 distinct keys in 4096 buckets x 5 rows: min over rows is exact
+    assert est == exact
+
+
+def test_countmin_inner_product_merged_shards(spark):
+    """Sketches built per shard and counter-summed give the same inner
+    product as the full-corpus sketch (the mergeable-statistics path)."""
+    from ophidia_io_server_spark.pipeline.heavy import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    rows = [(k % 17,) for k in range(200)]
+    a = spark.createDataFrame(rows, "k long")
+    b = spark.createDataFrame(rows[::3], "k long")
+    full = countmin_build(a, "k", depth=4, width=512, seed=5)
+    sh = (countmin_build(a.where(F.col("k") < 9), "k", depth=4, width=512,
+                         seed=5)
+          .unionByName(countmin_build(a.where(F.col("k") >= 9), "k",
+                                      depth=4, width=512, seed=5))
+          .groupBy("r", "pos").agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    skb = countmin_build(b, "k", depth=4, width=512, seed=5)
+    e1 = countmin_inner_product(full, skb).collect()[0]["est"]
+    e2 = countmin_inner_product(sh, skb).collect()[0]["est"]
+    assert e1 == e2 >= a.join(b, on="k").count()
