@@ -169,3 +169,36 @@ def pack_next_fit(df: DataFrame, budget: int, token_col: str = "n_tokens",
     must be emitted as soon as they close."""
     return _pack_no_split(df, budget, token_col, key_col, n_buckets, seed,
                           discipline="next")
+
+
+def shard_balanced(df: DataFrame, n_shards: int,
+                   token_col: str = "n_tokens", key_col: str = "doc_id",
+                   partitions: int | None = None) -> DataFrame:
+    """Deterministic BALANCED shard plan for training-shard writing:
+    rank documents by (tokens DESC, key) with the distributed two-phase
+    rank (``operators/ranking.py`` — no single-partition window), then
+    assign ``shard = (rank − 1) % n_shards`` — round-robin over the
+    size-sorted order.
+
+    Provable balance: within round j, shard 0 receives the round's
+    largest document and shard S−1 its smallest, so the per-shard totals
+    differ by at most Σ_j (a_{jS+1} − a_{jS+S}) ≤ Σ_j (a_{jS+1} −
+    a_{(j+1)S+1}), which telescopes to ≤ a₁ = the single largest
+    document — max(shard total) − min(shard total) ≤ max doc tokens, for
+    ANY token distribution (the LPT-style guarantee without LPT's
+    sequential greedy).  Assignment is a pure function of (tokens, key),
+    so the plan is stable under repartitioning and retries, like every
+    id-keyed decision in this package.
+
+    Returns ``df`` plus a ``shard`` column.  The rank is one range
+    exchange + a ≤P-row offset summary; nothing sequential, nothing
+    driver-sized."""
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    ranked = global_dense_rank(
+        df.withColumn("_negt", -F.col(token_col).cast("bigint")),
+        ["_negt", key_col], partitions)
+    return (ranked
+            .withColumn("shard",
+                        ((F.col("rank") - 1) % n_shards).cast("bigint"))
+            .drop("_negt", "rank"))

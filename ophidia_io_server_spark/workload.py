@@ -5473,6 +5473,56 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "doc_shard_balanced",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) AS BIGINT) AS n
+               FROM documents WHERE text IS NOT NULL),
+    r AS (SELECT doc_id, n,
+                 row_number() OVER (ORDER BY n DESC, doc_id) AS rn
+          FROM t),
+    g AS (SELECT CAST((rn - 1) % 16 AS BIGINT) AS shard,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS shard_tokens
+          FROM r GROUP BY shard),
+    b AS (SELECT (MAX(shard_tokens) - MIN(shard_tokens)
+                  <= (SELECT MAX(n) FROM t)) AS balance_ok FROM g)
+    SELECT g.shard, g.n_docs, g.shard_tokens, b.balance_ok FROM g, b
+    """,
+)
+def doc_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard plan
+    (``pipeline/packing.py::shard_balanced``): documents ranked by
+    (tokens DESC, doc_id) with the distributed two-phase rank — never a
+    single-partition window — then round-robin over the size-sorted
+    order.  The row output is the per-shard plan (16 shards: doc count +
+    token total) plus ``balance_ok``, the operator's PROVABLE guarantee
+    bound: max − min shard tokens ≤ the single largest document
+    (telescoping over round-robin rounds), for any token distribution.
+    The oracle replays the identical rank-and-mod plan and asserts the
+    same bound — this is the shard-writer planning step of a training
+    pipeline, where imbalance directly serializes epoch tails."""
+    from ophidia_io_server_spark.pipeline.packing import shard_balanced
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = (spread(load_table(spark, sf_dir, "documents"))
+            .where(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.size(tokens_col(F.col("text"))).cast("bigint")
+                    .alias("n_tokens")))
+    sh = shard_balanced(docs, n_shards=16)
+    g = (sh.groupBy("shard")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum("n_tokens").cast("bigint").alias("shard_tokens")))
+    b = (g.agg((F.max("shard_tokens") - F.min("shard_tokens")).alias("_d"))
+         .crossJoin(docs.agg(F.max("n_tokens").alias("_mx")))
+         .select((F.col("_d") <= F.col("_mx")).alias("balance_ok")))
+    return g.crossJoin(F.broadcast(b))
+
+
+@workload(
     "doc_pack_sequences",
     oracle="""
     WITH t AS (SELECT doc_id,
@@ -6954,6 +7004,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("seq_offset", "bigint"), ("ff_fill_ok", "boolean"),
             ("ff_not_worse_than_next_fit", "boolean"),
             ("ff_exactly_once", "boolean"),
+        ],
+        "doc_shard_balanced": [
+            ("shard", "bigint"), ("n_docs", "bigint"),
+            ("shard_tokens", "bigint"), ("balance_ok", "boolean"),
         ],
     },
     # the vector-quantization ANN family (PQ, IVF-PQ, OPQ)
