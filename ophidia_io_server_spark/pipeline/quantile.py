@@ -141,3 +141,35 @@ def exact_discrete_quantiles(df: DataFrame, keys: list[str],
             .select(*keys, F.col("v").alias(f"{prefix}{int(round(q * 100))}")))
         hit = sel if hit is None else hit.join(sel, on=keys)
     return hit
+
+
+def equi_depth_histogram(df: DataFrame, value_col: str,
+                         tiebreak_cols: list[str], bins: int,
+                         partitions: int | None = None) -> DataFrame:
+    """EXACT equi-depth histogram — the optimizer-statistics sibling of
+    the sketches (CMS frequencies, bottom-k quantiles, HLL distincts):
+    rows ranked by (value, *tiebreak) with the distributed two-phase rank
+    (no single-partition window), bucket = ((rank−1)·bins) DIV n — so
+    per-bucket counts differ by AT MOST 1 for any value distribution
+    (the defining equi-depth property, integer arithmetic only).
+
+    Returns one row per non-empty bucket: ``(bucket, n_rows, lo, hi)``
+    with lo/hi the bucket's min/max value — the boundary table a
+    range-predicate selectivity estimator reads.  One range exchange +
+    one bounded aggregation; nothing driver-sized."""
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("v"),
+        *[F.col(c) for c in tiebreak_cols])
+    # (value, *tiebreak) is unique per row, so the dense rank is a row
+    # rank and its max IS n — return_max rides the rank's own offset
+    # summary, no separate count() pass
+    ranked, n = global_dense_rank(base, ["v", *tiebreak_cols], partitions,
+                                  return_max=True)
+    return (ranked
+            .withColumn("bucket", F.expr(
+                f"CAST(((rank - 1) * {int(bins)}) DIV {int(n)} AS BIGINT)"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi")))

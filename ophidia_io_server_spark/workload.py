@@ -6103,6 +6103,45 @@ def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "lineitem_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    g AS (SELECT CAST(((rn - 1) * 8) // n AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 MIN(v) AS lo, MAX(v) AS hi
+          FROM b GROUP BY bucket),
+    d AS (SELECT (MAX(n_rows) - MIN(n_rows) <= 1) AS depth_ok FROM g)
+    SELECT g.bucket, g.n_rows, g.lo, g.hi, d.depth_ok FROM g, d
+    """,
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth histogram over l_extendedprice
+    (``pipeline/quantile.py::equi_depth_histogram``): rows ranked by
+    (value, orderkey, linenumber) with the distributed two-phase rank,
+    bucket = ((rank−1)·8) DIV n.  Output is the 8-bucket boundary table a
+    range-predicate selectivity estimator reads (lo/hi per bucket) plus
+    ``depth_ok`` — the defining equi-depth certificate that per-bucket
+    counts differ by at most 1, for any value distribution.  Completes
+    the optimizer-statistics family: CMS frequencies + inner-product join
+    sizes, bottom-k quantiles, HLL distincts, equi-depth histograms."""
+    from ophidia_io_server_spark.pipeline.quantile import (
+        equi_depth_histogram,
+    )
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull()))
+    g = equi_depth_histogram(li, "l_extendedprice",
+                             ["l_orderkey", "l_linenumber"], bins=8)
+    d = g.agg((F.max("n_rows") - F.min("n_rows") <= 1).alias("depth_ok"))
+    return g.crossJoin(F.broadcast(d))
+
+
+@workload(
     "tpch_q21_waiting_suppliers",
     oracle="""
     WITH l AS (
@@ -7239,6 +7278,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("exact_rows", "bigint"), ("n_orders", "bigint"),
             ("n_lineitem", "bigint"), ("est_ge_exact_ok", "boolean"),
             ("est_within_bound_ok", "boolean"),
+        ],
+        "lineitem_price_histogram": [
+            ("bucket", "bigint"), ("n_rows", "bigint"),
+            ("lo", "double"), ("hi", "double"), ("depth_ok", "boolean"),
         ],
     },
     # fragment-store row windows + MERGE upsert
