@@ -199,6 +199,44 @@ def stream_stream_attribution(views: DataFrame, purchases: DataFrame,
     ).drop("v_user")
 
 
+def stream_stream_attribution_outer(views: DataFrame, purchases: DataFrame,
+                                    window_minutes: int = 120,
+                                    watermark: str = "4 hours") -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join: every purchase emits —
+    joined to the user's prior-window views when they exist, NULL-extended
+    when they don't.
+
+    The semantics corner beyond the inner join
+    (``stream_stream_attribution``): a NULL-extended result can only be
+    emitted once the engine PROVES no match can still arrive — i.e. when
+    the watermark passes ``p_ts + window`` — and that proof materializes
+    during state eviction, which runs a batch AFTER the watermark
+    advances.  A drained availableNow stream therefore needs events past
+    the horizon (two trailing micro-batches) to flush the unmatched tail;
+    the ``stream_view_attribution_outer`` workload stages two sentinel
+    batches for exactly this, and its stream≡batch certificate binds the
+    NULL rows too, not just the matches.  State is the same
+    O(watermark horizon) as the inner join."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts")
+           - F.expr(f"INTERVAL {int(window_minutes)} MINUTES")),
+        "leftOuter",
+    ).drop("v_user")
+
+
 def run_available_now(sdf: DataFrame, query_name: str, output_mode: str = "complete",
                       timeout_sec: int = 300) -> DataFrame:
     """Process everything currently available, write to an in-memory sink,

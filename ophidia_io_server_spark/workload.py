@@ -2045,6 +2045,127 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _staged_events_outer_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events staged for the LEFT-OUTER stream-stream join: ONE real-data
+    file (single first batch — no cross-batch event-time disorder to
+    late-drop) followed by TWO single-row sentinel files with strictly
+    increasing mtimes and far-future timestamps.  With
+    maxFilesPerTrigger=1 the sentinels become two trailing micro-batches:
+    the first advances the watermark past every purchase's join horizon,
+    the second triggers the state eviction pass that actually EMITS the
+    NULL-extended unmatched rows (eviction uses the watermark computed at
+    the END of the previous batch).  Deterministic per sf_dir."""
+    import hashlib
+    import os
+    import time as _time
+    from datetime import timedelta
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/ophidia_stream_events_outer_{tag}"
+    marker = f"{path}/_STAGED_OUTER"
+    if os.path.exists(marker):
+        return path
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    before = set(os.listdir(path))
+    for i, days in enumerate((30, 60), start=1):
+        # one far-future VIEW and PURCHASE per sentinel batch, on negative
+        # user ids: they pass the event-type filters so they reach the
+        # watermark operators (the global watermark is the MIN across both
+        # sides' nodes — rows filtered before withWatermark advance
+        # nothing), can never join (no real events share their users), and
+        # the sentinel purchase's own NULL row is dropped by the
+        # workload's user_id >= 0 filter.
+        sent = spark.createDataFrame(
+            [(10 ** 15 + 2 * i, mx + timedelta(days=days), -1, "view",
+              0.0, None),
+             (10 ** 15 + 2 * i + 1, mx + timedelta(days=days), -2,
+              "purchase", 0.0, None)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+        sent.coalesce(1).write.mode("append").parquet(path)
+        now = set(os.listdir(path))
+        for f in now - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(path, f),
+                         (_time.time() + 3600 * i, _time.time() + 3600 * i))
+        before = now
+    open(marker, "a").close()
+    return path
+
+
+@workload(
+    "stream_view_attribution_outer",
+    oracle="""
+    SELECT p.event_id AS p_event_id, v.event_id AS v_event_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us,
+           (v.event_id IS NOT NULL) AS matched,
+           TRUE AS stream_equals_batch
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts > p.ts - INTERVAL 120 MINUTES
+    """,
+)
+def stream_view_attribution_outer(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join
+    (``streaming/ingest.py::stream_stream_attribution_outer``): every
+    purchase emits — matched to prior-2h views or NULL-extended once the
+    watermark PROVES no view can still arrive.  The drain stages two
+    trailing sentinel micro-batches (``_staged_events_outer_dir``)
+    because NULL rows materialize in the state-eviction pass of the batch
+    AFTER the watermark advances — the semantics corner that
+    distinguishes outer from inner stream-stream joins.  Checked two
+    ways: the oracle's batch LEFT JOIN, and ``stream_equals_batch``
+    asserting the drained stream set-equals the identical batch plan
+    INCLUDING the NULL-extended rows."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+        stream_stream_attribution_outer,
+    )
+
+    path = _staged_events_outer_dir(spark, sf_dir)
+    src = events_stream(spark, path, max_files_per_trigger=1)
+    joined = stream_stream_attribution_outer(
+        src.where(F.col("event_type") == "view"),
+        src.where(F.col("event_type") == "purchase"),
+        window_minutes=120, watermark="4 hours",
+    )
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    landed = run_available_now(joined, f"stream_ss_attr_outer_{tag}",
+                               output_mode="append")
+    ev = load_table(spark, sf_dir, "events")
+    bv = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    bp = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    batch = bp.join(
+        bv,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 120 MINUTES")),
+        "leftOuter",
+    ).select("p_event_id", "v_event_id", "user_id", "p_ts", "v_ts")
+    out = (landed.where(F.col("user_id") >= 0)  # drop the sentinel purchase
+           .select("p_event_id", "v_event_id", "user_id", "p_ts", "v_ts"))
+    eq = bool(out.exceptAll(batch).count() == 0
+              and batch.exceptAll(out).count() == 0)
+    return out.select(
+        "p_event_id", "v_event_id", "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        F.col("v_event_id").isNotNull().alias("matched"),
+    ).withColumn("stream_equals_batch", F.lit(eq))
+
+
 @workload(
     "events_hourly_streaming",
     oracle="""
@@ -7010,6 +7131,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("event_type", "string"), ("n", "bigint"),
             ("est_p50", "double"), ("est_p90", "double"),
             ("stream_equals_batch", "boolean"),
+        ],
+        "stream_view_attribution_outer": [
+            ("p_event_id", "bigint"), ("v_event_id", "bigint"),
+            ("user_id", "bigint"), ("lag_us", "bigint"),
+            ("matched", "boolean"), ("stream_equals_batch", "boolean"),
         ],
     },
     # the two iterative graph operators
