@@ -199,6 +199,64 @@ def stream_stream_attribution(views: DataFrame, purchases: DataFrame,
     ).drop("v_user")
 
 
+def user_inactivity_closeout_stream(events: DataFrame,
+                                    gap_minutes: int = 120,
+                                    watermark: str = "2 hours") -> DataFrame:
+    """Per-user INACTIVITY CLOSE-OUT via event-time state timeout: a user's
+    running (n_events, last_ts) accumulates in the state store; once the
+    watermark passes ``last_ts + gap`` with no new event, the TIMEOUT path
+    fires, emits the user's final record exactly once, and ``state.remove()``
+    frees the slot.
+
+    This exercises the one stateful-streaming discipline the repo's other
+    operators don't: ``GroupStateTimeout.EventTimeTimeout`` — emission
+    driven by the ABSENCE of data, with state lifetime bounded by the
+    timeout instead of a window/watermark eviction.  State is O(active
+    users within the gap horizon), the canonical abandoned-cart /
+    session-close shape.  Each emitted row is (user_id, n_events,
+    last_ts); a drained stream emits every user exactly once provided the
+    final watermark passes every user's horizon (the workload stages a
+    far-future sentinel user for exactly that)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, last_ts timestamp"
+    state_schema = "n long, last long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last)],
+            })
+            return
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            last = max(last, int(pdf["ts"].astype("int64").max()))
+        state.update((n, last))
+        # timestamps ride as int64 NANOseconds in Arrow; the timeout API
+        # takes epoch MILLIseconds
+        state.setTimeoutTimestamp(last // 1_000_000 + gap_us // 1_000)
+        yield pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                            "n_events": pd.Series(dtype="int64"),
+                            "last_ts": pd.Series(dtype="datetime64[ns]")})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_stream_attribution_outer(views: DataFrame, purchases: DataFrame,
                                     window_minutes: int = 120,
                                     watermark: str = "4 hours") -> DataFrame:

@@ -2167,6 +2167,56 @@ def stream_view_attribution_outer(spark: SparkSession,
 
 
 @workload(
+    "stream_user_closeout",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_ts, TRUE AS stream_equals_batch
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def stream_user_closeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity close-out via EVENT-TIME STATE TIMEOUT
+    (``streaming/ingest.py::user_inactivity_closeout_stream``): each
+    user's (n_events, last_ts) accumulates in the state store and is
+    emitted EXACTLY ONCE when the watermark passes ``last_ts + gap`` with
+    no new event — emission driven by the ABSENCE of data
+    (``GroupStateTimeout.EventTimeTimeout`` + ``state.remove()``), the
+    abandoned-cart/session-close discipline none of the repo's other
+    stateful operators exercise.  The drain reuses the sentinel staging
+    (``_staged_events_outer_dir``): the far-future sentinel batches push
+    the watermark past every real user's horizon, and timeouts fire in
+    the batch AFTER the advance — so the drained stream emits every user
+    exactly once, set-equal to the batch groupBy (the
+    ``stream_equals_batch`` boolean; the oracle is the batch groupBy)."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+        user_inactivity_closeout_stream,
+    )
+
+    path = _staged_events_outer_dir(spark, sf_dir)
+    src = (events_stream(spark, path, max_files_per_trigger=1)
+           .where(F.col("user_id").isNotNull()))
+    closed = user_inactivity_closeout_stream(src, gap_minutes=120,
+                                             watermark="2 hours")
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    landed = (run_available_now(closed, f"stream_closeout_{tag}",
+                                output_mode="append")
+              .where(F.col("user_id") >= 0))  # drop sentinel users
+    batch = (load_table(spark, sf_dir, "events")
+             .where(F.col("user_id").isNotNull())
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                  F.max("ts").alias("last_ts")))
+    eq = bool(landed.exceptAll(batch).count() == 0
+              and batch.exceptAll(landed).count() == 0)
+    return landed.withColumn("stream_equals_batch", F.lit(eq))
+
+
+@workload(
     "events_hourly_streaming",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start,
@@ -7136,6 +7186,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("p_event_id", "bigint"), ("v_event_id", "bigint"),
             ("user_id", "bigint"), ("lag_us", "bigint"),
             ("matched", "boolean"), ("stream_equals_batch", "boolean"),
+        ],
+        "stream_user_closeout": [
+            ("user_id", "bigint"), ("n_events", "bigint"),
+            ("last_ts", "timestamp"), ("stream_equals_batch", "boolean"),
         ],
     },
     # the two iterative graph operators
