@@ -223,3 +223,118 @@ def test_stream_stream_attribution_multibatch_matches_batch(spark, tmp_path):
     w = {(r["p_event_id"], r["v_event_id"])
          for r in want.select("p_event_id", "v_event_id").collect()}
     assert g == w and len(w) >= 5
+
+
+def test_outer_join_null_rows_need_watermark_proof(spark, tmp_path):
+    """LEFT-OUTER stream-stream: a tiny hand corpus where purchase A has a
+    matching prior view and purchase B does not.  WITHOUT sentinel batches
+    the NULL row for B must NOT appear (the watermark never proves the
+    absence); WITH two trailing far-future sentinel batches it must."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        stream_stream_attribution_outer,
+    )
+
+    def rows_to_df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    real = [
+        (1, t0, 10, "view", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=30), 10, "purchase", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=40), 20, "purchase", 0.0, None),
+    ]
+    sents = [
+        [(100, t0 + dt.timedelta(days=30), -1, "view", 0.0, None),
+         (101, t0 + dt.timedelta(days=30), -2, "purchase", 0.0, None)],
+        [(102, t0 + dt.timedelta(days=60), -1, "view", 0.0, None),
+         (103, t0 + dt.timedelta(days=60), -2, "purchase", 0.0, None)],
+    ]
+
+    import os
+    import time as _time
+
+    for with_sentinels, name in ((False, "no_sent"), (True, "sent")):
+        path = str(tmp_path / f"outer_{name}")
+        rows_to_df(real).coalesce(1).write.mode("overwrite").parquet(path)
+        if with_sentinels:
+            before = set(os.listdir(path))
+            for i, batch in enumerate(sents, start=1):
+                rows_to_df(batch).coalesce(1).write.mode("append").parquet(path)
+                now = set(os.listdir(path))
+                for f in now - before:
+                    if f.endswith(".parquet"):
+                        os.utime(os.path.join(path, f),
+                                 (_time.time() + 3600 * i,) * 2)
+                before = now
+        src = (spark.readStream.schema(EVENTS_SCHEMA)
+               .option("maxFilesPerTrigger", 1).parquet(path))
+        joined = stream_stream_attribution_outer(
+            src.where(F.col("event_type") == "view"),
+            src.where(F.col("event_type") == "purchase"),
+            window_minutes=120, watermark="1 hour")
+        got = run_available_now(joined, f"t_outer_{name}",
+                                output_mode="append")
+        got = got.where(F.col("user_id") >= 0)
+        pairs = {(r["p_event_id"], r["v_event_id"]) for r in got.collect()}
+        if with_sentinels:
+            assert pairs == {(2, 1), (3, None)}
+        else:
+            # the matched pair emits eagerly; the NULL row cannot
+            assert (3, None) not in pairs
+
+
+def test_closeout_emits_each_user_once_after_timeout(spark, tmp_path):
+    """EventTimeTimeout close-out: users emit exactly once, only after the
+    watermark passes last_ts + gap (via the sentinel batches), with their
+    full (n_events, last_ts)."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        user_inactivity_closeout_stream,
+    )
+
+    import datetime as dt
+    import os
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    real = [
+        (1, t0, 10, "view", 0.0, None),
+        (2, t0 + dt.timedelta(minutes=10), 10, "view", 0.0, None),
+        (3, t0 + dt.timedelta(minutes=20), 20, "click", 0.0, None),
+    ]
+    path = str(tmp_path / "closeout")
+    df = spark.createDataFrame(
+        real, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    before = set(os.listdir(path))
+    for i, days in enumerate((30, 60), start=1):
+        s = spark.createDataFrame(
+            [(100 + i, t0 + dt.timedelta(days=days), -1, "view", 0.0, None)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+        s.coalesce(1).write.mode("append").parquet(path)
+        now = set(os.listdir(path))
+        for f in now - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(path, f),
+                         (_time.time() + 3600 * i,) * 2)
+        before = now
+    src = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    closed = user_inactivity_closeout_stream(src, gap_minutes=60,
+                                             watermark="1 hour")
+    got = run_available_now(closed, "t_closeout", output_mode="append")
+    rows = {r["user_id"]: (r["n_events"], r["last_ts"])
+            for r in got.where(F.col("user_id") >= 0).collect()}
+    assert rows == {
+        10: (2, t0 + dt.timedelta(minutes=10)),
+        20: (1, t0 + dt.timedelta(minutes=20)),
+    }
