@@ -71,11 +71,18 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "token_countmin_freq",
     "stream_view_attribution",
-    # r8 (HEADLINE 39 -> 41): coordinated bottom-k quantile sketch rollup
-    # (batch cross-grain + streaming incremental) - per-query comparison
-    # only, PERF.md r8
+    # r8 (HEADLINE 39 -> 46): coordinated bottom-k quantile sketch rollup
+    # (batch cross-grain + streaming incremental), CMS join-size
+    # estimation, equi-depth histogram, balanced shard planner, left-outer
+    # stream-stream join, event-time-timeout close-out - per-query
+    # comparison only, PERF.md r8
     "events_quantile_rollup",
     "stream_quantile_rollup",
+    "orders_join_size_estimate",
+    "lineitem_price_histogram",
+    "doc_shard_balanced",
+    "stream_view_attribution_outer",
+    "stream_user_closeout",
 ]
 
 
