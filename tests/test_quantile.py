@@ -128,3 +128,35 @@ def test_stream_sketch_batch_arrival_invariance(spark, tmp_path):
         assert _sample_sets(got, ["event_type"]) == want
         assert ({r["event_type"]: r["n"] for r in got.collect()}
                 == {r["event_type"]: r["n"] for r in batch.collect()})
+
+
+def test_merge_theorem_property(spark):
+    """Hypothesis: for ANY small corpus (ids, values) and ANY number of
+    hash shards, sketch-per-shard + merge == direct sketch, bitwise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=10 ** 6),
+                      st.floats(min_value=-1e6, max_value=1e6,
+                                allow_nan=False)),
+            min_size=1, max_size=60, unique_by=lambda t: t[0]),
+        shards=st.integers(min_value=2, max_value=6),
+        k=st.integers(min_value=1, max_value=12),
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(rows, shards, k):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in rows], "event_id long, value double")
+        # a constant cell key: one global cell
+        df2 = df.withColumn("g", F.lit(1))
+        direct = quantile_sketch(df2, ["g"], "value", "event_id", k=k)
+        sharded = merge_sketches(
+            quantile_sketch(
+                df2.withColumn("shard", F.col("event_id") % shards),
+                ["g", "shard"], "value", "event_id", k=k),
+            ["g"], k=k)
+        assert (_sample_sets(direct, ["g"]) == _sample_sets(sharded, ["g"]))
+
+    check()
