@@ -1,0 +1,110 @@
+"""Distributed 2-D skyline (Pareto frontier) — the classic OLAP
+"dominance" operator (Börzsönyi, Kossmann, Stocker, ICDE 2001: *The
+Skyline Operator*).  A row is on the skyline iff no other row is at
+least as good on BOTH dimensions and strictly better on at least one.
+
+The naive formulation is a quadratic NOT-EXISTS self-join; the 2-D case
+collapses to a *sorted scan with a running best*, which is what this
+module distributes:
+
+  1. ``groupBy(x).agg(best(y))`` — one map-side-combined exchange; rows
+     of the same x collapse to the per-x best y (any worse-y row at the
+     same x is dominated by the best-y row, which ties x and is strictly
+     better on y).
+  2. one range exchange ordered by x in *preference* direction; equal
+     keys never split across range partitions, so the per-partition
+     running best-y over *strictly preceding* rows (window, ``rowsBetween
+     (unboundedPreceding, -1)``) is exact within a partition.
+  3. a per-partition best-y summary (≤ P rows — bounded by the partition
+     COUNT, not the data) collected to the driver; its prefix-best
+     becomes each partition's carry-in, joined back as a broadcast
+     literal table — the same two-phase offset discipline as
+     ``operators/ranking.global_dense_rank`` (and pinned with the same
+     ``localCheckpoint``: repartitionByRange re-samples boundaries per
+     execution, so the summary branch and the consumer branch must read
+     ONE materialization).
+  4. a frontier point survives iff the combined carry-in/running best is
+     strictly worse than its own y; original rows rejoin the surviving
+     (x, y) points by equi-join (duplicated frontier points all survive:
+     equal points never dominate each other).
+
+At 100 TB this is one aggregation exchange + one range exchange + a
+P-row driver summary + one equi-join — no quadratic pair volume and no
+single-partition global window (``Window.orderBy`` with no partition key
+is the textbook scale trap this avoids).
+
+d > 2 dimensions need the local-skyline / merge family instead (block
+nested loops over broadcast local skylines); out of scope here —
+callers get a loud error rather than a silently-wrong answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str,
+               x_dir: str = "max", y_dir: str = "min",
+               partitions: int | None = None) -> DataFrame:
+    """Rows of ``df`` on the 2-D Pareto frontier of (``x_col``,
+    ``y_col``) under the given preference directions (``"max"`` /
+    ``"min"`` per dimension).
+
+    Dominance: q dominates p iff q is at-least-as-preferred on both
+    dimensions and strictly preferred on at least one.  Rows with NULL
+    in either dimension are never on the skyline (incomparable) and are
+    dropped.  All original columns are preserved; exact duplicates of a
+    frontier point all survive (equal points do not dominate each
+    other).
+    """
+    if x_dir not in ("max", "min") or y_dir not in ("max", "min"):
+        raise ValueError(f"x_dir/y_dir must be 'max' or 'min', got {x_dir!r}/{y_dir!r}")
+    spark = df.sparkSession
+    nparts = partitions or spark.sparkContext.defaultParallelism
+
+    best_y = F.min if y_dir == "min" else F.max
+    x_order = F.col(x_col).desc() if x_dir == "max" else F.col(x_col).asc()
+
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    # phase 1: per-x best y (map-side combined; one exchange)
+    pts = base.groupBy(x_col).agg(best_y(y_col).alias("_besty"))
+
+    # phase 2: range exchange in preference order + per-partition running
+    # best over strictly-preceding rows (one row per distinct x, so
+    # "preceding rows" == "strictly preferred x")
+    keyed = (pts.repartitionByRange(nparts, x_order)
+             .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy(x_order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = keyed.withColumn("_prev", best_y("_besty").over(w)).localCheckpoint()
+
+    # phase 3: ≤P-row summary -> prefix carry-in per partition
+    summary = sorted(
+        (r["_pid"], r["_b"]) for r in
+        local.groupBy("_pid").agg(best_y("_besty").alias("_b")).collect()
+    )
+    carry, carry_rows = None, []
+    for pid, b in summary:
+        carry_rows.append((pid, carry))
+        if b is not None:
+            if carry is None:
+                carry = b
+            else:
+                carry = min(carry, b) if y_dir == "min" else max(carry, b)
+    y_type = dict(pts.dtypes)["_besty"]
+    offs = spark.createDataFrame(
+        [(int(p), c) for p, c in carry_rows] or [(0, None)],
+        f"_pid int, _carry {y_type}")
+
+    dominated = F.col("_best_prev").isNotNull() & (
+        (F.col("_best_prev") <= F.col("_besty")) if y_dir == "min"
+        else (F.col("_best_prev") >= F.col("_besty")))
+    combine = F.least if y_dir == "min" else F.greatest
+    frontier = (
+        local.join(F.broadcast(offs), on="_pid")
+        .withColumn("_best_prev", combine(F.col("_prev"), F.col("_carry")))
+        .where(~dominated)
+        .select(x_col, F.col("_besty").alias(y_col))
+    )
+    return base.join(frontier, on=[x_col, y_col])

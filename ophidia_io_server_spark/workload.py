@@ -3018,6 +3018,72 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "part_fuzzy_name_pairs",
+    oracle="""
+    WITH d AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n
+               FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM d a JOIN d b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-similarity self-join (spelling-variant detection over
+    a dimension vocabulary): distinct part names within Levenshtein
+    distance 2, with occurrence counts.  The oracle is the literal
+    all-pairs definition; the operator (``pipeline/strsim.
+    edit_distance_self_join``) is PassJoin (Li et al., PVLDB 2011):
+    pigeonhole segment index + constant-fanout substring probes +
+    banded-threshold verify — O(n·τ²) shuffled rows, never O(n²) pairs,
+    which is what makes a fuzzy join feasible over a 10⁸-string
+    vocabulary at 100 TB."""
+    from ophidia_io_server_spark.pipeline.strsim import edit_distance_self_join
+
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy("p_name").agg(F.count("*").cast("bigint").alias("n"))
+    pairs = edit_distance_self_join(p, "p_name", tau=2)
+    return (
+        pairs
+        .join(counts.select(F.col("p_name").alias("a"),
+                            F.col("n").alias("n_a")), "a")
+        .join(counts.select(F.col("p_name").alias("b"),
+                            F.col("n").alias("n_b")), "b")
+        .select(F.col("a").alias("name_a"), F.col("b").alias("name_b"),
+                "dist", "n_a", "n_b")
+    )
+
+
+@workload(
+    "orders_pareto_frontier",
+    oracle="""
+    SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
+    FROM orders p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders q
+      WHERE q.o_totalprice >= p.o_totalprice AND q.o_orderdate <= p.o_orderdate
+        AND (q.o_totalprice > p.o_totalprice OR q.o_orderdate < p.o_orderdate)
+    )
+    """,
+)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi et al., ICDE 2001) over
+    orders: the record-setting orders — no other order is both at least
+    as expensive and at least as early (strict on one).  The oracle is
+    the LITERAL quadratic NOT-EXISTS dominance definition; the operator
+    (``operators/skyline.skyline_2d``) is the distributed 2-phase sorted
+    scan: per-x best-y aggregation + range exchange + per-partition
+    running best + ≤P-row prefix carry-in — no pair volume, no
+    single-partition global window."""
+    from ophidia_io_server_spark.operators.skyline import skyline_2d
+
+    o = load_table(spark, sf_dir, "orders")
+    return (skyline_2d(o, "o_totalprice", "o_orderdate")
+            .select("o_orderkey", "o_totalprice", "o_orderdate"))
+
+
+@workload(
     "curation_split_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},
@@ -7462,6 +7528,14 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "lineitem_price_histogram": [
             ("bucket", "bigint"), ("n_rows", "bigint"),
             ("lo", "double"), ("hi", "double"), ("depth_ok", "boolean"),
+        ],
+        "orders_pareto_frontier": [
+            ("o_orderkey", "bigint"), ("o_totalprice", "double"),
+            ("o_orderdate", "timestamp_ntz"),
+        ],
+        "part_fuzzy_name_pairs": [
+            ("name_a", "string"), ("name_b", "string"),
+            ("dist", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"),
         ],
     },
     # fragment-store row windows + MERGE upsert
