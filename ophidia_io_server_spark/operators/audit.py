@@ -1,0 +1,86 @@
+"""Declarative data-quality constraint audit (the Deequ / dbt-tests
+family): referential integrity, key uniqueness, completeness, accepted
+values, and arbitrary row predicates, each reported as one summary row
+``(constraint, n_rows, n_violations, ok)``.
+
+Every check is a single-pass aggregate:
+
+  * ``fk_check`` — LEFT join onto the distinct parent keys +
+    ``sum(parent IS NULL)``: one exchange; AQE broadcasts the parent
+    side when it is dimension-sized, and the join key is the natural
+    shuffle key when both sides are fact-sized (at 100 TB a Bloom
+    pre-filter on the child is the standard refinement — see
+    ``pipeline/decontaminate.py`` for the building block);
+  * ``unique_check`` — violations = rows − distinct keys, two partial
+    aggregates in one pass (``count`` + ``count_distinct`` collapse to
+    a single map-side-combined exchange);
+  * ``not_null_check`` / ``accepted_values_check`` / ``predicate_check``
+    — scan-only conditional counts (no exchange beyond the final
+    1-row aggregate).
+
+The audit result is the UNION of 1-row aggregates — one action
+materializes every check.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _summary(df: DataFrame, violated: F.Column, checked: F.Column | None = None) -> DataFrame:
+    base = df if checked is None else df.where(checked)
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(violated, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+    ).select(
+        F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+        F.coalesce("n_violations", F.lit(0)).cast("bigint").alias("n_violations"),
+    )
+
+
+def fk_check(child: DataFrame, child_cols: list[str],
+             parent: DataFrame, parent_cols: list[str]) -> DataFrame:
+    """Referential integrity: child rows (with fully non-null FK) whose
+    key has no match in the parent's distinct key set."""
+    pk = parent.select(*[F.col(p).alias(c) for c, p in
+                         zip(child_cols, parent_cols)]).distinct() \
+               .withColumn("_present", F.lit(1))
+    nn = reduce(lambda a, b: a & b,
+                [F.col(c).isNotNull() for c in child_cols])
+    joined = child.where(nn).join(pk, on=child_cols, how="left")
+    return _summary(joined, F.col("_present").isNull())
+
+
+def unique_check(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key uniqueness: violations = rows beyond the first per key."""
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+        .cast("bigint").alias("n_violations"),
+    )
+
+
+def not_null_check(df: DataFrame, col: str) -> DataFrame:
+    return _summary(df, F.col(col).isNull())
+
+
+def accepted_values_check(df: DataFrame, col: str, values: list) -> DataFrame:
+    return _summary(df, ~F.col(col).isin(values) | F.col(col).isNull())
+
+
+def predicate_check(df: DataFrame, violated: F.Column) -> DataFrame:
+    return _summary(df, violated)
+
+
+def audit(checks: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Stitch named 1-row check summaries into the audit report
+    ``(constraint_name, n_rows, n_violations, ok)``."""
+    parts = [
+        s.select(F.lit(name).alias("constraint_name"), "n_rows", "n_violations",
+                 (F.col("n_violations") == 0).alias("ok"))
+        for name, s in checks
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -3018,6 +3018,178 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "orders_constraint_audit",
+    oracle="""
+    WITH fk1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS nv
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) p
+        ON o.o_custkey = p._pk
+      WHERE o.o_custkey IS NOT NULL
+    ),
+    fk2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS nv
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) p
+        ON l.l_orderkey = p._pk
+      WHERE l.l_orderkey IS NOT NULL
+    ),
+    u1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS nv
+           FROM orders),
+    u2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                       AS BIGINT) AS nv
+           FROM lineitem),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                                    END), 0) AS BIGINT) AS nv
+           FROM orders),
+    av AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
+                                         OR o_orderstatus NOT IN ('F','O','P')
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nv
+           FROM orders),
+    pr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0
+                                    END), 0) AS BIGINT) AS nv
+           FROM orders)
+    SELECT 'fk_orders_custkey_customer' AS constraint_name, n_rows,
+           nv AS n_violations, nv = 0 AS ok FROM fk1
+    UNION ALL SELECT 'fk_lineitem_orderkey_orders', n_rows, nv, nv = 0 FROM fk2
+    UNION ALL SELECT 'unique_orders_orderkey', n_rows, nv, nv = 0 FROM u1
+    UNION ALL SELECT 'unique_lineitem_orderkey_linenumber', n_rows, nv, nv = 0
+      FROM u2
+    UNION ALL SELECT 'not_null_o_custkey', n_rows, nv, nv = 0 FROM nn
+    UNION ALL SELECT 'accepted_values_o_orderstatus', n_rows, nv, nv = 0 FROM av
+    UNION ALL SELECT 'positive_o_totalprice', n_rows, nv, nv = 0 FROM pr
+    """,
+)
+def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (Deequ / dbt-tests family) over the
+    star schema: two referential-integrity checks, two key-uniqueness
+    checks (the lineitem one FAILS by design — the synthetic table has
+    duplicate (l_orderkey, l_linenumber) pairs, a real finding the audit
+    must report, not mask), completeness, accepted values, and a value
+    predicate.  Every check is a single-pass aggregate
+    (``operators/audit.py``); the FK checks join against distinct parent
+    keys (AQE broadcasts dimension-sized parents)."""
+    from ophidia_io_server_spark.operators.audit import (
+        accepted_values_check,
+        audit,
+        fk_check,
+        not_null_check,
+        predicate_check,
+        unique_check,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    return audit([
+        ("fk_orders_custkey_customer",
+         fk_check(o, ["o_custkey"], c, ["c_custkey"])),
+        ("fk_lineitem_orderkey_orders",
+         fk_check(l, ["l_orderkey"], o, ["o_orderkey"])),
+        ("unique_orders_orderkey", unique_check(o, ["o_orderkey"])),
+        ("unique_lineitem_orderkey_linenumber",
+         unique_check(l, ["l_orderkey", "l_linenumber"])),
+        ("not_null_o_custkey", not_null_check(o, "o_custkey")),
+        ("accepted_values_o_orderstatus",
+         accepted_values_check(o, "o_orderstatus", ["F", "O", "P"])),
+        ("positive_o_totalprice",
+         predicate_check(o, F.col("o_totalprice") <= 0)),
+    ]).select("constraint_name", "n_rows", "n_violations", "ok")
+
+
+@workload(
+    "events_gapfill_interpolate",
+    oracle="""
+    WITH obs0 AS (
+      SELECT user_id,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS BIGINT) AS h_idx,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'click' AND user_id < 50
+      GROUP BY 1, 2
+    ),
+    obs AS (SELECT *, cents * 1.0 / (100 * n) AS v FROM obs0
+            WHERE h_idx >= 0 AND h_idx < 168),
+    spine AS (
+      SELECT u.user_id, g.h_idx
+      FROM (SELECT DISTINCT user_id FROM obs) u
+      CROSS JOIN (SELECT unnest(range(0, 168)) AS h_idx) g
+    ),
+    j AS (
+      SELECT s.user_id, s.h_idx, o.v, o.n
+      FROM spine s LEFT JOIN obs o USING (user_id, h_idx)
+    ),
+    w AS (
+      SELECT user_id, h_idx, v, COALESCE(n, 0) AS n,
+        last_value(v IGNORE NULLS) OVER pw AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h_idx END IGNORE NULLS)
+          OVER pw AS pi,
+        first_value(v IGNORE NULLS) OVER nw AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h_idx END IGNORE NULLS)
+          OVER nw AS ni
+      FROM j
+      WINDOW pw AS (PARTITION BY user_id ORDER BY h_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             nw AS (PARTITION BY user_id ORDER BY h_idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+      TIMESTAMP '2024-01-01 00:00:00' + h_idx * INTERVAL 1 HOUR AS hour_start,
+      n,
+      CASE WHEN v IS NOT NULL THEN 'obs'
+           WHEN pi IS NOT NULL AND ni IS NOT NULL THEN 'interp'
+           WHEN pi IS NOT NULL THEN 'locf' ELSE 'nocb' END AS fill_kind,
+      ROUND(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pi IS NOT NULL AND ni IS NOT NULL
+                   THEN pv + (nv - pv) * (CAST(h_idx - pi AS DOUBLE)
+                                          / CAST(ni - pi AS DOUBLE))
+                 WHEN pi IS NOT NULL THEN pv ELSE nv END, 6) AS v_filled
+    FROM w
+    """,
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user hourly click-value series
+    aligned onto the first week's dense hourly grid, gaps filled by
+    linear interpolation (LOCF/NOCB at the edges), tagged by fill kind.
+    The operator (``operators/timeseries.gap_fill_interpolate``) works
+    in the integer INDEX domain so every weight is an exact small-int
+    ratio — deterministic across engines — and every window is per-key
+    (no global ordering stage at any scale).  Hourly values enter on the
+    exact cents grid (order-free integer sums) before the one double
+    division."""
+    from ophidia_io_server_spark.operators.timeseries import gap_fill_interpolate
+
+    t0 = "timestamp_ntz'2024-01-01 00:00:00'"
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "click") & (F.col("user_id") < 50))
+    obs = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(exact_cents_sum("value").alias("cents"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("h_idx", F.expr(f"timestampdiff(HOUR, {t0}, h)").cast("bigint"))
+        .where((F.col("h_idx") >= 0) & (F.col("h_idx") < 168))
+        .withColumn("v", F.col("cents") / (F.lit(100) * F.col("n")))
+        .select("user_id", "h_idx", "v", "n")
+    )
+    out = gap_fill_interpolate(obs, ["user_id"], "h_idx", "v", n_steps=168)
+    return out.select(
+        "user_id",
+        F.expr(f"{t0} + make_dt_interval(0, h_idx)").alias("hour_start"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        "fill_kind",
+        F.round("v_filled", 6).alias("v_filled"),
+    )
+
+
+@workload(
     "part_fuzzy_name_pairs",
     oracle="""
     WITH d AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n
@@ -7414,6 +7586,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("purchase_n", "bigint"), ("signup_n", "bigint"),
             ("view_n", "bigint"), ("purchase_cents", "bigint"),
         ],
+        "events_gapfill_interpolate": [
+            ("user_id", "bigint"), ("hour_start", "timestamp_ntz"),
+            ("n", "bigint"), ("fill_kind", "string"),
+            ("v_filled", "double"),
+        ],
         "events_session_outage_overlap": [
             ("user_id", "bigint"), ("s_start", "timestamp_ntz"),
             ("s_end", "timestamp_ntz"), ("outage_start", "timestamp_ntz"),
@@ -7536,6 +7713,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "part_fuzzy_name_pairs": [
             ("name_a", "string"), ("name_b", "string"),
             ("dist", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"),
+        ],
+        "orders_constraint_audit": [
+            ("constraint_name", "string"), ("n_rows", "bigint"),
+            ("n_violations", "bigint"), ("ok", "boolean"),
         ],
     },
     # fragment-store row windows + MERGE upsert
