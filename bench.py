@@ -83,6 +83,12 @@ HEADLINE = [
     "doc_shard_balanced",
     "stream_view_attribution_outer",
     "stream_user_closeout",
+    # r8 second session (HEADLINE 46 -> 50): 2-D skyline, PassJoin fuzzy
+    # string join, gap-fill interpolation, constraint audit
+    "orders_pareto_frontier",
+    "part_fuzzy_name_pairs",
+    "events_gapfill_interpolate",
+    "orders_constraint_audit",
 ]
 
 

@@ -177,3 +177,67 @@ def label_propagation(
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
     return labels
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-ordered orientation — the
+    node-iterator++ scheme (Schank & Wagner 2005; Cohen's MapReduce
+    formulation, and Suri & Vassilvitskii WWW'11 for the shuffle-volume
+    analysis).  Input: undirected edges in any orientation — rows are
+    canonicalized, self-loops dropped and duplicates collapsed on entry.
+
+    Why orientation matters at scale: wedges formed at ARBITRARY
+    vertices cost Σ deg(v)² — a single hub node of degree 10⁶ yields
+    10¹² wedge rows.  Directing every edge from the lower (degree, id)
+    endpoint to the higher bounds per-vertex out-degree by O(√m), so the
+    wedge join emits O(m^{3/2}) rows worst-case — the optimal exponent —
+    and each triangle is generated exactly once (at its lowest-ordered
+    vertex).  Plan: two equi-join exchanges (wedge build + closing-edge
+    probe) plus one count aggregation; no cartesian stage.
+
+    Returns ``(node, n_triangles)`` for EVERY node of the graph (zeros
+    included).
+    """
+    und = (edges
+           .select(F.least(src, dst).alias("u"),
+                   F.greatest(src, dst).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    nodes = (und.select(F.col("u").alias("n"))
+             .unionAll(und.select(F.col("v").alias("n"))))
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+
+    e = (und
+         .join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+         .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+
+    o1 = oriented.select("a", F.col("b").alias("b1"), F.col("db").alias("db1"))
+    o2 = oriented.select("a", F.col("b").alias("b2"), F.col("db").alias("db2"))
+    wedges = o1.join(o2, "a").where(
+        (F.col("db1") < F.col("db2")) |
+        ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2"))))
+    closing = und.select(F.least("u", "v").alias("cu"),
+                         F.greatest("u", "v").alias("cv"))
+    tri = wedges.join(
+        closing,
+        (F.least("b1", "b2") == F.col("cu"))
+        & (F.greatest("b1", "b2") == F.col("cv")))
+
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b1").alias("node")))
+        .unionAll(tri.select(F.col("b2").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (deg.select(F.col("n").alias("node"))
+            .join(per_node, "node", "left")
+            .select("node", F.coalesce("n_triangles", F.lit(0))
+                    .cast("bigint").alias("n_triangles")))

@@ -395,3 +395,41 @@ def interval_overlap_join(
                & (F.col(right_start) < F.col(left_end)))
         .drop("_bin", "_first_a", "_first_b")
     )
+
+
+def scd2_intervals(df: DataFrame, key_cols: list[str], ts_col: str,
+                   attr_col: str, order_cols: list[str] | None = None) -> DataFrame:
+    """Collapse an event log into SCD Type-2 validity intervals — the
+    classic warehouse dimension-history build: one row per maximal run
+    of an unchanged attribute value per key, with ``valid_from`` /
+    ``valid_to`` (NULL = still current), ``n_events`` in the run and an
+    ``is_current`` flag.
+
+    Change detection is null-safe (``<=>`` against the previous event's
+    value), run ids are a conditional running sum, intervals close at
+    the NEXT run's ``valid_from`` (lead) — three per-key window passes
+    plus one (key, run) aggregation, all partitioned BY KEY: no global
+    ordering stage, so the plan parallelizes per key at any scale.
+
+    ``order_cols`` breaks timestamp ties deterministically (pass the
+    event id); without it equal-``ts`` runs would be layout-dependent.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    chg = (~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w))).cast("bigint")
+    seg = F.sum(chg).over(
+        Window.partitionBy(*key_cols).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        df.withColumn("_seg", seg)
+        .groupBy(*key_cols, "_seg")
+        .agg(F.min(attr_col).alias(attr_col),   # constant within a run
+             F.min(ts_col).alias("valid_from"),
+             F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w_run = Window.partitionBy(*key_cols).orderBy(F.col("_seg").asc())
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w_run))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_seg")
+    )

@@ -3018,6 +3018,57 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_scd2_intervals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_type = 'signup'
+    ),
+    m AS (
+      SELECT *, CASE WHEN lag(k) OVER w IS DISTINCT FROM k THEN 1 ELSE 0 END
+                AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seg
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, seg, MIN(k) AS k, MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, seg
+    )
+    SELECT user_id, k, valid_from,
+           lead(valid_from) OVER w2 AS valid_to, n_events,
+           (lead(valid_from) OVER w2) IS NULL AS is_current
+    FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension-history build from an event log: per-user
+    validity intervals of the JSON attribute ``props.k`` over signup
+    events (``operators/temporal.scd2_intervals``) — null-safe change
+    detection, conditional-running-sum run ids, lead-closed intervals,
+    ``is_current`` on the open run.  JSON extraction stays JVM-side
+    (``get_json_object``); every window is per-user, so the plan has no
+    global ordering stage at any scale."""
+    from ophidia_io_server_spark.operators.temporal import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "signup")
+    e = ev.select(
+        "user_id", "ts", "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"))
+    return (
+        scd2_intervals(e, ["user_id"], "ts", "k", order_cols=["event_id"])
+        .select("user_id", "k", "valid_from", "valid_to", "n_events",
+                "is_current")
+    )
+
+
+@workload(
     "orders_constraint_audit",
     oracle="""
     WITH fk1 AS (
@@ -4845,6 +4896,54 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cooccurrence_pmi(docs, window=2, min_count=5)
+
+
+@workload(
+    "token_triangle_counts",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    e AS (SELECT wa AS u, wb AS v FROM pr
+          WHERE wa <> wb GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    tn AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             SELECT a AS t FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY t),
+    nodes AS (SELECT u AS t FROM e UNION SELECT v FROM e)
+    SELECT nodes.t AS node, COALESCE(tn.n, 0) AS n_triangles
+    FROM nodes LEFT JOIN tn USING (t)
+    """,
+)
+def token_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the token co-occurrence graph (the
+    same ±2-window, count ≥ 5 edge list as LPA/PMI, self-loops dropped)
+    via degree-ordered orientation (``operators/graph.triangle_counts``)
+    — wedge volume bounded O(m^1.5) instead of Σdeg², each triangle
+    generated once at its lowest-ordered vertex.  The oracle is the
+    literal lexicographic triple self-join."""
+    from ophidia_io_server_spark.operators.graph import triangle_counts
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (cooccurrence_counts(docs, window=2)
+             .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
+             .select(F.col("wa").alias("src"), F.col("wb").alias("dst")))
+    return (triangle_counts(edges)
+            .select(F.col("node"), F.col("n_triangles")))
 
 
 def _lpa_oracle(iters: int) -> str:
@@ -7438,6 +7537,9 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "token_lpa_communities": [
             ("node", "string"), ("label", "string"),
         ],
+        "token_triangle_counts": [
+            ("node", "string"), ("n_triangles", "bigint"),
+        ],
     },
     # deterministic sampling: budget-fill without a global sort + exact-k
     # bottom-k
@@ -7585,6 +7687,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("hour", "bigint"), ("click_n", "bigint"), ("error_n", "bigint"),
             ("purchase_n", "bigint"), ("signup_n", "bigint"),
             ("view_n", "bigint"), ("purchase_cents", "bigint"),
+        ],
+        "events_scd2_intervals": [
+            ("user_id", "bigint"), ("k", "bigint"),
+            ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"),
+            ("n_events", "bigint"), ("is_current", "boolean"),
         ],
         "events_gapfill_interpolate": [
             ("user_id", "bigint"), ("hour_start", "timestamp_ntz"),
