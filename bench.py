@@ -89,6 +89,10 @@ HEADLINE = [
     "part_fuzzy_name_pairs",
     "events_gapfill_interpolate",
     "orders_constraint_audit",
+    "events_scd2_intervals",
+    "token_triangle_counts",
+    "part_name_entity_resolution",
+    "events_multitouch_attribution",
 ]
 
 

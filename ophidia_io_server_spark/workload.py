@@ -3018,6 +3018,60 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_multitouch_attribution",
+    oracle="""
+    WITH v AS (SELECT user_id, ts AS view_ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS pid, ts AS purchase_ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT p.user_id, v.view_ts, p.pid, p.purchase_ts, p.cents
+          FROM p JOIN v ON v.user_id = p.user_id
+           AND v.view_ts >= p.purchase_ts - INTERVAL 2 HOUR
+           AND v.view_ts < p.purchase_ts),
+    n AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_touches
+          FROM j GROUP BY pid)
+    SELECT j.user_id, j.view_ts, j.purchase_ts, j.cents, n.n_touches,
+           ROUND(j.cents / (100.0 * n.n_touches), 6) AS credit
+    FROM j JOIN n USING (pid)
+    """,
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's revenue split
+    equally across the same user's views in the preceding 2 h.  The
+    inequality join rides the BUCKETED interval equi-join
+    (``operators/temporal.interval_join`` — purchases become
+    [ts−2h, ts) intervals, views hash to one bucket each; no BNLJ), and
+    the per-purchase touch count is a window over the join output.
+    Credit = exact integer cents / (100·n) — one double division per
+    row, deterministic across engines.  The oracle is the literal
+    inequality join."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"),
+        F.col("ts").alias("purchase_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+        F.col("ts").alias("end_ts"))
+    j = interval_join(v, p, on="user_id", ts_col="ts",
+                      start_col="start_ts", end_col="end_ts")
+    w = Window.partitionBy("pid")
+    return (
+        j.withColumn("n_touches", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select("user_id", F.col("ts").alias("view_ts"), "purchase_ts",
+                "cents", "n_touches",
+                F.round(F.col("cents") / (F.lit(100.0) * F.col("n_touches")),
+                        6).alias("credit"))
+    )
+
+
+@workload(
     "events_scd2_intervals",
     oracle="""
     WITH e AS (
@@ -3276,6 +3330,74 @@ def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a").alias("name_a"), F.col("b").alias("name_b"),
                 "dist", "n_a", "n_b")
     )
+
+
+@workload(
+    "part_name_entity_resolution",
+    oracle="""
+    WITH RECURSIVE d AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n
+                         FROM part GROUP BY p_name),
+    cp AS (SELECT a.p_name AS na, b.p_name AS nb
+           FROM d a JOIN d b ON a.p_name < b.p_name
+           WHERE levenshtein(a.p_name, b.p_name) <= 2),
+    edges AS (SELECT na AS u, nb AS v FROM cp
+              UNION ALL SELECT nb, na FROM cp),
+    reach(u, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    lab AS (SELECT u AS name, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+    allnames AS (
+      SELECT d.p_name AS name, d.n,
+             COALESCE(l.cluster_id, d.p_name) AS cluster_id
+      FROM d LEFT JOIN lab l ON d.p_name = l.name
+    ),
+    canon AS (SELECT cluster_id, name AS canonical FROM (
+        SELECT cluster_id, name,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n DESC, name) AS rn
+        FROM allnames) WHERE rn = 1),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM allnames GROUP BY cluster_id)
+    SELECT a.name, a.cluster_id, c.canonical, a.n, s.cluster_size
+    FROM allnames a JOIN canon c USING (cluster_id) JOIN sz s USING (cluster_id)
+    """,
+)
+def part_name_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage over the part-name vocabulary:
+    PassJoin fuzzy pairs (τ=2) → min-label connected components
+    (``pipeline/dedup.dup_clusters`` — the same transitive-closure engine
+    the near-dup dedup family uses) → canonical representative per
+    cluster = the most frequent spelling (deterministic name tie-break).
+    Fuzzy matching is never transitive pair-wise, so the closure is the
+    semantically required step — and both building blocks are the
+    bounded-shuffle versions (no all-pairs, diameter-bounded rounds)."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.pipeline.dedup import dup_clusters
+    from ophidia_io_server_spark.pipeline.strsim import edit_distance_self_join
+
+    p = load_table(spark, sf_dir, "part")
+    d = p.groupBy("p_name").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs = edit_distance_self_join(p, "p_name", tau=2)
+    lab = dup_clusters(pairs.select(F.col("a").alias("doc_a"),
+                                    F.col("b").alias("doc_b")))
+    allnames = (
+        d.join(lab.select(F.col("doc_id").alias("p_name"), "cluster_id"),
+               "p_name", "left")
+        .select(F.col("p_name").alias("name"), "n",
+                F.coalesce("cluster_id", "p_name").alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("name").asc())
+    canon = (allnames.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select("cluster_id", F.col("name").alias("canonical")))
+    sz = allnames.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    return (allnames.join(canon, "cluster_id").join(sz, "cluster_id")
+            .select("name", "cluster_id", "canonical", "n", "cluster_size"))
 
 
 @workload(
@@ -7688,6 +7810,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("purchase_n", "bigint"), ("signup_n", "bigint"),
             ("view_n", "bigint"), ("purchase_cents", "bigint"),
         ],
+        "events_multitouch_attribution": [
+            ("user_id", "bigint"), ("view_ts", "timestamp_ntz"),
+            ("purchase_ts", "timestamp_ntz"), ("cents", "bigint"),
+            ("n_touches", "bigint"), ("credit", "double"),
+        ],
         "events_scd2_intervals": [
             ("user_id", "bigint"), ("k", "bigint"),
             ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"),
@@ -7824,6 +7951,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "orders_constraint_audit": [
             ("constraint_name", "string"), ("n_rows", "bigint"),
             ("n_violations", "bigint"), ("ok", "boolean"),
+        ],
+        "part_name_entity_resolution": [
+            ("name", "string"), ("cluster_id", "string"),
+            ("canonical", "string"), ("n", "bigint"),
+            ("cluster_size", "bigint"),
         ],
     },
     # fragment-store row windows + MERGE upsert
