@@ -28,6 +28,13 @@ verification filter — every stage shuffles O(n·τ²) rows, never O(n²).
 Strings shorter than τ+1 produce zero-length segments whose probe keys
 degenerate to ("", i, ℓ') — i.e. an automatic length-bucket fallback for
 tiny strings (complete, and bounded by the count of short strings).
+
+Unicode semantics: Spark's ``length``/``substr``/``levenshtein`` all
+operate on CODEPOINTS, so the operator is internally consistent for any
+unicode input (the hypothesis differential includes a non-ASCII
+character).  Cross-engine caveat for oracle authors: DuckDB's
+``levenshtein`` counts BYTES ('café'→'cafe' is 2 there, 1 here), so a
+DuckDB differential is only byte-for-byte valid on ASCII vocabularies.
 """
 
 from __future__ import annotations

@@ -3315,7 +3315,10 @@ def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole segment index + constant-fanout substring probes +
     banded-threshold verify — O(n·τ²) shuffled rows, never O(n²) pairs,
     which is what makes a fuzzy join feasible over a 10⁸-string
-    vocabulary at 100 TB."""
+    vocabulary at 100 TB.  Oracle validity note: DuckDB's levenshtein is
+    BYTE-based vs Spark's codepoint-based — equivalent here because part
+    names are ASCII; the operator's unicode (codepoint) semantics are
+    pinned by the hypothesis differential instead."""
     from ophidia_io_server_spark.pipeline.strsim import edit_distance_self_join
 
     p = load_table(spark, sf_dir, "part")

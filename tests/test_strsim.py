@@ -38,7 +38,10 @@ def _brute(vals, tau):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
-    vals=st.lists(st.text(alphabet="abc", min_size=0, max_size=9),
+    # "é" pins codepoint (not byte) semantics end-to-end: the python
+    # reference DP is codepoint-based, and Spark's length/substr/
+    # levenshtein must agree on the multi-byte character
+    vals=st.lists(st.text(alphabet="abé", min_size=0, max_size=9),
                   min_size=1, max_size=25),
     tau=st.integers(1, 3),
 )
