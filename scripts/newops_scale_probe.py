@@ -94,6 +94,59 @@ def main() -> None:
                  == 100 * a001["unique_lineitem_orderkey_linenumber"]["n_violations"])
     print(f"CERT audit_flags_100x: ok={flags} dup_count_scales_100x={dup_scale}")
 
+    # ---- second wave: scd2, triangles, entity resolution, multi-touch ----
+    names2 = ["events_scd2_intervals", "token_triangle_counts",
+              "part_name_entity_resolution", "events_multitouch_attribution"]
+    for sf_dir in (sf001, x100):
+        tag = sf_dir.rsplit("/", 1)[-1]
+        for name in names2:
+            dt, rows = timed(WORKLOADS[name].fn, spark, sf_dir)
+            results.setdefault(name, {})[tag] = (dt, rows)
+            print(f"{tag} {name}: {dt:.2f}s rows={len(rows)}")
+
+    # certificate 5: replica users are disjoint id ranges, so the scd2 and
+    # multi-touch outputs restricted to base users equal sf0.01 exactly,
+    # and total row counts scale exactly 100x
+    for name in ("events_scd2_intervals", "events_multitouch_attribution"):
+        base = sorted(tuple(r) for r in results[name][t001][1])
+        big = results[name][t100][1]
+        big_base = sorted(tuple(r) for r in big if r["user_id"] < 10_000_000)
+        print(f"CERT {name}_100x: base_slice_equal={base == big_base} "
+              f"count_scales_100x={len(big) == 100 * len(base)}")
+
+    # certificate 6: entity resolution — vocabulary invariant, counts x100
+    er001 = {r["name"]: r for r in results["part_name_entity_resolution"][t001][1]}
+    er100 = {r["name"]: r for r in results["part_name_entity_resolution"][t100][1]}
+    er_ok = (set(er001) == set(er100)
+             and all(er100[k]["cluster_id"] == er001[k]["cluster_id"]
+                     and er100[k]["canonical"] == er001[k]["canonical"]
+                     and er100[k]["cluster_size"] == er001[k]["cluster_size"]
+                     and er100[k]["n"] == 100 * er001[k]["n"] for k in er001))
+    print(f"CERT entity_resolution_100x: vocab_invariant_counts_scale={er_ok}")
+
+    # certificate 7: triangles — exactness at 100x vs the literal
+    # lexicographic triple join run IN SPARK on the same edge list
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+    docs = load_table(spark, x100, "documents")
+    e = (cooccurrence_counts(docs, window=2)
+         .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
+         .select(F.col("wa").alias("u"), F.col("wb").alias("v")))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, (F.col("e2.u") == F.col("e1.u"))
+                   & (F.col("e2.v") > F.col("e1.v")))
+           .join(e3, (F.col("e3.u") == F.col("e1.v"))
+                 & (F.col("e3.v") == F.col("e2.v"))))
+    lit = (tri.select(F.col("e1.u").alias("node"))
+           .unionAll(tri.select(F.col("e1.v").alias("node")))
+           .unionAll(tri.select(F.col("e2.v").alias("node")))
+           .groupBy("node").count())
+    want = {r["node"]: r["count"] for r in lit.collect()}
+    got = {r["node"]: r["n_triangles"]
+           for r in results["token_triangle_counts"][t100][1]}
+    tri_ok = all(got.get(k, 0) == v for k, v in want.items()) and \
+        all(v == want.get(k, 0) for k, v in got.items())
+    print(f"CERT triangles_100x_exact_vs_literal_join: ok={tri_ok}")
+
 
 if __name__ == "__main__":
     main()
