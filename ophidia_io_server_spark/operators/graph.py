@@ -199,11 +199,19 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     Returns ``(node, n_triangles)`` for EVERY node of the graph (zeros
     included).
     """
+    # The edge list feeds FOUR consumers (degree table, orientation join
+    # x2, closing-edge probe).  Without a pin each consumer re-executes
+    # the caller's whole upstream (for the token graph: the corpus-wide
+    # co-occurrence explode+aggregate — measured 35 parquet scans and
+    # ZERO ReusedExchange under AQE).  Edges are vocab²-bounded, far
+    # smaller than the corpus that produces them, so materializing once
+    # is the scale-correct trade.
     und = (edges
            .select(F.least(src, dst).alias("u"),
                    F.greatest(src, dst).alias("v"))
            .where(F.col("u") != F.col("v"))
-           .distinct())
+           .distinct()
+           .localCheckpoint())
     nodes = (und.select(F.col("u").alias("n"))
              .unionAll(und.select(F.col("v").alias("n"))))
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -217,7 +225,7 @@ def triangle_counts(edges: DataFrame, src: str = "src",
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint()  # reused by both wedge sides — pin the deg joins
 
     o1 = oriented.select("a", F.col("b").alias("b1"), F.col("db").alias("db1"))
     o2 = oriented.select("a", F.col("b").alias("b2"), F.col("db").alias("db2"))

@@ -212,9 +212,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     keep lineage flat across the loop.  Only documents that appear in at
     least one pair are returned — callers treat absent docs as singletons.
     """
+    # Pin the edge list: it is joined once per round, and without the
+    # checkpoint every round re-executes the caller's whole pair
+    # pipeline (LSH banding, PassJoin probes, ...) — the same
+    # recompute-per-consumer trap dup_clusters_star already guards
+    # against.  Edges are pair-count-bounded, tiny next to the corpus.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
