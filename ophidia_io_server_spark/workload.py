@@ -3182,31 +3182,38 @@ def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/audit.py``); the FK checks join against distinct parent
     keys (AQE broadcasts dimension-sized parents)."""
     from ophidia_io_server_spark.operators.audit import (
-        accepted_values_check,
         audit,
         fk_check,
-        not_null_check,
-        predicate_check,
-        unique_check,
+        fused_scan_checks,
     )
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     l = load_table(spark, sf_dir, "lineitem")
-    return audit([
+    fks = audit([
         ("fk_orders_custkey_customer",
          fk_check(o, ["o_custkey"], c, ["c_custkey"])),
         ("fk_lineitem_orderkey_orders",
          fk_check(l, ["l_orderkey"], o, ["o_orderkey"])),
-        ("unique_orders_orderkey", unique_check(o, ["o_orderkey"])),
-        ("unique_lineitem_orderkey_linenumber",
-         unique_check(l, ["l_orderkey", "l_linenumber"])),
-        ("not_null_o_custkey", not_null_check(o, "o_custkey")),
-        ("accepted_values_o_orderstatus",
-         accepted_values_check(o, "o_orderstatus", ["F", "O", "P"])),
-        ("positive_o_totalprice",
-         predicate_check(o, F.col("o_totalprice") <= 0)),
-    ]).select("constraint_name", "n_rows", "n_violations", "ok")
+    ])
+    # every scan-only orders check rides ONE aggregate pass (one scan),
+    # ditto lineitem's uniqueness check
+    o_scan = fused_scan_checks(
+        o,
+        violations={
+            "not_null_o_custkey": F.col("o_custkey").isNull(),
+            "accepted_values_o_orderstatus":
+                ~F.col("o_orderstatus").isin(["F", "O", "P"])
+                | F.col("o_orderstatus").isNull(),
+            "positive_o_totalprice": F.col("o_totalprice") <= 0,
+        },
+        unique_keys={"unique_orders_orderkey": ["o_orderkey"]},
+    )
+    l_scan = fused_scan_checks(
+        l, unique_keys={"unique_lineitem_orderkey_linenumber":
+                        ["l_orderkey", "l_linenumber"]})
+    return (fks.unionByName(o_scan).unionByName(l_scan)
+            .select("constraint_name", "n_rows", "n_violations", "ok"))
 
 
 @workload(

@@ -43,6 +43,33 @@ def test_unique_and_not_null_and_accepted(spark):
     assert (av["n_rows"], av["n_violations"]) == (4, 2)
 
 
+def test_fused_scan_checks_match_single_checks(spark):
+    from ophidia_io_server_spark.operators.audit import fused_scan_checks
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, None), (3, "z")], "k long, s string")
+    rep = {r["constraint_name"]: r for r in fused_scan_checks(
+        df,
+        violations={
+            "nn_s": F.col("s").isNull(),
+            "av_s": ~F.col("s").isin(["a"]) | F.col("s").isNull(),
+            "pos_k": F.col("k") <= 0,
+        },
+        unique_keys={"uq_k": ["k"]},
+    ).collect()}
+    assert all(r["n_rows"] == 4 for r in rep.values())
+    assert rep["nn_s"]["n_violations"] == 1
+    assert rep["av_s"]["n_violations"] == 2
+    assert rep["pos_k"]["n_violations"] == 0 and rep["pos_k"]["ok"] is True
+    assert rep["uq_k"]["n_violations"] == 1
+    # one scan: the executed plan reads the source exactly once
+    plan = fused_scan_checks(
+        df, violations={"nn_s": F.col("s").isNull()},
+        unique_keys={"uq_k": ["k"]},
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
+
+
 def test_audit_report_shape(spark):
     df = spark.createDataFrame([(1,), (2,)], "k long")
     rep = audit([
