@@ -40,6 +40,10 @@ def gap_fill_interpolate(observed: DataFrame, key_cols: list[str],
     to double — deterministic and bit-identical across engines.
     """
     keys = [F.col(c) for c in key_cols]
+    # observed feeds the key spine AND the grid join; pin it so the
+    # caller's upstream aggregation runs once (observed is grid-bounded,
+    # far smaller than the raw series it summarizes)
+    observed = observed.localCheckpoint()
     spine = (observed.select(*key_cols).distinct()
              .select(*key_cols,
                      F.explode(F.sequence(

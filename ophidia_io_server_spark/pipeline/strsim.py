@@ -54,9 +54,15 @@ def edit_distance_self_join(df: DataFrame, str_col: str, tau: int) -> DataFrame:
     if tau < 1:
         raise ValueError(f"tau must be >= 1, got {tau}")
     k = tau + 1
+    # Pin the dictionary: it feeds both the index and the probe side, and
+    # without the pin each side re-executes the caller's corpus scan +
+    # distinct exchange (AQE rarely grants ReusedExchange across the two
+    # consumers).  The dictionary is vocabulary-bounded — far smaller
+    # than the corpus that produces it.
     d = (df.select(F.col(str_col).cast("string").alias("s"))
          .where(F.col("s").isNotNull()).distinct()
-         .withColumn("slen", F.length("s")))
+         .withColumn("slen", F.length("s"))
+         .localCheckpoint())
 
     # ---- index side: the tau+1 even-scheme segments of every string ----
     # (the expressions below resolve against whichever frame they are

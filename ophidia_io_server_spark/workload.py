@@ -3329,7 +3329,9 @@ def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.strsim import edit_distance_self_join
 
     p = load_table(spark, sf_dir, "part")
-    counts = p.groupBy("p_name").agg(F.count("*").cast("bigint").alias("n"))
+    # counts joins both pair endpoints — pin so the part scan runs once
+    counts = (p.groupBy("p_name").agg(F.count("*").cast("bigint").alias("n"))
+              .localCheckpoint())
     pairs = edit_distance_self_join(p, "p_name", tau=2)
     return (
         pairs
