@@ -93,6 +93,7 @@ HEADLINE = [
     "token_triangle_counts",
     "part_name_entity_resolution",
     "events_multitouch_attribution",
+    "events_sequence_patterns",
 ]
 
 

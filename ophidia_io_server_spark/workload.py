@@ -3018,6 +3018,52 @@ def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "events_sequence_patterns",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS sq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(sq) AS BIGINT) AS seq_len,
+      CAST((length(sq) - length(replace(sq, 'vc', ''))) // 2 AS BIGINT)
+        AS n_vc,
+      CAST((length(sq) - length(replace(sq, 'vcp', ''))) // 3 AS BIGINT)
+        AS n_vcp
+    FROM s
+    """,
+)
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern counting (MATCH_RECOGNIZE-lite): each user's
+    event history collapses to an initials string in deterministic
+    (ts, event_id) order; contiguous funnel occurrences (view→click,
+    view→click→purchase) are counted by non-overlapping literal
+    substring matches — engine-neutral (no regex-dialect dependence,
+    and the patterns cannot self-overlap since the initials differ).
+    One groupBy; per-user state is bounded by that user's history, so
+    the plan parallelizes per key at any scale (hot-key histories would
+    ride the same salting/bucketing escape hatches as the other
+    per-user-timeline operators)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "ts", "event_id",
+            F.substring("event_type", 1, 1).alias("ini")))).alias("h"))
+        .select(
+            "user_id",
+            F.array_join(F.transform("h", lambda x: x["ini"]), "").alias("sq"))
+    )
+    n_of = lambda pat: F.expr(
+        f"(length(sq) - length(replace(sq, '{pat}', ''))) div {len(pat)}"
+    ).cast("bigint")
+    return seq.select(
+        "user_id", F.length("sq").cast("bigint").alias("seq_len"),
+        n_of("vc").alias("n_vc"), n_of("vcp").alias("n_vcp"))
+
+
+@workload(
     "events_multitouch_attribution",
     oracle="""
     WITH v AS (SELECT user_id, ts AS view_ts FROM events
@@ -7821,6 +7867,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("hour", "bigint"), ("click_n", "bigint"), ("error_n", "bigint"),
             ("purchase_n", "bigint"), ("signup_n", "bigint"),
             ("view_n", "bigint"), ("purchase_cents", "bigint"),
+        ],
+        "events_sequence_patterns": [
+            ("user_id", "bigint"), ("seq_len", "bigint"),
+            ("n_vc", "bigint"), ("n_vcp", "bigint"),
         ],
         "events_multitouch_attribution": [
             ("user_id", "bigint"), ("view_ts", "timestamp_ntz"),
