@@ -58,7 +58,13 @@ def main() -> None:
 
     t001, t100 = sf001.rsplit("/", 1)[-1], x100.rsplit("/", 1)[-1]
 
-    # certificate 1: skyline soundness vs the FULL 100x table
+    # certificate 1: skyline EXACTNESS vs the FULL 100x table, without the
+    # O(n²) literal oracle (which is DuckDB-feasible only at gate scale):
+    # soundness — no returned point is dominated by ANY row; completeness —
+    # every non-returned row is dominated by SOME returned point.  Together
+    # these imply the returned set IS the skyline (a non-returned,
+    # non-dominated row would contradict completeness; a dominated returned
+    # row contradicts soundness).  Both probes are broadcast |S|×N scans.
     sky = results["orders_pareto_frontier"][t100][1]
     o = load_table(spark, x100, "orders")
     pts = spark.createDataFrame(
@@ -71,8 +77,17 @@ def main() -> None:
                & ((F.col("o_totalprice") > F.col("px"))
                   | (F.col("o_orderdate") < F.col("dx"))))
         .count())
-    print(f"CERT skyline_soundness_100x: dominated_returned={dominated} "
-          f"ok={dominated == 0}")
+    covered = (
+        o.crossJoin(F.broadcast(pts))
+        .where((F.col("px") >= F.col("o_totalprice"))
+               & (F.col("dx") <= F.col("o_orderdate"))
+               & ((F.col("px") > F.col("o_totalprice"))
+                  | (F.col("dx") < F.col("o_orderdate"))))
+        .select("o_orderkey").distinct().count())
+    total = o.count()
+    ok = dominated == 0 and covered + len(sky) == total
+    print(f"CERT skyline_exactness_100x: dominated_returned={dominated} "
+          f"covered={covered}+returned={len(sky)} of {total} ok={ok}")
 
     # certificate 2: PassJoin pair set invariant under replication
     p001 = sorted(tuple(r) for r in results["part_fuzzy_name_pairs"][t001][1])
