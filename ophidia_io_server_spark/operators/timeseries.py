@@ -39,6 +39,10 @@ def gap_fill_interpolate(observed: DataFrame, key_cols: list[str],
     ``observed``).  Interpolation weights are integer index deltas cast
     to double — deterministic and bit-identical across engines.
     """
+    if n_steps < 1:
+        # Spark's sequence(a, b) DESCENDS when b < a, so n_steps=0 would
+        # silently yield a 2-row backwards grid instead of an empty one
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
     keys = [F.col(c) for c in key_cols]
     # observed feeds the key spine AND the grid join; pin it so the
     # caller's upstream aggregation runs once (observed is grid-bounded,

@@ -45,6 +45,14 @@ def test_gapfill_matches_reference(spark, obs):
         assert abs(got[i][0] - want_v) < 1e-9, (i, got[i], want_v)
 
 
+def test_gapfill_rejects_nonpositive_steps(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "k long, idx long, v double")
+    with pytest.raises(ValueError):
+        gap_fill_interpolate(df, ["k"], "idx", "v", 0)
+
+
 def test_gapfill_keys_isolated_and_passthrough(spark):
     df = spark.createDataFrame(
         [(1, 0, 10.0, "a"), (1, 3, 40.0, "b"), (2, 2, 5.0, "c")],
