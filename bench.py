@@ -94,6 +94,7 @@ HEADLINE = [
     "part_name_entity_resolution",
     "events_multitouch_attribution",
     "events_sequence_patterns",
+    "orders_pareto_3d",
 ]
 
 

@@ -33,12 +33,17 @@ P-row driver summary + one equi-join — no quadratic pair volume and no
 single-partition global window (``Window.orderBy`` with no partition key
 is the textbook scale trap this avoids).
 
-d > 2 dimensions need the local-skyline / merge family instead (block
-nested loops over broadcast local skylines); out of scope here —
-callers get a loud error rather than a silently-wrong answer.
+d > 2 dimensions lose the sorted-scan trick; ``skyline_nd`` implements
+the distributed local-skyline / merge family instead (the MapReduce
+adaptation of block-nested-loops skylines): per-batch vectorized local
+skylines — valid because the global skyline is a subset of every local
+skyline union — iterated to shrink the candidate set, then one exact
+final pass over the (budget-checked) survivors.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -108,3 +113,115 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
         .select(x_col, F.col("_besty").alias(y_col))
     )
     return base.join(frontier, on=[x_col, y_col])
+
+
+def _local_skyline_np(m):
+    """Row indices of the local Pareto frontier of an (n, d) all-MAXIMIZE
+    float matrix.  Sort by the first dim descending (ties: remaining dims
+    desc) so a point can only be dominated by an EARLIER kept point, then
+    one vectorized dominance probe per point against the kept set —
+    O(n·s·d) with s the local skyline size."""
+    import numpy as np
+
+    order = np.lexsort(tuple(-m[:, j] for j in range(m.shape[1] - 1, -1, -1)))
+    kept_rows: list[int] = []
+    kept = np.empty((0, m.shape[1]))
+    for i in order:
+        p = m[i]
+        if kept.shape[0]:
+            ge = (kept >= p).all(axis=1)
+            gt = (kept > p).any(axis=1)
+            if bool((ge & gt).any()) or bool((kept == p).all(axis=1).any()):
+                # dominated, or an exact duplicate of a kept point (keep
+                # one representative per point; duplicates rejoin later)
+                if not bool((ge & gt).any()):
+                    kept_rows.append(i)  # duplicate of a frontier point
+                continue
+        kept = np.vstack([kept, p[None, :]])
+        kept_rows.append(i)
+    return sorted(kept_rows)
+
+
+def skyline_nd(df: DataFrame, dims: dict[str, str],
+               candidate_budget: int = 2_000_000,
+               max_rounds: int = 4) -> DataFrame:
+    """d-dimensional Pareto frontier over NUMERIC columns — the
+    distributed local-skyline/merge scheme (block-nested-loops skylines
+    adapted to partitions; Börzsönyi et al. 2001 §BNL).
+
+    ``dims`` maps column → ``"max"`` / ``"min"``.  Rows with a NULL in
+    any dimension are incomparable and dropped (as in ``skyline_2d``).
+    Exact duplicates of a frontier point all survive.
+
+    Shape: every Arrow batch reduces to its local skyline (valid
+    because no globally-non-dominated point can be locally dominated,
+    so each pass only removes non-answers); passes iterate with
+    shrinking partition counts until the candidate set fits the exact
+    final pass, which runs the same kernel on ONE partition.  The
+    frontier can be as large as the input on adversarial
+    (anti-correlated) data — ``candidate_budget`` bounds the final
+    single-task pass and the operator fails LOUDLY when the surviving
+    candidates exceed it rather than silently OOMing a task (same
+    discipline as the winnowing position budget).
+    """
+    import numpy as np  # noqa: F401 — required by the batch kernel
+
+    if not dims or any(d not in ("max", "min") for d in dims.values()):
+        raise ValueError(f"dims must map column -> 'max'|'min', got {dims!r}")
+    cols = list(dims)
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if t in ("string", "binary", "boolean") or t.startswith(("timestamp", "date", "array", "struct", "map")):
+            raise ValueError(
+                f"skyline_nd needs numeric dims; {c} is {t} (cast first — "
+                "e.g. timestamps to epoch seconds)")
+
+    base = df.where(
+        F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in cols)))
+    # all-maximize canonical form: negate the minimized dims
+    canon = base.select(*[
+        (F.col(c) if d == "max" else (-F.col(c))).cast("double").alias(f"_d{i}")
+        for i, (c, d) in enumerate(dims.items())
+    ]).distinct()
+
+    dcols = [f"_d{i}" for i in range(len(cols))]
+
+    def local_pass(it: "Iterator"):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = pdf[dcols].to_numpy(dtype=float)
+            yield pdf.iloc[_local_skyline_np(m)]
+
+    # candidates are pinned per round: each set feeds the count AND the
+    # next pass / final pass (the recompute-per-consumer rule)
+    cand = canon.mapInPandas(local_pass, canon.schema).localCheckpoint()
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    for _ in range(max_rounds):
+        n = cand.count()
+        if n <= candidate_budget:
+            break
+        parts = max(1, parts // 4)
+        cand = (cand.repartition(parts)
+                .mapInPandas(local_pass, canon.schema).localCheckpoint())
+    else:
+        raise RuntimeError(
+            f"skyline_nd: candidate set still exceeds candidate_budget="
+            f"{candidate_budget} after {max_rounds} local-skyline rounds — "
+            "the frontier itself is input-sized (anti-correlated data); "
+            "raise the budget or reduce dimensions")
+    final = (cand.repartition(1).mapInPandas(local_pass, canon.schema)
+             .localCheckpoint())
+
+    back = final.select(*[
+        (F.col(f"_d{i}") if d == "max" else (-F.col(f"_d{i}")))
+        .alias(f"_k{i}")
+        for i, d in enumerate(dims.values())
+    ])
+    cond = [F.col(c).cast("double") == F.col(f"_k{i}")
+            for i, c in enumerate(cols)]
+    return base.join(back, cond).drop(*[f"_k{i}" for i in range(len(cols))])

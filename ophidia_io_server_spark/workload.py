@@ -3487,6 +3487,52 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "orders_pareto_3d",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate, p.prio
+    FROM o p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o q
+      WHERE q.o_totalprice >= p.o_totalprice
+        AND q.o_orderdate <= p.o_orderdate AND q.prio <= p.prio
+        AND (q.o_totalprice > p.o_totalprice
+             OR q.o_orderdate < p.o_orderdate OR q.prio < p.prio)
+    )
+    """,
+)
+def orders_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Pareto frontier (maximize price, minimize date, minimize
+    priority number) over 1997 orders — the d>2 skyline, where the 2-D
+    sorted-scan trick no longer applies.  The operator
+    (``operators/skyline.skyline_nd``) is the distributed local-skyline
+    / merge scheme: vectorized per-batch skylines (each pass removes
+    only dominated rows, never frontier rows), iterated with shrinking
+    partitioning, budget-checked exact final pass.  Timestamps enter as
+    epoch seconds (order-isomorphic, exactly representable in double).
+    Oracle = the literal 3-way NOT-EXISTS dominance definition."""
+    from ophidia_io_server_spark.operators.skyline import skyline_nd
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    base = o.select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio"),
+        F.expr("timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00',"
+               " o_orderdate)").cast("bigint").alias("date_s"))
+    sky = skyline_nd(base, {"o_totalprice": "max", "date_s": "min",
+                            "prio": "min"})
+    return sky.select("o_orderkey", "o_totalprice", "o_orderdate", "prio")
+
+
+@workload(
     "curation_split_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},
@@ -8005,6 +8051,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "orders_pareto_frontier": [
             ("o_orderkey", "bigint"), ("o_totalprice", "double"),
             ("o_orderdate", "timestamp_ntz"),
+        ],
+        "orders_pareto_3d": [
+            ("o_orderkey", "bigint"), ("o_totalprice", "double"),
+            ("o_orderdate", "timestamp_ntz"), ("prio", "bigint"),
         ],
         "part_fuzzy_name_pairs": [
             ("name_a", "string"), ("name_b", "string"),

@@ -87,3 +87,60 @@ def test_skyline_no_global_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "_pid" in line, f"global window without partition key:\n{line}"
+
+
+def _brute_nd(pts, dirs):
+    def dom(q, p):
+        ge = all((qq >= pp) if d == "max" else (qq <= pp)
+                 for qq, pp, d in zip(q, p, dirs))
+        return ge and q != p
+    return sorted(p for p in set(pts) if not any(dom(q, p) for q in set(pts)))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(st.tuples(st.integers(-5, 5), st.integers(-5, 5),
+                           st.integers(-5, 5)),
+                 min_size=1, max_size=30),
+    dirs=st.tuples(st.sampled_from(["max", "min"]),
+                   st.sampled_from(["max", "min"]),
+                   st.sampled_from(["max", "min"])),
+)
+def test_skyline_nd_matches_brute_force(spark, pts, dirs):
+    from ophidia_io_server_spark.operators.skyline import skyline_nd
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y), float(z)) for i, (x, y, z) in enumerate(pts)],
+        "rid long, x double, y double, z double")
+    got = sorted({(r["x"], r["y"], r["z"]) for r in
+                  skyline_nd(df, dict(zip(["x", "y", "z"], dirs))).collect()})
+    want = [(float(a), float(b), float(c))
+            for a, b, c in _brute_nd(pts, list(dirs))]
+    assert got == want
+
+
+def test_skyline_nd_duplicates_survive_and_budget_raises(spark):
+    from ophidia_io_server_spark.operators.skyline import skyline_nd
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 5.0, 1.0), (3, 1.0, 5.0)],
+        "rid long, x double, y double")
+    rows = skyline_nd(df, {"x": "max", "y": "max"}).collect()
+    assert sorted(r["rid"] for r in rows) == [1, 2, 3]
+
+    import pytest as _pytest
+    big = spark.range(200).selectExpr("cast(id as double) x",
+                                      "cast(-id as double) y")
+    with _pytest.raises(RuntimeError):
+        skyline_nd(big, {"x": "max", "y": "max"},
+                   candidate_budget=10, max_rounds=2)
+
+
+def test_skyline_nd_rejects_non_numeric(spark):
+    from ophidia_io_server_spark.operators.skyline import skyline_nd
+
+    import pytest as _pytest
+    df = spark.createDataFrame([("a", 1.0)], "s string, x double")
+    with _pytest.raises(ValueError):
+        skyline_nd(df, {"s": "max", "x": "max"})
