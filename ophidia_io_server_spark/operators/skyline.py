@@ -187,9 +187,6 @@ def skyline_nd(df: DataFrame, dims: dict[str, str],
     dcols = [f"_d{i}" for i in range(len(cols))]
 
     def local_pass(it: "Iterator"):
-        import numpy as np
-        import pandas as pd
-
         for pdf in it:
             if not len(pdf):
                 continue
