@@ -92,6 +92,9 @@ def main() -> None:
     # Files are staged in event-time order with a horizon-covering
     # watermark so no batch's rows are late-dropped — the probe measures
     # the state-store + join machinery, the gate row binds the semantics.
+    # State partitions follow the production sizing rule (8 for this
+    # per-batch volume — see the PERF.md r8 table for the 32-vs-8 split).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -120,10 +123,55 @@ def main() -> None:
     q.awaitTermination(600)
     report("stream_view_attribution")
 
+    # --- LEFT-OUTER variant: identical state machinery + the eviction
+    # pass.  The horizon-covering watermark means NULL rows never
+    # materialize inside the probe window — deliberate: the marginal here
+    # is the join/state cost, the gate row binds the NULL semantics.
+    from ophidia_io_server_spark.streaming.ingest import (
+        stream_stream_attribution_outer,
+    )
+
+    src2 = (spark.readStream
+            .schema("event_id long, user_id long, event_type string, "
+                    "ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(epath + "/_b=*"))
+    outer = stream_stream_attribution_outer(
+        src2.where(F.col("event_type") == "view"),
+        src2.where(F.col("event_type") == "purchase"),
+        window_minutes=120, watermark="3650 days",
+    )
+    q = (outer.writeStream.format("noop")
+         .option("checkpointLocation", "/tmp/steady_probe_ckpt_outer")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    report("stream_view_attribution_outer")
+
+    # --- event-time-timeout close-out: watermark advances batch by batch
+    # over the time-ordered splits, so state timeouts fire progressively —
+    # the marginal is the applyInPandasWithState store cost per batch.
+    from ophidia_io_server_spark.streaming.ingest import (
+        user_inactivity_closeout_stream,
+    )
+
+    src3 = (spark.readStream
+            .schema("event_id long, user_id long, event_type string, "
+                    "ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(epath + "/_b=*"))
+    closed = user_inactivity_closeout_stream(src3, gap_minutes=120,
+                                             watermark="2 hours")
+    q = (closed.writeStream.format("noop")
+         .option("checkpointLocation", "/tmp/steady_probe_ckpt_closeout")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    report("stream_user_closeout")
+
 
 if __name__ == "__main__":
     import shutil
 
-    for p in ("/tmp/steady_probe_ckpt",):
+    for p in ("/tmp/steady_probe_ckpt", "/tmp/steady_probe_ckpt_outer",
+              "/tmp/steady_probe_ckpt_closeout"):
         shutil.rmtree(p, ignore_errors=True)
     main()
