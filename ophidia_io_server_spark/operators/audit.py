@@ -87,6 +87,11 @@ def fused_scan_checks(df: DataFrame,
     join and stay separate (``fk_check`` + ``audit``)."""
     violations = violations or {}
     unique_keys = unique_keys or {}
+    if not violations and not unique_keys:
+        raise ValueError(
+            "fused_scan_checks needs at least one check — empty "
+            "violations/unique_keys would build a malformed stack(0) "
+            "expression")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     names: list[str] = []
     for name, cond in violations.items():
@@ -109,6 +114,8 @@ def fused_scan_checks(df: DataFrame,
 def audit(checks: list[tuple[str, DataFrame]]) -> DataFrame:
     """Stitch named 1-row check summaries into the audit report
     ``(constraint_name, n_rows, n_violations, ok)``."""
+    if not checks:
+        raise ValueError("audit needs at least one named check")
     parts = [
         s.select(F.lit(name).alias("constraint_name"), "n_rows", "n_violations",
                  (F.col("n_violations") == 0).alias("ok"))

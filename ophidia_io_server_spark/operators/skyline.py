@@ -198,7 +198,10 @@ def skyline_nd(df: DataFrame, dims: dict[str, str],
     cand = canon.mapInPandas(local_pass, canon.schema).localCheckpoint()
     spark = df.sparkSession
     parts = spark.sparkContext.defaultParallelism
-    for _ in range(max_rounds):
+    # max_rounds reductions need max_rounds+1 counts: the count at the
+    # top of each iteration checks the PREVIOUS round's survivors, so the
+    # final reduction's output must get its own check before we give up.
+    for _ in range(max_rounds + 1):
         n = cand.count()
         if n <= candidate_budget:
             break

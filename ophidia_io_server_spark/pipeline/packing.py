@@ -173,7 +173,8 @@ def pack_next_fit(df: DataFrame, budget: int, token_col: str = "n_tokens",
 
 def shard_balanced(df: DataFrame, n_shards: int,
                    token_col: str = "n_tokens", key_col: str = "doc_id",
-                   partitions: int | None = None) -> DataFrame:
+                   partitions: int | None = None,
+                   validate_unique: bool = True) -> DataFrame:
     """Deterministic BALANCED shard plan for training-shard writing:
     rank documents by (tokens DESC, key) with the distributed two-phase
     rank (``operators/ranking.py`` — no single-partition window), then
@@ -192,8 +193,26 @@ def shard_balanced(df: DataFrame, n_shards: int,
 
     Returns ``df`` plus a ``shard`` column.  The rank is one range
     exchange + a ≤P-row offset summary; nothing sequential, nothing
-    driver-sized."""
+    driver-sized.
+
+    PRECONDITION: ``key_col`` must be unique.  The rank is DENSE over
+    (tokens DESC, key), so duplicate keys with equal token counts would
+    share one rank and all land in the same shard, silently voiding the
+    balance bound.  ``validate_unique=True`` (default) checks this with
+    one scan aggregate and raises loudly — same discipline as the
+    skyline/winnowing budgets; pass False only when uniqueness is
+    already guaranteed upstream (e.g. the key IS a primary key)."""
     from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    if validate_unique:
+        chk = df.agg(F.count(key_col).alias("n"),
+                     F.countDistinct(key_col).alias("d")).first()
+        if chk["n"] != chk["d"]:
+            raise ValueError(
+                f"shard_balanced: key_col={key_col!r} is not unique "
+                f"({chk['n']} rows, {chk['d']} distinct) — tied keys "
+                "share a dense rank and break the max-min <= max-doc "
+                "balance bound; deduplicate or pick a unique key")
 
     ranked = global_dense_rank(
         df.withColumn("_negt", -F.col(token_col).cast("bigint")),

@@ -64,7 +64,20 @@ def quantile_sketch(df: DataFrame, keys: list[str], value_col: str,
 
     One exchange: rows are ranked per cell by (priority, id) and dropped
     beyond k BEFORE the per-cell collect, so no task ever materializes a
-    cell larger than k (a bare ``collect_list`` + slice would)."""
+    cell larger than k (a bare ``collect_list`` + slice would).
+
+    ``id_col`` must be an INTEGRAL column: the (pr, id) tie-break is
+    stored as bigint, and a lossy cast (string id → NULL) would make the
+    tie-break nondeterministic and void the bitwise exact-merge
+    guarantee the module's certificates rely on — so non-integral id
+    types are rejected loudly instead of silently cast."""
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    id_t = dict(df.dtypes).get(id_col)
+    if id_t not in _INTEGRAL:
+        raise ValueError(
+            f"quantile_sketch: id_col={id_col!r} has type {id_t!r}; an "
+            f"integral type {_INTEGRAL} is required for the exact (pr, id) "
+            "tie-break — hash or dense-rank the id to bigint first")
     base = (df.where(F.col(value_col).isNotNull()
                      & F.col(id_col).isNotNull())
             .select(*keys,

@@ -236,13 +236,20 @@ def user_inactivity_closeout_stream(events: DataFrame,
             })
             return
         n, last = state.get if state.exists else (0, 0)
+        seen = state.exists
         for pdf in pdfs:
+            # applyInPandasWithState can deliver empty chunks; max() over
+            # an empty series is NaN and int(NaN) would kill the query
+            if not len(pdf):
+                continue
+            seen = True
             n += len(pdf)
             last = max(last, int(pdf["ts"].astype("int64").max()))
-        state.update((n, last))
-        # timestamps ride as int64 NANOseconds in Arrow; the timeout API
-        # takes epoch MILLIseconds
-        state.setTimeoutTimestamp(last // 1_000_000 + gap_us // 1_000)
+        if seen:
+            state.update((n, last))
+            # timestamps ride as int64 NANOseconds in Arrow; the timeout
+            # API takes epoch MILLIseconds
+            state.setTimeoutTimestamp(last // 1_000_000 + gap_us // 1_000)
         yield pd.DataFrame({"user_id": pd.Series(dtype="int64"),
                             "n_events": pd.Series(dtype="int64"),
                             "last_ts": pd.Series(dtype="datetime64[ns]")})
@@ -326,7 +333,11 @@ def streaming_insert_fragment(spark: SparkSession, stream: DataFrame, catalog, f
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination(timeout_sec)
     if not batches:
-        return None
+        # consistent return type on an all-empty stream: a typed empty
+        # fragment with the stream's schema (same fix as minhash_lsh_stream)
+        out = spark.createDataFrame([], stream.schema)
+        catalog.put(frag_name, out, cache=True, overwrite=True)
+        return catalog.get(frag_name)
     out = batches[0]
     for b in batches[1:]:
         out = out.unionAll(b)
