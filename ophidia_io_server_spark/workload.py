@@ -1,8234 +1,45 @@
-"""Declared workload: every implemented operator exposed as a
-``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) an
-equivalent DuckDB oracle query.  This is the SURVEY.md §2 coverage surface the
-driver's correctness gate checks (``__spark_entry__.py`` re-exports it).
+"""Declared workload registry — compatibility facade.
 
-Oracle-match discipline:
-- every computed column is aliased identically in Spark and SQL;
-- element-wise array math is bitwise exact (same fold order both engines);
-- cross-row double aggregations are either over integral-valued doubles
-  (l_quantity) — exact in any order — or rounded to a tolerance-safe number
-  of decimals in BOTH engines;
-- sizes/counts are cast to BIGINT on both sides.
-
-Row order: workload results are UNORDERED.  The correctness gate canonicalizes
-(sorts rows and columns) before hashing on both engines, and a global total
-order is an anti-pattern at scale — a final ``orderBy`` adds a range exchange
-whose boundary-sampling pass recomputes the whole upstream plan (measured ~2×
-on the projection-heavy text workloads).  Sorts that are part of the
-semantics (window specs, top-k ranking) stay inside the operators.
+The registry itself lives in ``ophidia_io_server_spark/workloads/`` (split
+per-family in round 9: base/core/tpch/docs/streaming/primitives/analytics/
+relational/suites — r8 VERDICT #3).  Importing THIS module keeps the
+original surface: ``WORKLOADS``, ``GATE_ORDER``, ``ordered_workloads``,
+``registry_composition``, ``flagship``, ``_SUITES`` and every per-workload
+function are re-exported unchanged, so callers (driver entry, bench,
+scripts, tests) need no changes.  See ``workloads/base.py`` for the
+oracle-match discipline and row-order policy docstring.
 """
 
 from __future__ import annotations
 
-import sys
-from dataclasses import dataclass
-from typing import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from ophidia_io_server_spark.operators.engine import IOServer
-from ophidia_io_server_spark.sources.random_import import random_fragment_oracle_sql
-from ophidia_io_server_spark.session import session_key
-from ophidia_io_server_spark.sources.tables import (
-    exact_cents_sum,
-    fragment_cte,
-    lineitem_fragment,
-    lineitem_fragment_cached,
-    load_table,
-)
-
-
-@dataclass
-class Workload:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None
-
-
-WORKLOADS: dict[str, Workload] = {}
-
-
-def _explode_arrays(df: DataFrame, arrays: list[str]) -> DataFrame:
-    """Serialize ArrayType result columns for the driver's canonicalizer
-    (pandas sort_values dies on list cells): zip the array columns
-    positionally, posexplode to one row per element, keep scalars + a
-    1-based ``pos`` column.  Shorter arrays NULL-pad to the longest (same as
-    DuckDB list indexing past the end in ``_exploded_oracle``); rows whose
-    arrays are all empty/NULL disappear on both engines.  Explode columns must
-    be non-NULL arrays: Spark arrays_zip drops the row when ANY zipped array
-    is NULL, DuckDB keeps it NULL-padded — coalesce to [] upstream if a
-    workload can emit NULL arrays."""
-    taken = set(df.columns)
-    assert "pos" not in taken and "__z" not in taken, (
-        "explode= result already has a 'pos'/'__z' column — the posexplode "
-        "aliases would shadow it; rename the scalar first"
-    )
-    scalars = [c for c in df.columns if c not in arrays]
-    zipped = F.arrays_zip(*[F.col(c) for c in arrays])
-    return (
-        df.select(*scalars, F.posexplode(zipped).alias("pos", "__z"))
-        .select(
-            *scalars,
-            (F.col("pos") + 1).cast("bigint").alias("pos"),
-            *[F.col("__z").getField(c).alias(c) for c in arrays],
-        )
-    )
-
-
-def _exploded_oracle(oracle: str, arrays: list[str]) -> str:
-    """Wrap a DuckDB oracle so its array columns are exploded exactly like
-    ``_explode_arrays`` does to the Spark result (verified: list indexing
-    past the end yields NULL, empty/NULL arrays emit no rows, pos is
-    BIGINT)."""
-    lens = ", ".join(f"len({c})" for c in arrays)
-    longest = f"greatest({lens})" if len(arrays) > 1 else f"len({arrays[0]})"
-    excl = ", ".join([*arrays, "pos"])
-    idx = ", ".join(f"{c}[pos] AS {c}" for c in arrays)
-    return f"""
-    WITH __res AS ({oracle}),
-    __pos AS (SELECT *, unnest(range(1, {longest} + 1)) AS pos FROM __res)
-    SELECT * EXCLUDE ({excl}), CAST(pos AS BIGINT) AS pos, {idx} FROM __pos
-    """
-
-
-def _ensure_session_defaults(spark: SparkSession) -> None:
-    """The driver runs queries() with ITS OWN SparkSession.  Pin the
-    runtime-settable confs whose defaults would change RESULTS:
-    UTC timestamps (window/date_trunc values must match the tz-naive DuckDB
-    oracle), non-ANSI eval (reference C semantics: OOB element_at → NULL,
-    no strict-mode errors), nanos-as-long parquet reads (events.ts)."""
-    for k, v in (
-        ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.ansi.enabled", "false"),
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-    ):
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass  # conf not settable on this build — keep going
-
-
-def workload(name: str, oracle: str | None = None, explode: list[str] | None = None):
-    """Register a workload.  ``explode`` lists ArrayType output columns to be
-    posexploded (Spark) / unnest-indexed (oracle) into scalar rows — the
-    driver's result canonicalizer cannot hash list cells."""
-    if explode and oracle is not None:
-        oracle = _exploded_oracle(oracle, explode)
-
-    def deco(fn):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            _ensure_session_defaults(spark)
-            df = fn(spark, sf_dir)
-            if explode:
-                df = _explode_arrays(df, explode)
-            return df
-
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
-        WORKLOADS[name] = Workload(name=name, fn=wrapped, oracle=oracle)
-        return fn
-
-    return deco
-
-
-def _corpus_tag(sf_dir: str, table: str, salt: str = "") -> str:
-    """Staging-directory tag that incorporates the SOURCE parquet's
-    identity (path + size + mtime): a regenerated table at the same path
-    invalidates the staged /tmp copy instead of silently serving stale
-    rows against a fresh oracle."""
-    import hashlib
-    import os
-
-    path = f"{sf_dir}/{table}.parquet"
-    st = os.stat(path)
-    return hashlib.md5(
-        f"{salt}:{path}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-
-
-def _server(spark: SparkSession, sf_dir: str, frags: dict[str, str] | None = None) -> IOServer:
-    """IOServer with lineitem-derived fragments registered from the session's
-    in-memory store (≙ the reference's MEMORY device: import once, query
-    many — the fragment build cost is paid by the first workload only)."""
-    srv = IOServer(spark)
-    for name, value_col in (frags or {"frag_qty": "l_quantity"}).items():
-        srv.catalog.put(name, lineitem_fragment_cached(spark, sf_dir, value_col), cache=False)
-    return srv
-
-
-_FRAG_QTY_CTE = f"WITH frag_qty AS ({fragment_cte('l_quantity')})"
-_FRAG_BOTH_CTE = (
-    f"WITH frag_qty AS ({fragment_cte('l_quantity')}), "
-    f"frag_price AS ({fragment_cte('l_extendedprice')})"
-)
-
-
-# ---------------------------------------------------------------------------
-# §2.1 select + §2.3 predicates/id-builtins + §2.9 reductions
-# ---------------------------------------------------------------------------
-
-
-@workload(
-    "select_reduce",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
-           list_aggregate(measure, 'sum') AS sum_m,
-           CAST(len(measure) AS BIGINT) AS n_m
-    FROM (
-        SELECT * FROM frag_qty
-        WHERE ((id_dim - 1) % 2 = 0) AND id_dim >= 1 AND id_dim <= 4000
-        ORDER BY id_dim LIMIT 50 OFFSET 10
-    )
-    ORDER BY id_dim
-    """,
-)
-def select_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship dialect query: WHERE id-subset built-in, array reduction,
-    inverted LIMIT window, ORDER (SURVEY §7.1)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_reduce(measure,'sum')|oph_size_array(measure);"
-        "select_alias=id_dim|sum_m|n_m;"
-        "where=oph_is_in_subset(id_dim,1,2,4000);"
-        "order=id_dim;limit=10|50"
-    )
-
-
-@workload(
-    "scalar_predicate",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
-           list_transform(measure, x -> x + 2.5) AS m_sum,
-           list_transform(measure, x -> CASE WHEN x - 30 > 0 THEN x ELSE 0.0 END) AS m_pred
-    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
-    """,
-    explode=["m_sum", "m_pred"],
-)
-def scalar_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_sum_scalar + oph_predicate element-wise primitives in one select
-    (merged r2 so every §2 family fits the driver's 50-query window)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_sum_scalar(measure,2.5)|oph_predicate(measure,'x-30','>0','x','0');"
-        "select_alias=id_dim|m_sum|m_pred;where=id_dim<=500;order=id_dim"
-    )
-
-
-@workload(
-    "subarray_reduce",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
-           list_slice(measure, 1, 2) AS first2,
-           list_reverse(measure) AS rev,
-           list_filter(measure, x -> x > 25) AS big,
-           list_transform(
-             list_filter(range(1, len(measure) + 1), i -> (i - 1) % 2 = 0),
-             i -> measure[CAST(i AS BIGINT)]
-           ) AS strided,
-           list_transform(
-             range(0, CAST(ceil(len(measure) / 2.0) AS BIGINT)),
-             i -> list_aggregate(list_slice(measure, i * 2 + 1, i * 2 + 2), 'sum')
-           ) AS blocks,
-           list_aggregate(measure, 'max') AS mx,
-           list_aggregate(measure, 'min') AS mn,
-           list_aggregate(measure, 'sum') AS tot
-    FROM frag_qty WHERE id_dim <= 500 ORDER BY id_dim
-    """,
-    explode=["first2", "rev", "big", "strided", "blocks"],
-)
-def subarray_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subarray family (get_subarray/2, reverse, filter) + block reductions
-    (reduce2, reduce max/min) in one select (merged r2; r4 adds
-    oph_operator, the whole-array named aggregation)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_get_subarray(measure,1,2)|oph_reverse(measure)"
-        "|oph_filter(measure,'x>25')|oph_get_subarray2(measure,'1:2:end')"
-        "|oph_reduce2(measure,'sum',2)|oph_reduce(measure,'max')"
-        "|oph_reduce(measure,'min')|oph_operator(measure,'oph_sum');"
-        "select_alias=id_dim|first2|rev|big|strided|blocks|mx|mn|tot;"
-        "where=id_dim<=500;order=id_dim"
-    )
-
-
-@workload(
-    "moving_avg_accumulate",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
-           list_transform(
-             range(1, len(measure) + 1),
-             i -> CASE WHEN i = 1 THEN measure[1]
-                       ELSE (measure[CAST(i - 1 AS BIGINT)] + measure[CAST(i AS BIGINT)]) / 2.0 END
-           ) AS mavg,
-           list_transform(
-             range(1, len(measure) + 1),
-             i -> CASE WHEN i = 1 THEN measure[1]
-                       ELSE measure[CAST(i AS BIGINT)] - measure[CAST(i - 1 AS BIGINT)] END
-           ) AS deacc,
-           list_transform(
-             range(1, len(measure) + 1),
-             i -> list_aggregate(list_slice(measure, 1, CAST(i AS BIGINT)), 'sum')
-           ) AS acc
-    FROM frag_qty WHERE id_dim <= 300 ORDER BY id_dim
-    """,
-    explode=["mavg", "deacc", "acc"],
-)
-def moving_avg_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_moving_avg + oph_deaccumulate + oph_accumulate running-window
-    primitives in one select (merged r2)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_moving_avg(measure,2)|oph_deaccumulate(measure)"
-        "|oph_accumulate(measure);"
-        "select_alias=id_dim|mavg|deacc|acc;where=id_dim<=300;order=id_dim"
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.4 join + §2.5 aggregates
-# ---------------------------------------------------------------------------
-
-
-@workload(
-    "join_mul_array",
-    oracle=f"""
-    {_FRAG_BOTH_CTE}
-    SELECT a.id_dim AS id_dim,
-           list_transform(
-             range(1, len(a.measure) + 1),
-             i -> a.measure[CAST(i AS BIGINT)] * b.measure[CAST(i AS BIGINT)]
-           ) AS prod
-    FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
-    WHERE a.id_dim <= 500
-    ORDER BY id_dim
-    """,
-    explode=["prod"],
-)
-def join_mul_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aligned multi-fragment join on id_dim (the reference's only join,
-    blocks.c:845-910) with an element-wise product across fragments."""
-    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
-    return srv.execute(
-        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
-        "field=id_dim|oph_mul_array(a.measure,b.measure);"
-        "select_alias=id_dim|prod;where=id_dim<=500;order=id_dim"
-    )
-
-
-@workload(
-    "join_three_way",
-    oracle=f"""
-    WITH frag_qty AS ({fragment_cte('l_quantity')}),
-         frag_price AS ({fragment_cte('l_extendedprice')}),
-         frag_disc AS ({fragment_cte('l_discount')})
-    SELECT a.id_dim AS id_dim,
-           list_transform(
-             range(1, len(a.measure) + 1),
-             i -> a.measure[i] * b.measure[i] * (1 - c.measure[i])
-           ) AS net,
-           list_aggregate(c.measure, 'max') AS max_disc
-    FROM frag_qty a
-    JOIN frag_price b ON a.id_dim = b.id_dim
-    JOIN frag_disc  c ON a.id_dim = c.id_dim
-    WHERE a.id_dim <= 600
-    ORDER BY id_dim
-    """,
-    explode=["net"],
-)
-def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-way aligned fragment join (the reference zips any number of FROM
-    fragments on id_dim, blocks.c:845-910): qty*price*(1-disc) element-wise
-    across three fragments.  Catalyst plans one shuffle per side keyed on
-    id_dim; with range-partitioned cubes this is the co-located SMJ."""
-    srv = _server(spark, sf_dir, {
-        "frag_qty": "l_quantity", "frag_price": "l_extendedprice",
-        "frag_disc": "l_discount",
-    })
-    return srv.execute(
-        "operation=select;from=frag_qty|frag_price|frag_disc;from_alias=a|b|c;"
-        "field=id_dim|oph_mul_array(oph_mul_array(a.measure,b.measure),"
-        "oph_sum_scalar2(c.measure,-1,1))"
-        "|oph_reduce(c.measure,'max');"
-        "select_alias=id_dim|net|max_disc;where=id_dim<=600;order=id_dim"
-    )
-
-
-@workload(
-    "group_aggregates",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT 1 + CAST(TRUNC((id_dim - 1.0) / 100) AS BIGINT) AS grp,
-           list_aggregate(flatten(list(list_slice(measure, 1, 1) ORDER BY id_dim)), 'max') AS mx,
-           list_aggregate(flatten(list(list_slice(measure, 1, 1) ORDER BY id_dim)), 'sum') AS sm,
-           flatten(list(list_slice(measure, 1, 3) ORDER BY id_dim)) AS rolled,
-           [ AVG(measure[1]),
-             (SUM(measure[1] * measure[1]) - COUNT(*) * AVG(measure[1]) * AVG(measure[1]))
-               / (COUNT(*) - 1),
-             MIN(measure[1]), MAX(measure[1]) ] AS stats,
-           [ AVG(measure[1]), MIN(measure[1]), MAX(measure[1]) ] AS stats2
-    FROM frag_qty
-    WHERE id_dim <= 1000
-    GROUP BY grp
-    ORDER BY grp
-    """,
-    explode=["rolled", "stats", "stats2"],
-)
-def group_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY an id-derived key; element-wise cross-row aggregate (max/sum
-    over each group's first element) + roll_up concatenation ordered by id +
-    oph_aggregate_stats (mean|var|min|max mask) over length-1 arrays so the
-    cross-row stats reduce to scalar SQL aggregates (merged r3:
-    aggregate_stats_group).
-
-    The Spark aggregate folds arrays of length 1, so 'mx'/'sm' equal the
-    scalar max/sum of first elements — expressed in SQL over the flattened
-    group list (l_quantity is integral ⇒ sum is order-exact).
-
-    stats2 (r4) exercises the reference's anticipated two-phase aggregation
-    contract (oph_query_plugin_executor.c:480-680):
-    oph_aggregate_stats_partial per (grp, id parity) sub-group, then
-    oph_aggregate_stats_final mask '10011' (mean|min|max) merges the
-    partials — Spark's native partial+final agg shape, verified against the
-    direct per-group stats."""
-    from ophidia_io_server_spark.dialect.expression import ExprContext, compile_expression
-
-    srv = _server(spark, sf_dir)
-    df = srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=oph_id(id_dim,100)"
-        "|oph_reduce(oph_aggregate_operator(oph_get_subarray(measure,1,1),'oph_max'),'max')"
-        "|oph_reduce(oph_aggregate_operator(oph_get_subarray(measure,1,1),'oph_sum'),'sum')"
-        "|oph_roll_up(oph_get_subarray(measure,1,3))"
-        "|oph_aggregate_stats(oph_get_subarray(measure,1,1),'11011');"
-        "select_alias=grp|mx|sm|rolled|stats;"
-        "where=id_dim<=1000;group=oph_id(id_dim,100);order=grp"
-    )
-    frag = lineitem_fragment_cached(spark, sf_dir).where(F.col("id_dim") <= 1000)
-    fctx = ExprContext(resolver=lambda n: frag[n])
-    grp_col = compile_expression("oph_id(id_dim,100)", fctx).col
-    sub = frag.select(
-        grp_col.alias("grp"),
-        F.pmod(F.col("id_dim"), F.lit(2)).alias("sg"),
-        "measure",
-    )
-    ctx = ExprContext(resolver=lambda n: sub[n])
-    part = compile_expression(
-        "oph_aggregate_stats_partial(oph_get_subarray(measure,1,1))", ctx)
-    partials = sub.groupBy("grp", "sg").agg(part.col.alias("p"))
-    ctx2 = ExprContext(resolver=lambda n: partials[n])
-    fin = compile_expression("oph_aggregate_stats_final(p,'10011')", ctx2)
-    stats2 = partials.groupBy("grp").agg(fin.col.alias("stats2"))
-    # 10 tiny rows — broadcast so the probe join adds no shuffle to df's plan
-    return df.join(F.broadcast(stats2), "grp")
-
-
-@workload(
-    "ctas_rollup",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT 1 + CAST(TRUNC((id_dim - 1.0) / 50) AS BIGINT) AS id_dim,
-           flatten(list(list_slice(measure, 1, 2) ORDER BY id_dim, measure)) AS measure
-    FROM frag_qty WHERE id_dim <= 1000
-    GROUP BY 1 ORDER BY id_dim
-    """,
-    explode=["measure"],
-)
-def ctas_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """create_frag_select (CTAS, exactly-2-columns rule) storing a grouped
-    roll_up fragment, then oph_export reads it back — the reference's
-    cube-re-gridding flow (engine.c:35-237)."""
-    srv = _server(spark, sf_dir)
-    srv.execute(
-        "operation=create_frag_select;frag_name=regrid;from=frag_qty;"
-        "field=oph_id(id_dim,50)|oph_roll_up(oph_get_subarray(measure,1,2));"
-        "select_alias=id_dim|measure;"
-        "where=id_dim<=1000;group=oph_id(id_dim,50)"
-    )
-    return srv.execute("operation=function;function=oph_export;arg='regrid'")
-
-
-@workload(
-    "fragment_set_ops",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    a AS (SELECT id_dim FROM frag_qty WHERE id_dim <= 600),
-    b AS (SELECT id_dim FROM frag_qty WHERE id_dim >= 400 AND id_dim <= 900)
-    SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n
-      FROM (SELECT id_dim FROM a UNION SELECT id_dim FROM b)
-    UNION ALL
-    SELECT 'intersect', CAST(COUNT(*) AS BIGINT)
-      FROM (SELECT id_dim FROM a INTERSECT SELECT id_dim FROM b)
-    UNION ALL
-    SELECT 'except', CAST(COUNT(*) AS BIGINT)
-      FROM (SELECT id_dim FROM a EXCEPT SELECT id_dim FROM b)
-    ORDER BY op
-    """,
-)
-def fragment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations over fragment id spaces (absent in the reference —
-    SURVEY §2.6; Spark-native superset): union / intersect / except."""
-    frag = lineitem_fragment_cached(spark, sf_dir)
-    a = frag.where(F.col("id_dim") <= 600).select("id_dim")
-    b = frag.where((F.col("id_dim") >= 400) & (F.col("id_dim") <= 900)).select("id_dim")
-    rows = [
-        ("union", a.union(b).distinct()),
-        ("intersect", a.intersect(b)),
-        ("except", a.exceptAll(b.distinct()).distinct()),
-    ]
-    out = None
-    for op, df in rows:
-        one = df.agg(F.count(F.lit(1)).cast("bigint").alias("n")) \
-                .select(F.lit(op).alias("op"), "n")
-        out = one if out is None else out.unionAll(one)
-    return out
-
-
-@workload(
-    "global_aggregate",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(list_aggregate(measure, 'sum')), 4) AS total,
-           ROUND(MAX(list_aggregate(measure, 'max')), 4) AS biggest
-    FROM frag_qty
-    """,
-)
-def global_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-table aggregate (reference: no GROUP BY ⇒ table is one group,
-    blocks.c:2583-2662).  Uses DataFrame agg directly (the dialect's
-    aggregate primitives are array-valued; the relational rollup is the
-    Spark-native superset)."""
-    frag = lineitem_fragment(spark, sf_dir)
-    from ophidia_io_server_spark.functions.reduce import reduce_array
-
-    return frag.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.round(F.sum(reduce_array(F.col("measure"), "sum")), 4).alias("total"),
-        F.round(F.max(reduce_array(F.col("measure"), "max")), 4).alias("biggest"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.2 sources / §2.7 procedures
-# ---------------------------------------------------------------------------
-
-
-@workload(
-    "random_import",
-    oracle=f"""
-    SELECT 'temperatures' AS algo, id_dim, measure
-    FROM ({random_fragment_oracle_sql(1000, 12, "temperatures")})
-    UNION ALL
-    SELECT 'mixed' AS algo, id_dim, measure
-    FROM ({random_fragment_oracle_sql(800, 10, "mixed")})
-    """,
-    explode=["measure"],
-)
-def random_import(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """random_import source, 'temperatures' + 'mixed' algorithms (merged r2)
-    — the LCG Column math is reproduced exactly by the SQL oracle
-    (sources/random_import.py)."""
-    srv = IOServer(spark)
-    srv.execute(
-        "operation=random_import;frag_name=rnd;nrows=1000;array_len=12;algorithm=temperatures"
-    )
-    srv.execute("operation=random_import;frag_name=rndm;nrows=800;array_len=10;"
-                "algorithm=mixed")
-    temps = srv.execute("operation=select;from=rnd;field=id_dim|measure;"
-                        "select_alias=id_dim|measure;order=id_dim")
-    mixed = srv.execute("operation=select;from=rndm;field=id_dim|measure;"
-                        "select_alias=id_dim|measure;order=id_dim")
-    return temps.select(F.lit("temperatures").alias("algo"), "id_dim", "measure") \
-        .unionAll(mixed.select(F.lit("mixed").alias("algo"), "id_dim", "measure"))
-
-
-_NC_PATH = "synthetic://cube?dims=time:16,lat:12,lon:10"
-_NC_ARGS = dict(
-    dim_names=["time", "lat", "lon"], dim_types=["0", "1", "1"],
-    dim_indexes=["0", "0", "1"], dim_starts=["3", "2", "1"],
-    dim_ends=["14", "11", "10"],
-)
-
-
-def _nc_oracle(sub_operation=None) -> str:
-    from ophidia_io_server_spark.sources.netcdf_import import synthetic_oracle_sql
-
-    return synthetic_oracle_sql(_NC_PATH, **_NC_ARGS, sub_operation=sub_operation)
-
-
-@workload(
-    "import_nc_esdm",
-    oracle=f"""
-    SELECT 'nc' AS src, id_dim, measure FROM ({_nc_oracle()})
-    UNION ALL
-    SELECT 'esdm' AS src, id_dim, measure FROM ({_nc_oracle("avg")})
-    UNION ALL
-    SELECT 'ctas_file' AS src, id_dim,
-           list_transform(measure, x -> x * 2.0) AS measure
-    FROM ({_nc_oracle()})
-    UNION ALL
-    SELECT 'ctas_esdm' AS src, id_dim,
-           list_transform(measure, x -> -x) AS measure
-    FROM ({_nc_oracle("avg")})
-    """,
-    explode=["measure"],
-)
-def import_nc_esdm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NetCDF-import dimension algebra end to end (file order (time,lat,lon),
-    explicit rows (lat,lon), implicit array (time), per-dim subsets — the
-    per-partition slab read + transpose path) PLUS the ESDM-surface import
-    with the push-down stream kernel (sub_operation=avg fused into the
-    partition read, ≙ oph_io_server_esdm.c:611-630).  Merged r2.
-
-    r5 folds in the @file/@esdm CTAS variants (create_frag_select_file /
-    create_frag_select_esdm, reference dispatch oph_io_server_query.c:72-105):
-    the import result is registered as a temporary fragment, a 2-column
-    select (with a primitive applied) materializes the new fragment, and the
-    temp import is dropped — the oracle recomputes the same select over the
-    synthetic source closed form."""
-    srv = IOServer(spark)
-    srv.execute(
-        f"operation=file_import;frag_name=cube;src_path={_NC_PATH};measure=m;"
-        "dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
-        "dim_start=3|2|1;dim_end=14|11|10"
-    )
-    srv.execute(
-        f"operation=esdm_import;frag_name=cube2;src_path=esdm://cube?dims=time:16,lat:12,lon:10;"
-        "measure=m;dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
-        "dim_start=3|2|1;dim_end=14|11|10;sub_operation=avg"
-    )
-    srv.execute(
-        f"operation=create_frag_select_file;frag_name=cube3;from=@file;"
-        "field=id_dim|oph_mul_scalar(measure,2.0);select_alias=id_dim|measure;"
-        f"src_path={_NC_PATH};measure=m;"
-        "dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
-        "dim_start=3|2|1;dim_end=14|11|10"
-    )
-    srv.execute(
-        "operation=create_frag_select_esdm;frag_name=cube4;from=@esdm;"
-        "field=id_dim|oph_mul_scalar(measure,-1.0);select_alias=id_dim|measure;"
-        "src_path=esdm://cube?dims=time:16,lat:12,lon:10;measure=m;"
-        "dim=time|lat|lon;dim_type=0|1|1;dim_index=0|0|1;"
-        "dim_start=3|2|1;dim_end=14|11|10;sub_operation=avg"
-    )
-    def arm(frag, tag):
-        df = srv.execute(f"operation=function;function=oph_export;arg='{frag}'")
-        return df.select(F.lit(tag).alias("src"), "id_dim", "measure")
-
-    return (
-        arm("cube", "nc").unionAll(arm("cube2", "esdm"))
-        .unionAll(arm("cube3", "ctas_file")).unionAll(arm("cube4", "ctas_esdm"))
-    )
-
-
-@workload(
-    "subset_procedure",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT CAST(row_number() OVER (ORDER BY id_dim) + 99 AS BIGINT) AS id_dim,
-           list_transform(measure, x -> x * 2.0) AS measure
-    FROM frag_qty
-    WHERE ((id_dim - 1) % 3 = 0) AND id_dim >= 1 AND id_dim <= 2000
-    ORDER BY id_dim
-    """,
-    explode=["measure"],
-)
-def subset_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_subset stored procedure: WHERE + expression + sequential id
-    renumbering from id_start=100 (procedures.c:188-196)."""
-    srv = _server(spark, sf_dir)
-    srv.execute(
-        "operation=function;function=oph_subset;"
-        "arg='frag_qty'|'100'|'oph_mul_scalar(measure,2.0)'|'frag_out'"
-        "|'oph_is_in_subset(id_dim,1,3,2000)'"
-    )
-    return srv.execute("operation=function;function=oph_export;arg='frag_out'")
-
-
-@workload(
-    "size_procedure",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT 'frag_qty' AS frag,
-           CAST(SUM(8 + 8 * len(measure)) AS BIGINT) AS size_bytes
-    FROM frag_qty
-    """,
-)
-def size_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    srv = _server(spark, sf_dir)
-    return srv.execute("operation=function;function=oph_size;arg='frag_qty'")
-
-
-@workload(
-    "insert_multi",
-    oracle="""
-    SELECT CAST(id_dim AS BIGINT) AS id_dim,
-           CAST(measure AS DOUBLE[]) AS measure,
-           TRUE AS rs_roundtrip_ok
-    FROM (VALUES
-      (1, [1.0, 2.0, 3.0]),
-      (2, [4.0, 5.0, 6.0]),
-      (3, [7.0, 8.0, 9.0]),
-      (4, [10.0, 11.0, 12.0])
-    ) AS t(id_dim, measure)
-    ORDER BY id_dim
-    """,
-    explode=["measure"],
-)
-def insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """create_frag + insert + multi_insert DDL/DML path with ?N binds
-    (reference oph_io_server_query.c:135-339), run inside a created-then-
-    dropped database namespace so create_database / drop_frag /
-    drop_database (dispatch oph_io_server_query.c:448-483) are also
-    driver-verified: any DDL failure raises and turns the row red."""
-    srv = IOServer(spark)
-    srv.execute("operation=create_database;db_name=wdb")
-    srv.catalog.use("wdb")
-    srv.execute("operation=create_frag;frag_name=ins")
-    srv.execute("operation=insert;frag_name=ins;value=?,?;tot_run=2;curr_run=1",
-                params={1: 1, 2: [1.0, 2.0, 3.0]})
-    srv.execute("operation=insert;frag_name=ins;value=?,?;tot_run=2;curr_run=2",
-                params={1: 2, 2: [4.0, 5.0, 6.0]})
-    buf_rows = srv.catalog.df("ins")
-    srv.execute("operation=drop_frag;frag_name=ins")
-    srv.execute("operation=create_frag;frag_name=ins2")
-    srv.execute("operation=multi_insert;frag_name=ins2;value=(?,?),(?,?);final_statement=yes",
-                params={1: 3, 2: [7.0, 8.0, 9.0], 3: 4, 4: [10.0, 11.0, 12.0]})
-    out = buf_rows.unionAll(srv.catalog.df("ins2"))
-    # r5: RS-sink round-trip gate — frame the result through the wire
-    # protocol (tiny max_packet_len forces the multi-packet path, covering
-    # L/D/B cell tags and the zero-row terminator), decode it client-side
-    # and compare against the DataFrame rows.  rs_roundtrip_ok feeds the
-    # hash gate (oracle emits literal TRUE); any framing drift reddens the
-    # row.  Driver cost: 4 rows through toLocalIterator.
-    from ophidia_io_server_spark.protocol import deserialize_packets, serialize_result_set
-
-    nfields, wire_rows = deserialize_packets(serialize_result_set(out, max_packet_len=64))
-    local = [[r.id_dim, list(r.measure)] for r in out.collect()]
-    rs_ok = nfields == 2 and sorted(wire_rows) == sorted(local)
-    out = out.withColumn("rs_roundtrip_ok", F.lit(bool(rs_ok)))
-    # reference contract: drop refuses on a non-empty database
-    srv.execute("operation=drop_frag;frag_name=ins2")
-    srv.execute("operation=drop_database;db_name=wdb")
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Relational superset: TPC-H-style queries over the star schema
-# ---------------------------------------------------------------------------
-
-
-def _zorder_oracle(cols: list[str], bits: int) -> str:
-    """DuckDB mirror of ``operators/zorder.py::zorder_value``: per-column
-    dense rank → exact integer scaling onto [0, 2^bits) → column-major
-    bit interleave, all plain integer arithmetic."""
-    nb = 1 << bits
-    dr = ",\n      ".join(
-        f"dense_rank() OVER (ORDER BY {c} ASC NULLS FIRST) AS dr{j}"
-        for j, c in enumerate(cols))
-    mx = ", ".join(f"MAX(dr{j}) AS mx{j}" for j in range(len(cols)))
-    q = ", ".join(f"(dr{j} - 1) * {nb} // mx{j} AS q{j}"
-                  for j in range(len(cols)))
-    terms = " + ".join(
-        f"((q{j} // {1 << i}) % 2) * {1 << (i * len(cols) + j)}"
-        for i in range(bits) for j in range(len(cols)))
-    return f"""
-    WITH r AS (
-      SELECT o_orderkey,
-      {dr}
-      FROM orders),
-    m AS (SELECT {mx} FROM r),
-    q AS (SELECT o_orderkey, {q} FROM r CROSS JOIN m)
-    SELECT o_orderkey, CAST({terms} AS BIGINT) AS zval FROM q
-    """
-
-
-@workload(
-    "orders_zorder_layout",
-    oracle=_zorder_oracle(["o_custkey", "o_totalprice", "o_orderdate"], 8),
-)
-def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) clustering codes — the layout operator behind
-    Delta/Iceberg ``OPTIMIZE ZORDER BY`` (``operators/zorder.py``),
-    hashed row-exactly: every order's 24-bit Morton code over
-    (o_custkey, o_totalprice, o_orderdate).  The r7 rewrite made the
-    rank normalization DISTRIBUTED (``global_dense_rank``, no
-    single-partition NTILE window) and layout-deterministic (dense rank
-    gives tied values one code; NTILE split ties in sort-arrival
-    order), which is what makes this row oracle-able at all."""
-    from ophidia_io_server_spark.operators.zorder import zorder_value
-
-    orders = load_table(spark, sf_dir, "orders")
-    return (zorder_value(orders,
-                         ["o_custkey", "o_totalprice", "o_orderdate"],
-                         bits=8)
-            .select("o_orderkey", "zval"))
-
-
-@workload(
-    "tpch_q1_pricing",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-             AS sum_base_price_cents,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
-                         AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           CAST(COUNT(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
-def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: money through exact integer units (cents / 1e-4 units) —
-    ROUND(SUM(double), 2) was measured drifting one cent between engines
-    at the 10× (6M-row) corpus when the accumulated last-ulp error of
-    differently-ordered double sums straddles a rounding boundary
-    (PERF.md r6); integer-unit sums are order-free at ANY scale.
-    l_quantity is integral-valued, so its sum/avg are exact as-is."""
-    li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                      * 10000).cast("bigint")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
-            F.sum(cents).cast("bigint").alias("sum_base_price_cents"),
-            F.sum(disc_e4).cast("bigint").alias("sum_disc_price_e4"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.count(F.lit(1)).cast("bigint").alias("count_order"),
-        )
-    )
-
-
-@workload(
-    "tpch_q6_forecast",
-    oracle="""
-    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
-                         AS BIGINT)) AS BIGINT) AS revenue_e4
-    FROM lineitem
-    WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
-    """,
-)
-def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6: revenue in exact 1e-4 units (order-free sum at any SF —
-    same 10×-boundary fix as tpch_q1_pricing, PERF.md r6)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000
-                  ).cast("bigint")
-    return li.filter(
-        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
-    ).agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
-
-
-@workload(
-    "tpch_q5_local_supplier",
-    oracle="""
-    SELECT n_name,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
-                         AS BIGINT)) AS BIGINT) AS revenue_e4
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-    GROUP BY n_name
-    ORDER BY n_name
-    """,
-)
-def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join star query, selective-dimension-first: the region filter
-    restricts nation (tiny) BEFORE any fact-table join, so suppliers outside
-    ASIA drop early and the lineitem rows carry through exactly one shuffle
-    chain.  No manual broadcast hints — size-based selection belongs to
-    AQE, and at 100 TB customer/orders are not broadcastable.  Measured at
-    sf0.1: 2.4x faster than the write-it-like-the-SQL join order."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    asia_nation = n.join(r.filter(F.col("r_name") == "ASIA"),
-                         F.col("n_regionkey") == F.col("r_regionkey"))
-    return (
-        li
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(asia_nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(
-            c,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .groupBy("n_name")
-        .agg(
-            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                          * 10000).cast("bigint"))
-            .cast("bigint").alias("revenue_e4")
-        )
-    )
-
-
-@workload(
-    "events_hourly_window",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS hour_start,
-           event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-             AS total_cents
-    FROM events
-    GROUP BY hour_start, event_type
-    ORDER BY hour_start, event_type
-    """,
-)
-def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch shape of the streaming tumbling-window aggregation
-    (streaming/ingest.py runs the same plan under readStream+watermark)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            exact_cents_sum("value").alias("total_cents"),
-        )
-    )
-
-
-@workload(
-    "events_type_stats",
-    oracle="""
-    SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.95), 6) AS p95,
-           ROUND(MIN(value), 6) AS lo,
-           ROUND(MAX(value), 6) AS hi
-    FROM events
-    GROUP BY event_type ORDER BY event_type
-    """,
-)
-def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type stats in one aggregation (merged r3:
-    events_json_props + events_percentiles): semi-structured JSON extraction
-    (JVM get_json_object — no Python) and exact interpolated percentiles
-    (Spark `percentile` ≙ DuckDB quantile_cont, the exact counterpart of
-    sketch_approx_stats)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.sum(k).cast("bigint").alias("k_sum"),
-            F.max(k).cast("bigint").alias("k_max"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-            F.round(F.min("value"), 6).alias("lo"),
-            F.round(F.max("value"), 6).alias("hi"),
-        )
-    )
-
-
-@workload(
-    "sketch_approx_stats",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           TRUE AS users_ok,
-           TRUE AS p50_ok,
-           TRUE AS p95_ok
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-)
-def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch operators for pipeline telemetry at scale: HLL++ distinct
-    users and approximate quantiles per event type — O(sketch) memory and
-    one pass, where exact distinct/percentile would shuffle all values.
-
-    Sketches are approximate, but the CHECK is deterministic: Spark computes
-    the sketch AND the exact counterpart in the same aggregation and emits
-    error-within-bound booleans (HLL rsd=0.02 → 10% = 5σ slack;
-    percentile_approx accuracy=10000 → 5% value-space slack on a
-    max(1,|exact|) scale); the oracle computes exact n and literal TRUEs.
-    Both engines are deterministic, so the hash binds.  The exact sides
-    exist only to verify the sketch — production callers use the sketch
-    columns alone (tests/test_sketches.py covers the raw values)."""
-    ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("ap50"),
-        F.percentile_approx("value", 0.95, 10000).alias("ap95"),
-        F.expr("percentile(value, 0.5)").alias("ep50"),
-        F.expr("percentile(value, 0.95)").alias("ep95"),
-    )
-
-    def _ok(approx, exact):
-        return (
-            F.abs(F.col(approx) - F.col(exact))
-            <= 0.05 * F.greatest(F.lit(1.0), F.abs(F.col(exact)))
-        )
-
-    return agg.select(
-        "event_type",
-        "n",
-        (
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.10 * F.col("exact_users")
-        ).alias("users_ok"),
-        _ok("ap50", "ep50").alias("p50_ok"),
-        _ok("ap95", "ep95").alias("p95_ok"),
-    )
-
-
-def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    return WORKLOADS["select_reduce"].fn(spark, sf_dir)
-
-
-# ---------------------------------------------------------------------------
-# Training-data pipeline operators: dedup / similarity / text / multimodal
-# ---------------------------------------------------------------------------
-
-_SHINGLE_CTE = """
-    tok AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(ws) - 2, 0) + 1),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-             )) AS shingles
-      FROM tok
-    )
-"""
-
-_JACCARD_ORACLE = f"""
-    WITH {_SHINGLE_CTE},
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.shingles, b.shingles)) AS nc,
-             len(a.shingles) AS na, len(b.shingles) AS nb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, ROUND(nc * 1.0 / (na + nb - nc), 6) AS jaccard
-    FROM pairs
-    WHERE nc * 1.0 / (na + nb - nc) >= 0.5
-    ORDER BY doc_a, doc_b
-"""
-
-
-@workload(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS content_hash,
-           MIN(doc_id) AS rep_doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM documents GROUP BY 1 ORDER BY content_hash
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ophidia_io_server_spark.pipeline.dedup import exact_duplicates
-
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_duplicates(docs)
-
-
-@workload(
-    "dedup_winnow_pairs",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-      FROM documents WHERE text IS NOT NULL),
-    g AS (
-      SELECT doc_id, CAST(len(tk) AS BIGINT) AS P, CAST(i AS BIGINT) AS pos,
-             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
-      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
-            FROM toks WHERE len(tk) >= 3)),
-    h AS (
-      SELECT doc_id, P, pos,
-             list_reduce(list_concat([CAST(0 AS BIGINT)],
-               list_transform(string_split(g, ''),
-                              c -> CAST(ascii(c) AS BIGINT))),
-               (a, b) -> (a * 31 + b) % 1000000007) AS h
-      FROM g),
-    sel AS (
-      SELECT doc_id, pos, P,
-             MIN(h * 1048576 + (1048575 - pos)) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
-      FROM h),
-    fp AS (SELECT DISTINCT doc_id, s // 1048576 AS h
-           FROM sel WHERE pos <= P - 5),
-    keep AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM fp GROUP BY h)
-             WHERE c <= 50),
-    fk AS (SELECT doc_id, h FROM fp JOIN keep USING (h))
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
-    GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
-    """,
-)
-def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing near-dup pairs (Schleimer et al. 2003 — the MOSS
-    fingerprints; ``pipeline/dedup.py::winnow_pairs``): token-3-gram
-    polynomial hashes, rightmost-min selection over a 4-window
-    (guarantee: any shared ≥6-token run yields a shared fingerprint),
-    inverted-index pair join with the ubiquitous-hash fan-out guard.
-    Per-doc window functions + one hash equi-join — no all-pairs term.
-    The SQL mirror reproduces the hash fold, the packed-key window min
-    and the tie rule bitwise."""
-    from ophidia_io_server_spark.pipeline.dedup import winnow_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return winnow_pairs(docs, k=3, w=4, min_shared=2, max_doc_freq=50)
-
-
-@workload("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
-    from ophidia_io_server_spark.pipeline.dedup import jaccard_pairs_exact
-
-    docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs_exact(docs, n=3, threshold=0.5,
-                               memo_key=(*session_key(spark), sf_dir))
-
-
-@workload("dedup_minhash_pairs", oracle=_JACCARD_ORACLE)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates (64 hashes, 16 bands) + exact-Jaccard verify;
-    banding makes recall effectively exact, so the oracle is the exact SQL."""
-    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=3, threshold=0.5,
-                             memo_key=(*session_key(spark), sf_dir))
-
-
-@workload("dedup_simhash_pairs", oracle=_JACCARD_ORACLE)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 8-chunk-banded candidates (exact recall to hamming 7) +
-    exact-Jaccard verify — near-dup pairs here sit at hamming ≤ 5."""
-    from ophidia_io_server_spark.pipeline.dedup import simhash_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5,
-                         memo_key=(*session_key(spark), sf_dir))
-
-
-@workload(
-    "dedup_substring_spans",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ), win AS (
-      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, u.i AS pos,
-             list_aggregate(ws[u.i:u.i+7], 'string_agg', ' ') AS gram
-      FROM tok, unnest(range(1, len(ws) - 6)) u(i)
-      WHERE len(ws) >= 8
-    ), dup AS (
-      SELECT gram FROM win GROUP BY gram HAVING COUNT(*) >= 2
-    ), hit AS (
-      SELECT w.doc_id, w.n_tokens, w.pos FROM win w JOIN dup d USING (gram)
-    ), marked AS (
-      SELECT doc_id, n_tokens, pos,
-             CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
-                    PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-                  THEN 1 ELSE 0 END AS new_span
-      FROM hit
-    ), grp AS (
-      SELECT doc_id, n_tokens, pos,
-             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-      FROM marked
-    ), spans AS (
-      SELECT doc_id, MIN(n_tokens) AS n_tokens, COUNT(*) AS wins,
-             MAX(pos) + 8 - MIN(pos) AS span_len
-      FROM grp GROUP BY doc_id, g
-    )
-    SELECT doc_id,
-           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
-           CAST(SUM(wins) AS BIGINT) AS dup_windows,
-           CAST(COUNT(*) AS BIGINT) AS n_spans,
-           CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
-           ROUND(SUM(span_len) * 1.0 / MIN(n_tokens), 4) AS dup_frac
-    FROM spans GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplication report (Lee et al. 2022 ExactSubstr):
-    corpus-wide duplicated 8-token windows merged into per-document maximal
-    spans — the span-level dedup that MinHash/SimHash (document-level) miss.
-    The oracle mirrors the gaps-and-islands formulation on gram text; the
-    engine shuffles xxhash64 keys instead of strings."""
-    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
-
-    docs = load_table(spark, sf_dir, "documents")
-    return duplicate_spans(docs, window=8)
-
-
-_GOPHER_STOPS_SQL = "['the','be','to','of','and','that','have','with']"
-
-
-@workload(
-    "curation_quality_rules",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
-             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
-      FROM documents
-    ), g AS (
-      SELECT doc_id, text, ws, ls,
-        CAST(len(ws) AS BIGINT) AS n_words,
-        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
-          list_reduce(list_concat([CAST(0 AS BIGINT)],
-              list_transform(ws, w -> CAST(length(w) AS BIGINT))),
-              (a, b) -> a + b) / len(ws), 4) END AS mean_word_len,
-        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
-          ((length(text) - length(replace(text, '#', '')))
-           + (length(text) - length(replace(text, '...', ''))) / 3)
-          / len(ws), 4) END AS symbol_word_ratio,
-        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
-          len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
-          * 1.0 / len(ws), 4) END AS frac_alpha_words,
-        CAST(len(list_filter({_GOPHER_STOPS_SQL},
-          s -> list_contains(list_transform(ws, w -> lower(w)), s)))
-          AS BIGINT) AS n_stop_hits,
-        CASE WHEN len(ls) <= 0 THEN NULL ELSE ROUND(
-          len(list_filter(ls, l -> starts_with(ltrim(l), '-')
-              OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
-          * 1.0 / len(ls), 4) END AS bullet_line_frac,
-        CASE WHEN len(ls) <= 0 THEN NULL ELSE ROUND(
-          len(list_filter(ls, l -> ends_with(rtrim(l), '...')
-              OR ends_with(rtrim(l), '…')))
-          * 1.0 / len(ls), 4) END AS ellipsis_line_frac,
-        list_filter(ls, l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
-              OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
-              AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5)
-          AS kept,
-        length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS n_sent,
-        contains(text, '{{') AS has_brace,
-        contains(lower(text), 'lorem ipsum') AS has_lorem
-      FROM base
-    )
-    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-           frac_alpha_words, n_stop_hits, bullet_line_frac, ellipsis_line_frac,
-           COALESCE(n_words >= 50 AND n_words <= 100000
-             AND mean_word_len BETWEEN 3.0 AND 10.0
-             AND symbol_word_ratio <= 0.1
-             AND COALESCE(bullet_line_frac <= 0.9, TRUE)
-             AND COALESCE(ellipsis_line_frac <= 0.3, TRUE)
-             AND frac_alpha_words >= 0.8
-             AND n_stop_hits >= 2, FALSE) AS gopher_keep,
-           CAST(len(ls) AS BIGINT) AS n_lines,
-           CAST(len(kept) AS BIGINT) AS n_kept_lines,
-           CASE WHEN len(ls) <= 0 THEN NULL
-                ELSE ROUND(len(kept) * 1.0 / len(ls), 4) END AS c4_kept_frac,
-           COALESCE(list_aggregate(kept, 'string_agg', chr(10)), '') AS text_c4,
-           CAST(n_sent AS BIGINT) AS c4_n_sentences,
-           COALESCE(has_brace, FALSE) AS c4_has_brace,
-           COALESCE(has_lorem, FALSE) AS c4_has_lorem,
-           COALESCE(n_sent >= 3 AND NOT has_brace AND NOT has_lorem, FALSE)
-             AS c4_keep
-    FROM g ORDER BY doc_id
-    """,
-)
-def curation_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two canonical published rule-based corpus filters in one scan:
-    Gopher document-quality rules (Rae et al. 2021 A1.1 — word-count bounds,
-    mean word length, symbol ratio, bullet/ellipsis line fractions,
-    alphabetic-word fraction, stop-word presence) and C4 line/page cleaning
-    (Raffel et al. 2020 §2.2 — terminal-punctuation line keep, sentence
-    minimum, brace/lorem-ipsum page drops) with the cleaned text emitted.
-    Pure JVM Column algebra, zero shuffles."""
-    from ophidia_io_server_spark.pipeline.text import (c4_filter_cols,
-                                                       gopher_quality_cols)
-
-    from ophidia_io_server_spark.sources.tables import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    gcols = gopher_quality_cols(F.col("text"))
-    ccols = c4_filter_cols(F.col("text"))
-    return docs.select(
-        "doc_id",
-        *[c.alias(n) for n, c in gcols.items()],
-        *[c.alias(n) for n, c in ccols.items()],
-    )
-
-
-@workload(
-    "token_budget_select",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-               AS BIGINT) AS n_tokens,
-             ROUND(list_reduce(list_concat([CAST(0 AS BIGINT)],
-                 list_transform(list_filter(string_split(text, ' '),
-                                            w -> w <> ''),
-                                w -> CAST(length(w) AS BIGINT))),
-                 (a, b) -> a + b)
-               / len(list_filter(string_split(text, ' '), w -> w <> '')), 4)
-               AS quality
-      FROM documents
-    ), o AS (
-      SELECT doc_id, n_tokens, quality,
-             COALESCE(SUM(n_tokens) OVER (
-                ORDER BY quality DESC, doc_id ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before
-      FROM t
-    )
-    SELECT doc_id, n_tokens, quality, CAST(cum_before AS BIGINT) AS cum_before
-    FROM o WHERE cum_before < 8000 ORDER BY doc_id
-    """,
-)
-def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget corpus selection: fill an 8k-token training budget with
-    the best documents (quality = mean word length here; any scorer works).
-    The ORACLE is the textbook global-sort running sum; the ENGINE never
-    builds a global order — histogram → driver threshold scan → per-class
-    windows (`pipeline/sampling.py:select_token_budget`) — and must produce
-    row-identical output including the exact ``cum_before`` audit column."""
-    from ophidia_io_server_spark.pipeline.sampling import select_token_budget
-    from ophidia_io_server_spark.pipeline.text import (mean_token_len_col,
-                                                       token_count_col)
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        token_count_col(F.col("text")).alias("n_tokens"),
-        mean_token_len_col(F.col("text")).alias("quality"),
-    )
-    return select_token_budget(docs, 8000, "quality", "n_tokens")
-
-
-@workload(
-    "dsir_importance",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, source,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ), feat AS (
-      SELECT doc_id, source, list_concat(ws,
-        list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs
-      FROM tok
-    ), bk AS (
-      SELECT doc_id, source, list_transform(fs, t ->
-          CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 65536) AS bs
-      FROM feat
-    ), ex AS (
-      SELECT doc_id, source, u.b AS bucket FROM bk, unnest(bs) u(b)
-    ), cnt AS (
-      SELECT bucket,
-             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
-             COUNT(*) AS cr
-      FROM ex GROUP BY bucket
-    ), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
-    w AS (
-      SELECT bucket,
-             CAST(ROUND((ln((ct + 1.0) / (tt + 65536.0))
-                       - ln((cr + 1.0) / (tr + 65536.0))) * 10000)
-               AS BIGINT) AS w_int
-      FROM cnt, tot
-    ), sums AS (
-      SELECT e.doc_id, SUM(w.w_int) AS wsum
-      FROM ex e JOIN w USING (bucket) GROUP BY e.doc_id
-    ), nf AS (
-      SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_features FROM bk
-    )
-    SELECT nf.doc_id, nf.n_features,
-           CASE WHEN nf.n_features > 0
-                THEN ROUND(COALESCE(s.wsum, 0) / (10000.0 * nf.n_features), 4)
-                ELSE 0.0 END AS dsir_score
-    FROM nf LEFT JOIN sums s ON nf.doc_id = s.doc_id
-    ORDER BY nf.doc_id
-    """,
-)
-def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance scoring (Xie et al. 2023, Data Selection via
-    Importance Resampling): per-document mean log-likelihood ratio of hashed
-    n-gram features between the target domain (source = 'src0' stands in)
-    and the raw corpus.  Weights are integer-scaled so shuffle-order cannot
-    move a single bit of the score — the oracle recomputes the identical
-    integer pipeline in SQL."""
-    from ophidia_io_server_spark.pipeline.classifier import dsir_scores
-
-    docs = load_table(spark, sf_dir, "documents")
-    return dsir_scores(docs, F.col("source") == "src0", n_buckets=65536)
-
-
-@workload(
-    "source_overlap_matrix",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, source,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ), sh AS (
-      SELECT doc_id, source,
-             list_distinct(list_transform(range(1, len(ws) - 1),
-                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
-      FROM tok WHERE len(ws) >= 3
-    ), gsrc AS (
-      SELECT DISTINCT source AS src, u.g AS g FROM sh, unnest(gs) u(g)
-    ), sizes AS (
-      SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM gsrc GROUP BY src
-    ), inter AS (
-      SELECT a.src AS src_a, b.src AS src_b,
-             CAST(COUNT(*) AS BIGINT) AS n_shared
-      FROM gsrc a JOIN gsrc b USING (g) WHERE a.src < b.src
-      GROUP BY a.src, b.src
-    )
-    SELECT src_a, src_b, sa.n AS n_grams_a, sb.n AS n_grams_b, n_shared,
-           ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
-    FROM inter JOIN sizes sa ON sa.src = src_a
-               JOIN sizes sb ON sb.src = src_b
-    ORDER BY src_a, src_b
-    """,
-)
-def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source 3-gram overlap matrix — the dataset-audit operator:
-    distinct-gram Jaccard for every source pair, from distinct (gram,
-    source) pairs so the per-gram join fan-out is bounded by the source
-    count, never the corpus."""
-    from ophidia_io_server_spark.pipeline.decontaminate import source_overlap_matrix
-
-    docs = load_table(spark, sf_dir, "documents")
-    return source_overlap_matrix(
-        docs, n=3, memo_key=(*session_key(spark), sf_dir))
-
-
-@workload(
-    "embedding_pca_invariants",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           TRUE AS dims_ok, TRUE AS mean_centered,
-           TRUE AS variances_descending, TRUE AS decorrelated,
-           TRUE AS whitened_unit_var
-    FROM embeddings
-    """,
-)
-def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA/whitening (`pipeline/embeddings.py`) verified by the
-    invariant-boolean pattern: the engine fits PCA (one Arrow partial-moment
-    pass), whitens (one broadcast matmul pass), re-measures the projected
-    moments, and must find — exactly, in Spark — the properties PCA
-    guarantees: centered output, descending component variances,
-    decorrelated coordinates, unit variance after whitening.  The oracle
-    contributes the exact vector count + literal TRUEs (the same contract
-    as the sketch row)."""
-    import numpy as np
-
-    from ophidia_io_server_spark.pipeline.embeddings import (_moments, fit_pca,
-                                                             transform_pca)
-
-    k = 16
-    emb = load_table(spark, sf_dir, "embeddings")
-    mean, comps, var = fit_pca(emb, "embedding", k=k)
-    proj = transform_pca(emb, mean, comps, var, whiten=True)
-    dims_ok = proj.where(F.size("proj") != k).count() == 0
-    n2, s2, ss2 = _moments(proj.select(F.col("proj").alias("v")), "v", k)
-    m2 = s2 / n2
-    cov2 = ss2 / n2 - np.outer(m2, m2)
-    # tolerances: the random test embeddings have a nearly-flat spectrum
-    # (eigh error ∝ 1/eigen-gap) and whitening rescales by 1/√λ ≈ 7, so the
-    # honest numerical floor is ~5e-8 here; a WRONG projection produces
-    # O(0.1-1) values, so 1e-4 still separates correct from broken cleanly
-    mean_centered = bool(np.abs(m2).max() < 1e-4)
-    variances_descending = bool(np.all(np.diff(var) <= 1e-12))
-    off = cov2 - np.diag(np.diag(cov2))
-    decorrelated = bool(np.abs(off).max() < 1e-4)
-    whitened_unit_var = bool(np.abs(np.diag(cov2) - 1.0).max() < 1e-4)
-    return spark.createDataFrame(
-        [(int(n2), dims_ok, mean_centered, variances_descending,
-          decorrelated, whitened_unit_var)],
-        "n_vectors long, dims_ok boolean, mean_centered boolean, "
-        "variances_descending boolean, decorrelated boolean, "
-        "whitened_unit_var boolean",
-    )
-
-
-_CLS_W = "((b * 2654435761) % 2000001) / 1000000.0 - 1.0"
-
-
-@workload(
-    "quality_classifier_score",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ), feat AS (
-      SELECT doc_id, list_concat(ws,
-        list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs
-      FROM tok
-    ), bk AS (
-      SELECT doc_id, list_transform(fs, t ->
-          CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 65536) AS bs
-      FROM feat
-    ), sc AS (
-      SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_features,
-             CASE WHEN len(bs) > 0 THEN
-               list_reduce(list_concat([0.0], list_transform(bs,
-                   b -> {_CLS_W})), (a, c) -> a + c) / len(bs)
-             ELSE 0.0 END AS raw
-      FROM bk
-    )
-    SELECT doc_id, n_features, ROUND(raw, 6) AS quality_score,
-           raw > 0.0 AS keep
-    FROM sc ORDER BY doc_id
-    """,
-)
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText-style hashed-n-gram linear classifier scoring — the
-    model-based quality-filter step (CCNet / GPT-3-style) — on the scan-only
-    weight-expression path: unigram+bigram features, md5-bucket hashing
-    (identical in Spark and DuckDB), deterministic closed-form weights
-    standing in for an offline-trained model.  The general
-    ``(bucket, weight)``-table path is pinned equivalent in pytest."""
-    from ophidia_io_server_spark.pipeline.classifier import (
-        demo_weight_fn, score_with_weight_expr)
-
-    docs = load_table(spark, sf_dir, "documents")
-    return score_with_weight_expr(docs, demo_weight_fn, n_buckets=65536)
-
-
-_LANG_SETS = {
-    "de": "['der','die','das','und','ist','nicht','ein','mit']",
-    "en": "['the','a','of','and','is','to','in','that']",
-    "es": "['el','la','de','que','y','los','una','por']",
-    "fr": "['le','la','les','et','est','une','dans','que']",
-    "zh": "['的','是','了','在','我','有','和','不']",
-}
-_LANG_COUNTS = ", ".join(
-    f"len(list_filter(ws, w -> list_contains({s}, w))) AS {lang}"
-    for lang, s in _LANG_SETS.items()
-)
-_G = "greatest(de, en, es, fr, zh)"
-
-
-@workload(
-    "text_quality_lang",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, lang, text,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ),
-    cnt AS (SELECT doc_id, lang, text, ws, {_LANG_COUNTS} FROM tok)
-    SELECT doc_id,
-           CAST(len(ws) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
-           ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS ttr,
-           ROUND(list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1.0 / len(ws), 4)
-             AS mean_token_len,
-           CAST(length(text) AS BIGINT) AS n_chars_m,
-           ROUND(least(len(ws) / 200.0, 1.0) * 0.5
-                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5, 4)
-             AS quality_score,
-           lang AS labeled_lang,
-           CASE WHEN {_G} = 0 THEN 'und'
-                WHEN de = {_G} THEN 'de'
-                WHEN en = {_G} THEN 'en'
-                WHEN es = {_G} THEN 'es'
-                WHEN fr = {_G} THEN 'fr'
-                ELSE 'zh' END AS pred_lang
-    FROM cnt ORDER BY doc_id
-    """,
-)
-def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-feature extraction + n-gram-heuristic language ID per doc
-    (merged r3: text_quality + lang_id)."""
-    from ophidia_io_server_spark.pipeline.text import lang_id_col, quality_features
-
-    docs = load_table(spark, sf_dir, "documents")
-    return quality_features(
-        docs,
-        extra=[F.col("lang").alias("labeled_lang"),
-               lang_id_col(F.col("text")).alias("pred_lang")],
-    )
-
-
-_SW = "['the','a','an','of','and','is','to','in','that','it','on','for','as','with','was','are','be','this','by','at']"
-
-
-def _redact_oracle_exprs() -> str:
-    """DuckDB mirror of pipeline.redact: the same RE2-safe pattern strings,
-    applied in the same order, counting matches on the progressively-redacted
-    text exactly as ``redact_cols`` does (Java and RE2 both use leftmost-first
-    alternation, so match sets agree — pinned by the gate hash)."""
-    from ophidia_io_server_spark.pipeline.redact import PATTERNS
-
-    work = "text"
-    selects = []
-    for name, pat, token in PATTERNS:
-        sqlpat = pat.replace("'", "''")
-        selects.append(
-            f"CAST(len(regexp_extract_all({work}, '{sqlpat}')) AS BIGINT) AS n_{name}")
-        work = f"regexp_replace({work}, '{sqlpat}', '{token}', 'g')"
-    selects.append(f"{work} AS text_redacted")
-    return ",\n           ".join(selects)
-
-
-@workload(
-    "doc_text_metrics",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, text,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
-             string_split(text, '') AS cs
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(ws) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
-             AS BIGINT) AS bpe_tokens,
-           ROUND(len(list_filter(ws, w -> list_contains({_SW}, lower(w))))
-                 * 1.0 / len(ws), 4) AS stopword_ratio,
-           ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-                 * 1.0 / length(text), 4) AS punct_ratio,
-           list_reduce(
-             list_concat([CAST(0 AS BIGINT)],
-                         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (a, b) -> (a * 31 + b) % 1000000007
-           ) AS fp,
-           {_redact_oracle_exprs()},
-           (n_url + n_email + n_ipv4 + n_phone) > 0 AS has_pii,
-           -- ln(n) - (sum of c*ln(c))/n with terms in SORTED-char order:
-           -- the exact summation sequence of the engine's run-length fold
-           CASE WHEN len(cs) <= 0 THEN 0.0 ELSE ROUND(
-             ln(len(cs)) - list_reduce(
-               list_concat([0.0], list_transform(
-                 list_distinct(list_sort(cs)),
-                 d -> len(list_filter(cs, c -> c = d))
-                      * ln(len(list_filter(cs, c -> c = d))))),
-               (a, b) -> a + b
-             ) / len(cs), 4) END AS char_entropy
-    FROM tok ORDER BY doc_id
-    """,
-)
-def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc text metrics in one projection (merged r3: token_counts +
-    text_ratios + doc_fingerprint; r5: + PII redaction and char entropy):
-    whitespace + BPE-ish-regex token counts (the LLM-token-count proxy),
-    stopword/punctuation ratios, the rolling-hash document fingerprint,
-    the full redaction projection (redacted text + per-category counts +
-    has_pii) and the Shannon character-entropy quality signal — all JVM
-    Column/regex expressions, one scan."""
-    from ophidia_io_server_spark.pipeline.redact import redact_cols
-    from ophidia_io_server_spark.pipeline.text import (
-        bpe_token_count_col,
-        char_entropy_col,
-        fingerprint_col,
-        punct_ratio_col,
-        stopword_ratio_col,
-        token_count_col,
-    )
-
-    from ophidia_io_server_spark.sources.tables import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    rcols = redact_cols(F.col("text"))
-    return docs.select(
-        "doc_id",
-        token_count_col(F.col("text")).alias("ws_tokens"),
-        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
-        stopword_ratio_col(F.col("text")).alias("stopword_ratio"),
-        punct_ratio_col(F.col("text")).alias("punct_ratio"),
-        fingerprint_col(F.col("text")).alias("fp"),
-        *[c.alias(n) for n, c in rcols.items()],
-        char_entropy_col(F.col("text")).alias("char_entropy"),
-    )
-
-
-@workload(
-    "corpus_report",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, source, text,
-             list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ),
-    cnt AS (SELECT doc_id, source, ws, {_LANG_COUNTS} FROM tok),
-    pred AS (
-      SELECT doc_id, source, ws,
-             CASE WHEN {_G} = 0 THEN 'und'
-                  WHEN de = {_G} THEN 'de'
-                  WHEN en = {_G} THEN 'en'
-                  WHEN es = {_G} THEN 'es'
-                  WHEN fr = {_G} THEN 'fr'
-                  ELSE 'zh' END AS pred_lang
-      FROM cnt
-    )
-    SELECT source, pred_lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
-           ROUND(SUM(CAST(ROUND((least(len(ws) / 200.0, 1.0) * 0.5
-                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5)
-                 * 10000) AS BIGINT)) / COUNT(*) / 10000.0, 4)
-             AS mean_quality
-    FROM pred GROUP BY source, pred_lang ORDER BY source, pred_lang
-    """,
-)
-def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline report: per (source, predicted language) document counts,
-    token volume and mean quality score — composition of the text operators
-    in one aggregation.  The mean goes through integer 1e-4 quality units
-    (sum order-free): AVG of 4dp-rounded DOUBLES was measured drifting in
-    the 4th decimal between engines at the 10× corpus (PERF.md r6) — the
-    same boundary class as the q1 money fix, same discipline."""
-    from ophidia_io_server_spark.pipeline.text import (
-        distinct_token_count_col,
-        lang_id_col,
-        token_count_col,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    n_tok = token_count_col(t)
-    q4 = F.round(
-        (F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.5
-         + F.least(distinct_token_count_col(t) / n_tok, F.lit(1.0)) * 0.5)
-        * 10000).cast("bigint")
-    from ophidia_io_server_spark.sources.tables import spread
-
-    return (
-        spread(docs).select("source", lang_id_col(t).alias("pred_lang"),
-                            n_tok.alias("n_tok"), q4.alias("q4"))
-        .groupBy("source", "pred_lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-             F.sum("n_tok").cast("bigint").alias("total_tokens"),
-             F.round(F.sum("q4") / F.count(F.lit(1)) / F.lit(10000.0), 4)
-              .alias("mean_quality"))
-    )
-
-
-_EMB_BASE_CTE = """
-    base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    nrm AS (
-      SELECT vec_id, v,
-             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
-      FROM base
-    )
-"""
-
-
-@workload(
-    "ann_cosine_topk",
-    oracle=f"""
-    WITH {_EMB_BASE_CTE},
-    q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM nrm WHERE vec_id < 10),
-    scored AS (
-      SELECT query_id, b.vec_id AS neighbor_id,
-             list_aggregate(list_transform(range(1, len(qv) + 1),
-                                           i -> qv[i] * b.v[i]), 'sum') / (qn * b.n) AS cosine
-      FROM q JOIN nrm b ON b.vec_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    ORDER BY query_id, rank
-    """,
-)
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-5 for query vectors (vec_id < 10)."""
-    from ophidia_io_server_spark.pipeline.similarity import cosine_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, F.col("vec_id") < 10, k=5)
-
-
-@workload(
-    "embedding_cosine_pairs",
-    oracle=f"""
-    WITH {_EMB_BASE_CTE}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_aggregate(list_transform(range(1, len(a.v) + 1),
-                                               i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n), 6)
-             AS cosine
-    FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
-    WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
-                                        i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n) >= 0.4
-    ORDER BY vec_a, vec_b
-    """,
-)
-def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ophidia_io_server_spark.pipeline.similarity import cosine_pairs
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # kernel pinned to "blas": this gate row is the hash-exact proof of the
-    # cogrouped A@B.T kernel against the oracle's sequential-fold SQL (auto
-    # would pick hof at driver SFs; both kernels are parity-pinned in tests)
-    return cosine_pairs(emb, threshold=0.4, kernel="blas")
-
-
-def _kmeans_semdedup_oracle(k: int, iters: int, d: int, grid: int,
-                            cos_grid: int, tau_pct: int) -> str:
-    """Unrolled-CTE DuckDB mirror of integer-grid Lloyd's k-means +
-    SemDeDup (same pattern as the LPA unrolled oracle): every iteration
-    is exact int64 arithmetic plus one correctly-rounded double division,
-    so the two engines agree bitwise."""
-    dist = (f"CAST(CAST(list_sum(list_transform(range(1, {d + 1}), i -> "
-            "(c.n*g.qv[i]-c.s[i])*(c.n*g.qv[i]-c.s[i]))) AS BIGINT) "
-            "AS DOUBLE) / CAST(c.n*c.n AS DOUBLE)")
-    parts = [
-        f"""g AS (SELECT vec_id, list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {grid}.0 + 0.5) AS BIGINT))
-               AS qv
-          FROM embeddings)""",
-        f"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
-                        AS BIGINT) AS cluster, qv AS s, CAST(1 AS BIGINT) AS n
-           FROM (SELECT vec_id, qv FROM g ORDER BY vec_id LIMIT {k}))""",
-    ]
-    for it in range(1, iters + 1):
-        parts.append(
-            f"""a{it} AS (SELECT vec_id, qv, cluster FROM (
-             SELECT g.vec_id, g.qv, c.cluster,
-                    row_number() OVER (PARTITION BY g.vec_id
-                                       ORDER BY {dist} ASC, c.cluster ASC)
-                      AS rn
-             FROM g CROSS JOIN c{it - 1} c) WHERE rn = 1)""")
-        if it < iters:
-            parts.append(
-                f"""u{it} AS (SELECT cluster, list(sv ORDER BY dim) AS s,
-                    MAX(cnt) AS n FROM (
-               SELECT cluster, dim, CAST(SUM(qv[dim]) AS BIGINT) AS sv,
-                      CAST(COUNT(*) AS BIGINT) AS cnt
-               FROM a{it}, UNNEST(range(1, {d + 1})) AS t(dim)
-               GROUP BY cluster, dim) GROUP BY cluster)""")
-            parts.append(
-                f"""c{it} AS (SELECT * FROM u{it} UNION ALL
-               SELECT * FROM c{it - 1}
-               WHERE cluster NOT IN (SELECT cluster FROM u{it}))""")
-    dot = (f"CAST(list_sum(list_transform(range(1, {d + 1}), "
-           "i -> a.q[i]*b.q[i])) AS BIGINT)")
-    nsq = ("CAST(list_sum(list_transform(range(1, %d), "
-           "i -> %s.q[i]*%s.q[i])) AS BIGINT)")
-    parts.append(
-        f"""cq AS (SELECT vec_id, list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {cos_grid}.0 + 0.5)
-                         AS BIGINT)) AS q
-          FROM embeddings)""")
-    parts.append(
-        f"""j AS (SELECT a{iters}.vec_id, a{iters}.cluster, cq.q
-          FROM a{iters} JOIN cq USING (vec_id))""")
-    parts.append(
-        f"""drp AS (SELECT DISTINCT b.vec_id
-           FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-           WHERE {dot} > 0
-             AND {dot} * {dot} * 10000
-                 >= {tau_pct * tau_pct} * {nsq % (d + 1, 'a', 'a')}
-                                        * {nsq % (d + 1, 'b', 'b')})""")
-    return ("WITH " + ",\n".join(parts) + f"""
-    SELECT j.vec_id, j.cluster, (drp.vec_id IS NULL) AS kept
-    FROM j LEFT JOIN drp ON j.vec_id = drp.vec_id
-    """)
-
-
-@workload(
-    "embedding_kmeans_semdedup",
-    oracle=_kmeans_semdedup_oracle(k=10, iters=3, d=64, grid=1024,
-                                   cos_grid=256, tau_pct=40),
-)
-def embedding_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): distributed integer-grid Lloyd's
-    k-means over the embedding column, then within-cluster cosine dedup —
-    one row per vector with its final cluster and a ``kept`` flag.
-
-    The gate binds THREE iterations of the actual distributed clustering
-    loop bitwise (assignment = map-only broadcast argmin; update = one
-    partial-aggregatable groupBy emitting k·(d+1) numbers), not just the
-    final dedup — the oracle unrolls the same iterations as exact-integer
-    CTEs.  See ``pipeline/cluster.py`` for the 100 TB shape and the
-    int64 overflow budget."""
-    from ophidia_io_server_spark.pipeline.cluster import semantic_dedup
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=10, iters=3, tau_pct=40)
-
-
-@workload(
-    "ann_lsh_topk",
-    oracle=f"""
-    WITH {_EMB_BASE_CTE},
-    -- deterministic sign-LSH hyperplanes: same LCG closed form as
-    -- similarity._hyperplanes (integer math exact in BIGINT, /2^31 exact)
-    planes AS (
-      SELECT p, list_transform(range(0, 64), k ->
-        ((p * 1103515245 + (k + 1) * 12345 + 7) % 2147483648) / 2147483648.0 - 0.5) AS h
-      FROM (SELECT unnest(range(0, 12)) AS p)
-    ),
-    bits AS (
-      SELECT vec_id, p,
-             CASE WHEN list_aggregate(list_transform(range(1, 65),
-                                                     i -> v[i] * h[i]), 'sum') >= 0
-                  THEN 1 ELSE 0 END AS bit
-      FROM nrm CROSS JOIN planes
-    ),
-    -- 3 bands of 4 bits, bucket = fold acc*2+bit (== bit_j * 2^(3-j))
-    bkts AS (
-      SELECT vec_id, p // 4 AS band,
-             SUM(bit * (1 << CAST(3 - (p % 4) AS INTEGER))) AS bucket
-      FROM bits GROUP BY vec_id, band
-    ),
-    qb AS (SELECT vec_id AS query_id, band, bucket FROM bkts WHERE vec_id < 10),
-    cand AS (
-      SELECT DISTINCT qb.query_id, c.vec_id
-      FROM qb JOIN bkts c ON qb.band = c.band AND qb.bucket = c.bucket
-      WHERE c.vec_id <> qb.query_id
-    ),
-    scored AS (
-      SELECT cand.query_id, cand.vec_id AS neighbor_id,
-             list_aggregate(list_transform(range(1, 65),
-                                           i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n) AS cosine
-      FROM cand
-      JOIN nrm a ON a.vec_id = cand.query_id
-      JOIN nrm b ON b.vec_id = cand.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    ORDER BY query_id, rank
-    """,
-)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN.  The oracle mirrors the WHOLE pipeline in
-    SQL — same LCG hyperplanes, sign bits, band buckets, candidate equi-join,
-    exact rescoring, (cosine desc, vec_id) tie order — so the approximate
-    candidate set itself is deterministic and hash-checkable."""
-    from ophidia_io_server_spark.pipeline.similarity import lsh_ann_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5)
-
-
-@workload(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH {_EMB_BASE_CTE},
-    q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM nrm WHERE vec_id < 10),
-    scored AS (
-      SELECT query_id, b.vec_id AS neighbor_id,
-             list_aggregate(list_transform(range(1, len(qv) + 1),
-                                           i -> qv[i] * b.v[i]), 'sum') / (qn * b.n) AS cosine
-      FROM q JOIN nrm b ON b.vec_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    ORDER BY query_id, rank
-    """,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (distributed Lloyd, driver holds only the
-    nlist×dim centroids).  Run at nprobe=nlist, where IVF degenerates to
-    exact brute force (tests/test_similarity_ivf.py asserts the equivalence)
-    — the routing/probe machinery is still exercised while the result is
-    oracle-checkable; nprobe<nlist is the production recall/cost dial."""
-    from ophidia_io_server_spark.pipeline.similarity import ivf_ann_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, F.col("vec_id") < 10, k=5, nlist=8, nprobe=8)
-
-
-@workload(
-    "multimodal_features",
-    oracle="""
-    SELECT doc_id,
-           'application/octet-stream' AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-           [CAST(octet_length(encode(text)) AS DOUBLE),
-            CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-            CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
-            CAST(list_aggregate(list_transform(string_split(text, ''),
-                                               c -> CAST(ascii(c) AS BIGINT)), 'sum') % 997
-                 AS DOUBLE)] AS features
-    FROM documents ORDER BY doc_id
-    """,
-    explode=["features"],
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing: attach opaque bytes + metadata, extract
-    (stubbed) features via Arrow-batched mapInPandas — the oracle reproduces
-    the deterministic stub, proving the batch pipeline end to end."""
-    from ophidia_io_server_spark.pipeline.multimodal import attach_binary_payload, extract_features
-
-    docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(docs))
-
-
-@workload(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH media AS (
-      SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
-    ),
-    frames AS (
-      SELECT doc_id,
-             unnest(list_filter(
-               range(0, greatest(CAST(FLOOR(payload_bytes / 1024.0) AS BIGINT), 1)),
-               i -> i % 3 = 0)) AS frame_idx
-      FROM media
-    )
-    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx
-    FROM frames ORDER BY doc_id, frame_idx
-    """,
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing over binary payloads: every 3rd 1KB chunk →
-    (doc_id, frame_idx) rows (decode stubbed; explode shape is real)."""
-    from ophidia_io_server_spark.pipeline.multimodal import (
-        attach_binary_payload,
-        frame_sample_plan,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    out = frame_sample_plan(attach_binary_payload(docs), every_nth=3)
-    return out.select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
-
-
-# ---------------------------------------------------------------------------
-# Structured Streaming (beyond-reference mandate)
-# ---------------------------------------------------------------------------
-
-
-def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Stage events as a multi-file micros-timestamp parquet directory (the
-    driver testdata is TIMESTAMP(NANOS), which a file-source stream schema
-    cannot bind).  Deterministic per sf_dir; written once per session."""
-    import hashlib
-    import os
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/ophidia_stream_events_{tag}"
-    marker = f"{path}/_SUCCESS"
-    if not os.path.exists(marker):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
-    return path
-
-
-def _staged_events_outer_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Events staged for the LEFT-OUTER stream-stream join: ONE real-data
-    file (single first batch — no cross-batch event-time disorder to
-    late-drop) followed by TWO single-row sentinel files with strictly
-    increasing mtimes and far-future timestamps.  With
-    maxFilesPerTrigger=1 the sentinels become two trailing micro-batches:
-    the first advances the watermark past every purchase's join horizon,
-    the second triggers the state eviction pass that actually EMITS the
-    NULL-extended unmatched rows (eviction uses the watermark computed at
-    the END of the previous batch).  Deterministic per sf_dir."""
-    import hashlib
-    import os
-    import time as _time
-    from datetime import timedelta
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/ophidia_stream_events_outer_{tag}"
-    marker = f"{path}/_STAGED_OUTER"
-    if os.path.exists(marker):
-        return path
-    ev = load_table(spark, sf_dir, "events")
-    ev.coalesce(1).write.mode("overwrite").parquet(path)
-    mx = ev.agg(F.max("ts")).collect()[0][0]
-    before = set(os.listdir(path))
-    for i, days in enumerate((30, 60), start=1):
-        # one far-future VIEW and PURCHASE per sentinel batch, on negative
-        # user ids: they pass the event-type filters so they reach the
-        # watermark operators (the global watermark is the MIN across both
-        # sides' nodes — rows filtered before withWatermark advance
-        # nothing), can never join (no real events share their users), and
-        # the sentinel purchase's own NULL row is dropped by the
-        # workload's user_id >= 0 filter.
-        sent = spark.createDataFrame(
-            [(10 ** 15 + 2 * i, mx + timedelta(days=days), -1, "view",
-              0.0, None),
-             (10 ** 15 + 2 * i + 1, mx + timedelta(days=days), -2,
-              "purchase", 0.0, None)],
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string")
-        sent.coalesce(1).write.mode("append").parquet(path)
-        now = set(os.listdir(path))
-        for f in now - before:
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(path, f),
-                         (_time.time() + 3600 * i, _time.time() + 3600 * i))
-        before = now
-    open(marker, "a").close()
-    return path
-
-
-@workload(
-    "stream_view_attribution_outer",
-    oracle="""
-    SELECT p.event_id AS p_event_id, v.event_id AS v_event_id,
-           p.user_id,
-           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us,
-           (v.event_id IS NOT NULL) AS matched,
-           TRUE AS stream_equals_batch
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON v.user_id = p.user_id
-     AND v.ts <= p.ts
-     AND v.ts > p.ts - INTERVAL 120 MINUTES
-    """,
-)
-def stream_view_attribution_outer(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
-    """LEFT-OUTER watermarked stream-stream join
-    (``streaming/ingest.py::stream_stream_attribution_outer``): every
-    purchase emits — matched to prior-2h views or NULL-extended once the
-    watermark PROVES no view can still arrive.  The drain stages two
-    trailing sentinel micro-batches (``_staged_events_outer_dir``)
-    because NULL rows materialize in the state-eviction pass of the batch
-    AFTER the watermark advances — the semantics corner that
-    distinguishes outer from inner stream-stream joins.  Checked two
-    ways: the oracle's batch LEFT JOIN, and ``stream_equals_batch``
-    asserting the drained stream set-equals the identical batch plan
-    INCLUDING the NULL-extended rows."""
-    from ophidia_io_server_spark.streaming.ingest import (
-        events_stream,
-        run_available_now,
-        stream_stream_attribution_outer,
-    )
-
-    path = _staged_events_outer_dir(spark, sf_dir)
-    src = events_stream(spark, path, max_files_per_trigger=1)
-    joined = stream_stream_attribution_outer(
-        src.where(F.col("event_type") == "view"),
-        src.where(F.col("event_type") == "purchase"),
-        window_minutes=120, watermark="4 hours",
-    )
-    import hashlib
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    landed = run_available_now(joined, f"stream_ss_attr_outer_{tag}",
-                               output_mode="append")
-    ev = load_table(spark, sf_dir, "events")
-    bv = ev.where(F.col("event_type") == "view").select(
-        F.col("event_id").alias("v_event_id"),
-        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
-    bp = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_event_id"), "user_id",
-        F.col("ts").alias("p_ts"))
-    batch = bp.join(
-        bv,
-        (F.col("v_user") == F.col("user_id"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 120 MINUTES")),
-        "leftOuter",
-    ).select("p_event_id", "v_event_id", "user_id", "p_ts", "v_ts")
-    out = (landed.where(F.col("user_id") >= 0)  # drop the sentinel purchase
-           .select("p_event_id", "v_event_id", "user_id", "p_ts", "v_ts"))
-    eq = bool(out.exceptAll(batch).count() == 0
-              and batch.exceptAll(out).count() == 0)
-    return out.select(
-        "p_event_id", "v_event_id", "user_id",
-        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
-        F.col("v_event_id").isNotNull().alias("matched"),
-    ).withColumn("stream_equals_batch", F.lit(eq))
-
-
-@workload(
-    "stream_user_closeout",
-    oracle="""
-    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-           MAX(ts) AS last_ts, TRUE AS stream_equals_batch
-    FROM events WHERE user_id IS NOT NULL
-    GROUP BY user_id
-    """,
-)
-def stream_user_closeout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user inactivity close-out via EVENT-TIME STATE TIMEOUT
-    (``streaming/ingest.py::user_inactivity_closeout_stream``): each
-    user's (n_events, last_ts) accumulates in the state store and is
-    emitted EXACTLY ONCE when the watermark passes ``last_ts + gap`` with
-    no new event — emission driven by the ABSENCE of data
-    (``GroupStateTimeout.EventTimeTimeout`` + ``state.remove()``), the
-    abandoned-cart/session-close discipline none of the repo's other
-    stateful operators exercise.  The drain reuses the sentinel staging
-    (``_staged_events_outer_dir``): the far-future sentinel batches push
-    the watermark past every real user's horizon, and timeouts fire in
-    the batch AFTER the advance — so the drained stream emits every user
-    exactly once, set-equal to the batch groupBy (the
-    ``stream_equals_batch`` boolean; the oracle is the batch groupBy)."""
-    from ophidia_io_server_spark.streaming.ingest import (
-        events_stream,
-        run_available_now,
-        user_inactivity_closeout_stream,
-    )
-
-    path = _staged_events_outer_dir(spark, sf_dir)
-    src = (events_stream(spark, path, max_files_per_trigger=1)
-           .where(F.col("user_id").isNotNull()))
-    closed = user_inactivity_closeout_stream(src, gap_minutes=120,
-                                             watermark="2 hours")
-    import hashlib
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    landed = (run_available_now(closed, f"stream_closeout_{tag}",
-                                output_mode="append")
-              .where(F.col("user_id") >= 0))  # drop sentinel users
-    batch = (load_table(spark, sf_dir, "events")
-             .where(F.col("user_id").isNotNull())
-             .groupBy("user_id")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                  F.max("ts").alias("last_ts")))
-    eq = bool(landed.exceptAll(batch).count() == 0
-              and batch.exceptAll(landed).count() == 0)
-    return landed.withColumn("stream_equals_batch", F.lit(eq))
-
-
-@workload(
-    "events_hourly_streaming",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS hour_start,
-           event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-             AS total_cents
-    FROM events
-    GROUP BY hour_start, event_type
-    ORDER BY hour_start, event_type
-    """,
-)
-def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME tumbling-window aggregation as events_hourly_window but
-    executed through readStream → watermark → windowed agg → availableNow
-    memory sink; the batch oracle checks the streaming result."""
-    from ophidia_io_server_spark.streaming.ingest import (
-        events_stream,
-        hourly_counts_stream,
-        run_available_now,
-    )
-
-    path = _staged_events_dir(spark, sf_dir)
-    stream = hourly_counts_stream(events_stream(spark, path))
-    name = "events_hourly_stream_result"
-    return run_available_now(stream, name)
-
-
-@workload(
-    "stream_dedup_dialect",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-             AS total_cents,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_id <= 500) AS n_rows,
-           (SELECT CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-            FROM events WHERE event_id <= 500) AS total_dialect_cents
-    FROM events
-    """,
-)
-def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming dedup: the events table staged TWICE (every event a
-    duplicate) → dropDuplicatesWithinWatermark recovers exactly the original
-    set; state is watermark-bounded so memory stays O(horizon) at any scale.
-    Merged r3 with stream_to_dialect (full loop: Structured-Streaming ingest
-    → catalog fragment via foreachBatch ≙ multi-run insert → dialect select
-    over the stored fragment); the two 1-row summaries cross-join into one."""
-    import hashlib
-    import os
-
-    from ophidia_io_server_spark.streaming.ingest import (
-        events_stream,
-        run_available_now,
-        stateful_dedup_stream,
-        streaming_insert_fragment,
-    )
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/ophidia_stream_dup_{tag}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        ev = load_table(spark, sf_dir, "events")
-        ev.repartition(2).write.mode("overwrite").parquet(path)
-        ev.repartition(3).write.mode("append").parquet(path)
-    deduped = stateful_dedup_stream(events_stream(spark, path))
-    res = run_available_now(deduped, "events_dedup_result", output_mode="append")
-    dedup_row = res.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        exact_cents_sum("value").alias("total_cents"),
-    )
-
-    srv = IOServer(spark)
-    clean = _staged_events_dir(spark, sf_dir)
-    # The dialect-side total rides the integer-cents grid (r6 ADVICE): the
-    # fragment stores pre-rounded cents, so oph_reduce's engine-order double
-    # sum is exact (integer-valued doubles far below 2^53) and order-free.
-    stream = events_stream(spark, clean).where(F.col("event_id") <= 500).select(
-        F.col("event_id").alias("id_dim"),
-        F.array(F.round(F.col("value") * 100)).alias("measure"),
-    )
-    streaming_insert_fragment(spark, stream, srv.catalog, "ev_frag")
-    dialect_row = srv.execute(
-        "operation=select;from=ev_frag;"
-        "field=oph_count_array(oph_roll_up(measure))|oph_reduce(oph_roll_up(measure),'sum');"
-        "select_alias=n_rows|total"
-    ).select(F.col("n_rows").cast("bigint").alias("n_rows"),
-             F.col("total").cast("bigint").alias("total_dialect_cents"))
-    return dedup_row.crossJoin(dialect_row)
-
-
-@workload(
-    "events_session_window_streaming",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    sess AS (
-      SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM seq
-    )
-    SELECT user_id, MIN(ts) AS session_start,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM sess GROUP BY user_id, session_id
-    ORDER BY user_id, session_start
-    """,
-)
-def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming gap sessionization with F.session_window + watermark; the
-    batch lag/cumsum formulation is the oracle (same session boundaries)."""
-    from ophidia_io_server_spark.streaming.ingest import (
-        events_stream,
-        run_available_now,
-        session_window_stream,
-    )
-
-    path = _staged_events_dir(spark, sf_dir)
-    stream = session_window_stream(events_stream(spark, path))
-    return run_available_now(stream, "events_session_window_result")
-
-
-@workload(
-    "events_sessionize",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    sess AS (
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM seq
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM sess GROUP BY user_id, session_id
-    ORDER BY user_id, session_id
-    """,
-)
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): the batch shape of a
-    session-window stream; lag/cumulative-sum over per-user windows."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    if spark.conf.get("spark.sql.session.timeZone", "") == "UTC":
-        # Fast path: with the session tz pinned to UTC (get_spark guarantees
-        # this) the NTZ→LTZ cast is value-preserving — UTC has no DST — so
-        # the gap is plain long arithmetic in whole-stage codegen. The
-        # interval-typed compare below measures ~1.5× slower at sf0.1
-        # (PERF.md r5): DayTimeInterval comparisons fall out of codegen.
-        tsl = F.unix_micros(F.col("ts").cast("timestamp"))
-        gap_cond = (tsl - F.lag(tsl).over(w)) > 1800 * 1_000_000
-    else:
-        # Timezone-independent gap for foreign sessions: ts − lag(ts) is a
-        # day-time interval, so no NTZ→LTZ cast routes through a non-UTC
-        # session timezone (a DST transition inside a gap would have
-        # shifted a boundary by an hour).
-        gap_cond = (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES")
-    seq = ev.withColumn("new_session", F.when(gap_cond, 1).otherwise(0))
-    sess = seq.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ).cast("bigint"),
-    )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Wider §2.9 primitive coverage (gsl stats, shape ops, codecs, expand)
-# ---------------------------------------------------------------------------
-
-
-@workload(
-    "gsl_stats_fit",
-    oracle=f"""
-    {_FRAG_BOTH_CTE},
-    base AS (
-      SELECT a.id_dim AS id_dim, a.measure AS m, b.measure AS m2,
-             CAST(len(a.measure) AS DOUBLE) AS n
-      FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
-      WHERE a.id_dim <= 400 AND len(a.measure) >= 2
-    ),
-    t AS (
-      SELECT *,
-             n * (n - 1) / 2 AS sx,
-             (n - 1) * n * (2 * n - 1) / 6 AS sxx,
-             list_aggregate(m, 'sum') AS sy,
-             list_aggregate(list_transform(range(1, CAST(n AS BIGINT) + 1),
-                                           i -> m[i] * (i - 1)), 'sum') AS sxy,
-             list_aggregate(m, 'min') AS lo,
-             list_aggregate(m, 'max') AS hi
-      FROM base
-    ),
-    f AS (
-      SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
-      FROM t
-    )
-    SELECT id_dim,
-           [ list_aggregate(m, 'sum') / len(m),
-             (list_aggregate(list_transform(m, x -> x*x), 'sum')
-              - len(m) * (list_aggregate(m, 'sum') / len(m))
-                       * (list_aggregate(m, 'sum') / len(m)))
-             / (len(m) - 1),
-             sqrt((list_aggregate(list_transform(m, x -> x*x), 'sum')
-              - len(m) * (list_aggregate(m, 'sum') / len(m))
-                       * (list_aggregate(m, 'sum') / len(m)))
-             / (len(m) - 1)),
-             list_aggregate(m, 'min'),
-             list_aggregate(m, 'max'),
-             list_aggregate(m, 'sum') ] AS stats,
-           [(sy - slope * sx) / n, slope] AS coeff,
-           list_transform(range(0, 4), b ->
-             CAST(len(list_filter(m, x ->
-               x >= lo + b * ((hi - lo) / 4)
-               AND (CASE WHEN b = 3 THEN x <= lo + (b + 1) * ((hi - lo) / 4)
-                         ELSE x < lo + (b + 1) * ((hi - lo) / 4) END)))
-               AS DOUBLE)) AS hist,
-           ROUND((list_aggregate(list_transform(range(1, CAST(n AS BIGINT) + 1),
-                                                i -> m[i] * m2[i]), 'sum')
-                  - list_aggregate(m, 'sum') * list_aggregate(m2, 'sum') / n)
-                 / sqrt((list_aggregate(list_transform(m, x -> x * x), 'sum')
-                         - list_aggregate(m, 'sum') * list_aggregate(m, 'sum') / n)
-                        * (list_aggregate(list_transform(m2, x -> x * x), 'sum')
-                           - list_aggregate(m2, 'sum') * list_aggregate(m2, 'sum') / n)),
-                 6) AS corr,
-           list_transform(range(0, CAST(n AS BIGINT)),
-                          i -> (sy - slope * sx) / n + slope * i) AS fitted
-    FROM f ORDER BY id_dim
-    """,
-    explode=["stats", "coeff", "hist", "fitted"],
-)
-def gsl_stats_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GSL stats family in one select (merged r3: gsl_stats +
-    gsl_fit_hist_corr): oph_gsl_stats mask '111111'
-    (mean|var|sd|min|max|sum), oph_gsl_fit_linear_coeff (closed-form least
-    squares, pure Column), oph_gsl_histogram (GSL bin rule: last bin closed),
-    oph_gsl_correlation (Pearson across two fragments), and (r4)
-    oph_gsl_fit_linear fitted values — same closed form, so the oracle is
-    bitwise-exact."""
-    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
-    out = srv.execute(
-        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
-        "field=id_dim|oph_gsl_stats(a.measure,'111111')"
-        "|oph_gsl_fit_linear_coeff(a.measure)"
-        "|oph_gsl_histogram(a.measure,4)"
-        "|oph_gsl_correlation(a.measure,b.measure)"
-        "|oph_gsl_fit_linear(a.measure);"
-        "select_alias=id_dim|stats|coeff|hist|corr|fitted;"
-        "where=id_dim<=400&oph_size_array(a.measure)>=2;order=id_dim"
-    )
-    return out.withColumn("corr", F.round("corr", 6))
-
-
-@workload(
-    "gsl_quantile_fft",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    srt AS (
-      SELECT id_dim, measure, list_sort(measure) AS s, len(measure) AS n
-      FROM frag_qty WHERE id_dim <= 400
-    ),
-    q AS (
-      SELECT id_dim, measure, s, n,
-             (n - 1) * 0.25 AS h1, (n - 1) * 0.5 AS h2, (n - 1) * 0.75 AS h3
-      FROM srt
-    )
-    SELECT id_dim,
-           s[CAST(floor(h2) AS BIGINT) + 1]
-             + (h2 - floor(h2)) * (s[least(CAST(floor(h2) AS BIGINT) + 2, n)]
-                                   - s[CAST(floor(h2) AS BIGINT) + 1]) AS median,
-           [ s[1],
-             s[CAST(floor(h1) AS BIGINT) + 1]
-               + (h1 - floor(h1)) * (s[least(CAST(floor(h1) AS BIGINT) + 2, n)]
-                                     - s[CAST(floor(h1) AS BIGINT) + 1]),
-             s[CAST(floor(h2) AS BIGINT) + 1]
-               + (h2 - floor(h2)) * (s[least(CAST(floor(h2) AS BIGINT) + 2, n)]
-                                     - s[CAST(floor(h2) AS BIGINT) + 1]),
-             s[CAST(floor(h3) AS BIGINT) + 1]
-               + (h3 - floor(h3)) * (s[least(CAST(floor(h3) AS BIGINT) + 2, n)]
-                                     - s[CAST(floor(h3) AS BIGINT) + 1]),
-             s[n] ] AS box,
-           -- naive-DFT magnitude closed form (== numpy FFT to ~1e-10; both
-           -- sides round to 6dp): |X_k| = |Σ_j x_j e^(-2πi jk/n)|
-           list_transform(range(0, n), k ->
-             ROUND(sqrt(
-               pow(list_aggregate(list_transform(range(1, n + 1),
-                     j -> measure[j] * cos(2 * pi() * k * (j - 1) / n)), 'sum'), 2)
-               + pow(list_aggregate(list_transform(range(1, n + 1),
-                     j -> measure[j] * sin(2 * pi() * k * (j - 1) / n)), 'sum'), 2)
-             ), 6)) AS spectrum,
-           list_sort(measure) AS sorted_m,
-           -- sd of measure||measure: doubling keeps len>=2 so the sample-sd
-           -- formula is defined even for singleton arrays; mirrors the Spark
-           -- fold exactly (2s/(2n) == s/n bitwise; var clamped at 0)
-           sqrt(greatest(
-             (2 * list_aggregate(list_transform(measure, x -> x*x), 'sum')
-              - (2 * CAST(n AS DOUBLE))
-                * (list_aggregate(measure, 'sum') / n)
-                * (list_aggregate(measure, 'sum') / n))
-             / (2 * CAST(n AS DOUBLE) - 1), 0.0)) AS sd2,
-           list_transform(measure, x -> ROUND(x, 6)) AS ifft_rt
-    FROM q ORDER BY id_dim
-    """,
-    explode=["box", "spectrum", "sorted_m", "ifft_rt"],
-)
-def gsl_quantile_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GSL order-statistics + spectral surface in one select (merged r3:
-    gsl_quantile_boxplot + gsl_fft): oph_gsl_quantile, oph_gsl_boxplot, and
-    the magnitude spectrum |oph_gsl_fft| checked against the naive-DFT
-    closed form (rounded 6dp on both engines).  Widened r4: oph_gsl_sort,
-    oph_gsl_sd (over the doubled array so singleton rows stay defined) and
-    the oph_gsl_ifft(oph_gsl_fft(x)) roundtrip through
-    oph_gsl_complex_get_real."""
-    srv = _server(spark, sf_dir)
-    out = srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_gsl_quantile(measure,0.5)|oph_gsl_boxplot(measure)"
-        "|oph_gsl_complex_get_abs(oph_gsl_fft(measure))"
-        "|oph_gsl_sort(measure)|oph_gsl_sd(oph_concat(measure,measure))"
-        "|oph_gsl_complex_get_real(oph_gsl_ifft(oph_gsl_fft(measure)));"
-        "select_alias=id_dim|median|box|spectrum|sorted_m|sd2|ifft_rt;"
-        "where=id_dim<=400;order=id_dim"
-    )
-    return (
-        out.withColumn("spectrum", F.transform("spectrum", lambda x: F.round(x, 6)))
-        .withColumn("ifft_rt", F.transform("ifft_rt", lambda x: F.round(x, 6)))
-    )
-
-
-@workload(
-    "shape_ops",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    base AS (SELECT id_dim, measure, len(measure) AS n FROM frag_qty
-             WHERE id_dim <= 400 AND len(measure) >= 4)
-    SELECT id_dim,
-           list_concat(list_slice(measure, n - 1, n), list_slice(measure, 1, n - 2)) AS rot2,
-           list_concat([CAST('NaN' AS DOUBLE)], list_slice(measure, 1, n - 1)) AS shift1,
-           flatten(list_transform(range(1, n + 1), i -> [measure[i], measure[i] * 2])) AS inter,
-           list_concat(measure, [0.0, 0.0]) || [] AS padded,
-           measure || measure || list_slice(measure, 1, 2)
-                   || list_transform(measure, x -> -1 * x) AS cat3,
-           flatten(list_transform(range(0, CAST(ceil(n / 2.0) AS BIGINT)),
-                   c -> list_concat(list_slice(measure, 2*c + 1, 2*c + 2),
-                                    list_slice(list_transform(measure, x -> x * 2),
-                                               2*c + 1, 2*c + 2)))) AS inter2,
-           [measure[4], measure[1], measure[2]] AS picked
-    FROM base ORDER BY id_dim
-    """,
-    explode=["rot2", "shift1", "inter", "padded", "cat3", "inter2", "picked"],
-)
-def shape_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rotate/shift/interlace/padding, plus (r4) the concat alias family
-    oph_concat2/oph_append/oph_extend chained in one column, block-interleave
-    oph_interlace2 and index-pick oph_extract — note padding to n+2 via
-    oph_padding requires a literal target, so the dialect pads to size+2 with
-    concat."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_rotate(measure,2)|oph_shift(measure,1)"
-        "|oph_interlace(measure,oph_mul_scalar(measure,2))"
-        "|oph_concat(measure,oph_mul_scalar(oph_get_subarray(oph_sum_scalar(measure,0),1,2),0))"
-        "|oph_append(oph_extend(oph_concat2(measure,measure),oph_get_subarray(measure,1,2)),"
-        "oph_mul_scalar(measure,-1))"
-        "|oph_interlace2(measure,oph_mul_scalar(measure,2),'2,2')"
-        "|oph_extract(measure,'4,1,2');"
-        "select_alias=id_dim|rot2|shift1|inter|padded|cat3|inter2|picked;"
-        "where=id_dim<=400&oph_size_array(measure)>=4;order=id_dim"
-    )
-
-
-@workload(
-    "permute_tensor",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    base AS (SELECT id_dim, list_slice(measure, 1, 6) AS m FROM frag_qty
-             WHERE id_dim <= 2000 AND len(measure) >= 6)
-    SELECT id_dim,
-           [m[1], m[4], m[2], m[5], m[3], m[6]] AS transposed,
-           [m[1] + m[4], m[2] + m[5], m[3] + m[6]] AS col_sums,
-           [m[4], m[6]] AS sub3_row2,
-           [m[2], m[5]] AS sub3_col2
-    FROM base ORDER BY id_dim
-    """,
-    explode=["transposed", "col_sums", "sub3_row2", "sub3_col2"],
-)
-def permute_tensor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_permute (2x3 → 3x2 transpose) + oph_reduce3 (column sums of the
-    2x3 row-major tensor) + (r4) oph_get_subarray3 multidimensional subsets
-    (row 2 with columns {1,3}; column 2 of every row)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_permute(oph_get_subarray(measure,1,6),'2,3','2,1')"
-        "|oph_reduce3(oph_get_subarray(measure,1,6),'sum',3)"
-        "|oph_get_subarray3(oph_get_subarray(measure,1,6),'2,3','2','1:2:end')"
-        "|oph_get_subarray3(oph_get_subarray(measure,1,6),'2,3','1:end','2');"
-        "select_alias=id_dim|transposed|col_sums|sub3_row2|sub3_col2;"
-        "where=id_dim<=2000&oph_size_array(measure)>=6;order=id_dim"
-    )
-
-
-@workload(
-    "normalize_find_pad",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    base AS (
-      SELECT id_dim, measure, len(measure) AS n,
-             list_aggregate(measure, 'sum') / len(measure) AS mu,
-             sqrt((list_aggregate(list_transform(measure, x -> x*x), 'sum')
-                   - len(measure) * (list_aggregate(measure, 'sum') / len(measure))
-                                  * (list_aggregate(measure, 'sum') / len(measure)))
-                  / (len(measure) - 1)) AS sd
-      FROM frag_qty WHERE id_dim <= 400 AND len(measure) >= 2
-    ),
-    -- 1-D 2-means (former kcluster row): split of the sorted values scored
-    -- with the integer-exact SS identity, first minimum (kernel tie-break)
-    ksrt AS (SELECT id_dim, list_sort(measure) AS s, len(measure) AS n FROM base),
-    kscored AS (
-      SELECT id_dim, s, n,
-             list_transform(range(1, n), t ->
-               (list_aggregate(list_transform(list_slice(s, 1, t), x -> x * x), 'sum')
-                - list_aggregate(list_slice(s, 1, t), 'sum')
-                  * list_aggregate(list_slice(s, 1, t), 'sum') / t)
-               + (list_aggregate(list_transform(list_slice(s, t + 1, n), x -> x * x), 'sum')
-                  - list_aggregate(list_slice(s, t + 1, n), 'sum')
-                    * list_aggregate(list_slice(s, t + 1, n), 'sum') / (n - t))) AS sses
-      FROM ksrt
-    ),
-    kbest AS (
-      SELECT id_dim,
-             [ list_aggregate(list_slice(s, 1, t), 'sum') / t,
-               list_aggregate(list_slice(s, t + 1, n), 'sum') / (n - t) ] AS centroids
-      FROM (SELECT id_dim, s, n,
-                   list_position(sses, list_aggregate(sses, 'min')) AS t
-            FROM kscored)
-    )
-    SELECT id_dim,
-           -- sd=0 (constant array) → z-score defined as 0, same special case
-           -- as the Spark kernel (functions/core.py oph_normalize); a raw
-           -- 0/0 would be NaN here but 0.0 there
-           list_transform(measure, x -> CASE WHEN sd = 0 THEN 0.0
-                                             ELSE (x - mu) / sd END) AS normed,
-           list_transform(measure, x -> CASE WHEN x > 25 THEN 1.0 ELSE 0.0 END
-                                        + CASE WHEN x > 40 THEN 1.0 ELSE 0.0 END) AS quant,
-           list_transform(measure, x -> CASE WHEN x = 1 THEN -1.0 ELSE x END) AS repl,
-           list_filter(range(1, len(measure) + 1), i -> abs(measure[i] - 30.0) <= 5.0)
-             AS found,
-           list_concat(measure,
-                       CASE WHEN len(measure) >= 8 THEN []
-                            ELSE list_transform(range(0, 8 - len(measure)), z -> 0.0) END)
-             AS padded,
-           [CAST(1.0 AS DOUBLE), 2.0, 3.0] || measure AS with_header,
-           centroids
-    FROM base JOIN kbest USING (id_dim) ORDER BY id_dim
-    """,
-    explode=["normed", "quant", "repl", "found", "padded", "with_header", "centroids"],
-)
-def normalize_find_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise transforms in one select (merged r3: normalize_quantize +
-    find_pad_ops; r4 folds in the former kcluster row — same base row set):
-    oph_normalize, oph_quantize, oph_replace, oph_find (positions within
-    tolerance), oph_padding to fixed length, oph_concat with an oph_sequence
-    literal header, and oph_ccluster_kcluster 1-D 2-means centroids (oracle:
-    closed-form best split of the sorted values)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_normalize(measure)|oph_quantize(measure,'25,40')"
-        "|oph_replace(measure,1,-1)|oph_find(measure,30,5)|oph_padding(measure,8,0)"
-        "|oph_concat(oph_sequence(3),measure)|oph_ccluster_kcluster(measure,2);"
-        "select_alias=id_dim|normed|quant|repl|found|padded|with_header|centroids;"
-        "where=id_dim<=400&oph_size_array(measure)>=2;order=id_dim"
-    )
-
-
-@workload(
-    "cast_sequence_codec",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT id_dim,
-           list_transform(measure, x -> CAST(x AS BIGINT)) AS as_long,
-           range(1, len(measure) + 1) AS idxs,
-           1 + ((id_dim - 1) % 4) + CAST(TRUNC((id_dim - 1.0) / (5 * 4)) AS BIGINT) * 4 AS id2,
-           1 + ((id_dim - 1) % 4) AS idx1,
-           1 + (CAST(TRUNC((id_dim - 1.0) / 3) AS BIGINT) % 7) AS idx2,
-           measure AS roundtrip,
-           list_transform(measure, x -> CAST(x AS INTEGER)) AS as_int,
-           list_transform(measure, x -> CAST(CAST(x AS BIGINT) AS DOUBLE)) AS as_dbl,
-           measure AS binrt,
-           [CAST(42.0 AS DOUBLE)] AS vbin,
-           -- oph_id3 C model (oph_query_expression_functions.c:76-135) with
-           -- list='2,3' (reduced=5), block=2:
-           (id_dim - 1) % 2
-             + (CASE WHEN ((id_dim - 1) // 2) % 5 < 2 THEN 0 ELSE 1 END
-                + ((id_dim - 1) // 2 // 5) * 2) * 2 + 1 AS id3,
-           CAST(floor((id_dim - 3.0) / 4) AS BIGINT) + 1 AS subpos,
-           -- oph_dump: hex of the packed little-endian float64 bytes; the
-           -- IEEE bit pattern of the (integral, >=1) values is rebuilt in
-           -- SQL: bits = (1023+e)<<52 | mantissa, then byte-reversed hex
-           list_aggregate(
-             list_transform(list_slice(measure, 1, 2), x ->
-               list_aggregate(
-                 list_transform(range(0, 8), k ->
-                   substr(
-                     lpad(lower(to_hex(
-                       (1023 + CAST(floor(log2(x)) AS BIGINT)) * 4503599627370496
-                       + CAST(x * power(2, 52 - floor(log2(x))) AS BIGINT)
-                       - 4503599627370496
-                     )), 16, '0'),
-                     CAST(15 - 2*k AS BIGINT), 2)),
-                 'string_agg', '')
-             ), 'string_agg', '') AS dump2
-    FROM frag_qty WHERE id_dim >= 1 AND id_dim <= 500 ORDER BY id_dim
-    """,
-    explode=["as_long", "idxs", "roundtrip", "as_int", "as_dbl", "binrt", "vbin"],
-)
-def cast_sequence_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_convert_l / oph_get_index_array / oph_id2 / oph_id_to_index /
-    oph_id_to_index2 projected as columns (index algebra parity), plus the
-    zlib codec roundtrip oph_uncompress(oph_compress(x)) == x (merged r3:
-    cast_sequence_idfuncs + compress_roundtrip).  Widened r4: oph_cast to
-    int, oph_convert_d back from long, the binary codecs
-    oph_from_bin(oph_to_bin(x)) == x and oph_value_to_bin, and the last two
-    id built-ins oph_id3 (irregular-chunk remap) and oph_id_of_subset
-    (position in an arithmetic progression)."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_convert_l(measure)|oph_get_index_array(measure)"
-        "|oph_id2(id_dim,5,4)|oph_id_to_index(id_dim,4)|oph_id_to_index2(id_dim,3,7)"
-        "|oph_uncompress(oph_compress(measure))"
-        "|oph_cast(measure,'oph_int')|oph_convert_d(oph_convert_l(measure))"
-        "|oph_from_bin(oph_to_bin(measure))|oph_from_bin(oph_value_to_bin(42))"
-        "|oph_id3(id_dim,'2,3',2)|oph_id_of_subset(id_dim,3,4)"
-        "|oph_dump(oph_get_subarray(measure,1,2));"
-        "select_alias=id_dim|as_long|idxs|id2|idx1|idx2|roundtrip"
-        "|as_int|as_dbl|binrt|vbin|id3|subpos|dump2;"
-        "where=id_dim>=1&id_dim<=500;order=id_dim"
-    )
-
-
-@workload(
-    "dwt_spline",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    base AS (SELECT id_dim, measure, list_slice(measure, 1, 4) AS m,
-                    len(measure) AS n FROM frag_qty
-             WHERE id_dim <= 400 AND len(measure) >= 4)
-    SELECT id_dim,
-           [ (m[1] + m[2]) / sqrt(2.0), (m[3] + m[4]) / sqrt(2.0),
-             (m[1] - m[2]) / sqrt(2.0), (m[3] - m[4]) / sqrt(2.0) ] AS dwt,
-           list_transform(range(0, 8), i ->
-             measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1]
-             + (i * (n - 1) / 7.0 - floor(i * (n - 1) / 7.0))
-               * (measure[least(CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 2, n)]
-                  - measure[CAST(floor(i * (n - 1) / 7.0) AS BIGINT) + 1])) AS resampled,
-           list_transform(m, x -> ROUND(x, 6)) AS idwt_rt
-    FROM base ORDER BY id_dim
-    """,
-    explode=["dwt", "resampled", "idwt_rt"],
-)
-def dwt_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wavelet + interpolation kernels in one select (merged r3: dwt_haar +
-    spline_resample): one-level Haar DWT (pandas-UDF kernel) against its
-    closed form, oph_gsl_spline resampling to 8 points against the
-    piecewise-linear closed form, and (r4) the oph_gsl_idwt(oph_gsl_dwt(x))
-    roundtrip (rounded 6dp both engines)."""
-    srv = _server(spark, sf_dir)
-    out = srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_gsl_dwt(oph_get_subarray(measure,1,4))"
-        "|oph_gsl_spline(measure,8)"
-        "|oph_gsl_idwt(oph_gsl_dwt(oph_get_subarray(measure,1,4)));"
-        "select_alias=id_dim|dwt|resampled|idwt_rt;"
-        "where=id_dim<=400&oph_size_array(measure)>=4;order=id_dim"
-    )
-    return out.withColumn("idwt_rt", F.transform("idwt_rt", lambda x: F.round(x, 6)))
-
-
-@workload(
-    "expand_rows",
-    oracle=f"""
-    {_FRAG_QTY_CTE}
-    SELECT (id_dim - 1) * len(measure) + generate_subscripts(measure, 1) AS id_dim,
-           unnest(measure) AS measure
-    FROM frag_qty WHERE id_dim <= 300 AND id_dim >= 1
-    ORDER BY id_dim
-    """,
-)
-def expand_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """oph_expand: implicit dimension → rows with re-linearized dense ids."""
-    srv = _server(spark, sf_dir)
-    return srv.execute(
-        "operation=select;from=frag_qty;"
-        "field=id_dim|oph_expand(measure);"
-        "select_alias=id_dim|measure;"
-        "where=id_dim<=300&id_dim>=1;order=id_dim"
-    )
-
-
-@workload(
-    "math_complex_ops",
-    oracle=f"""
-    {_FRAG_BOTH_CTE},
-    base AS (
-      SELECT a.id_dim AS id_dim, a.measure AS re, b.measure AS im,
-             len(a.measure) AS n
-      FROM frag_qty a JOIN frag_price b ON a.id_dim = b.id_dim
-      WHERE a.id_dim <= 500
-    )
-    SELECT id_dim,
-           list_transform(re, x -> ROUND(sqrt(x), 6)) AS sq,
-           list_transform(re, x -> ROUND(ln(x + 1), 6)) AS lg,
-           CASE WHEN re = im THEN 1.0 ELSE 0.0 END AS same,
-           list_transform(range(1, n + 1), i -> greatest(re[i], im[i])) AS mx,
-           flatten(list_transform(range(1, n + 1),
-                                  i -> [ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6),
-                                        ROUND(atan2(im[i], re[i]), 6)])) AS polar,
-           list_transform(range(1, n + 1), i -> im[i]) AS imag,
-           list_transform(range(1, n + 1),
-                          i -> ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6)) AS modulus,
-           list_transform(range(1, n + 1), i -> re[i] + im[i]) AS esum,
-           list_transform(range(1, n + 1), i -> greatest(re[i], im[i])) AS emax,
-           list_transform(range(1, n + 1), i -> least(re[i], im[i])) AS emin,
-           list_transform(range(1, n + 1), i -> re[i] / im[i]) AS ediv,
-           list_transform(range(1, n + 1), i -> re[i] - im[i]) AS esub,
-           list_transform(range(1, n + 1), i -> re[i] - im[i]) AS esub2,
-           list_transform(range(1, n + 1),
-                          i -> ROUND(sqrt(re[i]*re[i] + im[i]*im[i]), 6)) AS eabs,
-           list_transform(range(1, n + 1),
-                          i -> ROUND(atan2(im[i], re[i]), 6)) AS earg,
-           list_transform(re, x -> CASE WHEN x - 30 <> 0 THEN x ELSE 0.0 END) AS emask,
-           list_transform(re, x -> CASE WHEN x - 25 > 0 THEN x ELSE 0.0 END) AS epred,
-           list_transform(re, x -> 2 * (x * 3)) AS emul2,
-           list_transform(range(1, n + 1),
-                          i -> ROUND(atan2(im[i], re[i]), 6)) AS carg,
-           list_transform(range(1, n + 1), i -> re[i]) AS realp,
-           flatten(list_transform(range(1, n + 1),
-                                  i -> [ROUND(re[i], 6), ROUND(im[i], 6)])) AS rect
-    FROM base ORDER BY id_dim
-    """,
-    explode=["sq", "lg", "mx", "polar", "imag", "modulus",
-             "esum", "emax", "emin", "ediv", "esub", "esub2", "eabs", "earg",
-             "emask", "epred", "emul2", "carg", "realp", "rect"],
-)
-def math_complex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise math + interleaved-complex family in one select (merged
-    r3: math_compare_ops + complex_polar_ops; widened r4 with the whole
-    element-wise binary family): oph_math named functions, oph_compare across
-    fragments, oph_operation_array max, oph_sum/max/min/div/sub/abs/arg_array,
-    oph_operator_array, oph_mask_array, oph_predicate2, oph_mul_scalar2, then
-    interlace the two fragments into (re,im) complex, convert to polar,
-    extract imag/real/arg + modulus and the polar→rect roundtrip (full gsl
-    complex surface).  All JVM Column math end to end."""
-    srv = _server(spark, sf_dir, {"frag_qty": "l_quantity", "frag_price": "l_extendedprice"})
-    out = srv.execute(
-        "operation=select;from=frag_qty|frag_price;from_alias=a|b;"
-        "field=id_dim|oph_math(a.measure,'sqrt')|oph_math(oph_sum_scalar(a.measure,1),'log')"
-        "|oph_compare(a.measure,b.measure)|oph_operation_array(a.measure,b.measure,'max')"
-        "|oph_gsl_complex_to_polar(oph_interlace(a.measure,b.measure))"
-        "|oph_gsl_complex_get_imag(oph_interlace(a.measure,b.measure))"
-        "|oph_gsl_complex_get_abs(oph_interlace(a.measure,b.measure))"
-        "|oph_sum_array(a.measure,b.measure)|oph_max_array(a.measure,b.measure)"
-        "|oph_min_array(a.measure,b.measure)|oph_div_array(a.measure,b.measure)"
-        "|oph_operator_array(a.measure,b.measure,'sub')|oph_sub_array(a.measure,b.measure)"
-        "|oph_abs_array(a.measure,b.measure)|oph_arg_array(a.measure,b.measure)"
-        "|oph_mask_array(a.measure,oph_sum_scalar(a.measure,-30),0)"
-        "|oph_predicate2(a.measure,'x-25','>0','x','0')"
-        "|oph_mul_scalar2(a.measure,2,3)"
-        "|oph_gsl_complex_get_arg(oph_interlace(a.measure,b.measure))"
-        "|oph_gsl_complex_get_real(oph_interlace(a.measure,b.measure))"
-        "|oph_gsl_complex_to_rect(oph_gsl_complex_to_polar(oph_interlace(a.measure,b.measure)));"
-        "select_alias=id_dim|sq|lg|same|mx|polar|imag|modulus"
-        "|esum|emax|emin|ediv|esub|esub2|eabs|earg|emask|epred|emul2|carg|realp|rect;"
-        "where=id_dim<=500;order=id_dim"
-    )
-    # transcendentals differ in the last ulp across libm builds → 6dp on both
-    for c in ("sq", "lg", "polar", "modulus", "eabs", "earg", "carg", "rect"):
-        out = out.withColumn(c, F.transform(c, lambda x: F.round(x, 6)))
-    # oph_compare returns LONG (reference RET INTEGER); the oracle emits
-    # DOUBLE — align dtypes so the driver's typed value-hash matches.
-    return out.withColumn("same", F.col("same").cast("double"))
-
-
-
-
-@workload(
-    "fragment_row_windows",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    s AS (
-      SELECT id_dim,
-             -- FLOOR, not TRUNC: orderkey 0 exists and floor(-x) != trunc(-x)
-             1 + CAST(FLOOR((id_dim - 1.0) / 500) AS BIGINT) AS bucket,
-             list_aggregate(measure, 'sum') AS row_sum
-      FROM frag_qty WHERE id_dim <= 3000
-    )
-    SELECT id_dim, row_sum,
-           row_sum - lag(row_sum) OVER w AS delta,
-           ROUND(AVG(row_sum) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
-             AS mov3
-    FROM s
-    WINDOW w AS (PARTITION BY bucket ORDER BY id_dim)
-    ORDER BY id_dim
-    """,
-)
-def fragment_row_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-row window functions over fragment rows (absent in the
-    reference, SURVEY §2.6; Spark superset).  Windows are PARTITIONED by an
-    id-range bucket — a global unpartitioned window would serialize on one
-    task; bucketed windows scale and the bucket-boundary semantics are
-    explicit in both engines."""
-    from pyspark.sql import Window
-
-    frag = lineitem_fragment_cached(spark, sf_dir)
-    s = frag.where(F.col("id_dim") <= 3000).select(
-        "id_dim",
-        (1 + F.floor((F.col("id_dim") - 1) / 500)).cast("bigint").alias("bucket"),
-        F.aggregate("measure", F.lit(0.0), lambda a, x: a + x).alias("row_sum"),
-    )
-    w = Window.partitionBy("bucket").orderBy("id_dim")
-    return (
-        s.select(
-            "id_dim", "row_sum",
-            (F.col("row_sum") - F.lag("row_sum").over(w)).alias("delta"),
-            F.round(F.avg("row_sum").over(w.rowsBetween(-2, 0)), 6).alias("mov3"),
-        )
-    )
-
-
-@workload(
-    "orders_topk_per_segment",
-    oracle="""
-    WITH j AS (
-      SELECT c_mktsegment, o_orderkey, o_totalprice
-      FROM orders JOIN customer ON o_custkey = c_custkey
-    ),
-    segn AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS seg_orders
-             FROM j GROUP BY c_mktsegment)
-    SELECT t.c_mktsegment, t.o_orderkey, t.rnk, t.o_totalprice, s.seg_orders
-    FROM (
-      SELECT c_mktsegment, o_orderkey, o_totalprice,
-             CAST(row_number() OVER (PARTITION BY c_mktsegment
-                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
-      FROM j
-    ) t JOIN segn s USING (c_mktsegment)
-    WHERE t.rnk <= 5
-    ORDER BY t.c_mktsegment, t.rnk
-    """,
-)
-def orders_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational window top-k (Spark-native superset of the reference's
-    ORDER+LIMIT): top 5 orders by price per market segment.
-
-    r5: the dim join runs through ``operators/skew.salted_join`` and the
-    per-segment totals through ``salted_count_by_key`` — the skew utilities'
-    CORRECTNESS contract (salting must never change results) is what the
-    unchanged-oracle hash verifies.  At this dim size a broadcast is the
-    faster plan (and what Catalyst picks for the plain join); salting is
-    the manual fallback for hot keys on two large sides — this row pins
-    result-equivalence, tests/test_skew_stress.py pins the balance."""
-    from pyspark.sql import Window
-
-    from ophidia_io_server_spark.operators.skew import salted_count_by_key, salted_join
-
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
-    joined = salted_join(o, c, on="o_custkey")
-    segn = salted_count_by_key(joined, "c_mktsegment", salts=16).withColumnRenamed(
-        "n", "seg_orders")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        joined
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= 5)
-        .join(F.broadcast(segn), "c_mktsegment")
-        .select("c_mktsegment", "o_orderkey", "rnk", "o_totalprice", "seg_orders")
-    )
-
-
-@workload(
-    "events_sequence_patterns",
-    oracle="""
-    WITH s AS (
-      SELECT user_id,
-             string_agg(substr(event_type, 1, 1), ''
-                        ORDER BY ts, event_id) AS sq
-      FROM events GROUP BY user_id
-    )
-    SELECT user_id, CAST(length(sq) AS BIGINT) AS seq_len,
-      CAST((length(sq) - length(replace(sq, 'vc', ''))) // 2 AS BIGINT)
-        AS n_vc,
-      CAST((length(sq) - length(replace(sq, 'vcp', ''))) // 3 AS BIGINT)
-        AS n_vcp
-    FROM s
-    """,
-)
-def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-pattern counting (MATCH_RECOGNIZE-lite): each user's
-    event history collapses to an initials string in deterministic
-    (ts, event_id) order; contiguous funnel occurrences (view→click,
-    view→click→purchase) are counted by non-overlapping literal
-    substring matches — engine-neutral (no regex-dialect dependence,
-    and the patterns cannot self-overlap since the initials differ).
-    One groupBy; per-user state is bounded by that user's history, so
-    the plan parallelizes per key at any scale (hot-key histories would
-    ride the same salting/bucketing escape hatches as the other
-    per-user-timeline operators)."""
-    ev = load_table(spark, sf_dir, "events")
-    seq = (
-        ev.groupBy("user_id")
-        .agg(F.array_sort(F.collect_list(F.struct(
-            "ts", "event_id",
-            F.substring("event_type", 1, 1).alias("ini")))).alias("h"))
-        .select(
-            "user_id",
-            F.array_join(F.transform("h", lambda x: x["ini"]), "").alias("sq"))
-    )
-    n_of = lambda pat: F.expr(
-        f"(length(sq) - length(replace(sq, '{pat}', ''))) div {len(pat)}"
-    ).cast("bigint")
-    return seq.select(
-        "user_id", F.length("sq").cast("bigint").alias("seq_len"),
-        n_of("vc").alias("n_vc"), n_of("vcp").alias("n_vcp"))
-
-
-@workload(
-    "events_multitouch_attribution",
-    oracle="""
-    WITH v AS (SELECT user_id, ts AS view_ts FROM events
-               WHERE event_type = 'view'),
-    p AS (SELECT user_id, event_id AS pid, ts AS purchase_ts,
-                 CAST(ROUND(value * 100) AS BIGINT) AS cents
-          FROM events WHERE event_type = 'purchase'),
-    j AS (SELECT p.user_id, v.view_ts, p.pid, p.purchase_ts, p.cents
-          FROM p JOIN v ON v.user_id = p.user_id
-           AND v.view_ts >= p.purchase_ts - INTERVAL 2 HOUR
-           AND v.view_ts < p.purchase_ts),
-    n AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_touches
-          FROM j GROUP BY pid)
-    SELECT j.user_id, j.view_ts, j.purchase_ts, j.cents, n.n_touches,
-           ROUND(j.cents / (100.0 * n.n_touches), 6) AS credit
-    FROM j JOIN n USING (pid)
-    """,
-)
-def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear multi-touch attribution: every purchase's revenue split
-    equally across the same user's views in the preceding 2 h.  The
-    inequality join rides the BUCKETED interval equi-join
-    (``operators/temporal.interval_join`` — purchases become
-    [ts−2h, ts) intervals, views hash to one bucket each; no BNLJ), and
-    the per-purchase touch count is a window over the join output.
-    Credit = exact integer cents / (100·n) — one double division per
-    row, deterministic across engines.  The oracle is the literal
-    inequality join."""
-    from pyspark.sql import Window
-
-    from ophidia_io_server_spark.operators.temporal import interval_join
-
-    ev = load_table(spark, sf_dir, "events")
-    v = ev.where(F.col("event_type") == "view").select(
-        "user_id", F.col("ts"))
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("pid"),
-        F.col("ts").alias("purchase_ts"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
-        F.col("ts").alias("end_ts"))
-    j = interval_join(v, p, on="user_id", ts_col="ts",
-                      start_col="start_ts", end_col="end_ts")
-    w = Window.partitionBy("pid")
-    return (
-        j.withColumn("n_touches", F.count(F.lit(1)).over(w).cast("bigint"))
-        .select("user_id", F.col("ts").alias("view_ts"), "purchase_ts",
-                "cents", "n_touches",
-                F.round(F.col("cents") / (F.lit(100.0) * F.col("n_touches")),
-                        6).alias("credit"))
-    )
-
-
-@workload(
-    "events_scd2_intervals",
-    oracle="""
-    WITH e AS (
-      SELECT user_id, ts, event_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-      FROM events WHERE event_type = 'signup'
-    ),
-    m AS (
-      SELECT *, CASE WHEN lag(k) OVER w IS DISTINCT FROM k THEN 1 ELSE 0 END
-                AS chg
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    s AS (
-      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS seg
-      FROM m
-    ),
-    g AS (
-      SELECT user_id, seg, MIN(k) AS k, MIN(ts) AS valid_from,
-             CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM s GROUP BY user_id, seg
-    )
-    SELECT user_id, k, valid_from,
-           lead(valid_from) OVER w2 AS valid_to, n_events,
-           (lead(valid_from) OVER w2) IS NULL AS is_current
-    FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY seg)
-    """,
-)
-def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 dimension-history build from an event log: per-user
-    validity intervals of the JSON attribute ``props.k`` over signup
-    events (``operators/temporal.scd2_intervals``) — null-safe change
-    detection, conditional-running-sum run ids, lead-closed intervals,
-    ``is_current`` on the open run.  JSON extraction stays JVM-side
-    (``get_json_object``); every window is per-user, so the plan has no
-    global ordering stage at any scale."""
-    from ophidia_io_server_spark.operators.temporal import scd2_intervals
-
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type") == "signup")
-    e = ev.select(
-        "user_id", "ts", "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"))
-    return (
-        scd2_intervals(e, ["user_id"], "ts", "k", order_cols=["event_id"])
-        .select("user_id", "k", "valid_from", "valid_to", "n_events",
-                "is_current")
-    )
-
-
-@workload(
-    "orders_constraint_audit",
-    oracle="""
-    WITH fk1 AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(COALESCE(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS nv
-      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) p
-        ON o.o_custkey = p._pk
-      WHERE o.o_custkey IS NOT NULL
-    ),
-    fk2 AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(COALESCE(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END), 0)
-                  AS BIGINT) AS nv
-      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) p
-        ON l.l_orderkey = p._pk
-      WHERE l.l_orderkey IS NOT NULL
-    ),
-    u1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-                  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS nv
-           FROM orders),
-    u2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-                  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
-                       AS BIGINT) AS nv
-           FROM lineitem),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-                  CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
-                                    END), 0) AS BIGINT) AS nv
-           FROM orders),
-    av AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-                  CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
-                                         OR o_orderstatus NOT IN ('F','O','P')
-                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nv
-           FROM orders),
-    pr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-                  CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0
-                                    END), 0) AS BIGINT) AS nv
-           FROM orders)
-    SELECT 'fk_orders_custkey_customer' AS constraint_name, n_rows,
-           nv AS n_violations, nv = 0 AS ok FROM fk1
-    UNION ALL SELECT 'fk_lineitem_orderkey_orders', n_rows, nv, nv = 0 FROM fk2
-    UNION ALL SELECT 'unique_orders_orderkey', n_rows, nv, nv = 0 FROM u1
-    UNION ALL SELECT 'unique_lineitem_orderkey_linenumber', n_rows, nv, nv = 0
-      FROM u2
-    UNION ALL SELECT 'not_null_o_custkey', n_rows, nv, nv = 0 FROM nn
-    UNION ALL SELECT 'accepted_values_o_orderstatus', n_rows, nv, nv = 0 FROM av
-    UNION ALL SELECT 'positive_o_totalprice', n_rows, nv, nv = 0 FROM pr
-    """,
-)
-def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality audit (Deequ / dbt-tests family) over the
-    star schema: two referential-integrity checks, two key-uniqueness
-    checks (the lineitem one FAILS by design — the synthetic table has
-    duplicate (l_orderkey, l_linenumber) pairs, a real finding the audit
-    must report, not mask), completeness, accepted values, and a value
-    predicate.  Every check is a single-pass aggregate
-    (``operators/audit.py``); the FK checks join against distinct parent
-    keys (AQE broadcasts dimension-sized parents)."""
-    from ophidia_io_server_spark.operators.audit import (
-        audit,
-        fk_check,
-        fused_scan_checks,
-    )
-
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    l = load_table(spark, sf_dir, "lineitem")
-    fks = audit([
-        ("fk_orders_custkey_customer",
-         fk_check(o, ["o_custkey"], c, ["c_custkey"])),
-        ("fk_lineitem_orderkey_orders",
-         fk_check(l, ["l_orderkey"], o, ["o_orderkey"])),
-    ])
-    # every scan-only orders check rides ONE aggregate pass (one scan),
-    # ditto lineitem's uniqueness check
-    o_scan = fused_scan_checks(
-        o,
-        violations={
-            "not_null_o_custkey": F.col("o_custkey").isNull(),
-            "accepted_values_o_orderstatus":
-                ~F.col("o_orderstatus").isin(["F", "O", "P"])
-                | F.col("o_orderstatus").isNull(),
-            "positive_o_totalprice": F.col("o_totalprice") <= 0,
-        },
-        unique_keys={"unique_orders_orderkey": ["o_orderkey"]},
-    )
-    l_scan = fused_scan_checks(
-        l, unique_keys={"unique_lineitem_orderkey_linenumber":
-                        ["l_orderkey", "l_linenumber"]})
-    return (fks.unionByName(o_scan).unionByName(l_scan)
-            .select("constraint_name", "n_rows", "n_violations", "ok"))
-
-
-@workload(
-    "events_gapfill_interpolate",
-    oracle="""
-    WITH obs0 AS (
-      SELECT user_id,
-             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
-                            date_trunc('hour', ts)) AS BIGINT) AS h_idx,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events WHERE event_type = 'click' AND user_id < 50
-      GROUP BY 1, 2
-    ),
-    obs AS (SELECT *, cents * 1.0 / (100 * n) AS v FROM obs0
-            WHERE h_idx >= 0 AND h_idx < 168),
-    spine AS (
-      SELECT u.user_id, g.h_idx
-      FROM (SELECT DISTINCT user_id FROM obs) u
-      CROSS JOIN (SELECT unnest(range(0, 168)) AS h_idx) g
-    ),
-    j AS (
-      SELECT s.user_id, s.h_idx, o.v, o.n
-      FROM spine s LEFT JOIN obs o USING (user_id, h_idx)
-    ),
-    w AS (
-      SELECT user_id, h_idx, v, COALESCE(n, 0) AS n,
-        last_value(v IGNORE NULLS) OVER pw AS pv,
-        last_value(CASE WHEN v IS NOT NULL THEN h_idx END IGNORE NULLS)
-          OVER pw AS pi,
-        first_value(v IGNORE NULLS) OVER nw AS nv,
-        first_value(CASE WHEN v IS NOT NULL THEN h_idx END IGNORE NULLS)
-          OVER nw AS ni
-      FROM j
-      WINDOW pw AS (PARTITION BY user_id ORDER BY h_idx
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             nw AS (PARTITION BY user_id ORDER BY h_idx
-                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    SELECT user_id,
-      TIMESTAMP '2024-01-01 00:00:00' + h_idx * INTERVAL 1 HOUR AS hour_start,
-      n,
-      CASE WHEN v IS NOT NULL THEN 'obs'
-           WHEN pi IS NOT NULL AND ni IS NOT NULL THEN 'interp'
-           WHEN pi IS NOT NULL THEN 'locf' ELSE 'nocb' END AS fill_kind,
-      ROUND(CASE WHEN v IS NOT NULL THEN v
-                 WHEN pi IS NOT NULL AND ni IS NOT NULL
-                   THEN pv + (nv - pv) * (CAST(h_idx - pi AS DOUBLE)
-                                          / CAST(ni - pi AS DOUBLE))
-                 WHEN pi IS NOT NULL THEN pv ELSE nv END, 6) AS v_filled
-    FROM w
-    """,
-)
-def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series regularization: per-user hourly click-value series
-    aligned onto the first week's dense hourly grid, gaps filled by
-    linear interpolation (LOCF/NOCB at the edges), tagged by fill kind.
-    The operator (``operators/timeseries.gap_fill_interpolate``) works
-    in the integer INDEX domain so every weight is an exact small-int
-    ratio — deterministic across engines — and every window is per-key
-    (no global ordering stage at any scale).  Hourly values enter on the
-    exact cents grid (order-free integer sums) before the one double
-    division."""
-    from ophidia_io_server_spark.operators.timeseries import gap_fill_interpolate
-
-    t0 = "timestamp_ntz'2024-01-01 00:00:00'"
-    ev = load_table(spark, sf_dir, "events").where(
-        (F.col("event_type") == "click") & (F.col("user_id") < 50))
-    obs = (
-        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
-        .agg(exact_cents_sum("value").alias("cents"),
-             F.count(F.lit(1)).cast("bigint").alias("n"))
-        .withColumn("h_idx", F.expr(f"timestampdiff(HOUR, {t0}, h)").cast("bigint"))
-        .where((F.col("h_idx") >= 0) & (F.col("h_idx") < 168))
-        .withColumn("v", F.col("cents") / (F.lit(100) * F.col("n")))
-        .select("user_id", "h_idx", "v", "n")
-    )
-    out = gap_fill_interpolate(obs, ["user_id"], "h_idx", "v", n_steps=168)
-    return out.select(
-        "user_id",
-        F.expr(f"{t0} + make_dt_interval(0, h_idx)").alias("hour_start"),
-        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
-        "fill_kind",
-        F.round("v_filled", 6).alias("v_filled"),
-    )
-
-
-@workload(
-    "part_fuzzy_name_pairs",
-    oracle="""
-    WITH d AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n
-               FROM part GROUP BY p_name)
-    SELECT a.p_name AS name_a, b.p_name AS name_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-           a.n AS n_a, b.n AS n_b
-    FROM d a JOIN d b ON a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
-    """,
-)
-def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string-similarity self-join (spelling-variant detection over
-    a dimension vocabulary): distinct part names within Levenshtein
-    distance 2, with occurrence counts.  The oracle is the literal
-    all-pairs definition; the operator (``pipeline/strsim.
-    edit_distance_self_join``) is PassJoin (Li et al., PVLDB 2011):
-    pigeonhole segment index + constant-fanout substring probes +
-    banded-threshold verify — O(n·τ²) shuffled rows, never O(n²) pairs,
-    which is what makes a fuzzy join feasible over a 10⁸-string
-    vocabulary at 100 TB.  Oracle validity note: DuckDB's levenshtein is
-    BYTE-based vs Spark's codepoint-based — equivalent here because part
-    names are ASCII; the operator's unicode (codepoint) semantics are
-    pinned by the hypothesis differential instead."""
-    from ophidia_io_server_spark.pipeline.strsim import edit_distance_self_join
-
-    p = load_table(spark, sf_dir, "part")
-    # counts joins both pair endpoints — pin so the part scan runs once
-    counts = (p.groupBy("p_name").agg(F.count("*").cast("bigint").alias("n"))
-              .localCheckpoint())
-    pairs = edit_distance_self_join(p, "p_name", tau=2)
-    return (
-        pairs
-        .join(counts.select(F.col("p_name").alias("a"),
-                            F.col("n").alias("n_a")), "a")
-        .join(counts.select(F.col("p_name").alias("b"),
-                            F.col("n").alias("n_b")), "b")
-        .select(F.col("a").alias("name_a"), F.col("b").alias("name_b"),
-                "dist", "n_a", "n_b")
-    )
-
-
-@workload(
-    "part_name_entity_resolution",
-    oracle="""
-    WITH RECURSIVE d AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n
-                         FROM part GROUP BY p_name),
-    cp AS (SELECT a.p_name AS na, b.p_name AS nb
-           FROM d a JOIN d b ON a.p_name < b.p_name
-           WHERE levenshtein(a.p_name, b.p_name) <= 2),
-    edges AS (SELECT na AS u, nb AS v FROM cp
-              UNION ALL SELECT nb, na FROM cp),
-    reach(u, lbl) AS (
-      SELECT DISTINCT u, u FROM edges
-      UNION
-      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
-    ),
-    lab AS (SELECT u AS name, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
-    allnames AS (
-      SELECT d.p_name AS name, d.n,
-             COALESCE(l.cluster_id, d.p_name) AS cluster_id
-      FROM d LEFT JOIN lab l ON d.p_name = l.name
-    ),
-    canon AS (SELECT cluster_id, name AS canonical FROM (
-        SELECT cluster_id, name,
-               row_number() OVER (PARTITION BY cluster_id
-                                  ORDER BY n DESC, name) AS rn
-        FROM allnames) WHERE rn = 1),
-    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-           FROM allnames GROUP BY cluster_id)
-    SELECT a.name, a.cluster_id, c.canonical, a.n, s.cluster_size
-    FROM allnames a JOIN canon c USING (cluster_id) JOIN sz s USING (cluster_id)
-    """,
-)
-def part_name_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution / record linkage over the part-name vocabulary:
-    PassJoin fuzzy pairs (τ=2) → min-label connected components
-    (``pipeline/dedup.dup_clusters`` — the same transitive-closure engine
-    the near-dup dedup family uses) → canonical representative per
-    cluster = the most frequent spelling (deterministic name tie-break).
-    Fuzzy matching is never transitive pair-wise, so the closure is the
-    semantically required step — and both building blocks are the
-    bounded-shuffle versions (no all-pairs, diameter-bounded rounds)."""
-    from pyspark.sql import Window
-
-    from ophidia_io_server_spark.pipeline.dedup import dup_clusters
-    from ophidia_io_server_spark.pipeline.strsim import edit_distance_self_join
-
-    p = load_table(spark, sf_dir, "part")
-    d = p.groupBy("p_name").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    pairs = edit_distance_self_join(p, "p_name", tau=2)
-    lab = dup_clusters(pairs.select(F.col("a").alias("doc_a"),
-                                    F.col("b").alias("doc_b")))
-    allnames = (
-        d.join(lab.select(F.col("doc_id").alias("p_name"), "cluster_id"),
-               "p_name", "left")
-        .select(F.col("p_name").alias("name"), "n",
-                F.coalesce("cluster_id", "p_name").alias("cluster_id"))
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n").desc(), F.col("name").asc())
-    canon = (allnames.withColumn("rn", F.row_number().over(w))
-             .where(F.col("rn") == 1)
-             .select("cluster_id", F.col("name").alias("canonical")))
-    sz = allnames.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
-    return (allnames.join(canon, "cluster_id").join(sz, "cluster_id")
-            .select("name", "cluster_id", "canonical", "n", "cluster_size"))
-
-
-@workload(
-    "orders_pareto_frontier",
-    oracle="""
-    SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
-    FROM orders p
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders q
-      WHERE q.o_totalprice >= p.o_totalprice AND q.o_orderdate <= p.o_orderdate
-        AND (q.o_totalprice > p.o_totalprice OR q.o_orderdate < p.o_orderdate)
-    )
-    """,
-)
-def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D skyline / Pareto frontier (Börzsönyi et al., ICDE 2001) over
-    orders: the record-setting orders — no other order is both at least
-    as expensive and at least as early (strict on one).  The oracle is
-    the LITERAL quadratic NOT-EXISTS dominance definition; the operator
-    (``operators/skyline.skyline_2d``) is the distributed 2-phase sorted
-    scan: per-x best-y aggregation + range exchange + per-partition
-    running best + ≤P-row prefix carry-in — no pair volume, no
-    single-partition global window."""
-    from ophidia_io_server_spark.operators.skyline import skyline_2d
-
-    o = load_table(spark, sf_dir, "orders")
-    return (skyline_2d(o, "o_totalprice", "o_orderdate")
-            .select("o_orderkey", "o_totalprice", "o_orderdate"))
-
-
-@workload(
-    "orders_pareto_3d",
-    oracle="""
-    WITH o AS (
-      SELECT o_orderkey, o_totalprice, o_orderdate,
-             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio
-      FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-        AND o_orderdate < TIMESTAMP '1998-01-01'
-    )
-    SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate, p.prio
-    FROM o p
-    WHERE NOT EXISTS (
-      SELECT 1 FROM o q
-      WHERE q.o_totalprice >= p.o_totalprice
-        AND q.o_orderdate <= p.o_orderdate AND q.prio <= p.prio
-        AND (q.o_totalprice > p.o_totalprice
-             OR q.o_orderdate < p.o_orderdate OR q.prio < p.prio)
-    )
-    """,
-)
-def orders_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-D Pareto frontier (maximize price, minimize date, minimize
-    priority number) over 1997 orders — the d>2 skyline, where the 2-D
-    sorted-scan trick no longer applies.  The operator
-    (``operators/skyline.skyline_nd``) is the distributed local-skyline
-    / merge scheme: vectorized per-batch skylines (each pass removes
-    only dominated rows, never frontier rows), iterated with shrinking
-    partitioning, budget-checked exact final pass.  Timestamps enter as
-    epoch seconds (order-isomorphic, exactly representable in double).
-    Oracle = the literal 3-way NOT-EXISTS dominance definition."""
-    from ophidia_io_server_spark.operators.skyline import skyline_nd
-
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
-    base = o.select(
-        "o_orderkey", "o_totalprice", "o_orderdate",
-        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio"),
-        F.expr("timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00',"
-               " o_orderdate)").cast("bigint").alias("date_s"))
-    sky = skyline_nd(base, {"o_totalprice": "max", "date_s": "min",
-                            "prio": "min"})
-    return sky.select("o_orderkey", "o_totalprice", "o_orderdate", "prio")
-
-
-@workload(
-    "curation_split_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
-    cpairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-    ),
-    edges AS (SELECT doc_a AS u, doc_b AS v FROM cpairs
-              UNION ALL SELECT doc_b, doc_a FROM cpairs),
-    -- transitive closure -> min reachable label == connected-component min
-    reach(u, lbl) AS (
-      SELECT DISTINCT u, u FROM edges
-      UNION
-      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
-    ),
-    lab AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
-    alldocs AS (
-      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
-    ),
-    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-           FROM alldocs GROUP BY cluster_id),
-    -- benchmark decontamination: word 8-grams shared with the eval subset
-    tok8 AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-      FROM documents
-    ),
-    sh8 AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(ws) - 7, 0) + 1),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
-                 || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
-                 || ' ' || ws[i+7]
-             )) AS g8
-      FROM tok8
-    ),
-    -- COALESCE: with zero eval docs at a small SF, list(g8) aggregates to
-    -- NULL and every n_eval_grams_hit would go NULL — the Spark side
-    -- degrades to 0 hits, so the oracle must too
-    evg AS (SELECT COALESCE(list_distinct(flatten(list(g8))), []) AS gl
-            FROM sh8 WHERE doc_id % 89 = 0),
-    cont AS (
-      SELECT s.doc_id,
-             CAST(len(list_intersect(s.g8, evg.gl)) AS BIGINT) AS n_eval_grams_hit
-      FROM sh8 s CROSS JOIN evg
-    ),
-    -- concat-then-chunk sequence packing (budget 256 tokens, 4 SQL shards)
-    pk AS (
-      SELECT doc_id,
-             CAST(doc_id % 4 AS BIGINT) AS pack_shard,
-             CAST(SUM(len(ws)) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING)
-                  - len(ws) AS BIGINT) AS tok_start
-      FROM tok8
-    ),
-    -- 2-gram repetition stats (multiset, not distinct-shingled)
-    rep_raw AS (
-      SELECT doc_id, gram, COUNT(*) AS c
-      FROM (SELECT doc_id,
-                   unnest(CASE WHEN len(ws) >= 2
-                               THEN list_transform(range(1, len(ws)),
-                                                   i -> ws[i] || ' ' || ws[i+1])
-                               ELSE [] END) AS gram
-            FROM tok8)
-      GROUP BY doc_id, gram
-    ),
-    rep AS (
-      SELECT doc_id,
-             CAST(SUM(c) AS BIGINT) AS n_2grams,
-             CAST(MAX(c) AS BIGINT) AS top2_cnt,
-             CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup2_cnt
-      FROM rep_raw GROUP BY doc_id
-    ),
-    -- duplicate-line signals (Gopher filters)
-    lns AS (
-      SELECT doc_id,
-             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
-      FROM documents
-    ),
-    linesig AS (
-      SELECT doc_id,
-             CASE WHEN len(ls) <= 0 THEN 0.0
-                  ELSE ROUND((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 4)
-             END AS dup_line_frac,
-             CASE WHEN list_aggregate(list_transform(ls, l -> length(l)), 'sum') <= 0
-                       OR len(ls) <= 0 THEN 0.0
-                  ELSE ROUND(
-                    list_aggregate(list_transform(list_distinct(ls), d ->
-                      CASE WHEN len(list_filter(ls, l -> l = d)) > 1
-                           THEN len(list_filter(ls, l -> l = d)) * length(d)
-                           ELSE 0 END), 'sum')
-                    * 1.0 / list_aggregate(list_transform(ls, l -> length(l)), 'sum'), 4)
-             END AS dup_line_char_frac
-      FROM lns
-    )
-    SELECT a.doc_id, a.cluster_id, s.cluster_size,
-           a.doc_id = a.cluster_id AS is_canonical,
-           TRUE AS split_stable, TRUE AS split_in_range, TRUE AS fractions_ok,
-           TRUE AS sample_stable, TRUE AS strat_ok, TRUE AS sample_rate_ok,
-           TRUE AS shuffle_pos_stable, TRUE AS shuffle_is_perm,
-           TRUE AS pack_ff_ok,
-           a.doc_id % 89 = 0 AS is_eval,
-           c.n_eval_grams_hit,
-           (NOT a.doc_id % 89 = 0) AND c.n_eval_grams_hit > 0 AS contaminated,
-           COALESCE(r.n_2grams, 0) AS n_2grams,
-           COALESCE(r.top2_cnt, 0) AS top2_cnt,
-           CASE WHEN COALESCE(r.n_2grams, 0) <= 0 THEN 0.0
-                ELSE ROUND(r.top2_cnt * 1.0 / r.n_2grams, 4) END AS top2_frac,
-           CASE WHEN COALESCE(r.n_2grams, 0) <= 0 THEN 0.0
-                ELSE ROUND(COALESCE(r.dup2_cnt, 0) * 1.0 / r.n_2grams, 4) END AS dup2_frac,
-           ln.dup_line_frac, ln.dup_line_char_frac,
-           p.pack_shard,
-           p.tok_start // 256 AS seq_in_shard,
-           p.tok_start % 256 AS seq_offset
-    FROM alldocs a
-    JOIN sz s ON a.cluster_id = s.cluster_id
-    JOIN cont c ON a.doc_id = c.doc_id
-    LEFT JOIN rep r ON a.doc_id = r.doc_id
-    JOIN linesig ln ON a.doc_id = ln.doc_id
-    JOIN pk p ON a.doc_id = p.doc_id
-    ORDER BY a.doc_id
-    """,
-)
-def curation_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data curation operators, driver-verified (r4):
-
-    1. Near-dup cluster resolution (pipeline/dedup.py resolve_duplicates):
-       min-label connected components over the verified MinHash pair graph +
-       canonical-keeper flag.  The oracle recomputes the components with a
-       recursive transitive-closure CTE over the exact-Jaccard pair set, so
-       cluster ids, sizes and keeper flags hash-bind exactly.
-    2. Deterministic hash split (pipeline/sampling.py hash_split): the split
-       decision is a pure function of (seed, doc_id), so the oracle cannot
-       recompute Spark's xxhash64 — instead the INVARIANTS that make the
-       operator correct are computed inside Spark as booleans and the oracle
-       emits literal TRUEs (same pattern as sketch_approx_stats):
-       ``split_stable`` (identical assignment under a different partition
-       layout — the retry/layout property df.randomSplit lacks),
-       ``split_in_range`` (every row assigned a real split), and
-       ``fractions_ok`` (per-split mass within 5% of the 80/10/10 weights).
-       r5 extends the same pattern to the rest of pipeline/sampling.py:
-       ``sample_stable`` (hash_sample membership layout-independent),
-       ``sample_rate_ok`` (global keep-rate near the fraction),
-       ``strat_ok`` (stratified_sample: 0.0-fraction stratum excluded,
-       1.0-fraction stratum kept whole, unlisted strata ≡ plain Bernoulli
-       at the default fraction — an exact identity, no tolerance), and
-       ``shuffle_pos_stable`` / ``shuffle_is_perm`` (deterministic_shuffle
-       is a layout-independent exact permutation).
-    3. Benchmark decontamination (pipeline/decontaminate.py): docs sharing
-       a word 8-gram with the eval subset (doc_id % 89 == 0 plays the
-       benchmark) are flagged; the oracle recomputes the distinct-gram
-       intersection in SQL, so flags and hit counts hash-bind exactly.
-    4. Repetition signals (pipeline/text.py): Gopher-style duplicate-line
-       fraction, duplicate-line-character fraction, and 2-gram repetition
-       stats (top fraction, duplicated-occurrence fraction) — all mirrored
-       in SQL closed form.
-    5. Sequence packing (pipeline/packing.py pack_concat_chunks): GPT-style
-       concat-then-chunk assignment (budget 256) using the plain-SQL shard
-       expression ``doc_id % 4`` so the window arithmetic is reproducible
-       in the oracle verbatim.
-    """
-    from ophidia_io_server_spark.pipeline.decontaminate import contamination_flags
-    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs, resolve_duplicates
-    from ophidia_io_server_spark.pipeline.packing import (
-        pack_concat_chunks,
-        pack_first_fit,
-        pack_next_fit,
-    )
-    from ophidia_io_server_spark.pipeline.sampling import (
-        deterministic_shuffle,
-        hash_sample,
-        hash_split,
-        stratified_sample,
-    )
-    from ophidia_io_server_spark.pipeline.text import (
-        dup_line_char_frac_col,
-        dup_line_frac_col,
-        ngram_repetition,
-        token_count_col,
-    )
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5,
-                              memo_key=(*session_key(spark), sf_dir))
-    resolved = resolve_duplicates(docs, pairs).select(
-        "doc_id", "cluster_id", "cluster_size", "is_canonical")
-
-    ids = docs.select("doc_id")
-    weights = [0.8, 0.1, 0.1]
-    s1 = hash_split(ids, weights)
-    s2 = hash_split(ids.repartition(13), weights).withColumnRenamed("split", "split2")
-    splits = s1.join(s2, "doc_id")
-    w_of = F.when(F.col("split") == 0, 0.8).otherwise(0.1)
-    per = s1.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
-    tot = s1.agg(F.count(F.lit(1)).alias("t"))
-    frac_ok = (
-        per.crossJoin(F.broadcast(tot))
-        .withColumn("dev", F.abs(F.col("n") / F.col("t") - w_of))
-        .agg((F.max("dev") <= F.lit(0.05)).alias("fractions_ok"))
-    )
-    # r5: deterministic sampling / stratified / shuffle invariants (same
-    # oracle-literal-TRUE pattern — the oracle cannot recompute xxhash64,
-    # so Spark computes the properties that MAKE the operators correct):
-    # - sample_stable: Bernoulli membership identical under another layout
-    # - sample_rate_ok: global keep-rate near the requested fraction
-    # - strat_ok (per doc): a 0.0-fraction stratum is excluded, a
-    #   1.0-fraction stratum kept whole, and unlisted strata behave exactly
-    #   like plain hash_sample at the default fraction (uniform map ≡
-    #   Bernoulli — a crisp identity, no tolerance)
-    # - shuffle_pos_stable: the permutation position of every doc is
-    #   layout-independent; shuffle_is_perm: positions are exactly 1..n
-    src_ids = docs.select("doc_id", "source")
-    samp1 = hash_sample(ids, 0.4).select("doc_id", F.lit(1).alias("m1"))
-    samp2 = hash_sample(ids.repartition(7), 0.4).select("doc_id", F.lit(1).alias("m2"))
-    plain = hash_sample(src_ids, 0.4).select("doc_id", F.lit(1).alias("mp"))
-    strat = stratified_sample(src_ids, {"src0": 0.0, "src1": 1.0},
-                              default_fraction=0.4).select("doc_id", F.lit(1).alias("ms"))
-    sampflags = (
-        ids.join(samp1, "doc_id", "left").join(samp2, "doc_id", "left")
-        .join(plain, "doc_id", "left").join(strat, "doc_id", "left")
-        .join(src_ids, "doc_id")
-        .select(
-            "doc_id",
-            (F.coalesce("m1", F.lit(0)) == F.coalesce("m2", F.lit(0))
-             ).alias("sample_stable"),
-            F.when(F.col("source") == "src0", F.col("ms").isNull())
-             .when(F.col("source") == "src1", F.col("ms").isNotNull())
-             .otherwise(F.coalesce("ms", F.lit(0)) == F.coalesce("mp", F.lit(0)))
-             .alias("strat_ok"),
-        )
-    )
-    rate_ok = (
-        samp1.agg(F.count(F.lit(1)).alias("k")).crossJoin(F.broadcast(tot))
-        .agg((F.max(F.abs(F.col("k") / F.col("t") - 0.4)) <= F.lit(0.08)
-              ).alias("sample_rate_ok"))
-    )
-    # observe the operator's ACTUAL output order (monotonically_increasing_id
-    # stamped after the orderBy: ascending within partitions, partition index
-    # follows the range exchange) — re-deriving the sort formula in a window
-    # here would verify the formula against itself, not deterministic_shuffle
-    def _shuffle_pos(df, name):
-        return (
-            deterministic_shuffle(df)
-            .withColumn("_mid", F.monotonically_increasing_id())
-            .withColumn(name, F.row_number().over(
-                Window.orderBy("_mid")).cast("bigint"))
-            .drop("_mid")
-        )
-
-    sh1 = _shuffle_pos(ids, "pos")
-    sh2 = _shuffle_pos(ids.repartition(11), "pos2")
-    shflags = sh1.join(sh2, "doc_id").select(
-        "doc_id", (F.col("pos") == F.col("pos2")).alias("shuffle_pos_stable"))
-    perm_ok = sh1.agg(
-        ((F.max("pos") == F.count(F.lit(1)))
-         & (F.count_distinct(F.col("pos")) == F.count(F.lit(1)))
-         ).alias("shuffle_is_perm"))
-    # r5: no-split packing invariants (the pandas first-fit/next-fit kernels
-    # are not SQL-expressible, so their correctness contract rides the same
-    # boolean pattern): pack_ff_ok = layout-stable assignment AND every
-    # non-oversize sequence within budget AND first-fit needs no more
-    # sequences than next-fit (the discipline's defining inequality)
-    tok = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
-    ffa = pack_first_fit(tok, budget=256, n_buckets=8)
-    ffb = pack_first_fit(tok.repartition(9), budget=256, n_buckets=8)
-    nfa = pack_next_fit(tok, budget=256, n_buckets=8)
-    ffcols = ["pack_bucket", "seq_in_bucket", "seq_fill", "oversize"]
-    ff_stable = (
-        ffa.select("doc_id", *ffcols)
-        .join(ffb.select("doc_id", *[F.col(c).alias(f"{c}2") for c in ffcols]), "doc_id")
-        .agg(F.min(
-            (F.col("pack_bucket") == F.col("pack_bucket2"))
-            & (F.col("seq_in_bucket") == F.col("seq_in_bucket2"))
-            & (F.col("seq_fill") == F.col("seq_fill2"))
-            & (F.col("oversize") == F.col("oversize2"))
-        ).alias("stable"))
-    )
-    ff_budget = (
-        ffa.groupBy("pack_bucket", "seq_in_bucket")
-        .agg(F.sum("n_tokens").alias("tk"), F.count(F.lit(1)).alias("cnt"),
-             F.max(F.col("oversize").cast("int")).alias("ov"))
-        .agg(F.min((F.col("tk") <= 256)
-                   | ((F.col("cnt") == 1) & (F.col("ov") == 1))).alias("budget_ok"))
-    )
-    ff_tighter = (
-        ffa.agg(F.count_distinct(F.struct("pack_bucket", "seq_in_bucket")).alias("nff"))
-        .crossJoin(nfa.agg(
-            F.count_distinct(F.struct("pack_bucket", "seq_in_bucket")).alias("nnf")))
-        .select((F.col("nff") <= F.col("nnf")).alias("tighter"))
-    )
-    pack_ff = (
-        ff_stable.crossJoin(ff_budget).crossJoin(ff_tighter)
-        .select((F.col("stable") & F.col("budget_ok") & F.col("tighter")
-                 ).alias("pack_ff_ok"))
-    )
-    cont = contamination_flags(docs, F.pmod(F.col("doc_id"), F.lit(89)) == 0, n=8)
-    rep = ngram_repetition(docs, n=2)
-    packed = pack_concat_chunks(
-        docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens")),
-        budget=256, shard_expr=F.pmod(F.col("doc_id"), F.lit(4)), n_shards=4,
-    ).select("doc_id", "pack_shard", "seq_in_shard", "seq_offset")
-    linesig = docs.select(
-        "doc_id",
-        dup_line_frac_col(F.col("text")).alias("dup_line_frac"),
-        dup_line_char_frac_col(F.col("text")).alias("dup_line_char_frac"),
-    )
-    return (
-        resolved.join(splits, "doc_id")
-        .crossJoin(F.broadcast(frac_ok))
-        .join(cont, "doc_id")
-        .join(rep, "doc_id")
-        .join(linesig, "doc_id")
-        .join(packed, "doc_id")
-        .join(sampflags, "doc_id")
-        .join(shflags, "doc_id")
-        .crossJoin(F.broadcast(rate_ok))
-        .crossJoin(F.broadcast(perm_ok))
-        .crossJoin(F.broadcast(pack_ff))
-        .select(
-            "doc_id", "cluster_id", "cluster_size", "is_canonical",
-            (F.col("split") == F.col("split2")).alias("split_stable"),
-            ((F.col("split") >= 0) & (F.col("split") <= len(weights) - 1)
-             ).alias("split_in_range"),
-            "fractions_ok",
-            "sample_stable", "strat_ok", "sample_rate_ok",
-            "shuffle_pos_stable", "shuffle_is_perm", "pack_ff_ok",
-            "is_eval", "n_eval_grams_hit", "contaminated",
-            "n_2grams", "top2_cnt", "top2_frac", "dup2_frac",
-            "dup_line_frac", "dup_line_char_frac",
-            "pack_shard", "seq_in_shard", "seq_offset",
-        )
-    )
-
-
-@workload(
-    "ann_l2_topk",
-    oracle=f"""
-    WITH {_EMB_BASE_CTE},
-    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 10),
-    scored AS (
-      SELECT query_id, b.vec_id AS neighbor_id,
-             list_aggregate(list_transform(range(1, len(qv) + 1),
-                 i -> (qv[i] - b.v[i]) * (qv[i] - b.v[i])), 'sum') AS d
-      FROM q JOIN base b ON b.vec_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           ROUND(ROUND(d, 9), 6) AS dist
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY ROUND(d, 9), neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5 ORDER BY query_id, rank
-    """,
-)
-def ann_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact squared-L2 top-k via the bounded scan-and-merge kernel
-    (`pipeline/pq.py:exact_l2_topk`): per-batch numpy distances computed as
-    a strict left fold (cumsum) so the oracle's ``list_aggregate`` sum is
-    bitwise-identical, per-batch top-k, sorted-aggregation merge."""
-    from ophidia_io_server_spark.pipeline.pq import exact_l2_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = exact_l2_topk(emb, F.col("vec_id") < 10, k=5)
-    return out.withColumn("dist", F.round("dist", 6))
-
-
-@workload(
-    "ann_pq_invariants",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           TRUE AS codes_ok, TRUE AS ranks_ok, TRUE AS recall_ok
-    FROM embeddings
-    """,
-)
-def ann_pq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (`pipeline/pq.py`: sample-trained codebooks,
-    Arrow-batched encode, ADC scan with per-batch top-k) verified by the
-    invariant-boolean pattern: every vector encodes into range, ADC ranks
-    are distance-monotone, and recall@5 against the exact-L2 baseline beats
-    20× the random-guess floor on the (worst-case, unclustered) synthetic
-    embeddings.  The whole pipeline is deterministic (fixed sample order,
-    init, iteration count; argmin ties to lowest index)."""
-    import numpy as np
-
-    from ophidia_io_server_spark.pipeline.pq import (exact_l2_topk, pq_encode,
-                                                     pq_topk, train_pq)
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = train_pq(emb, m=16, ncent=16, sample=4096, iters=10)
-    enc = pq_encode(emb, books)
-    n = emb.count()
-    codes_ok = bool(
-        enc.where(
-            (F.size("codes") != 16)
-            | F.exists("codes", lambda c: (c < 0) | (c >= 16))
-        ).count() == 0
-        and enc.count() == n)
-    pq = pq_topk(emb, F.col("vec_id") < 10, books, k=5).cache()
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy("rank")
-    ranks_ok = bool(
-        pq.withColumn("prev", F.lag("approx_dist").over(w))
-        .where(F.col("prev").isNotNull() & (F.col("approx_dist") < F.col("prev")))
-        .count() == 0)
-    exact = exact_l2_topk(emb, F.col("vec_id") < 10, k=5)
-    hits = pq.select("query_id", "neighbor_id").intersect(
-        exact.select("query_id", "neighbor_id")).count()
-    total = exact.count()
-    recall_ok = bool(total > 0 and hits / total >= 0.2)
-    pq.unpersist()
-    return spark.createDataFrame(
-        [(int(n), codes_ok, ranks_ok, recall_ok)],
-        "n_vectors long, codes_ok boolean, ranks_ok boolean, recall_ok boolean")
-
-@workload(
-    "stream_curation",
-    oracle="""
-    WITH dd AS (
-      SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
-    ), m AS (
-      SELECT doc_id,
-             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-               AS BIGINT) AS n_tokens
-      FROM dd
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_keep,
-           CAST(SUM(CASE WHEN n_tokens >= 40 THEN n_tokens ELSE 0 END)
-             AS BIGINT) AS kept_tokens
-    FROM m
-    """,
-)
-def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming curation: the documents table staged TWICE (every doc a
-    duplicate) is re-ingested as a file stream; the quality projection (the
-    same pure-Column shape as the batch operators) and a content-hash
-    ``dropDuplicates`` run INCREMENTALLY, and the aggregate over the
-    deduplicated stream must equal the batch computation over distinct
-    texts.  availableNow + unwatermarked dedup state here (bounded by the
-    staged corpus); the unbounded-stream variant is
-    ``streaming/ingest.stateful_dedup_stream`` (watermark-bounded state),
-    exercised by the events streaming rows."""
-    import hashlib
-    import os
-
-    from ophidia_io_server_spark.pipeline.text import token_count_col
-    from ophidia_io_server_spark.streaming.ingest import run_available_now
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/ophidia_stream_docs_{tag}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        docs.unionAll(docs).write.mode("overwrite").parquet(path)
-        open(f"{path}/_SUCCESS", "a").close()
-    schema = "doc_id long, text string"
-    stream = (
-        spark.readStream.schema(schema).parquet(path)
-        .withColumn("h", F.md5("text"))
-        .dropDuplicates(["h"])
-        .select(
-            "doc_id",
-            token_count_col(F.col("text")).alias("n_tokens"),
-        )
-    )
-    per_doc = run_available_now(stream, f"stream_curation_{tag}",
-                                output_mode="append")
-    return per_doc.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.when(F.col("n_tokens") >= 40, 1).otherwise(0))
-         .cast("bigint").alias("n_keep"),
-        F.sum(F.when(F.col("n_tokens") >= 40, F.col("n_tokens")).otherwise(0))
-         .cast("bigint").alias("kept_tokens"),
-    )
-
-@workload(
-    "events_retention_cohorts",
-    oracle="""
-    WITH wk AS (
-      SELECT user_id,
-             CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                        / 7) AS BIGINT) AS week
-      FROM events GROUP BY 1, 2
-    ), cohort AS (
-      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
-    ), sizes AS (
-      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
-      FROM cohort GROUP BY cohort_week
-    )
-    SELECT c.cohort_week,
-           CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
-           CAST(COUNT(*) AS BIGINT) AS n_active,
-           s.cohort_size,
-           ROUND(COUNT(*) * 1.0 / s.cohort_size, 4) AS retention
-    FROM wk w JOIN cohort c USING (user_id)
-              JOIN sizes s ON s.cohort_week = c.cohort_week
-    GROUP BY c.cohort_week, week_offset, s.cohort_size
-    ORDER BY c.cohort_week, week_offset
-    """,
-)
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention-cohort matrix — the classic product-analytics rollup:
-    users grouped by first-activity week, the (cohort, week-offset) cells
-    counting how many stayed active.  Shape: distinct (user, week) pairs →
-    per-user min (two groupBys sharing the user partitioning) → broadcast
-    cohort-size join — no window over the event stream, no skew beyond the
-    user key."""
-    ev = load_table(spark, sf_dir, "events")
-    wk = (
-        ev.select(
-            "user_id",
-            F.floor(F.datediff(F.col("ts").cast("date"),
-                               F.lit("2024-01-01").cast("date")) / 7)
-             .cast("bigint").alias("week"),
-        )
-        .distinct()
-    )
-    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    sizes = cohort.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
-    return (
-        wk.join(cohort, "user_id")
-        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week"))
-                 .cast("bigint").alias("week_offset"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_week")
-        .select(
-            "cohort_week", "week_offset", "n_active", "cohort_size",
-            F.round(F.col("n_active") / F.col("cohort_size"), 4)
-             .alias("retention"),
-        )
-    )
-
-@workload(
-    "ann_ivfpq_invariants",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           TRUE AS ranks_ok, TRUE AS results_complete, TRUE AS recall_ok
-    FROM embeddings
-    """,
-)
-def ann_ivfpq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composite ANN (`pipeline/pq.py`: coarse quantizer + PQ on
-    residuals, single-scan assign+encode+ADC-score) under the
-    invariant-boolean contract: distance-monotone ranks, a full result set
-    per query, and recall@5 vs the exact-L2 baseline ≥ 25× the random-guess
-    floor on unclustered embeddings (measured 0.40-0.50 across SFs;
-    residual quantization beats plain PQ's 0.32-0.42 at the same code
-    budget).  Deterministic end to end."""
-    from pyspark.sql import Window
-
-    from ophidia_io_server_spark.pipeline.pq import (exact_l2_topk,
-                                                     ivfpq_topk, train_ivfpq)
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    C, B = train_ivfpq(emb, nlist=16, m=16, ncent=16, sample=4096, iters=10)
-    pred = F.col("vec_id") < 10
-    res = ivfpq_topk(emb, pred, C, B, k=5, nprobe=4).cache()
-    w = Window.partitionBy("query_id").orderBy("rank")
-    ranks_ok = bool(
-        res.withColumn("prev", F.lag("approx_dist").over(w))
-        .where(F.col("prev").isNotNull()
-               & (F.col("approx_dist") < F.col("prev"))).count() == 0)
-    nq = emb.where(pred).count()
-    results_complete = bool(res.count() == nq * 5)
-    exact = exact_l2_topk(emb, pred, k=5)
-    hits = res.select("query_id", "neighbor_id").intersect(
-        exact.select("query_id", "neighbor_id")).count()
-    recall_ok = bool(hits / (nq * 5) >= 0.25)
-    res.unpersist()
-    return spark.createDataFrame(
-        [(int(n), ranks_ok, results_complete, recall_ok)],
-        "n_vectors long, ranks_ok boolean, results_complete boolean, "
-        "recall_ok boolean")
-
-@workload(
-    "events_funnel",
-    oracle="""
-    WITH s1 AS (
-      SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ), s2 AS (
-      SELECT e.user_id, MIN(e.ts) AS t2
-      FROM events e JOIN s1 ON e.user_id = s1.user_id
-      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
-    ), s3 AS (
-      SELECT e.user_id, MIN(e.ts) AS t3
-      FROM events e JOIN s2 ON e.user_id = s2.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
-    )
-    SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
-           ROUND((SELECT COUNT(*) FROM s2) * 1.0
-                 / (SELECT COUNT(*) FROM s1), 4) AS view_to_click,
-           ROUND((SELECT COUNT(*) FROM s3) * 1.0
-                 / (SELECT COUNT(*) FROM s2), 4) AS click_to_purchase
-    """,
-)
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel conversion (view → click → purchase, strictly
-    time-increasing per user).  The ORACLE is the textbook three-stage
-    conditional-min formulation (3 joins); the ENGINE does it in ONE
-    shuffle: per-user sorted event list folded left-to-right, the
-    accumulator carrying the first qualifying timestamp of each step —
-    per-user event counts are bounded, so the collect_list is safe at any
-    corpus width."""
-    ev = load_table(spark, sf_dir, "events")
-    lst = (
-        # NTZ→LTZ cast is value-preserving under the UTC session pin (the
-        # same argument as the sessionize epoch-micros fast path)
-        ev.select("user_id",
-                  F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
-                           F.col("event_type").alias("e")).alias("s"))
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("s")).alias("evs"))
-    )
-    nil = F.lit(None).cast("bigint")
-    zero = F.struct(nil.alias("t1"), nil.alias("t2"), nil.alias("t3"))
-    folded = lst.select(
-        "user_id",
-        F.aggregate(
-            "evs", zero,
-            lambda a, e: F.struct(
-                F.when(a["t1"].isNull() & (e["e"] == "view"), e["t"])
-                 .otherwise(a["t1"]).alias("t1"),
-                F.when(a["t2"].isNull() & a["t1"].isNotNull()
-                       & (e["e"] == "click") & (e["t"] > a["t1"]), e["t"])
-                 .otherwise(a["t2"]).alias("t2"),
-                F.when(a["t3"].isNull() & a["t2"].isNotNull()
-                       & (e["e"] == "purchase") & (e["t"] > a["t2"]), e["t"])
-                 .otherwise(a["t3"]).alias("t3"),
-            ),
-        ).alias("f"),
-    )
-    return folded.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum(F.col("f.t1").isNotNull().cast("int")).cast("bigint").alias("n_view"),
-        F.sum(F.col("f.t2").isNotNull().cast("int")).cast("bigint").alias("n_click"),
-        F.sum(F.col("f.t3").isNotNull().cast("int")).cast("bigint").alias("n_purchase"),
-    ).select(
-        "n_users", "n_view", "n_click", "n_purchase",
-        F.round(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
-        F.round(F.col("n_purchase") / F.col("n_click"), 4).alias("click_to_purchase"),
-    )
-
-@workload(
-    "dedup_exact_canonical",
-    oracle=r"""
-    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
-             AS canonical_hash,
-           MIN(doc_id) AS rep_doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM documents GROUP BY 1 ORDER BY canonical_hash
-    """,
-)
-def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over CANONICALIZED text (lowercase, punctuation
-    stripped, whitespace collapsed — the CCNet normalize-before-hash
-    practice): catches case/punctuation/spacing variants byte-exact
-    hashing misses."""
-    from ophidia_io_server_spark.pipeline.dedup import exact_duplicates_canonical
-
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_duplicates_canonical(docs)
-
-
-# ---------------------------------------------------------------------------
-# Temporal joins (as-of, interval) — operators Spark lacks as built-ins
-# ---------------------------------------------------------------------------
-
-
-@workload(
-    "events_asof_attribution",
-    oracle="""
-    WITH p AS (SELECT event_id, user_id, ts, value FROM events
-               WHERE event_type = 'purchase'),
-    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts,
-                 value AS click_value
-          FROM events WHERE event_type = 'click'),
-    cand AS (
-      SELECT p.event_id, c.click_id, c.click_ts, c.click_value,
-             ROW_NUMBER() OVER (PARTITION BY p.event_id
-                                ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
-      FROM p JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts),
-    m AS (SELECT event_id, click_id, click_ts, click_value
-          FROM cand WHERE rn = 1)
-    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
-           m.click_id, m.click_ts, m.click_value,
-           COALESCE(m.click_ts IS NOT NULL
-                    AND p.ts - m.click_ts <= INTERVAL 2 HOUR, FALSE) AS attributed
-    FROM p LEFT JOIN m ON p.event_id = m.event_id
-    """,
-)
-def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch attribution: every purchase as-of-joined to the latest
-    prior click by the same user, plus an attributed flag (click within
-    2 h).  The ENGINE is the union-merge as-of join (one shuffle on
-    user_id, |p|+|c| rows — ``operators/temporal.py``); the ORACLE is the
-    textbook inequality-join + ROW_NUMBER formulation whose intermediate
-    is O(|p|·|c|) per user — exactly the blowup the merge form avoids.
-    Tie-break (equal click_ts → max click_id) is pinned on both sides."""
-    from ophidia_io_server_spark.operators.temporal import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.col("value").alias("purchase_value"))
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id",
-        F.col("ts").alias("click_ts"), F.col("value").alias("click_value"))
-    j = asof_join(p, c, on="user_id", ts_col="ts", right_ts_col="click_ts",
-                  seq_col="click_id", prefix="c_")
-    lt = F.unix_micros(F.col("ts").cast("timestamp"))
-    ct = F.unix_micros(F.col("c_click_ts").cast("timestamp"))
-    return j.select(
-        "event_id", "user_id", "ts", "purchase_value",
-        F.col("c_click_id").alias("click_id"),
-        F.col("c_click_ts").alias("click_ts"),
-        F.col("c_click_value").alias("click_value"),
-        F.coalesce(F.col("c_click_ts").isNotNull()
-                   & ((lt - ct) <= 7200 * 1_000_000), F.lit(False))
-         .alias("attributed"),
-    )
-
-
-@workload(
-    "events_interval_join",
-    oracle="""
-    WITH err AS (SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS e
-                 FROM events WHERE event_type = 'error'),
-    seq AS (
-      SELECT user_id, ts, e,
-             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-                  OR ts > MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  THEN 1 ELSE 0 END AS new_w
-      FROM err),
-    w AS (SELECT user_id, ts, e,
-                 SUM(new_w) OVER (PARTITION BY user_id ORDER BY ts, e
-                                  ROWS UNBOUNDED PRECEDING) AS wid
-          FROM seq),
-    iv AS (SELECT user_id, MIN(ts) AS outage_start, MAX(e) AS outage_end
-           FROM w GROUP BY user_id, wid),
-    p AS (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase')
-    SELECT p.event_id, p.user_id, p.ts, iv.outage_start, iv.outage_end,
-           (iv.outage_start IS NOT NULL) AS in_outage
-    FROM p LEFT JOIN iv ON p.user_id = iv.user_id
-       AND p.ts >= iv.outage_start AND p.ts < iv.outage_end
-    """,
-)
-def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-interval join without a BNLJ: per-user error events grow
-    30-min outage windows, overlapping windows merge (gaps-and-islands),
-    purchases land in [start, end) via the BINNED equi-join
-    (``operators/temporal.py``: intervals replicate per covered 30-min
-    bucket, points hash to exactly one, residual predicate finishes the
-    exact match).  The ORACLE is the plain inequality join DuckDB can
-    afford at this scale.  Merged windows are disjoint per user, so each
-    purchase matches ≤1 window and the left join preserves row count."""
-    from ophidia_io_server_spark.operators.temporal import interval_join, merge_intervals
-
-    ev = load_table(spark, sf_dir, "events")
-    err = ev.where(F.col("event_type") == "error").select(
-        "user_id", F.col("ts").alias("start_ts"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
-    outages = merge_intervals(err, on="user_id")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts")
-    j = interval_join(p, outages, on="user_id", ts_col="ts",
-                      bin_seconds=1800, how="left", point_id_col="event_id")
-    return j.select(
-        "event_id", "user_id", "ts",
-        F.col("start_ts").alias("outage_start"),
-        F.col("end_ts").alias("outage_end"),
-        F.col("start_ts").isNotNull().alias("in_outage"),
-    )
-
-
-@workload(
-    "bm25_doc_retrieval",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split(lower(text), ' '),
-                         x -> x <> '') AS tk
-      FROM documents WHERE text IS NOT NULL),
-    dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM toks),
-    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dls),
-    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
-           FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dls) u
-           WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id, term),
-    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-    con AS (SELECT tf.doc_id, tf.term,
-                   ln(1 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-                   * tf.tf * (1.2 + 1)
-                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / g.avgdl)) AS c
-            FROM tf JOIN dfq USING (term) CROSS JOIN g),
-    sc AS (SELECT doc_id,
-                  ROUND(list_aggregate(list(c ORDER BY term), 'sum'), 6) AS score
-           FROM con GROUP BY doc_id)
-    SELECT doc_id, score,
-           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-    FROM sc ORDER BY score DESC, doc_id LIMIT 25
-    """,
-)
-def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-25 for the query {hash, merge, scan} over documents —
-    lexical retrieval for corpus curation (``pipeline/retrieval.py``).
-    Postings materialize only for the query terms (filter before the one
-    shuffle); df table and corpus stats ride broadcasts; top-k is
-    TakeOrderedAndProject.  Scores are term-sorted left-fold sums so both
-    engines add in the same order; idf's ln is inside the 6-dp rounding."""
-    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk
-
-    docs = load_table(spark, sf_dir, "documents")
-    return bm25_topk(docs, ["hash", "merge", "scan"], k=25)
-
-
-@workload(
-    "orders_rollup_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
-                AS BIGINT) AS gid,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS total_cents,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
-                 / COUNT(*), 4) AS avg_price
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
-def orders_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical ROLLUP aggregation (status → priority → grand total)
-    with grouping-id disambiguation — the OLAP subtotal surface on top of
-    the engine's flat GROUP BY.  Money sums go through round-to-cents
-    BIGINT so the cross-row sum is order-free (double sums are not);
-    averages derive from the exact cents total.  Spark executes rollup as
-    one Expand + single hash aggregate (no per-level re-scan)."""
-    ords = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    return (
-        ords.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.grouping_id().cast("bigint").alias("gid"),
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(cents).cast("bigint").alias("total_cents"),
-            F.round(F.sum(cents) / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"),
-        )
-        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
-                "total_cents", "avg_price")
-    )
-
-
-@workload(
-    "doc_chunk_sliding",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-      FROM documents WHERE text IS NOT NULL),
-    sz AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
-           FROM toks WHERE len(tk) > 0),
-    st AS (SELECT doc_id, tk, n,
-                  CASE WHEN n <= 32 THEN 0
-                       ELSE ((n - 32 + 24 - 1) // 24) * 24 END AS last
-           FROM sz),
-    ex AS (SELECT doc_id, tk, unnest(range(0, last + 1, 24)) AS chunk_start
-           FROM st)
-    SELECT doc_id,
-           CAST(chunk_start // 24 AS BIGINT) AS chunk_idx,
-           CAST(chunk_start AS BIGINT) AS chunk_start,
-           CAST(len(tk[chunk_start + 1 : chunk_start + 32]) AS BIGINT)
-             AS n_chunk_tokens,
-           array_to_string(tk[chunk_start + 1 : chunk_start + 32], ' ')
-             AS chunk_text
-    FROM ex
-    """,
-)
-def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking: every document split into overlapping
-    32-token windows at stride 24 (``pipeline/chunking.py`` — tokenizer-
-    overflow window rule, integer boundary arithmetic, shuffle-free
-    explode).  The oracle replays the same rule with DuckDB list slicing."""
-    from ophidia_io_server_spark.pipeline.chunking import chunk_sliding
-
-    docs = load_table(spark, sf_dir, "documents")
-    return chunk_sliding(docs, window=32, stride=24)
-
-
-@workload(
-    "doc_perplexity_lm",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-      FROM documents WHERE text IS NOT NULL),
-    big AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS w1, tk[i + 1] AS w2
-      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
-            FROM toks WHERE len(tk) >= 2)),
-    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-           FROM big GROUP BY w1, w2),
-    cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
-    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
-          FROM (SELECT unnest(tk) AS t FROM toks)),
-    lp AS (SELECT big.doc_id, big.pos,
-                  ln((bc.c12 + 1) / (cc.c1 + v.vsz)) AS lp
-           FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v),
-    s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                 list_aggregate(list(lp ORDER BY pos), 'sum') AS slp
-          FROM lp GROUP BY doc_id)
-    SELECT doc_id, n_bigrams,
-           ROUND(slp / n_bigrams, 6) AS avg_logprob,
-           ROUND(exp(-(slp / n_bigrams)), 6) AS ppl
-    FROM s
-    """,
-)
-def doc_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality signal: self-trained add-one bigram model,
-    per-document mean log-probability and perplexity
-    (``pipeline/lm.py``).  Train = two map-side-combined count
-    aggregations; score = shuffled equi-join on (w1, w2) with the context
-    join riding the same key prefix; V is a scalar broadcast.  Per-doc
-    sums fold bigrams in position order so both engines add the same
-    floats in the same sequence; ln/exp sit inside the 6-dp rounding."""
-    from ophidia_io_server_spark.pipeline.lm import perplexity_scores
-
-    docs = load_table(spark, sf_dir, "documents")
-    return perplexity_scores(docs)
-
-
-@workload(
-    "doc_ccnet_buckets",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-      FROM documents WHERE text IS NOT NULL),
-    big AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS w1, tk[i + 1] AS w2
-      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
-            FROM toks WHERE len(tk) >= 2)),
-    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-           FROM big GROUP BY w1, w2),
-    cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
-    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
-          FROM (SELECT unnest(tk) AS t FROM toks)),
-    lp AS (SELECT big.doc_id, big.pos,
-                  ln((bc.c12 + 1) / (cc.c1 + v.vsz)) AS lp
-           FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
-           WHERE big.pos % 16 <> 0),
-    cs AS (SELECT doc_id, CAST((pos - 1) // 16 AS BIGINT) AS chunk,
-                  CAST(COUNT(*) AS BIGINT) AS nb,
-                  list_aggregate(list(lp ORDER BY pos), 'sum') AS slp
-           FROM lp GROUP BY doc_id, chunk),
-    rk AS (SELECT doc_id, chunk,
-                  row_number() OVER (
-                    ORDER BY CAST(-FLOOR(slp / nb * 1e6) AS BIGINT),
-                             doc_id, chunk) AS rn,
-                  COUNT(*) OVER () AS n
-           FROM cs)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_head,
-           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 1 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_middle,
-           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 2 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_tail
-    FROM rk GROUP BY doc_id
-    """,
-)
-def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet segment filtering (Wenzek et al. 2020,
-    ``pipeline/lm.py::ccnet_chunk_buckets``): 16-token segments scored
-    by mean bigram log-probability under the self-trained corpus LM,
-    ranked corpus-wide via ``global_dense_rank`` (no single-partition
-    window), bucketed into head/middle/tail terciles by integer
-    arithmetic on (rank, total).  The ordering key is the integer
-    ``-floor(mean·10⁶)`` so the ≤1-ulp ln() discrepancy between libm
-    and the JVM cannot flip the corpus-wide order (a flip needs an
-    exact 10⁻⁶ grid hit, measure-zero for ln sums); ties break on
-    (doc_id, chunk) in both engines."""
-    from ophidia_io_server_spark.pipeline.lm import ccnet_chunk_buckets
-
-    docs = load_table(spark, sf_dir, "documents")
-    return ccnet_chunk_buckets(docs, chunk_tokens=16)
-
-
-@workload(
-    "bpe_train_invariants",
-    oracle="""
-    WITH w AS (
-      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS word
-            FROM documents WHERE text IS NOT NULL)
-      GROUP BY word)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
-           CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars,
-           TRUE AS learned_in_range,
-           TRUE AS all_reconstruct,
-           TRUE AS compression_ok
-    FROM w
-    """,
-)
-def bpe_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE training in the gate (iterative argmax — not one-query SQL, so
-    the oracled surface is exact corpus stats + invariant booleans, the
-    sketch-row pattern): 12 merges over the documents word-type table
-    (``pipeline/bpe.py``).  ``all_reconstruct`` proves every word type's
-    symbol sequence concatenates back to the word after all merges;
-    ``compression_ok`` proves each merge round removed ≥min_pair_freq
-    symbol occurrences (total mass ≤ chars − 2·k).  The merge SEQUENCE
-    itself is pinned against a pure-Python Sennrich reference in
-    ``tests/test_bpe.py``."""
-    from ophidia_io_server_spark.pipeline.bpe import train_bpe
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges, wf = train_bpe(docs, 12)
-    k = len(merges)
-    return wf.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
-        F.sum(F.col("freq") * F.length("word")).cast("bigint").alias("total_chars"),
-        F.sum(F.col("freq") * F.size("symbols")).cast("bigint").alias("_syms"),
-        F.bool_and(F.concat_ws("", F.col("symbols")) == F.col("word"))
-         .alias("all_reconstruct"),
-    ).select(
-        "n_word_types", "total_chars",
-        F.lit(1 <= k <= 12).alias("learned_in_range"),
-        "all_reconstruct",
-        ((F.col("_syms") + 2 * k) <= F.col("total_chars")).alias("compression_ok"),
-    )
-
-
-@workload(
-    "lang_temperature_mix",
-    oracle="""
-    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-               FROM documents GROUP BY lang),
-    t AS (SELECT list_aggregate(list(pow(n_docs, 0.7) ORDER BY lang), 'sum')
-                   AS denom,
-                 CAST(SUM(n_docs) AS BIGINT) AS n_total
-          FROM c)
-    SELECT c.lang, c.n_docs,
-           ROUND(pow(c.n_docs, 0.7) / t.denom, 6) AS weight,
-           ROUND(LEAST(1.0, pow(c.n_docs, 0.7) / t.denom * t.n_total * 0.5
-                            / c.n_docs), 6) AS target_rate,
-           TRUE AS rate_ok
-    FROM c CROSS JOIN t
-    """,
-)
-def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """α-temperature source mixing over the (skewed) language strata:
-    the per-language sampling plan (``pipeline/mixing.py`` — n^α weights
-    normalized by a language-ordered fold, capped Bernoulli rates) plus a
-    ``rate_ok`` boolean proving the deterministic hash selection lands
-    inside the 4σ binomial envelope of its target rate.  Plan algebra is
-    exact SQL; the xxhash64 selection is the invariant-boolean surface
-    (same pattern as the sampling/split rows)."""
-    from ophidia_io_server_spark.pipeline.mixing import (
-        source_mixing_plan,
-        temperature_sample,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    plan = source_mixing_plan(docs, 0.7, 0.5, source_col="lang")
-    got = (
-        temperature_sample(docs, 0.7, 0.5, source_col="lang",
-                           key_col="doc_id", seed=11)
-        .groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_sel"))
-    )
-    sd = F.sqrt(F.col("target_rate") * (1 - F.col("target_rate")) * F.col("n_docs"))
-    return (
-        plan.join(got, on="lang", how="left")
-        .select(
-            "lang", "n_docs", "weight", "target_rate",
-            (F.abs(F.coalesce(F.col("n_sel"), F.lit(0))
-                   - F.col("target_rate") * F.col("n_docs"))
-             <= 4 * sd + 1).alias("rate_ok"),
-        )
-    )
-
-
-@workload(
-    "events_pivot_hourly",
-    oracle="""
-    SELECT CAST(hour(ts) AS BIGINT) AS hour,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_n,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_n,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_n,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_n,
-           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
-                         FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
-             AS purchase_cents
-    FROM events GROUP BY hour(ts)
-    """,
-)
-def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT (wide conditional aggregation): per hour-of-day, one column
-    per event type — Spark's ``groupBy().pivot(values).agg()`` with the
-    value list pinned (no extra distinct-scan job), executed as a single
-    hash aggregate; the oracle is the equivalent FILTER aggregation.
-    Money goes through round-to-cents BIGINT (order-free sums)."""
-    ev = load_table(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    wide = (
-        ev.withColumn("hour", F.hour(F.col("ts").cast("timestamp")).cast("bigint"))
-        .groupBy("hour")
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("cents"))
-    )
-    return wide.select(
-        "hour",
-        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"{t}_n")
-          for t in types],
-        F.coalesce(F.col("purchase_cents"), F.lit(0)).cast("bigint")
-         .alias("purchase_cents"),
-    )
-
-
-_CQR_AS_CTE = (
-    WORKLOADS["curation_quality_rules"].oracle
-    .replace("FROM documents", "FROM dd")
-    .replace("FROM g ORDER BY doc_id", "FROM g")
-)
-
-
-@workload(
-    "stream_curation_recipe",
-    oracle=f"""
-    WITH dd AS (SELECT MIN(doc_id) AS doc_id, text
-                FROM documents WHERE text IS NOT NULL GROUP BY text),
-    cqr AS ({_CQR_AS_CTE}),
-    pii AS (SELECT doc_id,
-           {_redact_oracle_exprs()},
-           (n_url + n_email + n_ipv4 + n_phone) > 0 AS has_pii
-           FROM dd)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_gopher_keep,
-           CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_with_pii,
-           CAST(SUM(CASE WHEN gopher_keep THEN n_words ELSE 0 END) AS BIGINT)
-             AS kept_words
-    FROM cqr JOIN pii USING (doc_id)
-    """,
-)
-def stream_curation_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming RECIPE prefix end-to-end (``pipeline/recipe.py::
-    curate_stream``): the doubled document corpus re-ingested as a file
-    stream, content-hash dedup in the state store, Gopher rules + PII
-    redaction applied incrementally — aggregates over the curated stream
-    must equal the batch rule/redaction oracles over distinct texts.  The
-    oracle REUSES the `curation_quality_rules` SQL mirror verbatim over
-    the deduplicated CTE (one source of truth for the rule algebra)."""
-    import hashlib
-    import os
-
-    from ophidia_io_server_spark.pipeline.recipe import curate_stream
-    from ophidia_io_server_spark.streaming.ingest import run_available_now
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/ophidia_stream_docs_{tag}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        docs.unionAll(docs).write.mode("overwrite").parquet(path)
-        open(f"{path}/_SUCCESS", "a").close()
-    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
-    curated = curate_stream(stream).drop("text_redacted")
-    per_doc = run_available_now(curated, f"stream_recipe_{tag}",
-                                output_mode="append")
-    return per_doc.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.col("gopher_keep").cast("int")).cast("bigint")
-         .alias("n_gopher_keep"),
-        F.sum(F.col("has_pii").cast("int")).cast("bigint").alias("n_with_pii"),
-        F.sum(F.when(F.col("gopher_keep"), F.col("n_words")).otherwise(0))
-         .cast("bigint").alias("kept_words"),
-    )
-
-
-def _pagerank_oracle(iters: int, d: float = 0.85) -> str:
-    """Unrolled power-iteration oracle (recursive CTEs cannot aggregate in
-    the recursive term, so the fixed iteration count is generated as a CTE
-    chain).  Every float expression mirrors `operators/graph.py::pagerank`
-    with exact_fold: incoming contributions fold in src order, dangling
-    mass folds in node order, identical literals and association."""
-    sql = """
-    WITH s AS (SELECT event_type AS src,
-                      lead(event_type) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_id) AS dst
-               FROM events),
-    e AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
-          FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
-    outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
-    ep AS MATERIALIZED (SELECT e.src, e.dst, e.w / outw.ow AS p
-           FROM e JOIN outw USING (src)),
-    nodes AS (SELECT DISTINCT node FROM
-              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-    r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank
-          FROM nodes CROSS JOIN nn)"""
-    for i in range(1, iters + 1):
-        sql += f""",
-    dang{i} AS (SELECT COALESCE(list_aggregate(list(r.rank ORDER BY r.node),
-                                               'sum'), 0.0) AS dm
-                FROM r{i - 1} r LEFT JOIN outw ON r.node = outw.src
-                WHERE outw.src IS NULL),
-    r{i} AS MATERIALIZED (
-      SELECT nodes.node,
-             (1 - {d}) / nn.n
-               + {d} * (COALESCE(inc.m, 0.0) + dang{i}.dm / nn.n) AS rank
-      FROM nodes CROSS JOIN nn CROSS JOIN dang{i}
-      LEFT JOIN (SELECT ep.dst AS node,
-                        list_aggregate(list(r.rank * ep.p ORDER BY ep.src),
-                                       'sum') AS m
-                 FROM ep JOIN r{i - 1} r ON ep.src = r.node
-                 GROUP BY ep.dst) inc USING (node))"""
-    sql += f"""
-    SELECT node, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node"""
-    return sql
-
-
-@workload("events_pagerank_transitions", oracle=_pagerank_oracle(12))
-def events_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damped PageRank over the event-type transition graph (edges =
-    consecutive event types per user, weighted by transition count) —
-    the generic distributed power iteration of ``operators/graph.py``
-    (per round: one edges⋈ranks join + one groupBy(dst); dangling mass a
-    broadcast scalar; lineage checkpointed).  ``exact_fold`` orders every
-    float addition so the unrolled-CTE oracle reproduces each iteration
-    bitwise; the numpy differential in ``tests/test_graph.py`` covers the
-    general algorithm on random digraphs with dangling nodes."""
-    from pyspark.sql import Window
-
-    from ophidia_io_server_spark.operators.graph import pagerank
-
-    ev = load_table(spark, sf_dir, "events")
-    wdw = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = ev.select(F.col("event_type").alias("src"),
-                  F.lead("event_type").over(wdw).alias("dst"))
-    edges = (s.where(F.col("dst").isNotNull())
-             .groupBy("src", "dst")
-             .agg(F.count(F.lit(1)).cast("double").alias("w")))
-    ranks = pagerank(edges, iters=12, weight_col="w", exact_fold=True)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
-
-
-@workload(
-    "events_rolling_zscore",
-    oracle="""
-    WITH base AS (
-      SELECT event_id, user_id, value,
-             -- empty trailing frame: Spark collect_list gives [], DuckDB
-             -- list() gives NULL — coalesce to align
-             COALESCE(list(value) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id
-                               ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING),
-                      []) AS vs
-      FROM events),
-    st AS (
-      SELECT event_id, user_id, value,
-             CAST(len(vs) AS BIGINT) AS n_win,
-             list_aggregate(vs, 'sum') AS s,
-             list_aggregate(list_transform(vs, x -> x * x), 'sum') AS ss
-      FROM base),
-    z AS (
-      SELECT event_id, user_id, value, n_win,
-             CASE WHEN n_win >= 5
-                  AND (ss - s * s / n_win) / (n_win - 1) > 0
-                  THEN ROUND((value - s / n_win)
-                             / sqrt((ss - s * s / n_win) / (n_win - 1)), 4)
-             END AS zscore
-      FROM st)
-    SELECT event_id, user_id, n_win, zscore,
-           COALESCE(abs(zscore) > 3.0, FALSE) AS is_anomaly
-    FROM z
-    """,
-)
-def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling anomaly detection: each event's value z-scored against the
-    TRAILING 19-event window of the same user (current row excluded — no
-    self-contamination).  The window stats fold the frame's value list in
-    frame order (``collect_list`` over the ROWS frame ↔ DuckDB ``list()
-    OVER``), so both engines add the same floats in the same order —
-    incremental sliding-window aggregates would drift.  Windows under 5
-    samples or with zero variance yield NULL z (flagged false)."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(-19, -1))
-    vals = F.collect_list("value").over(w)
-    base = ev.select("event_id", "user_id", "value", vals.alias("vs"))
-    n = F.size("vs").cast("bigint")
-    s = F.aggregate("vs", F.lit(0.0), lambda a, x: a + x)
-    ss = F.aggregate(F.transform("vs", lambda x: x * x),
-                     F.lit(0.0), lambda a, x: a + x)
-    st = base.select("event_id", "user_id", "value",
-                     n.alias("n_win"), s.alias("s"), ss.alias("ss"))
-    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_win")) \
-        / (F.col("n_win") - 1)
-    zscore = F.when(
-        (F.col("n_win") >= 5) & (var > 0),
-        F.round((F.col("value") - F.col("s") / F.col("n_win")) / F.sqrt(var), 4),
-    )
-    return (
-        st.withColumn("zscore", zscore)
-        .select("event_id", "user_id", "n_win", "zscore",
-                F.coalesce(F.abs(F.col("zscore")) > 3.0, F.lit(False))
-                 .alias("is_anomaly"))
-    )
-
-
-@workload(
-    "fragment_merge_upsert",
-    oracle=f"""
-    {_FRAG_QTY_CTE},
-    base AS (SELECT id_dim, measure FROM frag_qty WHERE id_dim <= 1000),
-    upd AS (SELECT id_dim, list_transform(measure, x -> x * 2.0) AS measure
-            FROM frag_qty WHERE id_dim > 500 AND id_dim <= 1500),
-    m AS (SELECT COALESCE(u.id_dim, b.id_dim) AS id_dim,
-                 COALESCE(u.measure, b.measure) AS measure
-          FROM base b FULL JOIN upd u ON b.id_dim = u.id_dim)
-    SELECT id_dim, CAST(len(measure) AS BIGINT) AS n_vals,
-           ROUND(list_aggregate(measure, 'sum'), 6) AS total
-    FROM m
-    """,
-)
-def fragment_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO for the fragment store (``catalog.merge_upsert``):
-    update rows replace same-key rows (ids 500-1000 get 2× measures),
-    unmatched updates insert (ids 1000-1500), unmatched base rows
-    survive (ids ≤ 500) — one full-outer equi-join with row-level
-    update-wins coalesce, the Delta/Iceberg MERGE core on the in-memory
-    store.  Oracle = the FULL JOIN reconstruction."""
-    from ophidia_io_server_spark.catalog import merge_upsert
-
-    frag = lineitem_fragment_cached(spark, sf_dir, "l_quantity")
-    base = frag.where(F.col("id_dim") <= 1000)
-    upd = frag.where((F.col("id_dim") > 500) & (F.col("id_dim") <= 1500)) \
-        .select("id_dim", F.transform("measure", lambda x: x * 2.0).alias("measure"))
-    merged = merge_upsert(base, upd, key="id_dim")
-    return merged.select(
-        "id_dim",
-        F.size("measure").cast("bigint").alias("n_vals"),
-        F.round(F.aggregate("measure", F.lit(0.0), lambda a, x: a + x), 6)
-         .alias("total"),
-    )
-
-
-@workload(
-    "token_heavy_hitters",
-    oracle="""
-    WITH t AS (
-      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS item
-      FROM documents WHERE text IS NOT NULL)
-    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
-             AS rank
-    FROM t GROUP BY item
-    ORDER BY cnt DESC, item LIMIT 10
-    """,
-)
-def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 corpus tokens via Misra-Gries candidates + exact verify
-    (``pipeline/heavy.py``): per-partition MG(64) summaries bound the
-    shuffle at k·partitions rows instead of the vocabulary, then exact
-    counts for candidates only.  The oracle is the full exact top-10 —
-    valid because every item above n/65 support provably survives MG, and
-    this corpus's 10th token sits far above that threshold (the pytest
-    property test covers adversarial layouts)."""
-    from ophidia_io_server_spark.pipeline.heavy import heavy_hitters
-    from ophidia_io_server_spark.pipeline.text import tokens_col
-    from ophidia_io_server_spark.sources.tables import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.where(F.col("text").isNotNull()).select(
-        F.explode(tokens_col(F.col("text"))).alias("tok"))
-    top = heavy_hitters(toks, "tok", k=64, top_n=10)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
-    return top.select(F.col("item"), "cnt",
-                      F.row_number().over(w).cast("bigint").alias("rank"))
-
-
-@workload(
-    "stream_heavy_hitters",
-    oracle="""
-    WITH t AS (
-      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS item
-      FROM documents WHERE text IS NOT NULL)
-    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
-             AS rank,
-           TRUE AS margin_ok
-    FROM t GROUP BY item
-    ORDER BY cnt DESC, item LIMIT 10
-    """,
-)
-def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING heavy hitters with bounded state
-    (``streaming/ingest.py::heavy_hitters_stream``): the token stream is
-    ingested one file per trigger; per-bucket Misra-Gries counters live in
-    the state store (O(k·buckets) forever — never vocabulary-sized), each
-    batch emits its buckets' survivor snapshots, the max-round snapshot
-    per bucket is the final candidate set, and a batch verify join
-    computes exact counts for candidates only.  The oracle is the exact
-    corpus top-10 — identical to the batch ``token_heavy_hitters`` row,
-    proving the incremental MG survivors cover the true heavy hitters of
-    the WHOLE stream, not per batch.
-
-    ``margin_ok`` is the distribution-independence certificate (r6
-    ADVICE): MG only guarantees survival for items with frequency >
-    W_bucket/(k+1), so equality with the exact top-10 is conditional.
-    If the 10th candidate count strictly exceeds max_b(W_b)/(k+1), then
-    EVERY corpus item with count ≥ that 10th count is provably a
-    survivor of its own bucket (its bucket's bound is ≤ the max), so
-    the candidate top-10 — including any tie at the rank-10 cut — equals
-    the true corpus top-10.  A regenerated corpus with a flatter tail
-    flips this boolean (one named row) instead of nondeterministically
-    scrambling the top-10 hash."""
-    import hashlib
-    import os
-
-    from ophidia_io_server_spark.streaming.ingest import (
-        final_candidates,
-        heavy_hitters_stream,
-        run_available_now,
-    )
-
-    tag = _corpus_tag(sf_dir, "documents", salt="hh")
-    path = f"/tmp/ophidia_stream_toks_{tag}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        from ophidia_io_server_spark.pipeline.text import tokens_col
-
-        docs = load_table(spark, sf_dir, "documents")
-        (docs.where(F.col("text").isNotNull())
-         .select(F.explode(tokens_col(F.col("text"))).alias("item"))
-         .repartition(6).write.mode("overwrite").parquet(path))
-        open(f"{path}/_SUCCESS", "a").close()
-    stream = (spark.readStream.schema("item string")
-              .option("maxFilesPerTrigger", 1).parquet(path))
-    emitted = run_available_now(
-        heavy_hitters_stream(stream, "item", k=64, buckets=16),
-        f"stream_hh_{tag}", output_mode="update")
-    cand = final_candidates(emitted)
-    corpus = spark.read.parquet(path)
-    exact = (
-        corpus.join(F.broadcast(cand), on="item", how="left_semi")
-        .groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
-    # Certificate: max per-bucket token window over (k+1) — if the 10th
-    # candidate count clears it, the candidate top-10 IS the corpus top-10.
-    max_w = (corpus.groupBy(
-                F.pmod(F.xxhash64("item"), F.lit(16)).alias("bkt"))
-             .agg(F.count(F.lit(1)).alias("wb"))
-             .agg(F.max("wb").alias("mx")))
-    bound = (max_w.select((F.col("mx") / F.lit(64 + 1)).alias("bound")))
-    top10 = (exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(10)
-             .select("item", "cnt",
-                     F.row_number().over(w).cast("bigint").alias("rank")))
-    return top10.crossJoin(F.broadcast(bound)).select(
-        "item", "cnt", "rank",
-        (F.min("cnt").over(Window.partitionBy()) > F.col("bound"))
-        .alias("margin_ok"))
-
-
-@workload(
-    "doc_stupid_backoff_lm",
-    oracle="""
-    WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                           x -> x <> '') AS tk
-                FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
-    sc AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                      x -> x <> '') AS tk
-           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
-    t3 AS MATERIALIZED (
-      SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
-             CAST(COUNT(*) AS BIGINT) AS c3
-      FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
-            FROM tr WHERE len(tk) >= 3) GROUP BY 1, 2, 3),
-    t2 AS MATERIALIZED (
-      SELECT tk[i] AS a, tk[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS c2
-      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
-            FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2),
-    t1 AS MATERIALIZED (
-      SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
-      FROM (SELECT unnest(tk) AS t FROM tr) GROUP BY t),
-    nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS N,
-                  CAST(COUNT(*) AS BIGINT) AS V FROM t1),
-    sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                  tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
-           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
-                 FROM sc WHERE len(tk) >= 3)),
-    j AS (SELECT sg.doc_id, sg.pos,
-            CASE WHEN t3.c3 IS NOT NULL THEN ln(t3.c3 / p2.c2)
-                 WHEN b2.c2 IS NOT NULL THEN ln(0.4 * b2.c2 / cx.c1)
-                 ELSE ln(0.4 * 0.4 * (COALESCE(cw.c1, 0) + 1)
-                         / (nv.N + nv.V)) END AS ls,
-            CASE WHEN t3.c3 IS NOT NULL THEN 3
-                 WHEN b2.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl
-          FROM sg
-          LEFT JOIN t3 ON sg.w1 = t3.w1 AND sg.w2 = t3.w2 AND sg.w3 = t3.w3
-          LEFT JOIN t2 p2 ON sg.w1 = p2.a AND sg.w2 = p2.b
-          LEFT JOIN t2 b2 ON sg.w2 = b2.a AND sg.w3 = b2.b
-          LEFT JOIN t1 cx ON sg.w2 = cx.t
-          LEFT JOIN t1 cw ON sg.w3 = cw.t
-          CROSS JOIN nv)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_backoff2,
-           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_backoff1,
-           ROUND(list_aggregate(list(ls ORDER BY pos), 'sum') / COUNT(*), 6)
-             AS avg_logscore
-    FROM j GROUP BY doc_id
-    """,
-)
-def doc_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stupid Backoff trigram LM (Brants et al. 2007 — the
-    distributed-by-construction scheme: unnormalized count tables + a
-    left-join cascade) scored on a true held-out split: even doc_ids
-    train, odd doc_ids score, so the order-2/order-1 backoff paths fire
-    on genuinely unseen n-grams (the backoff counters in the output prove
-    it).  ``pipeline/lm.py::stupid_backoff_scores``; differential vs a
-    Python reference in tests/test_lm.py."""
-    from ophidia_io_server_spark.pipeline.lm import stupid_backoff_scores
-
-    docs = load_table(spark, sf_dir, "documents")
-    train = docs.where(F.col("doc_id") % 2 == 0)
-    score = docs.where(F.col("doc_id") % 2 == 1)
-    return stupid_backoff_scores(train, score)
-
-
-@workload(
-    "token_pmi_pairs",
-    oracle="""
-    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                             x -> x <> '') AS tk
-                  FROM documents WHERE text IS NOT NULL),
-    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
-           FROM toks WHERE len(tk) >= 2),
-    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
-                  greatest(tk[i], tk[i + d]) AS wb
-           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
-                unnest(range(1, 3)) AS t(d)
-           WHERE i + d <= n),
-    c12 AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c12
-            FROM pr GROUP BY wa, wb),
-    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
-            FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
-    tot AS (SELECT (SELECT CAST(SUM(c12) AS BIGINT) FROM c12) AS P,
-                   (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) AS N)
-    SELECT c12.wa, c12.wb, c12.c12,
-           ROUND(ln(c12.c12 / tot.P / (ca.c1 / tot.N) / (cb.c1 / tot.N)), 6)
-             AS pmi
-    FROM c12
-    JOIN uni ca ON c12.wa = ca.t
-    JOIN uni cb ON c12.wb = cb.t
-    CROSS JOIN tot
-    WHERE c12.c12 >= 5
-    """,
-)
-def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed co-occurrence PMI over the corpus (±2 positions,
-    ``pipeline/text.py::cooccurrence_pmi``): pairs stream off each token
-    array with no self-join, one count shuffle, unigram/total joins.
-    The PMI division chain is mirrored token-for-token in the oracle."""
-    from ophidia_io_server_spark.pipeline.text import cooccurrence_pmi
-
-    docs = load_table(spark, sf_dir, "documents")
-    return cooccurrence_pmi(docs, window=2, min_count=5)
-
-
-@workload(
-    "token_triangle_counts",
-    oracle="""
-    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                             x -> x <> '') AS tk
-                  FROM documents WHERE text IS NOT NULL),
-    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
-           FROM toks WHERE len(tk) >= 2),
-    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
-                  greatest(tk[i], tk[i + d]) AS wb
-           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
-                unnest(range(1, 3)) AS t(d)
-           WHERE i + d <= n),
-    e AS (SELECT wa AS u, wb AS v FROM pr
-          WHERE wa <> wb GROUP BY wa, wb HAVING COUNT(*) >= 5),
-    tri AS (
-      SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      FROM e e1
-      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
-      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
-    ),
-    tn AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM (
-             SELECT a AS t FROM tri
-             UNION ALL SELECT b FROM tri
-             UNION ALL SELECT c FROM tri) GROUP BY t),
-    nodes AS (SELECT u AS t FROM e UNION SELECT v FROM e)
-    SELECT nodes.t AS node, COALESCE(tn.n, 0) AS n_triangles
-    FROM nodes LEFT JOIN tn USING (t)
-    """,
-)
-def token_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the token co-occurrence graph (the
-    same ±2-window, count ≥ 5 edge list as LPA/PMI, self-loops dropped)
-    via degree-ordered orientation (``operators/graph.triangle_counts``)
-    — wedge volume bounded O(m^1.5) instead of Σdeg², each triangle
-    generated once at its lowest-ordered vertex.  The oracle is the
-    literal lexicographic triple self-join."""
-    from ophidia_io_server_spark.operators.graph import triangle_counts
-    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
-
-    docs = load_table(spark, sf_dir, "documents")
-    edges = (cooccurrence_counts(docs, window=2)
-             .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
-             .select(F.col("wa").alias("src"), F.col("wb").alias("dst")))
-    return (triangle_counts(edges)
-            .select(F.col("node"), F.col("n_triangles")))
-
-
-def _lpa_oracle(iters: int) -> str:
-    """Unrolled synchronous-LPA oracle over the token co-occurrence graph
-    (same CTE chain trick as ``_pagerank_oracle``; per-round top-1 is a
-    ROW_NUMBER over the grouped vote sums with the identical
-    (score DESC, label ASC) tie-break as ``operators/graph.py``)."""
-    sql = """
-    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                             x -> x <> '') AS tk
-                  FROM documents WHERE text IS NOT NULL),
-    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
-           FROM toks WHERE len(tk) >= 2),
-    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
-                  greatest(tk[i], tk[i + d]) AS wb
-           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
-                unnest(range(1, 3)) AS t(d)
-           WHERE i + d <= n),
-    e AS MATERIALIZED (
-      SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS w
-      FROM pr GROUP BY wa, wb HAVING COUNT(*) >= 5),
-    und AS MATERIALIZED (
-      SELECT wa AS u, wb AS v, w FROM e
-      UNION ALL SELECT wb AS u, wa AS v, w FROM e),
-    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und)"""
-    for i in range(1, iters + 1):
-        sql += f""",
-    l{i} AS MATERIALIZED (
-      SELECT node, label FROM (
-        SELECT und.v AS node, l.label, SUM(und.w) AS score,
-               ROW_NUMBER() OVER (PARTITION BY und.v
-                                  ORDER BY SUM(und.w) DESC, l.label ASC)
-                 AS rn
-        FROM und JOIN l{i - 1} l ON und.u = l.node
-        GROUP BY und.v, l.label)
-      WHERE rn = 1)"""
-    sql += f"""
-    SELECT node, label FROM l{iters}"""
-    return sql
-
-
-@workload("token_lpa_communities", oracle=_lpa_oracle(8))
-def token_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous weighted label propagation
-    (``operators/graph.py::label_propagation``) over the token
-    co-occurrence graph (±2-window pairs with count ≥ 5 — the same edge
-    list as ``token_pmi_pairs``, weights = co-occurrence counts).  The
-    oracle replays the identical 8 fixed rounds as an unrolled
-    materialized-CTE chain with the same deterministic tie-break, so the
-    full (node, label) mapping hashes exactly."""
-    from ophidia_io_server_spark.operators.graph import label_propagation
-    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
-
-    docs = load_table(spark, sf_dir, "documents")
-    edges = (cooccurrence_counts(docs, window=2)
-             .where(F.col("c12") >= 5)
-             .select(F.col("wa").alias("src"), F.col("wb").alias("dst"),
-                     F.col("c12").alias("w")))
-    return label_propagation(edges, iters=8, weight_col="w")
-
-
-@workload(
-    "tpch_q3_shipping_priority",
-    oracle="""
-    SELECT l.l_orderkey,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                         AS BIGINT)) AS BIGINT) AS revenue_e4,
-           o.o_orderdate, o.o_orderpriority
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15'
-      AND l.l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue_e4 DESC, o.o_orderdate, l.l_orderkey LIMIT 10
-    """,
-)
-def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 (shipping priority), adapted to the driver schema
-    (o_orderpriority in place of the absent o_shippriority): segment
-    filter pushed to the customer scan, broadcast customer→orders join at
-    bench scale / SMJ at warehouse scale via AQE, top-10 as
-    TakeOrderedAndProject.  Revenue is summed in exact 1e-4 units
-    (price·(1−disc) has 4 decimals) so the aggregate is order-free."""
-    cust = load_table(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
-        .cast("bigint")
-    return (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
-        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderdate"),
-                 F.col("l_orderkey"))
-        .limit(10)
-    )
-
-
-@workload(
-    "tpch_q10_returned_items",
-    oracle="""
-    SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                         AS BIGINT)) AS BIGINT) AS revenue_e4,
-           ROUND(c.c_acctbal, 2) AS c_acctbal
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate < TIMESTAMP '1996-04-01'
-    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
-    ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
-    """,
-)
-def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 (returned-item reporting): quarter + returnflag filters
-    pushed to the scans, nation broadcast, one aggregation, top-20 via
-    TakeOrderedAndProject; revenue in exact 1e-4 units."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_returnflag") == "R")
-    nat = load_table(spark, sf_dir, "nation")
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
-        .cast("bigint")
-    return (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
-        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
-        .select("c_custkey", "c_name", "n_name", "revenue_e4",
-                F.round("c_acctbal", 2).alias("c_acctbal"))
-        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
-
-
-@workload(
-    "doc_quality_deciles",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id, lang,
-             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-               AS BIGINT) AS n_tokens
-      FROM documents WHERE text IS NOT NULL)
-    SELECT doc_id, lang, n_tokens,
-           CAST(NTILE(10) OVER (PARTITION BY lang
-                                ORDER BY n_tokens, doc_id) AS BIGINT) AS decile,
-           CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
-           CAST(ROUND(PERCENT_RANK() OVER (PARTITION BY lang
-                                           ORDER BY n_tokens, doc_id)
-                      * (COUNT(*) OVER (PARTITION BY lang) - 1))
-                AS BIGINT) AS pr_num,
-           CAST(ROUND(CUME_DIST() OVER (PARTITION BY lang
-                                        ORDER BY n_tokens, doc_id)
-                      * COUNT(*) OVER (PARTITION BY lang))
-                AS BIGINT) AS cd_num
-    FROM m
-    """,
-)
-def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-ranking windows for quality bucketing: per-language
-    NTILE deciles + percent_rank/cume_dist over token counts — the
-    select-the-top-X%-per-stratum primitive of curation recipes.  Total
-    order pinned by (n_tokens, doc_id) so rank functions are deterministic
-    and engine-identical.  percent_rank/cume_dist are emitted as their
-    EXACT integer numerators (× (n−1) / × n, recovered by round — the
-    product of k/n with n is k up to one ulp): at the 10× corpus the raw
-    ratios land exactly on the 6dp rounding half-grid (5000-divisor
-    fractions like 0.0640625) where the engines' half-rounding rules
-    disagree (PERF.md r6, third boundary)."""
-    from pyspark.sql import Window
-
-    from ophidia_io_server_spark.pipeline.text import token_count_col
-
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    m = docs.select("doc_id", "lang",
-                    token_count_col(F.col("text")).alias("n_tokens"))
-    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
-    wl = Window.partitionBy("lang")
-    n_lang = F.count(F.lit(1)).over(wl)
-    return m.select(
-        "doc_id", "lang", "n_tokens",
-        F.ntile(10).over(w).cast("bigint").alias("decile"),
-        n_lang.cast("bigint").alias("n_lang"),
-        F.round(F.percent_rank().over(w) * (n_lang - 1)).cast("bigint")
-         .alias("pr_num"),
-        F.round(F.cume_dist().over(w) * n_lang).cast("bigint").alias("cd_num"),
-    )
-
-
-@workload(
-    "tpch_q14_promo_share",
-    oracle="""
-    SELECT date_trunc('month', l.l_shipdate) AS month,
-           CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
-                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                                    * 10000) AS BIGINT) ELSE 0 END)
-                AS BIGINT) AS promo_e4,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                         AS BIGINT)) AS BIGINT) AS total_e4,
-           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'ECONOMY'
-                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                                    * 10000) AS BIGINT) ELSE 0 END)
-                 / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                                  * 10000) AS BIGINT)), 4) AS promo_share
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    GROUP BY date_trunc('month', l.l_shipdate)
-    """,
-)
-def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 (promotion-revenue share) over the driver's part types:
-    lineitem ⋈ broadcast(part) — the dimension fits every executor — one
-    aggregation per ship month; revenue in exact 1e-4 units so sums and
-    the share ratio are order-free."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
-        .cast("bigint")
-    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
-    return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
-        .agg(F.sum(promo).cast("bigint").alias("promo_e4"),
-             F.sum(rev).cast("bigint").alias("total_e4"))
-        .select("month", "promo_e4", "total_e4",
-                F.round(100.0 * F.col("promo_e4") / F.col("total_e4"), 4)
-                 .alias("promo_share"))
-    )
-
-
-@workload(
-    "tpch_q19_disjunctive_revenue",
-    oracle="""
-    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                               * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
-           CAST(COUNT(*) AS BIGINT) AS n_lines
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
-           AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
-           AND l.l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 (discounted revenue under a disjunction of
-    brand/size/quantity clauses), adapted to the trimmed schema: the
-    reference query's shipmode/container/shipinstruct conjuncts have no
-    source columns, so each OR-branch keeps its brand + size + quantity
-    ranges.  The shape this row pins: an OR-of-ANDs predicate spanning
-    BOTH join sides still broadcasts the dimension and pushes the
-    single-side conjunct residues (brand/size) into the part scan;
-    revenue rides exact 1e-4 units."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                  * 10000).cast("bigint")
-    branch = [
-        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
-        & F.col("l_quantity").between(1, 11),
-        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
-        & F.col("l_quantity").between(10, 20),
-        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
-        & F.col("l_quantity").between(20, 30),
-    ]
-    return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .where(branch[0] | branch[1] | branch[2])
-        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"),
-             F.count(F.lit(1)).cast("bigint").alias("n_lines"))
-    )
-
-
-def _profile_oracle_block(col: str, numeric: bool) -> str:
-    base = (f"SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
-            f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-            f"AS n_null, CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, ")
-    if numeric:
-        base += (f"CAST(MIN({col}) AS DOUBLE) AS min_num, "
-                 f"CAST(MAX({col}) AS DOUBLE) AS max_num, "
-                 f"ROUND(SUM(CAST(ROUND({col} * 100) AS BIGINT)) / 100 "
-                 f"/ COUNT({col}), 6) AS mean_num ")
-    else:
-        base += ("CAST(NULL AS DOUBLE) AS min_num, "
-                 "CAST(NULL AS DOUBLE) AS max_num, "
-                 "CAST(NULL AS DOUBLE) AS mean_num ")
-    return base + "FROM orders"
-
-
-@workload(
-    "orders_profile",
-    oracle=" UNION ALL ".join(
-        _profile_oracle_block(c, n) for c, n in (
-            ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
-            ("o_totalprice", True), ("o_orderdate", False),
-            ("o_orderpriority", False),
-        )),
-)
-def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-profiling report over orders (``operators/profile.py``): every
-    column's cardinality/null stats plus numeric min/max/mean in ONE wide
-    aggregation (single scan — plan-shape pinned in tests), unpivoted to
-    one row per column with no driver round-trip.  Means use exact
-    2-decimal integer-scaled sums so the hash gate sees order-free
-    values; the oracle is the per-column UNION ALL formulation."""
-    from ophidia_io_server_spark.operators.profile import profile_table
-
-    return profile_table(load_table(spark, sf_dir, "orders"), mean_decimals=2)
-
-
-@workload(
-    "events_value_median",
-    oracle="""
-    WITH g AS (SELECT event_type, list_sort(list(value)) AS vs,
-                      CAST(COUNT(*) AS BIGINT) AS n
-               FROM events GROUP BY event_type)
-    SELECT event_type, n,
-           ROUND(CASE WHEN n % 2 = 1 THEN vs[(n + 1) // 2]
-                 ELSE (vs[n // 2] + vs[n // 2 + 1]) / 2 END, 6) AS median,
-           ROUND(vs[(n + 3) // 4], 6) AS q1_lower
-    FROM g
-    """,
-)
-def events_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT per-group median via sorted aggregation (the deterministic
-    counterpart of the `sketch_approx_stats` approximate quantiles): one
-    shuffle, per-group sorted value list, explicit element selection so
-    both engines implement the identical midpoint rule (no engine-specific
-    percentile interpolation).  Per-group collect is bounded by group
-    cardinality — the documented trade vs the sketch path at 100 TB."""
-    ev = load_table(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
-        F.array_sort(F.collect_list("value")).alias("vs"),
-        F.count(F.lit(1)).cast("bigint").alias("n"))
-    n = F.col("n")
-    vs = F.col("vs")
-    median = F.when(
-        n % 2 == 1, F.element_at(vs, F.expr("CAST((n + 1) div 2 AS INT)"))
-    ).otherwise(
-        (F.element_at(vs, F.expr("CAST(n div 2 AS INT)"))
-         + F.element_at(vs, F.expr("CAST(n div 2 + 1 AS INT)"))) / 2)
-    return g.select(
-        "event_type", "n",
-        F.round(median, 6).alias("median"),
-        F.round(F.element_at(vs, F.expr("CAST((n + 3) div 4 AS INT)")), 6)
-         .alias("q1_lower"),
-    )
-
-
-@workload(
-    "tpch_q4_order_priority",
-    oracle="""
-    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate < TIMESTAMP '1996-04-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_returnflag = 'R')
-    GROUP BY o.o_orderpriority
-    """,
-)
-def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 (order-priority checking) adapted to the driver schema
-    (returnflag='R' as the lateness predicate): the EXISTS subquery runs
-    as a LEFT SEMI hash join — lineitem never multiplies order rows, the
-    filter pushes to both scans."""
-    orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_returnflag") == "R").select("l_orderkey")
-    return (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
-    )
-
-
-@workload(
-    "events_session_outage_overlap",
-    oracle="""
-    WITH seq AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-      FROM events),
-    sess AS (
-      SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS sid
-      FROM seq),
-    sints AS (SELECT user_id, MIN(ts) AS s_start,
-                     MAX(ts) + INTERVAL 30 MINUTE AS s_end
-              FROM sess GROUP BY user_id, sid),
-    err AS (SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS e
-            FROM events WHERE event_type = 'error'),
-    eseq AS (
-      SELECT user_id, ts, e,
-             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-                  OR ts > MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  THEN 1 ELSE 0 END AS new_w
-      FROM err),
-    ew AS (SELECT user_id, ts, e,
-                  SUM(new_w) OVER (PARTITION BY user_id ORDER BY ts, e
-                                   ROWS UNBOUNDED PRECEDING) AS wid
-           FROM eseq),
-    outages AS (SELECT user_id, MIN(ts) AS outage_start,
-                       MAX(e) AS outage_end
-                FROM ew GROUP BY user_id, wid)
-    SELECT s.user_id, s.s_start, s.s_end, o.outage_start, o.outage_end
-    FROM sints s JOIN outages o
-      ON s.user_id = o.user_id
-     AND s.s_start < o.outage_end AND o.outage_start < s.s_end
-    """,
-)
-def events_session_outage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval × interval overlap join (``operators/temporal.py::
-    interval_overlap_join``): per-user activity sessions (30-min gap rule,
-    extended 30 min past the last event) overlapped with merged error-
-    outage windows.  Each overlapping pair is emitted at exactly ONE
-    shared time bucket (max of the two first-buckets) — no distinct pass —
-    with the residual predicate making the match exact.  Oracle = the
-    plain inequality join."""
-    from pyspark.sql import Window
-
-    from ophidia_io_server_spark.operators.temporal import (
-        interval_overlap_join,
-        merge_intervals,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = (tsl - F.lag(tsl).over(w)) > 1800 * 1_000_000
-    sess = (
-        ev.withColumn("new_s", F.when(gap, 1).otherwise(0))
-        .withColumn("sid", F.sum("new_s").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "sid")
-        .agg(F.min("ts").alias("s_start"),
-             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"))
-        .drop("sid")
-    )
-    err = ev.where(F.col("event_type") == "error").select(
-        "user_id", F.col("ts").alias("start_ts"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
-    outages = merge_intervals(err, on="user_id").select(
-        "user_id", F.col("start_ts").alias("outage_start"),
-        F.col("end_ts").alias("outage_end"))
-    return interval_overlap_join(
-        sess, outages, on="user_id",
-        left_start="s_start", left_end="s_end",
-        right_start="outage_start", right_end="outage_end",
-        bin_seconds=1800,
-    ).select("user_id", "s_start", "s_end", "outage_start", "outage_end")
-
-
-@workload(
-    "tpch_q18_large_orders",
-    oracle="""
-    WITH big AS (SELECT l_orderkey FROM lineitem
-                 GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
-    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
-           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    JOIN big ON o.o_orderkey = big.l_orderkey
-    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-             o.o_totalprice
-    ORDER BY total_cents DESC, o.o_orderkey LIMIT 100
-    """,
-)
-def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 (large-volume customers): the HAVING subquery runs as an
-    aggregate + semi-style join on orderkey — lineitem is aggregated
-    FIRST, so the big-order filter prunes orders before the wide join;
-    l_quantity is integral-valued so its double sums are order-free, and
-    price goes through exact cents.  Top-100 is TakeOrderedAndProject."""
-    li = load_table(spark, sf_dir, "lineitem")
-    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
-           .where(F.col("q") > 180).select("l_orderkey"))
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
-        .join(big.withColumnRenamed("l_orderkey", "big_ok"),
-              F.col("o_orderkey") == F.col("big_ok"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
-        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
-                 .alias("total_cents"), "sum_qty")
-        .orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
-        .limit(100)
-    )
-
-
-@workload(
-    "stream_temperature_mix",
-    oracle="""
-    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-               FROM documents GROUP BY lang),
-    t AS (SELECT list_aggregate(list(pow(n_docs, 0.7) ORDER BY lang), 'sum')
-                   AS denom,
-                 CAST(SUM(n_docs) AS BIGINT) AS n_total
-          FROM c)
-    SELECT c.lang, c.n_docs,
-           ROUND(pow(c.n_docs, 0.7) / t.denom, 6) AS weight,
-           ROUND(LEAST(1.0, pow(c.n_docs, 0.7) / t.denom * t.n_total * 0.5
-                            / c.n_docs), 6) AS target_rate,
-           TRUE AS stream_equals_batch,
-           TRUE AS rate_ok
-    FROM c CROSS JOIN t
-    """,
-)
-def stream_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """α-temperature mixing as an INCREMENTAL stage
-    (``pipeline/mixing.py::temperature_mix_stream``): the corpus
-    re-ingested as a one-file-per-trigger parquet stream, the batch-built
-    rate plan applied as a broadcast stream-static join + deterministic
-    hash-Bernoulli keep in each micro-batch.  The gate booleans prove (a)
-    ``stream_equals_batch``: per-source selected counts over the drained
-    stream are EXACTLY the batch ``temperature_sample`` counts — the fixed
-    deterministic plan makes incremental application row-identical, the
-    property that lets an epoch's mix be applied on the fly; (b)
-    ``rate_ok``: selection lands inside the 4σ binomial envelope of the
-    SQL-mirrored plan rates."""
-    import hashlib
-    import os
-
-    from ophidia_io_server_spark.pipeline.mixing import (
-        source_mixing_plan,
-        temperature_mix_stream,
-        temperature_sample,
-    )
-    from ophidia_io_server_spark.streaming.ingest import run_available_now
-
-    docs = load_table(spark, sf_dir, "documents")
-    tag = _corpus_tag(sf_dir, "documents", salt="mix")
-    path = f"/tmp/ophidia_stream_mix_{tag}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        docs.select("doc_id", "lang").repartition(8).write.mode(
-            "overwrite").parquet(path)
-        open(f"{path}/_SUCCESS", "a").close()
-    plan = source_mixing_plan(docs, 0.7, 0.5, source_col="lang")
-    stream = (
-        spark.readStream.schema("doc_id long, lang string")
-        .option("maxFilesPerTrigger", 1).parquet(path)
-    )
-    mixed = temperature_mix_stream(stream, plan, source_col="lang",
-                                   key_col="doc_id", seed=11)
-    landed = run_available_now(mixed, f"stream_mix_{tag}", output_mode="append")
-    n_stream = landed.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_stream"))
-    n_batch = (
-        temperature_sample(docs, 0.7, 0.5, source_col="lang",
-                           key_col="doc_id", seed=11)
-        .groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
-    )
-    sd = F.sqrt(F.col("target_rate") * (1 - F.col("target_rate")) * F.col("n_docs"))
-    return (
-        plan.join(n_stream, on="lang", how="left")
-        .join(n_batch, on="lang", how="left")
-        .select(
-            "lang", "n_docs", "weight", "target_rate",
-            (F.coalesce(F.col("n_stream"), F.lit(0))
-             == F.coalesce(F.col("n_batch"), F.lit(0)))
-             .alias("stream_equals_batch"),
-            (F.abs(F.coalesce(F.col("n_stream"), F.lit(0))
-                   - F.col("target_rate") * F.col("n_docs"))
-             <= 4 * sd + 1).alias("rate_ok"),
-        )
-    )
-
-
-@workload(
-    "doc_kneser_ney_lm",
-    oracle="""
-    WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                           x -> x <> '') AS tk
-                FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
-    sc AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                      x -> x <> '') AS tk
-           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
-    bg AS MATERIALIZED (
-      SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
-      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
-            FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2),
-    cc AS MATERIALIZED (
-      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
-             CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn1,
-             CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tn2,
-             CAST(SUM(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS tn3p
-      FROM bg GROUP BY w1),
-    cont AS MATERIALIZED (
-      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nprec FROM bg GROUP BY w2),
-    voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS V
-            FROM (SELECT unnest(tk) AS t FROM tr)),
-    coc AS (SELECT
-      CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-      CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-      CAST(SUM(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
-      CAST(SUM(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
-      CAST(COUNT(*) AS BIGINT) AS T FROM bg),
-    ys AS (SELECT coc.*, voc.V,
-                  n1 / NULLIF(n1 + 2.0 * n2, 0.0) AS y
-           FROM coc CROSS JOIN voc),
-    ds AS (SELECT T, V,
-      least(greatest(COALESCE(
-        1.0 - 2.0 * y * n2 / NULLIF(CAST(n1 AS DOUBLE), 0.0), 0.75),
-        0.0), 1.0) AS d1,
-      least(greatest(COALESCE(
-        2.0 - 3.0 * y * n3 / NULLIF(CAST(n2 AS DOUBLE), 0.0), 0.75),
-        0.0), 2.0) AS d2,
-      least(greatest(COALESCE(
-        3.0 - 4.0 * y * n4 / NULLIF(CAST(n3 AS DOUBLE), 0.0), 0.75),
-        0.0), 3.0) AS d3
-      FROM ys),
-    sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                  tk[i] AS w1, tk[i + 1] AS w2
-           FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
-                 FROM sc WHERE len(tk) >= 2)),
-    j AS (SELECT sg.doc_id, sg.pos,
-            ln(CASE WHEN cc.c1 IS NOT NULL THEN
-                 (CASE WHEN bg.c12 IS NULL THEN 0.0
-                       WHEN bg.c12 = 1 THEN bg.c12 - ds.d1
-                       WHEN bg.c12 = 2 THEN bg.c12 - ds.d2
-                       ELSE bg.c12 - ds.d3 END) / cc.c1
-                 + (ds.d1 * cc.tn1 + ds.d2 * cc.tn2 + ds.d3 * cc.tn3p)
-                   / cc.c1
-                   * ((COALESCE(cont.nprec, 0) + 1) / (ds.T + ds.V))
-               ELSE (COALESCE(cont.nprec, 0) + 1) / (ds.T + ds.V) END) AS ls,
-            CASE WHEN bg.c12 IS NOT NULL THEN 2
-                 WHEN cc.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
-          FROM sg
-          LEFT JOIN bg ON sg.w1 = bg.w1 AND sg.w2 = bg.w2
-          LEFT JOIN cc ON sg.w1 = cc.w1
-          LEFT JOIN cont ON sg.w2 = cont.w2
-          CROSS JOIN ds)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_unseen_pair,
-           CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_unseen_ctx,
-           ROUND(list_aggregate(list(ls ORDER BY pos), 'sum') / COUNT(*), 6)
-             AS avg_logprob,
-           ROUND(exp(-(list_aggregate(list(ls ORDER BY pos), 'sum')
-                       / COUNT(*))), 6) AS ppl
-    FROM j GROUP BY doc_id
-    """,
-)
-def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interpolated modified Kneser-Ney bigram LM (Chen & Goodman 1998 /
-    the KenLM default smoother) on the count-table architecture, scored on
-    a held-out split (even doc_ids train, odd score) so the unseen-pair
-    and unseen-context interpolation paths fire and their counters land in
-    the hash.  ``pipeline/lm.py::kneser_ney_scores``; differential vs a
-    Python reference + a Σ_w P(w|ctx) = 1 normalization proof in
-    tests/test_lm.py."""
-    from ophidia_io_server_spark.pipeline.lm import kneser_ney_scores
-
-    docs = load_table(spark, sf_dir, "documents")
-    return kneser_ney_scores(docs.where(F.col("doc_id") % 2 == 0),
-                             docs.where(F.col("doc_id") % 2 == 1))
-
-
-@workload(
-    "tpch_q15_top_supplier",
-    oracle="""
-    WITH rev AS (
-      SELECT l_suppkey AS supplier_no,
-             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
-                           AS BIGINT)) AS BIGINT) AS total_e4
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1997-04-01'
-      GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, rev.total_e4
-    FROM supplier s
-    JOIN rev ON s.s_suppkey = rev.supplier_no
-    WHERE rev.total_e4 = (SELECT MAX(total_e4) FROM rev)
-    """,
-)
-def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 (top supplier): the revenue-view + MAX-of-aggregate
-    subquery shape — the quarter's per-supplier revenue is aggregated
-    ONCE, checkpointed (both the max probe and the final join read it),
-    the scalar max broadcasts through a one-row cross join, and revenue is
-    exact 1e-4 integer units so the MAX comparison cannot drift."""
-    li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
-    rev = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                           * 10000).cast("bigint")).cast("bigint")
-             .alias("total_e4"))
-        .localCheckpoint()
-    )
-    mx = rev.agg(F.max("total_e4").alias("mx"))
-    s = load_table(spark, sf_dir, "supplier")
-    return (
-        s.join(rev, s["s_suppkey"] == rev["supplier_no"])
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("total_e4") == F.col("mx"))
-        .select("s_suppkey", "s_name", "total_e4")
-    )
-
-
-# --- round-6 TPC-H additions.  The synthetic tables are trimmed TPC-H (no
-# partsupp; lineitem lacks shipmode/commitdate/receiptdate; customer lacks
-# phone; part lacks container) — queries needing absent columns are adapted
-# to preserve the SHAPE being exercised (the join/aggregation/subquery
-# structure) on available columns, and say so in their docstrings.  Money is
-# integer 1e-4 revenue units (order-free sums), the q3/q10 discipline.
-
-
-@workload(
-    "tpch_q7_nation_volume",
-    oracle="""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                         AS BIGINT)) AS BIGINT) AS revenue_e4
-    FROM supplier s
-    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY 1, 2, 3
-    """,
-)
-def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 (volume shipping between two nations, by year): the
-    two-sided nation-pair disjunction over a 4-table join chain with BOTH
-    nation lookups broadcast; the date filter pushes to the lineitem scan."""
-    li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
-    s = load_table(spark, sf_dir, "supplier")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("k1"),
-                              F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("k2"),
-                              F.col("n_name").alias("cust_nation")))
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                  ).cast("bigint")
-    return (
-        s.join(li, s["s_suppkey"] == li["l_suppkey"])
-        .join(o, F.col("o_orderkey") == li["l_orderkey"])
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(n1, F.col("s_nationkey") == F.col("k1"))
-        .join(n2, F.col("c_nationkey") == F.col("k2"))
-        .where(((F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2"))
-               | ((F.col("supp_nation") == "NATION_2")
-                  & (F.col("cust_nation") == "NATION_1")))
-        .groupBy("supp_nation", "cust_nation",
-                 F.year("l_shipdate").cast("bigint").alias("l_year"))
-        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
-    )
-
-
-@workload(
-    "tpch_q8_market_share",
-    oracle="""
-    WITH base AS (
-      SELECT year(o.o_orderdate) AS o_year,
-             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                  AS BIGINT) AS vol_e4,
-             n2.n_name AS supp_nation
-      FROM part p
-      JOIN lineitem l ON p.p_partkey = l.l_partkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-      JOIN region r ON n1.n_regionkey = r.r_regionkey
-      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
-    SELECT CAST(o_year AS BIGINT) AS o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_e4 ELSE 0 END)
-                AS BIGINT) AS nation_e4,
-           CAST(SUM(vol_e4) AS BIGINT) AS total_e4,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_e4 ELSE 0 END)
-                 / SUM(vol_e4), 6) AS mkt_share
-    FROM base GROUP BY o_year
-    """,
-)
-def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 (national market share): the 8-table star — part filter
-    prunes lineitem first, region restricts the CUSTOMER nation while the
-    share numerator classifies the SUPPLIER nation (two roles for the same
-    broadcast dim), share = conditional/total on exact integer volume."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
-    s = load_table(spark, sf_dir, "supplier")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("k1"), "n_regionkey"))
-    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("k2"),
-                              F.col("n_name").alias("supp_nation")))
-    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                  ).cast("bigint")
-    base = (
-        F.broadcast(p).join(li, p["p_partkey"] == li["l_partkey"])
-        .join(s, F.col("s_suppkey") == li["l_suppkey"])
-        .join(o, F.col("o_orderkey") == li["l_orderkey"])
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(n1, F.col("c_nationkey") == F.col("k1"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(n2, F.col("s_nationkey") == F.col("k2"))
-        .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
-                vol.alias("vol_e4"), "supp_nation")
-    )
-    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3",
-                       F.col("vol_e4")).otherwise(0))
-    return base.groupBy("o_year").agg(
-        nat.cast("bigint").alias("nation_e4"),
-        F.sum("vol_e4").cast("bigint").alias("total_e4"),
-        F.round(nat / F.sum("vol_e4"), 6).alias("mkt_share"),
-    )
-
-
-@workload(
-    "tpch_q12_ship_priority",
-    oracle="""
-    SELECT l.l_returnflag,
-           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY l.l_returnflag
-    """,
-)
-def tpch_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (priority-class counts per shipping class; the
-    synthetic lineitem has no l_shipmode/commitdate/receiptdate, so the
-    class column is l_returnflag and the lateness predicate is the ship
-    window): orders⋈lineitem with the date filter pushed to the lineitem
-    scan and the CASE fold inside one partial+final aggregate."""
-    li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
-    o = load_table(spark, sf_dir, "orders")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("l_returnflag")
-        .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
-              .alias("high_line_count"),
-             F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
-              .alias("low_line_count"))
-    )
-
-
-@workload(
-    "tpch_q13_order_histogram",
-    oracle="""
-    WITH per_cust AS (
-      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-      GROUP BY c.c_custkey)
-    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-    FROM per_cust GROUP BY c_count
-    """,
-)
-def tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 (customer order-count distribution; the synthetic orders
-    table has no o_comment, so the comment exclusion is dropped): the
-    LEFT-join-then-double-aggregate shape — zero-order customers must
-    survive into the c_count = 0 bucket, which an inner join would lose."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    per = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy(c["c_custkey"])
-        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
-    )
-    return per.groupBy("c_count").agg(
-        F.count(F.lit(1)).cast("bigint").alias("custdist"))
-
-
-@workload(
-    "tpch_q17_small_qty_revenue",
-    oracle="""
-    WITH agg AS (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
-                 FROM lineitem GROUP BY l_partkey)
-    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT))
-                AS BIGINT) AS rev_e4,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT)) // 7
-                AS BIGINT) AS avg_yearly_e4_div7,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT)) % 7
-                AS BIGINT) AS avg_yearly_e4_rem7
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN agg ON agg.l_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#9' AND l.l_quantity < agg.qty_thresh
-    """,
-)
-def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 (small-quantity-order revenue; the synthetic part table
-    has no p_container, so the brand filter alone selects the part class):
-    the correlated AVG subquery decorrelated into a per-part aggregate
-    joined back — lineitem is aggregated once, not per outer row.
-    ``l_quantity`` is integral-valued so the AVG is exact on both engines;
-    the 0.2× threshold and the < compare reproduce bit-identically."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#9")
-    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
-    rev = F.round(F.col("l_extendedprice") * 10000).cast("bigint")
-    j = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(agg, li["l_partkey"] == F.col("a_partkey"))
-        .where(F.col("l_quantity") < F.col("qty_thresh"))
-    )
-    total = F.sum(rev).cast("bigint")
-    # avg_yearly stays on the order-free integer grid (quotient + remainder
-    # instead of ROUND(bigint/7.0, 4)): near 2^53 the double rounding of the
-    # two engines can disagree by one 1e-4 unit (r6 ADVICE).
-    return j.agg(
-        total.alias("rev_e4"),
-        F.expr(
-            "CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) DIV 7"
-            " AS BIGINT)"
-        ).alias("avg_yearly_e4_div7"),
-        (total % F.lit(7)).cast("bigint").alias("avg_yearly_e4_rem7"),
-    )
-
-
-@workload(
-    "tpch_q22_idle_customers",
-    oracle="""
-    WITH cut AS (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
-                        * 1.0 / COUNT(*) AS thresh_cents
-                 FROM customer WHERE c_acctbal > 0.0)
-    SELECT c.c_mktsegment,
-           CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
-             AS totacctbal_cents
-    FROM customer c CROSS JOIN cut
-    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > cut.thresh_cents
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-    GROUP BY c.c_mktsegment
-    """,
-)
-def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (promising idle customers; the synthetic customer
-    table has no c_phone, so the country-code grouping becomes
-    c_mktsegment, and "no orders" becomes "no orders since 2000" — the
-    dense synthetic corpus gives every customer SOME order): scalar AVG
-    subquery broadcast as a one-row cross join + LEFT ANTI join against
-    the recent-orders projection (the NOT EXISTS).  The threshold AND the
-    compare run in exact integer cents — AVG over raw 2-decimal doubles
-    is the order-dependent drift class the q1 10× fix eliminated, and a
-    customer on the boundary must not flip between engines."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
-    cut = c.where(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(cents) * 1.0 / F.count(F.lit(1))).alias("thresh_cents"))
-    return (
-        c.crossJoin(F.broadcast(cut))
-        .where(cents > F.col("thresh_cents"))
-        .join(o.where(F.col("o_orderdate") >= "2000-01-01")
-               .select(F.col("o_custkey").alias("c_custkey")).distinct(),
-              on="c_custkey", how="left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
-             F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
-              .cast("bigint").alias("totacctbal_cents"))
-    )
-
-
-@workload(
-    "dedup_minhash_incremental",
-    oracle=f"""
-    SELECT * FROM ({_JACCARD_ORACLE})
-    WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
-    """,
-)
-def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash+LSH for continuous ingestion
-    (``pipeline/dedup.py::minhash_lsh_pairs_incremental``): odd doc_ids
-    arrive as the 'new' batch and are deduped against the even-id
-    'existing' corpus with a new-bands ⋈ all-bands probe join — never the
-    corpus self-join.  The oracle is the exact all-pairs Jaccard SQL
-    restricted to pairs touching a new doc, so the hash proves the
-    incremental path emits exactly the full run's pairs for the arriving
-    batch."""
-    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs_incremental
-
-    docs = load_table(spark, sf_dir, "documents")
-    # same memo key as the other dedup rows: even ∪ odd is row-identical to
-    # the full table, so the shared shingle cache serves this row too
-    return minhash_lsh_pairs_incremental(
-        docs.where(F.col("doc_id") % 2 == 0),
-        docs.where(F.col("doc_id") % 2 == 1),
-        memo_key=(*session_key(spark), sf_dir),
-    )
-
-
-@workload(
-    "doc_shard_balanced",
-    oracle="""
-    WITH t AS (SELECT doc_id,
-                      CAST(len(list_filter(string_split(text, ' '),
-                                           x -> x <> '')) AS BIGINT) AS n
-               FROM documents WHERE text IS NOT NULL),
-    r AS (SELECT doc_id, n,
-                 row_number() OVER (ORDER BY n DESC, doc_id) AS rn
-          FROM t),
-    g AS (SELECT CAST((rn - 1) % 16 AS BIGINT) AS shard,
-                 CAST(COUNT(*) AS BIGINT) AS n_docs,
-                 CAST(SUM(n) AS BIGINT) AS shard_tokens
-          FROM r GROUP BY shard),
-    b AS (SELECT (MAX(shard_tokens) - MIN(shard_tokens)
-                  <= (SELECT MAX(n) FROM t)) AS balance_ok FROM g)
-    SELECT g.shard, g.n_docs, g.shard_tokens, b.balance_ok FROM g, b
-    """,
-)
-def doc_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Balanced training-shard plan
-    (``pipeline/packing.py::shard_balanced``): documents ranked by
-    (tokens DESC, doc_id) with the distributed two-phase rank — never a
-    single-partition window — then round-robin over the size-sorted
-    order.  The row output is the per-shard plan (16 shards: doc count +
-    token total) plus ``balance_ok``, the operator's PROVABLE guarantee
-    bound: max − min shard tokens ≤ the single largest document
-    (telescoping over round-robin rounds), for any token distribution.
-    The oracle replays the identical rank-and-mod plan and asserts the
-    same bound — this is the shard-writer planning step of a training
-    pipeline, where imbalance directly serializes epoch tails."""
-    from ophidia_io_server_spark.pipeline.packing import shard_balanced
-    from ophidia_io_server_spark.pipeline.text import tokens_col
-    from ophidia_io_server_spark.sources.tables import spread
-
-    docs = (spread(load_table(spark, sf_dir, "documents"))
-            .where(F.col("text").isNotNull())
-            .select("doc_id",
-                    F.size(tokens_col(F.col("text"))).cast("bigint")
-                    .alias("n_tokens")))
-    sh = shard_balanced(docs, n_shards=16)
-    g = (sh.groupBy("shard")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-              F.sum("n_tokens").cast("bigint").alias("shard_tokens")))
-    b = (g.agg((F.max("shard_tokens") - F.min("shard_tokens")).alias("_d"))
-         .crossJoin(docs.agg(F.max("n_tokens").alias("_mx")))
-         .select((F.col("_d") <= F.col("_mx")).alias("balance_ok")))
-    return g.crossJoin(F.broadcast(b))
-
-
-@workload(
-    "doc_pack_sequences",
-    oracle="""
-    WITH t AS (SELECT doc_id,
-                      CAST(len(list_filter(string_split(text, ' '),
-                                           x -> x <> '')) AS BIGINT)
-                        AS n_tokens
-               FROM documents WHERE text IS NOT NULL),
-    s AS (SELECT doc_id, n_tokens, doc_id % 8 AS pack_shard,
-                 SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
-                   - n_tokens AS strt
-          FROM t)
-    SELECT doc_id, n_tokens, CAST(pack_shard AS BIGINT) AS pack_shard,
-           CAST(strt // 512 AS BIGINT) AS seq_in_shard,
-           CAST(strt % 512 AS BIGINT) AS seq_offset,
-           TRUE AS ff_fill_ok, TRUE AS ff_not_worse_than_next_fit,
-           TRUE AS ff_exactly_once
-    FROM s
-    """,
-)
-def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-sequence packing (``pipeline/packing.py``), the r5
-    candidate gate row.  The hashed rows are the GPT-style concat-then-
-    chunk arm with plain-arithmetic sharding (``doc_id % 8``, budget 512)
-    — chunk index and in-chunk offset per document are exact window
-    arithmetic the SQL mirror reproduces bitwise.  The three booleans
-    bind the NO-SPLIT first-fit arm's contracts, which a sequential
-    packing discipline cannot express in SQL: ``ff_fill_ok`` — no
-    non-oversize sequence exceeds the budget and every oversize doc sits
-    alone in its flagged sequence; ``ff_not_worse_than_next_fit`` —
-    first-fit opens no more sequences than next-fit in EVERY bucket (the
-    algebraic relation that distinguishes the disciplines);
-    ``ff_exactly_once`` — every document lands in exactly one sequence.
-    Shard identity is (bucket, seq_in_bucket) derived from row keys only
-    — stable under repartitioning and retries (the 100 TB property)."""
-    from ophidia_io_server_spark.pipeline.packing import (
-        pack_concat_chunks,
-        pack_first_fit,
-        pack_next_fit,
-    )
-    from ophidia_io_server_spark.pipeline.text import tokens_col
-
-    docs = (load_table(spark, sf_dir, "documents")
-            .where(F.col("text").isNotNull())
-            .select("doc_id",
-                    F.size(tokens_col(F.col("text"))).cast("bigint")
-                    .alias("n_tokens")))
-    budget = 512
-    concat = pack_concat_chunks(
-        docs, budget, n_shards=8, shard_expr=F.col("doc_id") % 8)
-    ff = pack_first_fit(docs, budget, n_buckets=16).localCheckpoint()
-    nf = pack_next_fit(docs, budget, n_buckets=16)
-    fill_bad = ff.where(
-        (~F.col("oversize") & (F.col("seq_fill") + F.col("n_tokens")
-                               > budget))
-        | (F.col("oversize") & (F.col("seq_fill") != 0))).count()
-    seqs = lambda d: (d.groupBy("pack_bucket")  # noqa: E731
-                      .agg((F.max("seq_in_bucket") + 1).alias("ns")))
-    worse = (seqs(ff).withColumnRenamed("ns", "ff_ns")
-             .join(seqs(nf).withColumnRenamed("ns", "nf_ns"), "pack_bucket")
-             .where(F.col("ff_ns") > F.col("nf_ns")).count())
-    once = bool(ff.count() == docs.count()
-                and ff.select("doc_id").distinct().count() == docs.count())
-    return concat.select(
-        "doc_id", "n_tokens", "pack_shard", "seq_in_shard", "seq_offset",
-        F.lit(fill_bad == 0).alias("ff_fill_ok"),
-        F.lit(worse == 0).alias("ff_not_worse_than_next_fit"),
-        F.lit(once).alias("ff_exactly_once"),
-    )
-
-
-@workload(
-    "stream_minhash_incremental",
-    oracle=f"""
-    SELECT doc_a, doc_b, jaccard, TRUE AS stream_equals_batch
-    FROM ({_JACCARD_ORACLE})
-    """,
-)
-def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING incremental MinHash+LSH
-    (``streaming/ingest.py::minhash_lsh_stream``): the documents table
-    re-ingested as a one-file-per-trigger parquet stream; each micro-batch
-    shingles+signs only the arriving docs and probes their band rows
-    against the PERSISTED corpus band index (the state a production
-    pipeline keeps between ingestion runs), exact-verifying candidates
-    before emission.  The oracle is the exact all-pairs Jaccard SQL —
-    the full corpus pair set — so the hash proves the drained stream
-    emitted EXACTLY the one-shot run's pairs; ``stream_equals_batch``
-    additionally pins set-equality with the batch ``minhash_lsh_pairs``
-    plan (banding is per-doc deterministic, so pair candidacy is
-    batch-arrival invariant)."""
-    import os
-
-    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs
-    from ophidia_io_server_spark.streaming.ingest import minhash_lsh_stream
-
-    docs = load_table(spark, sf_dir, "documents")
-    tag = _corpus_tag(sf_dir, "documents", salt="mhstream4")
-    path = f"/tmp/ophidia_stream_mh_{tag}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        # 4 files → 4 micro-batches: enough to exercise multi-batch
-        # state carry (old↔new and new↔new candidate classes) while the
-        # row's wall time stays trigger-bounded; pair emission is
-        # batch-arrival invariant, so the oracle is unaffected
-        docs.select("doc_id", "text").repartition(4).write.mode(
-            "overwrite").parquet(path)
-        open(f"{path}/_SUCCESS", "a").close()
-    stream = (spark.readStream.schema("doc_id long, text string")
-              .option("maxFilesPerTrigger", 1).parquet(path))
-    streamed = minhash_lsh_stream(stream)
-    batch = minhash_lsh_pairs(docs.select("doc_id", "text"),
-                              memo_key=(*session_key(spark), sf_dir))
-    eq = bool(streamed.exceptAll(batch).count() == 0
-              and batch.exceptAll(streamed).count() == 0)
-    return streamed.withColumn("stream_equals_batch", F.lit(eq))
-
-
-@workload(
-    "doc_suffix_array_invariants",
-    oracle="""
-    SELECT CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
-                AS BIGINT) AS n_positions,
-           TRUE AS dense_ok, TRUE AS order_ok, TRUE AS shared_rank_ok
-    FROM documents WHERE text IS NOT NULL
-    """,
-)
-def doc_suffix_array_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Manber-Myers suffix array
-    (``pipeline/dedup.py::suffix_array_ranks`` over
-    ``operators/ranking.py::global_dense_rank``) verified by invariant
-    booleans the hash binds: ``dense_ok`` — ranks are a dense 1..K
-    sequence; ``order_ok`` — for EVERY pair of consecutive ranks the
-    representative suffixes compare ascending under token-array
-    lexicographic order on a bounded 256-token prefix plus the true
-    suffix length (r6 ADVICE: materializing whole suffixes is
-    O(Σ len²) tokens shuffled — quadratic in document length at the
-    10×/100× mirrors).  The bounded check is exact whenever either
-    suffix fits in the window: equal prefixes with
-    ``len_next <= len`` and ``least(len, len_next) <= 256`` is a
-    provable order violation (a fully-visible suffix must be a PROPER
-    prefix of its successor); only the both-longer-than-256 tie is
-    indeterminate and accepted.  ``shared_rank_ok`` — positions sharing
-    a rank agree on (prefix-256, suffix length).  Full-array exactness
-    stays pinned by the Python differential in
-    tests/test_dedup_varlen.py."""
-    from ophidia_io_server_spark.pipeline.dedup import suffix_array_ranks
-    from ophidia_io_server_spark.pipeline.text import tokens_col
-    from ophidia_io_server_spark.sources.tables import spread
-
-    docs = load_table(spark, sf_dir, "documents")
-    sa = suffix_array_ranks(docs)
-    toks = (
-        spread(docs).where(F.col("text").isNotNull())
-        .select("doc_id", tokens_col(F.col("text")).alias("ws"))
-        .where(F.size("ws") >= 1)
-    )
-    P = 256
-    suf = (
-        sa.join(toks, on="doc_id")
-        .select("doc_id", "pos", "rank",
-                F.slice("ws", F.col("pos").cast("int"), P).alias("pref"),
-                (F.size("ws") - F.col("pos") + 1).cast("bigint").alias("slen"))
-    )
-    n_positions = suf.count()
-    agg = sa.agg(F.max("rank").alias("mx"),
-                 F.min("rank").alias("mn"),
-                 F.countDistinct("rank").alias("nd")).collect()[0]
-    dense_ok = bool(agg["mn"] == 1 and agg["mx"] == agg["nd"])
-    reps = suf.groupBy("rank").agg(
-        F.min_by(F.struct("pref", "slen"), F.struct("doc_id", "pos"))
-         .alias("rep"),
-        F.countDistinct(F.struct("pref", "slen")).alias("n_forms"),
-    )
-    shared_rank_ok = bool(
-        reps.agg(F.max("n_forms")).collect()[0][0] == 1)
-    nxt = reps.select((F.col("rank") - 1).alias("rank"),
-                      F.col("rep").alias("rep_next"))
-    violated = (
-        (F.col("rep.pref") > F.col("rep_next.pref"))
-        | ((F.col("rep.pref") == F.col("rep_next.pref"))
-           & (F.col("rep_next.slen") <= F.col("rep.slen"))
-           & (F.least("rep.slen", "rep_next.slen") <= F.lit(P)))
-    )
-    order_ok = bool(
-        reps.join(nxt, on="rank").where(violated).count() == 0)
-    return spark.createDataFrame(
-        [(int(n_positions), dense_ok, order_ok, shared_rank_ok)],
-        "n_positions long, dense_ok boolean, order_ok boolean, "
-        "shared_rank_ok boolean")
-
-
-@workload(
-    "sample_bottom_k",
-    oracle="""
-    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(LEAST(20, COUNT(*)) AS BIGINT) AS n_selected,
-           TRUE AS exact_size_ok, TRUE AS is_bottom_k_ok,
-           TRUE AS layout_invariant_ok
-    FROM documents GROUP BY lang
-    """,
-)
-def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-k deterministic sampling (``pipeline/sampling.py::
-    bottom_k_sample``: the k smallest (seed, key) hashes per stratum — the
-    distributed reservoir-sample replacement).  The hash order is not
-    SQL-expressible, so the gate binds invariant booleans: per-language
-    exact sample size min(k, n); ``is_bottom_k_ok`` proves the selection
-    IS the bottom of the hash order (max selected hash < min unselected
-    hash per stratum); ``layout_invariant_ok`` proves the same rows come
-    back from a repartitioned+reversed input."""
-    from ophidia_io_server_spark.pipeline.sampling import bottom_k_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    k, seed = 20, 7
-    sel = bottom_k_sample(docs, k, key_col="doc_id", seed=seed,
-                          strata_col="lang").select("lang", "doc_id")
-    h = F.xxhash64(F.lit(seed), F.col("doc_id"))
-    tagged = (
-        docs.select("lang", "doc_id", h.alias("_h"))
-        .join(sel.select("doc_id", F.lit(True).alias("_in")), "doc_id", "left")
-    )
-    per = tagged.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.col("_in").cast("int")).cast("bigint").alias("n_selected"),
-        F.max(F.when(F.col("_in"), F.col("_h"))).alias("_max_in"),
-        F.min(F.when(F.col("_in").isNull(), F.col("_h"))).alias("_min_out"),
-    )
-    sel2 = bottom_k_sample(
-        docs.repartition(7, "doc_id").orderBy(F.col("doc_id").desc()),
-        k, key_col="doc_id", seed=seed, strata_col="lang",
-    ).select("lang", "doc_id")
-    layout_ok = bool(sel.exceptAll(sel2).count() == 0
-                     and sel2.exceptAll(sel).count() == 0)
-    return per.select(
-        "lang", "n_docs", "n_selected",
-        (F.col("n_selected") == F.least(F.lit(k).cast("bigint"),
-                                        F.col("n_docs"))).alias("exact_size_ok"),
-        (F.col("_min_out").isNull()
-         | (F.col("_max_in") < F.col("_min_out"))).alias("is_bottom_k_ok"),
-        F.lit(layout_ok).alias("layout_invariant_ok"),
-    )
-
-
-@workload(
-    "ann_opq_invariants",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           TRUE AS rotation_orthogonal_ok, TRUE AS l2_topk_set_invariant_ok,
-           TRUE AS recon_not_worse_ok, TRUE AS recall_ok
-    FROM embeddings
-    """,
-)
-def ann_opq_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ (Ge et al. 2013 learned rotation + PQ) verified by the
-    invariant-boolean pattern.  The rotation-invariance parity argument
-    that admits OPQ to the gate: (a) ``RᵀR = I`` to 1e-9 (Procrustes SVD
-    returns an exact orthogonal matrix up to float error), therefore (b)
-    exact L2 top-k in the ROTATED space is rank-for-rank identical to
-    raw-space top-k — checked distributed, not assumed — so OPQ changes
-    only quantization error, never the geometry being searched; (c) the
-    corpus mean reconstruction error of the rotated codec is ≤ plain PQ's
-    at the same (m, ncent) budget within 1e-9 (the OPQ objective; strict
-    improvement on correlated data is pytest-pinned); (d) OPQ-ADC
-    recall@5 vs exact L2 clears the same 0.2 floor as the plain-PQ row.
-    Everything deterministic (fixed sample order/init/iterations)."""
-    import numpy as np
-
-    from ophidia_io_server_spark.pipeline.pq import (
-        exact_l2_topk,
-        opq_rotate,
-        opq_topk,
-        pq_reconstruction_error,
-        train_opq,
-        train_pq,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    R, obooks = train_opq(emb, m=16, ncent=16, sample=4096,
-                          iters_pq=10, iters_opq=6)
-    rot_ok = bool(np.abs(R.T @ R - np.eye(R.shape[0])).max() < 1e-9)
-
-    exact_raw = exact_l2_topk(emb, F.col("vec_id") < 10, k=5)
-    exact_rot = exact_l2_topk(opq_rotate(emb, R), F.col("vec_id") < 10, k=5)
-    # Neighbor SETS per query, not (query, rank, neighbor) triples: an
-    # orthogonal rotation preserves distances only up to float error, so
-    # two neighbors closer than that error may legally swap ranks (r6
-    # ADVICE) — set equality is the rotation-invariance claim that is
-    # actually guaranteed.
-    pairs_raw = exact_raw.select("query_id", "neighbor_id")
-    pairs_rot = exact_rot.select("query_id", "neighbor_id")
-    l2_ok = bool(
-        pairs_raw.exceptAll(pairs_rot).count() == 0
-        and pairs_rot.exceptAll(pairs_raw).count() == 0)
-
-    pbooks = train_pq(emb, m=16, ncent=16, sample=4096, iters=10)
-    mse_p = pq_reconstruction_error(emb, pbooks).collect()[0]
-    mse_o = pq_reconstruction_error(emb, obooks, R=R).collect()[0]
-    recon_ok = bool(mse_o["mse"] <= mse_p["mse"] + 1e-9)
-
-    opq = opq_topk(emb, F.col("vec_id") < 10, R, obooks, k=5)
-    hits = opq.select("query_id", "neighbor_id").intersect(
-        exact_raw.select("query_id", "neighbor_id")).count()
-    total = exact_raw.count()
-    recall_ok = bool(total > 0 and hits / total >= 0.2)
-    return spark.createDataFrame(
-        [(int(mse_p["n_vectors"]), rot_ok, l2_ok, recon_ok, recall_ok)],
-        "n_vectors long, rotation_orthogonal_ok boolean, "
-        "l2_topk_set_invariant_ok boolean, recon_not_worse_ok boolean, "
-        "recall_ok boolean")
-
-
-@workload(
-    "doc_longest_dup_match",
-    oracle="""
-    WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                            x -> x <> '') AS tk
-                 FROM documents WHERE text IS NOT NULL),
-    tt AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
-           FROM tok WHERE len(tk) >= 1),
-    sub AS MATERIALIZED (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(l AS BIGINT) AS len,
-             md5(array_to_string(tk[i:i + l - 1], chr(31))) AS h
-      FROM (SELECT doc_id, tk, n, unnest(range(1, n + 1)) AS i FROM tt),
-           unnest(range(1, 129)) AS ls(l)
-      WHERE i + l - 1 <= n),
-    dup AS (SELECT len, h FROM sub GROUP BY len, h HAVING COUNT(*) >= 2),
-    j AS (SELECT s.doc_id, s.pos, s.len FROM sub s JOIN dup USING (len, h)),
-    per AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_dup_len,
-                   CAST(COUNT(DISTINCT CASE WHEN len >= 8 THEN pos END)
-                        AS BIGINT) AS n_dup_starts
-            FROM j GROUP BY doc_id)
-    SELECT per.doc_id, tt.n AS n_tokens, per.max_dup_len, per.n_dup_starts,
-           per.max_dup_len >= 128 AS capped
-    FROM per JOIN tt USING (doc_id)
-    WHERE per.max_dup_len >= 8
-    """,
-)
-def doc_longest_dup_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variable-length ExactSubstr report: per document the LONGEST token
-    substring occurring at ≥2 (doc, pos) sites corpus-wide
-    (``pipeline/dedup.py::longest_duplicate_match`` — suffix order via one
-    range-partitioned sort of per-position hash keys, neighbor LCP by
-    column math; Lee et al. 2022's suffix-array answer without the suffix
-    array).  The oracle is the O(n·maxlen) brute force: every substring
-    hashed, duplicated (len, hash) classes joined back.  Differential vs a
-    Python suffix automaton + the fixed-window coverage-equivalence
-    invariant in tests/test_dedup_varlen.py."""
-    from ophidia_io_server_spark.pipeline.dedup import longest_duplicate_match
-
-    docs = load_table(spark, sf_dir, "documents")
-    return longest_duplicate_match(docs, min_len=8, max_match=128)
-
-
-@workload(
-    "doc_varlen_sa_report",
-    oracle="""
-    WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                            x -> x <> '') AS tk
-                 FROM documents WHERE text IS NOT NULL),
-    tt AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
-           FROM tok WHERE len(tk) >= 1),
-    sub AS MATERIALIZED (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, CAST(l AS BIGINT) AS len,
-             md5(array_to_string(tk[i:i + l - 1], chr(31))) AS h
-      FROM (SELECT doc_id, tk, n, unnest(range(1, n + 1)) AS i FROM tt) t,
-           unnest(range(1, t.n - t.i + 2)) AS ls(l)),
-    dup AS (SELECT len, h FROM sub GROUP BY len, h HAVING COUNT(*) >= 2),
-    j AS (SELECT s.doc_id, s.pos, s.len FROM sub s JOIN dup USING (len, h)),
-    per AS (SELECT doc_id, CAST(MAX(len) AS BIGINT) AS max_dup_len,
-                   CAST(COUNT(DISTINCT CASE WHEN len >= 8 THEN pos END)
-                        AS BIGINT) AS n_dup_starts
-            FROM j GROUP BY doc_id)
-    SELECT per.doc_id, tt.n AS n_tokens, per.max_dup_len, per.n_dup_starts
-    FROM per JOIN tt USING (doc_id)
-    WHERE per.max_dup_len >= 8
-    """,
-)
-def doc_varlen_sa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNCAPPED variable-length ExactSubstr report from the distributed
-    suffix array (``pipeline/dedup.py::longest_match_report_sa``): exact
-    neighbor LCPs via greedy binary descent over the Manber-Myers doubling
-    rounds — log-rounds of constant-width equi-joins, no ×max_match
-    sort-key payload (the r6 verdict's rebase of
-    ``doc_longest_dup_match``).  The oracle is the fully UNCAPPED brute
-    force: every substring of every length hashed (lateral
-    per-position length range), duplicated (len, hash) classes joined
-    back.  Differential vs the suffix-automaton reference + row-identity
-    with the capped path below its cap in tests/test_dedup_varlen.py."""
-    from ophidia_io_server_spark.pipeline.dedup import longest_match_report_sa
-
-    docs = load_table(spark, sf_dir, "documents")
-    # memo_key shares ONE suffix-array per-position table with
-    # doc_varlen_cut (r7 verdict #1: it was built twice per gate/bench run)
-    return longest_match_report_sa(
-        docs, min_len=8, memo_key=(*session_key(spark), sf_dir))
-
-
-@workload(
-    "doc_varlen_cut",
-    oracle="""
-    WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
-                                            x -> x <> '') AS tk
-                 FROM documents WHERE text IS NOT NULL),
-    tt AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
-           FROM tok WHERE len(tk) >= 1),
-    win AS MATERIALIZED (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             md5(array_to_string(tk[i:i + 7], chr(31))) AS h
-      FROM (SELECT doc_id, tk, n, unnest(range(1, n - 8 + 2)) AS i
-            FROM tt WHERE n >= 8)),
-    dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
-    cov AS (SELECT DISTINCT w.doc_id, c.p
-            FROM win w JOIN dup USING (h),
-                 unnest(range(w.pos, w.pos + 8)) AS c(p)),
-    posl AS (SELECT doc_id, tk, n, unnest(range(1, n + 1)) AS p FROM tt),
-    kept AS (SELECT pl.doc_id,
-                    COALESCE(string_agg(CASE WHEN cov.p IS NULL
-                                             THEN pl.tk[pl.p] END,
-                                        ' ' ORDER BY pl.p), '')
-                      AS text_cleaned,
-                    CAST(COUNT(cov.p) AS BIGINT) AS n_removed
-             FROM posl pl LEFT JOIN cov
-               ON cov.doc_id = pl.doc_id AND cov.p = pl.p
-             GROUP BY pl.doc_id)
-    SELECT k.doc_id, k.text_cleaned, tt.n AS n_tokens, k.n_removed
-    FROM kept k JOIN tt USING (doc_id)
-    """,
-)
-def doc_varlen_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variable-length ExactSubstr CUT (Lee et al. 2022: remove every
-    position inside a maximal duplicated run of TRUE length ≥ 8 tokens)
-    via ``pipeline/dedup.py::remove_duplicate_spans_varlen`` — per-position
-    longest-match lengths from the suffix array, then one per-doc
-    running-max reach window.  The oracle exploits the coverage-
-    equivalence theorem (positions inside a length-≥T duplicate ≡
-    positions inside a duplicated T-window, documented at
-    ``remove_duplicate_spans``): it computes fixed-8-window coverage and
-    rebuilds the kept text — so the hash binds the theorem itself, plus
-    the cut differential in tests/test_dedup_varlen.py."""
-    from ophidia_io_server_spark.pipeline.dedup import (
-        remove_duplicate_spans_varlen,
-    )
-
-    docs = (load_table(spark, sf_dir, "documents")
-            .where(F.col("text").isNotNull()))
-    docs = docs.where(
-        F.size(F.filter(F.split("text", " "), lambda x: x != "")) >= 1)
-    # same memo key as doc_varlen_sa_report: sa_position_lengths filters
-    # NULL/empty internally, so the shared table is identical either way
-    return remove_duplicate_spans_varlen(
-        docs, min_len=8, memo_key=(*session_key(spark), sf_dir))
-
-
-@workload(
-    "token_countmin_freq",
-    oracle="""
-    WITH t AS (
-      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS item
-      FROM documents WHERE text IS NOT NULL)
-    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
-             AS rank,
-           TRUE AS est_ge_exact_ok, TRUE AS est_within_bound_ok
-    FROM t GROUP BY item
-    ORDER BY cnt DESC, item LIMIT 15
-    """,
-)
-def token_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch frequency estimation
-    (``pipeline/heavy.py::countmin_build/countmin_estimate``, Cormode &
-    Muthukrishnan 2005): the corpus token stream folded into a
-    depth·width counter table (d=5, w=2048 — constant-size regardless of
-    corpus), then the exact top-15 tokens point-estimated from the sketch
-    alone.  Certificates carried per row: ``est_ge_exact_ok`` (the CMS
-    one-sided guarantee, est ≥ true count, holds unconditionally) and
-    ``est_within_bound_ok`` (est ≤ true + ⌊10·N/w⌋; a single counter row
-    exceeds 10·N/w overshoot with probability ≤ 1/10 by Markov, the min
-    over 5 independent rows with probability ≤ 1e-5 — verified green at
-    sf0.001/sf0.01/sf0.1).  The oracle is the exact top-15 with both
-    certificates asserted; the sketch is deterministic (xxhash64, fixed
-    seed) so the row is reproducible bit-for-bit."""
-    from ophidia_io_server_spark.pipeline.heavy import (
-        countmin_build,
-        countmin_estimate,
-        heavy_hitters,
-    )
-    from ophidia_io_server_spark.pipeline.text import tokens_col
-    from ophidia_io_server_spark.sources.tables import spread
-
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.where(F.col("text").isNotNull()).select(
-        F.explode(tokens_col(F.col("text"))).alias("tok"))
-    depth, width = 5, 2048
-    sketch = countmin_build(toks, "tok", depth=depth, width=width, seed=7)
-    sketch = sketch.persist()
-    top = heavy_hitters(toks, "tok", k=64, top_n=15)
-    est = countmin_estimate(sketch, top.select(F.col("item").alias("tok")),
-                            "tok", depth=depth, width=width, seed=7)
-    # N from the sketch itself (row 0's counters sum to the stream length)
-    # as a single-row scalar broadcast — no extra corpus pass.
-    n_total = (sketch.where(F.col("r") == 0)
-               .agg(F.sum("cnt").cast("bigint").alias("n_total")))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
-    return (
-        top.join(est, on="item")
-        .crossJoin(F.broadcast(n_total))
-        .select(
-            "item", "cnt",
-            F.row_number().over(w).cast("bigint").alias("rank"),
-            (F.col("est") >= F.col("cnt")).alias("est_ge_exact_ok"),
-            (F.col("est") <= F.col("cnt")
-             + F.expr(f"10 * n_total div {width}")).alias("est_within_bound_ok"),
-        )
-    )
-
-
-@workload(
-    "orders_join_size_estimate",
-    oracle="""
-    SELECT CAST((SELECT COUNT(*) FROM orders o
-                 JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
-                AS BIGINT) AS exact_rows,
-           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NOT NULL)
-                AS BIGINT) AS n_orders,
-           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
-                AS BIGINT) AS n_lineitem,
-           TRUE AS est_ge_exact_ok, TRUE AS est_within_bound_ok
-    """,
-)
-def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-cardinality estimation from Count-Min sketches
-    (``pipeline/heavy.py::countmin_inner_product``) — the
-    optimizer-statistics primitive: |orders ⋈ lineitem| estimated from
-    two d·w counter tables (one single-pass build per side, d=5,
-    w=65536), never from a sampling re-scan of either input.  At 100 TB
-    this is how an engine prices a join (broadcast vs shuffle, blow-up
-    detection) before running it; sketches are mergeable across shards so
-    per-partition statistics sum into table statistics.
-
-    Certificates (same discipline as ``token_countmin_freq``):
-    ``est_ge_exact_ok`` — the inner-product estimate over-counts
-    unconditionally (collision cross-terms are non-negative);
-    ``est_within_bound_ok`` — est ≤ exact + 10·N_A·N_B/w (a single
-    counter row's collision mass exceeds that with probability ≤ 1/10 by
-    Markov, the min over 5 independent rows with probability ≤ 1e-5).
-    The oracle carries the exact join size and asserts both booleans."""
-    from ophidia_io_server_spark.pipeline.heavy import (
-        countmin_build,
-        countmin_inner_product,
-    )
-
-    depth, width = 5, 65536
-    o = (load_table(spark, sf_dir, "orders")
-         .where(F.col("o_orderkey").isNotNull())
-         .select(F.col("o_orderkey").alias("k")))
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_orderkey").isNotNull())
-          .select(F.col("l_orderkey").alias("k")))
-    ska = countmin_build(o, "k", depth=depth, width=width, seed=11)
-    skb = countmin_build(li, "k", depth=depth, width=width, seed=11)
-    est = countmin_inner_product(ska, skb)
-    exact = (o.join(li, on="k")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("exact_rows")))
-    na = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    nb = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitem"))
-    return (
-        exact.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(est))
-        .select(
-            "exact_rows", "n_orders", "n_lineitem",
-            (F.col("est") >= F.col("exact_rows")).alias("est_ge_exact_ok"),
-            (F.col("est") <= F.col("exact_rows")
-             + F.expr(f"10 * n_orders * n_lineitem div {width}"))
-             .alias("est_within_bound_ok"),
-        )
-    )
-
-
-@workload(
-    "lineitem_price_histogram",
-    oracle="""
-    WITH b AS (
-      SELECT l_extendedprice AS v,
-             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
-                                l_linenumber) AS rn,
-             COUNT(*) OVER () AS n
-      FROM lineitem WHERE l_extendedprice IS NOT NULL),
-    g AS (SELECT CAST(((rn - 1) * 8) // n AS BIGINT) AS bucket,
-                 CAST(COUNT(*) AS BIGINT) AS n_rows,
-                 MIN(v) AS lo, MAX(v) AS hi
-          FROM b GROUP BY bucket),
-    d AS (SELECT (MAX(n_rows) - MIN(n_rows) <= 1) AS depth_ok FROM g)
-    SELECT g.bucket, g.n_rows, g.lo, g.hi, d.depth_ok FROM g, d
-    """,
-)
-def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT equi-depth histogram over l_extendedprice
-    (``pipeline/quantile.py::equi_depth_histogram``): rows ranked by
-    (value, orderkey, linenumber) with the distributed two-phase rank,
-    bucket = ((rank−1)·8) DIV n.  Output is the 8-bucket boundary table a
-    range-predicate selectivity estimator reads (lo/hi per bucket) plus
-    ``depth_ok`` — the defining equi-depth certificate that per-bucket
-    counts differ by at most 1, for any value distribution.  Completes
-    the optimizer-statistics family: CMS frequencies + inner-product join
-    sizes, bottom-k quantiles, HLL distincts, equi-depth histograms."""
-    from ophidia_io_server_spark.pipeline.quantile import (
-        equi_depth_histogram,
-    )
-
-    li = (load_table(spark, sf_dir, "lineitem")
-          .where(F.col("l_extendedprice").isNotNull()))
-    g = equi_depth_histogram(li, "l_extendedprice",
-                             ["l_orderkey", "l_linenumber"], bins=8)
-    d = g.agg((F.max("n_rows") - F.min("n_rows") <= 1).alias("depth_ok"))
-    return g.crossJoin(F.broadcast(d))
-
-
-@workload(
-    "tpch_q21_waiting_suppliers",
-    oracle="""
-    WITH l AS (
-      SELECT l.l_orderkey, l.l_suppkey,
-             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-                  THEN 1 ELSE 0 END AS late
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE o.o_orderstatus = 'F'),
-    per_os AS (
-      SELECT l_orderkey, l_suppkey,
-             CAST(SUM(late) AS BIGINT) AS n_late,
-             MAX(late) AS any_late
-      FROM l GROUP BY 1, 2),
-    per_o AS (
-      SELECT l_orderkey, COUNT(*) AS n_supp,
-             SUM(any_late) AS n_late_supp
-      FROM per_os GROUP BY 1)
-    SELECT s.s_suppkey, s.s_name, n.n_name,
-           CAST(SUM(po.n_late) AS BIGINT) AS numwait
-    FROM per_os po
-    JOIN per_o t ON t.l_orderkey = po.l_orderkey
-    JOIN supplier s ON s.s_suppkey = po.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE po.any_late = 1 AND t.n_supp > 1 AND t.n_late_supp = 1
-    GROUP BY 1, 2, 3
-    ORDER BY numwait DESC, s.s_suppkey LIMIT 100
-    """,
-)
-def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 (suppliers who kept orders waiting) adapted to the
-    trimmed schema: no l_commitdate/l_receiptdate, so "late" :=
-    l_shipdate > o_orderdate + 60 days (ship lag), on finalized ('F')
-    orders.  The reference formulation is a correlated EXISTS + NOT
-    EXISTS double self-join on lineitem; here both subqueries collapse
-    into ONE aggregation ladder — per-(order, supplier) late flags, then
-    per-order supplier/late-supplier counts — so lineitem is shuffled
-    once on orderkey instead of three times (the aggregate-instead-of-
-    correlated-subquery rewrite Catalyst cannot do on its own).  A
-    supplier's late lines count exactly when the order has >1 supplier
-    and that supplier is the ONLY late one.  Supplier and nation are
-    broadcast; top-100 is TakeOrderedAndProject."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderstatus") == "F")
-    late = (F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).cast("int")
-    per_os = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select("l_orderkey", "l_suppkey", late.alias("late"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.sum("late").cast("bigint").alias("n_late"),
-             F.max("late").alias("any_late"))
-    )
-    per_o = (
-        per_os.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_supp"),
-             F.sum("any_late").alias("n_late_supp"))
-    )
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        per_os.join(per_o, on="l_orderkey")
-        .where((F.col("any_late") == 1) & (F.col("n_supp") > 1)
-               & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_suppkey", "s_name", "n_name")
-        .agg(F.sum("n_late").cast("bigint").alias("numwait"))
-        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
-        .limit(100)
-    )
-
-
-@workload(
-    "tpch_q9_profit_by_nation",
-    oracle="""
-    SELECT n.n_name AS nation,
-           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                         AS BIGINT)
-                    - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
-                      * CAST(l.l_quantity AS BIGINT) * 60) AS BIGINT)
-             AS profit_e4
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_name LIKE '%widget%'
-    GROUP BY 1, 2
-    """,
-)
-def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 (product-type profit by nation and year) adapted to the
-    trimmed schema: no partsupp, so supply cost := 60% of the part's
-    retail price per unit (ps_supplycost's role in the profit formula,
-    kept on the exact integer grid — retail cents × integral quantity
-    × 60 is e4 units with zero rounding).  The widest join chain in the
-    suite: lineitem × part × supplier × orders × nation, with the
-    p_name filter pushed into the part scan so the part-side broadcast
-    prunes lineitem FIRST (the selective dimension leads); supplier and
-    nation broadcast; profit summed as exact e4 integers."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(
-        F.col("p_name").like("%widget%"))
-    s = load_table(spark, sf_dir, "supplier")
-    o = load_table(spark, sf_dir, "orders")
-    n = load_table(spark, sf_dir, "nation")
-    rev_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                     * 10000).cast("bigint")
-    cost_e4 = (F.round(F.col("p_retailprice") * 100).cast("bigint")
-               * F.col("l_quantity").cast("bigint") * 60)
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"),
-                 F.year("o_orderdate").cast("bigint").alias("o_year"))
-        .agg(F.sum(rev_e4 - cost_e4).cast("bigint").alias("profit_e4"))
-    )
-
-
-@workload(
-    "tpch_q2_min_cost_supplier",
-    oracle="""
-    WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-    cand AS (
-      SELECT a.l_partkey, s.s_suppkey, s.s_name, n.n_name,
-             CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
-      FROM assoc a
-      JOIN supplier s ON s.s_suppkey = a.l_suppkey
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'EUROPE'),
-    best AS (SELECT l_partkey, MIN(acctbal_cents) AS min_cents
-             FROM cand GROUP BY 1)
-    SELECT c.acctbal_cents, c.s_name, c.n_name, p.p_partkey, p.p_brand
-    FROM cand c
-    JOIN best b ON b.l_partkey = c.l_partkey
-               AND c.acctbal_cents = b.min_cents
-    JOIN part p ON p.p_partkey = c.l_partkey
-    WHERE p.p_type = 'LARGE' AND p.p_size < 25
-    ORDER BY c.acctbal_cents DESC, c.n_name, c.s_name, p.p_partkey
-    LIMIT 100
-    """,
-)
-def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 (minimum-cost supplier) adapted to the trimmed schema: no
-    partsupp/ps_supplycost, so "cost" := the supplier's account balance
-    (exact cents) and the part↔supplier candidates are the DISTINCT
-    traded pairs from lineitem; the region scope, part filters, the
-    correlated MIN subquery, the tie-preserving equality join back, and
-    the top-100 ordering all keep Q2's structure.  Spark shape: the
-    supplier×nation×region candidate dimension is built broadcast-only;
-    the one wide shuffle is the association distinct; the decorrelated
-    MIN + join-back runs on the grouped (≤ |parts|-row) side.  Ties on
-    the minimum are preserved exactly like the reference query."""
-    li = load_table(spark, sf_dir, "lineitem")
-    assoc = li.select("l_partkey", "l_suppkey").distinct()
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    supp = (s.join(n, s["s_nationkey"] == n["n_nationkey"])
-            .join(r, n["n_regionkey"] == r["r_regionkey"])
-            .select("s_suppkey", "s_name", "n_name",
-                    F.round(F.col("s_acctbal") * 100).cast("bigint")
-                     .alias("acctbal_cents")))
-    cand = assoc.join(F.broadcast(supp),
-                      assoc["l_suppkey"] == supp["s_suppkey"])
-    best = cand.groupBy("l_partkey").agg(
-        F.min("acctbal_cents").alias("min_cents"))
-    p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_type") == "LARGE") & (F.col("p_size") < 25))
-    return (
-        cand.join(best, on="l_partkey")
-        .where(F.col("acctbal_cents") == F.col("min_cents"))
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
-        .select("acctbal_cents", "s_name", "n_name", "p_partkey", "p_brand")
-        .orderBy(F.col("acctbal_cents").desc(), "n_name", "s_name",
-                 "p_partkey")
-        .limit(100)
-    )
-
-
-@workload(
-    "tpch_q11_important_parts",
-    oracle="""
-    WITH pv AS (
-      SELECT l_partkey,
-             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
-                      AS BIGINT)) AS value_e4
-      FROM lineitem GROUP BY 1),
-    t AS (SELECT SUM(value_e4) AS tv, COUNT(*) AS np FROM pv)
-    SELECT pv.l_partkey, CAST(pv.value_e4 AS BIGINT) AS value_e4
-    FROM pv, t
-    WHERE 3 * pv.value_e4 * t.np > 4 * t.tv
-    ORDER BY value_e4 DESC, pv.l_partkey
-    """,
-)
-def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 (important stock identification) adapted to the trimmed
-    schema: no partsupp, so a part's "stock value" is its traded revenue
-    in lineitem, and the Q11 scalar-subquery threshold (value > fraction
-    × total) is made scale-free exactly as the reference query scales its
-    fraction by 1/SF — a part qualifies when its share exceeds 4/3 of
-    the uniform share, tested in EXACT integer arithmetic
-    (3·v·n_parts > 4·total, all e4-unit bigints; no division).  Spark
-    shape: one groupBy on partkey; the global (total, n_parts) summary
-    is a single-row broadcast cross join — the decorrelated form of
-    Q11's scalar subquery."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                  * 10000).cast("bigint")
-    pv = li.groupBy("l_partkey").agg(F.sum(rev).alias("value_e4"))
-    t = pv.agg(F.sum("value_e4").alias("tv"),
-               F.count(F.lit(1)).alias("np"))
-    return (
-        pv.crossJoin(F.broadcast(t))
-        .where(3 * F.col("value_e4") * F.col("np") > 4 * F.col("tv"))
-        .select("l_partkey", F.col("value_e4").cast("bigint").alias("value_e4"))
-        .orderBy(F.col("value_e4").desc(), "l_partkey")
-    )
-
-
-@workload(
-    "tpch_q16_supplier_counts",
-    oracle="""
-    WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
-    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
-           CAST(COUNT(DISTINCT a.l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM assoc a JOIN part p ON p.p_partkey = a.l_partkey
-    WHERE p.p_brand <> 'Brand#13' AND p.p_type NOT LIKE 'PROMO%'
-      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
-      AND a.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
-    GROUP BY 1, 2, 3
-    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
-    """,
-)
-def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 (parts/supplier relationship) adapted to the trimmed
-    schema: no partsupp, so the part↔supplier association is the DISTINCT
-    (l_partkey, l_suppkey) pairs actually traded in lineitem; no
-    s_comment, so the complaint-supplier exclusion becomes a low-balance
-    exclusion (s_acctbal < 500 — non-empty at the gate SF).  Spark
-    shape: the association distinct is the one wide shuffle; the
-    filtered part dimension and the excluded-supplier set are both
-    broadcast (the NOT IN is a broadcast LEFT ANTI join — safe here
-    because s_suppkey is never NULL, documented vs the SQL NOT-IN NULL
-    trap); COUNT(DISTINCT) rides the partial-aggregate path."""
-    li = load_table(spark, sf_dir, "lineitem")
-    assoc = li.select("l_partkey", "l_suppkey").distinct()
-    p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_brand") != "Brand#13")
-        & ~F.col("p_type").like("PROMO%")
-        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
-    bad = load_table(spark, sf_dir, "supplier").where(
-        F.col("s_acctbal") < 500).select("s_suppkey")
-    return (
-        assoc.join(F.broadcast(bad),
-                   assoc["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
-        .groupBy("p_brand", "p_type",
-                 F.col("p_size").cast("bigint").alias("p_size"))
-        .agg(F.count_distinct("l_suppkey").cast("bigint")
-              .alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
-    )
-
-
-@workload(
-    "tpch_q20_dominant_suppliers",
-    oracle="""
-    WITH shipped AS (
-      SELECT l.l_partkey, l.l_suppkey,
-             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE p.p_name LIKE '%widget%'
-        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l.l_shipdate < TIMESTAMP '1997-01-01'
-      GROUP BY 1, 2),
-    tot AS (SELECT l_partkey, SUM(q) AS qt FROM shipped GROUP BY 1)
-    SELECT s.s_suppkey, s.s_name, n.n_name,
-           CAST(COUNT(*) AS BIGINT) AS n_parts_dominant
-    FROM shipped sh
-    JOIN tot t ON t.l_partkey = sh.l_partkey
-    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE 2 * sh.q > t.qt
-    GROUP BY 1, 2, 3
-    ORDER BY s.s_suppkey
-    """,
-)
-def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 (suppliers with excess stock) adapted to the trimmed
-    schema: no partsupp/ps_availqty, so the Q20 predicate "availqty >
-    50% of shipped quantity" becomes its shipped-side mirror — suppliers
-    who shipped MORE than half a part's 1996 volume of name-matched
-    parts ("dominant" suppliers), the same correlated-scalar-subquery
-    shape decorrelated into aggregates.  Spark shape: part filter
-    broadcast-prunes lineitem before the one groupBy shuffle on
-    (partkey, suppkey); the per-part total is a window over partkey (no
-    second wide exchange of the base data); the dominance test is exact
-    integer arithmetic (2q > qt — quantities are integral).  Supplier
-    and nation broadcast."""
-    from pyspark.sql import Window
-
-    li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01"))
-    p = load_table(spark, sf_dir, "part").where(
-        F.col("p_name").like("%widget%")).select("p_partkey")
-    shipped = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
-              .alias("q"))
-    )
-    tot = F.sum("q").over(Window.partitionBy("l_partkey"))
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        shipped.withColumn("qt", tot)
-        .where(2 * F.col("q") > F.col("qt"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_suppkey", "s_name", "n_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts_dominant"))
-        .orderBy("s_suppkey")
-    )
-
-
-@workload(
-    "events_hll_rollup",
-    oracle="""
-    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           TRUE AS est_ok, TRUE AS merge_consistent_ok
-    FROM events GROUP BY event_type
-    """,
-)
-def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketches as DATA (Apache DataSketches via
-    ``hll_sketch_agg``/``hll_union_agg``): per-(event_type, day) binary
-    sketches built once, then rolled up to per-type distinct-user
-    estimates by UNION-merging the daily sketches — the production shape
-    where a 100 TB history keeps one tiny sketch per rollup cell and
-    re-aggregation at any grain is register-wise max over sketches, never
-    a re-scan.  Two certificates: ``est_ok`` (merged estimate within 10%
-    of exact — lgConfigK=12 is ~1.6% rsd) and ``merge_consistent_ok``
-    (the DAY-sketch union estimate within 5% of the HOUR-sketch union
-    estimate — both unions summarize the identical user set).  Exact
-    cross-grain equality is deliberately NOT claimed: DataSketches picks
-    the estimator per union-input MODES (coupon inputs keep the exact/HIP
-    path, any dense input flips the out-of-order flag to the composite
-    estimator), so two shardings of the same set can legitimately land on
-    different estimator paths — observed live at the 10× corpus, where
-    day cells go dense while hour cells stay sparse.  Each single union
-    IS deterministic (all-coupon unions are exact-set semantics; any
-    dense input forces the order-independent composite path), which is
-    what makes this a gateable row.  ``sketch_approx_stats`` checks the
-    scalar ``approx_count_distinct`` path; this row checks the
-    persistable/mergeable sketch objects."""
-    ev = load_table(spark, sf_dir, "events")
-
-    def union_est(grain, label: str) -> DataFrame:
-        cells = (
-            ev.groupBy("event_type", grain.alias("cell"))
-            .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
-        )
-        return (
-            cells.groupBy("event_type")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
-                  .alias(label))
-        )
-
-    by_day = union_est(F.date_trunc("day", "ts"), "est_day")
-    by_hour = union_est(F.date_trunc("hour", "ts"), "est_hour")
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("bigint").alias("n_users"))
-    return (
-        exact.join(by_day, on="event_type").join(by_hour, on="event_type")
-        .select(
-            "event_type", "n_users",
-            (F.abs(F.col("est_day") - F.col("n_users"))
-             <= 0.10 * F.greatest(F.lit(1), F.col("n_users")))
-             .alias("est_ok"),
-            (F.abs(F.col("est_day") - F.col("est_hour"))
-             <= 0.05 * F.greatest(F.lit(1), F.col("est_day")))
-             .alias("merge_consistent_ok"),
-        )
-    )
-
-
-@workload(
-    "events_quantile_rollup",
-    oracle="""
-    WITH b AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) AS pr,
-             event_id AS id, CAST(value AS DOUBLE) AS v
-      FROM events
-      WHERE value IS NOT NULL AND NOT isnan(value)
-        AND event_id IS NOT NULL),
-    day_k AS (SELECT event_type, pr, id, v FROM (
-        SELECT *, row_number() OVER (PARTITION BY event_type, day
-                                     ORDER BY pr, id) AS rn
-        FROM b) WHERE rn <= 32),
-    merged AS (SELECT event_type, pr, id, v FROM (
-        SELECT event_type, pr, id, v,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY pr, id) AS rn
-        FROM day_k) WHERE rn <= 32),
-    direct AS (SELECT event_type, pr, id, v FROM (
-        SELECT event_type, pr, id, v,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY pr, id) AS rn
-        FROM b) WHERE rn <= 32),
-    cgm AS (SELECT event_type, list(id ORDER BY pr, id) AS ids
-            FROM merged GROUP BY event_type),
-    cgd AS (SELECT event_type, list(id ORDER BY pr, id) AS ids
-            FROM direct GROUP BY event_type),
-    est AS (SELECT event_type,
-                   vs[CAST(floor(0.5 * (m - 1)) AS INT) + 1] AS est_p50,
-                   vs[CAST(floor(0.9 * (m - 1)) AS INT) + 1] AS est_p90
-            FROM (SELECT event_type, list(v ORDER BY v) AS vs,
-                         COUNT(*) AS m
-                  FROM merged GROUP BY event_type)),
-    ex AS (SELECT event_type,
-                  MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS INT) + 1
-                           THEN v END) AS exact_p50,
-                  MAX(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS INT) + 1
-                           THEN v END) AS exact_p90
-           FROM (SELECT event_type, v,
-                        row_number() OVER (PARTITION BY event_type
-                                           ORDER BY v, id) AS rn,
-                        COUNT(*) OVER (PARTITION BY event_type) AS n
-                 FROM b)
-           GROUP BY event_type),
-    ns AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-           FROM b GROUP BY event_type)
-    SELECT ns.event_type, ns.n, est.est_p50, est.est_p90,
-           ex.exact_p50, ex.exact_p90, (cgm.ids = cgd.ids) AS cross_grain_ok
-    FROM ns JOIN est USING (event_type) JOIN ex USING (event_type)
-         JOIN cgm USING (event_type) JOIN cgd USING (event_type)
-    """,
-)
-def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable QUANTILE sketch rollup (``pipeline/quantile.py``) — the
-    quantile member of the sketch family next to MG / Count-Min / HLL:
-    per-(event_type, day) deterministic coordinated bottom-k samples
-    (k=32, 60-bit md5 priorities), union-merged to per-type sketches, with
-    discrete-quantile estimates read off the merged sample.
-
-    Unlike the HLL rollup's mode-dependent 5%/10% tolerance certificates,
-    coordination makes the merge EXACT: ``cross_grain_ok`` asserts the
-    day-cells-merged sample is BITWISE identical to the sketch built
-    directly per type (bottom-k of a union = bottom-k of the per-part
-    bottom-k's, for any sharding — deterministic priorities, no RNG).
-    The oracle rebuilds the identical sample in SQL, so the value hash
-    binds the ESTIMATES themselves (est_p50/est_p90 are selected data, no
-    interpolation), alongside the same-index-rule exact quantiles for
-    error inspection.  At sf0.01 every day cell (~66 rows) truncates at
-    k=32 and every type (~2000 rows) is summarized by 32 — the estimates
-    are genuinely sketched, not exact pass-throughs."""
-    from ophidia_io_server_spark.pipeline.quantile import (
-        exact_discrete_quantiles,
-        merge_sketches,
-        quantile_sketch,
-        sketch_quantiles,
-    )
-
-    ev = (load_table(spark, sf_dir, "events")
-          .where(F.col("value").isNotNull() & ~F.isnan("value")))
-    day_sk = quantile_sketch(ev.withColumn("day", F.to_date("ts")),
-                             ["event_type", "day"], "value", "event_id",
-                             k=32)
-    merged = merge_sketches(day_sk, ["event_type"], k=32)
-    direct = quantile_sketch(ev, ["event_type"], "value", "event_id", k=32)
-    est = sketch_quantiles(merged, [0.5, 0.9])
-    cg = (est.join(direct.select("event_type",
-                                 F.col("sample").alias("_ds")),
-                   on="event_type")
-          .withColumn("cross_grain_ok", F.col("sample") == F.col("_ds"))
-          .drop("sample", "_ds"))
-    ex = exact_discrete_quantiles(ev, ["event_type"], "value", "event_id",
-                                  [0.5, 0.9])
-    return (cg.join(ex, on="event_type")
-            .select("event_type", "n", "est_p50", "est_p90",
-                    "exact_p50", "exact_p90", "cross_grain_ok"))
-
-
-@workload(
-    "stream_quantile_rollup",
-    oracle="""
-    WITH b AS (
-      SELECT event_type,
-             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) AS pr,
-             event_id AS id, CAST(value AS DOUBLE) AS v
-      FROM events
-      WHERE value IS NOT NULL AND NOT isnan(value)
-        AND event_id IS NOT NULL),
-    direct AS (SELECT event_type, pr, id, v FROM (
-        SELECT event_type, pr, id, v,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY pr, id) AS rn
-        FROM b) WHERE rn <= 32),
-    est AS (SELECT event_type,
-                   vs[CAST(floor(0.5 * (m - 1)) AS INT) + 1] AS est_p50,
-                   vs[CAST(floor(0.9 * (m - 1)) AS INT) + 1] AS est_p90
-            FROM (SELECT event_type, list(v ORDER BY v) AS vs,
-                         COUNT(*) AS m
-                  FROM direct GROUP BY event_type)),
-    ns AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-           FROM b GROUP BY event_type)
-    SELECT ns.event_type, ns.n, est.est_p50, est.est_p90,
-           TRUE AS stream_equals_batch
-    FROM ns JOIN est USING (event_type)
-    """,
-)
-def stream_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming incremental quantile sketch
-    (``streaming/ingest.py::quantile_sketch_stream``): events arrive in 4
-    micro-batches (maxFilesPerTrigger=1); each batch is sketched alone and
-    merged into the persisted per-type state — O(|batch| + cells·k) per
-    batch, never a history re-scan.  The coordination theorem upgrades the
-    usual stream≡batch SET equality to BITWISE sample equality for any
-    batch decomposition, asserted here by comparing the drained state to
-    the one-shot batch sketch struct-for-struct
-    (``stream_equals_batch``); the oracle rebuilds the identical sample
-    in SQL and hash-binds the estimates."""
-    from ophidia_io_server_spark.pipeline.quantile import (
-        quantile_sketch,
-        sketch_quantiles,
-    )
-    from ophidia_io_server_spark.streaming.ingest import (
-        events_stream,
-        quantile_sketch_stream,
-    )
-
-    path = _staged_events_dir(spark, sf_dir)
-    src = (events_stream(spark, path, max_files_per_trigger=1)
-           .where(F.col("value").isNotNull() & ~F.isnan("value")))
-    streamed = quantile_sketch_stream(src, ["event_type"], "value",
-                                      "event_id", k=32)
-    batch = quantile_sketch(
-        load_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull() & ~F.isnan("value")),
-        ["event_type"], "value", "event_id", k=32)
-    eq = bool(streamed.exceptAll(batch).count() == 0
-              and batch.exceptAll(streamed).count() == 0)
-    return (sketch_quantiles(streamed, [0.5, 0.9])
-            .select("event_type", "n", "est_p50", "est_p90")
-            .withColumn("stream_equals_batch", F.lit(eq)))
-
-
-@workload(
-    "stream_view_attribution",
-    oracle="""
-    SELECT p.event_id AS p_event_id, v.event_id AS v_event_id,
-           p.user_id,
-           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us,
-           TRUE AS stream_equals_batch
-    FROM events p JOIN events v
-      ON p.user_id = v.user_id
-     AND p.event_type = 'purchase' AND v.event_type = 'view'
-     AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 120 MINUTE
-    """,
-)
-def stream_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked STREAM-STREAM inner join
-    (``streaming/ingest.py::stream_stream_attribution``): purchases
-    joined to the same user's views in the preceding 2 h, both sides
-    watermarked so buffered state is evicted once the opposite side's
-    watermark passes the join-window horizon — O(horizon) state at any
-    stream length, the missing piece between the repo's stream-static
-    joins and its stateful aggregations.  Run here with availableNow
-    over the staged corpus (single batch — event-time disorder across
-    arbitrary file splits exceeds a 4 h watermark; the multi-batch path
-    is exercised in tests/test_streaming.py with a horizon-covering
-    watermark) and checked two ways: the oracle's inequality join, and
-    the ``stream_equals_batch`` boolean asserting the drained stream
-    result set-equals the identical batch-plan join."""
-    from ophidia_io_server_spark.streaming.ingest import (
-        events_stream,
-        run_available_now,
-        stream_stream_attribution,
-    )
-
-    path = _staged_events_dir(spark, sf_dir)
-    src = events_stream(spark, path)
-    joined = stream_stream_attribution(
-        src.where(F.col("event_type") == "view"),
-        src.where(F.col("event_type") == "purchase"),
-        window_minutes=120, watermark="4 hours",
-    )
-    import hashlib
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    landed = run_available_now(joined, f"stream_ss_attr_{tag}",
-                               output_mode="append")
-    ev = load_table(spark, sf_dir, "events")
-    bv = ev.where(F.col("event_type") == "view").select(
-        F.col("event_id").alias("v_event_id"),
-        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
-    bp = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_event_id"), "user_id",
-        F.col("ts").alias("p_ts"))
-    batch = bp.join(
-        bv,
-        (F.col("v_user") == F.col("user_id"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 120 MINUTES")),
-        "inner",
-    ).select("p_event_id", "v_event_id", "user_id", "p_ts", "v_ts")
-    got = landed.select("p_event_id", "v_event_id", "user_id", "p_ts", "v_ts")
-    ok = (got.exceptAll(batch).count() == 0
-          and batch.exceptAll(got).count() == 0)
-    return landed.select(
-        "p_event_id", "v_event_id", "user_id",
-        (F.unix_micros(F.col("p_ts").cast("timestamp"))
-         - F.unix_micros(F.col("v_ts").cast("timestamp"))).alias("lag_us"),
-        F.lit(ok).alias("stream_equals_batch"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Suite composites + driver-gate slot curation (round 6)
-#
-# The driver's correctness gate truncates at the FIRST 50 entries of
-# ``queries()``.  Rounds 4-5 grew the registry to 89 oracled workloads, so the
-# newest operator wave (temporal joins, BM25, LMs, BPE, PageRank, heavy
-# hitters, TPC-H q18, cluster resolution) had no hard-signal row.  Fix, per
-# the round-5 verdict: fold low-risk legacy rows into NULL-padded tagged-UNION
-# composites (each member keeps its exact values and its exact oracle — the
-# hash check on the composite is precisely the concatenation of the members'
-# hash checks), freeing slots inside the 50-row window for the round-5
-# operators.  The individual member rows STAY registered beyond the window so
-# the local mirror (scripts/check_correctness.py) and bench still exercise
-# them in isolation.
-# ---------------------------------------------------------------------------
-
-_DUCK_T = {
-    "bigint": "BIGINT",
-    "boolean": "BOOLEAN",
-    "double": "DOUBLE",
-    "int": "INTEGER",
-    "string": "VARCHAR",
-    "timestamp": "TIMESTAMP",
-    "timestamp_ntz": "TIMESTAMP",
-}
-
-# Member output schemas, pinned statically so the composite ORACLE can be
-# built at import time without a SparkSession.  Drift between these pins and
-# the live member schemas is caught by tests/test_suite_composites.py.
-_SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
-    # batch window aggregate + its Structured Streaming twin (§2.8)
-    "events_hourly_suite": {
-        "events_hourly_window": [
-            ("hour_start", "timestamp"), ("event_type", "string"),
-            ("n_events", "bigint"), ("total_cents", "bigint"),
-        ],
-        "events_hourly_streaming": [
-            ("hour_start", "timestamp"), ("event_type", "string"),
-            ("n_events", "bigint"), ("total_cents", "bigint"),
-        ],
-    },
-    # the full dedup family: exact hash-groupBy, the three near-dup
-    # detectors (one exact-Jaccard oracle each) and the fixed-window
-    # ExactSubstr span report
-    "dedup_suite": {
-        "dedup_exact": [
-            ("content_hash", "string"), ("rep_doc_id", "bigint"),
-            ("n_docs", "bigint"),
-        ],
-        "dedup_ngram_jaccard": [
-            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
-        ],
-        "dedup_winnow_pairs": [
-            ("doc_a", "bigint"), ("doc_b", "bigint"), ("n_shared", "bigint"),
-        ],
-        "dedup_minhash_pairs": [
-            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
-        ],
-        "dedup_simhash_pairs": [
-            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
-        ],
-        "dedup_substring_spans": [
-            ("doc_id", "bigint"), ("n_tokens", "bigint"),
-            ("dup_windows", "bigint"), ("n_spans", "bigint"),
-            ("dup_tokens", "bigint"), ("dup_frac", "double"),
-        ],
-        "dedup_exact_canonical": [
-            ("canonical_hash", "string"), ("rep_doc_id", "bigint"),
-            ("n_docs", "bigint"),
-        ],
-    },
-    # the r6 variable-length dedup wave: suffix-sort longest-match report,
-    # Manber-Myers suffix-array invariants, incremental LSH
-    "varlen_dedup_suite": {
-        "doc_longest_dup_match": [
-            ("doc_id", "bigint"), ("n_tokens", "bigint"),
-            ("max_dup_len", "bigint"), ("n_dup_starts", "bigint"),
-            ("capped", "boolean"),
-        ],
-        "doc_suffix_array_invariants": [
-            ("n_positions", "bigint"), ("dense_ok", "boolean"),
-            ("order_ok", "boolean"), ("shared_rank_ok", "boolean"),
-        ],
-        "dedup_minhash_incremental": [
-            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
-        ],
-        "doc_varlen_sa_report": [
-            ("doc_id", "bigint"), ("n_tokens", "bigint"),
-            ("max_dup_len", "bigint"), ("n_dup_starts", "bigint"),
-        ],
-        "doc_varlen_cut": [
-            ("doc_id", "bigint"), ("text_cleaned", "string"),
-            ("n_tokens", "bigint"), ("n_removed", "bigint"),
-        ],
-    },
-    # TPC-H pricing trio (exact integer money grid)
-    "tpch_pricing_suite": {
-        "tpch_q1_pricing": [
-            ("l_returnflag", "string"), ("l_linestatus", "string"),
-            ("sum_qty", "bigint"), ("sum_base_price_cents", "bigint"),
-            ("sum_disc_price_e4", "bigint"), ("avg_qty", "double"),
-            ("count_order", "bigint"),
-        ],
-        "tpch_q5_local_supplier": [
-            ("n_name", "string"), ("revenue_e4", "bigint"),
-        ],
-        "tpch_q6_forecast": [("revenue_e4", "bigint")],
-    },
-    # the r6 TPC-H shapes
-    "tpch_suite": {
-        "tpch_q7_nation_volume": [
-            ("supp_nation", "string"), ("cust_nation", "string"),
-            ("l_year", "bigint"), ("revenue_e4", "bigint"),
-        ],
-        "tpch_q8_market_share": [
-            ("o_year", "bigint"), ("nation_e4", "bigint"),
-            ("total_e4", "bigint"), ("mkt_share", "double"),
-        ],
-        "tpch_q12_ship_priority": [
-            ("l_returnflag", "string"), ("high_line_count", "bigint"),
-            ("low_line_count", "bigint"),
-        ],
-        "tpch_q13_order_histogram": [
-            ("c_count", "bigint"), ("custdist", "bigint"),
-        ],
-        "tpch_q15_top_supplier": [
-            ("s_suppkey", "bigint"), ("s_name", "string"),
-            ("total_e4", "bigint"),
-        ],
-        "tpch_q17_small_qty_revenue": [
-            ("rev_e4", "bigint"), ("avg_yearly_e4_div7", "bigint"),
-            ("avg_yearly_e4_rem7", "bigint"),
-        ],
-        "tpch_q22_idle_customers": [
-            ("c_mktsegment", "string"), ("numcust", "bigint"),
-            ("totacctbal_cents", "bigint"),
-        ],
-        "tpch_q19_disjunctive_revenue": [
-            ("revenue_e4", "bigint"), ("n_lines", "bigint"),
-        ],
-        "tpch_q21_waiting_suppliers": [
-            ("s_suppkey", "bigint"), ("s_name", "string"),
-            ("n_name", "string"), ("numwait", "bigint"),
-        ],
-        "tpch_q9_profit_by_nation": [
-            ("nation", "string"), ("o_year", "bigint"),
-            ("profit_e4", "bigint"),
-        ],
-        "tpch_q16_supplier_counts": [
-            ("p_brand", "string"), ("p_type", "string"),
-            ("p_size", "bigint"), ("supplier_cnt", "bigint"),
-        ],
-        "tpch_q20_dominant_suppliers": [
-            ("s_suppkey", "bigint"), ("s_name", "string"),
-            ("n_name", "string"), ("n_parts_dominant", "bigint"),
-        ],
-        "tpch_q2_min_cost_supplier": [
-            ("acctbal_cents", "bigint"), ("s_name", "string"),
-            ("n_name", "string"), ("p_partkey", "bigint"),
-            ("p_brand", "string"),
-        ],
-        "tpch_q11_important_parts": [
-            ("l_partkey", "bigint"), ("value_e4", "bigint"),
-        ],
-    },
-    # the r5 TPC-H shapes
-    "tpch_legacy_suite": {
-        "tpch_q3_shipping_priority": [
-            ("l_orderkey", "bigint"), ("revenue_e4", "bigint"),
-            ("o_orderdate", "timestamp_ntz"), ("o_orderpriority", "string"),
-        ],
-        "tpch_q4_order_priority": [
-            ("o_orderpriority", "string"), ("order_count", "bigint"),
-        ],
-        "tpch_q10_returned_items": [
-            ("c_custkey", "bigint"), ("c_name", "string"),
-            ("n_name", "string"), ("revenue_e4", "bigint"),
-            ("c_acctbal", "double"),
-        ],
-        "tpch_q14_promo_share": [
-            ("month", "timestamp"), ("promo_e4", "bigint"),
-            ("total_e4", "bigint"), ("promo_share", "double"),
-        ],
-    },
-    # the three n-gram language models
-    "lm_suite": {
-        "doc_perplexity_lm": [
-            ("doc_id", "bigint"), ("n_bigrams", "bigint"),
-            ("avg_logprob", "double"), ("ppl", "double"),
-        ],
-        "doc_kneser_ney_lm": [
-            ("doc_id", "bigint"), ("n_bigrams", "bigint"),
-            ("n_unseen_pair", "bigint"), ("n_unseen_ctx", "bigint"),
-            ("avg_logprob", "double"), ("ppl", "double"),
-        ],
-        "doc_stupid_backoff_lm": [
-            ("doc_id", "bigint"), ("n_trigrams", "bigint"),
-            ("n_backoff2", "bigint"), ("n_backoff1", "bigint"),
-            ("avg_logscore", "double"),
-        ],
-        "doc_ccnet_buckets": [
-            ("doc_id", "bigint"), ("n_chunks", "bigint"),
-            ("n_head", "bigint"), ("n_middle", "bigint"),
-            ("n_tail", "bigint"),
-        ],
-    },
-    # beyond-reference Structured Streaming: bounded-state Misra-Gries,
-    # stream≡batch temperature mixing, the streaming curation recipe
-    "stream_suite": {
-        "stream_heavy_hitters": [
-            ("item", "string"), ("cnt", "bigint"), ("rank", "bigint"),
-            ("margin_ok", "boolean"),
-        ],
-        "stream_temperature_mix": [
-            ("lang", "string"), ("n_docs", "bigint"), ("weight", "double"),
-            ("target_rate", "double"), ("stream_equals_batch", "boolean"),
-            ("rate_ok", "boolean"),
-        ],
-        "stream_curation_recipe": [
-            ("n_docs", "bigint"), ("n_gopher_keep", "bigint"),
-            ("n_with_pii", "bigint"), ("kept_words", "bigint"),
-        ],
-        "stream_minhash_incremental": [
-            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
-            ("stream_equals_batch", "boolean"),
-        ],
-        "stream_curation": [
-            ("n_docs", "bigint"), ("n_keep", "bigint"),
-            ("kept_tokens", "bigint"),
-        ],
-        "stream_view_attribution": [
-            ("p_event_id", "bigint"), ("v_event_id", "bigint"),
-            ("user_id", "bigint"), ("lag_us", "bigint"),
-            ("stream_equals_batch", "boolean"),
-        ],
-        "stream_quantile_rollup": [
-            ("event_type", "string"), ("n", "bigint"),
-            ("est_p50", "double"), ("est_p90", "double"),
-            ("stream_equals_batch", "boolean"),
-        ],
-        "stream_view_attribution_outer": [
-            ("p_event_id", "bigint"), ("v_event_id", "bigint"),
-            ("user_id", "bigint"), ("lag_us", "bigint"),
-            ("matched", "boolean"), ("stream_equals_batch", "boolean"),
-        ],
-        "stream_user_closeout": [
-            ("user_id", "bigint"), ("n_events", "bigint"),
-            ("last_ts", "timestamp"), ("stream_equals_batch", "boolean"),
-        ],
-    },
-    # the two iterative graph operators
-    "graph_suite": {
-        "events_pagerank_transitions": [
-            ("node", "string"), ("rank", "double"),
-        ],
-        "token_lpa_communities": [
-            ("node", "string"), ("label", "string"),
-        ],
-        "token_triangle_counts": [
-            ("node", "string"), ("n_triangles", "bigint"),
-        ],
-    },
-    # deterministic sampling: budget-fill without a global sort + exact-k
-    # bottom-k
-    "sampling_suite": {
-        "token_budget_select": [
-            ("doc_id", "bigint"), ("n_tokens", "bigint"),
-            ("quality", "double"), ("cum_before", "bigint"),
-        ],
-        "sample_bottom_k": [
-            ("lang", "string"), ("n_docs", "bigint"),
-            ("n_selected", "bigint"), ("exact_size_ok", "boolean"),
-            ("is_bottom_k_ok", "boolean"), ("layout_invariant_ok", "boolean"),
-        ],
-        "lang_temperature_mix": [
-            ("lang", "string"), ("n_docs", "bigint"), ("weight", "double"),
-            ("target_rate", "double"), ("rate_ok", "boolean"),
-        ],
-        "doc_pack_sequences": [
-            ("doc_id", "bigint"), ("n_tokens", "bigint"),
-            ("pack_shard", "bigint"), ("seq_in_shard", "bigint"),
-            ("seq_offset", "bigint"), ("ff_fill_ok", "boolean"),
-            ("ff_not_worse_than_next_fit", "boolean"),
-            ("ff_exactly_once", "boolean"),
-        ],
-        "doc_shard_balanced": [
-            ("shard", "bigint"), ("n_docs", "bigint"),
-            ("shard_tokens", "bigint"), ("balance_ok", "boolean"),
-        ],
-    },
-    # the vector-quantization ANN family (PQ, IVF-PQ, OPQ)
-    "ann_quant_suite": {
-        "ann_pq_invariants": [
-            ("n_vectors", "bigint"), ("codes_ok", "boolean"),
-            ("ranks_ok", "boolean"), ("recall_ok", "boolean"),
-        ],
-        "ann_ivfpq_invariants": [
-            ("n_vectors", "bigint"), ("ranks_ok", "boolean"),
-            ("results_complete", "boolean"), ("recall_ok", "boolean"),
-        ],
-        "ann_opq_invariants": [
-            ("n_vectors", "bigint"), ("rotation_orthogonal_ok", "boolean"),
-            ("l2_topk_set_invariant_ok", "boolean"),
-            ("recon_not_worse_ok", "boolean"), ("recall_ok", "boolean"),
-        ],
-        "ann_l2_topk": [
-            ("query_id", "bigint"), ("neighbor_id", "bigint"),
-            ("rank", "bigint"), ("dist", "double"),
-        ],
-        "embedding_kmeans_semdedup": [
-            ("vec_id", "bigint"), ("cluster", "bigint"),
-            ("kept", "boolean"),
-        ],
-    },
-    # batch gap-sessionization + its session_window streaming twin
-    "session_suite": {
-        "events_sessionize": [
-            ("user_id", "bigint"), ("session_id", "bigint"),
-            ("n_events", "bigint"),
-        ],
-        "events_session_window_streaming": [
-            ("user_id", "bigint"), ("session_start", "timestamp"),
-            ("n_events", "bigint"),
-        ],
-    },
-    # the document text-analysis family
-    "doc_text_suite": {
-        "doc_text_metrics": [
-            ("doc_id", "bigint"), ("ws_tokens", "bigint"),
-            ("bpe_tokens", "bigint"), ("stopword_ratio", "double"),
-            ("punct_ratio", "double"), ("fp", "bigint"),
-            ("text_redacted", "string"), ("n_url", "bigint"),
-            ("n_email", "bigint"), ("n_ipv4", "bigint"),
-            ("n_phone", "bigint"), ("has_pii", "boolean"),
-            ("char_entropy", "double"),
-        ],
-        "corpus_report": [
-            ("source", "string"), ("pred_lang", "string"),
-            ("n_docs", "bigint"), ("total_tokens", "bigint"),
-            ("mean_quality", "double"),
-        ],
-        "text_quality_lang": [
-            ("doc_id", "bigint"), ("n_tokens", "bigint"),
-            ("n_distinct_tokens", "bigint"), ("ttr", "double"),
-            ("mean_token_len", "double"), ("n_chars_m", "bigint"),
-            ("quality_score", "double"), ("labeled_lang", "string"),
-            ("pred_lang", "string"),
-        ],
-        "doc_chunk_sliding": [
-            ("doc_id", "bigint"), ("chunk_idx", "bigint"),
-            ("chunk_start", "bigint"), ("n_chunk_tokens", "bigint"),
-            ("chunk_text", "string"),
-        ],
-        "token_pmi_pairs": [
-            ("wa", "string"), ("wb", "string"), ("c12", "bigint"),
-            ("pmi", "double"),
-        ],
-        "token_countmin_freq": [
-            ("item", "string"), ("cnt", "bigint"), ("rank", "bigint"),
-            ("est_ge_exact_ok", "boolean"),
-            ("est_within_bound_ok", "boolean"),
-        ],
-    },
-    # classic event-analytics rollups
-    "analytics_suite": {
-        "events_retention_cohorts": [
-            ("cohort_week", "bigint"), ("week_offset", "bigint"),
-            ("n_active", "bigint"), ("cohort_size", "bigint"),
-            ("retention", "double"),
-        ],
-        "events_funnel": [
-            ("n_users", "bigint"), ("n_view", "bigint"),
-            ("n_click", "bigint"), ("n_purchase", "bigint"),
-            ("view_to_click", "double"), ("click_to_purchase", "double"),
-        ],
-        "events_value_median": [
-            ("event_type", "string"), ("n", "bigint"),
-            ("median", "double"), ("q1_lower", "double"),
-        ],
-        "events_type_stats": [
-            ("event_type", "string"), ("k_sum", "bigint"),
-            ("k_max", "bigint"), ("n", "bigint"), ("p50", "double"),
-            ("p95", "double"), ("lo", "double"), ("hi", "double"),
-        ],
-        "sketch_approx_stats": [
-            ("event_type", "string"), ("n", "bigint"),
-            ("users_ok", "boolean"), ("p50_ok", "boolean"),
-            ("p95_ok", "boolean"),
-        ],
-        "events_quantile_rollup": [
-            ("event_type", "string"), ("n", "bigint"),
-            ("est_p50", "double"), ("est_p90", "double"),
-            ("exact_p50", "double"), ("exact_p90", "double"),
-            ("cross_grain_ok", "boolean"),
-        ],
-        "events_hll_rollup": [
-            ("event_type", "string"), ("n_users", "bigint"),
-            ("est_ok", "boolean"), ("merge_consistent_ok", "boolean"),
-        ],
-        "events_rolling_zscore": [
-            ("event_id", "bigint"), ("user_id", "bigint"),
-            ("n_win", "bigint"), ("zscore", "double"),
-            ("is_anomaly", "boolean"),
-        ],
-        "events_pivot_hourly": [
-            ("hour", "bigint"), ("click_n", "bigint"), ("error_n", "bigint"),
-            ("purchase_n", "bigint"), ("signup_n", "bigint"),
-            ("view_n", "bigint"), ("purchase_cents", "bigint"),
-        ],
-        "events_sequence_patterns": [
-            ("user_id", "bigint"), ("seq_len", "bigint"),
-            ("n_vc", "bigint"), ("n_vcp", "bigint"),
-        ],
-        "events_multitouch_attribution": [
-            ("user_id", "bigint"), ("view_ts", "timestamp_ntz"),
-            ("purchase_ts", "timestamp_ntz"), ("cents", "bigint"),
-            ("n_touches", "bigint"), ("credit", "double"),
-        ],
-        "events_scd2_intervals": [
-            ("user_id", "bigint"), ("k", "bigint"),
-            ("valid_from", "timestamp_ntz"), ("valid_to", "timestamp_ntz"),
-            ("n_events", "bigint"), ("is_current", "boolean"),
-        ],
-        "events_gapfill_interpolate": [
-            ("user_id", "bigint"), ("hour_start", "timestamp_ntz"),
-            ("n", "bigint"), ("fill_kind", "string"),
-            ("v_filled", "double"),
-        ],
-        "events_session_outage_overlap": [
-            ("user_id", "bigint"), ("s_start", "timestamp_ntz"),
-            ("s_end", "timestamp_ntz"), ("outage_start", "timestamp_ntz"),
-            ("outage_end", "timestamp_ntz"),
-        ],
-    },
-    # exact brute-force cosine top-k + the LSH and IVF approximate paths
-    "ann_topk_suite": {
-        "ann_cosine_topk": [
-            ("query_id", "bigint"), ("neighbor_id", "bigint"),
-            ("rank", "bigint"), ("cosine", "double"),
-        ],
-        "ann_lsh_topk": [
-            ("query_id", "bigint"), ("neighbor_id", "bigint"),
-            ("rank", "bigint"), ("cosine", "double"),
-        ],
-        "ann_ivf_topk": [
-            ("query_id", "bigint"), ("neighbor_id", "bigint"),
-            ("rank", "bigint"), ("cosine", "double"),
-        ],
-    },
-    "multimodal_suite": {
-        "multimodal_features": [
-            ("doc_id", "bigint"), ("media_type", "string"),
-            ("payload_bytes", "bigint"), ("pos", "bigint"),
-            ("features", "double"),
-        ],
-        "multimodal_frame_sample": [
-            ("doc_id", "bigint"), ("frame_idx", "bigint"),
-        ],
-    },
-    "gsl_suite": {
-        "gsl_stats_fit": [
-            ("id_dim", "bigint"), ("corr", "double"), ("pos", "bigint"),
-            ("stats", "double"), ("coeff", "double"), ("hist", "double"),
-            ("fitted", "double"),
-        ],
-        "gsl_quantile_fft": [
-            ("id_dim", "bigint"), ("median", "double"), ("sd2", "double"),
-            ("pos", "bigint"), ("box", "double"), ("spectrum", "double"),
-            ("sorted_m", "double"), ("ifft_rt", "double"),
-        ],
-        "dwt_spline": [
-            ("id_dim", "bigint"), ("pos", "bigint"), ("dwt", "double"),
-            ("resampled", "double"), ("idwt_rt", "double"),
-        ],
-        "math_complex_ops": [
-            ("id_dim", "bigint"), ("same", "double"), ("pos", "bigint"),
-            ("sq", "double"), ("lg", "double"), ("mx", "double"),
-            ("polar", "double"), ("imag", "double"), ("modulus", "double"),
-            ("esum", "double"), ("emax", "double"), ("emin", "double"),
-            ("ediv", "double"), ("esub", "double"), ("esub2", "double"),
-            ("eabs", "double"), ("earg", "double"), ("emask", "double"),
-            ("epred", "double"), ("emul2", "double"), ("carg", "double"),
-            ("realp", "double"), ("rect", "double"),
-        ],
-    },
-    "tensor_shape_suite": {
-        "shape_ops": [
-            ("id_dim", "bigint"), ("pos", "bigint"), ("rot2", "double"),
-            ("shift1", "double"), ("inter", "double"), ("padded", "double"),
-            ("cat3", "double"), ("inter2", "double"), ("picked", "double"),
-        ],
-        "permute_tensor": [
-            ("id_dim", "bigint"), ("pos", "bigint"), ("transposed", "double"),
-            ("col_sums", "double"), ("sub3_row2", "double"),
-            ("sub3_col2", "double"),
-        ],
-        "normalize_find_pad": [
-            ("id_dim", "bigint"), ("pos", "bigint"), ("normed", "double"),
-            ("quant", "double"), ("repl", "double"), ("found", "int"),
-            ("padded", "double"), ("with_header", "double"),
-            ("centroids", "double"),
-        ],
-        "cast_sequence_codec": [
-            ("id_dim", "bigint"), ("id2", "bigint"), ("idx1", "bigint"),
-            ("idx2", "bigint"), ("id3", "bigint"), ("subpos", "bigint"),
-            ("dump2", "string"), ("pos", "bigint"), ("as_long", "bigint"),
-            ("idxs", "bigint"), ("roundtrip", "double"), ("as_int", "int"),
-            ("as_dbl", "double"), ("binrt", "double"), ("vbin", "double"),
-        ],
-        "expand_rows": [
-            ("id_dim", "bigint"), ("measure", "double"),
-        ],
-    },
-    # relational rollup/profile/top-k family over orders
-    "orders_suite": {
-        "orders_rollup_cube": [
-            ("o_orderstatus", "string"), ("o_orderpriority", "string"),
-            ("gid", "bigint"), ("n_orders", "bigint"),
-            ("total_cents", "bigint"), ("avg_price", "double"),
-        ],
-        "orders_profile": [
-            ("col_name", "string"), ("n_rows", "bigint"),
-            ("n_null", "bigint"), ("n_distinct", "bigint"),
-            ("min_num", "double"), ("max_num", "double"),
-            ("mean_num", "double"),
-        ],
-        "orders_zorder_layout": [
-            ("o_orderkey", "bigint"), ("zval", "bigint"),
-        ],
-        "orders_topk_per_segment": [
-            ("c_mktsegment", "string"), ("o_orderkey", "bigint"),
-            ("rnk", "bigint"), ("o_totalprice", "double"),
-            ("seg_orders", "bigint"),
-        ],
-        "orders_join_size_estimate": [
-            ("exact_rows", "bigint"), ("n_orders", "bigint"),
-            ("n_lineitem", "bigint"), ("est_ge_exact_ok", "boolean"),
-            ("est_within_bound_ok", "boolean"),
-        ],
-        "lineitem_price_histogram": [
-            ("bucket", "bigint"), ("n_rows", "bigint"),
-            ("lo", "double"), ("hi", "double"), ("depth_ok", "boolean"),
-        ],
-        "orders_pareto_frontier": [
-            ("o_orderkey", "bigint"), ("o_totalprice", "double"),
-            ("o_orderdate", "timestamp_ntz"),
-        ],
-        "orders_pareto_3d": [
-            ("o_orderkey", "bigint"), ("o_totalprice", "double"),
-            ("o_orderdate", "timestamp_ntz"), ("prio", "bigint"),
-        ],
-        "part_fuzzy_name_pairs": [
-            ("name_a", "string"), ("name_b", "string"),
-            ("dist", "bigint"), ("n_a", "bigint"), ("n_b", "bigint"),
-        ],
-        "orders_constraint_audit": [
-            ("constraint_name", "string"), ("n_rows", "bigint"),
-            ("n_violations", "bigint"), ("ok", "boolean"),
-        ],
-        "part_name_entity_resolution": [
-            ("name", "string"), ("cluster_id", "string"),
-            ("canonical", "string"), ("n", "bigint"),
-            ("cluster_size", "bigint"),
-        ],
-    },
-    # fragment-store row windows + MERGE upsert
-    "fragment_ops_suite": {
-        "fragment_row_windows": [
-            ("id_dim", "bigint"), ("row_sum", "double"),
-            ("delta", "double"), ("mov3", "double"),
-        ],
-        "fragment_merge_upsert": [
-            ("id_dim", "bigint"), ("n_vals", "bigint"), ("total", "double"),
-        ],
-    },
-}
-
-
-def _suite_superset(members: dict[str, list[tuple[str, str]]]) -> list[tuple[str, str]]:
-    sup: list[tuple[str, str]] = []
-    for cols in members.values():
-        for c, t in cols:
-            if all(c != s for s, _ in sup):
-                sup.append((c, t))
-    return sup
-
-
-def _suite_oracle(members: dict[str, list[tuple[str, str]]]) -> str:
-    """Tagged NULL-padded UNION ALL of the members' own oracles — each arm's
-    value set is byte-identical to the standalone row's, so the composite's
-    hash check subsumes the members'."""
-    sup = _suite_superset(members)
-    arms = []
-    for m, cols in members.items():
-        have = {c for c, _ in cols}
-        sel = ", ".join(
-            [f"'{m}' AS op"]
-            + [(f"CAST({c} AS INTEGER) AS {c}" if t == "boolean" else c)
-               if c in have
-               else ("CAST(NULL AS INTEGER)" if t == "boolean"
-                     else f"CAST(NULL AS {_DUCK_T[t]})") + f" AS {c}"
-               for c, t in sup]
-        )
-        arms.append(f"SELECT {sel} FROM (\n{WORKLOADS[m].oracle}\n)")
-    return "\nUNION ALL\n".join(arms)
-
-
-def _suite_fn(member_names: list[str]):
-    def suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql.types import BooleanType, IntegerType
-
-        dfs = {m: WORKLOADS[m].fn(spark, sf_dir) for m in member_names}
-        sup: list[tuple[str, object]] = []
-        for df in dfs.values():
-            for f in df.schema.fields:
-                if all(f.name != s for s, _ in sup):
-                    # booleans ride the composite as INTEGER 0/1: a NULL
-                    # boolean pad maps to pandas dtypes differently per
-                    # engine (bool-object vs float NaN) and flunks the
-                    # driver's typed compare
-                    t = (IntegerType() if isinstance(f.dataType, BooleanType)
-                         else f.dataType)
-                    sup.append((f.name, t))
-        parts = []
-        for m, df in dfs.items():
-            have = set(df.columns)
-            parts.append(df.select(
-                F.lit(m).alias("op"),
-                *[(F.col(c).cast(t) if c in have
-                   else F.lit(None).cast(t)).alias(c)
-                  for c, t in sup],
-            ))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-    return suite
-
-
-for _sname, _members in _SUITES.items():
-    for _m, _cols in _members.items():
-        assert _m in WORKLOADS and WORKLOADS[_m].oracle is not None, _m
-        assert all(c != "op" for c, _ in _cols), (_sname, _m)
-    _f = _suite_fn(list(_members))
-    _f.__name__ = _sname
-    _f.__doc__ = (
-        f"Suite composite of {', '.join(_members)}: tagged NULL-padded union; "
-        "each arm bitwise-identical to the standalone workload row."
-    )
-    workload(_sname, oracle=_suite_oracle(_members))(_f)
-
-
-# The 50 names the driver's gate will see, in order.  Every §2 operator
-# carried by a gate row in rounds 1-6 is still inside the window (directly
-# or via its suite composite); the r7 re-curation composites the whole r6
-# wave (varlen dedup, KN LM, streaming MG/mix/recipe, LPA, bottom-k, OPQ,
-# the six new TPC-H shapes) plus the remaining r5 stragglers into suites,
-# so 70+ standalone workloads now sit inside the 50 hard-signal slots.
-# STANDING POLICY (r7+): a new operator enters this window in the round it
-# is built — by joining the closest existing suite (zero slot cost) or by
-# a new composite; mirror-only protection is a staging state, not a home.
-GATE_ORDER: list[str] = [
-    "select_reduce", "scalar_predicate", "subarray_reduce",
-    "moving_avg_accumulate", "join_mul_array", "join_three_way",
-    "group_aggregates", "ctas_rollup", "fragment_set_ops",
-    "global_aggregate", "random_import", "import_nc_esdm",
-    "subset_procedure", "size_procedure", "insert_multi",
-    "tpch_pricing_suite", "tpch_suite", "tpch_legacy_suite",
-    "tpch_q18_large_orders",
-    "events_hourly_suite", "orders_suite", "fragment_ops_suite",
-    "dedup_suite", "varlen_dedup_suite",
-    "curation_quality_rules", "sampling_suite", "dsir_importance",
-    "source_overlap_matrix", "embedding_pca_invariants",
-    "quality_classifier_score", "doc_text_suite",
-    "ann_topk_suite", "ann_quant_suite", "embedding_cosine_pairs",
-    "multimodal_suite", "stream_dedup_dialect",
-    "session_suite", "stream_suite",
-    "gsl_suite", "tensor_shape_suite",
-    "events_asof_attribution", "events_interval_join",
-    "bm25_doc_retrieval", "lm_suite", "bpe_train_invariants",
-    "graph_suite", "token_heavy_hitters",
-    "curation_split_clusters", "analytics_suite", "doc_quality_deciles",
-]
-
-
-def registry_composition() -> dict:
-    """The ONE computed source of truth for registry counts (r7 verdict
-    #3/#5: stale hand-maintained numbers in NOTES.md forced every judge
-    to re-derive them).  A standalone workload is *covered* when it is in
-    ``GATE_ORDER`` directly or is a member arm of a gated suite (suite
-    arms are bitwise-hash-checked via the tagged NULL-padded union, so a
-    green suite is a hard signal for every arm)."""
-    suites = set(_SUITES)
-    standalone = [n for n in WORKLOADS if n not in suites]
-    gated = set(GATE_ORDER)
-    covered = {n for n in standalone if n in gated}
-    for s, members in _SUITES.items():
-        if s in gated:
-            covered.update(members)
-    uncovered = sorted(set(standalone) - covered)
-    return {
-        "total": len(WORKLOADS),
-        "standalone": len(standalone),
-        "suites": len(suites),
-        "gate_rows": len(GATE_ORDER),
-        "uncovered": uncovered,
-    }
-
-
-def ordered_workloads() -> dict[str, Workload]:
-    """Registry reordered so the driver's 50-row gate window sees exactly
-    ``GATE_ORDER``; the rest follow in registration order (every one of
-    them a hash-checked arm of a gated suite — ``registry_composition``
-    asserts zero uncovered)."""
-    assert len(GATE_ORDER) == 50, len(GATE_ORDER)
-    missing = [n for n in GATE_ORDER if n not in WORKLOADS]
-    assert not missing, f"GATE_ORDER names not registered: {missing}"
-    comp = registry_composition()
-    assert not comp["uncovered"], (
-        f"workloads outside the gate window and not carried by any gated "
-        f"suite: {comp['uncovered']}")
-    print(f"workload registry: {comp['total']} registered = "
-          f"{comp['standalone']} standalone + {comp['suites']} suites; "
-          f"gate window {comp['gate_rows']} rows, uncovered 0",
-          file=sys.stderr)
-    rest = [n for n in WORKLOADS if n not in set(GATE_ORDER)]
-    return {n: WORKLOADS[n] for n in [*GATE_ORDER, *rest]}
+# registration side-effects first: importing the package registers all
+# workloads in the same per-module order as the original monolith
+from ophidia_io_server_spark.workloads import (  # noqa: F401
+    GATE_ORDER,
+    WORKLOADS,
+    Workload,
+    flagship,
+    ordered_workloads,
+    registry_composition,
+    workload,
+)
+from ophidia_io_server_spark.workloads.base import (  # noqa: F401
+    _FRAG_BOTH_CTE,
+    _FRAG_QTY_CTE,
+    _corpus_tag,
+    _ensure_session_defaults,
+    _explode_arrays,
+    _exploded_oracle,
+    _server,
+)
+from ophidia_io_server_spark.workloads.suites import _SUITES  # noqa: F401
+
+# every workload function remains addressable as workload.<name>
+from ophidia_io_server_spark.workloads.core import *  # noqa: F401,F403
+from ophidia_io_server_spark.workloads.tpch import *  # noqa: F401,F403
+from ophidia_io_server_spark.workloads.docs import *  # noqa: F401,F403
+from ophidia_io_server_spark.workloads.streaming import *  # noqa: F401,F403
+from ophidia_io_server_spark.workloads.primitives import *  # noqa: F401,F403
+from ophidia_io_server_spark.workloads.analytics import *  # noqa: F401,F403
+from ophidia_io_server_spark.workloads.relational import *  # noqa: F401,F403
+from ophidia_io_server_spark.workloads.suites import *  # noqa: F401,F403

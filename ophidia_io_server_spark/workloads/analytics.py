@@ -1,0 +1,1733 @@
+"""Temporal joins (as-of, interval), retrieval + language models, BPE, graphs (PageRank/LPA/triangles), heavy hitters, rollup/cube, pivots, and the round-5/6 events analytics.
+
+Carved verbatim out of the original workload.py (r8 VERDICT #3);
+provenance citations in the per-workload docstrings are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.operators.engine import IOServer  # noqa: F401
+from ophidia_io_server_spark.session import session_key  # noqa: F401
+from ophidia_io_server_spark.sources.random_import import (  # noqa: F401
+    random_fragment_oracle_sql,
+)
+from ophidia_io_server_spark.sources.tables import (  # noqa: F401
+    exact_cents_sum,
+    fragment_cte,
+    lineitem_fragment,
+    lineitem_fragment_cached,
+    load_table,
+)
+
+from ophidia_io_server_spark.workloads.docs import (  # noqa: F401
+    _redact_oracle_exprs,
+)
+from ophidia_io_server_spark.workloads.base import (  # noqa: F401
+    WORKLOADS,
+    Workload,
+    _FRAG_BOTH_CTE,
+    _FRAG_QTY_CTE,
+    _corpus_tag,
+    _ensure_session_defaults,
+    _exploded_oracle,
+    _explode_arrays,
+    _server,
+    workload,
+)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of, interval) — operators Spark lacks as built-ins
+# ---------------------------------------------------------------------------
+
+
+@workload(
+    "events_asof_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts,
+                 value AS click_value
+          FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.event_id, c.click_id, c.click_ts, c.click_value,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts),
+    m AS (SELECT event_id, click_id, click_ts, click_value
+          FROM cand WHERE rn = 1)
+    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+           m.click_id, m.click_ts, m.click_value,
+           COALESCE(m.click_ts IS NOT NULL
+                    AND p.ts - m.click_ts <= INTERVAL 2 HOUR, FALSE) AS attributed
+    FROM p LEFT JOIN m ON p.event_id = m.event_id
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase as-of-joined to the latest
+    prior click by the same user, plus an attributed flag (click within
+    2 h).  The ENGINE is the union-merge as-of join (one shuffle on
+    user_id, |p|+|c| rows — ``operators/temporal.py``); the ORACLE is the
+    textbook inequality-join + ROW_NUMBER formulation whose intermediate
+    is O(|p|·|c|) per user — exactly the blowup the merge form avoids.
+    Tie-break (equal click_ts → max click_id) is pinned on both sides."""
+    from ophidia_io_server_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value"))
+    j = asof_join(p, c, on="user_id", ts_col="ts", right_ts_col="click_ts",
+                  seq_col="click_id", prefix="c_")
+    lt = F.unix_micros(F.col("ts").cast("timestamp"))
+    ct = F.unix_micros(F.col("c_click_ts").cast("timestamp"))
+    return j.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        F.col("c_click_id").alias("click_id"),
+        F.col("c_click_ts").alias("click_ts"),
+        F.col("c_click_value").alias("click_value"),
+        F.coalesce(F.col("c_click_ts").isNotNull()
+                   & ((lt - ct) <= 7200 * 1_000_000), F.lit(False))
+         .alias("attributed"),
+    )
+
+
+@workload(
+    "events_interval_join",
+    oracle="""
+    WITH err AS (SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS e
+                 FROM events WHERE event_type = 'error'),
+    seq AS (
+      SELECT user_id, ts, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts > MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_w
+      FROM err),
+    w AS (SELECT user_id, ts, e,
+                 SUM(new_w) OVER (PARTITION BY user_id ORDER BY ts, e
+                                  ROWS UNBOUNDED PRECEDING) AS wid
+          FROM seq),
+    iv AS (SELECT user_id, MIN(ts) AS outage_start, MAX(e) AS outage_end
+           FROM w GROUP BY user_id, wid),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, iv.outage_start, iv.outage_end,
+           (iv.outage_start IS NOT NULL) AS in_outage
+    FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+       AND p.ts >= iv.outage_start AND p.ts < iv.outage_end
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join without a BNLJ: per-user error events grow
+    30-min outage windows, overlapping windows merge (gaps-and-islands),
+    purchases land in [start, end) via the BINNED equi-join
+    (``operators/temporal.py``: intervals replicate per covered 30-min
+    bucket, points hash to exactly one, residual predicate finishes the
+    exact match).  The ORACLE is the plain inequality join DuckDB can
+    afford at this scale.  Merged windows are disjoint per user, so each
+    purchase matches ≤1 window and the left join preserves row count."""
+    from ophidia_io_server_spark.operators.temporal import interval_join, merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
+    outages = merge_intervals(err, on="user_id")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    j = interval_join(p, outages, on="user_id", ts_col="ts",
+                      bin_seconds=1800, how="left", point_id_col="event_id")
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("start_ts").alias("outage_start"),
+        F.col("end_ts").alias("outage_end"),
+        F.col("start_ts").isNotNull().alias("in_outage"),
+    )
+
+
+@workload(
+    "bm25_doc_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM toks),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dls),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+           FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dls) u
+           WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    con AS (SELECT tf.doc_id, tf.term,
+                   ln(1 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / g.avgdl)) AS c
+            FROM tf JOIN dfq USING (term) CROSS JOIN g),
+    sc AS (SELECT doc_id,
+                  ROUND(list_aggregate(list(c ORDER BY term), 'sum'), 6) AS score
+           FROM con GROUP BY doc_id)
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM sc ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 for the query {hash, merge, scan} over documents —
+    lexical retrieval for corpus curation (``pipeline/retrieval.py``).
+    Postings materialize only for the query terms (filter before the one
+    shuffle); df table and corpus stats ride broadcasts; top-k is
+    TakeOrderedAndProject.  Scores are term-sorted left-fold sums so both
+    engines add in the same order; idf's ln is inside the 6-dp rounding."""
+    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "merge", "scan"], k=25)
+
+
+@workload(
+    "orders_rollup_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 4) AS avg_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (status → priority → grand total)
+    with grouping-id disambiguation — the OLAP subtotal surface on top of
+    the engine's flat GROUP BY.  Money sums go through round-to-cents
+    BIGINT so the cross-row sum is order-free (double sums are not);
+    averages derive from the exact cents total.  Spark executes rollup as
+    one Expand + single hash aggregate (no per-level re-scan)."""
+    ords = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        ords.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+            F.round(F.sum(cents) / 100.0 / F.count(F.lit(1)), 4).alias("avg_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
+                "total_cents", "avg_price")
+    )
+
+
+@workload(
+    "doc_chunk_sliding",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    sz AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) > 0),
+    st AS (SELECT doc_id, tk, n,
+                  CASE WHEN n <= 32 THEN 0
+                       ELSE ((n - 32 + 24 - 1) // 24) * 24 END AS last
+           FROM sz),
+    ex AS (SELECT doc_id, tk, unnest(range(0, last + 1, 24)) AS chunk_start
+           FROM st)
+    SELECT doc_id,
+           CAST(chunk_start // 24 AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(tk[chunk_start + 1 : chunk_start + 32]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(tk[chunk_start + 1 : chunk_start + 32], ' ')
+             AS chunk_text
+    FROM ex
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into overlapping
+    32-token windows at stride 24 (``pipeline/chunking.py`` — tokenizer-
+    overflow window rule, integer boundary arithmetic, shuffle-free
+    explode).  The oracle replays the same rule with DuckDB list slicing."""
+    from ophidia_io_server_spark.pipeline.chunking import chunk_sliding
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_sliding(docs, window=32, stride=24)
+
+
+@workload(
+    "doc_perplexity_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    big AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM big GROUP BY w1, w2),
+    cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
+          FROM (SELECT unnest(tk) AS t FROM toks)),
+    lp AS (SELECT big.doc_id, big.pos,
+                  ln((bc.c12 + 1) / (cc.c1 + v.vsz)) AS lp
+           FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v),
+    s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 list_aggregate(list(lp ORDER BY pos), 'sum') AS slp
+          FROM lp GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           ROUND(slp / n_bigrams, 6) AS avg_logprob,
+           ROUND(exp(-(slp / n_bigrams)), 6) AS ppl
+    FROM s
+    """,
+)
+def doc_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: self-trained add-one bigram model,
+    per-document mean log-probability and perplexity
+    (``pipeline/lm.py``).  Train = two map-side-combined count
+    aggregations; score = shuffled equi-join on (w1, w2) with the context
+    join riding the same key prefix; V is a scalar broadcast.  Per-doc
+    sums fold bigrams in position order so both engines add the same
+    floats in the same sequence; ln/exp sit inside the 6-dp rounding."""
+    from ophidia_io_server_spark.pipeline.lm import perplexity_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_scores(docs)
+
+
+@workload(
+    "doc_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    big AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM big GROUP BY w1, w2),
+    cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vsz
+          FROM (SELECT unnest(tk) AS t FROM toks)),
+    lp AS (SELECT big.doc_id, big.pos,
+                  ln((bc.c12 + 1) / (cc.c1 + v.vsz)) AS lp
+           FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+           WHERE big.pos % 16 <> 0),
+    cs AS (SELECT doc_id, CAST((pos - 1) // 16 AS BIGINT) AS chunk,
+                  CAST(COUNT(*) AS BIGINT) AS nb,
+                  list_aggregate(list(lp ORDER BY pos), 'sum') AS slp
+           FROM lp GROUP BY doc_id, chunk),
+    rk AS (SELECT doc_id, chunk,
+                  row_number() OVER (
+                    ORDER BY CAST(-FLOOR(slp / nb * 1e6) AS BIGINT),
+                             doc_id, chunk) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM cs)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_head,
+           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_middle,
+           CAST(SUM(CASE WHEN (rn - 1) * 3 // n = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail
+    FROM rk GROUP BY doc_id
+    """,
+)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet segment filtering (Wenzek et al. 2020,
+    ``pipeline/lm.py::ccnet_chunk_buckets``): 16-token segments scored
+    by mean bigram log-probability under the self-trained corpus LM,
+    ranked corpus-wide via ``global_dense_rank`` (no single-partition
+    window), bucketed into head/middle/tail terciles by integer
+    arithmetic on (rank, total).  The ordering key is the integer
+    ``-floor(mean·10⁶)`` so the ≤1-ulp ln() discrepancy between libm
+    and the JVM cannot flip the corpus-wide order (a flip needs an
+    exact 10⁻⁶ grid hit, measure-zero for ln sums); ties break on
+    (doc_id, chunk) in both engines."""
+    from ophidia_io_server_spark.pipeline.lm import ccnet_chunk_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_chunk_buckets(docs, chunk_tokens=16)
+
+
+@workload(
+    "bpe_train_invariants",
+    oracle="""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY word)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars,
+           TRUE AS learned_in_range,
+           TRUE AS all_reconstruct,
+           TRUE AS compression_ok
+    FROM w
+    """,
+)
+def bpe_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training in the gate (iterative argmax — not one-query SQL, so
+    the oracled surface is exact corpus stats + invariant booleans, the
+    sketch-row pattern): 12 merges over the documents word-type table
+    (``pipeline/bpe.py``).  ``all_reconstruct`` proves every word type's
+    symbol sequence concatenates back to the word after all merges;
+    ``compression_ok`` proves each merge round removed ≥min_pair_freq
+    symbol occurrences (total mass ≤ chars − 2·k).  The merge SEQUENCE
+    itself is pinned against a pure-Python Sennrich reference in
+    ``tests/test_bpe.py``."""
+    from ophidia_io_server_spark.pipeline.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, wf = train_bpe(docs, 12)
+    k = len(merges)
+    return wf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum(F.col("freq") * F.length("word")).cast("bigint").alias("total_chars"),
+        F.sum(F.col("freq") * F.size("symbols")).cast("bigint").alias("_syms"),
+        F.bool_and(F.concat_ws("", F.col("symbols")) == F.col("word"))
+         .alias("all_reconstruct"),
+    ).select(
+        "n_word_types", "total_chars",
+        F.lit(1 <= k <= 12).alias("learned_in_range"),
+        "all_reconstruct",
+        ((F.col("_syms") + 2 * k) <= F.col("total_chars")).alias("compression_ok"),
+    )
+
+
+@workload(
+    "lang_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT list_aggregate(list(pow(n_docs, 0.7) ORDER BY lang), 'sum')
+                   AS denom,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_total
+          FROM c)
+    SELECT c.lang, c.n_docs,
+           ROUND(pow(c.n_docs, 0.7) / t.denom, 6) AS weight,
+           ROUND(LEAST(1.0, pow(c.n_docs, 0.7) / t.denom * t.n_total * 0.5
+                            / c.n_docs), 6) AS target_rate,
+           TRUE AS rate_ok
+    FROM c CROSS JOIN t
+    """,
+)
+def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature source mixing over the (skewed) language strata:
+    the per-language sampling plan (``pipeline/mixing.py`` — n^α weights
+    normalized by a language-ordered fold, capped Bernoulli rates) plus a
+    ``rate_ok`` boolean proving the deterministic hash selection lands
+    inside the 4σ binomial envelope of its target rate.  Plan algebra is
+    exact SQL; the xxhash64 selection is the invariant-boolean surface
+    (same pattern as the sampling/split rows)."""
+    from ophidia_io_server_spark.pipeline.mixing import (
+        source_mixing_plan,
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = source_mixing_plan(docs, 0.7, 0.5, source_col="lang")
+    got = (
+        temperature_sample(docs, 0.7, 0.5, source_col="lang",
+                           key_col="doc_id", seed=11)
+        .groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_sel"))
+    )
+    sd = F.sqrt(F.col("target_rate") * (1 - F.col("target_rate")) * F.col("n_docs"))
+    return (
+        plan.join(got, on="lang", how="left")
+        .select(
+            "lang", "n_docs", "weight", "target_rate",
+            (F.abs(F.coalesce(F.col("n_sel"), F.lit(0))
+                   - F.col("target_rate") * F.col("n_docs"))
+             <= 4 * sd + 1).alias("rate_ok"),
+        )
+    )
+
+
+@workload(
+    "events_pivot_hourly",
+    oracle="""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_n,
+           CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                         FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+             AS purchase_cents
+    FROM events GROUP BY hour(ts)
+    """,
+)
+def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide conditional aggregation): per hour-of-day, one column
+    per event type — Spark's ``groupBy().pivot(values).agg()`` with the
+    value list pinned (no extra distinct-scan job), executed as a single
+    hash aggregate; the oracle is the equivalent FILTER aggregation.
+    Money goes through round-to-cents BIGINT (order-free sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wide = (
+        ev.withColumn("hour", F.hour(F.col("ts").cast("timestamp")).cast("bigint"))
+        .groupBy("hour")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("cents"))
+    )
+    return wide.select(
+        "hour",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"{t}_n")
+          for t in types],
+        F.coalesce(F.col("purchase_cents"), F.lit(0)).cast("bigint")
+         .alias("purchase_cents"),
+    )
+
+
+_CQR_AS_CTE = (
+    WORKLOADS["curation_quality_rules"].oracle
+    .replace("FROM documents", "FROM dd")
+    .replace("FROM g ORDER BY doc_id", "FROM g")
+)
+
+
+@workload(
+    "stream_curation_recipe",
+    oracle=f"""
+    WITH dd AS (SELECT MIN(doc_id) AS doc_id, text
+                FROM documents WHERE text IS NOT NULL GROUP BY text),
+    cqr AS ({_CQR_AS_CTE}),
+    pii AS (SELECT doc_id,
+           {_redact_oracle_exprs()},
+           (n_url + n_email + n_ipv4 + n_phone) > 0 AS has_pii
+           FROM dd)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gopher_keep,
+           CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_pii,
+           CAST(SUM(CASE WHEN gopher_keep THEN n_words ELSE 0 END) AS BIGINT)
+             AS kept_words
+    FROM cqr JOIN pii USING (doc_id)
+    """,
+)
+def stream_curation_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming RECIPE prefix end-to-end (``pipeline/recipe.py::
+    curate_stream``): the doubled document corpus re-ingested as a file
+    stream, content-hash dedup in the state store, Gopher rules + PII
+    redaction applied incrementally — aggregates over the curated stream
+    must equal the batch rule/redaction oracles over distinct texts.  The
+    oracle REUSES the `curation_quality_rules` SQL mirror verbatim over
+    the deduplicated CTE (one source of truth for the rule algebra)."""
+    import hashlib
+    import os
+
+    from ophidia_io_server_spark.pipeline.recipe import curate_stream
+    from ophidia_io_server_spark.streaming.ingest import run_available_now
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/ophidia_stream_docs_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.unionAll(docs).write.mode("overwrite").parquet(path)
+        open(f"{path}/_SUCCESS", "a").close()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    curated = curate_stream(stream).drop("text_redacted")
+    per_doc = run_available_now(curated, f"stream_recipe_{tag}",
+                                output_mode="append")
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("gopher_keep").cast("int")).cast("bigint")
+         .alias("n_gopher_keep"),
+        F.sum(F.col("has_pii").cast("int")).cast("bigint").alias("n_with_pii"),
+        F.sum(F.when(F.col("gopher_keep"), F.col("n_words")).otherwise(0))
+         .cast("bigint").alias("kept_words"),
+    )
+
+
+def _pagerank_oracle(iters: int, d: float = 0.85) -> str:
+    """Unrolled power-iteration oracle (recursive CTEs cannot aggregate in
+    the recursive term, so the fixed iteration count is generated as a CTE
+    chain).  Every float expression mirrors `operators/graph.py::pagerank`
+    with exact_fold: incoming contributions fold in src order, dangling
+    mass folds in node order, identical literals and association."""
+    sql = """
+    WITH s AS (SELECT event_type AS src,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS dst
+               FROM events),
+    e AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
+    outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+    ep AS MATERIALIZED (SELECT e.src, e.dst, e.w / outw.ow AS p
+           FROM e JOIN outw USING (src)),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank
+          FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    dang{i} AS (SELECT COALESCE(list_aggregate(list(r.rank ORDER BY r.node),
+                                               'sum'), 0.0) AS dm
+                FROM r{i - 1} r LEFT JOIN outw ON r.node = outw.src
+                WHERE outw.src IS NULL),
+    r{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             (1 - {d}) / nn.n
+               + {d} * (COALESCE(inc.m, 0.0) + dang{i}.dm / nn.n) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN dang{i}
+      LEFT JOIN (SELECT ep.dst AS node,
+                        list_aggregate(list(r.rank * ep.p ORDER BY ep.src),
+                                       'sum') AS m
+                 FROM ep JOIN r{i - 1} r ON ep.src = r.node
+                 GROUP BY ep.dst) inc USING (node))"""
+    sql += f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return sql
+
+
+@workload("events_pagerank_transitions", oracle=_pagerank_oracle(12))
+def events_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the event-type transition graph (edges =
+    consecutive event types per user, weighted by transition count) —
+    the generic distributed power iteration of ``operators/graph.py``
+    (per round: one edges⋈ranks join + one groupBy(dst); dangling mass a
+    broadcast scalar; lineage checkpointed).  ``exact_fold`` orders every
+    float addition so the unrolled-CTE oracle reproduces each iteration
+    bitwise; the numpy differential in ``tests/test_graph.py`` covers the
+    general algorithm on random digraphs with dangling nodes."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    wdw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(F.col("event_type").alias("src"),
+                  F.lead("event_type").over(wdw).alias("dst"))
+    edges = (s.where(F.col("dst").isNotNull())
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    ranks = pagerank(edges, iters=12, weight_col="w", exact_fold=True)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@workload(
+    "events_rolling_zscore",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, value,
+             -- empty trailing frame: Spark collect_list gives [], DuckDB
+             -- list() gives NULL — coalesce to align
+             COALESCE(list(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING),
+                      []) AS vs
+      FROM events),
+    st AS (
+      SELECT event_id, user_id, value,
+             CAST(len(vs) AS BIGINT) AS n_win,
+             list_aggregate(vs, 'sum') AS s,
+             list_aggregate(list_transform(vs, x -> x * x), 'sum') AS ss
+      FROM base),
+    z AS (
+      SELECT event_id, user_id, value, n_win,
+             CASE WHEN n_win >= 5
+                  AND (ss - s * s / n_win) / (n_win - 1) > 0
+                  THEN ROUND((value - s / n_win)
+                             / sqrt((ss - s * s / n_win) / (n_win - 1)), 4)
+             END AS zscore
+      FROM st)
+    SELECT event_id, user_id, n_win, zscore,
+           COALESCE(abs(zscore) > 3.0, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event's value z-scored against the
+    TRAILING 19-event window of the same user (current row excluded — no
+    self-contamination).  The window stats fold the frame's value list in
+    frame order (``collect_list`` over the ROWS frame ↔ DuckDB ``list()
+    OVER``), so both engines add the same floats in the same order —
+    incremental sliding-window aggregates would drift.  Windows under 5
+    samples or with zero variance yield NULL z (flagged false)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, -1))
+    vals = F.collect_list("value").over(w)
+    base = ev.select("event_id", "user_id", "value", vals.alias("vs"))
+    n = F.size("vs").cast("bigint")
+    s = F.aggregate("vs", F.lit(0.0), lambda a, x: a + x)
+    ss = F.aggregate(F.transform("vs", lambda x: x * x),
+                     F.lit(0.0), lambda a, x: a + x)
+    st = base.select("event_id", "user_id", "value",
+                     n.alias("n_win"), s.alias("s"), ss.alias("ss"))
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_win")) \
+        / (F.col("n_win") - 1)
+    zscore = F.when(
+        (F.col("n_win") >= 5) & (var > 0),
+        F.round((F.col("value") - F.col("s") / F.col("n_win")) / F.sqrt(var), 4),
+    )
+    return (
+        st.withColumn("zscore", zscore)
+        .select("event_id", "user_id", "n_win", "zscore",
+                F.coalesce(F.abs(F.col("zscore")) > 3.0, F.lit(False))
+                 .alias("is_anomaly"))
+    )
+
+
+@workload(
+    "fragment_merge_upsert",
+    oracle=f"""
+    {_FRAG_QTY_CTE},
+    base AS (SELECT id_dim, measure FROM frag_qty WHERE id_dim <= 1000),
+    upd AS (SELECT id_dim, list_transform(measure, x -> x * 2.0) AS measure
+            FROM frag_qty WHERE id_dim > 500 AND id_dim <= 1500),
+    m AS (SELECT COALESCE(u.id_dim, b.id_dim) AS id_dim,
+                 COALESCE(u.measure, b.measure) AS measure
+          FROM base b FULL JOIN upd u ON b.id_dim = u.id_dim)
+    SELECT id_dim, CAST(len(measure) AS BIGINT) AS n_vals,
+           ROUND(list_aggregate(measure, 'sum'), 6) AS total
+    FROM m
+    """,
+)
+def fragment_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO for the fragment store (``catalog.merge_upsert``):
+    update rows replace same-key rows (ids 500-1000 get 2× measures),
+    unmatched updates insert (ids 1000-1500), unmatched base rows
+    survive (ids ≤ 500) — one full-outer equi-join with row-level
+    update-wins coalesce, the Delta/Iceberg MERGE core on the in-memory
+    store.  Oracle = the FULL JOIN reconstruction."""
+    from ophidia_io_server_spark.catalog import merge_upsert
+
+    frag = lineitem_fragment_cached(spark, sf_dir, "l_quantity")
+    base = frag.where(F.col("id_dim") <= 1000)
+    upd = frag.where((F.col("id_dim") > 500) & (F.col("id_dim") <= 1500)) \
+        .select("id_dim", F.transform("measure", lambda x: x * 2.0).alias("measure"))
+    merged = merge_upsert(base, upd, key="id_dim")
+    return merged.select(
+        "id_dim",
+        F.size("measure").cast("bigint").alias("n_vals"),
+        F.round(F.aggregate("measure", F.lit(0.0), lambda a, x: a + x), 6)
+         .alias("total"),
+    )
+
+
+@workload(
+    "token_heavy_hitters",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS item
+      FROM documents WHERE text IS NOT NULL)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
+             AS rank
+    FROM t GROUP BY item
+    ORDER BY cnt DESC, item LIMIT 10
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus tokens via Misra-Gries candidates + exact verify
+    (``pipeline/heavy.py``): per-partition MG(64) summaries bound the
+    shuffle at k·partitions rows instead of the vocabulary, then exact
+    counts for candidates only.  The oracle is the full exact top-10 —
+    valid because every item above n/65 support provably survives MG, and
+    this corpus's 10th token sits far above that threshold (the pytest
+    property test covers adversarial layouts)."""
+    from ophidia_io_server_spark.pipeline.heavy import heavy_hitters
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(tokens_col(F.col("text"))).alias("tok"))
+    top = heavy_hitters(toks, "tok", k=64, top_n=10)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return top.select(F.col("item"), "cnt",
+                      F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+@workload(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS item
+      FROM documents WHERE text IS NOT NULL)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS BIGINT)
+             AS rank,
+           TRUE AS margin_ok
+    FROM t GROUP BY item
+    ORDER BY cnt DESC, item LIMIT 10
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy hitters with bounded state
+    (``streaming/ingest.py::heavy_hitters_stream``): the token stream is
+    ingested one file per trigger; per-bucket Misra-Gries counters live in
+    the state store (O(k·buckets) forever — never vocabulary-sized), each
+    batch emits its buckets' survivor snapshots, the max-round snapshot
+    per bucket is the final candidate set, and a batch verify join
+    computes exact counts for candidates only.  The oracle is the exact
+    corpus top-10 — identical to the batch ``token_heavy_hitters`` row,
+    proving the incremental MG survivors cover the true heavy hitters of
+    the WHOLE stream, not per batch.
+
+    ``margin_ok`` is the distribution-independence certificate (r6
+    ADVICE): MG only guarantees survival for items with frequency >
+    W_bucket/(k+1), so equality with the exact top-10 is conditional.
+    If the 10th candidate count strictly exceeds max_b(W_b)/(k+1), then
+    EVERY corpus item with count ≥ that 10th count is provably a
+    survivor of its own bucket (its bucket's bound is ≤ the max), so
+    the candidate top-10 — including any tie at the rank-10 cut — equals
+    the true corpus top-10.  A regenerated corpus with a flatter tail
+    flips this boolean (one named row) instead of nondeterministically
+    scrambling the top-10 hash."""
+    import hashlib
+    import os
+
+    from ophidia_io_server_spark.streaming.ingest import (
+        final_candidates,
+        heavy_hitters_stream,
+        run_available_now,
+    )
+
+    tag = _corpus_tag(sf_dir, "documents", salt="hh")
+    path = f"/tmp/ophidia_stream_toks_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from ophidia_io_server_spark.pipeline.text import tokens_col
+
+        docs = load_table(spark, sf_dir, "documents")
+        (docs.where(F.col("text").isNotNull())
+         .select(F.explode(tokens_col(F.col("text"))).alias("item"))
+         .repartition(6).write.mode("overwrite").parquet(path))
+        open(f"{path}/_SUCCESS", "a").close()
+    stream = (spark.readStream.schema("item string")
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    emitted = run_available_now(
+        heavy_hitters_stream(stream, "item", k=64, buckets=16),
+        f"stream_hh_{tag}", output_mode="update")
+    cand = final_candidates(emitted)
+    corpus = spark.read.parquet(path)
+    exact = (
+        corpus.join(F.broadcast(cand), on="item", how="left_semi")
+        .groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    # Certificate: max per-bucket token window over (k+1) — if the 10th
+    # candidate count clears it, the candidate top-10 IS the corpus top-10.
+    max_w = (corpus.groupBy(
+                F.pmod(F.xxhash64("item"), F.lit(16)).alias("bkt"))
+             .agg(F.count(F.lit(1)).alias("wb"))
+             .agg(F.max("wb").alias("mx")))
+    bound = (max_w.select((F.col("mx") / F.lit(64 + 1)).alias("bound")))
+    top10 = (exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(10)
+             .select("item", "cnt",
+                     F.row_number().over(w).cast("bigint").alias("rank")))
+    return top10.crossJoin(F.broadcast(bound)).select(
+        "item", "cnt", "rank",
+        (F.min("cnt").over(Window.partitionBy()) > F.col("bound"))
+        .alias("margin_ok"))
+
+
+@workload(
+    "doc_stupid_backoff_lm",
+    oracle="""
+    WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+    sc AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+    t3 AS MATERIALIZED (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+             CAST(COUNT(*) AS BIGINT) AS c3
+      FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM tr WHERE len(tk) >= 3) GROUP BY 1, 2, 3),
+    t2 AS MATERIALIZED (
+      SELECT tk[i] AS a, tk[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2),
+    t1 AS MATERIALIZED (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(tk) AS t FROM tr) GROUP BY t),
+    nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS N,
+                  CAST(COUNT(*) AS BIGINT) AS V FROM t1),
+    sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                 FROM sc WHERE len(tk) >= 3)),
+    j AS (SELECT sg.doc_id, sg.pos,
+            CASE WHEN t3.c3 IS NOT NULL THEN ln(t3.c3 / p2.c2)
+                 WHEN b2.c2 IS NOT NULL THEN ln(0.4 * b2.c2 / cx.c1)
+                 ELSE ln(0.4 * 0.4 * (COALESCE(cw.c1, 0) + 1)
+                         / (nv.N + nv.V)) END AS ls,
+            CASE WHEN t3.c3 IS NOT NULL THEN 3
+                 WHEN b2.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl
+          FROM sg
+          LEFT JOIN t3 ON sg.w1 = t3.w1 AND sg.w2 = t3.w2 AND sg.w3 = t3.w3
+          LEFT JOIN t2 p2 ON sg.w1 = p2.a AND sg.w2 = p2.b
+          LEFT JOIN t2 b2 ON sg.w2 = b2.a AND sg.w3 = b2.b
+          LEFT JOIN t1 cx ON sg.w2 = cx.t
+          LEFT JOIN t1 cw ON sg.w3 = cw.t
+          CROSS JOIN nv)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff2,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff1,
+           ROUND(list_aggregate(list(ls ORDER BY pos), 'sum') / COUNT(*), 6)
+             AS avg_logscore
+    FROM j GROUP BY doc_id
+    """,
+)
+def doc_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM (Brants et al. 2007 — the
+    distributed-by-construction scheme: unnormalized count tables + a
+    left-join cascade) scored on a true held-out split: even doc_ids
+    train, odd doc_ids score, so the order-2/order-1 backoff paths fire
+    on genuinely unseen n-grams (the backoff counters in the output prove
+    it).  ``pipeline/lm.py::stupid_backoff_scores``; differential vs a
+    Python reference in tests/test_lm.py."""
+    from ophidia_io_server_spark.pipeline.lm import stupid_backoff_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    score = docs.where(F.col("doc_id") % 2 == 1)
+    return stupid_backoff_scores(train, score)
+
+
+@workload(
+    "token_pmi_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    c12 AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pr GROUP BY wa, wb),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+    tot AS (SELECT (SELECT CAST(SUM(c12) AS BIGINT) FROM c12) AS P,
+                   (SELECT CAST(SUM(c1) AS BIGINT) FROM uni) AS N)
+    SELECT c12.wa, c12.wb, c12.c12,
+           ROUND(ln(c12.c12 / tot.P / (ca.c1 / tot.N) / (cb.c1 / tot.N)), 6)
+             AS pmi
+    FROM c12
+    JOIN uni ca ON c12.wa = ca.t
+    JOIN uni cb ON c12.wb = cb.t
+    CROSS JOIN tot
+    WHERE c12.c12 >= 5
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI over the corpus (±2 positions,
+    ``pipeline/text.py::cooccurrence_pmi``): pairs stream off each token
+    array with no self-join, one count shuffle, unigram/total joins.
+    The PMI division chain is mirrored token-for-token in the oracle."""
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cooccurrence_pmi(docs, window=2, min_count=5)
+
+
+@workload(
+    "token_triangle_counts",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    e AS (SELECT wa AS u, wb AS v FROM pr
+          WHERE wa <> wb GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    tn AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             SELECT a AS t FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY t),
+    nodes AS (SELECT u AS t FROM e UNION SELECT v FROM e)
+    SELECT nodes.t AS node, COALESCE(tn.n, 0) AS n_triangles
+    FROM nodes LEFT JOIN tn USING (t)
+    """,
+)
+def token_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the token co-occurrence graph (the
+    same ±2-window, count ≥ 5 edge list as LPA/PMI, self-loops dropped)
+    via degree-ordered orientation (``operators/graph.triangle_counts``)
+    — wedge volume bounded O(m^1.5) instead of Σdeg², each triangle
+    generated once at its lowest-ordered vertex.  The oracle is the
+    literal lexicographic triple self-join."""
+    from ophidia_io_server_spark.operators.graph import triangle_counts
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (cooccurrence_counts(docs, window=2)
+             .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
+             .select(F.col("wa").alias("src"), F.col("wb").alias("dst")))
+    return (triangle_counts(edges)
+            .select(F.col("node"), F.col("n_triangles")))
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled synchronous-LPA oracle over the token co-occurrence graph
+    (same CTE chain trick as ``_pagerank_oracle``; per-round top-1 is a
+    ROW_NUMBER over the grouped vote sums with the identical
+    (score DESC, label ASC) tie-break as ``operators/graph.py``)."""
+    sql = """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    e AS MATERIALIZED (
+      SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS w
+      FROM pr GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    und AS MATERIALIZED (
+      SELECT wa AS u, wb AS v, w FROM e
+      UNION ALL SELECT wb AS u, wa AS v, w FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT und.v AS node, l.label, SUM(und.w) AS score,
+               ROW_NUMBER() OVER (PARTITION BY und.v
+                                  ORDER BY SUM(und.w) DESC, l.label ASC)
+                 AS rn
+        FROM und JOIN l{i - 1} l ON und.u = l.node
+        GROUP BY und.v, l.label)
+      WHERE rn = 1)"""
+    sql += f"""
+    SELECT node, label FROM l{iters}"""
+    return sql
+
+
+@workload("token_lpa_communities", oracle=_lpa_oracle(8))
+def token_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (``operators/graph.py::label_propagation``) over the token
+    co-occurrence graph (±2-window pairs with count ≥ 5 — the same edge
+    list as ``token_pmi_pairs``, weights = co-occurrence counts).  The
+    oracle replays the identical 8 fixed rounds as an unrolled
+    materialized-CTE chain with the same deterministic tie-break, so the
+    full (node, label) mapping hashes exactly."""
+    from ophidia_io_server_spark.operators.graph import label_propagation
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (cooccurrence_counts(docs, window=2)
+             .where(F.col("c12") >= 5)
+             .select(F.col("wa").alias("src"), F.col("wb").alias("dst"),
+                     F.col("c12").alias("w")))
+    return label_propagation(edges, iters=8, weight_col="w")
+
+
+@workload(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e4 DESC, o.o_orderdate, l.l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the driver schema
+    (o_orderpriority in place of the absent o_shippriority): segment
+    filter pushed to the customer scan, broadcast customer→orders join at
+    bench scale / SMJ at warehouse scale via AQE, top-10 as
+    TakeOrderedAndProject.  Revenue is summed in exact 1e-4 units
+    (price·(1−disc) has 4 decimals) so the aggregate is order-free."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
+        .cast("bigint")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderdate"),
+                 F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@workload(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           ROUND(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter + returnflag filters
+    pushed to the scans, nation broadcast, one aggregation, top-20 via
+    TakeOrderedAndProject; revenue in exact 1e-4 units."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
+        .cast("bigint")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"))
+        .select("c_custkey", "c_name", "n_name", "revenue_e4",
+                F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@workload(
+    "doc_quality_deciles",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, lang, n_tokens,
+           CAST(NTILE(10) OVER (PARTITION BY lang
+                                ORDER BY n_tokens, doc_id) AS BIGINT) AS decile,
+           CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+           CAST(ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                           ORDER BY n_tokens, doc_id)
+                      * (COUNT(*) OVER (PARTITION BY lang) - 1))
+                AS BIGINT) AS pr_num,
+           CAST(ROUND(CUME_DIST() OVER (PARTITION BY lang
+                                        ORDER BY n_tokens, doc_id)
+                      * COUNT(*) OVER (PARTITION BY lang))
+                AS BIGINT) AS cd_num
+    FROM m
+    """,
+)
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows for quality bucketing: per-language
+    NTILE deciles + percent_rank/cume_dist over token counts — the
+    select-the-top-X%-per-stratum primitive of curation recipes.  Total
+    order pinned by (n_tokens, doc_id) so rank functions are deterministic
+    and engine-identical.  percent_rank/cume_dist are emitted as their
+    EXACT integer numerators (× (n−1) / × n, recovered by round — the
+    product of k/n with n is k up to one ulp): at the 10× corpus the raw
+    ratios land exactly on the 6dp rounding half-grid (5000-divisor
+    fractions like 0.0640625) where the engines' half-rounding rules
+    disagree (PERF.md r6, third boundary)."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.pipeline.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = docs.select("doc_id", "lang",
+                    token_count_col(F.col("text")).alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wl = Window.partitionBy("lang")
+    n_lang = F.count(F.lit(1)).over(wl)
+    return m.select(
+        "doc_id", "lang", "n_tokens",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        n_lang.cast("bigint").alias("n_lang"),
+        F.round(F.percent_rank().over(w) * (n_lang - 1)).cast("bigint")
+         .alias("pr_num"),
+        F.round(F.cume_dist().over(w) * n_lang).cast("bigint").alias("cd_num"),
+    )
+
+
+@workload(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT date_trunc('month', l.l_shipdate) AS month,
+           CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS promo_e4,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS total_e4,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'ECONOMY'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)), 4) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY date_trunc('month', l.l_shipdate)
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion-revenue share) over the driver's part types:
+    lineitem ⋈ broadcast(part) — the dimension fits every executor — one
+    aggregation per ship month; revenue in exact 1e-4 units so sums and
+    the share ratio are order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000) \
+        .cast("bigint")
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(F.sum(promo).cast("bigint").alias("promo_e4"),
+             F.sum(rev).cast("bigint").alias("total_e4"))
+        .select("month", "promo_e4", "total_e4",
+                F.round(100.0 * F.col("promo_e4") / F.col("total_e4"), 4)
+                 .alias("promo_share"))
+    )
+
+
+@workload(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue under a disjunction of
+    brand/size/quantity clauses), adapted to the trimmed schema: the
+    reference query's shipmode/container/shipinstruct conjuncts have no
+    source columns, so each OR-branch keeps its brand + size + quantity
+    ranges.  The shape this row pins: an OR-of-ANDs predicate spanning
+    BOTH join sides still broadcasts the dimension and pushes the
+    single-side conjunct residues (brand/size) into the part scan;
+    revenue rides exact 1e-4 units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * 10000).cast("bigint")
+    branch = [
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11),
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20),
+        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30),
+    ]
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .where(branch[0] | branch[1] | branch[2])
+        .agg(F.sum(rev).cast("bigint").alias("revenue_e4"),
+             F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+
+
+def _profile_oracle_block(col: str, numeric: bool) -> str:
+    base = (f"SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_null, CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, ")
+    if numeric:
+        base += (f"CAST(MIN({col}) AS DOUBLE) AS min_num, "
+                 f"CAST(MAX({col}) AS DOUBLE) AS max_num, "
+                 f"ROUND(SUM(CAST(ROUND({col} * 100) AS BIGINT)) / 100 "
+                 f"/ COUNT({col}), 6) AS mean_num ")
+    else:
+        base += ("CAST(NULL AS DOUBLE) AS min_num, "
+                 "CAST(NULL AS DOUBLE) AS max_num, "
+                 "CAST(NULL AS DOUBLE) AS mean_num ")
+    return base + "FROM orders"
+
+
+@workload(
+    "orders_profile",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_block(c, n) for c, n in (
+            ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+            ("o_totalprice", True), ("o_orderdate", False),
+            ("o_orderpriority", False),
+        )),
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report over orders (``operators/profile.py``): every
+    column's cardinality/null stats plus numeric min/max/mean in ONE wide
+    aggregation (single scan — plan-shape pinned in tests), unpivoted to
+    one row per column with no driver round-trip.  Means use exact
+    2-decimal integer-scaled sums so the hash gate sees order-free
+    values; the oracle is the per-column UNION ALL formulation."""
+    from ophidia_io_server_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"), mean_decimals=2)
+
+
+@workload(
+    "events_value_median",
+    oracle="""
+    WITH g AS (SELECT event_type, list_sort(list(value)) AS vs,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(CASE WHEN n % 2 = 1 THEN vs[(n + 1) // 2]
+                 ELSE (vs[n // 2] + vs[n // 2 + 1]) / 2 END, 6) AS median,
+           ROUND(vs[(n + 3) // 4], 6) AS q1_lower
+    FROM g
+    """,
+)
+def events_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median via sorted aggregation (the deterministic
+    counterpart of the `sketch_approx_stats` approximate quantiles): one
+    shuffle, per-group sorted value list, explicit element selection so
+    both engines implement the identical midpoint rule (no engine-specific
+    percentile interpolation).  Per-group collect is bounded by group
+    cardinality — the documented trade vs the sketch path at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("vs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    n = F.col("n")
+    vs = F.col("vs")
+    median = F.when(
+        n % 2 == 1, F.element_at(vs, F.expr("CAST((n + 1) div 2 AS INT)"))
+    ).otherwise(
+        (F.element_at(vs, F.expr("CAST(n div 2 AS INT)"))
+         + F.element_at(vs, F.expr("CAST(n div 2 + 1 AS INT)"))) / 2)
+    return g.select(
+        "event_type", "n",
+        F.round(median, 6).alias("median"),
+        F.round(F.element_at(vs, F.expr("CAST((n + 3) div 4 AS INT)")), 6)
+         .alias("q1_lower"),
+    )
+
+
+@workload(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) adapted to the driver schema
+    (returnflag='R' as the lateness predicate): the EXISTS subquery runs
+    as a LEFT SEMI hash join — lineitem never multiplies order rows, the
+    filter pushes to both scans."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@workload(
+    "events_session_outage_overlap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq),
+    sints AS (SELECT user_id, MIN(ts) AS s_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS s_end
+              FROM sess GROUP BY user_id, sid),
+    err AS (SELECT user_id, ts, ts + INTERVAL 30 MINUTE AS e
+            FROM events WHERE event_type = 'error'),
+    eseq AS (
+      SELECT user_id, ts, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts > MAX(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_w
+      FROM err),
+    ew AS (SELECT user_id, ts, e,
+                  SUM(new_w) OVER (PARTITION BY user_id ORDER BY ts, e
+                                   ROWS UNBOUNDED PRECEDING) AS wid
+           FROM eseq),
+    outages AS (SELECT user_id, MIN(ts) AS outage_start,
+                       MAX(e) AS outage_end
+                FROM ew GROUP BY user_id, wid)
+    SELECT s.user_id, s.s_start, s.s_end, o.outage_start, o.outage_end
+    FROM sints s JOIN outages o
+      ON s.user_id = o.user_id
+     AND s.s_start < o.outage_end AND o.outage_start < s.s_end
+    """,
+)
+def events_session_outage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (``operators/temporal.py::
+    interval_overlap_join``): per-user activity sessions (30-min gap rule,
+    extended 30 min past the last event) overlapped with merged error-
+    outage windows.  Each overlapping pair is emitted at exactly ONE
+    shared time bucket (max of the two first-buckets) — no distinct pass —
+    with the residual predicate making the match exact.  Oracle = the
+    plain inequality join."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.operators.temporal import (
+        interval_overlap_join,
+        merge_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (tsl - F.lag(tsl).over(w)) > 1800 * 1_000_000
+    sess = (
+        ev.withColumn("new_s", F.when(gap, 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"),
+             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"))
+        .drop("sid")
+    )
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
+    outages = merge_intervals(err, on="user_id").select(
+        "user_id", F.col("start_ts").alias("outage_start"),
+        F.col("end_ts").alias("outage_end"))
+    return interval_overlap_join(
+        sess, outages, on="user_id",
+        left_start="s_start", left_end="s_end",
+        right_start="outage_start", right_end="outage_end",
+        bin_seconds=1800,
+    ).select("user_id", "s_start", "s_end", "outage_start", "outage_end")
+
+
+@workload(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (SELECT l_orderkey FROM lineitem
+                 GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY total_cents DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING subquery runs as an
+    aggregate + semi-style join on orderkey — lineitem is aggregated
+    FIRST, so the big-order filter prunes orders before the wide join;
+    l_quantity is integral-valued so its double sums are order-free, and
+    price goes through exact cents.  Top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+           .where(F.col("q") > 180).select("l_orderkey"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(big.withColumnRenamed("l_orderkey", "big_ok"),
+              F.col("o_orderkey") == F.col("big_ok"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("total_cents"), "sum_qty")
+        .orderBy(F.col("total_cents").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@workload(
+    "stream_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT list_aggregate(list(pow(n_docs, 0.7) ORDER BY lang), 'sum')
+                   AS denom,
+                 CAST(SUM(n_docs) AS BIGINT) AS n_total
+          FROM c)
+    SELECT c.lang, c.n_docs,
+           ROUND(pow(c.n_docs, 0.7) / t.denom, 6) AS weight,
+           ROUND(LEAST(1.0, pow(c.n_docs, 0.7) / t.denom * t.n_total * 0.5
+                            / c.n_docs), 6) AS target_rate,
+           TRUE AS stream_equals_batch,
+           TRUE AS rate_ok
+    FROM c CROSS JOIN t
+    """,
+)
+def stream_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature mixing as an INCREMENTAL stage
+    (``pipeline/mixing.py::temperature_mix_stream``): the corpus
+    re-ingested as a one-file-per-trigger parquet stream, the batch-built
+    rate plan applied as a broadcast stream-static join + deterministic
+    hash-Bernoulli keep in each micro-batch.  The gate booleans prove (a)
+    ``stream_equals_batch``: per-source selected counts over the drained
+    stream are EXACTLY the batch ``temperature_sample`` counts — the fixed
+    deterministic plan makes incremental application row-identical, the
+    property that lets an epoch's mix be applied on the fly; (b)
+    ``rate_ok``: selection lands inside the 4σ binomial envelope of the
+    SQL-mirrored plan rates."""
+    import hashlib
+    import os
+
+    from ophidia_io_server_spark.pipeline.mixing import (
+        source_mixing_plan,
+        temperature_mix_stream,
+        temperature_sample,
+    )
+    from ophidia_io_server_spark.streaming.ingest import run_available_now
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _corpus_tag(sf_dir, "documents", salt="mix")
+    path = f"/tmp/ophidia_stream_mix_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        docs.select("doc_id", "lang").repartition(8).write.mode(
+            "overwrite").parquet(path)
+        open(f"{path}/_SUCCESS", "a").close()
+    plan = source_mixing_plan(docs, 0.7, 0.5, source_col="lang")
+    stream = (
+        spark.readStream.schema("doc_id long, lang string")
+        .option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    mixed = temperature_mix_stream(stream, plan, source_col="lang",
+                                   key_col="doc_id", seed=11)
+    landed = run_available_now(mixed, f"stream_mix_{tag}", output_mode="append")
+    n_stream = landed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stream"))
+    n_batch = (
+        temperature_sample(docs, 0.7, 0.5, source_col="lang",
+                           key_col="doc_id", seed=11)
+        .groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    )
+    sd = F.sqrt(F.col("target_rate") * (1 - F.col("target_rate")) * F.col("n_docs"))
+    return (
+        plan.join(n_stream, on="lang", how="left")
+        .join(n_batch, on="lang", how="left")
+        .select(
+            "lang", "n_docs", "weight", "target_rate",
+            (F.coalesce(F.col("n_stream"), F.lit(0))
+             == F.coalesce(F.col("n_batch"), F.lit(0)))
+             .alias("stream_equals_batch"),
+            (F.abs(F.coalesce(F.col("n_stream"), F.lit(0))
+                   - F.col("target_rate") * F.col("n_docs"))
+             <= 4 * sd + 1).alias("rate_ok"),
+        )
+    )
+
+
+@workload(
+    "doc_kneser_ney_lm",
+    oracle="""
+    WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                           x -> x <> '') AS tk
+                FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+    sc AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+    bg AS MATERIALIZED (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM tr WHERE len(tk) >= 2) GROUP BY 1, 2),
+    cc AS MATERIALIZED (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn1,
+             CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tn2,
+             CAST(SUM(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS tn3p
+      FROM bg GROUP BY w1),
+    cont AS MATERIALIZED (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nprec FROM bg GROUP BY w2),
+    voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS V
+            FROM (SELECT unnest(tk) AS t FROM tr)),
+    coc AS (SELECT
+      CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      CAST(SUM(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+      CAST(COUNT(*) AS BIGINT) AS T FROM bg),
+    ys AS (SELECT coc.*, voc.V,
+                  n1 / NULLIF(n1 + 2.0 * n2, 0.0) AS y
+           FROM coc CROSS JOIN voc),
+    ds AS (SELECT T, V,
+      least(greatest(COALESCE(
+        1.0 - 2.0 * y * n2 / NULLIF(CAST(n1 AS DOUBLE), 0.0), 0.75),
+        0.0), 1.0) AS d1,
+      least(greatest(COALESCE(
+        2.0 - 3.0 * y * n3 / NULLIF(CAST(n2 AS DOUBLE), 0.0), 0.75),
+        0.0), 2.0) AS d2,
+      least(greatest(COALESCE(
+        3.0 - 4.0 * y * n4 / NULLIF(CAST(n3 AS DOUBLE), 0.0), 0.75),
+        0.0), 3.0) AS d3
+      FROM ys),
+    sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                 FROM sc WHERE len(tk) >= 2)),
+    j AS (SELECT sg.doc_id, sg.pos,
+            ln(CASE WHEN cc.c1 IS NOT NULL THEN
+                 (CASE WHEN bg.c12 IS NULL THEN 0.0
+                       WHEN bg.c12 = 1 THEN bg.c12 - ds.d1
+                       WHEN bg.c12 = 2 THEN bg.c12 - ds.d2
+                       ELSE bg.c12 - ds.d3 END) / cc.c1
+                 + (ds.d1 * cc.tn1 + ds.d2 * cc.tn2 + ds.d3 * cc.tn3p)
+                   / cc.c1
+                   * ((COALESCE(cont.nprec, 0) + 1) / (ds.T + ds.V))
+               ELSE (COALESCE(cont.nprec, 0) + 1) / (ds.T + ds.V) END) AS ls,
+            CASE WHEN bg.c12 IS NOT NULL THEN 2
+                 WHEN cc.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl
+          FROM sg
+          LEFT JOIN bg ON sg.w1 = bg.w1 AND sg.w2 = bg.w2
+          LEFT JOIN cc ON sg.w1 = cc.w1
+          LEFT JOIN cont ON sg.w2 = cont.w2
+          CROSS JOIN ds)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen_pair,
+           CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen_ctx,
+           ROUND(list_aggregate(list(ls ORDER BY pos), 'sum') / COUNT(*), 6)
+             AS avg_logprob,
+           ROUND(exp(-(list_aggregate(list(ls ORDER BY pos), 'sum')
+                       / COUNT(*))), 6) AS ppl
+    FROM j GROUP BY doc_id
+    """,
+)
+def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated modified Kneser-Ney bigram LM (Chen & Goodman 1998 /
+    the KenLM default smoother) on the count-table architecture, scored on
+    a held-out split (even doc_ids train, odd score) so the unseen-pair
+    and unseen-context interpolation paths fire and their counters land in
+    the hash.  ``pipeline/lm.py::kneser_ney_scores``; differential vs a
+    Python reference + a Σ_w P(w|ctx) = 1 normalization proof in
+    tests/test_lm.py."""
+    from ophidia_io_server_spark.pipeline.lm import kneser_ney_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_scores(docs.where(F.col("doc_id") % 2 == 0),
+                             docs.where(F.col("doc_id") % 2 == 1))
+
+
+@workload(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS BIGINT) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_e4
+    FROM supplier s
+    JOIN rev ON s.s_suppkey = rev.supplier_no
+    WHERE rev.total_e4 = (SELECT MAX(total_e4) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue-view + MAX-of-aggregate
+    subquery shape — the quarter's per-supplier revenue is aggregated
+    ONCE, checkpointed (both the max probe and the final join read it),
+    the scalar max broadcasts through a one-row cross join, and revenue is
+    exact 1e-4 integer units so the MAX comparison cannot drift."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                           * 10000).cast("bigint")).cast("bigint")
+             .alias("total_e4"))
+        .localCheckpoint()
+    )
+    mx = rev.agg(F.max("total_e4").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s["s_suppkey"] == rev["supplier_no"])
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_e4") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+

@@ -1,0 +1,1056 @@
+"""Training-data pipeline workloads over the documents/embeddings tables: dedup family, similarity/ANN, text quality, multimodal.
+
+Carved verbatim out of the original workload.py (r8 VERDICT #3);
+provenance citations in the per-workload docstrings are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ophidia_io_server_spark.operators.engine import IOServer  # noqa: F401
+from ophidia_io_server_spark.session import session_key  # noqa: F401
+from ophidia_io_server_spark.sources.random_import import (  # noqa: F401
+    random_fragment_oracle_sql,
+)
+from ophidia_io_server_spark.sources.tables import (  # noqa: F401
+    exact_cents_sum,
+    fragment_cte,
+    lineitem_fragment,
+    lineitem_fragment_cached,
+    load_table,
+)
+
+from ophidia_io_server_spark.workloads.base import (  # noqa: F401
+    WORKLOADS,
+    Workload,
+    _FRAG_BOTH_CTE,
+    _FRAG_QTY_CTE,
+    _corpus_tag,
+    _ensure_session_defaults,
+    _exploded_oracle,
+    _explode_arrays,
+    _server,
+    workload,
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+    tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             )) AS shingles
+      FROM tok
+    )
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS nc,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(nc * 1.0 / (na + nb - nc), 6) AS jaccard
+    FROM pairs
+    WHERE nc * 1.0 / (na + nb - nc) >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+@workload(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophidia_io_server_spark.pipeline.dedup import exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+@workload(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS P, CAST(i AS BIGINT) AS pos,
+             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM toks WHERE len(tk) >= 3)),
+    h AS (
+      SELECT doc_id, P, pos,
+             list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(string_split(g, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS h
+      FROM g),
+    sel AS (
+      SELECT doc_id, pos, P,
+             MIN(h * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+      FROM h),
+    fp AS (SELECT DISTINCT doc_id, s // 1048576 AS h
+           FROM sel WHERE pos <= P - 5),
+    keep AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM fp GROUP BY h)
+             WHERE c <= 50),
+    fk AS (SELECT doc_id, h FROM fp JOIN keep USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (Schleimer et al. 2003 — the MOSS
+    fingerprints; ``pipeline/dedup.py::winnow_pairs``): token-3-gram
+    polynomial hashes, rightmost-min selection over a 4-window
+    (guarantee: any shared ≥6-token run yields a shared fingerprint),
+    inverted-index pair join with the ubiquitous-hash fan-out guard.
+    Per-doc window functions + one hash equi-join — no all-pairs term.
+    The SQL mirror reproduces the hash fold, the packed-key window min
+    and the tie rule bitwise."""
+    from ophidia_io_server_spark.pipeline.dedup import winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=3, w=4, min_shared=2, max_doc_freq=50)
+
+
+@workload("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    from ophidia_io_server_spark.pipeline.dedup import jaccard_pairs_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(docs, n=3, threshold=0.5,
+                               memo_key=(*session_key(spark), sf_dir))
+
+
+@workload("dedup_minhash_pairs", oracle=_JACCARD_ORACLE)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates (64 hashes, 16 bands) + exact-Jaccard verify;
+    banding makes recall effectively exact, so the oracle is the exact SQL."""
+    from ophidia_io_server_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, threshold=0.5,
+                             memo_key=(*session_key(spark), sf_dir))
+
+
+@workload("dedup_simhash_pairs", oracle=_JACCARD_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 8-chunk-banded candidates (exact recall to hamming 7) +
+    exact-Jaccard verify — near-dup pairs here sit at hamming ≤ 5."""
+    from ophidia_io_server_spark.pipeline.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=7, verify_jaccard=0.5,
+                         memo_key=(*session_key(spark), sf_dir))
+
+
+@workload(
+    "dedup_substring_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), win AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, u.i AS pos,
+             list_aggregate(ws[u.i:u.i+7], 'string_agg', ' ') AS gram
+      FROM tok, unnest(range(1, len(ws) - 6)) u(i)
+      WHERE len(ws) >= 8
+    ), dup AS (
+      SELECT gram FROM win GROUP BY gram HAVING COUNT(*) >= 2
+    ), hit AS (
+      SELECT w.doc_id, w.n_tokens, w.pos FROM win w JOIN dup d USING (gram)
+    ), marked AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hit
+    ), grp AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, MIN(n_tokens) AS n_tokens, COUNT(*) AS wins,
+             MAX(pos) + 8 - MIN(pos) AS span_len
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(wins) AS BIGINT) AS dup_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(span_len) * 1.0 / MIN(n_tokens), 4) AS dup_frac
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 2022 ExactSubstr):
+    corpus-wide duplicated 8-token windows merged into per-document maximal
+    spans — the span-level dedup that MinHash/SimHash (document-level) miss.
+    The oracle mirrors the gaps-and-islands formulation on gram text; the
+    engine shuffles xxhash64 keys instead of strings."""
+    from ophidia_io_server_spark.pipeline.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, window=8)
+
+
+_GOPHER_STOPS_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@workload(
+    "curation_quality_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, ws, ls,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
+          list_reduce(list_concat([CAST(0 AS BIGINT)],
+              list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+              (a, b) -> a + b) / len(ws), 4) END AS mean_word_len,
+        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
+          ((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3)
+          / len(ws), 4) END AS symbol_word_ratio,
+        CASE WHEN len(ws) <= 0 THEN NULL ELSE ROUND(
+          len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+          * 1.0 / len(ws), 4) END AS frac_alpha_words,
+        CAST(len(list_filter({_GOPHER_STOPS_SQL},
+          s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+          AS BIGINT) AS n_stop_hits,
+        CASE WHEN len(ls) <= 0 THEN NULL ELSE ROUND(
+          len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+              OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+          * 1.0 / len(ls), 4) END AS bullet_line_frac,
+        CASE WHEN len(ls) <= 0 THEN NULL ELSE ROUND(
+          len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+              OR ends_with(rtrim(l), '…')))
+          * 1.0 / len(ls), 4) END AS ellipsis_line_frac,
+        list_filter(ls, l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+              OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+              AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5)
+          AS kept,
+        length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS n_sent,
+        contains(text, '{{') AS has_brace,
+        contains(lower(text), 'lorem ipsum') AS has_lorem
+      FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           frac_alpha_words, n_stop_hits, bullet_line_frac, ellipsis_line_frac,
+           COALESCE(n_words >= 50 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_word_ratio <= 0.1
+             AND COALESCE(bullet_line_frac <= 0.9, TRUE)
+             AND COALESCE(ellipsis_line_frac <= 0.3, TRUE)
+             AND frac_alpha_words >= 0.8
+             AND n_stop_hits >= 2, FALSE) AS gopher_keep,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CASE WHEN len(ls) <= 0 THEN NULL
+                ELSE ROUND(len(kept) * 1.0 / len(ls), 4) END AS c4_kept_frac,
+           COALESCE(list_aggregate(kept, 'string_agg', chr(10)), '') AS text_c4,
+           CAST(n_sent AS BIGINT) AS c4_n_sentences,
+           COALESCE(has_brace, FALSE) AS c4_has_brace,
+           COALESCE(has_lorem, FALSE) AS c4_has_lorem,
+           COALESCE(n_sent >= 3 AND NOT has_brace AND NOT has_lorem, FALSE)
+             AS c4_keep
+    FROM g ORDER BY doc_id
+    """,
+)
+def curation_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two canonical published rule-based corpus filters in one scan:
+    Gopher document-quality rules (Rae et al. 2021 A1.1 — word-count bounds,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stop-word presence) and C4 line/page cleaning
+    (Raffel et al. 2020 §2.2 — terminal-punctuation line keep, sentence
+    minimum, brace/lorem-ipsum page drops) with the cleaned text emitted.
+    Pure JVM Column algebra, zero shuffles."""
+    from ophidia_io_server_spark.pipeline.text import (c4_filter_cols,
+                                                       gopher_quality_cols)
+
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    gcols = gopher_quality_cols(F.col("text"))
+    ccols = c4_filter_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in gcols.items()],
+        *[c.alias(n) for n, c in ccols.items()],
+    )
+
+
+@workload(
+    "token_budget_select",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS BIGINT) AS n_tokens,
+             ROUND(list_reduce(list_concat([CAST(0 AS BIGINT)],
+                 list_transform(list_filter(string_split(text, ' '),
+                                            w -> w <> ''),
+                                w -> CAST(length(w) AS BIGINT))),
+                 (a, b) -> a + b)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 4)
+               AS quality
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens, quality,
+             COALESCE(SUM(n_tokens) OVER (
+                ORDER BY quality DESC, doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, quality, CAST(cum_before AS BIGINT) AS cum_before
+    FROM o WHERE cum_before < 8000 ORDER BY doc_id
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: fill an 8k-token training budget with
+    the best documents (quality = mean word length here; any scorer works).
+    The ORACLE is the textbook global-sort running sum; the ENGINE never
+    builds a global order — histogram → driver threshold scan → per-class
+    windows (`pipeline/sampling.py:select_token_budget`) — and must produce
+    row-identical output including the exact ``cum_before`` audit column."""
+    from ophidia_io_server_spark.pipeline.sampling import select_token_budget
+    from ophidia_io_server_spark.pipeline.text import (mean_token_len_col,
+                                                       token_count_col)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        mean_token_len_col(F.col("text")).alias("quality"),
+    )
+    return select_token_budget(docs, 8000, "quality", "n_tokens")
+
+
+@workload(
+    "dsir_importance",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source, list_concat(ws,
+        list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs
+      FROM tok
+    ), bk AS (
+      SELECT doc_id, source, list_transform(fs, t ->
+          CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 65536) AS bs
+      FROM feat
+    ), ex AS (
+      SELECT doc_id, source, u.b AS bucket FROM bk, unnest(bs) u(b)
+    ), cnt AS (
+      SELECT bucket,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM ex GROUP BY bucket
+    ), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+    w AS (
+      SELECT bucket,
+             CAST(ROUND((ln((ct + 1.0) / (tt + 65536.0))
+                       - ln((cr + 1.0) / (tr + 65536.0))) * 10000)
+               AS BIGINT) AS w_int
+      FROM cnt, tot
+    ), sums AS (
+      SELECT e.doc_id, SUM(w.w_int) AS wsum
+      FROM ex e JOIN w USING (bucket) GROUP BY e.doc_id
+    ), nf AS (
+      SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_features FROM bk
+    )
+    SELECT nf.doc_id, nf.n_features,
+           CASE WHEN nf.n_features > 0
+                THEN ROUND(COALESCE(s.wsum, 0) / (10000.0 * nf.n_features), 4)
+                ELSE 0.0 END AS dsir_score
+    FROM nf LEFT JOIN sums s ON nf.doc_id = s.doc_id
+    ORDER BY nf.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-document mean log-likelihood ratio of hashed
+    n-gram features between the target domain (source = 'src0' stands in)
+    and the raw corpus.  Weights are integer-scaled so shuffle-order cannot
+    move a single bit of the score — the oracle recomputes the identical
+    integer pipeline in SQL."""
+    from ophidia_io_server_spark.pipeline.classifier import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_scores(docs, F.col("source") == "src0", n_buckets=65536)
+
+
+@workload(
+    "source_overlap_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM tok WHERE len(ws) >= 3
+    ), gsrc AS (
+      SELECT DISTINCT source AS src, u.g AS g FROM sh, unnest(gs) u(g)
+    ), sizes AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM gsrc GROUP BY src
+    ), inter AS (
+      SELECT a.src AS src_a, b.src AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM gsrc a JOIN gsrc b USING (g) WHERE a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT src_a, src_b, sa.n AS n_grams_a, sb.n AS n_grams_b, n_shared,
+           ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.src = src_a
+               JOIN sizes sb ON sb.src = src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram overlap matrix — the dataset-audit operator:
+    distinct-gram Jaccard for every source pair, from distinct (gram,
+    source) pairs so the per-gram join fan-out is bounded by the source
+    count, never the corpus."""
+    from ophidia_io_server_spark.pipeline.decontaminate import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(
+        docs, n=3, memo_key=(*session_key(spark), sf_dir))
+
+
+@workload(
+    "embedding_pca_invariants",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS dims_ok, TRUE AS mean_centered,
+           TRUE AS variances_descending, TRUE AS decorrelated,
+           TRUE AS whitened_unit_var
+    FROM embeddings
+    """,
+)
+def embedding_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA/whitening (`pipeline/embeddings.py`) verified by the
+    invariant-boolean pattern: the engine fits PCA (one Arrow partial-moment
+    pass), whitens (one broadcast matmul pass), re-measures the projected
+    moments, and must find — exactly, in Spark — the properties PCA
+    guarantees: centered output, descending component variances,
+    decorrelated coordinates, unit variance after whitening.  The oracle
+    contributes the exact vector count + literal TRUEs (the same contract
+    as the sketch row)."""
+    import numpy as np
+
+    from ophidia_io_server_spark.pipeline.embeddings import (_moments, fit_pca,
+                                                             transform_pca)
+
+    k = 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, var = fit_pca(emb, "embedding", k=k)
+    proj = transform_pca(emb, mean, comps, var, whiten=True)
+    dims_ok = proj.where(F.size("proj") != k).count() == 0
+    n2, s2, ss2 = _moments(proj.select(F.col("proj").alias("v")), "v", k)
+    m2 = s2 / n2
+    cov2 = ss2 / n2 - np.outer(m2, m2)
+    # tolerances: the random test embeddings have a nearly-flat spectrum
+    # (eigh error ∝ 1/eigen-gap) and whitening rescales by 1/√λ ≈ 7, so the
+    # honest numerical floor is ~5e-8 here; a WRONG projection produces
+    # O(0.1-1) values, so 1e-4 still separates correct from broken cleanly
+    mean_centered = bool(np.abs(m2).max() < 1e-4)
+    variances_descending = bool(np.all(np.diff(var) <= 1e-12))
+    off = cov2 - np.diag(np.diag(cov2))
+    decorrelated = bool(np.abs(off).max() < 1e-4)
+    whitened_unit_var = bool(np.abs(np.diag(cov2) - 1.0).max() < 1e-4)
+    return spark.createDataFrame(
+        [(int(n2), dims_ok, mean_centered, variances_descending,
+          decorrelated, whitened_unit_var)],
+        "n_vectors long, dims_ok boolean, mean_centered boolean, "
+        "variances_descending boolean, decorrelated boolean, "
+        "whitened_unit_var boolean",
+    )
+
+
+_CLS_W = "((b * 2654435761) % 2000001) / 1000000.0 - 1.0"
+
+
+@workload(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, list_concat(ws,
+        list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1])) AS fs
+      FROM tok
+    ), bk AS (
+      SELECT doc_id, list_transform(fs, t ->
+          CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 65536) AS bs
+      FROM feat
+    ), sc AS (
+      SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_features,
+             CASE WHEN len(bs) > 0 THEN
+               list_reduce(list_concat([0.0], list_transform(bs,
+                   b -> {_CLS_W})), (a, c) -> a + c) / len(bs)
+             ELSE 0.0 END AS raw
+      FROM bk
+    )
+    SELECT doc_id, n_features, ROUND(raw, 6) AS quality_score,
+           raw > 0.0 AS keep
+    FROM sc ORDER BY doc_id
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-n-gram linear classifier scoring — the
+    model-based quality-filter step (CCNet / GPT-3-style) — on the scan-only
+    weight-expression path: unigram+bigram features, md5-bucket hashing
+    (identical in Spark and DuckDB), deterministic closed-form weights
+    standing in for an offline-trained model.  The general
+    ``(bucket, weight)``-table path is pinned equivalent in pytest."""
+    from ophidia_io_server_spark.pipeline.classifier import (
+        demo_weight_fn, score_with_weight_expr)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return score_with_weight_expr(docs, demo_weight_fn, n_buckets=65536)
+
+
+_LANG_SETS = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit']",
+    "en": "['the','a','of','and','is','to','in','that']",
+    "es": "['el','la','de','que','y','los','una','por']",
+    "fr": "['le','la','les','et','est','une','dans','que']",
+    "zh": "['的','是','了','在','我','有','和','不']",
+}
+_LANG_COUNTS = ", ".join(
+    f"len(list_filter(ws, w -> list_contains({s}, w))) AS {lang}"
+    for lang, s in _LANG_SETS.items()
+)
+_G = "greatest(de, en, es, fr, zh)"
+
+
+@workload(
+    "text_quality_lang",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, lang, text, ws, {_LANG_COUNTS} FROM tok)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 4) AS ttr,
+           ROUND(list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1.0 / len(ws), 4)
+             AS mean_token_len,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           ROUND(least(len(ws) / 200.0, 1.0) * 0.5
+                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5, 4)
+             AS quality_score,
+           lang AS labeled_lang,
+           CASE WHEN {_G} = 0 THEN 'und'
+                WHEN de = {_G} THEN 'de'
+                WHEN en = {_G} THEN 'en'
+                WHEN es = {_G} THEN 'es'
+                WHEN fr = {_G} THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM cnt ORDER BY doc_id
+    """,
+)
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature extraction + n-gram-heuristic language ID per doc
+    (merged r3: text_quality + lang_id)."""
+    from ophidia_io_server_spark.pipeline.text import lang_id_col, quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(
+        docs,
+        extra=[F.col("lang").alias("labeled_lang"),
+               lang_id_col(F.col("text")).alias("pred_lang")],
+    )
+
+
+_SW = "['the','a','an','of','and','is','to','in','that','it','on','for','as','with','was','are','be','this','by','at']"
+
+
+def _redact_oracle_exprs() -> str:
+    """DuckDB mirror of pipeline.redact: the same RE2-safe pattern strings,
+    applied in the same order, counting matches on the progressively-redacted
+    text exactly as ``redact_cols`` does (Java and RE2 both use leftmost-first
+    alternation, so match sets agree — pinned by the gate hash)."""
+    from ophidia_io_server_spark.pipeline.redact import PATTERNS
+
+    work = "text"
+    selects = []
+    for name, pat, token in PATTERNS:
+        sqlpat = pat.replace("'", "''")
+        selects.append(
+            f"CAST(len(regexp_extract_all({work}, '{sqlpat}')) AS BIGINT) AS n_{name}")
+        work = f"regexp_replace({work}, '{sqlpat}', '{token}', 'g')"
+    selects.append(f"{work} AS text_redacted")
+    return ",\n           ".join(selects)
+
+
+@workload(
+    "doc_text_metrics",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             string_split(text, '') AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+             AS BIGINT) AS bpe_tokens,
+           ROUND(len(list_filter(ws, w -> list_contains({_SW}, lower(w))))
+                 * 1.0 / len(ws), 4) AS stopword_ratio,
+           ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                 * 1.0 / length(text), 4) AS punct_ratio,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+                         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fp,
+           {_redact_oracle_exprs()},
+           (n_url + n_email + n_ipv4 + n_phone) > 0 AS has_pii,
+           -- ln(n) - (sum of c*ln(c))/n with terms in SORTED-char order:
+           -- the exact summation sequence of the engine's run-length fold
+           CASE WHEN len(cs) <= 0 THEN 0.0 ELSE ROUND(
+             ln(len(cs)) - list_reduce(
+               list_concat([0.0], list_transform(
+                 list_distinct(list_sort(cs)),
+                 d -> len(list_filter(cs, c -> c = d))
+                      * ln(len(list_filter(cs, c -> c = d))))),
+               (a, b) -> a + b
+             ) / len(cs), 4) END AS char_entropy
+    FROM tok ORDER BY doc_id
+    """,
+)
+def doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text metrics in one projection (merged r3: token_counts +
+    text_ratios + doc_fingerprint; r5: + PII redaction and char entropy):
+    whitespace + BPE-ish-regex token counts (the LLM-token-count proxy),
+    stopword/punctuation ratios, the rolling-hash document fingerprint,
+    the full redaction projection (redacted text + per-category counts +
+    has_pii) and the Shannon character-entropy quality signal — all JVM
+    Column/regex expressions, one scan."""
+    from ophidia_io_server_spark.pipeline.redact import redact_cols
+    from ophidia_io_server_spark.pipeline.text import (
+        bpe_token_count_col,
+        char_entropy_col,
+        fingerprint_col,
+        punct_ratio_col,
+        stopword_ratio_col,
+        token_count_col,
+    )
+
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    rcols = redact_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("ws_tokens"),
+        bpe_token_count_col(F.col("text")).alias("bpe_tokens"),
+        stopword_ratio_col(F.col("text")).alias("stopword_ratio"),
+        punct_ratio_col(F.col("text")).alias("punct_ratio"),
+        fingerprint_col(F.col("text")).alias("fp"),
+        *[c.alias(n) for n, c in rcols.items()],
+        char_entropy_col(F.col("text")).alias("char_entropy"),
+    )
+
+
+@workload(
+    "corpus_report",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, source, ws, {_LANG_COUNTS} FROM tok),
+    pred AS (
+      SELECT doc_id, source, ws,
+             CASE WHEN {_G} = 0 THEN 'und'
+                  WHEN de = {_G} THEN 'de'
+                  WHEN en = {_G} THEN 'en'
+                  WHEN es = {_G} THEN 'es'
+                  WHEN fr = {_G} THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM cnt
+    )
+    SELECT source, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+           ROUND(SUM(CAST(ROUND((least(len(ws) / 200.0, 1.0) * 0.5
+                 + least(len(list_distinct(ws)) * 1.0 / len(ws), 1.0) * 0.5)
+                 * 10000) AS BIGINT)) / COUNT(*) / 10000.0, 4)
+             AS mean_quality
+    FROM pred GROUP BY source, pred_lang ORDER BY source, pred_lang
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline report: per (source, predicted language) document counts,
+    token volume and mean quality score — composition of the text operators
+    in one aggregation.  The mean goes through integer 1e-4 quality units
+    (sum order-free): AVG of 4dp-rounded DOUBLES was measured drifting in
+    the 4th decimal between engines at the 10× corpus (PERF.md r6) — the
+    same boundary class as the q1 money fix, same discipline."""
+    from ophidia_io_server_spark.pipeline.text import (
+        distinct_token_count_col,
+        lang_id_col,
+        token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count_col(t)
+    q4 = F.round(
+        (F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.5
+         + F.least(distinct_token_count_col(t) / n_tok, F.lit(1.0)) * 0.5)
+        * 10000).cast("bigint")
+    from ophidia_io_server_spark.sources.tables import spread
+
+    return (
+        spread(docs).select("source", lang_id_col(t).alias("pred_lang"),
+                            n_tok.alias("n_tok"), q4.alias("q4"))
+        .groupBy("source", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("total_tokens"),
+             F.round(F.sum("q4") / F.count(F.lit(1)) / F.lit(10000.0), 4)
+              .alias("mean_quality"))
+    )
+
+
+_EMB_BASE_CTE = """
+    base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
+      FROM base
+    )
+"""
+
+
+@workload(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM nrm WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, len(qv) + 1),
+                                           i -> qv[i] * b.v[i]), 'sum') / (qn * b.n) AS cosine
+      FROM q JOIN nrm b ON b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors (vec_id < 10)."""
+    from ophidia_io_server_spark.pipeline.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@workload(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_aggregate(list_transform(range(1, len(a.v) + 1),
+                                               i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n), 6)
+             AS cosine
+    FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
+                                        i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophidia_io_server_spark.pipeline.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # kernel pinned to "blas": this gate row is the hash-exact proof of the
+    # cogrouped A@B.T kernel against the oracle's sequential-fold SQL (auto
+    # would pick hof at driver SFs; both kernels are parity-pinned in tests)
+    return cosine_pairs(emb, threshold=0.4, kernel="blas")
+
+
+def _kmeans_semdedup_oracle(k: int, iters: int, d: int, grid: int,
+                            cos_grid: int, tau_pct: int) -> str:
+    """Unrolled-CTE DuckDB mirror of integer-grid Lloyd's k-means +
+    SemDeDup (same pattern as the LPA unrolled oracle): every iteration
+    is exact int64 arithmetic plus one correctly-rounded double division,
+    so the two engines agree bitwise."""
+    dist = (f"CAST(CAST(list_sum(list_transform(range(1, {d + 1}), i -> "
+            "(c.n*g.qv[i]-c.s[i])*(c.n*g.qv[i]-c.s[i]))) AS BIGINT) "
+            "AS DOUBLE) / CAST(c.n*c.n AS DOUBLE)")
+    parts = [
+        f"""g AS (SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {grid}.0 + 0.5) AS BIGINT))
+               AS qv
+          FROM embeddings)""",
+        f"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS cluster, qv AS s, CAST(1 AS BIGINT) AS n
+           FROM (SELECT vec_id, qv FROM g ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (SELECT vec_id, qv, cluster FROM (
+             SELECT g.vec_id, g.qv, c.cluster,
+                    row_number() OVER (PARTITION BY g.vec_id
+                                       ORDER BY {dist} ASC, c.cluster ASC)
+                      AS rn
+             FROM g CROSS JOIN c{it - 1} c) WHERE rn = 1)""")
+        if it < iters:
+            parts.append(
+                f"""u{it} AS (SELECT cluster, list(sv ORDER BY dim) AS s,
+                    MAX(cnt) AS n FROM (
+               SELECT cluster, dim, CAST(SUM(qv[dim]) AS BIGINT) AS sv,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM a{it}, UNNEST(range(1, {d + 1})) AS t(dim)
+               GROUP BY cluster, dim) GROUP BY cluster)""")
+            parts.append(
+                f"""c{it} AS (SELECT * FROM u{it} UNION ALL
+               SELECT * FROM c{it - 1}
+               WHERE cluster NOT IN (SELECT cluster FROM u{it}))""")
+    dot = (f"CAST(list_sum(list_transform(range(1, {d + 1}), "
+           "i -> a.q[i]*b.q[i])) AS BIGINT)")
+    nsq = ("CAST(list_sum(list_transform(range(1, %d), "
+           "i -> %s.q[i]*%s.q[i])) AS BIGINT)")
+    parts.append(
+        f"""cq AS (SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {cos_grid}.0 + 0.5)
+                         AS BIGINT)) AS q
+          FROM embeddings)""")
+    parts.append(
+        f"""j AS (SELECT a{iters}.vec_id, a{iters}.cluster, cq.q
+          FROM a{iters} JOIN cq USING (vec_id))""")
+    parts.append(
+        f"""drp AS (SELECT DISTINCT b.vec_id
+           FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE {dot} > 0
+             AND {dot} * {dot} * 10000
+                 >= {tau_pct * tau_pct} * {nsq % (d + 1, 'a', 'a')}
+                                        * {nsq % (d + 1, 'b', 'b')})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT j.vec_id, j.cluster, (drp.vec_id IS NULL) AS kept
+    FROM j LEFT JOIN drp ON j.vec_id = drp.vec_id
+    """)
+
+
+@workload(
+    "embedding_kmeans_semdedup",
+    oracle=_kmeans_semdedup_oracle(k=10, iters=3, d=64, grid=1024,
+                                   cos_grid=256, tau_pct=40),
+)
+def embedding_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): distributed integer-grid Lloyd's
+    k-means over the embedding column, then within-cluster cosine dedup —
+    one row per vector with its final cluster and a ``kept`` flag.
+
+    The gate binds THREE iterations of the actual distributed clustering
+    loop bitwise (assignment = map-only broadcast argmin; update = one
+    partial-aggregatable groupBy emitting k·(d+1) numbers), not just the
+    final dedup — the oracle unrolls the same iterations as exact-integer
+    CTEs.  See ``pipeline/cluster.py`` for the 100 TB shape and the
+    int64 overflow budget."""
+    from ophidia_io_server_spark.pipeline.cluster import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=10, iters=3, tau_pct=40)
+
+
+@workload(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE},
+    -- deterministic sign-LSH hyperplanes: same LCG closed form as
+    -- similarity._hyperplanes (integer math exact in BIGINT, /2^31 exact)
+    planes AS (
+      SELECT p, list_transform(range(0, 64), k ->
+        ((p * 1103515245 + (k + 1) * 12345 + 7) % 2147483648) / 2147483648.0 - 0.5) AS h
+      FROM (SELECT unnest(range(0, 12)) AS p)
+    ),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN list_aggregate(list_transform(range(1, 65),
+                                                     i -> v[i] * h[i]), 'sum') >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM nrm CROSS JOIN planes
+    ),
+    -- 3 bands of 4 bits, bucket = fold acc*2+bit (== bit_j * 2^(3-j))
+    bkts AS (
+      SELECT vec_id, p // 4 AS band,
+             SUM(bit * (1 << CAST(3 - (p % 4) AS INTEGER))) AS bucket
+      FROM bits GROUP BY vec_id, band
+    ),
+    qb AS (SELECT vec_id AS query_id, band, bucket FROM bkts WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT qb.query_id, c.vec_id
+      FROM qb JOIN bkts c ON qb.band = c.band AND qb.bucket = c.bucket
+      WHERE c.vec_id <> qb.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, 65),
+                                           i -> a.v[i] * b.v[i]), 'sum') / (a.n * b.n) AS cosine
+      FROM cand
+      JOIN nrm a ON a.vec_id = cand.query_id
+      JOIN nrm b ON b.vec_id = cand.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN.  The oracle mirrors the WHOLE pipeline in
+    SQL — same LCG hyperplanes, sign bits, band buckets, candidate equi-join,
+    exact rescoring, (cosine desc, vec_id) tie order — so the approximate
+    candidate set itself is deterministic and hash-checkable."""
+    from ophidia_io_server_spark.pipeline.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@workload(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_EMB_BASE_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM nrm WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             list_aggregate(list_transform(range(1, len(qv) + 1),
+                                           i -> qv[i] * b.v[i]), 'sum') / (qn * b.n) AS cosine
+      FROM q JOIN nrm b ON b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (distributed Lloyd, driver holds only the
+    nlist×dim centroids).  Run at nprobe=nlist, where IVF degenerates to
+    exact brute force (tests/test_similarity_ivf.py asserts the equivalence)
+    — the routing/probe machinery is still exercised while the result is
+    oracle-checkable; nprobe<nlist is the production recall/cost dial."""
+    from ophidia_io_server_spark.pipeline.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, F.col("vec_id") < 10, k=5, nlist=8, nprobe=8)
+
+
+@workload(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           [CAST(octet_length(encode(text)) AS DOUBLE),
+            CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+            CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
+            CAST(list_aggregate(list_transform(string_split(text, ''),
+                                               c -> CAST(ascii(c) AS BIGINT)), 'sum') % 997
+                 AS DOUBLE)] AS features
+    FROM documents ORDER BY doc_id
+    """,
+    explode=["features"],
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: attach opaque bytes + metadata, extract
+    (stubbed) features via Arrow-batched mapInPandas — the oracle reproduces
+    the deterministic stub, proving the batch pipeline end to end."""
+    from ophidia_io_server_spark.pipeline.multimodal import attach_binary_payload, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs))
+
+
+@workload(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
+    ),
+    frames AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               range(0, greatest(CAST(FLOOR(payload_bytes / 1024.0) AS BIGINT), 1)),
+               i -> i % 3 = 0)) AS frame_idx
+      FROM media
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx
+    FROM frames ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads: every 3rd 1KB chunk →
+    (doc_id, frame_idx) rows (decode stubbed; explode shape is real)."""
+    from ophidia_io_server_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        frame_sample_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = frame_sample_plan(attach_binary_payload(docs), every_nth=3)
+    return out.select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+
+
