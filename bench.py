@@ -97,6 +97,20 @@ HEADLINE = [
     "orders_pareto_3d",
 ]
 
+# Streaming rows drain an availableNow query per execution: the drain cost
+# is state-store/foreachBatch machinery whose steady-state per-batch
+# marginals are published separately (PERF.md, scripts/stream_steady_probe).
+# Re-draining them 4x per bench run (warm-up + min-of-3) measured Spark's
+# query-start machinery three extra times, not the repo's plans (r8 verdict
+# #2) — these rows get ONE discarded warm-up drain + ONE timed drain.
+STREAM_ONCE = {
+    "stream_minhash_incremental",
+    "stream_view_attribution",
+    "stream_quantile_rollup",
+    "stream_view_attribution_outer",
+    "stream_user_closeout",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,8 +153,10 @@ def main() -> None:
     # landed on — same total work, same metric definition, far less
     # gate-to-gate variance on shared machines (PERF.md r5).
     best: dict[str, float] = {}
-    for _ in range(3):
+    for rep in range(3):
         for name in HEADLINE:
+            if name in STREAM_ONCE and rep > 0:
+                continue  # streaming rows: one timed drain (see above)
             w = WORKLOADS[name]
             t0 = time.perf_counter()
             df = w.fn(spark, sf_dir)
@@ -153,7 +169,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
-        "metric": "headline-workload wall time (sequential, min of 3 after 1 discarded warm-up, noop sink)",
+        "metric": "headline-workload wall time (sequential, min of 3 after 1 discarded warm-up, noop sink; streaming rows: single timed drain after warm-up)",
         "value": total,
         "unit": "sec",
         "queries": times,
