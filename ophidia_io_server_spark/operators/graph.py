@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ophidia_io_server_spark.pin import pinned
+
 
 def pagerank(
     edges: DataFrame,
@@ -206,12 +208,13 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     # ZERO ReusedExchange under AQE).  Edges are vocab²-bounded, far
     # smaller than the corpus that produces them, so materializing once
     # is the scale-correct trade.
-    und = (edges
-           .select(F.least(src, dst).alias("u"),
-                   F.greatest(src, dst).alias("v"))
-           .where(F.col("u") != F.col("v"))
-           .distinct()
-           .localCheckpoint())
+    und = pinned(
+        edges
+        .select(F.least(src, dst).alias("u"),
+                F.greatest(src, dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct(),
+        "triangle edge list: degree table + orientation joins + closing probe")
     nodes = (und.select(F.col("u").alias("n"))
              .unionAll(und.select(F.col("v").alias("n"))))
     deg = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -221,11 +224,11 @@ def triangle_counts(edges: DataFrame, src: str = "src",
          .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v"))
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    oriented = e.select(
+    oriented = pinned(e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).localCheckpoint()  # reused by both wedge sides — pin the deg joins
+    ), "oriented edges: reused by both wedge sides — pin the deg joins")
 
     o1 = oriented.select("a", F.col("b").alias("b1"), F.col("db").alias("db1"))
     o2 = oriented.select("a", F.col("b").alias("b2"), F.col("db").alias("db2"))

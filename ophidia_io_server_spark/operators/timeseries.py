@@ -44,10 +44,12 @@ def gap_fill_interpolate(observed: DataFrame, key_cols: list[str],
         # silently yield a 2-row backwards grid instead of an empty one
         raise ValueError(f"n_steps must be >= 1, got {n_steps}")
     keys = [F.col(c) for c in key_cols]
-    # observed feeds the key spine AND the grid join; pin it so the
-    # caller's upstream aggregation runs once (observed is grid-bounded,
-    # far smaller than the raw series it summarizes)
-    observed = observed.localCheckpoint()
+    from ophidia_io_server_spark.pin import pinned
+
+    # observed is grid-bounded, far smaller than the raw series it
+    # summarizes — pin so the caller's upstream aggregation runs once
+    observed = pinned(
+        observed, "gap-fill observations: feed the key spine AND the grid join")
     spine = (observed.select(*key_cols).distinct()
              .select(*key_cols,
                      F.explode(F.sequence(

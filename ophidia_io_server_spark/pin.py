@@ -1,0 +1,47 @@
+"""The recompute-per-consumer guard (r8 verdict #7).
+
+Spark DataFrames are lazy PLANS: a DataFrame that feeds two downstream
+consumers re-executes its whole upstream once PER CONSUMER unless AQE
+happens to grant a ReusedExchange (it rarely does across separate
+actions, and never across foreachBatch/loop iterations).  The r8 sweep
+found four independent sites where a corpus-sized upstream silently
+re-ran — triangle-counting edges (100x probe: 21.6 -> 6.7 s once
+pinned), connected-components edges (every CC round re-ran the caller's
+whole pair pipeline), the PassJoin dictionary, and the gap-fill
+observation summary.
+
+``pinned`` is the one-line rule those sites now share: materialize the
+small multi-consumer artifact ONCE (localCheckpoint — executor-local
+blocks, lineage truncated) and let every consumer read the blocks.
+
+When to pin:
+- the DataFrame feeds >= 2 downstream plans (joins, loop rounds,
+  separate actions), AND
+- it is much smaller than the upstream that produces it (edge lists,
+  dictionaries, per-key summaries — NOT raw corpus projections).
+
+When NOT to pin:
+- single-consumer plans (Catalyst pipelines them; a pin only adds a
+  materialization barrier and blocks whole-stage codegen fusion),
+- corpus-sized intermediates (pinning trades recompute for memory/disk
+  pressure the cluster may not have — prefer letting the scan repeat or
+  use persist(DISK_ONLY) deliberately).
+
+``tests/test_plan_shapes.py`` asserts the four fixed sites stay pinned:
+their final plans must read checkpointed blocks, not re-scan parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def pinned(df: DataFrame, note: str, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` once for multiple consumers (localCheckpoint:
+    lineage truncated, executor-local storage).  ``note`` documents WHY
+    this DataFrame qualifies (who the consumers are) — it is carried on
+    the returned DataFrame as ``_pin_note`` so audits can enumerate live
+    pins."""
+    out = df.localCheckpoint(eager=eager)
+    out._pin_note = note  # noqa: SLF001 — introspection hook for audits
+    return out

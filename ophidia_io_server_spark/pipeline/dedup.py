@@ -217,10 +217,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # pipeline (LSH banding, PassJoin probes, ...) — the same
     # recompute-per-consumer trap dup_clusters_star already guards
     # against.  Edges are pair-count-bounded, tiny next to the corpus.
-    edges = (
+    from ophidia_io_server_spark.pin import pinned
+
+    edges = pinned(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))),
+        "CC edge list: joined once per label-propagation round",
     )
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
@@ -232,21 +234,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
+        # fold the convergence signal into the label row (min-label only
+        # ever DECREASES, so `new < old` detects change) — the changed
+        # count then scans the just-checkpointed local blocks instead of
+        # re-joining old vs new labels, halving the per-round fixed job
+        # cost that dominated entity resolution on small graphs (r8
+        # verdict #6)
+        nl = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
         new_labels = (
             labels.join(nbr, labels.doc_id == nbr.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
+            .select("doc_id", nl.alias("label"),
+                    (nl < F.col("label")).alias("_chg"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_chg").count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             return labels.select("doc_id", F.col("label").alias("cluster_id"))
     raise RuntimeError(

@@ -59,10 +59,13 @@ def edit_distance_self_join(df: DataFrame, str_col: str, tau: int) -> DataFrame:
     # distinct exchange (AQE rarely grants ReusedExchange across the two
     # consumers).  The dictionary is vocabulary-bounded — far smaller
     # than the corpus that produces it.
-    d = (df.select(F.col(str_col).cast("string").alias("s"))
-         .where(F.col("s").isNotNull()).distinct()
-         .withColumn("slen", F.length("s"))
-         .localCheckpoint())
+    from ophidia_io_server_spark.pin import pinned
+
+    d = pinned(
+        df.select(F.col(str_col).cast("string").alias("s"))
+        .where(F.col("s").isNotNull()).distinct()
+        .withColumn("slen", F.length("s")),
+        "PassJoin dictionary: feeds both the segment index and probe sides")
 
     # ---- index side: the tau+1 even-scheme segments of every string ----
     # (the expressions below resolve against whichever frame they are
