@@ -512,7 +512,12 @@ def minhash_lsh_stream(stream_docs: DataFrame, n: int = 3,
     emitted: list[DataFrame] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("doc_id", text_col).localCheckpoint()
+        # no extra checkpoint of the raw batch: foreachBatch hands over a
+        # source-backed DataFrame, and each micro-batch plan's FIXED cost
+        # (driver-side analysis + job launch — the same per 10 docs as per
+        # 5000, measured r9) dominates this operator's marginal, so every
+        # plan shaved matters
+        batch = batch_df.select("doc_id", text_col)
         if not batch.take(1):
             return
         sh_new = shingle_df(batch, n, text_col).localCheckpoint()
@@ -534,9 +539,15 @@ def minhash_lsh_stream(stream_docs: DataFrame, n: int = 3,
         emitted.append(_verify_pairs(cand, all_sh, threshold).localCheckpoint())
         state["bands"], state["sh"] = all_bands, all_sh
 
-    q = (stream_docs.writeStream.foreachBatch(sink)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_sec)
+    # per-batch volumes are |batch|-bounded (probe ∝ |new|·bands), so the
+    # session's 32 shuffle partitions mean mostly-empty tasks per batch
+    # join; 8 measured ~0.2-0.3 s/batch faster at sf0.1 (r9 probe) with
+    # identical output — the earlier "don't shrink foreachBatch" note
+    # applied to the plain insert runners, not to join-per-batch sinks
+    with stream_shuffle_partitions(stream_docs.sparkSession):
+        q = (stream_docs.writeStream.foreachBatch(sink)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout_sec)
     if not emitted:
         # consistent return type on an all-empty stream (r7 ADVICE: a
         # None here forced every caller to special-case it)
