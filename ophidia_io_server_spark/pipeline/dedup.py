@@ -241,11 +241,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # cost that dominated entity resolution on small graphs (r8
         # verdict #6)
         nl = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
+        # lazy checkpoint: the convergence count right below materializes
+        # the blocks, so each round runs ONE action (count) instead of two
+        # (eager checkpoint + count) — at gate scale the per-round job
+        # floor IS the operator's cost
         new_labels = (
             labels.join(nbr, labels.doc_id == nbr.src, "left")
             .select("doc_id", nl.alias("label"),
                     (nl < F.col("label")).alias("_chg"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where("_chg").count()
         labels = new_labels.select("doc_id", "label")
