@@ -163,6 +163,17 @@ def skyline_nd(df: DataFrame, dims: dict[str, str],
     single-task pass and the operator fails LOUDLY when the surviving
     candidates exceed it rather than silently OOMing a task (same
     discipline as the winnowing position budget).
+
+    Sizing ``candidate_budget``: the final pass holds one numpy float64
+    matrix of ``budget × d`` entries plus the Arrow batch, so its peak
+    task memory is ~``budget × d × 8 B × 3`` (matrix + kept-copy +
+    Arrow).  Budget from executor memory:  ``budget ≈ task_mem /
+    (24·d)`` — e.g. a 4 GiB task at d=4 dims supports ~40M candidates;
+    the 2M default fits any sane executor (d=8 → ~400 MB peak).  The
+    BNL kernel's time is O(candidates × frontier), so budgets past ~10M
+    also need a frontier that is small relative to the candidates —
+    if the frontier itself is input-sized, no budget fixes it: reduce
+    dimensions or filter first (the RuntimeError below says so).
     """
     import numpy as np  # noqa: F401 — required by the batch kernel
 
