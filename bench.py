@@ -95,6 +95,12 @@ HEADLINE = [
     "events_multitouch_attribution",
     "events_sequence_patterns",
     "orders_pareto_3d",
+    # r9 (HEADLINE 56 -> 60): hopping windows, Welch t-test, exact Pearson
+    # matrix, per-doc keyword extraction
+    "events_hopping_window",
+    "events_welch_ttest",
+    "lineitem_correlation_matrix",
+    "doc_keyword_extraction",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

@@ -72,3 +72,60 @@ def profile_table(df: DataFrame, mean_decimals: int | None = None) -> DataFrame:
         wide.select(F.explode(F.array(*per_col)).alias("p"))
         .select("p.*")
     )
+
+
+def pearson_matrix(df: DataFrame, int_cols: list[str]) -> DataFrame:
+    """Exact-sum Pearson correlation matrix over INTEGER-VALUED columns:
+    one fused scan aggregates n plus Σx, Σx², Σxy for every column/pair
+    as DECIMAL(38,0) (exact — no float accumulation-order drift), then
+    the d·(d−1)/2 upper-triangle rows unpivot driver-free and each
+    correlation is ONE double expression over the exact sums:
+
+        corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+
+    Cross-engine determinism: the decimal sums are exact integers, the
+    final cast-to-double + IEEE ops are identical given identical inputs,
+    and the result is rounded to 6.  Budget: every decimal term must fit
+    38 digits — n·Σxy ≤ n²·max² needs n·max ≤ 10^19, i.e. 10^10 rows of
+    10^9-scaled values; raise grid coarseness past that.  Rows with a
+    NULL in ANY column are excluded (pairwise-complete would make n
+    differ per pair and the matrix non-PSD).
+
+    At 100 TB: one partial-aggregatable scan emitting d·(d+3)/2+1
+    numbers — no shuffle beyond the single-row aggregate, no Python.
+    """
+    if len(int_cols) < 2:
+        raise ValueError(f"pearson_matrix needs >= 2 columns, got {int_cols}")
+    dec = "decimal(38,0)"
+    base = df.where(F.expr(" AND ".join(
+        f"`{c}` IS NOT NULL" for c in int_cols)))
+    aggs = [F.count(F.lit(1)).cast(dec).alias("_n")]
+    for i, c in enumerate(int_cols):
+        x = F.col(c).cast("bigint")
+        aggs.append(F.sum(x.cast(dec)).alias(f"_s{i}"))
+        aggs.append(F.sum((x * x).cast(dec)).alias(f"_q{i}"))
+    pairs = [(i, j) for i in range(len(int_cols))
+             for j in range(i + 1, len(int_cols))]
+    for i, j in pairs:
+        xy = (F.col(int_cols[i]).cast("bigint")
+              * F.col(int_cols[j]).cast("bigint"))
+        aggs.append(F.sum(xy.cast(dec)).alias(f"_p{i}_{j}"))
+    wide = base.agg(*aggs)
+
+    n = F.col("_n")
+    rows = []
+    for i, j in pairs:
+        num = (n * F.col(f"_p{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}")) \
+            .cast("double")
+        deni = (n * F.col(f"_q{i}") - F.col(f"_s{i}") * F.col(f"_s{i}")) \
+            .cast("double")
+        denj = (n * F.col(f"_q{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")) \
+            .cast("double")
+        rows.append(F.struct(
+            F.lit(int_cols[i]).alias("col_a"),
+            F.lit(int_cols[j]).alias("col_b"),
+            n.cast("bigint").alias("n"),
+            F.round(num / (F.sqrt(deni) * F.sqrt(denj)), 6).alias("corr"),
+        ))
+    return (wide.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.col_a", "r.col_b", "r.n", "r.corr"))

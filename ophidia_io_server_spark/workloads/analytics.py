@@ -1731,3 +1731,110 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@workload(
+    "events_hopping_window",
+    oracle="""
+    SELECT win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+             event_type, value
+      FROM events
+    )
+    GROUP BY win_start, event_type
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window aggregate — 2 h windows every 1 h, so each
+    event lands in exactly TWO overlapping windows (the tumbling
+    ``events_hourly_window``'s overlapping sibling; Spark's
+    ``F.window(slideDuration)`` compiles to a windows-per-row explode +
+    the same partial-aggregatable groupBy, so the 100 TB shape is one
+    scan + one exchange at 2x row fanout).  The oracle materializes the
+    same two window starts per event with unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             exact_cents_sum("value").alias("total_cents"))
+        .select(F.col("w.start").alias("win_start"), "event_type",
+                "n_events", "total_cents")
+    )
+
+
+@workload(
+    "events_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL AND NOT isnan(value)
+      GROUP BY event_type
+    ),
+    ab AS (
+      SELECT
+        (SELECT n FROM s WHERE event_type = 'purchase') AS na,
+        (SELECT sx FROM s WHERE event_type = 'purchase') AS sxa,
+        (SELECT sxx FROM s WHERE event_type = 'purchase') AS sxxa,
+        (SELECT n FROM s WHERE event_type = 'click') AS nb,
+        (SELECT sx FROM s WHERE event_type = 'click') AS sxb,
+        (SELECT sxx FROM s WHERE event_type = 'click') AS sxxb
+    )
+    SELECT na, nb,
+           ROUND(CAST(sxa AS DOUBLE) / na / 100, 6) AS mean_a,
+           ROUND(CAST(sxb AS DOUBLE) / nb / 100, 6) AS mean_b,
+           ROUND((CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+                 / sqrt((CAST(sxxa AS DOUBLE) / na
+                         - (CAST(sxa AS DOUBLE) / na)
+                           * (CAST(sxa AS DOUBLE) / na)) / (na - 1)
+                        + (CAST(sxxb AS DOUBLE) / nb
+                           - (CAST(sxb AS DOUBLE) / nb)
+                             * (CAST(sxb AS DOUBLE) / nb)) / (nb - 1)),
+                 6) AS t_stat
+    FROM ab
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-statistic (unequal variances) between the
+    purchase and click value distributions — the A/B-test primitive, as
+    ONE scan-only aggregate: per-group (n, Σx, Σx²) on the exact integer
+    cents grid, then the t formula evaluated ONCE from those six exact
+    integers (identical IEEE expression both engines, rounded 6).  At
+    100 TB this is a single partial-aggregatable pass — no per-row
+    Python, no shuffle beyond the 2-group aggregate."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("purchase", "click")
+                 & F.col("value").isNotNull() & ~F.isnan("value")))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    s = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum(cents).cast("bigint").alias("sx"),
+              F.sum(cents * cents).cast("bigint").alias("sxx")))
+    a = (s.where(F.col("event_type") == "purchase")
+         .select(F.col("n").alias("na"), F.col("sx").alias("sxa"),
+                 F.col("sxx").alias("sxxa")))
+    b = (s.where(F.col("event_type") == "click")
+         .select(F.col("n").alias("nb"), F.col("sx").alias("sxb"),
+                 F.col("sxx").alias("sxxb")))
+    ma = F.col("sxa").cast("double") / F.col("na")
+    mb = F.col("sxb").cast("double") / F.col("nb")
+    va = (F.col("sxxa").cast("double") / F.col("na") - ma * ma) \
+        / (F.col("na") - 1)
+    vb = (F.col("sxxb").cast("double") / F.col("nb") - mb * mb) \
+        / (F.col("nb") - 1)
+    return (a.crossJoin(F.broadcast(b))  # two single-row invariant frames
+            .select("na", "nb",
+                    F.round(ma / 100, 6).alias("mean_a"),
+                    F.round(mb / 100, 6).alias("mean_b"),
+                    F.round((ma - mb) / F.sqrt(va + vb), 6).alias("t_stat")))

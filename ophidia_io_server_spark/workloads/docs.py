@@ -1054,3 +1054,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
 
 
+
+
+@workload(
+    "doc_keyword_extraction",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf
+      GROUP BY token
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    ranked AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, nd.n_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rank
+      FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, token, tf, df, CAST(rank AS BIGINT) AS rank,
+           ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by the EXACT-INTEGER
+    order (tf DESC, df ASC, token ASC) — highest in-document frequency,
+    rarest corpus-wide, tie-broken lexically — with the smoothed TF-IDF
+    score ``tf·ln((N+1)/(df+1))`` carried as a reporting column (rounded
+    6).  The ranking deliberately orders by the integer triple rather
+    than the float score: a last-ulp ln() difference between engines can
+    never flip a rank, so the gate hash stays deterministic (same
+    discipline as the integer money grid).
+
+    Scale shape: tokenize-explode → (doc, token) partial-agg tf → token
+    df agg → broadcast-join df + N onto tf → per-doc top-3 window.  The
+    df table is vocabulary-sized (broadcastable); the window partitions
+    by doc_id — no global sort, no Python."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (spread(docs).where(F.col("text").isNotNull())
+          .select("doc_id", F.explode(tokens_col(F.col("text")))
+                  .alias("token")))
+    tf = (tk.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+          .localCheckpoint())  # feeds df-agg, N-agg AND the ranked join
+    dfreq = (tf.groupBy("token")
+             .agg(F.count_distinct("doc_id").cast("bigint").alias("df")))
+    nd = tf.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc())
+    return (tf.join(F.broadcast(dfreq), "token")
+            .crossJoin(F.broadcast(nd))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "token", "tf", "df", "rank",
+                    F.round(F.col("tf") * F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                        6).alias("tfidf")))

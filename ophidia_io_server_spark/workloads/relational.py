@@ -1679,3 +1679,69 @@ def stream_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators.  The individual member rows STAY registered beyond the window so
 # the local mirror (scripts/check_correctness.py) and bench still exercise
 # them in isolation.
+
+
+@workload(
+    "lineitem_correlation_matrix",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q_units,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS price_dollars,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(q_units AS HUGEINT)) AS s0,
+             SUM(CAST(q_units AS HUGEINT) * q_units) AS q0,
+             SUM(CAST(price_dollars AS HUGEINT)) AS s1,
+             SUM(CAST(price_dollars AS HUGEINT) * price_dollars) AS q1,
+             SUM(CAST(disc_pct AS HUGEINT)) AS s2,
+             SUM(CAST(disc_pct AS HUGEINT) * disc_pct) AS q2,
+             SUM(CAST(tax_pct AS HUGEINT)) AS s3,
+             SUM(CAST(tax_pct AS HUGEINT) * tax_pct) AS q3,
+             SUM(CAST(q_units AS HUGEINT) * price_dollars) AS p01,
+             SUM(CAST(q_units AS HUGEINT) * disc_pct) AS p02,
+             SUM(CAST(q_units AS HUGEINT) * tax_pct) AS p03,
+             SUM(CAST(price_dollars AS HUGEINT) * disc_pct) AS p12,
+             SUM(CAST(price_dollars AS HUGEINT) * tax_pct) AS p13,
+             SUM(CAST(disc_pct AS HUGEINT) * tax_pct) AS p23
+      FROM b
+    )
+    SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * pxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * qx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * qy - sy * sy AS DOUBLE))), 6) AS corr
+    FROM (
+      SELECT 'q_units' AS col_a, 'price_dollars' AS col_b,
+             n, p01 AS pxy, s0 AS sx, s1 AS sy, q0 AS qx, q1 AS qy FROM s
+      UNION ALL SELECT 'q_units', 'disc_pct', n, p02, s0, s2, q0, q2 FROM s
+      UNION ALL SELECT 'q_units', 'tax_pct', n, p03, s0, s3, q0, q3 FROM s
+      UNION ALL SELECT 'price_dollars', 'disc_pct', n, p12, s1, s2, q1, q2 FROM s
+      UNION ALL SELECT 'price_dollars', 'tax_pct', n, p13, s1, s3, q1, q3 FROM s
+      UNION ALL SELECT 'disc_pct', 'tax_pct', n, p23, s2, s3, q2, q3 FROM s
+    )
+    """,
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-sum Pearson correlation matrix over lineitem's four numeric
+    measures (``operators/profile.py::pearson_matrix``): ONE fused scan
+    aggregates every Σx/Σx²/Σxy as DECIMAL(38,0) — no float accumulation
+    order anywhere — then the 6 upper-triangle correlations are single
+    IEEE expressions over those exact integers (DuckDB mirrors them in
+    HUGEINT).  The canonical data-profiling primitive at a 100 TB-safe
+    shape: one partial-aggregatable pass, 15 numbers, no Python."""
+    from ophidia_io_server_spark.operators.profile import pearson_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("q_units"),
+        F.round("l_extendedprice").cast("bigint").alias("price_dollars"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("tax_pct"),
+    )
+    return pearson_matrix(base, ["q_units", "price_dollars",
+                                 "disc_pct", "tax_pct"])

@@ -380,6 +380,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("wa", "string"), ("wb", "string"), ("c12", "bigint"),
             ("pmi", "double"),
         ],
+        # r9: per-doc top-3 keywords, integer-ordered, TF-IDF reported
+        "doc_keyword_extraction": [
+            ("doc_id", "bigint"), ("token", "string"), ("tf", "bigint"),
+            ("df", "bigint"), ("rank", "bigint"), ("tfidf", "double"),
+        ],
         "token_countmin_freq": [
             ("item", "string"), ("cnt", "bigint"), ("rank", "bigint"),
             ("est_ge_exact_ok", "boolean"),
@@ -455,6 +460,16 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("user_id", "bigint"), ("s_start", "timestamp_ntz"),
             ("s_end", "timestamp_ntz"), ("outage_start", "timestamp_ntz"),
             ("outage_end", "timestamp_ntz"),
+        ],
+        # r9: overlapping-window sibling of the tumbling hourly aggregate
+        "events_hopping_window": [
+            ("win_start", "timestamp"), ("event_type", "string"),
+            ("n_events", "bigint"), ("total_cents", "bigint"),
+        ],
+        # r9: Welch two-sample t-statistic from exact integer-cents sums
+        "events_welch_ttest": [
+            ("na", "bigint"), ("nb", "bigint"), ("mean_a", "double"),
+            ("mean_b", "double"), ("t_stat", "double"),
         ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
@@ -586,6 +601,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("name", "string"), ("cluster_id", "string"),
             ("canonical", "string"), ("n", "bigint"),
             ("cluster_size", "bigint"),
+        ],
+        # r9: exact-decimal-sum Pearson matrix over the lineitem measures
+        "lineitem_correlation_matrix": [
+            ("col_a", "string"), ("col_b", "string"),
+            ("n", "bigint"), ("corr", "double"),
         ],
     },
     # fragment-store row windows + MERGE upsert
