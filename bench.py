@@ -101,6 +101,12 @@ HEADLINE = [
     "events_welch_ttest",
     "lineitem_correlation_matrix",
     "doc_keyword_extraction",
+    # r9 second batch (HEADLINE 60 -> 64): exact prefix-filter set join,
+    # bloom semi-join reduction, grid spatial join, association rules
+    "doc_prefix_jaccard_pairs",
+    "orders_bloom_semijoin",
+    "events_spatial_neighbors",
+    "token_association_rules",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

@@ -1,0 +1,56 @@
+"""Grid-bucketed spatial radius self-join — the distance-join Spark has
+no built-in for.
+
+Classic fixed-grid spatial hashing (the uniform-grid special case of
+Bentley's fixed-radius near neighbors, 1975; the same cell trick every
+spatial engine uses before R-trees): bucket points into square cells of
+side = radius, so any pair within ``radius`` lies in the SAME or an
+ADJACENT cell (|Δx| ≤ r ⇒ cell indices differ by ≤ 1).  One side
+replicates into its 3×3 cell neighborhood (constant 9× fanout), the
+join is a plain EQUI-join on the cell id, and the exact Euclidean
+predicate filters the survivors — no CartesianProduct anywhere, and the
+shuffle key is the cell id, whose skew is the point density (salt a
+hot cell if the data is that pathological).
+
+Scale: candidates = Σ_cell |cell|·|3×3 neighborhood| — linear in points
+for bounded density.  100 TB shape: one 9× explode + one equi-join +
+one filter, all codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def radius_self_join(pts: DataFrame, radius: float, id_col: str = "id",
+                     x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """All unordered pairs (id_a, id_b, dist) with Euclidean distance
+    ≤ ``radius``; ``dist`` rounded 6.  NULL coordinates are dropped."""
+    if radius <= 0:
+        raise ValueError(f"radius must be > 0, got {radius}")
+    p = (pts.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+         .select(F.col(id_col).alias("pid"),
+                 F.col(x_col).cast("double").alias("px"),
+                 F.col(y_col).cast("double").alias("py"),
+                 F.floor(F.col(x_col) / radius).alias("cx"),
+                 F.floor(F.col(y_col) / radius).alias("cy")))
+
+    # left side replicates into its 3x3 neighborhood; right side stays put
+    off = F.expr("explode(array(-1, 0, 1))")
+    left = (p.select("pid", "px", "py", "cx", "cy",
+                     off.alias("dx"))
+            .select("pid", "px", "py", (F.col("cx") + F.col("dx")).alias("cx"),
+                    "cy", off.alias("dy"))
+            .select("pid", "px", "py", "cx",
+                    (F.col("cy") + F.col("dy")).alias("cy")))
+    a = left.select(F.col("pid").alias("id_a"), F.col("px").alias("xa"),
+                    F.col("py").alias("ya"), "cx", "cy")
+    b = p.select(F.col("pid").alias("id_b"), F.col("px").alias("xb"),
+                 F.col("py").alias("yb"), "cx", "cy")
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) \
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    return (a.join(b, ["cx", "cy"])
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (d2 <= F.lit(radius * radius)))
+            .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist")))

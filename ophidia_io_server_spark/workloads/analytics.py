@@ -1838,3 +1838,45 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(ma / 100, 6).alias("mean_a"),
                     F.round(mb / 100, 6).alias("mean_b"),
                     F.round((ma - mb) / F.sqrt(va + vb), 6).alias("t_stat")))
+
+
+@workload(
+    "events_spatial_neighbors",
+    oracle="""
+    WITH p AS (
+      SELECT event_id,
+             (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS x,
+             (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 17, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS y
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           ROUND(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM p a JOIN p b ON a.event_id < b.event_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 0.01 * 0.01
+    """,
+)
+def events_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius spatial self-join (``operators/spatial.py``): all
+    purchase pairs within Euclidean distance 0.01 on the unit square,
+    with coordinates derived DETERMINISTICALLY from md5(event_id) (the
+    testdata carries no geo columns; the derivation is the repo's 60-bit
+    md5-priority convention, mirrored bit-for-bit in the oracle).  The
+    operator grid-buckets into radius-sized cells + 3×3 neighbor
+    equi-join — candidates linear in points for bounded density; the
+    oracle is the literal O(n²) distance join, so the hash proves both
+    soundness AND completeness of the grid pruning."""
+    from ophidia_io_server_spark.operators.spatial import radius_self_join
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    pts = (ev.where(F.col("event_type") == "purchase")
+           .select("event_id",
+                   (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+                    % 1000000 / 1000000.0).alias("x"),
+                   (F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint")
+                    % 1000000 / 1000000.0).alias("y")))
+    return radius_self_join(pts, radius=0.01, id_col="event_id")

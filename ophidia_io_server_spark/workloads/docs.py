@@ -1123,3 +1123,134 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("tf") * F.log(
                         (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
                         6).alias("tfidf")))
+
+
+@workload(
+    "doc_prefix_jaccard_pairs",
+    oracle="""
+    WITH ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       w -> w <> '')) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tsz AS (SELECT doc_id, toks, len(toks) AS m FROM ts WHERE len(toks) > 0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS c,
+             a.m AS ma, b.m AS mb
+      FROM tsz a JOIN tsz b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(c * 1.0 / (ma + mb - c), 6) AS jaccard
+    FROM pairs WHERE c * 1.0 / (ma + mb - c) >= 0.5
+    """,
+)
+def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING
+    (``pipeline/setjoin.py`` — Chaudhuri'06/Bayardo'07 all-pairs): the
+    deterministic sibling of the MinHash detector.  Candidates must share
+    a token in each other's rarest-first prefix of length
+    |s|−⌈τ|s|⌉+1, then exact-verify — recall is 1.0 BY CONSTRUCTION
+    (the oracle is the literal all-pairs set-Jaccard, so the hash proves
+    it), where LSH recall is only probabilistic.  Jaccard here is over
+    DISTINCT tokens (set semantics) vs the shingle multiset rows."""
+    from ophidia_io_server_spark.pipeline.setjoin import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, threshold=0.5)
+
+
+@workload(
+    "token_association_rules",
+    oracle="""
+    WITH tk AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> w <> '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tk),
+    item AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY token
+      HAVING COUNT(*) >= 20
+    ),
+    co AS (
+      SELECT a.token AS ta, b.token AS tb, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM (SELECT doc_id, token FROM tk
+            WHERE token IN (SELECT token FROM item)) a
+      JOIN (SELECT doc_id, token FROM tk
+            WHERE token IN (SELECT token FROM item)) b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY ta, tb HAVING COUNT(*) >= 20
+    ),
+    rules AS (
+      SELECT ta AS antecedent, tb AS consequent, nab FROM co
+      UNION ALL
+      SELECT tb, ta, nab FROM co
+    )
+    SELECT antecedent, consequent, nab,
+           ROUND(nab * 1.0 / n_docs, 6) AS support,
+           ROUND(nab * 1.0 / ia.n, 6) AS confidence,
+           ROUND(nab * 1.0 * n_docs / (ia.n * ic.n), 6) AS lift
+    FROM rules
+    JOIN item ia ON ia.token = antecedent
+    JOIN item ic ON ic.token = consequent
+    CROSS JOIN nd
+    WHERE nab * 1.0 / ia.n >= 0.2
+    """,
+)
+def token_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over per-document token sets (Agrawal &
+    Srikant VLDB'94, the 2-itemset core): directed rules A→B with
+    support = n(A,B)/N, confidence = n(A,B)/n(A), lift =
+    N·n(A,B)/(n(A)·n(B)), pruned Apriori-style — items below min
+    support (20 docs) never enter the pair join, pairs below min
+    support are dropped before rule expansion, rules below confidence
+    0.2 are dropped last.  All three metrics are single divisions of
+    exact BIGINT counts (rounded 6).
+
+    Scale shape: the support prune IS the operator — the pair join runs
+    only over frequent items (inverted-index equi-join on doc_id, like
+    the PMI row), so candidate volume is Σ_doc |frequent tokens in
+    doc|², bounded by the min-support threshold, never vocabulary²."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from ophidia_io_server_spark.sources.tables import spread
+
+    MIN_N = 20
+    MIN_CONF = 0.2
+    tk = (spread(docs).where(F.col("text").isNotNull())
+          .select("doc_id", F.explode(F.array_distinct(
+              tokens_col(F.col("text")))).alias("token"))
+          .localCheckpoint())  # item counts + N + both pair sides
+    nd = tk.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    item = (tk.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .where(F.col("n") >= MIN_N))
+    freq = tk.join(F.broadcast(item.select("token")), "token")
+    a = freq.select("doc_id", F.col("token").alias("ta"))
+    b = freq.select("doc_id", F.col("token").alias("tb"))
+    co = (a.join(b, "doc_id").where(F.col("ta") < F.col("tb"))
+          .groupBy("ta", "tb")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+          .where(F.col("nab") >= MIN_N))
+    rules = (co.select(F.col("ta").alias("antecedent"),
+                       F.col("tb").alias("consequent"), "nab")
+             .unionByName(co.select(F.col("tb").alias("antecedent"),
+                                    F.col("ta").alias("consequent"), "nab")))
+    ia = item.select(F.col("token").alias("antecedent"),
+                     F.col("n").alias("na"))
+    ic = item.select(F.col("token").alias("consequent"),
+                     F.col("n").alias("nc"))
+    return (rules.join(F.broadcast(ia), "antecedent")
+            .join(F.broadcast(ic), "consequent")
+            .crossJoin(F.broadcast(nd))
+            .where(F.col("nab") / F.col("na") >= MIN_CONF)
+            .select("antecedent", "consequent", "nab",
+                    F.round(F.col("nab") / F.col("n_docs"), 6)
+                    .alias("support"),
+                    F.round(F.col("nab") / F.col("na"), 6)
+                    .alias("confidence"),
+                    F.round(F.col("nab") * F.col("n_docs")
+                            / (F.col("na") * F.col("nc")), 6)
+                    .alias("lift")))

@@ -1745,3 +1745,82 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pearson_matrix(base, ["q_units", "price_dollars",
                                  "disc_pct", "tax_pct"])
+
+
+@workload(
+    "orders_bloom_semijoin",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_li,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+           TRUE AS bloom_no_false_negative,
+           TRUE AS fp_within_bound
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01') o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (``operators/bloom.py``): revenue
+    of lineitems belonging to 1995 URGENT orders, computed through an
+    explicit broadcast Bloom prefilter + exact re-join.  The END RESULT
+    is bitwise the plain semi-join (the oracle IS the plain join — the
+    hash proves FP removal); what the bloom changes is HOW MANY fact
+    rows reach the join shuffle, the pruning a 100 TB fact scan lives
+    by.  Two certificates ride the row: ``bloom_no_false_negative``
+    (every exact-join row passed the prefilter — structural, but
+    asserted from measured counts) and ``fp_within_bound`` (measured
+    false-positive count ≤ 4× the expected (1−e^{−kn/m})^k rate over
+    the measured negatives)."""
+    import math
+
+    from ophidia_io_server_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    M, K = 1 << 20, 4
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (orders
+           .where((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.col("o_orderdate") >= "1995-01-01")
+                  & (F.col("o_orderdate") < "1996-01-01"))
+           .select("o_orderkey"))
+    bl = bloom_build(dim, "o_orderkey", m_bits=M, k_hashes=K)
+    row = bl.select("n_keys").first()
+    n_keys = int(row["n_keys"])
+
+    pre = (li.crossJoin(F.broadcast(bl.select("bloom")))
+           .where(bloom_might_contain(F.col("bloom"), F.col("l_orderkey"),
+                                      M, K))
+           .drop("bloom")
+           .localCheckpoint())  # feeds the exact join AND the fp count
+    n_total = li.count()
+    n_pass = pre.count()
+
+    joined = pre.join(F.broadcast(dim),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = joined.agg(
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_li"),
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 10000).cast("bigint")).cast("bigint")
+        .alias("revenue_e4"))
+    res = agg.first()
+    n_li = int(res["n_li"])
+    # all exact-join rows are a subset of the prefiltered rows by
+    # construction; assert it from the measured counts anyway
+    no_fn = n_pass >= n_li
+    fp = n_pass - n_li           # prefiltered rows the exact join dropped
+    n_neg = n_total - n_li
+    exp_rate = (1.0 - math.exp(-K * n_keys / M)) ** K
+    fp_ok = fp <= max(4.0 * exp_rate * n_neg, 16.0)
+    return agg.select(
+        "n_orders", "n_li", "revenue_e4",
+        F.lit(bool(no_fn)).alias("bloom_no_false_negative"),
+        F.lit(bool(fp_ok)).alias("fp_within_bound"))

@@ -93,6 +93,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("canonical_hash", "string"), ("rep_doc_id", "bigint"),
             ("n_docs", "bigint"),
         ],
+        # r9: exact prefix-filtered set-similarity join (recall 1.0)
+        "doc_prefix_jaccard_pairs": [
+            ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
+        ],
     },
     # the r6 variable-length dedup wave: suffix-sort longest-match report,
     # Manber-Myers suffix-array invariants, incremental LSH
@@ -385,6 +389,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("doc_id", "bigint"), ("token", "string"), ("tf", "bigint"),
             ("df", "bigint"), ("rank", "bigint"), ("tfidf", "double"),
         ],
+        # r9: Apriori 2-itemset association rules (support/confidence/lift)
+        "token_association_rules": [
+            ("antecedent", "string"), ("consequent", "string"),
+            ("nab", "bigint"), ("support", "double"),
+            ("confidence", "double"), ("lift", "double"),
+        ],
         "token_countmin_freq": [
             ("item", "string"), ("cnt", "bigint"), ("rank", "bigint"),
             ("est_ge_exact_ok", "boolean"),
@@ -470,6 +480,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_welch_ttest": [
             ("na", "bigint"), ("nb", "bigint"), ("mean_a", "double"),
             ("mean_b", "double"), ("t_stat", "double"),
+        ],
+        # r9: grid-bucketed fixed-radius spatial self-join
+        "events_spatial_neighbors": [
+            ("id_a", "bigint"), ("id_b", "bigint"), ("dist", "double"),
         ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
@@ -606,6 +620,13 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "lineitem_correlation_matrix": [
             ("col_a", "string"), ("col_b", "string"),
             ("n", "bigint"), ("corr", "double"),
+        ],
+        # r9: explicit Bloom semi-join reduction with FP-bound certificate
+        "orders_bloom_semijoin": [
+            ("n_orders", "bigint"), ("n_li", "bigint"),
+            ("revenue_e4", "bigint"),
+            ("bloom_no_false_negative", "boolean"),
+            ("fp_within_bound", "boolean"),
         ],
     },
     # fragment-store row windows + MERGE upsert
