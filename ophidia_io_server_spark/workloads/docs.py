@@ -1132,7 +1132,7 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(list_filter(string_split(text, ' '),
                                        w -> w <> '')) AS toks
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
     ),
     tsz AS (SELECT doc_id, toks, len(toks) AS m FROM ts WHERE len(toks) > 0),
     pairs AS (
@@ -1153,10 +1153,20 @@ def doc_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |s|−⌈τ|s|⌉+1, then exact-verify — recall is 1.0 BY CONSTRUCTION
     (the oracle is the literal all-pairs set-Jaccard, so the hash proves
     it), where LSH recall is only probabilistic.  Jaccard here is over
-    DISTINCT tokens (set semantics) vs the shingle multiset rows."""
+    DISTINCT tokens (set semantics) vs the shingle multiset rows.
+
+    The workload runs on the fixed doc_id % 10 slice: the synthetic
+    corpus is template-generated, so distinct-token SETS overlap ≥ τ for
+    ~74% of ALL pairs at any usable τ (measured r9: 9.2M pairs / 108 s
+    at sf0.1 unsliced, 965k pairs even at τ=0.9) — the OUTPUT is
+    quadratic on this corpus by construction, which measures the data,
+    not the operator.  The slice keeps the pair-level hash check over
+    every algorithm stage at a bounded output; the operator itself is
+    output-bound on natural corpora (PERF.md r9 probe table)."""
     from ophidia_io_server_spark.pipeline.setjoin import prefix_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 10 == 0))
     return prefix_jaccard_pairs(docs, threshold=0.5)
 
 

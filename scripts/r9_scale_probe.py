@@ -134,6 +134,7 @@ def main() -> None:
                    and r["jaccard"] == 1.0)
     from ophidia_io_server_spark.sources.tables import load_table
     n_docs = (load_table(spark, sf001, "documents")
+              .where(F.col("doc_id") % 10 == 0)  # the workload's slice
               .where(F.col("text").isNotNull())
               .where(F.size(F.filter(F.split("text", " "),
                                      lambda w: w != "")) > 0).count())
