@@ -107,6 +107,12 @@ HEADLINE = [
     "orders_bloom_semijoin",
     "events_spatial_neighbors",
     "token_association_rules",
+    # r9 third batch (HEADLINE 64 -> 68): streaming hopping twin, OHLC
+    # resampling, WOE binning, stratified split
+    "events_hopping_streaming",
+    "events_ohlc_hourly",
+    "orders_woe_price_bins",
+    "doc_stratified_split",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost
@@ -116,6 +122,7 @@ HEADLINE = [
 # query-start machinery three extra times, not the repo's plans (r8 verdict
 # #2) — these rows get ONE discarded warm-up drain + ONE timed drain.
 STREAM_ONCE = {
+    "events_hopping_streaming",
     "stream_minhash_incremental",
     "stream_view_attribution",
     "stream_quantile_rollup",

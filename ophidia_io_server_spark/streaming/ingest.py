@@ -100,6 +100,24 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def hopping_counts_stream(events: DataFrame,
+                          watermark: str = "4 hours") -> DataFrame:
+    """HOPPING (2 h window / 1 h slide) aggregation under a watermark —
+    the streaming form of workload.events_hopping_window: each event
+    lands in two overlapping windows; state is two open windows per
+    (slide, type) and eviction follows the watermark like the tumbling
+    twin."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                 F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             exact_cents_sum("value").alias("total_cents"))
+        .select(F.col("w.start").alias("win_start"), "event_type",
+                "n_events", "total_cents")
+    )
+
+
 def stateful_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids within the
     watermark horizon.  State is bounded: ids older than the watermark are

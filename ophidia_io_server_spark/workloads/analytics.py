@@ -1880,3 +1880,49 @@ def events_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint")
                     % 1000000 / 1000000.0).alias("y")))
     return radius_self_join(pts, radius=0.01, id_col="event_id")
+
+
+@workload(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, value,
+             ts, event_id
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    w AS (
+      SELECT hour_start, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY hour_start, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY hour_start, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT hour_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY hour_start, event_type
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling (the financial-bar resample): per
+    (hour, event_type) the first value (open), max (high), min (low),
+    last value (close) and count — via ``min_by``/``max_by`` over the
+    total (ts, event_id) order, so ties at equal timestamps break
+    deterministically on the unique event id.  Pure hash-aggregate
+    (min_by/max_by are partial-aggregatable): ONE exchange at any scale,
+    no window sort — the oracle takes the window-function route and must
+    agree.  Values pass through untouched (comparisons only) — no
+    accumulation-order drift."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & ~F.isnan("value")))
+    o = F.struct("ts", "event_id")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+                       "event_type")
+            .agg(F.min_by("value", o).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", o).alias("close"),
+                 F.count(F.lit(1)).cast("bigint").alias("n")))

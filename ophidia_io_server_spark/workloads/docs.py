@@ -1264,3 +1264,55 @@ def token_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("nab") * F.col("n_docs")
                             / (F.col("na") * F.col("nc")), 6)
                     .alias("lift")))
+
+
+@workload(
+    "doc_stratified_split",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS prio
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY prio, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM pr
+    )
+    SELECT doc_id, lang,
+           CASE WHEN r <= (n * 8) // 10 THEN 'train'
+                WHEN r <= (n * 9) // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED train/val/test split with EXACT per-
+    stratum proportions: within each language stratum, docs rank by
+    their 60-bit md5 priority (the repo's id-keyed-decision convention —
+    stable under repartitioning and retries) and the first ⌊0.8n⌋ go to
+    train, the next ⌊0.1n⌋ to val, the rest to test.  Rank-based
+    assignment makes the proportions EXACT per stratum (a hash-threshold
+    split only hits them in expectation — ±√n docs of drift, which
+    matters when small-language strata feed evaluation sets).  Per-
+    stratum window only — no global sort; integer-division thresholds
+    keep both engines bit-identical."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    pr = docs.select(
+        "doc_id", "lang",
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("prio"))
+    w = Window.partitionBy("lang").orderBy("prio", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = (pr.withColumn("r", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    return ranked.select(
+        "doc_id", "lang",
+        F.when(F.col("r") <= F.expr("n * 8 div 10"), "train")
+        .when(F.col("r") <= F.expr("n * 9 div 10"), "val")
+        .otherwise("test").alias("split"))

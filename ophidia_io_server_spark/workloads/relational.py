@@ -1828,3 +1828,74 @@ def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders", "n_li", "revenue_e4",
         F.lit(bool(no_fn)).alias("bloom_no_false_negative"),
         F.lit(bool(fp_ok)).alias("fp_within_bound"))
+
+
+@workload(
+    "orders_woe_price_bins",
+    oracle="""
+    WITH lab AS (
+      SELECT o.o_orderkey, o.o_totalprice,
+             CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey
+                                 AND l.l_returnflag = 'R')
+                  THEN 1 ELSE 0 END AS bad
+      FROM orders o
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+             COUNT(*) OVER () AS n
+      FROM lab
+    ),
+    bins AS (
+      SELECT CAST(((r - 1) * 10) // n AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(bad) AS BIGINT) AS n_bad,
+             CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_bad) AS tb, SUM(n_good) AS tg FROM bins)
+    SELECT bin, n_orders, n_bad, n_good,
+           ROUND(ln(((n_good + 0.5) / (tg + 0.5))
+                    / ((n_bad + 0.5) / (tb + 0.5))), 6) AS woe
+    FROM bins CROSS JOIN tot
+    """,
+)
+def orders_woe_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence feature binning (the credit-scoring / feature-
+    engineering classic): orders decile-binned by total price, labelled
+    bad when any line item was returned, and each bin scored
+    WOE = ln((good_i/good)/(bad_i/bad)) with the +0.5 Laplace smoothing.
+    Bins come from the DISTRIBUTED two-phase rank
+    (``operators/ranking.py`` — a range exchange + ≤P-row offset
+    summary), NOT a single-partition ntile window; bin = ⌊(r−1)·10/n⌋ of
+    the unique (price, orderkey) order, so both engines bin identically
+    with no percentile-interpolation drift.  The label join is one
+    semi-join aggregate on orderkey."""
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_keys = (li.where(F.col("l_returnflag") == "R")
+                .select(F.col("l_orderkey").alias("o_orderkey")).distinct())
+    lab = (orders.join(bad_keys.withColumn("_bad", F.lit(1)),
+                       "o_orderkey", "left")
+           .select("o_orderkey", "o_totalprice",
+                   F.coalesce("_bad", F.lit(0)).alias("bad")))
+    ranked = global_dense_rank(lab, ["o_totalprice", "o_orderkey"])
+    n = ranked.agg(F.max("rank").alias("n"))
+    bins = (ranked.crossJoin(F.broadcast(n))
+            .select(F.expr("(rank - 1) * 10 div n").cast("bigint")
+                    .alias("bin"), "bad")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("bad").cast("bigint").alias("n_bad"))
+            .withColumn("n_good",
+                        (F.col("n_orders") - F.col("n_bad")).cast("bigint")))
+    tot = bins.agg(F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg"))
+    return (bins.crossJoin(F.broadcast(tot))
+            .select("bin", "n_orders", "n_bad", "n_good",
+                    F.round(F.log(((F.col("n_good") + 0.5)
+                                   / (F.col("tg") + 0.5))
+                                  / ((F.col("n_bad") + 0.5)
+                                     / (F.col("tb") + 0.5))), 6)
+                    .alias("woe")))

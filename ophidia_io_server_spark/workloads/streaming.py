@@ -419,3 +419,36 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@workload(
+    "events_hopping_streaming",
+    oracle="""
+    SELECT win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+             event_type, value
+      FROM events
+    )
+    GROUP BY win_start, event_type
+    """,
+)
+def events_hopping_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hopping-window aggregation as events_hopping_window but
+    through readStream → watermark → sliding windowed agg → availableNow
+    memory sink — the overlapping-window streaming state shape (two open
+    windows per slide) the tumbling twin doesn't exercise; the batch
+    oracle checks the streaming result."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        hopping_counts_stream,
+        run_available_now,
+    )
+
+    path = _staged_events_dir(spark, sf_dir)
+    stream = hopping_counts_stream(events_stream(spark, path))
+    return run_available_now(stream, "events_hopping_stream_result")

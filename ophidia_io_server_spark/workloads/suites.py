@@ -63,6 +63,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("hour_start", "timestamp"), ("event_type", "string"),
             ("n_events", "bigint"), ("total_cents", "bigint"),
         ],
+        # r9: the overlapping-window streaming twin (2h/1h slide)
+        "events_hopping_streaming": [
+            ("win_start", "timestamp"), ("event_type", "string"),
+            ("n_events", "bigint"), ("total_cents", "bigint"),
+        ],
     },
     # the full dedup family: exact hash-groupBy, the three near-dup
     # detectors (one exact-Jaccard oracle each) and the fixed-window
@@ -292,6 +297,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
     # deterministic sampling: budget-fill without a global sort + exact-k
     # bottom-k
     "sampling_suite": {
+        # r9: rank-based stratified split with exact per-stratum shares
+        "doc_stratified_split": [
+            ("doc_id", "bigint"), ("lang", "string"), ("split", "string"),
+        ],
         "token_budget_select": [
             ("doc_id", "bigint"), ("n_tokens", "bigint"),
             ("quality", "double"), ("cum_before", "bigint"),
@@ -485,6 +494,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_spatial_neighbors": [
             ("id_a", "bigint"), ("id_b", "bigint"), ("dist", "double"),
         ],
+        # r9: OHLC bar resampling via min_by/max_by hash aggregate
+        "events_ohlc_hourly": [
+            ("hour_start", "timestamp"), ("event_type", "string"),
+            ("open", "double"), ("high", "double"), ("low", "double"),
+            ("close", "double"), ("n", "bigint"),
+        ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
     "ann_topk_suite": {
@@ -627,6 +642,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("revenue_e4", "bigint"),
             ("bloom_no_false_negative", "boolean"),
             ("fp_within_bound", "boolean"),
+        ],
+        # r9: Weight-of-Evidence decile binning over the distributed rank
+        "orders_woe_price_bins": [
+            ("bin", "bigint"), ("n_orders", "bigint"), ("n_bad", "bigint"),
+            ("n_good", "bigint"), ("woe", "double"),
         ],
     },
     # fragment-store row windows + MERGE upsert

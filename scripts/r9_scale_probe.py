@@ -202,6 +202,70 @@ def main() -> None:
           f"{len(a1)} base rules == {len(a2)} 100x rules at nab>=2000 "
           f"(unfiltered 100x rule count {len(r2)} — absolute threshold)")
 
+    # --- third wave -------------------------------------------------------
+    # OHLC: replica preserves per-window value sets -> OHLC invariant, n 100x
+    t1, r1 = timed(WORKLOADS["events_ohlc_hourly"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_ohlc_hourly"].fn, spark, x100)
+    print(f"events_ohlc_hourly: {t1:.2f}s -> {t2:.2f}s")
+    o1 = {(r["hour_start"], r["event_type"]):
+          (r["open"], r["high"], r["low"], r["close"], 100 * r["n"])
+          for r in r1}
+    o2 = {(r["hour_start"], r["event_type"]):
+          (r["open"], r["high"], r["low"], r["close"], r["n"])
+          for r in r2}
+    check("ohlc_invariant_100x", o1 == o2)
+
+    # hopping streaming twin: drained stream counts scale exactly 100x
+    t1, r1 = timed(WORKLOADS["events_hopping_streaming"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_hopping_streaming"].fn, spark, x100)
+    print(f"events_hopping_streaming: {t1:.2f}s -> {t2:.2f}s")
+    h1 = {(r["win_start"], r["event_type"]): (100 * r["n_events"],
+                                              100 * r["total_cents"])
+          for r in r1}
+    h2 = {(r["win_start"], r["event_type"]): (r["n_events"],
+                                              r["total_cents"])
+          for r in r2}
+    check("hopping_stream_100x", h1 == h2)
+
+    # WOE bins: replica blocks of 100 never straddle a decile boundary
+    # (boundaries are multiples of 10n with n % 10 == 0), so counts scale
+    # exactly 100x; woe moves only by the +0.5 smoothing term
+    t1, r1 = timed(WORKLOADS["orders_woe_price_bins"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["orders_woe_price_bins"].fn, spark, x100)
+    print(f"orders_woe_price_bins: {t1:.2f}s -> {t2:.2f}s")
+    w1 = {r["bin"]: (100 * r["n_orders"], 100 * r["n_bad"], r["woe"])
+          for r in r1}
+    w2 = {r["bin"]: (r["n_orders"], r["n_bad"], r["woe"]) for r in r2}
+    check("woe_counts_100x",
+          set(w1) == set(w2)
+          and all(w2[k][:2] == w1[k][:2] for k in w1))
+    check("woe_value_stable",
+          all(abs(w2[k][2] - w1[k][2]) < 1e-3 for k in w1))
+
+    # stratified split: per-(lang, split) counts scale exactly 100x
+    # (rank thresholds are exact integer divisions of 100x stratum sizes)
+    t1, r1 = timed(WORKLOADS["doc_stratified_split"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["doc_stratified_split"].fn, spark, x100)
+    print(f"doc_stratified_split: {t1:.2f}s -> {t2:.2f}s "
+          f"({len(r1)} -> {len(r2)} rows)")
+    from collections import Counter
+    s1 = Counter((r["lang"], r["split"]) for r in r1)
+    s2 = Counter((r["lang"], r["split"]) for r in r2)
+    # thresholds are floor divisions of the STRATUM size, which does not
+    # scale linearly (floor(0.8n)*100 != floor(0.8*100n) unless 10 | n):
+    # recompute the exact expected shares from the 100x stratum sizes
+    n_lang = Counter(r["lang"] for r in r1)
+    want = {}
+    for lang, n in n_lang.items():
+        N = 100 * n
+        tr = (N * 8) // 10
+        va = (N * 9) // 10 - tr
+        want[(lang, "train")] = tr
+        want[(lang, "val")] = va
+        want[(lang, "test")] = N - tr - va
+    check("split_shares_exact_at_100x", dict(s2) == want,
+          f"base shares {dict(s1)}")
+
     print("ALL CERTS OK" if ok_all else "CERT FAILURES — see above")
     sys.exit(0 if ok_all else 1)
 
