@@ -482,7 +482,7 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         ],
         # r9: overlapping-window sibling of the tumbling hourly aggregate
         "events_hopping_window": [
-            ("win_start", "timestamp"), ("event_type", "string"),
+            ("win_start", "timestamp_ntz"), ("event_type", "string"),
             ("n_events", "bigint"), ("total_cents", "bigint"),
         ],
         # r9: Welch two-sample t-statistic from exact integer-cents sums
