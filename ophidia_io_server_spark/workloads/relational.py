@@ -1799,11 +1799,14 @@ def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = bl.select("n_keys").first()
     n_keys = int(row["n_keys"])
 
-    pre = (li.crossJoin(F.broadcast(bl.select("bloom")))
+    pre = (li.select("l_orderkey", "l_extendedprice", "l_discount")
+           .crossJoin(F.broadcast(bl.select("bloom")))
            .where(bloom_might_contain(F.col("bloom"), F.col("l_orderkey"),
                                       M, K))
            .drop("bloom")
-           .localCheckpoint())  # feeds the exact join AND the fp count
+           # project BEFORE the pin: the checkpoint blocks carry only the
+           # 3 columns the join/agg/fp-count consumers read
+           .localCheckpoint())
     n_total = li.count()
     n_pass = pre.count()
 
