@@ -51,19 +51,26 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
     m-bounded (≤ m/64 rows, a CONFIG, not data size), the same
     ≤P-row-summary discipline as the ranking offsets; a transform-over-
     map densify was tried first and cost seconds per execution in the
-    interpreted lambda."""
+    interpreted lambda.
+
+    ONE job (r9 verdict #7): each distinct key contributes EXACTLY
+    ``k_hashes`` position rows, so the key count rides the same word
+    aggregate as a per-word row count — ``n_keys = Σ count / k_hashes``
+    computed driver-side from the m-bounded summary, instead of a second
+    ``count()`` action over the distinct keys (which also means the
+    distinct-key plan has a single consumer and needs no checkpoint)."""
     if m_bits % 64 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     k = (keys.select(F.col(key_col).alias("_k"))
-         .where(F.col("_k").isNotNull()).distinct()
-         .localCheckpoint())  # feeds the word agg AND the key count once
+         .where(F.col("_k").isNotNull()).distinct())
     pos = k.select(F.explode(F.array(
         *_positions(F.col("_k"), m_bits, k_hashes))).alias("p"))
     words = (pos.select((F.col("p") / 64).cast("bigint").alias("w"),
                         _bit(F.col("p")).alias("b"))
-             .groupBy("w").agg(F.bit_or("b").alias("bits"))
+             .groupBy("w").agg(F.bit_or("b").alias("bits"),
+                               F.count(F.lit(1)).alias("c"))
              .collect())  # ≤ m/64 rows — m-bounded, NOT key-bounded
-    n_keys = k.count()
+    n_keys = sum(int(r["c"]) for r in words) // k_hashes
     arr = [0] * (m_bits // 64)
     for r in words:
         arr[int(r["w"])] = int(r["bits"])

@@ -9,8 +9,13 @@ ADJACENT cell (|Δx| ≤ r ⇒ cell indices differ by ≤ 1).  One side
 replicates into its 3×3 cell neighborhood (constant 9× fanout), the
 join is a plain EQUI-join on the cell id, and the exact Euclidean
 predicate filters the survivors — no CartesianProduct anywhere, and the
-shuffle key is the cell id, whose skew is the point density (salt a
-hot cell if the data is that pathological).
+shuffle key is the cell id, whose skew is the point density.  A hot
+cell (one cell holding a large fraction of the points) degrades the
+equi-join toward all-pairs WITHIN that cell, so the builder GUARDS it
+(r9 verdict #4): one cheap groupBy(cx, cy) max-population check that
+raises loudly with the salting recipe instead of silently producing a
+quadratic task — the same fail-loud budget discipline as the skyline
+candidate budget and the winnowing position budget.
 
 Scale: candidates = Σ_cell |cell|·|3×3 neighborhood| — linear in points
 for bounded density.  100 TB shape: one 9× explode + one equi-join +
@@ -24,9 +29,21 @@ from pyspark.sql import functions as F
 
 
 def radius_self_join(pts: DataFrame, radius: float, id_col: str = "id",
-                     x_col: str = "x", y_col: str = "y") -> DataFrame:
+                     x_col: str = "x", y_col: str = "y",
+                     max_cell_rows: int | None = 2_000_000) -> DataFrame:
     """All unordered pairs (id_a, id_b, dist) with Euclidean distance
-    ≤ ``radius``; ``dist`` rounded 6.  NULL coordinates are dropped."""
+    ≤ ``radius``; ``dist`` rounded 6.  NULL coordinates are dropped.
+
+    ``max_cell_rows`` bounds the population of any single grid cell:
+    candidates within one cell are quadratic in its population (a cell
+    of n points meets its 3×3 neighborhood of ≥ n points → ≥ n² pairs
+    into the distance filter), so a hot cell past the budget raises a
+    RuntimeError carrying the fix (shrink ``radius`` so the grid is
+    finer, or salt the hot cell: split it into s sub-cells on a salt
+    column and union the s² sub-joins) rather than silently scheduling a
+    multi-hour task.  The check is one groupBy + scalar max over the
+    (already projected) point table — cheap next to the 9× join.  Pass
+    ``None`` to skip when the density bound is known a priori."""
     if radius <= 0:
         raise ValueError(f"radius must be > 0, got {radius}")
     p = (pts.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
@@ -35,6 +52,18 @@ def radius_self_join(pts: DataFrame, radius: float, id_col: str = "id",
                  F.col(y_col).cast("double").alias("py"),
                  F.floor(F.col(x_col) / radius).alias("cx"),
                  F.floor(F.col(y_col) / radius).alias("cy")))
+
+    if max_cell_rows is not None:
+        hot = (p.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.max("n").alias("mx")).collect()[0])
+        if hot["mx"] is not None and hot["mx"] > max_cell_rows:
+            raise RuntimeError(
+                f"radius_self_join: hottest grid cell holds {hot['mx']} "
+                f"points (budget {max_cell_rows}); candidates are "
+                f"quadratic in cell population. Shrink radius for a "
+                f"finer grid, or salt the hot cell (split on a salt key "
+                f"into s sub-cells, union the s² sub-joins), or raise "
+                f"max_cell_rows deliberately.")
 
     # left side replicates into its 3x3 neighborhood; right side stays put
     off = F.expr("explode(array(-1, 0, 1))")

@@ -52,8 +52,13 @@ def prefix_jaccard_pairs(docs: DataFrame, threshold: float,
 
     freq = tk.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     # global canonical order: rarest first, ties lexical — a total order,
-    # so every engine/partitioning derives the identical prefix
-    ordered = (tk.join(F.broadcast(freq), "token")
+    # so every engine/partitioning derives the identical prefix.
+    # NO broadcast hint on freq (r9 verdict #2): token-vocabulary
+    # cardinality grows with the corpus (web scale exceeds 10^9 distinct
+    # tokens), so a forced broadcast is an OOM at 100 TB; the shuffle
+    # join on token is the scale-safe default and AQE still promotes it
+    # to broadcast at runtime whenever the table actually fits.
+    ordered = (tk.join(freq, "token")
                .withColumn("m", F.count(F.lit(1)).over(
                    Window.partitionBy("doc_id")))
                .withColumn("r", F.row_number().over(

@@ -1096,9 +1096,11 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the integer money grid).
 
     Scale shape: tokenize-explode → (doc, token) partial-agg tf → token
-    df agg → broadcast-join df + N onto tf → per-doc top-3 window.  The
-    df table is vocabulary-sized (broadcastable); the window partitions
-    by doc_id — no global sort, no Python."""
+    df agg → join df onto tf (shuffle on token — the df table is
+    VOCABULARY-sized, which grows with the corpus, so no forced
+    broadcast hint: AQE promotes to broadcast at runtime when it fits;
+    r9 verdict #2) → cross the 1-row N → per-doc top-3 window.  The
+    window partitions by doc_id — no global sort, no Python."""
     from ophidia_io_server_spark.pipeline.text import tokens_col
     from ophidia_io_server_spark.sources.tables import spread
 
@@ -1115,7 +1117,7 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("token").asc())
-    return (tf.join(F.broadcast(dfreq), "token")
+    return (tf.join(dfreq, "token")  # vocabulary-sized: no forced broadcast
             .crossJoin(F.broadcast(nd))
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .where(F.col("rank") <= 3)
@@ -1297,22 +1299,39 @@ def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, the next ⌊0.1n⌋ to val, the rest to test.  Rank-based
     assignment makes the proportions EXACT per stratum (a hash-threshold
     split only hits them in expectation — ±√n docs of drift, which
-    matters when small-language strata feed evaluation sets).  Per-
-    stratum window only — no global sort; integer-division thresholds
-    keep both engines bit-identical."""
-    from pyspark.sql import Window
+    matters when small-language strata feed evaluation sets).
+
+    Scale shape (r9 verdict #1): a ``Window.partitionBy(lang)`` rank is
+    ONE task per stratum — the dominant-language stratum of any real
+    corpus becomes a single-task sort at 100 TB.  Instead the rank is
+    the DISTRIBUTED two-phase range-partition rank
+    (``operators/ranking.py::global_dense_rank``) over the lang-major
+    total order (lang, prio, doc_id): ranks within a stratum are then a
+    contiguous block, so the within-stratum row number is just
+    ``global_rank − min(global_rank per lang) + 1`` and the stratum size
+    comes from a groupBy — both derived from one ≤|langs|-row broadcast
+    summary, no window keyed on ``lang`` anywhere in the plan.  Integer-
+    division thresholds keep both engines bit-identical."""
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
 
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     pr = docs.select(
         "doc_id", "lang",
         F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("prio"))
-    w = Window.partitionBy("lang").orderBy("prio", "doc_id")
-    wn = Window.partitionBy("lang")
-    ranked = (pr.withColumn("r", F.row_number().over(w))
-              .withColumn("n", F.count(F.lit(1)).over(wn)))
-    return ranked.select(
-        "doc_id", "lang",
-        F.when(F.col("r") <= F.expr("n * 8 div 10"), "train")
-        .when(F.col("r") <= F.expr("n * 9 div 10"), "val")
-        .otherwise("test").alias("split"))
+    # (lang, prio, doc_id) is unique per row, so the DENSE global rank is
+    # a global ROW_NUMBER over the lang-major order
+    ranked = global_dense_rank(pr, ["lang", "prio", "doc_id"],
+                               rank_col="gr")
+    # languages are a bounded enum (ISO codes), not a vocabulary: the
+    # per-stratum summary is legitimately broadcast-sized at any corpus
+    per_lang = ranked.groupBy("lang").agg(
+        F.min("gr").alias("off0"),
+        F.count(F.lit(1)).alias("n"))
+    return (ranked.join(F.broadcast(per_lang), "lang")
+            .withColumn("r", F.col("gr") - F.col("off0") + F.lit(1))
+            .select(
+                "doc_id", "lang",
+                F.when(F.col("r") <= F.expr("n * 8 div 10"), "train")
+                .when(F.col("r") <= F.expr("n * 9 div 10"), "val")
+                .otherwise("test").alias("split")))
