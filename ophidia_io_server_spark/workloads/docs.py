@@ -1096,11 +1096,21 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the integer money grid).
 
     Scale shape: tokenize-explode → (doc, token) partial-agg tf → token
-    df agg → join df onto tf (shuffle on token — the df table is
-    VOCABULARY-sized, which grows with the corpus, so no forced
-    broadcast hint: AQE promotes to broadcast at runtime when it fits;
-    r9 verdict #2) → cross the 1-row N → per-doc top-3 window.  The
-    window partitions by doc_id — no global sort, no Python."""
+    df agg → join df onto the CANDIDATE-PRUNED tf (shuffle on token —
+    the df table is VOCABULARY-sized, which grows with the corpus, so no
+    forced broadcast hint: AQE promotes to broadcast at runtime when it
+    fits; r9 verdict #2) → cross the 1-row N → per-doc top-3 window.
+
+    Candidate prune (r9 verdict #8, PROVABLY lossless): the top-3 rows
+    under (tf DESC, df ASC, token ASC) can only be tokens whose tf is ≥
+    the doc's 3rd-largest tf value t3 — any token with tf < t3 has ≥ 3
+    tokens strictly ahead of it on the FIRST key alone.  So a per-doc
+    window over tf ALONE computes t3, the ``tf ≥ t3`` filter shrinks the
+    df-join's left side to ~(3 + boundary ties) rows per long doc (short
+    all-tf-equal docs keep all rows — still correct, just unpruned), and
+    only then does the vocabulary join + final 3-key rank run.  Measured
+    at the 100× corpus: 4.02 → 2.98 s (−26%), output bitwise identical
+    (PERF.md r10).  No global sort, no Python."""
     from ophidia_io_server_spark.pipeline.text import tokens_col
     from ophidia_io_server_spark.sources.tables import spread
 
@@ -1115,9 +1125,15 @@ def doc_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count_distinct("doc_id").cast("bigint").alias("df")))
     nd = tf.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
     from pyspark.sql import Window
+    wpre = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("token").asc())
+    t3 = (tf.withColumn("rk", F.row_number().over(wpre))
+          .where(F.col("rk") <= 3)
+          .groupBy("doc_id").agg(F.min("tf").alias("t3")))
+    cand = tf.join(t3, "doc_id").where(F.col("tf") >= F.col("t3")).drop("t3")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("token").asc())
-    return (tf.join(dfreq, "token")  # vocabulary-sized: no forced broadcast
+    return (cand.join(dfreq, "token")  # vocabulary-sized: no forced broadcast
             .crossJoin(F.broadcast(nd))
             .withColumn("rank", F.row_number().over(w).cast("bigint"))
             .where(F.col("rank") <= 3)
