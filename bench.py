@@ -113,6 +113,18 @@ HEADLINE = [
     "events_ohlc_hourly",
     "orders_woe_price_bins",
     "doc_stratified_split",
+    # r10 (HEADLINE 68 -> 76): rank statistics over the distributed
+    # prefix-sum CDF (Mann-Whitney U, Gini, exact-percentile winsorize),
+    # bounded-series time decomposition + ACF, directed containment join,
+    # integer-clone weighted sampling, KMV overlap sketches
+    "events_mannwhitney_utest",
+    "orders_gini_revenue",
+    "lineitem_winsorized_stats",
+    "events_seasonal_decompose",
+    "events_acf",
+    "doc_containment_pairs",
+    "doc_weighted_sample",
+    "source_kmv_overlap",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

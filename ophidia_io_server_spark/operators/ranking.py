@@ -93,3 +93,45 @@ def global_dense_rank(df: DataFrame, cols: list[str],
         .drop("_pid", "_lrank", "_off")
     )
     return (ranked, max_rank) if return_max else ranked
+
+
+def global_prefix_sum(df: DataFrame, cols: list[str], val_col: str,
+                      partitions: int | None = None,
+                      cum_col: str = "cum") -> DataFrame:
+    """Append the INCLUSIVE global running sum of ``val_col`` over the
+    total order of ``cols`` — the distributed cumulative-distribution
+    primitive (exact percentiles, rank statistics with tie-averaged
+    ranks, Lorenz/Gini curves) with no single-partition stage.
+
+    ``cols`` must be a UNIQUE key of ``df`` (the callers here feed
+    distinct-value summary tables); uniqueness keeps the within-window
+    peer frame a single row, so the running sum is well-defined without
+    a tie policy.
+
+    Same two-phase shape as ``global_dense_rank`` (and the same
+    post-window ``localCheckpoint`` pin, for the same boundary-sampling
+    reason documented there): one range exchange on ``cols``,
+    per-partition running sums keyed on the physical partition id, a
+    ≤P-row per-partition total summary collected to the driver, prefix
+    sums of THOSE become each partition's offset, joined back broadcast.
+    """
+    spark = df.sparkSession
+    nparts = partitions or spark.sparkContext.defaultParallelism
+    keyed = (df.repartitionByRange(nparts, *cols)
+             .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = keyed.withColumn(
+        "_lcum", F.sum(F.col(val_col)).over(w)).localCheckpoint()
+    totals = sorted(
+        (r["_pid"], r["_t"]) for r in
+        local.groupBy("_pid").agg(F.max("_lcum").alias("_t")).collect())
+    off, offs_rows = 0, []
+    for pid, t in totals:
+        offs_rows.append((pid, off))
+        off += int(t)
+    offs = spark.createDataFrame(offs_rows or [(0, 0)], "_pid int, _off long")
+    return (local.join(F.broadcast(offs), on="_pid")
+            .withColumn(cum_col,
+                        (F.col("_lcum") + F.col("_off")).cast("bigint"))
+            .drop("_pid", "_lcum", "_off"))

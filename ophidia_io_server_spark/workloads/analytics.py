@@ -1926,3 +1926,278 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("value").alias("low"),
                  F.max_by("value", o).alias("close"),
                  F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+@workload(
+    "events_mannwhitney_utest",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    c AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(in_a) AS BIGINT) AS cnt_a
+      FROM g GROUP BY v
+    ),
+    cum AS (SELECT v, cnt, cnt_a, SUM(cnt) OVER (ORDER BY v) AS cum FROM c),
+    agg AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+             CAST(MAX(cum) AS BIGINT) AS n,
+             SUM(CAST(cnt_a AS DECIMAL(19,0))
+                 * CAST(2 * cum - cnt + 1 AS DECIMAL(19,0))) AS r2,
+             SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))
+                 * CAST(cnt AS DECIMAL(19,0))
+                 - CAST(cnt AS DECIMAL(19,0))) AS ties
+      FROM cum
+    )
+    SELECT na, CAST(n - na AS BIGINT) AS nb,
+           ROUND(CAST(r2 - CAST(na AS DECIMAL(19,0)) * (na + 1)
+                      AS DOUBLE) / 2, 4) AS u_stat,
+           ROUND((CAST(r2 - CAST(na AS DECIMAL(19,0)) * (na + 1)
+                       AS DOUBLE) / 2
+                  - CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE) / 2)
+                 / sqrt(CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE) / 12
+                        * (CAST(n AS DOUBLE) + 1
+                           - CAST(ties AS DOUBLE)
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1)))), 6) AS z
+    FROM agg
+    """,
+)
+def events_mannwhitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the NON-parametric
+    sibling of ``events_welch_ttest`` on the same two groups: are
+    'purchase' values stochastically larger than 'click' values?  Exact
+    tie handling: tied observations share their AVERAGE rank, and the
+    normal approximation's variance carries the standard tie correction
+    ``na·nb/12·(n+1 − Σ(t³−t)/(n(n−1)))``.
+
+    Scale design: ranks never materialize per row — the engine groups by
+    DISTINCT value (cents grid), runs the two-phase distributed prefix
+    sum (``operators/ranking.py::global_prefix_sum``) over the value
+    order, and derives each tie group's average rank from its inclusive
+    cumulative count: ``avg_rank = cum − (cnt−1)/2``.  The doubled rank
+    sum ``Σ cnt_a·(2·cum − cnt + 1)`` and the tie term accumulate as
+    exact DECIMAL(19/38,0) integers (digit budget: 2·na·n ≤ 10^38 and
+    Σt³ ≤ n³ → n ≤ 4.6·10^12 rows), and U and z are single IEEE
+    expressions over casts of those exact integers — bitwise identical
+    across engines, the integer-money-grid discipline."""
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    dec = "decimal(19,0)"
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.where(F.col("event_type").isin("purchase", "click")
+                  & F.col("value").isNotNull() & ~F.isnan("value"))
+         .select(F.round(F.col("value") * 100).cast("bigint").alias("v"),
+                 F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("in_a")))
+    c = g.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("in_a").cast("bigint").alias("cnt_a"))
+    cum = global_prefix_sum(c, ["v"], "cnt")
+    cnt, cnt_a = F.col("cnt").cast(dec), F.col("cnt_a").cast(dec)
+    agg = cum.agg(
+        F.sum("cnt_a").cast("bigint").alias("na"),
+        F.max("cum").cast("bigint").alias("n"),
+        F.sum(cnt_a * (2 * F.col("cum").cast(dec) - cnt + 1)).alias("r2"),
+        F.sum(cnt * cnt * cnt - cnt).alias("ties"))
+    na, n = F.col("na"), F.col("n")
+    nad, nbd = na.cast("double"), (n - na).cast("double")
+    nd = n.cast("double")
+    u = (F.col("r2") - na.cast(dec) * (na + 1)).cast("double") / 2
+    var = (nad * nbd / 12
+           * (nd + 1 - F.col("ties").cast("double") / (nd * (nd - 1))))
+    return agg.select(
+        na.alias("na"), (n - na).cast("bigint").alias("nb"),
+        F.round(u, 4).alias("u_stat"),
+        F.round((u - nad * nbd / 2) / F.sqrt(var), 6).alias("z"))
+
+
+@workload(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, hr, y,
+             CASE WHEN COUNT(*) OVER w = 25
+                  THEN SUM(y) OVER w END AS sum25
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seas AS (
+      SELECT event_type, EXTRACT(hour FROM hr) AS hod,
+             CAST(SUM(25 * y - sum25) AS BIGINT) AS s_num,
+             CAST(25 * COUNT(*) AS BIGINT) AS s_den
+      FROM tr WHERE sum25 IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.hr, t.y,
+           ROUND(CAST(t.sum25 AS DOUBLE) / 25, 6) AS trend,
+           ROUND(CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE), 6)
+             AS seasonal,
+           ROUND(CAST(t.y AS DOUBLE) - CAST(t.sum25 AS DOUBLE) / 25
+                 - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE), 6)
+             AS resid
+    FROM tr t
+    JOIN seas s ON s.event_type = t.event_type
+                AND s.hod = EXTRACT(hour FROM t.hr)
+    WHERE t.sum25 IS NOT NULL
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event-count
+    series per type (trend = centered 25-point moving average, daily
+    seasonal = mean of the detrended values per hour-of-day, residual =
+    y − trend − seasonal; Kendall/Stuart classical decomposition — the
+    moving-average step of STL without loess).  Edge hours without a
+    full ±12 window carry no trend and are excluded, as classical
+    decomposition prescribes.  The seasonal component is NOT mean-
+    centered (documented divergence from R's ``decompose``, which
+    subtracts the seasonal's own mean — omitting it keeps every quantity
+    an exact rational of integer counts).
+
+    Scale design: the raw corpus collapses FIRST via a partial-
+    aggregatable groupBy to the (type, hour) count table — bounded by
+    the TIME SPAN × type count, not the data (a year is 8.8k rows/type)
+    — and every window/join below runs on that bounded series, so the
+    per-type window partition is span-sized, never data-sized.  All
+    arithmetic is exact-integer (sum25, 25·y − sum25) until one final
+    IEEE expression per column, rounded 6 — cross-engine bitwise."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(-12, 12))
+    tr = hourly.withColumn(
+        "sum25",
+        F.when(F.count(F.lit(1)).over(w) == 25, F.sum("y").over(w)))
+    tr = tr.where(F.col("sum25").isNotNull())
+    seas = (tr.groupBy("event_type",
+                       F.hour("hr").alias("hod"))
+            .agg(F.sum(25 * F.col("y") - F.col("sum25")).cast("bigint")
+                 .alias("s_num"),
+                 (25 * F.count(F.lit(1))).cast("bigint").alias("s_den")))
+    trend = F.col("sum25").cast("double") / 25
+    seasonal = F.col("s_num").cast("double") / F.col("s_den").cast("double")
+    return (tr.withColumn("hod", F.hour("hr"))
+            .join(seas, ["event_type", "hod"])
+            .select("event_type", "hr", "y",
+                    F.round(trend, 6).alias("trend"),
+                    F.round(seasonal, 6).alias("seasonal"),
+                    F.round(F.col("y").cast("double") - trend - seasonal, 6)
+                    .alias("resid")))
+
+
+@workload(
+    "events_acf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    led AS (
+      SELECT event_type, y,
+             unnest([1, 2, 3, 4, 5, 6]) AS lag,
+             unnest([lead(y, 1) OVER w, lead(y, 2) OVER w,
+                     lead(y, 3) OVER w, lead(y, 4) OVER w,
+                     lead(y, 5) OVER w, lead(y, 6) OVER w]) AS yl
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS t,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS q
+      FROM hourly GROUP BY 1
+    ),
+    cr AS (
+      SELECT event_type, lag,
+             CAST(COUNT(yl) AS BIGINT) AS np,
+             SUM(CASE WHEN yl IS NOT NULL
+                      THEN CAST(y AS DECIMAL(19,0)) END) AS a,
+             SUM(CAST(yl AS DECIMAL(19,0))) AS b,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(yl AS DECIMAL(19,0)))
+               AS cross_s
+      FROM led GROUP BY 1, 2
+    )
+    SELECT c.event_type, CAST(c.lag AS BIGINT) AS lag, c.np AS n_pairs,
+           ROUND(CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n AS DECIMAL(19,0))
+                        * c.cross_s
+                      - CAST(t.n AS DECIMAL(19,0)) * CAST(t.t AS DECIMAL(19,0))
+                        * (c.a + c.b)
+                      + CAST(c.np AS DECIMAL(19,0))
+                        * CAST(t.t AS DECIMAL(19,0))
+                        * CAST(t.t AS DECIMAL(19,0)) AS DOUBLE)
+                 / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n AS DECIMAL(19,0))
+                          * t.q
+                        - CAST(t.n AS DECIMAL(19,0))
+                          * CAST(t.t AS DECIMAL(19,0))
+                          * CAST(t.t AS DECIMAL(19,0)) AS DOUBLE), 6) AS acf
+    FROM cr c JOIN tot t USING (event_type)
+    """,
+)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of the hourly event-count series,
+    lags 1-6 per event type — the standard Box-Jenkins estimator
+    ``r_ℓ = Σ_{t≤n−ℓ}(y_t−ȳ)(y_{t+ℓ}−ȳ) / Σ_{t≤n}(y_t−ȳ)²`` (full-series
+    mean and denominator, as ACF prescribes).  Clearing ȳ = T/n through
+    both sums turns the ratio into exact integers:
+    ``(n²·Σcross − n·T·(A+B) + n_pairs·T²) / (n²·Σy² − n·T²)`` with A/B
+    the aligned partial sums — one IEEE division at the end, rounded 6.
+
+    Scale design: like ``events_seasonal_decompose``, everything runs on
+    the partial-aggregated (type, hour) series — span-sized, not
+    data-sized; the 6 leads compute in ONE window pass and unpivot via
+    explode.  DECIMAL(19/38,0) accumulation budget: n²·Σcross ≤ n³·y²
+    → a decade of hours (10^5) at 10^9 events/hour fits with 10^5 digits
+    to spare."""
+    from pyspark.sql import Window
+
+    dec = "decimal(19,0)"
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    LAGS = [1, 2, 3, 4, 5, 6]
+    with_leads = hourly.select(
+        "event_type", "y",
+        *[F.lead("y", k).over(w).alias(f"_l{k}") for k in LAGS])
+    led = (with_leads.select(
+        "event_type", "y",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col(f"_l{k}").alias("yl"))
+            for k in LAGS])).alias("p"))
+        .select("event_type", "y", "p.lag", "p.yl"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("t"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("q"))
+    cr = led.groupBy("event_type", "lag").agg(
+        F.count("yl").cast("bigint").alias("np"),
+        F.sum(F.when(F.col("yl").isNotNull(), F.col("y").cast(dec)))
+        .alias("a"),
+        F.sum(F.col("yl").cast(dec)).alias("b"),
+        F.sum(F.col("y").cast(dec) * F.col("yl").cast(dec))
+        .alias("cross_s"))
+    n, t = F.col("n").cast(dec), F.col("t").cast(dec)
+    num = (n * n * F.col("cross_s") - n * t * (F.col("a") + F.col("b"))
+           + F.col("np").cast(dec) * t * t)
+    den = n * n * F.col("q") - n * t * t
+    return (cr.join(tot, "event_type")
+            .select("event_type", F.col("lag").cast("bigint").alias("lag"),
+                    F.col("np").alias("n_pairs"),
+                    F.round(num.cast("double") / den.cast("double"), 6)
+                    .alias("acf")))

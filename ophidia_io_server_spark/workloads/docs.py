@@ -1351,3 +1351,253 @@ def doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("r") <= F.expr("n * 8 div 10"), "train")
                 .when(F.col("r") <= F.expr("n * 9 div 10"), "val")
                 .otherwise("test").alias("split")))
+
+
+@workload(
+    "doc_containment_pairs",
+    oracle="""
+    WITH ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       w -> w <> '')) AS toks
+      FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+    ),
+    tsz AS (SELECT doc_id, toks, len(toks) AS m FROM ts WHERE len(toks) > 0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS c, a.m AS ma
+      FROM tsz a JOIN tsz b ON a.doc_id <> b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(c * 1.0 / ma, 6) AS containment
+    FROM pairs WHERE c * 1.0 / ma >= 0.7
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DIRECTED set-containment join ``|a∩b|/|a| ≥ 0.7`` via the
+    asymmetric prefix filter (``pipeline/setjoin.py::containment_pairs``)
+    — the near-dup relation Jaccard misses: a short doc embedded in a
+    long one has containment 1.0 but Jaccard → 0 (the quote/boilerplate
+    detector).  Recall 1.0 by construction (the oracle is the literal
+    all-pairs directed containment, so the hash proves it).  Runs on the
+    same fixed doc_id % 10 slice as ``doc_prefix_jaccard_pairs`` and for
+    the same reason: the template corpus makes directed containment
+    output-quadratic at any usable τ (documented, PERF.md r9)."""
+    from ophidia_io_server_spark.pipeline.setjoin import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs.where(F.col("doc_id") % 10 == 0), threshold=0.7)
+
+
+@workload(
+    "doc_weighted_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars, 1 + n_chars // 50 AS w
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+    ),
+    ex AS (SELECT doc_id, n_chars, w, unnest(range(w)) AS j FROM d),
+    pr AS (
+      SELECT doc_id, any_value(n_chars) AS n_chars,
+             any_value(w) AS w,
+             MIN(CAST(('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+                                          || '#ws:' || CAST(j AS VARCHAR)),
+                              1, 15)) AS BIGINT)) AS priority
+      FROM ex GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(w AS BIGINT) AS w, priority
+    FROM pr ORDER BY priority, doc_id LIMIT 100
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size weighted sample without replacement — 100 docs drawn
+    with probability proportional to an integer weight (1 + n_chars/50:
+    longer docs proportionally likelier, the length-balanced corpus
+    subsample) via ``pipeline/sampling.py::weighted_bottom_k``:
+    Efraimidis-Spirakis bottom-k through integer clone replication
+    (min of w uniform 60-bit md5 hashes ~ U^(1/w)) so selection is
+    integer-decided — no ``ln``/``pow`` whose last ulp could flip the
+    k-th seat between engines (this workload promotes the previously
+    pytest-only primitive to a hash-checked gate arm).
+
+    Scale: the w clone hashes fold inside one codegen projection (no
+    row explosion), selection is TakeOrdered top-k — never a full sort;
+    the oracle replays the identical clone recipe with unnest(range(w))."""
+    from ophidia_io_server_spark.pipeline.sampling import weighted_bottom_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "n_chars",
+                    F.expr("1 + n_chars div 50").alias("w"))
+    out = weighted_bottom_k(d.where(F.col("n_chars") >= 0), k=100,
+                            weight_col="w", key_col="doc_id",
+                            salt="ws", max_weight=64)
+    return out.select("doc_id",
+                      F.col("n_chars").cast("bigint").alias("n_chars"),
+                      F.col("w").cast("bigint").alias("w"),
+                      F.col("priority").cast("bigint").alias("priority"))
+
+
+@workload(
+    "source_kmv_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> w <> '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS hh
+      FROM tok
+    ),
+    sk AS (
+      SELECT source, hh FROM (
+        SELECT source, hh,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh) AS rn
+        FROM h)
+      WHERE rn <= 128
+    ),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    u AS (
+      SELECT p.sa, p.sb, s.source, s.hh
+      FROM sk s JOIN pairs p ON s.source = p.sa OR s.source = p.sb
+    ),
+    g AS (
+      SELECT sa, sb, hh,
+             MAX(CASE WHEN source = sa THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN source = sb THEN 1 ELSE 0 END) AS in_b
+      FROM u GROUP BY sa, sb, hh
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT g.*, ROW_NUMBER() OVER (PARTITION BY sa, sb
+                                       ORDER BY hh) AS rn
+        FROM g)
+      WHERE rn <= 128
+    ),
+    est AS (
+      SELECT sa, sb, CAST(MAX(rn) AS BIGINT) AS k_used,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+      FROM top GROUP BY sa, sb
+    ),
+    sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS m FROM tok GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.sa AS source_a, e.sb AS source_b, e.k_used,
+           ROUND(e.nboth * 1.0 / e.k_used, 6) AS jaccard_est,
+           ROUND(COALESCE(i.c, 0) * 1.0
+                 / (za.m + zb.m - COALESCE(i.c, 0)), 6) AS jaccard_exact,
+           ABS(e.nboth * 1.0 / e.k_used
+               - COALESCE(i.c, 0) * 1.0
+                 / (za.m + zb.m - COALESCE(i.c, 0))) <= 0.15
+             AS within_bound
+    FROM est e
+    LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+    JOIN sz za ON za.source = e.sa
+    JOIN sz zb ON zb.source = e.sb
+    """,
+)
+def source_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch DISTINCT-OVERLAP estimate
+    between every source pair — the set-operation sketch HyperLogLog
+    cannot give you (HLL unions, never intersects; Beyer et al. SIGMOD'07
+    KMV synopses): each source keeps its 128 smallest 60-bit md5 token
+    hashes, a pair's Jaccard estimate is the both-members fraction of the
+    k smallest hashes of the UNION of the two sketches, and the row
+    carries the exact Jaccard plus an |est − exact| ≤ 0.15 certificate
+    (≈3.4σ at K=128's worst case) — all integer-decided, so both engines
+    agree bitwise.
+
+    Scale design: the sketch build is the TWO-PHASE bottom-k (per
+    (source, partition) row_number prunes to ≤K·P candidate rows, then
+    the per-source final rank runs on that config-bounded set — never a
+    window over a source's whole vocabulary); pair expansion joins the
+    ≤S·K-row pinned sketch against the S²-row pair list (sources are a
+    bounded enum, so S² is config-bounded); the exact-overlap check
+    self-joins distinct (source, token) with per-token fan-out ≤ S²
+    (the ``source_overlap_matrix`` property)."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.pin import pinned
+    from ophidia_io_server_spark.sources.tables import spread
+
+    K = 128
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (spread(docs).where(F.col("text").isNotNull())
+           .select("source",
+                   F.explode(F.filter(F.split(F.col("text"), " "),
+                                      lambda w: w != "")).alias("token"))
+           .distinct())
+    tok = pinned(tok, "kmv token table: sketch build + exact overlap")
+
+    hh = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10) \
+        .cast("bigint")
+    sh = tok.select("source", hh.alias("hh")).distinct()
+    pre = sh.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("source", "_pid").orderBy("hh")
+    cand = (pre.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= K))
+    w2 = Window.partitionBy("source").orderBy("hh")
+    sk = (cand.withColumn("rn2", F.row_number().over(w2))
+          .where(F.col("rn2") <= K).select("source", "hh"))
+    sk = pinned(sk, "kmv sketches: <= S*K rows, feeds pair union + ranks")
+
+    srcs = sk.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("sa"))
+             .crossJoin(F.broadcast(srcs.select(F.col("source").alias("sb"))))
+             .where(F.col("sa") < F.col("sb")))
+    u = sk.join(F.broadcast(pairs),
+                (F.col("source") == F.col("sa"))
+                | (F.col("source") == F.col("sb")))
+    g = u.groupBy("sa", "sb", "hh").agg(
+        F.max(F.when(F.col("source") == F.col("sa"), 1).otherwise(0))
+        .alias("in_a"),
+        F.max(F.when(F.col("source") == F.col("sb"), 1).otherwise(0))
+        .alias("in_b"))
+    w3 = Window.partitionBy("sa", "sb").orderBy("hh")
+    top = (g.withColumn("rn", F.row_number().over(w3))
+           .where(F.col("rn") <= K))
+    est = top.groupBy("sa", "sb").agg(
+        F.max("rn").cast("bigint").alias("k_used"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("nboth"))
+
+    sz = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"))
+    ta = tok.select(F.col("source").alias("sa"), "token")
+    tb = tok.select(F.col("source").alias("sb"), "token")
+    inter = (ta.join(tb, "token")
+             .where(F.col("sa") < F.col("sb"))
+             .groupBy("sa", "sb")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+    jac_est = F.col("nboth") / F.col("k_used")
+    jac_exact = (F.coalesce(F.col("c"), F.lit(0))
+                 / (F.col("ma") + F.col("mb")
+                    - F.coalesce(F.col("c"), F.lit(0))))
+    return (est
+            .join(inter, ["sa", "sb"], "left")
+            .join(sz.select(F.col("source").alias("sa"),
+                            F.col("m").alias("ma")), "sa")
+            .join(sz.select(F.col("source").alias("sb"),
+                            F.col("m").alias("mb")), "sb")
+            .select(F.col("sa").alias("source_a"),
+                    F.col("sb").alias("source_b"),
+                    "k_used",
+                    F.round(jac_est, 6).alias("jaccard_est"),
+                    F.round(jac_exact, 6).alias("jaccard_exact"),
+                    (F.abs(jac_est - jac_exact) <= 0.15)
+                    .alias("within_bound")))

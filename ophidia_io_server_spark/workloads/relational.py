@@ -1902,3 +1902,142 @@ def orders_woe_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / ((F.col("n_bad") + 0.5)
                                      / (F.col("tb") + 0.5))), 6)
                     .alias("woe")))
+
+
+@workload(
+    "orders_gini_revenue",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS i
+      FROM x
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS t,
+             SUM(CAST(i AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+               AS s
+      FROM ranked
+    )
+    SELECT n AS n_orders, t AS sum_cents,
+           ROUND(CAST(2 * s - (CAST(n AS DECIMAL(19,0)) + 1)
+                          * CAST(t AS DECIMAL(19,0)) AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(19,0))
+                        * CAST(t AS DECIMAL(19,0)) AS DOUBLE), 6) AS gini
+    FROM agg
+    """,
+)
+def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of order revenue — the inequality /
+    concentration statistic (Lorenz-curve form ``G = (2·Σ i·x_(i) −
+    (n+1)·Σx) / (n·Σx)`` over ascending-sorted values) that a corpus
+    audit uses to quantify source concentration and a retail analyst
+    uses on customer revenue.
+
+    Scale design: the sort rank i comes from the DISTRIBUTED two-phase
+    range-partition rank (``operators/ranking.py`` — never a global
+    window), and every accumulated term stays on the exact integer grid:
+    cents are BIGINT, ``i·x`` accumulates as DECIMAL(19,0)×DECIMAL(19,0)
+    = DECIMAL(38,0) (digit budget: n·max_cents ≤ 10^19 — 10^11 orders of
+    10^8-cent totals), and only the FINAL numerator/denominator cast to
+    double for one IEEE division, so both engines agree bitwise.  Ties in
+    cents don't need a policy: Σ i·x over a tie group is x·Σi regardless
+    of intra-group order (the (cents, o_orderkey) tie-break just makes
+    the rank itself deterministic)."""
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey")
+    ranked = global_dense_rank(x, ["cents", "o_orderkey"], rank_col="i")
+    dec = "decimal(19,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("t"),
+        F.sum(F.col("i").cast(dec) * F.col("cents").cast(dec)).alias("s"))
+    n, t, s = F.col("n"), F.col("t"), F.col("s")
+    num = (F.lit(2).cast(dec) * s
+           - (n.cast(dec) + F.lit(1).cast(dec)) * t.cast(dec))
+    den = n.cast(dec) * t.cast(dec)
+    return agg.select(
+        n.alias("n_orders"), t.alias("sum_cents"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"))
+
+
+@workload(
+    "lineitem_winsorized_stats",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM c
+    ),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+    b AS (
+      SELECT n,
+             MIN(CASE WHEN cum >= (n + 99) // 100 THEN v END) AS lo,
+             MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS hi
+      FROM cum CROSS JOIN t GROUP BY n
+    )
+    SELECT n AS n_rows, lo AS lo_cents, hi AS hi_cents,
+           CAST(SUM(cnt * LEAST(GREATEST(v, lo), hi)) AS BIGINT)
+             AS win_sum_cents,
+           ROUND(CAST(SUM(cnt * LEAST(GREATEST(v, lo), hi)) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS win_mean
+    FROM cum CROSS JOIN b
+    GROUP BY n, lo, hi
+    """,
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean at EXACT p01/p99 — the outlier-robust feature
+    normalization (clamp to the 1st/99th percentile, then average) done
+    with exact order statistics, not an approximate sketch: the
+    percentile boundary is ``min v with cumcount(v) ≥ ⌈q·n⌉``
+    (percentile_disc), integer-decided in both engines.
+
+    Scale design: the cumulative distribution comes from
+    ``operators/ranking.py::global_prefix_sum`` over the DISTINCT-value
+    count table (one groupBy + one range exchange + a ≤P-row offset
+    summary — never a global window, never a single-partition sort);
+    boundary selection and the clamped sum are one more pass over that
+    distinct-value table (value-cardinality-sized, not row-sized).
+    Everything integer until the one final mean division."""
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (li.select(F.round(F.col("l_extendedprice") * 100)
+                   .cast("bigint").alias("v"))
+         .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    cum = global_prefix_sum(c, ["v"], "cnt")
+    # n, k_lo, k_hi from the cum table in one aggregate, then boundary
+    # values + clamped sum in further passes over the SAME (checkpointed)
+    # cum blocks with the 1-row thresholds joined broadcast
+    tot = cum.agg(F.max("cum").cast("bigint").alias("n")).select(
+        "n",
+        F.expr("(n + 99) div 100").alias("k_lo"),
+        F.expr("(99 * n + 99) div 100").alias("k_hi"))
+    b = (cum.crossJoin(F.broadcast(tot))
+         .agg(F.max("n").alias("n"),
+              F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("v")))
+              .alias("lo"),
+              F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("v")))
+              .alias("hi")))
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (cum.crossJoin(F.broadcast(b))
+            .agg(F.max("n").cast("bigint").alias("n_rows"),
+                 F.max("lo").cast("bigint").alias("lo_cents"),
+                 F.max("hi").cast("bigint").alias("hi_cents"),
+                 F.sum(F.col("cnt") * clamped).cast("bigint")
+                 .alias("win_sum_cents"))
+            .select("n_rows", "lo_cents", "hi_cents", "win_sum_cents",
+                    F.round(F.col("win_sum_cents").cast("double")
+                            / F.col("n_rows").cast("double"), 6)
+                    .alias("win_mean")))

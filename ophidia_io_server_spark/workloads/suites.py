@@ -102,6 +102,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "doc_prefix_jaccard_pairs": [
             ("doc_a", "bigint"), ("doc_b", "bigint"), ("jaccard", "double"),
         ],
+        # r10: directed set-CONTAINMENT join (asymmetric prefix filter)
+        "doc_containment_pairs": [
+            ("doc_a", "bigint"), ("doc_b", "bigint"),
+            ("containment", "double"),
+        ],
     },
     # the r6 variable-length dedup wave: suffix-sort longest-match report,
     # Manber-Myers suffix-array invariants, incremental LSH
@@ -325,6 +330,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("shard", "bigint"), ("n_docs", "bigint"),
             ("shard_tokens", "bigint"), ("balance_ok", "boolean"),
         ],
+        # r10: exact-size weighted sample (integer-clone bottom-k)
+        "doc_weighted_sample": [
+            ("doc_id", "bigint"), ("n_chars", "bigint"),
+            ("w", "bigint"), ("priority", "bigint"),
+        ],
     },
     # the vector-quantization ANN family (PQ, IVF-PQ, OPQ)
     "ann_quant_suite": {
@@ -363,6 +373,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
     },
     # the document text-analysis family
     "doc_text_suite": {
+        # r10: KMV bottom-k distinct-intersection sketch per source pair
+        "source_kmv_overlap": [
+            ("source_a", "string"), ("source_b", "string"),
+            ("k_used", "bigint"), ("jaccard_est", "double"),
+            ("jaccard_exact", "double"), ("within_bound", "boolean"),
+        ],
         "doc_text_metrics": [
             ("doc_id", "bigint"), ("ws_tokens", "bigint"),
             ("bpe_tokens", "bigint"), ("stopword_ratio", "double"),
@@ -486,6 +502,22 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_events", "bigint"), ("total_cents", "bigint"),
         ],
         # r9: Welch two-sample t-statistic from exact integer-cents sums
+        # r10: rank-based Mann-Whitney U (distributed prefix-sum ranks),
+        # classical seasonal decomposition + ACF on the bounded hourly
+        # series
+        "events_mannwhitney_utest": [
+            ("na", "bigint"), ("nb", "bigint"),
+            ("u_stat", "double"), ("z", "double"),
+        ],
+        "events_seasonal_decompose": [
+            ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
+            ("trend", "double"), ("seasonal", "double"),
+            ("resid", "double"),
+        ],
+        "events_acf": [
+            ("event_type", "string"), ("lag", "bigint"),
+            ("n_pairs", "bigint"), ("acf", "double"),
+        ],
         "events_welch_ttest": [
             ("na", "bigint"), ("nb", "bigint"), ("mean_a", "double"),
             ("mean_b", "double"), ("t_stat", "double"),
@@ -647,6 +679,17 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "orders_woe_price_bins": [
             ("bin", "bigint"), ("n_orders", "bigint"), ("n_bad", "bigint"),
             ("n_good", "bigint"), ("woe", "double"),
+        ],
+        # r10: exact Gini over the distributed rank; winsorized mean at
+        # exact p01/p99 via the distributed prefix-sum CDF
+        "orders_gini_revenue": [
+            ("n_orders", "bigint"), ("sum_cents", "bigint"),
+            ("gini", "double"),
+        ],
+        "lineitem_winsorized_stats": [
+            ("n_rows", "bigint"), ("lo_cents", "bigint"),
+            ("hi_cents", "bigint"), ("win_sum_cents", "bigint"),
+            ("win_mean", "double"),
         ],
     },
     # fragment-store row windows + MERGE upsert

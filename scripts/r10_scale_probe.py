@@ -1,0 +1,208 @@
+"""Round-10 scale certificates: the eight new operators at sf0.01
+vs the 100x replica (scripts/make_10x.py; the containment join runs at
+10x — its output is quadratic in the replica count by construction).
+
+Each certificate is an EXACT derivation, not a tolerance:
+  * orders_gini_revenue — Gini is provably INVARIANT under uniform
+    k-fold duplication (the Lorenz curve is identical; the (n+1) terms
+    cancel: G' = (2*10^4*S - 10^4*(n+1/1)*T...) reduces to G exactly),
+    so the 100x row must carry the SAME gini with n,sum scaled 100x.
+  * lineitem_winsorized_stats — cum counts scale 100x so the p01/p99
+    boundary VALUES are identical (ceil(q*100n)-th value falls in the
+    same tie block); win_sum scales exactly 100x, the mean is equal.
+  * events_mannwhitney_utest — U and z recomputed exactly in Python
+    from the base distinct-value counts with every count * 100.
+  * events_seasonal_decompose — events replicate at the SAME ts, so
+    every hourly count is exactly 100x; trend/seasonal/resid all scale
+    by 100 (exact rationals of scaled integers).
+  * events_acf — the ACF ratio has numerator and denominator both
+    ~(100)^2: bitwise-invariant per (type, lag).
+  * source_kmv_overlap — replica docs PERMUTE tokens within each doc
+    (make_10x), so every per-source DISTINCT token set is preserved:
+    sketches, estimates, exacts and bounds must be bitwise identical.
+  * doc_weighted_sample — independent-engine replay: DuckDB runs the
+    workload's own oracle on the 100x corpus; rows must match exactly.
+  * doc_containment_pairs (10x) — replica sets equal original sets, so
+    the directed pair count is exactly k^2*P + k*(k-1)*D (P = base
+    pairs, D = sliced docs with a nonempty token set; self-replica
+    containment is 1.0).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timed(fn, *a):
+    df = fn(*a)
+    df.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    rows = fn(*a).collect()
+    return time.perf_counter() - t0, rows
+
+
+def main() -> None:
+    sf001 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    x100 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ophidia_sf100x"
+    x10 = sys.argv[3] if len(sys.argv) > 3 else "/tmp/ophidia_sf10x"
+    OFF = 10_000_000
+
+    from ophidia_io_server_spark import get_spark
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    spark = get_spark(app_name="r10-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ok_all = True
+
+    def check(name, cond, msg=""):
+        nonlocal ok_all
+        ok_all &= bool(cond)
+        print(f"  cert {name}: {'OK' if cond else 'FAIL'} {msg}")
+
+    # --- Gini: invariant under uniform duplication ----------------------
+    t1, r1 = timed(WORKLOADS["orders_gini_revenue"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["orders_gini_revenue"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"orders_gini_revenue: {t1:.2f}s -> {t2:.2f}s  "
+          f"gini {a['gini']} -> {b['gini']}")
+    check("gini_invariant_100x", abs(b["gini"] - a["gini"]) <= 1e-6
+          and b["n_orders"] == 100 * a["n_orders"]
+          and b["sum_cents"] == 100 * a["sum_cents"])
+
+    # --- winsorize: identical boundaries, 100x sums ----------------------
+    t1, r1 = timed(WORKLOADS["lineitem_winsorized_stats"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["lineitem_winsorized_stats"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"lineitem_winsorized_stats: {t1:.2f}s -> {t2:.2f}s  "
+          f"bounds ({a['lo_cents']},{a['hi_cents']}) -> "
+          f"({b['lo_cents']},{b['hi_cents']})")
+    check("winsorize_bounds_exact_100x",
+          b["lo_cents"] == a["lo_cents"] and b["hi_cents"] == a["hi_cents"]
+          and b["n_rows"] == 100 * a["n_rows"]
+          and b["win_sum_cents"] == 100 * a["win_sum_cents"]
+          and abs(b["win_mean"] - a["win_mean"]) <= 1e-6)
+
+    # --- Mann-Whitney: exact recomputation with counts * 100 ------------
+    t1, r1 = timed(WORKLOADS["events_mannwhitney_utest"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_mannwhitney_utest"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"events_mannwhitney_utest: {t1:.2f}s -> {t2:.2f}s  "
+          f"z {a['z']} -> {b['z']}")
+    # recompute the 100x expectation from the base value counts
+    import duckdb
+    cnts = duckdb.sql(f"""
+      SELECT CAST(ROUND(value*100) AS BIGINT) v,
+             COUNT(*) c,
+             SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) ca
+      FROM read_parquet('{sf001}/events.parquet')
+      WHERE event_type IN ('purchase','click')
+        AND value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1 ORDER BY 1""").fetchall()
+    K = 100
+    cum = 0
+    r2sum = 0
+    ties = 0
+    na = 0
+    for _, c, ca in cnts:
+        c, ca = K * int(c), K * int(ca)
+        cum += c
+        r2sum += ca * (2 * cum - c + 1)
+        ties += c * c * c - c
+        na += ca
+    n = cum
+    nb = n - na
+    u = (r2sum - na * (na + 1)) / 2
+    import math
+    var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    check("mwu_exact_recomputation_100x",
+          b["na"] == na and b["nb"] == nb
+          and b["u_stat"] == round(u, 4) and b["z"] == round(z, 6),
+          f"expected u={round(u,4)} z={round(z,6)}")
+
+    # --- seasonal decomposition: every component scales exactly 100x ----
+    t1, r1 = timed(WORKLOADS["events_seasonal_decompose"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_seasonal_decompose"].fn, spark, x100)
+    print(f"events_seasonal_decompose: {t1:.2f}s -> {t2:.2f}s "
+          f"({len(r1)} -> {len(r2)} rows)")
+    m1 = {(r["event_type"], r["hr"]): r for r in r1}
+    m2 = {(r["event_type"], r["hr"]): r for r in r2}
+    check("seasonal_rows_match", set(m1) == set(m2))
+    check("seasonal_components_100x", all(
+        m2[k]["y"] == 100 * m1[k]["y"]
+        and abs(m2[k]["trend"] - 100 * m1[k]["trend"]) <= 1e-3
+        and abs(m2[k]["seasonal"] - 100 * m1[k]["seasonal"]) <= 1e-3
+        and abs(m2[k]["resid"] - 100 * m1[k]["resid"]) <= 1e-3
+        for k in m1))
+
+    # --- ACF: bitwise scale-invariant ------------------------------------
+    t1, r1 = timed(WORKLOADS["events_acf"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_acf"].fn, spark, x100)
+    print(f"events_acf: {t1:.2f}s -> {t2:.2f}s")
+    a1 = {(r["event_type"], r["lag"]): r["acf"] for r in r1}
+    a2 = {(r["event_type"], r["lag"]): r["acf"] for r in r2}
+    check("acf_invariant_100x",
+          set(a1) == set(a2)
+          and all(abs(a1[k] - a2[k]) <= 1e-6 for k in a1))
+
+    # --- KMV: distinct sets preserved -> bitwise identical ---------------
+    t1, r1 = timed(WORKLOADS["source_kmv_overlap"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["source_kmv_overlap"].fn, spark, x100)
+    print(f"source_kmv_overlap: {t1:.2f}s -> {t2:.2f}s "
+          f"({len(r1)} -> {len(r2)} rows)")
+    k1 = {(r["source_a"], r["source_b"]): tuple(r)[2:] for r in r1}
+    k2 = {(r["source_a"], r["source_b"]): tuple(r)[2:] for r in r2}
+    check("kmv_bitwise_invariant_100x", k1 == k2)
+    check("kmv_all_within_bound", all(r["within_bound"] for r in r2))
+
+    # --- weighted sample: independent-engine replay at 100x -------------
+    t1, r1 = timed(WORKLOADS["doc_weighted_sample"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["doc_weighted_sample"].fn, spark, x100)
+    print(f"doc_weighted_sample: {t1:.2f}s -> {t2:.2f}s")
+    want = duckdb.sql(f"""
+      WITH d AS (
+        SELECT doc_id, n_chars, 1 + n_chars // 50 AS w
+        FROM read_parquet('{x100}/documents.parquet')
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0),
+      ex AS (SELECT doc_id, n_chars, w, unnest(range(w)) AS j FROM d),
+      pr AS (
+        SELECT doc_id, any_value(n_chars) n_chars, any_value(w) w,
+               MIN(CAST(('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+                   || '#ws:' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT))
+                 AS priority
+        FROM ex GROUP BY doc_id)
+      SELECT doc_id, CAST(n_chars AS BIGINT), CAST(w AS BIGINT), priority
+      FROM pr ORDER BY priority, doc_id LIMIT 100""").fetchall()
+    check("weighted_sample_duckdb_replay_100x",
+          sorted(map(tuple, r2)) == sorted(map(tuple, want)))
+
+    # --- containment at 10x: exact quadratic pair-count formula ---------
+    t1, r1 = timed(WORKLOADS["doc_containment_pairs"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["doc_containment_pairs"].fn, spark, x10)
+    print(f"doc_containment_pairs: {t1:.2f}s (sf0.01) -> {t2:.2f}s (10x) "
+          f"({len(r1)} -> {len(r2)} rows)")
+    d_docs = duckdb.sql(f"""
+      SELECT COUNT(*) FROM (
+        SELECT doc_id FROM read_parquet('{sf001}/documents.parquet')
+        WHERE text IS NOT NULL AND doc_id % 10 = 0
+          AND len(list_filter(string_split(text,' '), w -> w <> '')) > 0
+      )""").fetchone()[0]
+    k = 10
+    expect = k * k * len(r1) + k * (k - 1) * int(d_docs)
+    check("containment_pair_count_formula_10x", len(r2) == expect,
+          f"expected {expect} = {k}^2*{len(r1)} + {k}*{k-1}*{d_docs}")
+    slice0 = {(r["doc_a"], r["doc_b"]): r["containment"] for r in r2
+              if r["doc_a"] < OFF and r["doc_b"] < OFF}
+    p1 = {(r["doc_a"], r["doc_b"]): r["containment"] for r in r1}
+    check("containment_slice_invariant", slice0 == p1)
+
+    print("ALL CERTS OK" if ok_all else "CERT FAILURES — see above")
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""Round-10 operator units: global prefix sum (vs python), containment
+join (recall 1.0 vs brute force), Mann-Whitney U (vs scipy-free exact
+computation), Gini (vs closed form), winsorize (vs numpy-style
+percentile_disc), ACF (vs direct formula), seasonal decomposition
+identities, KMV sketch properties, weighted sample determinism."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- global_prefix_sum --------------------------------------------------------
+
+
+def test_global_prefix_sum_matches_python(spark):
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    random.seed(10)
+    rows = [(v, random.randint(1, 9)) for v in random.sample(range(1000), 200)]
+    df = spark.createDataFrame(rows, "v long, cnt long")
+    got = {r["v"]: r["cum"]
+           for r in global_prefix_sum(df, ["v"], "cnt", partitions=7).collect()}
+    acc, want = 0, {}
+    for v, c in sorted(rows):
+        acc += c
+        want[v] = acc
+    assert got == want
+
+
+def test_global_prefix_sum_stable_under_layout(spark):
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    rows = [(v, v % 5 + 1) for v in range(50)]
+    a = global_prefix_sum(
+        spark.createDataFrame(rows, "v long, cnt long"), ["v"], "cnt",
+        partitions=3).collect()
+    b = global_prefix_sum(
+        spark.createDataFrame(list(reversed(rows)), "v long, cnt long")
+        .repartition(11), ["v"], "cnt", partitions=9).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -- containment join ---------------------------------------------------------
+
+
+def test_containment_matches_bruteforce(spark):
+    from ophidia_io_server_spark.pipeline.setjoin import containment_pairs
+
+    rows = [
+        (1, "a b"), (2, "a b c d e f"), (3, "x y"), (4, "p q r"),
+        (5, "a b"), (6, None), (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(docs, 0.6).collect()}
+    sets = {i: set(t.split()) for i, t in rows if t}
+    want = {}
+    for i, si in sets.items():
+        for j, sj in sets.items():
+            if i != j and si:
+                c = len(si & sj) / len(si)
+                if c >= 0.6:
+                    want[(i, j)] = round(c, 6)
+    assert got == want
+    # the asymmetry: 1 ⊂ 2 scores 1.0 directed, but 2→1 only 2/6
+    assert got[(1, 2)] == 1.0 and (2, 1) not in got
+
+
+def test_containment_bad_threshold(spark):
+    from ophidia_io_server_spark.pipeline.setjoin import containment_pairs
+
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(spark.range(1).selectExpr("id doc_id", "'x' text"), 0.0)
+
+
+# -- Mann-Whitney U -----------------------------------------------------------
+
+
+def test_mannwhitney_exact_small_case(spark, tmp_path):
+    """Known example with ties, checked against the hand formula."""
+    import duckdb
+
+    a_vals = [1.00, 2.00, 2.00, 5.00]
+    b_vals = [2.00, 3.00, 4.00]
+    rows = ([(i, "2024-01-01 00:00:00", 1, "purchase", v, "")
+             for i, v in enumerate(a_vals)]
+            + [(100 + i, "2024-01-01 00:00:00", 1, "click", v, "")
+               for i, v in enumerate(b_vals)])
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    for t in ("region", "nation"):  # load_table only reads events here
+        pass
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["events_mannwhitney_utest"].fn(
+        spark, str(tmp_path)).collect()[0]
+    # combined sorted cents: 100,200,200,200,300,400,500
+    # avg ranks: 100->1; 200->(2+3+4)/3=3; 300->5; 400->6; 500->7
+    # R_a = 1 + 3 + 3 + 7 = 14 ; U_a = 14 - 4*5/2 = 4
+    assert out["na"] == 4 and out["nb"] == 3
+    assert out["u_stat"] == 4.0
+    # z from the tie-corrected variance: ties term = (3^3-3) = 24
+    n, na, nb = 7, 4, 3
+    var = na * nb / 12 * ((n + 1) - 24 / (n * (n - 1)))
+    z = (4 - na * nb / 2) / math.sqrt(var)
+    assert out["z"] == round(z, 6)
+
+
+# -- Gini ---------------------------------------------------------------------
+
+
+def test_gini_known_values(spark, tmp_path):
+    import pandas as pd
+
+    # all-equal -> gini 0; one-owner extreme -> (n-1)/n
+    for prices, want in (
+        ([10.0] * 5, 0.0),
+        ([0.01] * 0 + [0.0, 0.0, 0.0, 100.0], round((2 * 4 * 10000
+                                                     - 5 * 10000)
+                                                    / (4 * 10000), 6)),
+    ):
+        pdf = pd.DataFrame({
+            "o_orderkey": range(1, len(prices) + 1),
+            "o_custkey": 1, "o_orderstatus": "F",
+            "o_totalprice": prices,
+            "o_orderdate": pd.to_datetime("2024-01-01"),
+            "o_orderpriority": "1-URGENT"})
+        pdf.to_parquet(str(tmp_path / "orders.parquet"))
+        from ophidia_io_server_spark.workload import WORKLOADS
+
+        out = WORKLOADS["orders_gini_revenue"].fn(
+            spark, str(tmp_path)).collect()[0]
+        assert out["gini"] == want, prices
+
+
+# -- winsorized stats ---------------------------------------------------------
+
+
+def test_winsorize_boundaries_exact(spark, tmp_path):
+    import pandas as pd
+
+    vals = [float(i) for i in range(1, 201)]  # 1..200 -> cents 100..20000
+    pdf = pd.DataFrame({
+        "l_orderkey": range(len(vals)), "l_partkey": 1, "l_suppkey": 1,
+        "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": vals,
+        "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+        "l_linestatus": "O",
+        "l_shipdate": pd.to_datetime("2024-01-01")})
+    pdf.to_parquet(str(tmp_path / "lineitem.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["lineitem_winsorized_stats"].fn(
+        spark, str(tmp_path)).collect()[0]
+    # n=200: k_lo = ceil(2)=2 -> lo = 2nd value = 200 cents;
+    # k_hi = ceil(198) -> hi = 198th = 19800 cents
+    assert out["n_rows"] == 200
+    assert out["lo_cents"] == 200 and out["hi_cents"] == 19800
+    clamped = [min(max(int(v * 100), 200), 19800) for v in vals]
+    assert out["win_sum_cents"] == sum(clamped)
+    assert out["win_mean"] == round(sum(clamped) / 200, 6)
+
+
+# -- ACF ----------------------------------------------------------------------
+
+
+def test_acf_matches_direct_formula(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    hours = pd.date_range("2024-01-01", periods=48, freq="h")
+    rows = []
+    eid = 0
+    counts = {}
+    for h in hours:
+        k = int(rng.integers(1, 6))
+        counts[h] = k
+        for _ in range(k):
+            rows.append((eid, h, 1, "click", 1.0, ""))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    got = {r["lag"]: r["acf"] for r in
+           WORKLOADS["events_acf"].fn(spark, str(tmp_path)).collect()}
+    y = np.array([counts[h] for h in hours], dtype=float)
+    ybar = y.mean()
+    den = ((y - ybar) ** 2).sum()
+    for lag in range(1, 7):
+        want = (((y[:-lag] - ybar) * (y[lag:] - ybar)).sum()) / den
+        assert abs(got[lag] - want) < 1e-6, lag  # engine output rounds to 6
+
+
+# -- seasonal decomposition ---------------------------------------------------
+
+
+def test_seasonal_decompose_identities(spark):
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["events_seasonal_decompose"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert out, "edge-trimmed decomposition must keep interior hours"
+    for r in out:
+        # additive identity holds to rounding
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["resid"])) < 2e-6
+        assert r["trend"] is not None
+
+
+# -- KMV sketch ---------------------------------------------------------------
+
+
+def test_kmv_exact_when_k_covers_universe(spark, tmp_path):
+    """With fewer distinct tokens than K the sketch IS the set, so the
+    estimate must equal the exact Jaccard for every pair."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c", "b c d", "a b c", "x y"],
+        "lang": "en",
+        "source": ["s1", "s1", "s2", "s3"],
+        "n_chars": [5, 5, 5, 3]})
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    rows = WORKLOADS["source_kmv_overlap"].fn(spark, str(tmp_path)).collect()
+    got = {(r["source_a"], r["source_b"]):
+           (r["jaccard_est"], r["jaccard_exact"], r["within_bound"])
+           for r in rows}
+    assert got[("s1", "s2")] == (round(3 / 4, 6), round(3 / 4, 6), True)
+    assert got[("s1", "s3")] == (0.0, 0.0, True)
+    assert got[("s2", "s3")] == (0.0, 0.0, True)
+
+
+# -- weighted sample ----------------------------------------------------------
+
+
+def test_weighted_sample_layout_invariant(spark):
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    a = WORKLOADS["doc_weighted_sample"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    b = (WORKLOADS["doc_weighted_sample"].fn(spark, "/root/testdata/sf0.001")
+         .repartition(13).collect())
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 100
+
+
+def test_weighted_sample_heavier_docs_overrepresented(spark):
+    """Sanity of proportionality: the selected docs' mean weight must
+    exceed the corpus mean weight (heavier docs win more races)."""
+    from ophidia_io_server_spark.sources.tables import load_table
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    sel = WORKLOADS["doc_weighted_sample"].fn(
+        spark, "/root/testdata/sf0.001").agg(F.avg("w")).collect()[0][0]
+    all_w = (load_table(spark, "/root/testdata/sf0.001", "documents")
+             .selectExpr("avg(1 + n_chars div 50)").collect()[0][0])
+    assert sel > all_w
