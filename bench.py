@@ -125,6 +125,12 @@ HEADLINE = [
     "doc_containment_pairs",
     "doc_weighted_sample",
     "source_kmv_overlap",
+    # r10 second batch (HEADLINE 76 -> 80): KS two-sample CDF distance,
+    # chi-squared independence, median/MAD outlier census, Benford screen
+    "events_ks_test",
+    "events_chi2_independence",
+    "lineitem_mad_outliers",
+    "orders_benford_digits",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

@@ -95,13 +95,19 @@ def global_dense_rank(df: DataFrame, cols: list[str],
     return (ranked, max_rank) if return_max else ranked
 
 
-def global_prefix_sum(df: DataFrame, cols: list[str], val_col: str,
+def global_prefix_sum(df: DataFrame, cols: list[str],
+                      val_col: str | list[str],
                       partitions: int | None = None,
-                      cum_col: str = "cum") -> DataFrame:
+                      cum_col: str | list[str] = "cum") -> DataFrame:
     """Append the INCLUSIVE global running sum of ``val_col`` over the
     total order of ``cols`` — the distributed cumulative-distribution
     primitive (exact percentiles, rank statistics with tie-averaged
-    ranks, Lorenz/Gini curves) with no single-partition stage.
+    ranks, Lorenz/Gini curves, two-sample CDF distances) with no
+    single-partition stage.
+
+    ``val_col``/``cum_col`` may be LISTS: several running sums share ONE
+    range exchange and one window pass (the KS statistic needs both
+    groups' CDFs on the same value axis).
 
     ``cols`` must be a UNIQUE key of ``df`` (the callers here feed
     distinct-value summary tables); uniqueness keeps the within-window
@@ -115,23 +121,38 @@ def global_prefix_sum(df: DataFrame, cols: list[str], val_col: str,
     ≤P-row per-partition total summary collected to the driver, prefix
     sums of THOSE become each partition's offset, joined back broadcast.
     """
+    vals = [val_col] if isinstance(val_col, str) else list(val_col)
+    cums = [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    if len(vals) != len(cums):
+        raise ValueError(f"val_col/cum_col arity mismatch: {vals} vs {cums}")
     spark = df.sparkSession
     nparts = partitions or spark.sparkContext.defaultParallelism
     keyed = (df.repartitionByRange(nparts, *cols)
              .withColumn("_pid", F.spark_partition_id()))
     w = (Window.partitionBy("_pid").orderBy(*cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = keyed.withColumn(
-        "_lcum", F.sum(F.col(val_col)).over(w)).localCheckpoint()
+    local = keyed
+    for i, v in enumerate(vals):
+        local = local.withColumn(f"_lcum{i}", F.sum(F.col(v)).over(w))
+    local = local.localCheckpoint()
     totals = sorted(
-        (r["_pid"], r["_t"]) for r in
-        local.groupBy("_pid").agg(F.max("_lcum").alias("_t")).collect())
-    off, offs_rows = 0, []
-    for pid, t in totals:
-        offs_rows.append((pid, off))
-        off += int(t)
-    offs = spark.createDataFrame(offs_rows or [(0, 0)], "_pid int, _off long")
-    return (local.join(F.broadcast(offs), on="_pid")
-            .withColumn(cum_col,
-                        (F.col("_lcum") + F.col("_off")).cast("bigint"))
-            .drop("_pid", "_lcum", "_off"))
+        (r["_pid"], tuple(r[f"_t{i}"] for i in range(len(vals)))) for r in
+        local.groupBy("_pid").agg(
+            *[F.max(f"_lcum{i}").alias(f"_t{i}")
+              for i in range(len(vals))]).collect())
+    offs_acc = [0] * len(vals)
+    offs_rows = []
+    for pid, ts in totals:
+        offs_rows.append((pid, *offs_acc))
+        offs_acc = [a + int(t) for a, t in zip(offs_acc, ts)]
+    schema = "_pid int, " + ", ".join(f"_off{i} long"
+                                      for i in range(len(vals)))
+    offs = spark.createDataFrame(
+        offs_rows or [tuple([0] * (len(vals) + 1))], schema)
+    out = local.join(F.broadcast(offs), on="_pid")
+    for i, c in enumerate(cums):
+        out = out.withColumn(
+            c, (F.col(f"_lcum{i}") + F.col(f"_off{i}")).cast("bigint"))
+    return out.drop("_pid",
+                    *[f"_lcum{i}" for i in range(len(vals))],
+                    *[f"_off{i}" for i in range(len(vals))])

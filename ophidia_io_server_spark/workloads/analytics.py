@@ -2201,3 +2201,172 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("np").alias("n_pairs"),
                     F.round(num.cast("double") / den.cast("double"), 6)
                     .alias("acf")))
+
+
+@workload(
+    "events_ks_test",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in_a
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    c AS (
+      SELECT v, CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
+      FROM g GROUP BY v
+    ),
+    cum AS (
+      SELECT v, SUM(cnt_a) OVER (ORDER BY v) AS cum_a,
+             SUM(cnt_b) OVER (ORDER BY v) AS cum_b
+      FROM c
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+             CAST(SUM(cnt_b) AS BIGINT) AS nb
+      FROM c
+    ),
+    d AS (
+      SELECT na, nb,
+             MAX(ABS(CAST(nb AS DECIMAL(19,0)) * CAST(cum_a AS DECIMAL(19,0))
+                     - CAST(na AS DECIMAL(19,0))
+                       * CAST(cum_b AS DECIMAL(19,0)))) AS dmax
+      FROM cum CROSS JOIN tot GROUP BY na, nb
+    )
+    SELECT na, nb,
+           ROUND(CAST(dmax AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_stat,
+           ROUND(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                 * CAST(dmax AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat
+    FROM d
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the DISTRIBUTIONAL
+    member of the test family (Welch compares means, Mann-Whitney
+    compares stochastic order, KS compares whole CDFs): ``D = max_x
+    |F_a(x) − F_b(x)|`` between 'purchase' and 'click' values, plus the
+    scaled statistic ``√(na·nb/(na+nb))·D``.
+
+    Scale design: the supremum is INTEGER-decided — both empirical CDFs
+    come from ONE shared two-phase distributed prefix-sum pass over the
+    distinct-value table (the multi-column ``global_prefix_sum``: one
+    range exchange carries both groups' running counts), and
+    ``max |nb·cum_a − na·cum_b|`` is an exact DECIMAL max (budget:
+    na·nb ≤ 10^38 — 10^19 rows per group), so both engines pick the
+    same maximizing value; only the final normalizations are IEEE."""
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    dec = "decimal(19,0)"
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.where(F.col("event_type").isin("purchase", "click")
+                  & F.col("value").isNotNull() & ~F.isnan("value"))
+         .select(F.round(F.col("value") * 100).cast("bigint").alias("v"),
+                 F.when(F.col("event_type") == "purchase", 1)
+                 .otherwise(0).alias("in_a")))
+    c = g.groupBy("v").agg(
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cnt_b"))
+    cum = global_prefix_sum(c, ["v"], ["cnt_a", "cnt_b"],
+                            cum_col=["cum_a", "cum_b"])
+    tot = cum.agg(F.max("cum_a").cast("bigint").alias("na"),
+                  F.max("cum_b").cast("bigint").alias("nb"))
+    dmax = (cum.crossJoin(F.broadcast(tot))
+            .agg(F.max("na").alias("na"), F.max("nb").alias("nb"),
+                 F.max(F.abs(F.col("nb").cast(dec)
+                             * F.col("cum_a").cast(dec)
+                             - F.col("na").cast(dec)
+                             * F.col("cum_b").cast(dec))).alias("dmax")))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    d = F.col("dmax").cast("double") / (nad * nbd)
+    return dmax.select(
+        "na", "nb", F.round(d, 6).alias("d_stat"),
+        F.round(F.sqrt(nad * nbd / (nad + nbd)) * d, 6).alias("ks_stat"))
+
+
+@workload(
+    "events_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(SUM(n_ij) AS BIGINT) AS r_i
+          FROM cells GROUP BY 1),
+    cc AS (SELECT hod, CAST(SUM(n_ij) AS BIGINT) AS c_j
+           FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_ij) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT hod) AS BIGINT) AS nc
+      FROM cells
+    ),
+    q AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, MAX(n) AS n,
+             MAX(nr) AS nr, MAX(nc) AS nc,
+             SUM((CAST(n AS HUGEINT) * n_ij * n_ij * 1000000000)
+                 // (CAST(r_i AS HUGEINT) * c_j)) AS s
+      FROM cells JOIN r USING (event_type) JOIN cc USING (hod)
+           CROSS JOIN tot
+    )
+    SELECT n, n_cells,
+           ROUND(CAST(s AS DOUBLE) / 1e9 - CAST(n AS DOUBLE), 6) AS chi2,
+           ROUND(sqrt((CAST(s AS DOUBLE) / 1e9 - CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(LEAST(nr, nc) AS DOUBLE) - 1))), 6)
+             AS cramers_v
+    FROM q
+    """,
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test + Cramér's V for the
+    event_type × hour-of-day contingency table — is traffic mix
+    time-of-day dependent?  Uses the algebraic form ``χ² = n·Σ n_ij² /
+    (r_i·c_j) − n`` so no per-cell expected-count subtraction is needed.
+
+    Determinism at scale: a double SUM over the cells is order-dependent
+    (Spark's partial aggregation order varies run to run, let alone
+    engine to engine), so each cell's term is FLOOR-SCALED to the exact
+    integer ``(n·n_ij²·10⁹) div (r_i·c_j)`` and summed exactly; the
+    accumulated truncation is < n_cells·10⁻⁹ — three orders below the
+    round-6 output grid.  Digit budget: n·n_ij²·10⁹ ≤ 10^38 → n_ij ≤
+    ~3·10⁸ per cell at 10^12 rows (raise the scale factor's trade-off
+    consciously past that).  The contingency table itself is
+    config-bounded (types × 24), so every join here is enum-sized."""
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.groupBy("event_type", F.hour("ts").alias("hod"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij")))
+    from ophidia_io_server_spark.pin import pinned
+    cells = pinned(cells, "chi2 contingency cells: margins + total + terms")
+    r = cells.groupBy("event_type").agg(
+        F.sum("n_ij").cast("bigint").alias("r_i"))
+    cc = cells.groupBy("hod").agg(F.sum("n_ij").cast("bigint").alias("c_j"))
+    tot = cells.agg(F.sum("n_ij").cast("bigint").alias("n"),
+                    F.count_distinct("event_type").cast("bigint").alias("nr"),
+                    F.count_distinct("hod").cast("bigint").alias("nc"))
+    q = (cells.join(r, "event_type").join(cc, "hod")
+         .crossJoin(F.broadcast(tot))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+              F.max("n").alias("n"), F.max("nr").alias("nr"),
+              F.max("nc").alias("nc"),
+              F.sum(F.expr(
+                  "CAST((CAST(n AS DECIMAL(38,0))"
+                  " * CAST(n_ij AS DECIMAL(38,0))"
+                  " * CAST(n_ij AS DECIMAL(38,0))"
+                  " * CAST(1000000000 AS DECIMAL(38,0)))"
+                  " div (CAST(r_i AS DECIMAL(38,0))"
+                  " * CAST(c_j AS DECIMAL(38,0))) AS DECIMAL(38,0))"))
+              .alias("s")))
+    chi2 = F.col("s").cast("double") / F.lit(1e9) - F.col("n").cast("double")
+    v = F.sqrt(chi2 / (F.col("n").cast("double")
+                       * (F.least("nr", "nc").cast("double") - 1)))
+    return q.select("n", "n_cells",
+                    F.round(chi2, 6).alias("chi2"),
+                    F.round(v, 6).alias("cramers_v"))

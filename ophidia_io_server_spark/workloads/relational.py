@@ -2041,3 +2041,132 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("win_sum_cents").cast("double")
                             / F.col("n_rows").cast("double"), 6)
                     .alias("win_mean")))
+
+
+@workload(
+    "lineitem_mad_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM c),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 (CAST(SUM(cnt) AS BIGINT) + 1) // 2 AS k FROM c),
+    med AS (
+      SELECT n, k, MIN(CASE WHEN cum >= k THEN v END) AS m
+      FROM cum CROSS JOIN t GROUP BY n, k
+    ),
+    dd AS (
+      SELECT ABS(v - m) AS d, CAST(SUM(cnt) AS BIGINT) AS cnt,
+             MAX(n) AS n, MAX(k) AS k, MAX(m) AS m
+      FROM cum CROSS JOIN med GROUP BY 1
+    ),
+    dcum AS (
+      SELECT d, cnt, n, k, m, SUM(cnt) OVER (ORDER BY d) AS cum FROM dd
+    ),
+    mad AS (
+      SELECT MAX(n) AS n, MAX(m) AS m,
+             MIN(CASE WHEN cum >= k THEN d END) AS mad
+      FROM dcum
+    )
+    SELECT n AS n_rows, m AS median_cents, mad AS mad_cents,
+           CAST(COALESCE((SELECT SUM(cnt) FROM dcum, mad x
+                          WHERE dcum.d * 10000 > 44478 * x.mad), 0)
+                AS BIGINT) AS n_outliers
+    FROM mad
+    """,
+)
+def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census via median/MAD — the heavy-tail-safe sibling
+    of the rolling z-score: exact (lower) median, exact median absolute
+    deviation, and the count of rows beyond the standard robust fence
+    ``|x − med| > 3·1.4826·MAD`` (1.4826 = 1/Φ⁻¹(3/4), the normal-
+    consistency constant; the fence compares as the INTEGER inequality
+    ``10⁴·|x−med| > 44478·MAD`` so no float decides membership).
+
+    Scale design: BOTH order statistics come from the distributed
+    prefix-sum CDF (``operators/ranking.py::global_prefix_sum``) over
+    distinct-value count tables — the second pass re-groups the first
+    CDF's table by |v − med| (two sides of the median fold together),
+    which is value-cardinality-sized, never row-sized.  No global
+    window, no single-partition sort, all decisions integer."""
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (li.select(F.round(F.col("l_extendedprice") * 100)
+                   .cast("bigint").alias("v"))
+         .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    cum = global_prefix_sum(c, ["v"], "cnt")
+    t = cum.agg(F.max("cum").cast("bigint").alias("n")).select(
+        "n", F.expr("(n + 1) div 2").alias("k"))
+    med = (cum.crossJoin(F.broadcast(t))
+           .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+                F.min(F.when(F.col("cum") >= F.col("k"), F.col("v")))
+                .alias("m")))
+    dd = (cum.crossJoin(F.broadcast(med))
+          .groupBy(F.abs(F.col("v") - F.col("m")).alias("d"))
+          .agg(F.sum("cnt").cast("bigint").alias("cnt"),
+               F.max("n").alias("n"), F.max("k").alias("k"),
+               F.max("m").alias("m")))
+    dcum = global_prefix_sum(dd, ["d"], "cnt", cum_col="dcum")
+    madrow = dcum.agg(
+        F.max("n").alias("n"), F.max("m").alias("m"),
+        F.min(F.when(F.col("dcum") >= F.col("k"), F.col("d"))).alias("mad"))
+    return (dcum.crossJoin(F.broadcast(madrow.select(
+                F.col("mad").alias("mad_v"))))
+            .agg(F.max("n").cast("bigint").alias("n_rows"),
+                 F.max("m").cast("bigint").alias("median_cents"),
+                 F.max("mad_v").cast("bigint").alias("mad_cents"),
+                 F.sum(F.when(F.col("d") * 10000 > 44478 * F.col("mad_v"),
+                              F.col("cnt")).otherwise(0)).cast("bigint")
+                 .alias("n_outliers")))
+
+
+@workload(
+    "orders_benford_digits",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND ROUND(o_totalprice * 100) > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM x GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM d)
+    SELECT digit, n_obs,
+           ROUND(CAST(n AS DOUBLE)
+                 * log10(1 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected
+    FROM d CROSS JOIN t
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit census — the classic fabricated-data /
+    data-quality screen: observed leading-digit counts of order totals
+    vs the Benford expectation ``n·log10(1 + 1/d)``.  TPC-H prices are
+    formula-generated, so the deviation itself is the interesting
+    output (real ledgers follow Benford; synthetic grids don't).
+
+    Determinism: the leading digit comes from the cents STRING (no
+    float log to pick a digit), counts are exact, and the expectation
+    is one transcendental per output row (9 rows) — no accumulation of
+    doubles anywhere.  One scan + one 9-group aggregate at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    x = (orders.where(F.col("o_totalprice").isNotNull())
+         .select(cents.alias("cents")).where(F.col("cents") > 0))
+    d = (x.select(F.substring(F.col("cents").cast("string"), 1, 1)
+                  .cast("bigint").alias("digit"))
+         .groupBy("digit")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs")))
+    t = d.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    return (d.crossJoin(F.broadcast(t))
+            .select("digit", "n_obs",
+                    F.round(F.col("n").cast("double")
+                            * F.log10(1 + 1.0 / F.col("digit")
+                                      .cast("double")), 6)
+                    .alias("expected")))

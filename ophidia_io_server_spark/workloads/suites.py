@@ -509,6 +509,16 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("na", "bigint"), ("nb", "bigint"),
             ("u_stat", "double"), ("z", "double"),
         ],
+        # r10 second batch: KS two-sample CDF distance (shared prefix-sum
+        # pass), chi-squared independence with integer-scaled terms
+        "events_ks_test": [
+            ("na", "bigint"), ("nb", "bigint"),
+            ("d_stat", "double"), ("ks_stat", "double"),
+        ],
+        "events_chi2_independence": [
+            ("n", "bigint"), ("n_cells", "bigint"),
+            ("chi2", "double"), ("cramers_v", "double"),
+        ],
         "events_seasonal_decompose": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
             ("trend", "double"), ("seasonal", "double"),
@@ -690,6 +700,16 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_rows", "bigint"), ("lo_cents", "bigint"),
             ("hi_cents", "bigint"), ("win_sum_cents", "bigint"),
             ("win_mean", "double"),
+        ],
+        # r10 second batch: median/MAD robust outlier census (two CDF
+        # passes), Benford first-digit screen
+        "lineitem_mad_outliers": [
+            ("n_rows", "bigint"), ("median_cents", "bigint"),
+            ("mad_cents", "bigint"), ("n_outliers", "bigint"),
+        ],
+        "orders_benford_digits": [
+            ("digit", "bigint"), ("n_obs", "bigint"),
+            ("expected", "double"),
         ],
     },
     # fragment-store row windows + MERGE upsert

@@ -200,6 +200,53 @@ def main() -> None:
     p1 = {(r["doc_a"], r["doc_b"]): r["containment"] for r in r1}
     check("containment_slice_invariant", slice0 == p1)
 
+    # --- KS: D invariant, scaled statistic exactly 10x -------------------
+    t1, r1 = timed(WORKLOADS["events_ks_test"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_ks_test"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"events_ks_test: {t1:.2f}s -> {t2:.2f}s  "
+          f"D {a['d_stat']} -> {b['d_stat']}")
+    check("ks_d_invariant_100x", abs(b["d_stat"] - a["d_stat"]) <= 1e-6
+          and b["na"] == 100 * a["na"] and b["nb"] == 100 * a["nb"])
+    check("ks_stat_10x", abs(b["ks_stat"] / a["ks_stat"] - 10.0) < 1e-3,
+          f"ratio={b['ks_stat']/a['ks_stat']:.5f}")
+
+    # --- chi2: 100x chi2, invariant Cramér's V ---------------------------
+    t1, r1 = timed(WORKLOADS["events_chi2_independence"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_chi2_independence"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"events_chi2_independence: {t1:.2f}s -> {t2:.2f}s  "
+          f"chi2 {a['chi2']} -> {b['chi2']}")
+    check("chi2_100x", abs(b["chi2"] - 100 * a["chi2"]) <= 1e-3
+          and b["n"] == 100 * a["n"] and b["n_cells"] == a["n_cells"],
+          f"expected {100*a['chi2']:.4f}")
+    check("cramers_v_invariant", abs(b["cramers_v"] - a["cramers_v"]) <= 1e-6)
+
+    # --- MAD: identical median/MAD, outliers exactly 100x ----------------
+    t1, r1 = timed(WORKLOADS["lineitem_mad_outliers"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["lineitem_mad_outliers"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"lineitem_mad_outliers: {t1:.2f}s -> {t2:.2f}s  "
+          f"med/mad {a['median_cents']}/{a['mad_cents']} -> "
+          f"{b['median_cents']}/{b['mad_cents']}")
+    check("mad_invariant_100x",
+          b["median_cents"] == a["median_cents"]
+          and b["mad_cents"] == a["mad_cents"]
+          and b["n_rows"] == 100 * a["n_rows"]
+          and b["n_outliers"] == 100 * a["n_outliers"])
+
+    # --- Benford: counts exactly 100x, expectation scales ----------------
+    t1, r1 = timed(WORKLOADS["orders_benford_digits"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["orders_benford_digits"].fn, spark, x100)
+    print(f"orders_benford_digits: {t1:.2f}s -> {t2:.2f}s")
+    b1 = {r["digit"]: r for r in r1}
+    b2 = {r["digit"]: r for r in r2}
+    check("benford_100x",
+          set(b1) == set(b2)
+          and all(b2[d]["n_obs"] == 100 * b1[d]["n_obs"]
+                  and abs(b2[d]["expected"] - 100 * b1[d]["expected"])
+                  <= 1e-3 for d in b1))
+
     print("ALL CERTS OK" if ok_all else "CERT FAILURES — see above")
     sys.exit(0 if ok_all else 1)
 

@@ -266,3 +266,116 @@ def test_weighted_sample_heavier_docs_overrepresented(spark):
     all_w = (load_table(spark, "/root/testdata/sf0.001", "documents")
              .selectExpr("avg(1 + n_chars div 50)").collect()[0][0])
     assert sel > all_w
+
+
+# -- KS test ------------------------------------------------------------------
+
+
+def test_ks_exact_small_case(spark, tmp_path):
+    import pandas as pd
+
+    a_vals = [1.0, 2.0, 3.0]
+    b_vals = [2.0, 4.0]
+    rows = ([(i, "2024-01-01", 1, "purchase", v, "") for i, v in
+             enumerate(a_vals)]
+            + [(50 + i, "2024-01-01", 1, "click", v, "") for i, v in
+               enumerate(b_vals)])
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["events_ks_test"].fn(spark, str(tmp_path)).collect()[0]
+    # CDFs at v=100: Fa=1/3, Fb=0 -> |.333|; v=200: 2/3 vs 1/2 -> 1/6;
+    # v=300: 1 vs 1/2 -> 1/2 (max); v=400: 1 vs 1 -> 0
+    assert out["na"] == 3 and out["nb"] == 2
+    assert out["d_stat"] == 0.5
+    assert out["ks_stat"] == round(math.sqrt(6 / 5) * 0.5, 6)
+
+
+# -- chi-squared --------------------------------------------------------------
+
+
+def test_chi2_matches_direct_formula(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for et in ("click", "view"):
+        for hod in range(4):
+            for _ in range(int(rng.integers(5, 30))):
+                rows.append((eid, pd.Timestamp(2024, 1, 1, hod), 1, et,
+                             1.0, ""))
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["events_chi2_independence"].fn(
+        spark, str(tmp_path)).collect()[0]
+    # direct chi2 from the contingency table
+    tab = pdf.groupby(["event_type", pdf["ts"].dt.hour]).size()
+    n = tab.sum()
+    r = tab.groupby(level=0).sum()
+    c = tab.groupby(level=1).sum()
+    chi2 = sum(
+        (tab[i, j] - r[i] * c[j] / n) ** 2 / (r[i] * c[j] / n)
+        for i, j in tab.index)
+    assert out["n"] == n and out["n_cells"] == len(tab)
+    assert abs(out["chi2"] - chi2) < 1e-5
+    v = math.sqrt(chi2 / (n * (min(len(r), len(c)) - 1)))
+    assert abs(out["cramers_v"] - v) < 1e-6
+
+
+# -- MAD outliers -------------------------------------------------------------
+
+
+def test_mad_known_values(spark, tmp_path):
+    import pandas as pd
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]  # med(lower)=3.00, outlier 100
+    pdf = pd.DataFrame({
+        "l_orderkey": range(len(vals)), "l_partkey": 1, "l_suppkey": 1,
+        "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": vals,
+        "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+        "l_linestatus": "O", "l_shipdate": pd.to_datetime("2024-01-01")})
+    pdf.to_parquet(str(tmp_path / "lineitem.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["lineitem_mad_outliers"].fn(
+        spark, str(tmp_path)).collect()[0]
+    # cents: 100..500, 10000; n=6 -> k=3 -> median = 300
+    # |v-300|: 200,100,0,100,200,9700 -> sorted 0,100,100,200,200,9700
+    # k=3 -> MAD = 100 cents
+    assert out["n_rows"] == 6
+    assert out["median_cents"] == 300
+    assert out["mad_cents"] == 100
+    # fence: 10^4*|v-med| > 44478*100 -> |v-med| > 444.78 -> only 10000
+    assert out["n_outliers"] == 1
+
+
+# -- Benford ------------------------------------------------------------------
+
+
+def test_benford_digit_extraction_and_expectation(spark, tmp_path):
+    import pandas as pd
+
+    prices = [1.23, 12.3, 95.0, 950.0, 9.5, 0.02]  # leading digits 1,1,9,9,9,2
+    pdf = pd.DataFrame({
+        "o_orderkey": range(1, len(prices) + 1), "o_custkey": 1,
+        "o_orderstatus": "F", "o_totalprice": prices,
+        "o_orderdate": pd.to_datetime("2024-01-01"),
+        "o_orderpriority": "1"})
+    pdf.to_parquet(str(tmp_path / "orders.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    got = {r["digit"]: (r["n_obs"], r["expected"]) for r in
+           WORKLOADS["orders_benford_digits"].fn(
+               spark, str(tmp_path)).collect()}
+    assert got[1][0] == 2 and got[9][0] == 3 and got[2][0] == 1
+    for d, (nobs, exp) in got.items():
+        assert exp == round(6 * math.log10(1 + 1 / d), 6)
