@@ -131,6 +131,11 @@ HEADLINE = [
     "events_chi2_independence",
     "lineitem_mad_outliers",
     "orders_benford_digits",
+    # r10 third batch (HEADLINE 80 -> 83): fixed-round k-core peel,
+    # two-proportion conversion z-test, reciprocal-rank fusion
+    "token_kcore_membership",
+    "events_conversion_ztest",
+    "doc_rrf_retrieval",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

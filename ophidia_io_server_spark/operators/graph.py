@@ -252,3 +252,54 @@ def triangle_counts(edges: DataFrame, src: str = "src",
             .join(per_node, "node", "left")
             .select("node", F.coalesce("n_triangles", F.lit(0))
                     .cast("bigint").alias("n_triangles")))
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 12,
+          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core by synchronous peeling, EXACTLY ``rounds`` rounds: each
+    round keeps the vertices with ≥ k neighbours inside the current
+    survivor set (Seidman 1983 degeneracy peeling; synchronous variant
+    so the round sequence is engine-reproducible).  Like the
+    fixed-iteration PageRank/LPA rows, the contract is "the survivor set
+    after exactly ``rounds`` rounds" — a well-defined quantity whether
+    or not the peel has converged — plus a ``converged`` boolean
+    (round R removed nothing), which certifies the set IS the k-core
+    when true.
+
+    Returns (node, core_degree, converged): degree counted within the
+    final set.  Edges are undirected, de-duplicated, self-loops dropped.
+
+    Scale shape per round: two semi-join-shaped equi-joins of the pinned
+    edge list against the (shrinking) survivor set + one groupBy —
+    all shuffle-bounded by |E|; survivors are localCheckpoint-ed per
+    round (the repo's iterative-loop discipline — without the pin every
+    round would replay the whole prior chain)."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1, got k={k}, rounds={rounds}")
+    from ophidia_io_server_spark.pin import pinned
+
+    fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct())
+    und = pinned(und, f"kcore edge list: reused {rounds} rounds")
+    vs = und.select(F.col("u").alias("node")).distinct()
+    prev = None
+    for i in range(rounds):
+        prev = vs
+        deg = (und
+               .join(vs.withColumnRenamed("node", "u"), "u")
+               .join(vs.withColumnRenamed("node", "v"), "v")
+               .groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+        vs = pinned(deg.where(F.col("deg") >= k)
+                    .select(F.col("u").alias("node")),
+                    f"kcore survivors round {i + 1}")
+    final_deg = (und
+                 .join(vs.withColumnRenamed("node", "u"), "u")
+                 .join(vs.withColumnRenamed("node", "v"), "v")
+                 .groupBy(F.col("u").alias("node"))
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree")))
+    conv = (vs.agg(F.count(F.lit(1)).alias("_nr"))
+            .crossJoin(prev.agg(F.count(F.lit(1)).alias("_np")))
+            .select((F.col("_nr") == F.col("_np")).alias("converged")))
+    return final_deg.crossJoin(F.broadcast(conv))

@@ -2370,3 +2370,221 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select("n", "n_cells",
                     F.round(chi2, 6).alias("chi2"),
                     F.round(v, 6).alias("cramers_v"))
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronous k-core peel over the token co-occurrence
+    graph (same CTE chain trick as ``_lpa_oracle``; same ±2-window,
+    count ≥ 5 edge list, self-loops dropped)."""
+    sql = """
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    e AS MATERIALIZED (
+      SELECT wa, wb FROM pr WHERE wa <> wb
+      GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    und AS MATERIALIZED (
+      SELECT wa AS u, wb AS v FROM e
+      UNION ALL SELECT wb AS u, wa AS v FROM e),
+    v0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    v{i} AS MATERIALIZED (
+      SELECT u AS node FROM und
+      JOIN v{i - 1} a ON und.u = a.node
+      JOIN v{i - 1} b ON und.v = b.node
+      GROUP BY u HAVING COUNT(*) >= {k})"""
+    sql += f""",
+    d AS (
+      SELECT und.u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+      FROM und
+      JOIN v{rounds} a ON und.u = a.node
+      JOIN v{rounds} b ON und.v = b.node
+      GROUP BY und.u),
+    conv AS (
+      SELECT (SELECT COUNT(*) FROM v{rounds})
+             = (SELECT COUNT(*) FROM v{rounds - 1}) AS converged)
+    SELECT node, core_degree, converged FROM d CROSS JOIN conv"""
+    return sql
+
+
+@workload("token_kcore_membership", oracle=_kcore_oracle(4, 12))
+def token_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the token co-occurrence graph by synchronous peeling
+    (``operators/graph.py::kcore``, exactly 12 rounds) — the dense-
+    subgraph extractor (Seidman 1983): the maximal subgraph where every
+    token co-occurs strongly with ≥ 4 other core tokens, the standard
+    'topic nucleus' / junk-token separator.  Like the fixed-iteration
+    PageRank/LPA rows, the hashed contract is the survivor set after
+    exactly 12 rounds plus a ``converged`` boolean certifying it IS the
+    4-core; the oracle unrolls the identical peel as a materialized CTE
+    chain."""
+    from ophidia_io_server_spark.operators.graph import kcore
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (cooccurrence_counts(docs, window=2)
+             .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
+             .select(F.col("wa").alias("src"), F.col("wb").alias("dst")))
+    return kcore(edges, k=4, rounds=12)
+
+
+@workload(
+    "events_conversion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM u
+    )
+    SELECT na, nb, ca AS conv_a, cb AS conv_b,
+           ROUND((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1 - CAST(ca + cb AS DOUBLE)
+                               / CAST(na + nb AS DOUBLE))
+                        * (1.0 / CAST(na AS DOUBLE)
+                           + 1.0 / CAST(nb AS DOUBLE))), 6) AS z
+    FROM s
+    """,
+)
+def events_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on per-user conversion — the A/B
+    readout (cohort = user_id parity, the deterministic stand-in for a
+    treatment assignment; conversion = user fired ≥ 14 'purchase'
+    events, a mid-range threshold on this corpus — an any-purchase flag
+    degenerates to p=1 here and the z is undefined).  Completes the
+    test family: Welch (means), Mann-Whitney (stochastic order), KS
+    (full CDFs), chi-squared (independence), and now the binomial rate
+    comparison every experiment dashboard runs.
+
+    Scale: one groupBy(user_id) partial-agg collapse, one 4-integer
+    aggregate, one IEEE expression over the exact integers — no window,
+    no join, no Python; bitwise across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.when(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)) >= 14, 1).otherwise(0)
+              .alias("converted"))
+         .withColumn("grp", F.col("user_id") % 2))
+    s = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("cb"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    p = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    return s.select("na", "nb", F.col("ca").alias("conv_a"),
+                    F.col("cb").alias("conv_b"),
+                    F.round(z, 6).alias("z"))
+
+
+@workload(
+    "doc_rrf_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM toks),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dls),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+           FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dls) u
+           WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    con AS (SELECT tf.doc_id, tf.term,
+                   ln(1 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / g.avgdl)) AS c
+            FROM tf JOIN dfq USING (term) CROSS JOIN g),
+    sc AS (SELECT doc_id,
+                  ROUND(list_aggregate(list(c ORDER BY term), 'sum'), 6)
+                    AS score
+           FROM con GROUP BY doc_id),
+    bm AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank_bm
+      FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+    tft AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tft FROM tf
+            GROUP BY doc_id),
+    tr AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY tft DESC, doc_id) AS BIGINT)
+               AS rank_tf
+      FROM tft ORDER BY tft DESC, doc_id LIMIT 50),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, tr.doc_id) AS doc_id,
+             bm.rank_bm, tr.rank_tf,
+             COALESCE(1.0 / (60 + bm.rank_bm), 0)
+             + COALESCE(1.0 / (60 + tr.rank_tf), 0) AS rrf
+      FROM bm FULL OUTER JOIN tr ON bm.doc_id = tr.doc_id)
+    SELECT doc_id, rank_bm, rank_tf, ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def doc_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of two
+    retrieval rankings for the query {hash, merge, scan}: BM25 top-50
+    fused with the raw term-frequency top-50 via ``Σ 1/(60 + rank)`` —
+    the standard zero-tuning hybrid-retrieval combiner (the same shape
+    used to fuse lexical + vector rankings; here both arms are exact so
+    the whole row hashes).
+
+    Determinism: each arm's rank is a total order over (6-dp-rounded
+    score, doc_id) / (integer tf, doc_id); the fused score is a 2-term
+    rational of integer ranks — one fixed IEEE expression, no float
+    accumulation.  Scale: each arm is candidate-only (postings for 3
+    terms) + TakeOrdered top-50; the fusion joins two 50-row frames."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk, _tokens
+    from ophidia_io_server_spark.sources.tables import spread
+
+    TERMS = ["hash", "merge", "scan"]
+    docs = load_table(spark, sf_dir, "documents")
+    bm = (bm25_topk(docs, TERMS, k=50)
+          .select("doc_id", F.col("rank").alias("rank_bm")))
+    toks = _tokens(spread(docs), "text", "doc_id")
+    tft = (toks.select("doc_id", F.explode("tk").alias("term"))
+           .where(F.col("term").isin(TERMS))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("tft")))
+    top_tf = tft.orderBy(F.col("tft").desc(), F.col("doc_id").asc()).limit(50)
+    w = Window.orderBy(F.col("tft").desc(), F.col("doc_id").asc())
+    tr = top_tf.withColumn("rank_tf",
+                           F.row_number().over(w).cast("bigint")) \
+        .select("doc_id", "rank_tf")
+    fused = bm.join(tr, "doc_id", "full")
+    rrf = (F.coalesce(1.0 / (60 + F.col("rank_bm")), F.lit(0.0))
+           + F.coalesce(1.0 / (60 + F.col("rank_tf")), F.lit(0.0)))
+    return (fused.withColumn("rrf_raw", rrf)
+            .orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+            .limit(20)
+            .select("doc_id", "rank_bm", "rank_tf",
+                    F.round(F.col("rrf_raw"), 6).alias("rrf")))

@@ -242,6 +242,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_head", "bigint"), ("n_middle", "bigint"),
             ("n_tail", "bigint"),
         ],
+        # r10: reciprocal-rank fusion of BM25 + raw-tf rankings
+        "doc_rrf_retrieval": [
+            ("doc_id", "bigint"), ("rank_bm", "bigint"),
+            ("rank_tf", "bigint"), ("rrf", "double"),
+        ],
     },
     # beyond-reference Structured Streaming: bounded-state Misra-Gries,
     # stream≡batch temperature mixing, the streaming curation recipe
@@ -297,6 +302,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         ],
         "token_triangle_counts": [
             ("node", "string"), ("n_triangles", "bigint"),
+        ],
+        # r10: fixed-round k-core peel with convergence certificate
+        "token_kcore_membership": [
+            ("node", "string"), ("core_degree", "bigint"),
+            ("converged", "boolean"),
         ],
     },
     # deterministic sampling: budget-fill without a global sort + exact-k
@@ -518,6 +528,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_chi2_independence": [
             ("n", "bigint"), ("n_cells", "bigint"),
             ("chi2", "double"), ("cramers_v", "double"),
+        ],
+        "events_conversion_ztest": [
+            ("na", "bigint"), ("nb", "bigint"), ("conv_a", "bigint"),
+            ("conv_b", "bigint"), ("z", "double"),
         ],
         "events_seasonal_decompose": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),

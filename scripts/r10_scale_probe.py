@@ -247,6 +247,48 @@ def main() -> None:
                   and abs(b2[d]["expected"] - 100 * b1[d]["expected"])
                   <= 1e-3 for d in b1))
 
+    # --- k-core: monotone under the 100x edge superset --------------------
+    # replica docs permute token ORDER, so co-occurrence pairs change —
+    # but every base edge's count only grows, so edges(100x) ⊇ edges(base)
+    # and the k-core (monotone under edge addition) can only grow.
+    t1, r1 = timed(WORKLOADS["token_kcore_membership"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["token_kcore_membership"].fn, spark, x100)
+    print(f"token_kcore_membership: {t1:.2f}s -> {t2:.2f}s "
+          f"({len(r1)} -> {len(r2)} core nodes)")
+    base_nodes = {r["node"] for r in r1}
+    big_nodes = {r["node"] for r in r2}
+    check("kcore_monotone_100x", base_nodes <= big_nodes,
+          f"missing={sorted(base_nodes - big_nodes)[:5]}")
+    check("kcore_converged_and_closed_100x",
+          all(r["converged"] for r in r2)
+          and all(r["core_degree"] >= 4 for r in r2))
+
+    # --- conversion z-test: rates invariant, z exactly 10x ---------------
+    t1, r1 = timed(WORKLOADS["events_conversion_ztest"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_conversion_ztest"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"events_conversion_ztest: {t1:.2f}s -> {t2:.2f}s  "
+          f"z {a['z']} -> {b['z']}")
+    check("ztest_counts_100x",
+          b["na"] == 100 * a["na"] and b["nb"] == 100 * a["nb"]
+          and b["conv_a"] == 100 * a["conv_a"]
+          and b["conv_b"] == 100 * a["conv_b"])
+    check("ztest_z_10x", abs(b["z"] - 10 * a["z"]) <= 1e-4,
+          f"expected {10*a['z']:.6f}")
+
+    # --- RRF: formula identity + arm population at 100x -------------------
+    # (corpus stats N/df scale, so BM25 scores shift — no bitwise slice
+    # invariant exists; the certificate is the fusion identity itself)
+    t1, r1 = timed(WORKLOADS["doc_rrf_retrieval"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["doc_rrf_retrieval"].fn, spark, x100)
+    print(f"doc_rrf_retrieval: {t1:.2f}s -> {t2:.2f}s")
+    check("rrf_fusion_identity_100x", all(
+        r["rrf"] == round(
+            (1 / (60 + r["rank_bm"]) if r["rank_bm"] is not None else 0)
+            + (1 / (60 + r["rank_tf"]) if r["rank_tf"] is not None else 0),
+            6)
+        for r in r2) and len(r2) == 20)
+
     print("ALL CERTS OK" if ok_all else "CERT FAILURES — see above")
     sys.exit(0 if ok_all else 1)
 

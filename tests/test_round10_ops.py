@@ -379,3 +379,82 @@ def test_benford_digit_extraction_and_expectation(spark, tmp_path):
     assert got[1][0] == 2 and got[9][0] == 3 and got[2][0] == 1
     for d, (nobs, exp) in got.items():
         assert exp == round(6 * math.log10(1 + 1 / d), 6)
+
+
+# -- k-core -------------------------------------------------------------------
+
+
+def test_kcore_known_graph(spark):
+    from ophidia_io_server_spark.operators.graph import kcore
+
+    # K4 on {a,b,c,d} plus a pendant chain e-f: 3-core = the K4
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = kcore(df, k=3, rounds=6).collect()
+    got = {r["node"]: r["core_degree"] for r in rows}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert all(r["converged"] for r in rows)
+
+
+def test_kcore_empty_core(spark):
+    from ophidia_io_server_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")],
+                               "src string, dst string")
+    assert kcore(df, k=5, rounds=4).count() == 0
+
+
+def test_kcore_validates_params(spark):
+    from ophidia_io_server_spark.operators.graph import kcore
+
+    with pytest.raises(ValueError, match="k and rounds"):
+        kcore(spark.createDataFrame([("a", "b")], "src string, dst string"),
+              k=0)
+
+
+# -- conversion z-test --------------------------------------------------------
+
+
+def test_conversion_ztest_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    # conversion = >= 14 purchases.  group 0 (even uid): users 0,2,4,6 ->
+    # 2 convert (14 purchases each); group 1: 1,3 -> 1 converts
+    rows = []
+    eid = 0
+    for uid, types in [(0, ["purchase"] * 14), (2, ["click"] + ["purchase"] * 14),
+                       (4, ["view"] * 3), (6, ["click", "purchase"]),
+                       (1, ["purchase"] * 20), (3, ["view", "purchase"])]:
+        for t in types:
+            rows.append((eid, pd.Timestamp("2024-01-01"), uid, t, 1.0, ""))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["events_conversion_ztest"].fn(
+        spark, str(tmp_path)).collect()[0]
+    assert (out["na"], out["nb"], out["conv_a"], out["conv_b"]) == (4, 2, 2, 1)
+    p = 3 / 6
+    z = (2 / 4 - 1 / 2) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 2))
+    assert out["z"] == round(z, 6) == 0.0
+
+
+# -- RRF ----------------------------------------------------------------------
+
+
+def test_rrf_fuses_both_rankings(spark):
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    rows = WORKLOADS["doc_rrf_retrieval"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        want = ((1 / (60 + r["rank_bm"]) if r["rank_bm"] else 0)
+                + (1 / (60 + r["rank_tf"]) if r["rank_tf"] else 0))
+        assert r["rrf"] == round(want, 6)
+    # descending fused order
+    vals = [r["rrf"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
