@@ -136,6 +136,11 @@ HEADLINE = [
     "token_kcore_membership",
     "events_conversion_ztest",
     "doc_rrf_retrieval",
+    # r10 fourth batch (HEADLINE 83 -> 86): dyadic EWMA smoother,
+    # pooled quantile normalization, Apriori level-3 rules
+    "events_ewma_halflife",
+    "events_quantile_normalize",
+    "token_association_triples",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

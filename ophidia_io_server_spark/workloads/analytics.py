@@ -2588,3 +2588,148 @@ def doc_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20)
             .select("doc_id", "rank_bm", "rank_tf",
                     F.round(F.col("rrf_raw"), 6).alias("rrf")))
+
+
+@workload(
+    "events_ewma_halflife",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, hr, y,
+             list(CAST(y AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ys
+      FROM hourly
+    )
+    SELECT event_type, hr, y,
+           ROUND(list_reduce(ys, (acc, x) -> acc / 2 + x / 2), 6) AS ewma
+    FROM pre
+    """,
+)
+def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly event-count
+    series, α = 1/2 (one-hour half-life): ``s₁ = y₁; sₜ = sₜ₋₁/2 +
+    yₜ/2`` — the streaming-dashboard smoother.  α = 1/2 is chosen so
+    every quantity is a DYADIC rational: halving an IEEE double is
+    exact, so the recursion is a sequence of exact operations and both
+    engines produce bit-identical values — no ``pow(1−α, k)``
+    accumulation drift (the general-α version would need the
+    integer-scaled trick; documented trade).
+
+    Scale shape: the corpus collapses to the span-bounded (type, hour)
+    series first; each row folds its own prefix (one window collect +
+    one in-row ``F.aggregate`` left fold — O(T²) on a series bounded by
+    the TIME SPAN, not the data; a year of hours is 8.8k·8.8k/2 ≈ 39M
+    fused multiply-adds per type, one task's work)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = hourly.withColumn(
+        "ys", F.collect_list(F.col("y").cast("double")).over(w))
+    # left fold, acc seeded with the FIRST element (list_reduce semantics)
+    ewma = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        F.element_at(F.col("ys"), 1),
+        lambda acc, x: acc / 2 + x / 2)
+    return pre.select("event_type", "hr", "y",
+                      F.round(ewma, 6).alias("ewma"))
+
+
+@workload(
+    "events_quantile_normalize",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    c AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1, 2
+    ),
+    tc AS (
+      SELECT event_type, v, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS r,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n_t
+      FROM c
+    ),
+    pooled AS (
+      SELECT v AS pv, SUM(cnt) AS pcnt FROM c GROUP BY v
+    ),
+    pcum AS (
+      SELECT pv, SUM(pcnt) OVER (ORDER BY pv) AS cum,
+             SUM(pcnt) OVER (ORDER BY pv) - pcnt + 1 AS lo
+      FROM pooled
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+    q AS (
+      SELECT event_type, v, cnt,
+             (r * n + n_t - 1) // n_t AS p
+      FROM tc CROSS JOIN nn
+    )
+    SELECT q.event_type, q.v, q.cnt,
+           CAST(pcum.pv AS BIGINT) AS v_norm
+    FROM q JOIN pcum ON q.p BETWEEN pcum.lo AND pcum.cum
+    """,
+)
+def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of each event type's value distribution
+    onto the POOLED distribution (nearest-rank variant: a value at
+    within-type inclusive rank r maps to the pooled value at position
+    ⌈r·N/n_t⌉) — the cross-source feature-alignment transform (align
+    every source's score distribution before mixing, the microarray /
+    reward-model-calibration classic).
+
+    Scale design: both CDFs are distributed prefix sums over
+    distinct-value tables (the within-type one derives from the pooled
+    ORDER with per-type offsets — lang-offset trick, one exchange); the
+    position lookup is the INTERVAL-BUCKET join, not an as-of window:
+    pooled value ranges [cum−cnt+1, cum] partition [1..N], ranges
+    explode into fixed-width position buckets (fanout Σspan/W + #values
+    ≈ 2·N/W rows), queries land in ONE bucket, and a residual BETWEEN
+    finishes the exact match — the repo's interval-join shape, zero
+    single-task stages.  Every decision is an integer comparison."""
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    W = 4096  # positions per bucket; fanout ≈ 2N/W rows
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("bigint").alias("v")))
+    c = g.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    from ophidia_io_server_spark.pin import pinned
+    c = pinned(c, "quantile-normalize distinct (type, value) counts: "
+               "within-type CDF + pooled CDF")
+    # within-type rank from ONE type-major prefix sum + per-type offsets
+    cum = global_prefix_sum(c, ["event_type", "v"], "cnt")
+    per_t = cum.groupBy("event_type").agg(
+        (F.min(F.col("cum") - F.col("cnt"))).alias("pre"),
+        F.sum("cnt").cast("bigint").alias("n_t"))
+    tc = (cum.join(F.broadcast(per_t), "event_type")
+          .withColumn("r", F.col("cum") - F.col("pre")))
+    # pooled CDF (cum renamed hi: the query side carries its own cum)
+    pooled = (c.groupBy(F.col("v").alias("pv"))
+              .agg(F.sum("cnt").cast("bigint").alias("pcnt")))
+    pcum = (global_prefix_sum(pooled, ["pv"], "pcnt", cum_col="hi")
+            .withColumn("lo", F.col("hi") - F.col("pcnt") + 1))
+    nn = tc.agg(F.sum("cnt").cast("bigint").alias("n"))
+    q = (tc.crossJoin(F.broadcast(nn))
+         .withColumn("p", F.expr("(r * n + n_t - 1) div n_t"))
+         .withColumn("bkt", F.expr(f"(p - 1) div {W}"))
+         .select("event_type", "v", "cnt", "p", "bkt"))
+    anchors = (pcum.withColumn(
+        "bkt", F.explode(F.sequence(
+            F.expr(f"(lo - 1) div {W}"), F.expr(f"(hi - 1) div {W}")))))
+    return (q.join(anchors, "bkt")
+            .where(F.col("p").between(F.col("lo"), F.col("hi")))
+            .select("event_type", "v", "cnt",
+                    F.col("pv").cast("bigint").alias("v_norm")))

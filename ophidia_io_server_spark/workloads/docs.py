@@ -1601,3 +1601,126 @@ def source_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(jac_exact, 6).alias("jaccard_exact"),
                     (F.abs(jac_est - jac_exact) <= 0.15)
                     .alias("within_bound")))
+
+
+@workload(
+    "token_association_triples",
+    oracle="""
+    WITH tk AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '),
+                                w -> w <> '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tk),
+    item AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY token
+      HAVING COUNT(*) >= 20
+    ),
+    ft AS (SELECT doc_id, token FROM tk
+           WHERE token IN (SELECT token FROM item)),
+    co AS (
+      SELECT a.token AS ta, b.token AS tb, CAST(COUNT(*) AS BIGINT) AS nab
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY ta, tb HAVING COUNT(*) >= 20
+    ),
+    cand AS (
+      SELECT p.ta, p.tb, q.tb AS tc_, p.nab
+      FROM co p JOIN co q ON q.ta = p.ta AND q.tb > p.tb
+      WHERE EXISTS (SELECT 1 FROM co r
+                    WHERE r.ta = p.tb AND r.tb = q.tb)
+    ),
+    tri AS (
+      SELECT c.ta, c.tb, c.tc_, MIN(c.nab) AS nab,
+             CAST(COUNT(*) AS BIGINT) AS nabc
+      FROM cand c
+      JOIN ft x ON x.token = c.ta
+      JOIN ft y ON y.token = c.tb AND y.doc_id = x.doc_id
+      JOIN ft z ON z.token = c.tc_ AND z.doc_id = x.doc_id
+      GROUP BY c.ta, c.tb, c.tc_ HAVING COUNT(*) >= 20
+    )
+    SELECT ta AS ant_a, tb AS ant_b, tc_ AS consequent, nabc,
+           ROUND(nabc * 1.0 / n_docs, 6) AS support,
+           ROUND(nabc * 1.0 / nab, 6) AS confidence,
+           ROUND(nabc * 1.0 * n_docs / (nab * ic.n), 6) AS lift
+    FROM tri JOIN item ic ON ic.token = tc_
+    CROSS JOIN nd
+    WHERE nabc * 1.0 / nab >= 0.2
+    """,
+)
+def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3: association rules {a, b} → c over per-document
+    token sets (Agrawal & Srikant VLDB'94's candidate-generation step,
+    the part the 2-itemset row doesn't exercise): candidate triples come
+    ONLY from joining frequent PAIRS sharing their first item, pruned by
+    the Apriori property (all three sub-pairs must themselves be
+    frequent — the EXISTS check), and are then exact-counted against the
+    frequent-item posting list.  Rules report support, confidence
+    n(abc)/n(ab), and lift against the consequent's base rate — all
+    single divisions of exact BIGINT counts.
+
+    Scale shape: the candidate join runs over the FREQUENT-PAIR table
+    (bounded by min-support, never vocabulary²); the Apriori prune
+    shrinks it before the 3-way posting join; every posting join is an
+    equi-join on doc_id over min-support-pruned postings.  Consequent =
+    the lexicographically-largest member, one directed rule per triple
+    (the canonical Apriori enumeration; the 2-item row covers directed
+    rule expansion)."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from ophidia_io_server_spark.sources.tables import spread
+    from ophidia_io_server_spark.pin import pinned
+
+    MIN_N = 20
+    MIN_CONF = 0.2
+    docs = load_table(spark, sf_dir, "documents")
+    tk = pinned(
+        (spread(docs).where(F.col("text").isNotNull())
+         .select("doc_id", F.explode(F.array_distinct(
+             tokens_col(F.col("text")))).alias("token"))),
+        "triples posting list: item counts + N + pair/triple joins")
+    nd = tk.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    item = (tk.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .where(F.col("n") >= MIN_N))
+    # min-support bounds the frequent-item table (<= sum|doc|/MIN_N rows)
+    ft = pinned(tk.join(F.broadcast(item.select("token")), "token")
+                .select("doc_id", "token"),
+                "frequent-token postings: pair join + 3x triple join")
+    a = ft.select("doc_id", F.col("token").alias("ta"))
+    b = ft.select("doc_id", F.col("token").alias("tb"))
+    co = pinned(
+        (a.join(b, "doc_id").where(F.col("ta") < F.col("tb"))
+         .groupBy("ta", "tb")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+         .where(F.col("nab") >= MIN_N)),
+        "frequent pairs: candidate self-join + Apriori prune")
+    p = co.select("ta", "tb", "nab")
+    q = co.select(F.col("ta").alias("ta"), F.col("tb").alias("tc_"))
+    cand = (p.join(q, "ta").where(F.col("tc_") > F.col("tb"))
+            # Apriori prune: (tb, tc_) must itself be frequent
+            .join(co.select(F.col("ta").alias("tb"),
+                            F.col("tb").alias("tc_")).distinct(),
+                  ["tb", "tc_"], "leftsemi"))
+    x = ft.select("doc_id", F.col("token").alias("ta"))
+    y = ft.select("doc_id", F.col("token").alias("tb"))
+    z = ft.select("doc_id", F.col("token").alias("tc_"))
+    tri = (cand.join(x, "ta").join(y, ["doc_id", "tb"])
+           .join(z, ["doc_id", "tc_"])
+           .groupBy("ta", "tb", "tc_")
+           .agg(F.min("nab").alias("nab"),
+                F.count(F.lit(1)).cast("bigint").alias("nabc"))
+           .where(F.col("nabc") >= MIN_N))
+    return (tri
+            .join(item.select(F.col("token").alias("tc_"),
+                              F.col("n").alias("nc")), "tc_")
+            .crossJoin(F.broadcast(nd))
+            .where(F.col("nabc") / F.col("nab") >= MIN_CONF)
+            .select(F.col("ta").alias("ant_a"), F.col("tb").alias("ant_b"),
+                    F.col("tc_").alias("consequent"), "nabc",
+                    F.round(F.col("nabc") / F.col("n_docs"), 6)
+                    .alias("support"),
+                    F.round(F.col("nabc") / F.col("nab"), 6)
+                    .alias("confidence"),
+                    F.round(F.col("nabc") * F.col("n_docs")
+                            / (F.col("nab") * F.col("nc")), 6)
+                    .alias("lift")))

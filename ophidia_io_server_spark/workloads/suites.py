@@ -389,6 +389,13 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("k_used", "bigint"), ("jaccard_est", "double"),
             ("jaccard_exact", "double"), ("within_bound", "boolean"),
         ],
+        # r10: Apriori level-3 rules {a,b} -> c
+        "token_association_triples": [
+            ("ant_a", "string"), ("ant_b", "string"),
+            ("consequent", "string"), ("nabc", "bigint"),
+            ("support", "double"), ("confidence", "double"),
+            ("lift", "double"),
+        ],
         "doc_text_metrics": [
             ("doc_id", "bigint"), ("ws_tokens", "bigint"),
             ("bpe_tokens", "bigint"), ("stopword_ratio", "double"),
@@ -532,6 +539,16 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_conversion_ztest": [
             ("na", "bigint"), ("nb", "bigint"), ("conv_a", "bigint"),
             ("conv_b", "bigint"), ("z", "double"),
+        ],
+        # r10 fourth batch: dyadic EWMA smoother, nearest-rank quantile
+        # normalization onto the pooled distribution
+        "events_ewma_halflife": [
+            ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
+            ("ewma", "double"),
+        ],
+        "events_quantile_normalize": [
+            ("event_type", "string"), ("v", "bigint"), ("cnt", "bigint"),
+            ("v_norm", "bigint"),
         ],
         "events_seasonal_decompose": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),

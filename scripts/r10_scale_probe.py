@@ -289,6 +289,46 @@ def main() -> None:
             6)
         for r in r2) and len(r2) == 20)
 
+    # --- EWMA: linear recursion -> exactly 100x ---------------------------
+    t1, r1 = timed(WORKLOADS["events_ewma_halflife"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_ewma_halflife"].fn, spark, x100)
+    print(f"events_ewma_halflife: {t1:.2f}s -> {t2:.2f}s")
+    e1 = {(r["event_type"], r["hr"]): r for r in r1}
+    e2 = {(r["event_type"], r["hr"]): r for r in r2}
+    check("ewma_100x_linear", set(e1) == set(e2) and all(
+        e2[k]["y"] == 100 * e1[k]["y"]
+        and abs(e2[k]["ewma"] - 100 * e1[k]["ewma"]) <= 1e-3
+        for k in e1))
+
+    # --- quantile normalize: ceil algebra -> bitwise invariant mapping ----
+    t1, r1 = timed(WORKLOADS["events_quantile_normalize"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_quantile_normalize"].fn, spark, x100)
+    print(f"events_quantile_normalize: {t1:.2f}s -> {t2:.2f}s "
+          f"({len(r1)} rows)")
+    q1 = {(r["event_type"], r["v"]): (r["cnt"], r["v_norm"]) for r in r1}
+    q2 = {(r["event_type"], r["v"]): (r["cnt"], r["v_norm"]) for r in r2}
+    check("qnorm_mapping_invariant_100x",
+          set(q1) == set(q2)
+          and all(q2[k] == (100 * c, vn) for k, (c, vn) in q1.items()),
+          "ceil(100r*100N/100n_t) lands in the 100x-scaled range of the "
+          "SAME pooled value")
+
+    # --- triples: threshold-scaled rule set invariant ---------------------
+    t1, r1 = timed(WORKLOADS["token_association_triples"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["token_association_triples"].fn, spark, x100)
+    print(f"token_association_triples: {t1:.2f}s -> {t2:.2f}s "
+          f"({len(r1)} -> {len(r2)} rows)")
+    a1 = {(r["ant_a"], r["ant_b"], r["consequent"]):
+          (r["support"], r["confidence"], r["lift"])
+          for r in r1 if r["nabc"] >= 2000 // 100}
+    a2 = {(r["ant_a"], r["ant_b"], r["consequent"]):
+          (r["support"], r["confidence"], r["lift"])
+          for r in r2 if r["nabc"] >= 2000}
+    check("triples_invariant_100x_scaled_threshold", a1 == a2,
+          f"{len(a1)} base == {len(a2)} 100x rules at nabc>=2000 "
+          "(absolute min-support; every count scales 100x -> identical "
+          "rationals)")
+
     print("ALL CERTS OK" if ok_all else "CERT FAILURES — see above")
     sys.exit(0 if ok_all else 1)
 

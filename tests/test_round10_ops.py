@@ -458,3 +458,96 @@ def test_rrf_fuses_both_rankings(spark):
     # descending fused order
     vals = [r["rrf"] for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+# -- EWMA ---------------------------------------------------------------------
+
+
+def test_ewma_exact_dyadic_recursion(spark, tmp_path):
+    import pandas as pd
+
+    counts = [4, 8, 2, 6, 10]
+    rows = []
+    eid = 0
+    for h, k in enumerate(counts):
+        for _ in range(k):
+            rows.append((eid, pd.Timestamp(2024, 1, 1, h), 1, "click",
+                         1.0, ""))
+            eid += 1
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = sorted(WORKLOADS["events_ewma_halflife"].fn(
+        spark, str(tmp_path)).collect(), key=lambda r: r["hr"])
+    s = None
+    for r, y in zip(out, counts):
+        s = float(y) if s is None else s / 2 + y / 2
+        assert r["y"] == y and r["ewma"] == round(s, 6)
+
+
+# -- quantile normalization ---------------------------------------------------
+
+
+def test_quantile_normalize_identity_on_single_group(spark, tmp_path):
+    """With ONE event type the pooled distribution IS the group's, so
+    every value must map to itself (p = r exactly)."""
+    import pandas as pd
+
+    vals = [1.0, 5.0, 5.0, 2.0, 9.0, 3.0]
+    rows = [(i, pd.Timestamp("2024-01-01"), 1, "click", v, "")
+            for i, v in enumerate(vals)]
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["events_quantile_normalize"].fn(
+        spark, str(tmp_path)).collect()
+    assert len(out) == 5  # distinct values
+    for r in out:
+        assert r["v_norm"] == r["v"], r
+
+
+def test_quantile_normalize_monotone_and_pooled_support(spark):
+    """Normalized values must be drawn from the pooled support and be
+    monotone in v within each type."""
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    rows = WORKLOADS["events_quantile_normalize"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    pooled = {r["v"] for r in rows}
+    by_type = {}
+    for r in rows:
+        assert r["v_norm"] in pooled
+        by_type.setdefault(r["event_type"], []).append((r["v"], r["v_norm"]))
+    for t, pairs in by_type.items():
+        pairs.sort()
+        norms = [n for _, n in pairs]
+        assert norms == sorted(norms), t
+
+
+# -- association triples ------------------------------------------------------
+
+
+def test_association_triples_hand_corpus(spark, tmp_path):
+    """20 docs all containing {x y z}, plus fillers: the triple (x,y,z)
+    must surface with support 20/n and confidence 1."""
+    import pandas as pd
+
+    texts = ["x y z filler%d" % i for i in range(20)] + ["w"] * 5
+    pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts, "lang": "en",
+        "source": "s", "n_chars": [len(t) for t in texts],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    rows = WORKLOADS["token_association_triples"].fn(
+        spark, str(tmp_path)).collect()
+    got = {(r["ant_a"], r["ant_b"], r["consequent"]): r for r in rows}
+    assert ("x", "y", "z") in got
+    r = got[("x", "y", "z")]
+    assert r["nabc"] == 20 and r["confidence"] == 1.0
+    assert r["support"] == round(20 / 25, 6)
+    assert r["lift"] == round(20 * 25 / (20 * 20), 6)
