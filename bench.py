@@ -141,6 +141,10 @@ HEADLINE = [
     "events_ewma_halflife",
     "events_quantile_normalize",
     "token_association_triples",
+    # r10 fifth batch (HEADLINE 86 -> 88): Spearman on CDF ranks, exact
+    # functional-dependency discovery
+    "lineitem_spearman_corr",
+    "orders_fd_discovery",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

@@ -129,3 +129,46 @@ def pearson_matrix(df: DataFrame, int_cols: list[str]) -> DataFrame:
         ))
     return (wide.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.col_a", "r.col_b", "r.n", "r.corr"))
+
+
+def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact functional-dependency discovery over the ordered pairs of
+    ``cols`` (the single-attribute core of Metanome/TANE-style data
+    profiling): ``A → B`` holds iff ``count_distinct(A) ==
+    count_distinct(A, B)`` — every A value maps to exactly one B value.
+    Violations (= distinct (A,B) pairs minus distinct A values) quantify
+    HOW broken a failed dependency is, which is what a schema auditor
+    acts on.
+
+    Scale shape: ONE aggregate computes every count-distinct (Spark
+    plans multi-distinct aggregates via a single Expand — one scan, one
+    exchange, no per-pair re-scan); the d·(d−1) result rows unpivot
+    driver-free from the one-row aggregate, exactly like
+    ``pearson_matrix``.  NULL counts as a value (SQL count-distinct
+    semantics would drop all-NULL tuples; profiling must see them), so
+    every column rides through a sentinel-free ``struct`` — distinct
+    over structs treats NULL fields as values in both engines."""
+    if len(cols) < 2:
+        raise ValueError(f"fd_discovery needs >= 2 columns, got {cols}")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count_distinct(F.struct(c)).cast("bigint")
+                    .alias(f"_d{i}"))
+    pairs = [(i, j) for i in range(len(cols)) for j in range(len(cols))
+             if i != j]
+    for i, j in pairs:
+        aggs.append(F.count_distinct(F.struct(cols[i], cols[j]))
+                    .cast("bigint").alias(f"_d{i}_{j}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for i, j in pairs:
+        rows.append(F.struct(
+            F.lit(cols[i]).alias("lhs"), F.lit(cols[j]).alias("rhs"),
+            F.col(f"_d{i}").alias("n_lhs"),
+            F.col(f"_d{i}_{j}").alias("n_pairs"),
+            (F.col(f"_d{i}_{j}") == F.col(f"_d{i}")).alias("holds"),
+            (F.col(f"_d{i}_{j}") - F.col(f"_d{i}")).alias("violations"),
+        ))
+    return (wide.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.lhs", "r.rhs", "r.n_lhs", "r.n_pairs", "r.holds",
+                    "r.violations"))

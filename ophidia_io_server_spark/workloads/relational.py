@@ -2170,3 +2170,131 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * F.log10(1 + 1.0 / F.col("digit")
                                       .cast("double")), 6)
                     .alias("expected")))
+
+
+@workload(
+    "lineitem_spearman_corr",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY x),
+    rx AS (SELECT x, 2 * SUM(c) OVER (ORDER BY x) - c + 1 AS rx2 FROM cx),
+    cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY y),
+    ry AS (SELECT y, 2 * SUM(c) OVER (ORDER BY y) - c + 1 AS ry2 FROM cy),
+    j AS (SELECT rx.rx2, ry.ry2 FROM b
+          JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(rx2 AS HUGEINT)) AS sx,
+             SUM(CAST(rx2 AS HUGEINT) * rx2) AS qx,
+             SUM(CAST(ry2 AS HUGEINT)) AS sy,
+             SUM(CAST(ry2 AS HUGEINT) * ry2) AS qy,
+             SUM(CAST(rx2 AS HUGEINT) * ry2) AS pxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * pxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * qx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * qy - sy * sy AS DOUBLE))), 6) AS rho
+    FROM s
+    """,
+)
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price — the
+    monotone-association statistic (Pearson on tie-AVERAGED ranks; the
+    robust sibling of ``lineitem_correlation_matrix``'s linear Pearson).
+    Ranks never materialize by sorting rows: each column's tie-averaged
+    rank comes from the distributed prefix-sum CDF over its DISTINCT
+    values, doubled so it stays integer (``2R = 2·cum − cnt + 1``), and
+    the correlation is the SAME fused exact-DECIMAL Pearson aggregate
+    the matrix row uses (Pearson is scale-invariant, so Pearson(2R) IS
+    Spearman).  One IEEE expression at the end.
+
+    Scale: two value-keyed rank-map joins (distinct-value-sized build
+    sides, shuffle join — no forced broadcast) + one scan-shaped
+    aggregate; no global row sort anywhere."""
+    from ophidia_io_server_spark.operators.profile import pearson_matrix
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (li.where(F.col("l_quantity").isNotNull()
+                  & F.col("l_extendedprice").isNotNull())
+         .select(F.col("l_quantity").cast("bigint").alias("x"),
+                 F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                 .alias("y")))
+    from ophidia_io_server_spark.pin import pinned
+    b = pinned(b, "spearman base pairs: two rank-map builds + the join")
+    cx = b.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rx = (global_prefix_sum(cx, ["x"], "c")
+          .select("x", (2 * F.col("cum") - F.col("c") + 1).alias("rx2")))
+    cy = b.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ry = (global_prefix_sum(cy, ["y"], "c")
+          .select("y", (2 * F.col("cum") - F.col("c") + 1).alias("ry2")))
+    j = b.join(rx, "x").join(ry, "y").select("rx2", "ry2")
+    out = pearson_matrix(j, ["rx2", "ry2"])
+    return out.select("n", F.col("corr").alias("rho"))
+
+
+@workload(
+    "orders_fd_discovery",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS _n,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d0,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d1,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d2,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d3,
+             CAST(COUNT(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT) AS d01,
+             CAST(COUNT(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT) AS d02,
+             CAST(COUNT(DISTINCT (o_custkey, o_orderkey)) AS BIGINT) AS d03,
+             CAST(COUNT(DISTINCT (o_orderstatus, o_custkey)) AS BIGINT) AS d10,
+             CAST(COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS BIGINT) AS d12,
+             CAST(COUNT(DISTINCT (o_orderstatus, o_orderkey)) AS BIGINT) AS d13,
+             CAST(COUNT(DISTINCT (o_orderpriority, o_custkey)) AS BIGINT) AS d20,
+             CAST(COUNT(DISTINCT (o_orderpriority, o_orderstatus)) AS BIGINT) AS d21,
+             CAST(COUNT(DISTINCT (o_orderpriority, o_orderkey)) AS BIGINT) AS d23,
+             CAST(COUNT(DISTINCT (o_orderkey, o_custkey)) AS BIGINT) AS d30,
+             CAST(COUNT(DISTINCT (o_orderkey, o_orderstatus)) AS BIGINT) AS d31,
+             CAST(COUNT(DISTINCT (o_orderkey, o_orderpriority)) AS BIGINT) AS d32
+      FROM orders
+    )
+    SELECT lhs, rhs, n_lhs, n_pairs, n_pairs = n_lhs AS holds,
+           n_pairs - n_lhs AS violations
+    FROM (
+      SELECT 'o_custkey' AS lhs, 'o_orderstatus' AS rhs, d0 AS n_lhs, d01 AS n_pairs FROM s
+      UNION ALL SELECT 'o_custkey', 'o_orderpriority', d0, d02 FROM s
+      UNION ALL SELECT 'o_custkey', 'o_orderkey', d0, d03 FROM s
+      UNION ALL SELECT 'o_orderstatus', 'o_custkey', d1, d10 FROM s
+      UNION ALL SELECT 'o_orderstatus', 'o_orderpriority', d1, d12 FROM s
+      UNION ALL SELECT 'o_orderstatus', 'o_orderkey', d1, d13 FROM s
+      UNION ALL SELECT 'o_orderpriority', 'o_custkey', d2, d20 FROM s
+      UNION ALL SELECT 'o_orderpriority', 'o_orderstatus', d2, d21 FROM s
+      UNION ALL SELECT 'o_orderpriority', 'o_orderkey', d2, d23 FROM s
+      UNION ALL SELECT 'o_orderkey', 'o_custkey', d3, d30 FROM s
+      UNION ALL SELECT 'o_orderkey', 'o_orderstatus', d3, d31 FROM s
+      UNION ALL SELECT 'o_orderkey', 'o_orderpriority', d3, d32 FROM s
+    )
+    """,
+)
+def orders_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-attribute functional-dependency discovery over orders
+    (``operators/profile.py::fd_discovery`` — the TANE/Metanome data-
+    profiling core): for every ordered column pair, does A → B hold
+    (``distinct(A) == distinct(A,B)``), and by how many violating pairs
+    does it fail?  On TPC-H the PK dependencies o_orderkey → * must
+    hold and the categorical pairs must fail loudly — the schema-audit
+    readout.
+
+    Scale: ONE multi-distinct aggregate (Spark's Expand — one scan, one
+    exchange) computes all 16 distinct counts; the 12 output rows
+    unpivot driver-free like the Pearson matrix."""
+    from ophidia_io_server_spark.operators.profile import fd_discovery
+
+    orders = load_table(spark, sf_dir, "orders")
+    return fd_discovery(
+        orders, ["o_custkey", "o_orderstatus", "o_orderpriority",
+                 "o_orderkey"])

@@ -742,6 +742,16 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("digit", "bigint"), ("n_obs", "bigint"),
             ("expected", "double"),
         ],
+        # r10 fifth batch: Spearman on CDF-derived ranks; exact FD
+        # discovery (one multi-distinct aggregate)
+        "lineitem_spearman_corr": [
+            ("n", "bigint"), ("rho", "double"),
+        ],
+        "orders_fd_discovery": [
+            ("lhs", "string"), ("rhs", "string"), ("n_lhs", "bigint"),
+            ("n_pairs", "bigint"), ("holds", "boolean"),
+            ("violations", "bigint"),
+        ],
     },
     # fragment-store row windows + MERGE upsert
     "fragment_ops_suite": {

@@ -329,6 +329,33 @@ def main() -> None:
           "(absolute min-support; every count scales 100x -> identical "
           "rationals)")
 
+    # --- Spearman: affine-invariant under uniform duplication -------------
+    # duplicating rows 100x maps every doubled tie-averaged rank through
+    # the SAME affine transform (2R' = 100·2R − 99), and Pearson — hence
+    # Spearman — is affine-invariant: rho must be identical.
+    t1, r1 = timed(WORKLOADS["lineitem_spearman_corr"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["lineitem_spearman_corr"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"lineitem_spearman_corr: {t1:.2f}s -> {t2:.2f}s  "
+          f"rho {a['rho']} -> {b['rho']}")
+    check("spearman_affine_invariant_100x",
+          abs(b["rho"] - a["rho"]) <= 1e-6 and b["n"] == 100 * a["n"])
+
+    # --- FD discovery: verdicts invariant, key cardinalities scale --------
+    t1, r1 = timed(WORKLOADS["orders_fd_discovery"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["orders_fd_discovery"].fn, spark, x100)
+    print(f"orders_fd_discovery: {t1:.2f}s -> {t2:.2f}s")
+    f1 = {(r["lhs"], r["rhs"]): r for r in r1}
+    f2 = {(r["lhs"], r["rhs"]): r for r in r2}
+    check("fd_verdicts_invariant_100x",
+          set(f1) == set(f2)
+          and all(f2[k]["holds"] == f1[k]["holds"] for k in f1))
+    check("fd_cardinalities_scale_100x", all(
+        (f2[k]["n_lhs"] == 100 * f1[k]["n_lhs"]
+         if k[0] in ("o_orderkey", "o_custkey")
+         else f2[k]["n_lhs"] == f1[k]["n_lhs"])
+        for k in f1))
+
     print("ALL CERTS OK" if ok_all else "CERT FAILURES — see above")
     sys.exit(0 if ok_all else 1)
 

@@ -551,3 +551,91 @@ def test_association_triples_hand_corpus(spark, tmp_path):
     assert r["nabc"] == 20 and r["confidence"] == 1.0
     assert r["support"] == round(20 / 25, 6)
     assert r["lift"] == round(20 * 25 / (20 * 20), 6)
+
+
+# -- Spearman -----------------------------------------------------------------
+
+
+def test_spearman_matches_scipy_free_formula(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(1, 8, size=60)
+    price = (q * 100 + rng.integers(-50, 50, size=60)).astype(float)
+    pdf = pd.DataFrame({
+        "l_orderkey": range(60), "l_partkey": 1, "l_suppkey": 1,
+        "l_linenumber": 1, "l_quantity": q.astype(float),
+        "l_extendedprice": price, "l_discount": 0.0, "l_tax": 0.0,
+        "l_returnflag": "N", "l_linestatus": "O",
+        "l_shipdate": pd.to_datetime("2024-01-01")})
+    pdf.to_parquet(str(tmp_path / "lineitem.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["lineitem_spearman_corr"].fn(
+        spark, str(tmp_path)).collect()[0]
+    # scipy-free: Pearson on tie-averaged ranks
+    def avg_ranks(a):
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a), dtype=float)
+        sa = a[order]
+        i = 0
+        while i < len(a):
+            j = i
+            while j < len(a) and sa[j] == sa[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2  # average of 1-based ranks
+            i = j
+        return ranks
+    rx, ry = avg_ranks(q.astype(float)), avg_ranks(price)
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert out["n"] == 60
+    assert abs(out["rho"] - want) < 1e-6
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    import pandas as pd
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    pdf = pd.DataFrame({
+        "l_orderkey": range(5), "l_partkey": 1, "l_suppkey": 1,
+        "l_linenumber": 1, "l_quantity": vals,
+        "l_extendedprice": [v ** 3 for v in vals],  # monotone, nonlinear
+        "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+        "l_linestatus": "O", "l_shipdate": pd.to_datetime("2024-01-01")})
+    pdf.to_parquet(str(tmp_path / "lineitem.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = WORKLOADS["lineitem_spearman_corr"].fn(
+        spark, str(tmp_path)).collect()[0]
+    assert out["rho"] == 1.0  # rank correlation sees through the cube
+
+
+# -- FD discovery -------------------------------------------------------------
+
+
+def test_fd_discovery_known_dependencies(spark):
+    from ophidia_io_server_spark.operators.profile import fd_discovery
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "z")],
+        "id long, u string, w string")
+    got = {(r["lhs"], r["rhs"]): (r["holds"], r["violations"])
+           for r in fd_discovery(df, ["id", "u", "w"]).collect()}
+    assert got[("id", "u")] == (True, 0)       # id is a key
+    assert got[("id", "w")] == (True, 0)
+    assert got[("u", "w")] == (False, 1)       # b -> {y, z}
+    assert got[("w", "u")] == (True, 0)        # each w has one u
+    assert got[("u", "id")] == (False, 2)
+
+
+def test_fd_discovery_counts_null_as_value(spark):
+    from ophidia_io_server_spark.operators.profile import fd_discovery
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "a long, b string")
+    got = {(r["lhs"], r["rhs"]): r for r in
+           fd_discovery(df, ["a", "b"]).collect()}
+    # b -> a must FAIL: NULL maps to ids 1 AND 2 (profiling semantics)
+    assert got[("b", "a")]["holds"] is False
+    assert got[("b", "a")]["n_lhs"] == 2  # NULL and 'x'
