@@ -145,6 +145,11 @@ HEADLINE = [
     # functional-dependency discovery
     "lineitem_spearman_corr",
     "orders_fd_discovery",
+    # r10 sixth batch (HEADLINE 88 -> 91): integer CUSUM drift tripwire,
+    # DBSCAN from grid join + min-label rounds, OHLC streaming twin
+    "events_cusum_drift",
+    "events_dbscan_clusters",
+    "events_ohlc_streaming",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost
@@ -155,6 +160,7 @@ HEADLINE = [
 # #2) — these rows get ONE discarded warm-up drain + ONE timed drain.
 STREAM_ONCE = {
     "events_hopping_streaming",
+    "events_ohlc_streaming",
     "stream_minhash_incremental",
     "stream_view_attribution",
     "stream_quantile_rollup",

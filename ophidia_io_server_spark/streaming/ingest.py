@@ -575,3 +575,24 @@ def minhash_lsh_stream(stream_docs: DataFrame, n: int = 3,
     for p in emitted[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ohlc_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Hourly OHLC bars under a watermark — the streaming form of
+    workload.events_ohlc_hourly: ``min_by``/``max_by`` are declarative
+    (partial-aggregatable) aggregates, so the state per open (hour,
+    type) window is four scalars + a count, and eviction follows the
+    watermark exactly like the tumbling count twin."""
+    o = F.struct("ts", "event_id")
+    return (
+        events.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.min_by("value", o).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", o).alias("close"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type",
+                "open", "high", "low", "close", "n")
+    )

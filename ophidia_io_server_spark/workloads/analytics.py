@@ -2733,3 +2733,208 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("p").between(F.col("lo"), F.col("hi")))
             .select("event_type", "v", "cnt",
                     F.col("pv").cast("bigint").alias("v_norm")))
+
+
+@workload(
+    "events_cusum_drift",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS t
+      FROM hourly GROUP BY 1
+    ),
+    pre AS (
+      SELECT h.event_type, hr, y, t.n, t.t,
+             list(t.n * y - t.t) OVER (
+               PARTITION BY h.event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ds
+      FROM hourly h JOIN tot t USING (event_type)
+    )
+    SELECT event_type, hr, y,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+                       (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+             AS cusum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+                       (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+             > 3 * t AS alarm
+    FROM pre
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector (Page 1954) on the hourly event-
+    count series per type: ``C_t = max(0, C_{t−1} + (y_t − μ))`` with
+    everything SCALED BY n so it stays on the integer grid — the
+    recursion runs on ``n·y_t − T`` (= n·(y_t − μ) with μ = T/n), and
+    the alarm fires when the accumulated excess passes three mean-hours
+    (``C > 3·T`` in the scaled units).  The rate-drift tripwire every
+    ingestion pipeline wants; exact integers end to end, so both engines
+    agree bitwise including the clamp points.
+
+    Scale shape: corpus → span-bounded hourly series first; each row
+    folds its prefix of integer deviations (collect + in-row clamped
+    fold, the EWMA pattern).  Digit budget: |C| ≤ n·T → at 10^5 hours
+    of 10^9 events/hour the fold stays under 10^19 — inside BIGINT."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("t"))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = (hourly.join(F.broadcast(tot), "event_type")
+           .withColumn("ds", F.collect_list(
+               F.col("n") * F.col("y") - F.col("t")).over(w)))
+    cusum = F.aggregate(
+        F.col("ds"), F.lit(0).cast("long"),
+        lambda acc, x: F.greatest(F.lit(0).cast("long"), acc + x))
+    return pre.select("event_type", "hr", "y",
+                      cusum.alias("cusum"),
+                      (cusum > 3 * F.col("t")).alias("alarm"))
+
+
+def _dbscan_oracle(eps: float, min_nb: int, rounds: int) -> str:
+    """Unrolled DBSCAN oracle: literal O(n²) radius pairs (the md5-
+    coordinate recipe of events_spatial_neighbors), core = ≥ ``min_nb``
+    neighbours, clusters by ``rounds`` synchronous min-label rounds over
+    the core-core graph (same CTE chain trick as LPA/k-core), border =
+    non-core points adopting their minimum core neighbour's label."""
+    sql = f"""
+    WITH p AS (
+      SELECT event_id,
+             (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS x,
+             (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 17, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS y
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e2 AS MATERIALIZED (
+      SELECT a.event_id AS u, b.event_id AS v
+      FROM p a JOIN p b ON a.event_id < b.event_id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {eps} * {eps}
+    ),
+    und AS MATERIALIZED (
+      SELECT u, v FROM e2 UNION ALL SELECT v AS u, u AS v FROM e2
+    ),
+    nb AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n FROM und GROUP BY u),
+    core AS MATERIALIZED (SELECT u FROM nb WHERE n >= {min_nb}),
+    ce AS MATERIALIZED (
+      SELECT und.u, und.v FROM und
+      JOIN core a ON und.u = a.u JOIN core b ON und.v = b.u
+    ),
+    l0 AS MATERIALIZED (SELECT u AS node, u AS label FROM core)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    l{i} AS MATERIALIZED (
+      SELECT l.node, LEAST(l.label, COALESCE(MIN(nl.label), l.label))
+               AS label
+      FROM l{i - 1} l
+      LEFT JOIN ce ON ce.v = l.node
+      LEFT JOIN l{i - 1} nl ON nl.node = ce.u
+      GROUP BY l.node, l.label)"""
+    sql += f""",
+    conv AS (
+      SELECT NOT EXISTS (SELECT 1 FROM l{rounds} a
+                         JOIN l{rounds - 1} b USING (node)
+                         WHERE a.label <> b.label) AS converged),
+    border AS (
+      SELECT und.u AS node, MIN(l.label) AS label
+      FROM und JOIN core c ON und.v = c.u
+      JOIN l{rounds} l ON l.node = und.v
+      WHERE und.u NOT IN (SELECT u FROM core)
+      GROUP BY und.u)
+    SELECT node AS event_id, 'core' AS role, label AS cluster, converged
+    FROM l{rounds} CROSS JOIN conv
+    UNION ALL
+    SELECT node, 'border', label, converged FROM border CROSS JOIN conv"""
+    return sql
+
+
+@workload("events_dbscan_clusters", oracle=_dbscan_oracle(0.02, 3, 15))
+def events_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al. KDD'96) composed ENTIRELY from the repo's
+    scale primitives: neighbourhoods from the grid-bucketed fixed-radius
+    join (``operators/spatial.py`` — no cartesian stage), core points =
+    ≥ 3 neighbours within ε = 0.02, clusters = exactly 15 synchronous
+    min-label rounds over the core-core graph (the fixed-iteration
+    LPA/k-core contract, with a ``converged`` certificate), border
+    points adopt their minimum core neighbour's cluster, noise is
+    excluded (documented).  Labels are min event-ids — integers, so the
+    whole clustering hashes.
+
+    Scale shape: candidate pairs are grid-linear, the per-round update
+    is one edge-join + groupBy (labels pinned per round), border
+    assignment one more edge-join; the oracle replays the identical
+    peel over the literal O(n²) pair set, so the hash certifies the
+    grid pruning AND the label fixpoint together."""
+    from ophidia_io_server_spark.operators.spatial import radius_self_join
+    from ophidia_io_server_spark.pin import pinned
+
+    EPS, MIN_NB, ROUNDS = 0.02, 3, 15
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    pts = (ev.where(F.col("event_type") == "purchase")
+           .select("event_id",
+                   (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+                    % 1000000 / 1000000.0).alias("x"),
+                   (F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint")
+                    % 1000000 / 1000000.0).alias("y")))
+    pairs = radius_self_join(pts, radius=EPS, id_col="event_id")
+    und = pinned(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v"))),
+        "dbscan undirected neighbour edges: degrees + CC + border")
+    nb = und.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    core = pinned(nb.where(F.col("n") >= MIN_NB).select("u"),
+                  "dbscan core set: CC edges + border test")
+    ce = pinned(
+        (und.join(core.withColumnRenamed("u", "_cu"),
+                  und.u == F.col("_cu"), "leftsemi")
+         .join(core.withColumnRenamed("u", "_cv"),
+               und.v == F.col("_cv"), "leftsemi")),
+        "dbscan core-core edges: 15 label rounds")
+    labels = core.select(F.col("u").alias("node"),
+                         F.col("u").alias("label"))
+    prev = None
+    for i in range(ROUNDS):
+        prev = labels
+        nbmin = (ce.join(labels.select(F.col("node").alias("u"),
+                                       F.col("label").alias("nl")), "u")
+                 .groupBy(F.col("v").alias("node"))
+                 .agg(F.min("nl").alias("nbmin")))
+        labels = pinned(
+            labels.join(nbmin, "node", "left")
+            .select("node", F.least(
+                F.col("label"),
+                F.coalesce(F.col("nbmin"), F.col("label"))).alias("label")),
+            f"dbscan labels round {i + 1}")
+    diff = (labels.select("node", "label")
+            .join(prev.select("node", F.col("label").alias("_pl")), "node")
+            .where(F.col("label") != F.col("_pl"))
+            .agg(F.count(F.lit(1)).alias("nd")))
+    conv = diff.select((F.col("nd") == 0).alias("converged"))
+    border = (und.join(core.withColumnRenamed("u", "_cv"),
+                       und.v == F.col("_cv"), "leftsemi")
+              .join(core.withColumnRenamed("u", "_cu"),
+                    und.u == F.col("_cu"), "leftanti")
+              .join(labels.select(F.col("node").alias("v"),
+                                  F.col("label")), "v")
+              .groupBy(F.col("u").alias("event_id"))
+              .agg(F.min("label").alias("cluster")))
+    out_core = labels.select(F.col("node").alias("event_id"),
+                             F.lit("core").alias("role"),
+                             F.col("label").alias("cluster"))
+    out_border = border.select("event_id", F.lit("border").alias("role"),
+                               "cluster")
+    return (out_core.unionByName(out_border)
+            .crossJoin(F.broadcast(conv)))

@@ -452,3 +452,47 @@ def events_hopping_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _staged_events_dir(spark, sf_dir)
     stream = hopping_counts_stream(events_stream(spark, path))
     return run_available_now(stream, "events_hopping_stream_result")
+
+
+@workload(
+    "events_ohlc_streaming",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, value,
+             ts, event_id
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    w AS (
+      SELECT hour_start, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY hour_start, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY hour_start, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT hour_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY hour_start, event_type
+    """,
+)
+def events_ohlc_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly OHLC bars as events_ohlc_hourly but through
+    readStream → watermark → min_by/max_by windowed agg → availableNow
+    memory sink (``streaming/ingest.py::ohlc_stream``): exercises
+    ORDER-SENSITIVE aggregates (first/last by event time) in streaming
+    state, which the count/sum twins don't — min_by/max_by are
+    declarative aggregates, so each open window holds four scalars and
+    the result is batch-identical whatever the micro-batch split.  The
+    batch oracle checks the drained stream bitwise."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        ohlc_stream,
+        run_available_now,
+    )
+
+    path = _staged_events_dir(spark, sf_dir)
+    stream = ohlc_stream(events_stream(spark, path))
+    return run_available_now(stream, "events_ohlc_stream_result")

@@ -68,6 +68,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("win_start", "timestamp"), ("event_type", "string"),
             ("n_events", "bigint"), ("total_cents", "bigint"),
         ],
+        # r10: OHLC streaming twin (order-sensitive min_by/max_by state)
+        "events_ohlc_streaming": [
+            ("hour_start", "timestamp"), ("event_type", "string"),
+            ("open", "double"), ("high", "double"), ("low", "double"),
+            ("close", "double"), ("n", "bigint"),
+        ],
     },
     # the full dedup family: exact hash-groupBy, the three near-dup
     # detectors (one exact-Jaccard oracle each) and the fixed-window
@@ -549,6 +555,16 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_quantile_normalize": [
             ("event_type", "string"), ("v", "bigint"), ("cnt", "bigint"),
             ("v_norm", "bigint"),
+        ],
+        # r10 sixth batch: integer CUSUM drift tripwire; DBSCAN composed
+        # from the grid radius join + fixed-round min-label CC
+        "events_cusum_drift": [
+            ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
+            ("cusum", "bigint"), ("alarm", "boolean"),
+        ],
+        "events_dbscan_clusters": [
+            ("event_id", "bigint"), ("role", "string"),
+            ("cluster", "bigint"), ("converged", "boolean"),
         ],
         "events_seasonal_decompose": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),

@@ -356,6 +356,42 @@ def main() -> None:
          else f2[k]["n_lhs"] == f1[k]["n_lhs"])
         for k in f1))
 
+    # --- CUSUM: positive scaling commutes with the clamp ------------------
+    t1, r1 = timed(WORKLOADS["events_cusum_drift"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_cusum_drift"].fn, spark, x100)
+    print(f"events_cusum_drift: {t1:.2f}s -> {t2:.2f}s")
+    c1 = {(r["event_type"], r["hr"]): r for r in r1}
+    c2 = {(r["event_type"], r["hr"]): r for r in r2}
+    check("cusum_100x_exact", set(c1) == set(c2) and all(
+        c2[k]["y"] == 100 * c1[k]["y"]
+        and c2[k]["cusum"] == 100 * c1[k]["cusum"]
+        and c2[k]["alarm"] == c1[k]["alarm"] for k in c1))
+
+    # --- DBSCAN at 100x: new points, structural certificates --------------
+    t1, r1 = timed(WORKLOADS["events_dbscan_clusters"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_dbscan_clusters"].fn, spark, x100)
+    print(f"events_dbscan_clusters: {t1:.2f}s -> {t2:.2f}s "
+          f"({len(r1)} -> {len(r2)} rows)")
+    conv = all(r["converged"] for r in r2)
+    by_cl = {}
+    for r in r2:
+        by_cl.setdefault(r["cluster"], []).append(r)
+    # when converged, every cluster label IS the min core member id
+    lbl_ok = (not conv) or all(
+        cl == min(m["event_id"] for m in ms if m["role"] == "core")
+        for cl, ms in by_cl.items())
+    check("dbscan_labels_are_min_core_ids_100x", lbl_ok,
+          f"converged={conv}, clusters={len(by_cl)}")
+    check("dbscan_nonempty_100x", len(r2) > len(r1))
+
+    # --- OHLC streaming twin: stream == batch at 100x ----------------------
+    t1, r1 = timed(WORKLOADS["events_ohlc_streaming"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_ohlc_streaming"].fn, spark, x100)
+    rb = WORKLOADS["events_ohlc_hourly"].fn(spark, x100).collect()
+    print(f"events_ohlc_streaming: {t1:.2f}s -> {t2:.2f}s")
+    check("ohlc_stream_equals_batch_100x",
+          sorted(map(tuple, r2)) == sorted(map(tuple, rb)))
+
     print("ALL CERTS OK" if ok_all else "CERT FAILURES — see above")
     sys.exit(0 if ok_all else 1)
 

@@ -125,3 +125,40 @@ def test_bloom_build_single_action(spark, monkeypatch):
               .where(bloom.bloom_might_contain(
                   F.col("bloom"), F.col("k"), 1 << 12, 4)))
     assert probed.count() == 100
+
+
+# -- CDF-based rank statistics: no single-partition stage anywhere -----------
+
+
+def test_rank_statistics_no_single_partition_sort_or_window(spark):
+    """Every r10 statistic that consumes the distributed CDF/rank
+    primitives must keep its plan free of data-sized single-task stages:
+    a ``SinglePartition`` exchange is LEGITIMATE only as the final hop of
+    a global scalar aggregate (its input is one partial row per
+    partition, bounded by P, not the data) — the scale-killers are a
+    Sort or Window consuming one (the r9 stratified-split class).  The
+    guard walks each SinglePartition exchange's consumer and rejects
+    sorts/windows."""
+    def offenders(plan):
+        lines = plan.splitlines()
+        bad = []
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            indent = len(ln) - len(ln.lstrip(" +-:*("))
+            for j in range(i - 1, -1, -1):
+                pj = lines[j]
+                ind_j = len(pj) - len(pj.lstrip(" +-:*("))
+                if pj.strip() and ind_j < indent:
+                    if "Sort" in pj or "Window" in pj:
+                        bad.append(pj.strip()[:80])
+                    break
+        return bad
+
+    for name in ("events_mannwhitney_utest", "orders_gini_revenue",
+                 "lineitem_winsorized_stats", "events_ks_test",
+                 "lineitem_mad_outliers", "lineitem_spearman_corr",
+                 "events_quantile_normalize", "doc_stratified_split"):
+        p = _plan(spark, name)
+        assert not offenders(p), (name, offenders(p))
+        assert "CartesianProduct" not in p, name

@@ -639,3 +639,110 @@ def test_fd_discovery_counts_null_as_value(spark):
     # b -> a must FAIL: NULL maps to ids 1 AND 2 (profiling semantics)
     assert got[("b", "a")]["holds"] is False
     assert got[("b", "a")]["n_lhs"] == 2  # NULL and 'x'
+
+
+# -- CUSUM --------------------------------------------------------------------
+
+
+def test_cusum_clamped_recursion(spark, tmp_path):
+    import pandas as pd
+
+    counts = [4, 4, 4, 10, 10, 1]  # mean = 5.5 -> drift then reset
+    rows = []
+    eid = 0
+    for h, k in enumerate(counts):
+        for _ in range(k):
+            rows.append((eid, pd.Timestamp(2024, 1, 1, h), 1, "click",
+                         1.0, ""))
+            eid += 1
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    out = sorted(WORKLOADS["events_cusum_drift"].fn(
+        spark, str(tmp_path)).collect(), key=lambda r: r["hr"])
+    n, t = len(counts), sum(counts)
+    c = 0
+    for r, y in zip(out, counts):
+        c = max(0, c + n * y - t)
+        assert (r["y"], r["cusum"]) == (y, c)
+        assert r["alarm"] == (c > 3 * t)
+
+
+# -- DBSCAN -------------------------------------------------------------------
+
+
+def test_dbscan_matches_python_union_find(spark):
+    """Full differential at sf0.01: brute-force neighbors + union-find
+    clustering in Python must agree row-for-row (roles, clusters)."""
+    import hashlib
+
+    import duckdb
+
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    ids = [r[0] for r in duckdb.sql(
+        "SELECT event_id FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') "
+        "WHERE event_type = 'purchase'").fetchall()]
+    def coords(eid):
+        h = hashlib.md5(str(eid).encode()).hexdigest()
+        return (int(h[:15], 16) % 1000000 / 1e6,
+                int(h[16:31], 16) % 1000000 / 1e6)
+    pts = {i: coords(i) for i in ids}
+    eps2 = 0.02 * 0.02
+    nbrs = {i: set() for i in ids}
+    items = sorted(pts.items())
+    for idx, (i, (xi, yi)) in enumerate(items):
+        for j, (xj, yj) in items[idx + 1:]:
+            if (xi - xj) ** 2 + (yi - yj) ** 2 <= eps2:
+                nbrs[i].add(j)
+                nbrs[j].add(i)
+    core = {i for i in ids if len(nbrs[i]) >= 3}
+    parent = {i: i for i in core}
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    clusters = {}
+    for i in core:
+        clusters.setdefault(find(i), []).append(i)
+    for root, members in clusters.items():
+        label = min(members)
+        for m in members:
+            want[m] = ("core", label)
+    for i in ids:
+        if i not in core:
+            cn = [find(j) for j in nbrs[i] if j in core]
+            if cn:
+                want[i] = ("border", min(min(clusters[r]) for r in cn))
+
+    rows = WORKLOADS["events_dbscan_clusters"].fn(
+        spark, "/root/testdata/sf0.01").collect()
+    got = {r["event_id"]: (r["role"], r["cluster"]) for r in rows}
+    assert all(r["converged"] for r in rows), "15 rounds must converge here"
+    assert got == want
+
+
+# -- OHLC streaming twin ------------------------------------------------------
+
+
+def test_ohlc_stream_equals_batch(spark):
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    sf = "/root/testdata/sf0.001"
+    batch = {(r["hour_start"], r["event_type"]): tuple(r)[2:]
+             for r in WORKLOADS["events_ohlc_hourly"].fn(spark, sf).collect()}
+    stream = {(r["hour_start"], r["event_type"]): tuple(r)[2:]
+              for r in WORKLOADS["events_ohlc_streaming"].fn(
+                  spark, sf).collect()}
+    assert stream == batch
