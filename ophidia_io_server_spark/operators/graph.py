@@ -291,9 +291,11 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
                .join(vs.withColumnRenamed("node", "u"), "u")
                .join(vs.withColumnRenamed("node", "v"), "v")
                .groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+        # lazy pin: lineage truncates per round, materialization rides
+        # the next round's job (one action per call, r9 CC discipline)
         vs = pinned(deg.where(F.col("deg") >= k)
                     .select(F.col("u").alias("node")),
-                    f"kcore survivors round {i + 1}")
+                    f"kcore survivors round {i + 1}", eager=False)
     final_deg = (und
                  .join(vs.withColumnRenamed("node", "u"), "u")
                  .join(vs.withColumnRenamed("node", "v"), "v")

@@ -2912,12 +2912,15 @@ def events_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("label").alias("nl")), "u")
                  .groupBy(F.col("v").alias("node"))
                  .agg(F.min("nl").alias("nbmin")))
+        # lazy pin (r9 CC-loop discipline): lineage truncates per round
+        # but materialization rides the NEXT consumer's job — one action
+        # per call instead of one eager job per round
         labels = pinned(
             labels.join(nbmin, "node", "left")
             .select("node", F.least(
                 F.col("label"),
                 F.coalesce(F.col("nbmin"), F.col("label"))).alias("label")),
-            f"dbscan labels round {i + 1}")
+            f"dbscan labels round {i + 1}", eager=False)
     diff = (labels.select("node", "label")
             .join(prev.select("node", F.col("label").alias("_pl")), "node")
             .where(F.col("label") != F.col("_pl"))

@@ -1613,16 +1613,19 @@ def source_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE text IS NOT NULL
     ),
     nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tk),
+    th AS (SELECT GREATEST(20, n_docs // 25) AS min_n FROM nd),
     item AS (
-      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY token
-      HAVING COUNT(*) >= 20
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tk CROSS JOIN th GROUP BY token, min_n
+      HAVING COUNT(*) >= min_n
     ),
     ft AS (SELECT doc_id, token FROM tk
            WHERE token IN (SELECT token FROM item)),
     co AS (
       SELECT a.token AS ta, b.token AS tb, CAST(COUNT(*) AS BIGINT) AS nab
       FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
-      GROUP BY ta, tb HAVING COUNT(*) >= 20
+      CROSS JOIN th
+      GROUP BY ta, tb, min_n HAVING COUNT(*) >= min_n
     ),
     cand AS (
       SELECT p.ta, p.tb, q.tb AS tc_, p.nab
@@ -1637,7 +1640,8 @@ def source_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN ft x ON x.token = c.ta
       JOIN ft y ON y.token = c.tb AND y.doc_id = x.doc_id
       JOIN ft z ON z.token = c.tc_ AND z.doc_id = x.doc_id
-      GROUP BY c.ta, c.tb, c.tc_ HAVING COUNT(*) >= 20
+      CROSS JOIN th
+      GROUP BY c.ta, c.tb, c.tc_, min_n HAVING COUNT(*) >= min_n
     )
     SELECT ta AS ant_a, tb AS ant_b, tc_ AS consequent, nabc,
            ROUND(nabc * 1.0 / n_docs, 6) AS support,
@@ -1659,18 +1663,26 @@ def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     n(abc)/n(ab), and lift against the consequent's base rate — all
     single divisions of exact BIGINT counts.
 
-    Scale shape: the candidate join runs over the FREQUENT-PAIR table
-    (bounded by min-support, never vocabulary²); the Apriori prune
-    shrinks it before the 3-way posting join; every posting join is an
-    equi-join on doc_id over min-support-pruned postings.  Consequent =
-    the lexicographically-largest member, one directed rule per triple
-    (the canonical Apriori enumeration; the 2-item row covers directed
-    rule expansion)."""
+    Scale shape — DIRECT per-document enumeration, not posting joins:
+    each doc's frequent tokens collapse to one sorted in-row array, and
+    nested ``transform``s generate its C(k,2) pairs and C(k,3) triples
+    INSIDE the row (codegen, no join), so total touched rows equal the
+    information-theoretic minimum for exact counting — Σ_doc C(k_d,3)
+    — where the r10 first cut's candidate ⋈ posting joins materialized
+    |candidates|·|postings| intermediates (measured 150 s at the 100×
+    corpus vs 30 s enumerated, PERF.md).  A per-doc budget guards the
+    degenerate case (k_d > 256 raises with the fix: raise min-support).
+    Min-support is RELATIVE — ``max(20, n_docs/25)`` — an absolute
+    count is meaningless at corpus scale (at 100× every token clears an
+    absolute 20); at the sf0.01 gate the thresholds coincide
+    (500/25 = 20), so the hash baseline is unchanged.  Consequent = the
+    lexicographically-largest member, one directed rule per triple (the
+    canonical Apriori enumeration; the 2-item row covers directed rule
+    expansion)."""
     from ophidia_io_server_spark.pipeline.text import tokens_col
     from ophidia_io_server_spark.sources.tables import spread
     from ophidia_io_server_spark.pin import pinned
 
-    MIN_N = 20
     MIN_CONF = 0.2
     docs = load_table(spark, sf_dir, "documents")
     tk = pinned(
@@ -1679,37 +1691,70 @@ def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
              tokens_col(F.col("text")))).alias("token"))),
         "triples posting list: item counts + N + pair/triple joins")
     nd = tk.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    th = nd.select("n_docs", F.greatest(
+        F.lit(20), F.expr("n_docs div 25")).alias("min_n"))
     item = (tk.groupBy("token")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            .where(F.col("n") >= MIN_N))
+            .crossJoin(F.broadcast(th.select("min_n")))
+            .where(F.col("n") >= F.col("min_n")).drop("min_n"))
     # min-support bounds the frequent-item table (<= sum|doc|/MIN_N rows)
     ft = pinned(tk.join(F.broadcast(item.select("token")), "token")
                 .select("doc_id", "token"),
                 "frequent-token postings: pair join + 3x triple join")
-    a = ft.select("doc_id", F.col("token").alias("ta"))
-    b = ft.select("doc_id", F.col("token").alias("tb"))
+    # dictionary-encode frequent tokens to DENSE INT ids (distributed
+    # rank over the support-bounded item table): the 50M-row enumeration
+    # shuffles 3 ints per struct instead of 3 strings — measured 2× at
+    # sf0.1 (PERF.md r10); ids are SORTED like the tokens (dense rank
+    # over the token order), so int-sorted triples decode to the same
+    # lexicographic (ta < tb < tc_) canonical form
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    item_id = pinned(
+        global_dense_rank(item, ["token"], rank_col="tid"),
+        "frequent-item dictionary: encode + 3 decode joins")
+    fti = (ft.join(item_id.select("token", "tid"), "token")
+           .select("doc_id", F.col("tid").cast("int").alias("tid")))
+    arr = pinned(
+        fti.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("tid")).alias("ts")),
+        "per-doc frequent-id arrays: pair + triple enumeration")
+    mx = arr.agg(F.max(F.size("ts")).alias("mk")).collect()[0]["mk"] or 0
+    if mx > 256:
+        raise RuntimeError(
+            f"token_association_triples: a document carries {mx} frequent "
+            f"tokens (budget 256) — C(k,3) in-row enumeration would "
+            f"explode; raise the min-support rate.")
+    pair_gen = F.expr(
+        "flatten(transform(ts, (a, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), b -> struct(a, b))))")
     co = pinned(
-        (a.join(b, "doc_id").where(F.col("ta") < F.col("tb"))
-         .groupBy("ta", "tb")
+        (arr.select(F.explode(pair_gen).alias("p"))
+         .groupBy(F.col("p.a").alias("ia"), F.col("p.b").alias("ib"))
          .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
-         .where(F.col("nab") >= MIN_N)),
-        "frequent pairs: candidate self-join + Apriori prune")
-    p = co.select("ta", "tb", "nab")
-    q = co.select(F.col("ta").alias("ta"), F.col("tb").alias("tc_"))
-    cand = (p.join(q, "ta").where(F.col("tc_") > F.col("tb"))
-            # Apriori prune: (tb, tc_) must itself be frequent
-            .join(co.select(F.col("ta").alias("tb"),
-                            F.col("tb").alias("tc_")).distinct(),
-                  ["tb", "tc_"], "leftsemi"))
-    x = ft.select("doc_id", F.col("token").alias("ta"))
-    y = ft.select("doc_id", F.col("token").alias("tb"))
-    z = ft.select("doc_id", F.col("token").alias("tc_"))
-    tri = (cand.join(x, "ta").join(y, ["doc_id", "tb"])
-           .join(z, ["doc_id", "tc_"])
-           .groupBy("ta", "tb", "tc_")
-           .agg(F.min("nab").alias("nab"),
-                F.count(F.lit(1)).cast("bigint").alias("nabc"))
-           .where(F.col("nabc") >= MIN_N))
+         .crossJoin(F.broadcast(th.select("min_n")))
+         .where(F.col("nab") >= F.col("min_n")).drop("min_n")),
+        "frequent pairs: nab lookup for rule confidence")
+    tri_gen = F.expr(
+        "flatten(transform(ts, (a, i) -> "
+        "flatten(transform(slice(ts, i + 2, size(ts)), (b, j) -> "
+        "transform(slice(ts, i + j + 3, size(ts)), "
+        "c -> struct(a, b, c))))))")
+    tri_ids = (arr.select(F.explode(tri_gen).alias("p"))
+               .groupBy(F.col("p.a").alias("ia"), F.col("p.b").alias("ib"),
+                        F.col("p.c").alias("ic"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("nabc"))
+               .crossJoin(F.broadcast(th.select("min_n")))
+               .where(F.col("nabc") >= F.col("min_n")).drop("min_n")
+               .join(co, ["ia", "ib"]))
+    dec = item_id.select(F.col("tid").cast("int").alias("_id"),
+                         F.col("token").alias("_tok"))
+    tri = (tri_ids
+           .join(dec.select(F.col("_id").alias("ia"),
+                            F.col("_tok").alias("ta")), "ia")
+           .join(dec.select(F.col("_id").alias("ib"),
+                            F.col("_tok").alias("tb")), "ib")
+           .join(dec.select(F.col("_id").alias("ic"),
+                            F.col("_tok").alias("tc_")), "ic"))
     return (tri
             .join(item.select(F.col("token").alias("tc_"),
                               F.col("n").alias("nc")), "tc_")
