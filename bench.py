@@ -145,11 +145,13 @@ HEADLINE = [
     # functional-dependency discovery
     "lineitem_spearman_corr",
     "orders_fd_discovery",
-    # r10 sixth batch (HEADLINE 88 -> 91): integer CUSUM drift tripwire,
-    # DBSCAN from grid join + min-label rounds, OHLC streaming twin
+    # r10 sixth batch (HEADLINE 88 -> 92): integer CUSUM drift tripwire,
+    # DBSCAN from grid join + min-label rounds, OHLC streaming twin,
+    # local-maximum peak detection
     "events_cusum_drift",
     "events_dbscan_clusters",
     "events_ohlc_streaming",
+    "events_hourly_peaks",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

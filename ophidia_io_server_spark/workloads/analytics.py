@@ -2941,3 +2941,50 @@ def events_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "cluster")
     return (out_core.unionByName(out_border)
             .crossJoin(F.broadcast(conv)))
+
+
+@workload(
+    "events_hourly_peaks",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type, hr, y,
+             lag(y) OVER w AS yp, lead(y) OVER w AS yn
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    )
+    SELECT event_type, hr, y,
+           CAST(y - GREATEST(yp, yn) AS BIGINT) AS prominence
+    FROM n
+    WHERE yp IS NOT NULL AND yn IS NOT NULL AND y > yp AND y > yn
+    """,
+)
+def events_hourly_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local-maximum detection on the hourly event-count series
+    per type (the alerting primitive under every 'traffic spike'
+    dashboard): interior hours whose count strictly exceeds both
+    neighbours, with prominence = y − max(neighbours) — all integer
+    comparisons, no thresholds to tune.  Endpoints are excluded (no
+    two-sided neighbourhood).
+
+    Scale: the corpus collapses to the span-bounded hourly series
+    first; one lag/lead window pass over that bounded series."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    n = hourly.select(
+        "event_type", "hr", "y",
+        F.lag("y").over(w).alias("yp"), F.lead("y").over(w).alias("yn"))
+    return (n.where(F.col("yp").isNotNull() & F.col("yn").isNotNull()
+                    & (F.col("y") > F.col("yp"))
+                    & (F.col("y") > F.col("yn")))
+            .select("event_type", "hr", "y",
+                    (F.col("y") - F.greatest("yp", "yn")).cast("bigint")
+                    .alias("prominence")))

@@ -566,6 +566,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("event_id", "bigint"), ("role", "string"),
             ("cluster", "bigint"), ("converged", "boolean"),
         ],
+        "events_hourly_peaks": [
+            ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
+            ("prominence", "bigint"),
+        ],
         "events_seasonal_decompose": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
             ("trend", "double"), ("seasonal", "double"),

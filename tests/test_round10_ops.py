@@ -746,3 +746,27 @@ def test_ohlc_stream_equals_batch(spark):
               for r in WORKLOADS["events_ohlc_streaming"].fn(
                   spark, sf).collect()}
     assert stream == batch
+
+
+# -- hourly peaks -------------------------------------------------------------
+
+
+def test_hourly_peaks_hand_series(spark, tmp_path):
+    import pandas as pd
+
+    counts = [3, 7, 2, 5, 5, 9, 1]  # peaks at h1 (7 > 3,2) and h5 (9 > 5,1)
+    rows = []
+    eid = 0
+    for h, k in enumerate(counts):
+        for _ in range(k):
+            rows.append((eid, pd.Timestamp(2024, 1, 1, h), 1, "click",
+                         1.0, ""))
+            eid += 1
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    got = {(r["hr"].hour, r["y"], r["prominence"]) for r in
+           WORKLOADS["events_hourly_peaks"].fn(spark, str(tmp_path)).collect()}
+    assert got == {(1, 7, 4), (5, 9, 4)}
