@@ -2988,3 +2988,268 @@ def events_hourly_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "hr", "y",
                     (F.col("y") - F.greatest("yp", "yn")).cast("bigint")
                     .alias("prominence")))
+
+@workload(
+    "events_kendall_tau",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    s AS (SELECT hr, x, y FROM hourly WHERE x > 0 AND y > 0),
+    p AS (
+      SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                             OR (a.x > b.x AND a.y > b.y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                             OR (a.x > b.x AND a.y < b.y)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+             CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_x,
+             CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_y
+      FROM s a JOIN s b ON a.hr < b.hr
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+    SELECT n, nc, nd, ties_x, ties_y,
+           ROUND(CAST(nc - nd AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) / 2 - ties_x AS DOUBLE)
+                        * CAST(n * (n - 1) / 2 - ties_y AS DOUBLE)),
+                 6) AS tau_b
+    FROM p CROSS JOIN nn
+    """,
+)
+def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between the hourly click and view
+    count series (completing the Pearson / Spearman / Kendall family):
+    EXACT concordant / discordant / tie pair counts over the span-bounded
+    hourly series, then one IEEE expression over those five integers —
+    tau_b = (C-D)/sqrt((n0-t_x)(n0-t_y)) — rounded to 6.
+
+    Scale shape: the corpus collapses to the (hour, x, y) series FIRST
+    (one partial-aggregatable exchange); the O(H^2) pair join runs over a
+    series bounded by the TIME SPAN, not the data (a year of hours is
+    8.8k rows, 38M pairs — one task's work; Spark picks a broadcast
+    nested-loop join on the sub-megabyte side).  No per-row Python, no
+    window sort over the corpus."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "view")))
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                         .otherwise(0)).cast("bigint").alias("x"),
+                   F.sum(F.when(F.col("event_type") == "view", 1)
+                         .otherwise(0)).cast("bigint").alias("y")))
+    s = hourly.where((F.col("x") > 0) & (F.col("y") > 0))
+    a, b = s.alias("a"), s.alias("b")
+    ax, ay = F.col("a.x"), F.col("a.y")
+    bx, by = F.col("b.x"), F.col("b.y")
+    p = (a.join(b, F.col("a.hr") < F.col("b.hr"))
+         .agg(F.sum(F.when(((ax < bx) & (ay < by))
+                           | ((ax > bx) & (ay > by)), 1).otherwise(0))
+              .cast("bigint").alias("nc"),
+              F.sum(F.when(((ax < bx) & (ay > by))
+                           | ((ax > bx) & (ay < by)), 1).otherwise(0))
+              .cast("bigint").alias("nd"),
+              F.sum(F.when(ax == bx, 1).otherwise(0)).cast("bigint")
+              .alias("ties_x"),
+              F.sum(F.when(ay == by, 1).otherwise(0)).cast("bigint")
+              .alias("ties_y")))
+    nn = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n = F.col("n")
+    n0x = (n * (n - 1) / 2 - F.col("ties_x")).cast("double")
+    n0y = (n * (n - 1) / 2 - F.col("ties_y")).cast("double")
+    return (p.crossJoin(F.broadcast(nn))  # single-row invariant frame
+            .select("n", "nc", "nd", "ties_x", "ties_y",
+                    F.round((F.col("nc") - F.col("nd")).cast("double")
+                            / F.sqrt(n0x * n0y), 6).alias("tau_b")))
+
+
+@workload(
+    "events_kaplan_meier",
+    oracle="""
+    WITH w AS (SELECT min(ts) + INTERVAL 96 HOUR AS wend FROM events),
+    e AS (SELECT * FROM events WHERE ts < (SELECT wend FROM w)),
+    pu AS (
+      SELECT user_id, min(ts) AS t0,  max(ts) AS tl,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM e GROUP BY 1
+    ),
+    u AS (
+      SELECT (epoch_us(coalesce(tp, tl)) - epoch_us(t0)) // 3600000000
+               AS dur_h,
+             CASE WHEN tp IS NULL THEN 1 ELSE 0 END AS cens
+      FROM pu
+    ),
+    g AS (
+      SELECT dur_h, CAST(SUM(1 - cens) AS BIGINT) AS d,
+             CAST(SUM(cens) AS BIGINT) AS c
+      FROM u GROUP BY 1
+    ),
+    r AS (
+      SELECT dur_h, d, c,
+             SUM(d + c) OVER ()
+               - COALESCE(SUM(d + c) OVER (
+                   ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g
+    ),
+    evt AS (
+      SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+             list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER (
+               ORDER BY dur_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+      FROM r WHERE d > 0
+    )
+    SELECT dur_h, n_risk, d, c,
+           ROUND(list_reduce(list_prepend(1.0, fs), (a, x) -> a * x), 6)
+             AS survival
+    FROM evt
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator for time-to-first-purchase with
+    RIGHT CENSORING (the churn / conversion-lifetime primitive): the
+    observation window is the corpus's first 96 hours; a user converting
+    inside it is an event at duration (first purchase - first event) in
+    whole hours, a user never purchasing inside it is censored at their
+    last observed event.  Per distinct event time: n_risk (subjects with
+    duration >= t; censored-at-t still at risk, the standard convention),
+    d events, c censored, and S(t) = prod(1 - d_j/n_j) over event times
+    j <= t.  Each factor is ONE IEEE divide of two exact integers and the
+    product is a seeded LEFT FOLD (``F.aggregate`` <-> ``list_reduce``)
+    over the identical factor sequence — bitwise cross-engine, rounded 6.
+
+    Scale shape: one partial-aggregatable per-user collapse (min/max/
+    conditional-min), then every later op runs on the duration-grouped
+    series bounded by the OBSERVATION WINDOW in hours (<= 97 rows here;
+    a 10-year window is 87k rows), not the corpus — the unpartitioned
+    windows are over that structurally bounded series."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wend = ev.agg((F.min("ts") + F.expr("INTERVAL 96 HOURS")).alias("wend"))
+    e = (ev.crossJoin(F.broadcast(wend))  # scalar observation-window bound
+         .where(F.col("ts") < F.col("wend")))
+    pu = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("tp"))
+    u = pu.select(
+        # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is a
+        # value-preserving re-tag
+        F.expr("(unix_micros(cast(coalesce(tp, tl) as timestamp))"
+               " - unix_micros(cast(t0 as timestamp))) div 3600000000")
+        .alias("dur_h"),
+        F.when(F.col("tp").isNull(), 1).otherwise(0).alias("cens"))
+    g = (u.groupBy("dur_h")
+         .agg(F.sum(1 - F.col("cens")).cast("bigint").alias("d"),
+              F.sum("cens").cast("bigint").alias("c")))
+    w_all = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prev = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1)
+    r = g.withColumn(
+        "n_risk",
+        (F.sum(F.col("d") + F.col("c")).over(w_all)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev),
+                      F.lit(0))).cast("bigint"))
+    w_cur = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    evt = (r.where(F.col("d") > 0)
+           .withColumn("fs", F.collect_list(
+               F.lit(1.0) - F.col("d").cast("double")
+               / F.col("n_risk").cast("double")).over(w_cur)))
+    surv = F.aggregate(F.col("fs"), F.lit(1.0), lambda acc, x: acc * x)
+    return evt.select("dur_h", "n_risk", "d", "c",
+                      F.round(surv, 6).alias("survival"))
+
+@workload(
+    "token_link_prediction",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    e AS (SELECT wa, wb FROM pr
+          WHERE wa <> wb GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    und AS (SELECT wa AS u, wb AS v FROM e
+            UNION ALL SELECT wb AS u, wa AS v FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY u),
+    wedge AS (
+      SELECT l.u AS z, l.v AS a, r.v AS b
+      FROM und l JOIN und r ON l.u = r.u AND l.v < r.v
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.wa = l.v AND e.wb = r.v)
+    ),
+    sc AS (
+      SELECT a AS node_a, b AS node_b,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(1000000000000 // dz.dg) AS BIGINT) AS ra_scaled
+      FROM wedge JOIN deg dz ON dz.u = wedge.z
+      GROUP BY a, b
+    )
+    SELECT node_a, node_b, cn, ra_scaled, da.dg AS deg_a, db.dg AS deg_b,
+           ROUND(CAST(cn AS DOUBLE)
+                 / CAST(da.dg + db.dg - cn AS DOUBLE), 6) AS jaccard
+    FROM sc
+    JOIN deg da ON da.u = sc.node_a
+    JOIN deg db ON db.u = sc.node_b
+    """,
+)
+def token_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the token co-occurrence graph (same ±2-window
+    count ≥ 5 edge list as LPA/PMI/triangles): for every NON-adjacent
+    pair with at least one common neighbor, the three classic scores —
+    common-neighbor count, resource-allocation index Σ_z 1/deg(z)
+    (Zhou/Lü/Zhang 2009), and neighborhood Jaccard.  RA stays EXACT and
+    aggregation-order-free as Σ(10¹² DIV deg_z) — integer division of
+    exact integers, no float sum (Adamic-Adar's Σ1/ln(deg) would need a
+    transcendental per wedge — same signal, cross-engine-unsafe).
+    Jaccard is one IEEE division per output row, rounded 6.
+
+    Scale: wedge enumeration through each center z is deg(z)² — the
+    triangle-count cost class, bounded by the same edge-count threshold;
+    the anti-join against the edge list removes existing edges before
+    the aggregate.  RA digit budget: 10¹² · |common| needs |common| ≤
+    9·10⁶ per pair — raise the divisor scale past that."""
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = (cooccurrence_counts(docs, window=2)
+         .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
+         .select("wa", "wb"))
+    und = (e.select(F.col("wa").alias("u"), F.col("wb").alias("v"))
+           .unionByName(e.select(F.col("wb").alias("u"),
+                                 F.col("wa").alias("v"))))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    l = und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    r = und.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    wedge = (l.join(r, "z").where(F.col("a") < F.col("b"))
+             .join(e.select(F.col("wa").alias("a"), F.col("wb").alias("b")),
+                   ["a", "b"], "left_anti"))
+    sc = (wedge.join(deg.select(F.col("u").alias("z"),
+                                F.col("dg").alias("dz")), "z")
+          .groupBy(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cn"),
+               F.sum(F.expr("1000000000000 div dz")).cast("bigint")
+               .alias("ra_scaled")))
+    da = deg.select(F.col("u").alias("node_a"), F.col("dg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("node_b"), F.col("dg").alias("deg_b"))
+    return (sc.join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "cn", "ra_scaled", "deg_a", "deg_b",
+                    F.round(F.col("cn").cast("double")
+                            / (F.col("deg_a") + F.col("deg_b")
+                               - F.col("cn")).cast("double"), 6)
+                    .alias("jaccard")))

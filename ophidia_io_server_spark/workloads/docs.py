@@ -1769,3 +1769,105 @@ def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("nabc") * F.col("n_docs")
                             / (F.col("nab") * F.col("nc")), 6)
                     .alias("lift")))
+
+@workload(
+    "source_divergence_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+             SUM(CAST(c AS HUGEINT) * c) AS q_s
+      FROM cnt GROUP BY 1
+    ),
+    c2 AS (SELECT cnt.source, t, c, n_s FROM cnt JOIN tot USING (source)),
+    pr AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             SUM(abs(CAST(a.c AS HUGEINT) * b.n_s
+                     - CAST(b.c AS HUGEINT) * a.n_s)) AS tvn,
+             SUM(CAST(a.c AS HUGEINT) * b.c) AS dot,
+             CAST(SUM(a.c) AS BIGINT) AS sai,
+             CAST(SUM(b.c) AS BIGINT) AS sbi,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM c2 a JOIN c2 b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, ta.n_s AS n_a, tb.n_s AS n_b, n_common,
+           ROUND(CAST(tvn + (CAST(ta.n_s AS HUGEINT) - sai) * tb.n_s
+                      + (CAST(tb.n_s AS HUGEINT) - sbi) * ta.n_s AS DOUBLE)
+                 / CAST(2 * CAST(ta.n_s AS HUGEINT) * tb.n_s AS DOUBLE),
+                 6) AS tv_dist,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(ta.q_s AS DOUBLE))
+                    * sqrt(CAST(tb.q_s AS DOUBLE))), 6) AS cosine
+    FROM pr
+    JOIN tot ta ON ta.source = pr.src_a
+    JOIN tot tb ON tb.source = pr.src_b
+    """,
+)
+def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise divergence between source token-FREQUENCY distributions —
+    the data-mixing diagnostic (`source_overlap_matrix` is set overlap;
+    this is distribution distance, what actually moves a trained model):
+    exact total-variation distance ½·Σ|p−q| and count-vector cosine for
+    every source pair.  TV stays EXACT by clearing denominators —
+    Σ|cₐ·n_b − c_b·nₐ| over the token intersection plus the two
+    one-sided tails (nₐ−Σcₐ)·n_b + (n_b−Σc_b)·nₐ, all DECIMAL(38,0)
+    integers (JS/KL divergence would need a per-token transcendental SUM
+    — cross-engine-unsafe; TV and cosine carry the same ranking signal
+    on exact arithmetic).  One IEEE division per output row, rounded 6.
+
+    Scale: the (source, token) count table is vocabulary×sources, the
+    self-join is token-keyed (shuffle join — NO forced broadcast, the r9
+    lesson; AQE broadcasts iff it fits), per-token fan-out is bounded by
+    the source count, never the corpus.  Digit budget: cₐ·n_b ≤ 10³⁸
+    holds past 10¹⁸ tokens/source."""
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.where(F.col("text").isNotNull())
+           .select("source", F.explode(F.split("text", " ")).alias("t"))
+           .where(F.col("t") != ""))
+    cnt = (tok.groupBy("source", "t")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = (cnt.groupBy("source")
+           .agg(F.sum("c").cast("bigint").alias("n_s"),
+                F.sum(F.col("c").cast(dec) * F.col("c")).alias("q_s")))
+    c2 = cnt.join(tot.select("source", "n_s"), "source")
+    a = c2.select(F.col("source").alias("src_a"), "t",
+                  F.col("c").alias("ca"), F.col("n_s").alias("na_i"))
+    b = c2.select(F.col("source").alias("src_b"), "t",
+                  F.col("c").alias("cb"), F.col("n_s").alias("nb_i"))
+    pr = (a.join(b, ["t"])
+          .where(F.col("src_a") < F.col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(F.sum(F.abs(F.col("ca").cast(dec) * F.col("nb_i")
+                           - F.col("cb").cast(dec) * F.col("na_i")))
+               .alias("tvn"),
+               F.sum(F.col("ca").cast(dec) * F.col("cb")).alias("dot"),
+               F.sum("ca").cast("bigint").alias("sai"),
+               F.sum("cb").cast("bigint").alias("sbi"),
+               F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    ta = tot.select(F.col("source").alias("src_a"),
+                    F.col("n_s").alias("n_a"), F.col("q_s").alias("qa"))
+    tb = tot.select(F.col("source").alias("src_b"),
+                    F.col("n_s").alias("n_b"), F.col("q_s").alias("qb"))
+    j = pr.join(ta, "src_a").join(tb, "src_b")
+    num = (F.col("tvn")
+           + (F.col("n_a").cast(dec) - F.col("sai")) * F.col("n_b")
+           + (F.col("n_b").cast(dec) - F.col("sbi")) * F.col("n_a"))
+    den = F.lit(2).cast(dec) * F.col("n_a").cast(dec) * F.col("n_b")
+    return j.select(
+        "src_a", "src_b", "n_a", "n_b", "n_common",
+        F.round(num.cast("double") / den.cast("double"), 6)
+        .alias("tv_dist"),
+        F.round(F.col("dot").cast("double")
+                / (F.sqrt(F.col("qa").cast("double"))
+                   * F.sqrt(F.col("qb").cast("double"))), 6)
+        .alias("cosine"))

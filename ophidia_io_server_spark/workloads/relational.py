@@ -2298,3 +2298,190 @@ def orders_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_discovery(
         orders, ["o_custkey", "o_orderstatus", "o_orderpriority",
                  "o_orderkey"])
+
+# Multiple-OLS closed form, shared VERBATIM by the Spark selectExpr and the
+# DuckDB oracle so both engines evaluate the identical IEEE expression tree
+# over the identical exact-integer sums (the Welch-t/Pearson discipline,
+# extended to a 3x3 normal-equation solve).  Layer 1: Cramer's-rule betas
+# from the DOUBLE-cast sums; layer 2: R^2 from the betas + sums.
+_OLS_BETAS = {
+    "det": ("(d_n  * (d_s11 * d_s22 - d_s12 * d_s12)"
+            " - d_sx1 * (d_sx1 * d_s22 - d_s12 * d_sx2)"
+            " + d_sx2 * (d_sx1 * d_s12 - d_s11 * d_sx2))"),
+    "det0": ("(d_sy * (d_s11 * d_s22 - d_s12 * d_s12)"
+             " - d_sx1 * (d_s1y * d_s22 - d_s12 * d_s2y)"
+             " + d_sx2 * (d_s1y * d_s12 - d_s11 * d_s2y))"),
+    "det1": ("(d_n  * (d_s1y * d_s22 - d_s12 * d_s2y)"
+             " - d_sy * (d_sx1 * d_s22 - d_s12 * d_sx2)"
+             " + d_sx2 * (d_sx1 * d_s2y - d_s1y * d_sx2))"),
+    "det2": ("(d_n  * (d_s11 * d_s2y - d_s1y * d_s12)"
+             " - d_sx1 * (d_sx1 * d_s2y - d_s1y * d_sx2)"
+             " + d_sy * (d_sx1 * d_s12 - d_s11 * d_sx2))"),
+}
+_OLS_L1_EXPRS = [
+    f"{_OLS_BETAS['det0']} / {_OLS_BETAS['det']} AS b0_raw",
+    f"{_OLS_BETAS['det1']} / {_OLS_BETAS['det']} AS b1_raw",
+    f"{_OLS_BETAS['det2']} / {_OLS_BETAS['det']} AS b2_raw",
+]
+_OLS_L2_EXPRS = [
+    "ROUND(b0_raw, 6) AS beta0",
+    "ROUND(b1_raw, 6) AS beta1",
+    "ROUND(b2_raw, 6) AS beta2",
+    "ROUND(1.0 - (d_syy - b0_raw * d_sy - b1_raw * d_s1y - b2_raw * d_s2y)"
+    " / (d_syy - d_sy * d_sy / d_n), 6) AS r2",
+]
+_OLS_DBL_EXPRS = [
+    "CAST(n AS DOUBLE) AS d_n", "CAST(sx1 AS DOUBLE) AS d_sx1",
+    "CAST(sx2 AS DOUBLE) AS d_sx2", "CAST(sy AS DOUBLE) AS d_sy",
+    "CAST(s11 AS DOUBLE) AS d_s11", "CAST(s22 AS DOUBLE) AS d_s22",
+    "CAST(s12 AS DOUBLE) AS d_s12", "CAST(s1y AS DOUBLE) AS d_s1y",
+    "CAST(s2y AS DOUBLE) AS d_s2y", "CAST(syy AS DOUBLE) AS d_syy",
+]
+
+
+@workload(
+    "lineitem_ols_regression",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x1 AS HUGEINT)) AS sx1,
+             SUM(CAST(x2 AS HUGEINT)) AS sx2,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+             SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+             SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+             SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+             SUM(CAST(x2 AS HUGEINT) * y) AS s2y,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM b
+    ),
+    d AS (SELECT CAST(n AS BIGINT) AS n_rows, {", ".join(_OLS_DBL_EXPRS)}
+          FROM s),
+    l1 AS (SELECT *, {", ".join(_OLS_L1_EXPRS)} FROM d)
+    SELECT n_rows, {", ".join(_OLS_L2_EXPRS)} FROM l1
+    """,
+)
+def lineitem_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (2 features + intercept, closed form)
+    of line-item price cents on quantity and discount percent — the
+    "regression at 100 TB is ONE aggregate" primitive: a single fused
+    scan collects the ten exact DECIMAL(38,0) moment sums (n, Σx, Σxx,
+    Σxy, Σyy — no float accumulation order anywhere), then the 3×3
+    normal equations solve by Cramer's rule as one IEEE expression over
+    those exact integers, plus R² — the expression TEXT is shared
+    verbatim with the oracle, so both engines build the identical IEEE
+    tree (the Welch-t discipline extended to a linear solve).
+
+    Digit budget: Σy² ≤ n·(10⁷)² needs n ≤ 10²⁴ rows — five orders past
+    a 100 TB lineitem.  At scale: one partial-aggregatable pass emitting
+    ten numbers; no shuffle beyond the single-row aggregate, no Python,
+    no iterative solver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = (li.where(F.col("l_quantity").isNotNull()
+                  & F.col("l_discount").isNotNull()
+                  & F.col("l_extendedprice").isNotNull())
+         .select(F.col("l_quantity").cast("bigint").alias("x1"),
+                 F.round(F.col("l_discount") * 100).cast("bigint")
+                 .alias("x2"),
+                 F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                 .alias("y")))
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = b.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x1.cast(dec)).alias("sx1"),
+        F.sum(x2.cast(dec)).alias("sx2"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x1 * x1).cast(dec)).alias("s11"),
+        F.sum((x2 * x2).cast(dec)).alias("s22"),
+        F.sum((x1 * x2).cast(dec)).alias("s12"),
+        F.sum((x1 * y).cast(dec)).alias("s1y"),
+        F.sum((x2 * y).cast(dec)).alias("s2y"),
+        F.sum((y * y).cast(dec)).alias("syy"))
+    d = s.selectExpr("CAST(n AS BIGINT) AS n_rows", *_OLS_DBL_EXPRS)
+    l1 = d.selectExpr("*", *_OLS_L1_EXPRS)
+    return l1.selectExpr("n_rows", *_OLS_L2_EXPRS)
+
+
+@workload(
+    "orders_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS mo FROM orders),
+    cust AS (
+      SELECT o_custkey AS c_custkey,
+             CAST((epoch_us((SELECT mo FROM mx)) - epoch_us(max(o_orderdate)))
+                  // 86400000000 AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+    r AS (
+      SELECT c_custkey, recency_days, frequency, monetary_cents,
+             ROW_NUMBER() OVER (ORDER BY recency_days, c_custkey) AS rr,
+             ROW_NUMBER() OVER (ORDER BY frequency, c_custkey) AS fr,
+             ROW_NUMBER() OVER (ORDER BY monetary_cents, c_custkey) AS mr
+      FROM cust
+    )
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           CAST(5 - ((rr - 1) * 5) // n AS BIGINT) AS r_score,
+           CAST(1 + ((fr - 1) * 5) // n AS BIGINT) AS f_score,
+           CAST(1 + ((mr - 1) * 5) // n AS BIGINT) AS m_score,
+           CAST((5 - ((rr - 1) * 5) // n) * 100
+                + (1 + ((fr - 1) * 5) // n) * 10
+                + (1 + ((mr - 1) * 5) // n) AS BIGINT) AS rfm_code
+    FROM r CROSS JOIN n
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    classic marketing-analytics binning): one per-customer collapse of
+    orders, then each dimension quintile-scored by the DISTRIBUTED
+    two-phase rank over the unique (value, custkey) order — exact
+    ⌊(r−1)·5/n⌋ bins, no ntile window, no single-partition sort (the
+    WOE-bins pattern, three ranks).  r_score counts DOWN (most recent =
+    5); rfm_code = 100·R + 10·F + M is the standard segment key.
+
+    Scale: the customer table is |customers| rows (three range
+    exchanges + three ≤P-row offset summaries), never the order log."""
+    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mo"))
+    cust = (orders.crossJoin(F.broadcast(mx))  # scalar anchor date
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(F.expr("(unix_micros(cast(max(mo) as timestamp))"
+                        " - unix_micros(cast(max(o_orderdate) as timestamp)))"
+                        " div 86400000000").cast("bigint")
+                 .alias("recency_days"),
+                 F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .cast("bigint").alias("monetary_cents")))
+    rr, n = global_dense_rank(cust, ["recency_days", "c_custkey"],
+                              rank_col="rank", return_max=True)
+    rr = rr.select("c_custkey", F.col("rank").alias("rr"))
+    fr = global_dense_rank(cust, ["frequency", "c_custkey"])
+    fr = fr.select("c_custkey", F.col("rank").alias("fr"))
+    mr = global_dense_rank(cust, ["monetary_cents", "c_custkey"])
+    mr = mr.select("c_custkey", F.col("rank").alias("mr"))
+    j = (cust.join(rr, "c_custkey").join(fr, "c_custkey")
+         .join(mr, "c_custkey"))
+    r_score = 5 - F.expr(f"(rr - 1) * 5 div {n}")
+    f_score = 1 + F.expr(f"(fr - 1) * 5 div {n}")
+    m_score = 1 + F.expr(f"(mr - 1) * 5 div {n}")
+    return j.select(
+        "c_custkey", "recency_days", "frequency", "monetary_cents",
+        r_score.cast("bigint").alias("r_score"),
+        f_score.cast("bigint").alias("f_score"),
+        m_score.cast("bigint").alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).cast("bigint")
+        .alias("rfm_code"))

@@ -314,6 +314,13 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("node", "string"), ("core_degree", "bigint"),
             ("converged", "boolean"),
         ],
+        # r10 wave 7: common-neighbor / resource-allocation / Jaccard
+        # link prediction on non-adjacent pairs (integer-exact RA)
+        "token_link_prediction": [
+            ("node_a", "string"), ("node_b", "string"), ("cn", "bigint"),
+            ("ra_scaled", "bigint"), ("deg_a", "bigint"),
+            ("deg_b", "bigint"), ("jaccard", "double"),
+        ],
     },
     # deterministic sampling: budget-fill without a global sort + exact-k
     # bottom-k
@@ -389,6 +396,13 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
     },
     # the document text-analysis family
     "doc_text_suite": {
+        # r10 wave 7: exact TV distance + count-vector cosine per source
+        # pair (frequency-distribution divergence; overlap matrix is sets)
+        "source_divergence_matrix": [
+            ("src_a", "string"), ("src_b", "string"), ("n_a", "bigint"),
+            ("n_b", "bigint"), ("n_common", "bigint"),
+            ("tv_dist", "double"), ("cosine", "double"),
+        ],
         # r10: KMV bottom-k distinct-intersection sketch per source pair
         "source_kmv_overlap": [
             ("source_a", "string"), ("source_b", "string"),
@@ -569,6 +583,16 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_hourly_peaks": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
             ("prominence", "bigint"),
+        ],
+        # r10 wave 7: Kendall tau-b (exact pair counts on the span-bounded
+        # hourly series) + Kaplan-Meier time-to-first-purchase survival
+        "events_kendall_tau": [
+            ("n", "bigint"), ("nc", "bigint"), ("nd", "bigint"),
+            ("ties_x", "bigint"), ("ties_y", "bigint"), ("tau_b", "double"),
+        ],
+        "events_kaplan_meier": [
+            ("dur_h", "bigint"), ("n_risk", "bigint"), ("d", "bigint"),
+            ("c", "bigint"), ("survival", "double"),
         ],
         "events_seasonal_decompose": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
@@ -771,6 +795,18 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("lhs", "string"), ("rhs", "string"), ("n_lhs", "bigint"),
             ("n_pairs", "bigint"), ("holds", "boolean"),
             ("violations", "bigint"),
+        ],
+        # r10 wave 7: closed-form multiple OLS (one fused moment scan)
+        # + RFM quintile segmentation (three distributed two-phase ranks)
+        "lineitem_ols_regression": [
+            ("n_rows", "bigint"), ("beta0", "double"), ("beta1", "double"),
+            ("beta2", "double"), ("r2", "double"),
+        ],
+        "orders_rfm_segments": [
+            ("c_custkey", "bigint"), ("recency_days", "bigint"),
+            ("frequency", "bigint"), ("monetary_cents", "bigint"),
+            ("r_score", "bigint"), ("f_score", "bigint"),
+            ("m_score", "bigint"), ("rfm_code", "bigint"),
         ],
     },
     # fragment-store row windows + MERGE upsert
