@@ -152,6 +152,29 @@ HEADLINE = [
     "events_dbscan_clusters",
     "events_ohlc_streaming",
     "events_hourly_peaks",
+    # r10 wave 7 (HEADLINE 92 -> 98): Kendall tau-b pair counts,
+    # Kaplan-Meier survival, closed-form multiple OLS, RFM quintile
+    # segmentation, source TV/cosine divergence, link prediction
+    "events_kendall_tau",
+    "events_kaplan_meier",
+    "lineitem_ols_regression",
+    "orders_rfm_segments",
+    "source_divergence_matrix",
+    "token_link_prediction",
+    # r10 wave 8 (HEADLINE 98 -> 102): HHI/CR4 concentration, lexical
+    # diversity, Heaps-law growth curve, Pettitt changepoint
+    "orders_market_concentration",
+    "source_diversity",
+    "doc_heaps_law",
+    "events_pettitt_changepoint",
+    # r10 wave 9 (HEADLINE 102 -> 107): burstiness/memory coordinates,
+    # runs test, Holt dyadic smoothing, ANOVA F, BFS hop distances
+    "events_burstiness_memory",
+    "events_runs_test",
+    "events_holt_linear",
+    "lineitem_anova_f",
+    "token_bfs_distances",
+    "events_theil_sen",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

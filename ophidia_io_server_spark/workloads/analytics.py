@@ -3253,3 +3253,557 @@ def token_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("deg_a") + F.col("deg_b")
                                - F.col("cn")).cast("double"), 6)
                     .alias("jaccard")))
+
+@workload(
+    "events_pettitt_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT a.event_type, a.hr,
+             CAST(SUM(CASE WHEN a.y > b.y THEN 1
+                           WHEN a.y < b.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS vt
+      FROM hourly a JOIN hourly b ON a.event_type = b.event_type
+      GROUP BY a.event_type, a.hr
+    ),
+    u AS (
+      SELECT event_type, hr,
+             CAST(SUM(vt) OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) AS ut,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS i
+      FROM v
+    ),
+    best AS (
+      SELECT event_type, hr AS cp_hr, abs(ut) AS u_abs, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(ut) DESC, hr ASC) AS rk
+      FROM u WHERE i < n
+    )
+    SELECT event_type, cp_hr, CAST(u_abs AS BIGINT) AS u_abs, n,
+           ROUND(2 * exp(-6.0 * u_abs * u_abs
+                         / (CAST(n AS DOUBLE) * n * n
+                            + CAST(n AS DOUBLE) * n)), 6) AS p_approx
+    FROM best WHERE rk = 1
+    """,
+)
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test (Pettitt 1979) on the
+    hourly event-count series per type: the split t maximizing
+    |U_t| = |Σ_{i≤t} Σ_{j>t} sign(xᵢ−xⱼ)| — the rank-based Mann-Whitney
+    shift locator, no distributional assumption (the retrospective
+    complement to the CUSUM tripwire, which needs a known baseline
+    mean).  U_t stays EXACT: by antisymmetry U_t = Σ_{i≤t} V_i with
+    V_i = Σ_j sign(xᵢ−xⱼ), so one pair aggregate + one cumulative sum —
+    all integers; the significance approximation
+    2·exp(−6U²/(n³+n²)) is ONE transcendental per output row.
+
+    Scale: the corpus collapses to the span-bounded hourly series first;
+    the O(H²) pair join and the windows run over that bounded series
+    (a year is 8.8k rows/type), never the corpus."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    a = hourly.select("event_type", "hr", F.col("y").alias("ya"))
+    b = hourly.select("event_type", F.col("y").alias("yb"))
+    v = (a.join(b, "event_type")
+         .groupBy("event_type", "hr")
+         .agg(F.sum(F.when(F.col("ya") > F.col("yb"), 1)
+                    .when(F.col("ya") < F.col("yb"), -1)
+                    .otherwise(0)).cast("bigint").alias("vt")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wa = Window.partitionBy("event_type")
+    u = v.select(
+        "event_type", "hr",
+        F.sum("vt").over(w).cast("bigint").alias("ut"),
+        F.count(F.lit(1)).over(wa).cast("bigint").alias("n"),
+        F.row_number().over(w).alias("i"))
+    best = (u.where(F.col("i") < F.col("n"))
+            .select("event_type", F.col("hr").alias("cp_hr"),
+                    F.abs(F.col("ut")).alias("u_abs"), "n",
+                    F.row_number().over(
+                        Window.partitionBy("event_type")
+                        .orderBy(F.abs(F.col("ut")).desc(),
+                                 F.col("hr").asc())).alias("rk")))
+    nn = F.col("n").cast("double")
+    return (best.where(F.col("rk") == 1)
+            .select("event_type", "cp_hr",
+                    F.col("u_abs").cast("bigint").alias("u_abs"), "n",
+                    F.round(2 * F.exp(-6.0 * F.col("u_abs")
+                                      * F.col("u_abs")
+                                      / (nn * F.col("n") * F.col("n")
+                                         + nn * F.col("n"))), 6)
+                    .alias("p_approx")))
+
+@workload(
+    "events_burstiness_memory",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ),
+    gaps AS (
+      SELECT a.user_id, CAST(b.t - a.t AS BIGINT) AS d, a.i
+      FROM o a JOIN o b ON a.user_id = b.user_id AND b.i = a.i + 1
+    ),
+    lagd AS (
+      SELECT user_id, d, i,
+             lead(d) OVER (PARTITION BY user_id ORDER BY i) AS dn
+      FROM gaps
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(d AS HUGEINT)) AS sd,
+             SUM(CAST(d AS HUGEINT) * d) AS qd,
+             SUM(CASE WHEN dn IS NOT NULL
+                      THEN CAST(d AS HUGEINT) * dn END) AS p,
+             SUM(CASE WHEN dn IS NOT NULL
+                      THEN CAST(d AS HUGEINT) END) AS s1,
+             SUM(CASE WHEN dn IS NOT NULL
+                      THEN CAST(d AS HUGEINT) * d END) AS q1,
+             SUM(CASE WHEN dn IS NOT NULL
+                      THEN CAST(dn AS HUGEINT) END) AS s2,
+             SUM(CASE WHEN dn IS NOT NULL
+                      THEN CAST(dn AS HUGEINT) * dn END) AS q2
+      FROM lagd GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((sqrt(CAST(qd AS DOUBLE) / n
+                       - (CAST(sd AS DOUBLE) / n)
+                         * (CAST(sd AS DOUBLE) / n))
+                  - CAST(sd AS DOUBLE) / n)
+                 / (sqrt(CAST(qd AS DOUBLE) / n
+                         - (CAST(sd AS DOUBLE) / n)
+                           * (CAST(sd AS DOUBLE) / n))
+                    + CAST(sd AS DOUBLE) / n), 6) AS burstiness,
+           ROUND((CAST(p AS DOUBLE) / (n - 1)
+                  - (CAST(s1 AS DOUBLE) / (n - 1))
+                    * (CAST(s2 AS DOUBLE) / (n - 1)))
+                 / (sqrt(CAST(q1 AS DOUBLE) / (n - 1)
+                         - (CAST(s1 AS DOUBLE) / (n - 1))
+                           * (CAST(s1 AS DOUBLE) / (n - 1)))
+                    * sqrt(CAST(q2 AS DOUBLE) / (n - 1)
+                           - (CAST(s2 AS DOUBLE) / (n - 1))
+                             * (CAST(s2 AS DOUBLE) / (n - 1)))), 6)
+             AS memory_coef
+    FROM s
+    WHERE n >= 3
+      AND (n - 1) * q1 - s1 * s1 > 0
+      AND (n - 1) * q2 - s2 * s2 > 0
+    """,
+)
+def events_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) and memory coefficient M
+    (lag-1 autocorrelation of inter-arrival gaps) per user — the two
+    coordinates of the classic human-dynamics phase diagram (Goh &
+    Barabási, EPL 2008): B > 0 bursty, M > 0 streaky.  Inter-arrival
+    gaps are EXACT integer microseconds; every moment (Σd, Σd², lag-1
+    products, and the all-but-first / all-but-last marginals M needs) is
+    a DECIMAL(38,0) integer from ONE pass over the gaps, then B and M
+    are single IEEE expressions per user, rounded 6.  Degenerate users
+    (zero gap variance in either margin) are excluded by an EXACT
+    integer predicate — (n−1)·Q − S² > 0 — not a float epsilon.
+
+    Scale: gaps via one per-user window lag (per-user partitions), then
+    one partial-aggregatable per-user collapse.  Digit budget: Σd² at
+    10-year gaps (3·10¹⁴ µs) holds to 10⁹ events/user."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    # gap order is the unambiguous (t, event_id) total order — equal
+    # timestamps exist and ordering by t alone would be nondeterministic
+    # (unix_micros is order-isomorphic to ts at the data's precision)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    t = F.expr("unix_micros(cast(ts as timestamp))")
+    gaps = (ev.select("user_id", t.alias("t"), "event_id")
+            .withColumn("i", F.row_number().over(w))
+            .withColumn("tn", F.lead("t").over(
+                Window.partitionBy("user_id").orderBy("i")))
+            .where(F.col("tn").isNotNull())
+            .select("user_id", (F.col("tn") - F.col("t")).cast("bigint")
+                    .alias("d"), "i"))
+    lagd = gaps.withColumn("dn", F.lead("d").over(
+        Window.partitionBy("user_id").orderBy("i")))
+    dd, dn = F.col("d").cast(dec), F.col("dn").cast(dec)
+    s = (lagd.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum(dd).alias("sd"),
+              F.sum(dd * F.col("d")).alias("qd"),
+              F.sum(F.when(F.col("dn").isNotNull(), dd * F.col("dn")))
+              .alias("p"),
+              F.sum(F.when(F.col("dn").isNotNull(), dd)).alias("s1"),
+              F.sum(F.when(F.col("dn").isNotNull(), dd * F.col("d")))
+              .alias("q1"),
+              F.sum(F.when(F.col("dn").isNotNull(), dn)).alias("s2"),
+              F.sum(F.when(F.col("dn").isNotNull(), dn * F.col("dn")))
+              .alias("q2")))
+    n = F.col("n")
+    mu = F.col("sd").cast("double") / n
+    sig = F.sqrt(F.col("qd").cast("double") / n - mu * mu)
+    m1 = F.col("s1").cast("double") / (n - 1)
+    m2 = F.col("s2").cast("double") / (n - 1)
+    s1d = F.sqrt(F.col("q1").cast("double") / (n - 1) - m1 * m1)
+    s2d = F.sqrt(F.col("q2").cast("double") / (n - 1) - m2 * m2)
+    mcoef = (F.col("p").cast("double") / (n - 1) - m1 * m2) / (s1d * s2d)
+    return (s.where((n >= 3)
+                    & ((n - 1) * F.col("q1") - F.col("s1") * F.col("s1")
+                       > 0)
+                    & ((n - 1) * F.col("q2") - F.col("s2") * F.col("s2")
+                       > 0))
+            .select("user_id", "n",
+                    F.round((sig - mu) / (sig + mu), 6).alias("burstiness"),
+                    F.round(mcoef, 6).alias("memory_coef")))
+
+@workload(
+    "events_runs_test",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, y AS m FROM (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY y, hr) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM hourly)
+      WHERE r = (cnt + 1) // 2
+    ),
+    sgn AS (
+      SELECT h.event_type, h.hr,
+             CASE WHEN h.y > med.m THEN 1 ELSE -1 END AS s
+      FROM hourly h JOIN med ON med.event_type = h.event_type
+      WHERE h.y <> med.m
+    ),
+    runs AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(1 + SUM(CASE WHEN sp IS NOT NULL AND s <> sp
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r_runs
+      FROM (SELECT event_type, s,
+                   lag(s) OVER (PARTITION BY event_type ORDER BY hr) AS sp
+            FROM sgn)
+      GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, r_runs,
+           ROUND((r_runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2) * (n1 + n2 - 1))), 6) AS z
+    FROM runs
+    WHERE n1 >= 1 AND n2 >= 1 AND 2 * n1 * n2 > n1 + n2
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the hourly count series
+    per type: dichotomize at the (lower) median — computed EXACTLY by
+    rank over the span-bounded series, ties-at-median dropped (the
+    standard treatment) — count sign runs, and z-score the run count
+    against its exact null mean/variance.  Everything up to z is integer
+    (n1, n2, runs); z is one IEEE expression, rounded 6.
+
+    Scale: the corpus collapses to the bounded hourly series first; the
+    median-by-rank, the lag, and the run count are windows over that
+    bounded series (a year is 8.8k rows/type)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    wv = Window.partitionBy("event_type").orderBy("y", "hr")
+    wc = Window.partitionBy("event_type")
+    med = (hourly.select("event_type", "y",
+                         F.row_number().over(wv).alias("r"),
+                         F.count(F.lit(1)).over(wc).alias("cnt"))
+           .where(F.col("r") == F.expr("(cnt + 1) div 2"))
+           .select("event_type", F.col("y").alias("m")))
+    sgn = (hourly.join(med, "event_type")
+           .where(F.col("y") != F.col("m"))
+           .select("event_type", "hr",
+                   F.when(F.col("y") > F.col("m"), 1).otherwise(-1)
+                   .alias("s")))
+    wh = Window.partitionBy("event_type").orderBy("hr")
+    runs = (sgn.withColumn("sp", F.lag("s").over(wh))
+            .groupBy("event_type")
+            .agg(F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n1"),
+                 F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+                 .cast("bigint").alias("n2"),
+                 (1 + F.sum(F.when(F.col("sp").isNotNull()
+                                   & (F.col("s") != F.col("sp")), 1)
+                            .otherwise(0))).cast("bigint")
+                 .alias("r_runs")))
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r_runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)))
+    # degenerate dichotomies (a side empty, or null variance 2n1n2 ==
+    # n1+n2) are excluded by EXACT integer predicates, not a float eps
+    return (runs.where((n1 >= 1) & (n2 >= 1)
+                       & (2 * n1 * n2 > n1 + n2))
+            .select("event_type", "n1", "n2", "r_runs",
+                    F.round((r - mu) / F.sqrt(var), 6).alias("z")))
+
+
+@workload(
+    "events_holt_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, hr, y,
+             list([CAST(y AS DOUBLE), 0.0]) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ys
+      FROM hourly
+    ),
+    folded AS (
+      SELECT event_type, hr, y,
+             list_reduce(ys, (acc, x) ->
+               [(x[1] + acc[1] + acc[2]) / 2,
+                ((x[1] + acc[1] + acc[2]) / 2 - acc[1]) / 2
+                + acc[2] / 2]) AS lb
+      FROM pre
+    )
+    SELECT event_type, hr, y,
+           ROUND(lb[1], 6) AS level,
+           ROUND(lb[2], 6) AS trend,
+           ROUND(lb[1] + lb[2], 6) AS forecast_next
+    FROM folded
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing of the hourly
+    count series, α = β = 1/2 (both DYADIC, the EWMA discipline): level
+    lₜ = (yₜ + lₜ₋₁ + bₜ₋₁)/2, trend bₜ = (lₜ − lₜ₋₁)/2 + bₜ₋₁/2, with
+    l₁ = y₁, b₁ = 0 — every step is sums and exact halvings of IEEE
+    doubles, so the recursion is bit-identical cross-engine (general
+    α/β would need pow(1−α,k) accumulation — documented trade).  The
+    one-step-ahead forecast lₜ + bₜ is the planning readout.
+
+    The fold carries the (level, trend) PAIR as a 2-element double
+    array so the ``F.aggregate`` ↔ ``list_reduce`` accumulator types
+    match; per-row prefix folds over the span-bounded series (the EWMA
+    cost shape: O(T²) fused ops on a series bounded by time, not data)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = hourly.withColumn(
+        "ys", F.collect_list(F.array(F.col("y").cast("double"),
+                                     F.lit(0.0))).over(w))
+    def step(acc, x):
+        lvl = (x[0] + acc[0] + acc[1]) / 2
+        return F.array(lvl, (lvl - acc[0]) / 2 + acc[1] / 2)
+    lb = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        F.element_at(F.col("ys"), 1), step)
+    return pre.select(
+        "event_type", "hr", "y",
+        F.round(F.element_at(lb, 1), 6).alias("level"),
+        F.round(F.element_at(lb, 2), 6).alias("trend"),
+        F.round(F.element_at(lb, 1) + F.element_at(lb, 2), 6)
+        .alias("forecast_next"))
+
+def _bfs_oracle(seed: str, hops: int) -> str:
+    """Unrolled synchronous-BFS oracle over the token co-occurrence graph
+    (the same edge CTE as the triangle/LPA oracles; one materialized CTE
+    per hop, min-distance kept on first discovery)."""
+    sql = f"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    e AS MATERIALIZED (
+      SELECT wa, wb FROM pr
+      WHERE wa <> wb GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    und AS MATERIALIZED (
+      SELECT wa AS u, wb AS v FROM e
+      UNION ALL SELECT wb AS u, wa AS v FROM e),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+      FROM und WHERE u = '{seed}')"""
+    for k in range(1, hops + 1):
+        prev = ", ".join(f"d{j}" for j in range(k))
+        sql += f""",
+    d{k} AS MATERIALIZED (
+      SELECT DISTINCT und.v AS node, CAST({k} AS BIGINT) AS dist
+      FROM und JOIN d{k - 1} ON und.u = d{k - 1}.node
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT node FROM d0 {" ".join(
+            f"UNION ALL SELECT node FROM d{j}" for j in range(1, k))}) s
+        WHERE s.node = und.v))"""
+    arms = " UNION ALL ".join(f"SELECT * FROM d{j}"
+                              for j in range(hops + 1))
+    return sql + f"""
+    SELECT node, dist FROM ({arms})"""
+
+
+@workload("token_bfs_distances", oracle=_bfs_oracle("data", 3))
+def token_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous breadth-first search over the token co-occurrence
+    graph (same ±2-window count ≥ 5 edge list as LPA/triangles/k-core):
+    exact hop distances ≤ 3 from the seed token — the missing classic of
+    the iterative-graph family (PageRank/LPA/CC/k-core/DBSCAN all ride
+    the same per-round join shape).  Each round is ONE frontier-edge
+    equi-join + an anti-join against the visited set; unreachable nodes
+    are excluded (a 100 TB graph's BFS output is frontier-sized, never
+    node-count-sized).  The oracle unrolls the three rounds as
+    materialized CTEs with the identical first-discovery rule."""
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = (cooccurrence_counts(docs, window=2)
+         .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
+         .select("wa", "wb"))
+    und = (e.select(F.col("wa").alias("u"), F.col("wb").alias("v"))
+           .unionByName(e.select(F.col("wb").alias("u"),
+                                 F.col("wa").alias("v"))))
+    frontier = (und.where(F.col("u") == "data")
+                .select(F.col("u").alias("node")).distinct()
+                .withColumn("dist", F.lit(0).cast("bigint")))
+    visited = frontier
+    out = [frontier]
+    for k in range(1, 4):
+        nxt = (und.join(frontier.select(F.col("node").alias("u")), "u")
+               .select(F.col("v").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(k).cast("bigint")))
+        out.append(nxt)
+        visited = visited.select("node").unionByName(nxt.select("node"))
+        frontier = nxt
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+@workload(
+    "events_theil_sen",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS i
+      FROM hourly
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / (b.i - a.i) AS sl,
+             a.i AS ia, b.i AS ib
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.i < b.i
+    ),
+    ranked AS (
+      SELECT event_type, sl,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY sl, ia, ib) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM slopes
+    ),
+    med AS (
+      SELECT event_type, sl AS slope, CAST(m AS BIGINT) AS n_pairs
+      FROM ranked WHERE r = (m + 1) // 2
+    ),
+    resid AS (
+      SELECT idx.event_type, idx.y - med.slope * idx.i AS b0,
+             idx.i AS ia
+      FROM idx JOIN med ON med.event_type = idx.event_type
+    ),
+    rr AS (
+      SELECT event_type, b0,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY b0, ia) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM resid
+    )
+    SELECT med.event_type, med.n_pairs,
+           ROUND(med.slope, 6) AS slope,
+           ROUND(rr.b0, 6) AS intercept
+    FROM med JOIN rr ON rr.event_type = med.event_type
+    WHERE rr.r = (rr.m + 1) // 2
+    """,
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: slope = the
+    (lower) MEDIAN of all pairwise slopes (yⱼ−yᵢ)/(j−i) over the hourly
+    series, intercept = median of yᵢ − slope·i (the 29%-breakdown
+    regression OLS can't give).  Every slope is ONE IEEE division of
+    exact integers — identical cross-engine — so the slope MULTISET is
+    identical and the rank-selected lower median (deterministic
+    (sl, i, j) tie-break) is bitwise the same value before rounding.
+
+    Scale: the corpus collapses to the span-bounded hourly series first;
+    the O(H²) pair join and the rank windows run on that bounded series
+    (a year is 8.8k rows → 38M pairs per type, one task's work — the
+    Kendall/Pettitt cost class)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    wi = Window.partitionBy("event_type").orderBy("hr")
+    idx = hourly.select("event_type", "y",
+                        F.row_number().over(wi).alias("i"))
+    a = idx.select("event_type", F.col("y").alias("ya"),
+                   F.col("i").alias("ia"))
+    b = idx.select("event_type", F.col("y").alias("yb"),
+                   F.col("i").alias("ib"))
+    slopes = (a.join(b, "event_type")
+              .where(F.col("ia") < F.col("ib"))
+              .select("event_type",
+                      ((F.col("yb") - F.col("ya")).cast("double")
+                       / (F.col("ib") - F.col("ia"))).alias("sl"),
+                      "ia", "ib"))
+    wr = Window.partitionBy("event_type").orderBy("sl", "ia", "ib")
+    wc = Window.partitionBy("event_type")
+    med = (slopes.select("event_type", "sl",
+                         F.row_number().over(wr).alias("r"),
+                         F.count(F.lit(1)).over(wc).alias("m"))
+           .where(F.col("r") == F.expr("(m + 1) div 2"))
+           .select("event_type", F.col("sl").alias("slope"),
+                   F.col("m").cast("bigint").alias("n_pairs")))
+    resid = (idx.join(med, "event_type")
+             .select("event_type", "n_pairs", "slope",
+                     (F.col("y") - F.col("slope") * F.col("i"))
+                     .alias("b0"), F.col("i").alias("ia")))
+    wb = Window.partitionBy("event_type").orderBy("b0", "ia")
+    return (resid.select("event_type", "n_pairs", "slope", "b0",
+                         F.row_number().over(wb).alias("r"),
+                         F.count(F.lit(1)).over(wc).alias("m"))
+            .where(F.col("r") == F.expr("(m + 1) div 2"))
+            .select("event_type", "n_pairs",
+                    F.round("slope", 6).alias("slope"),
+                    F.round("b0", 6).alias("intercept")))

@@ -1871,3 +1871,149 @@ def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sqrt(F.col("qa").cast("double"))
                    * F.sqrt(F.col("qb").cast("double"))), 6)
         .alias("cosine"))
+
+@workload(
+    "source_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             SUM(CAST(c AS HUGEINT) * (c - 1)) AS s2
+      FROM cnt GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab, hapax,
+           ROUND(1.0 - CAST(s2 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+             AS gini_simpson,
+           ROUND(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS ttr,
+           ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+             AS hapax_ratio
+    FROM agg
+    """,
+)
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile — the corpus-quality readout
+    a data-mixing recipe keys on: Gini-Simpson diversity 1 − Σc(c−1)/
+    (N(N−1)) (the unbiased repeat-rate complement, EXACT rational of
+    integer counts — Shannon entropy would need a per-token
+    transcendental SUM, cross-engine-unsafe; Simpson carries the same
+    concentration signal on exact arithmetic), type-token ratio, and
+    hapax-legomenon ratio (the OOV-pressure proxy for tokenizer/vocab
+    sizing).  One IEEE division per output row, rounded 6.
+
+    Scale: one (source, token) count exchange + one per-source collapse
+    — both partial-aggregatable; no joins, no windows.  Digit budget:
+    Σc² ≤ 10³⁸ holds past 10¹⁸ tokens of a single repeated type."""
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.where(F.col("text").isNotNull())
+           .select("source", F.explode(F.split("text", " ")).alias("t"))
+           .where(F.col("t") != ""))
+    cnt = (tok.groupBy("source", "t")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    agg = (cnt.groupBy("source")
+           .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("vocab"),
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                .cast("bigint").alias("hapax"),
+                F.sum(F.col("c").cast(dec) * (F.col("c") - 1))
+                .alias("s2")))
+    nt = F.col("n_tokens").cast("double")
+    return agg.select(
+        "source", "n_tokens", "vocab", "hapax",
+        F.round(1.0 - F.col("s2").cast("double")
+                / (nt * (F.col("n_tokens") - 1)), 6).alias("gini_simpson"),
+        F.round(F.col("vocab").cast("double") / nt, 6).alias("ttr"),
+        F.round(F.col("hapax").cast("double")
+                / F.col("vocab").cast("double"), 6).alias("hapax_ratio"))
+
+
+@workload(
+    "doc_heaps_law",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(doc_id) AS lo, max(doc_id) AS hi, COUNT(*) AS nd
+      FROM documents
+    ),
+    cut AS (
+      SELECT CAST(k AS BIGINT) AS decile,
+             lo + ((hi - lo + 1) * k) // 10 AS cutoff
+      FROM bounds, unnest(range(1, 11)) AS t(k)
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fa AS (SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t),
+    dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+           FROM tok GROUP BY doc_id),
+    vocab_k AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM cut JOIN fa ON fa.first_doc < cut.cutoff
+      GROUP BY decile
+    ),
+    toks_k AS (
+      SELECT decile, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM cut JOIN dt ON dt.doc_id < cut.cutoff
+      GROUP BY decile
+    )
+    SELECT t.decile, t.n_docs, t.n_tokens,
+           COALESCE(v.vocab, 0) AS vocab
+    FROM toks_k t LEFT JOIN vocab_k v USING (decile)
+    """,
+)
+def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count after each
+    id-space decile of the corpus (the tokenizer/vocab-budget planning
+    readout — how fast does vocabulary grow as the corpus grows?).  A
+    token's first appearance is min(doc_id); the per-decile vocabulary
+    is then a COUNT over first-appearance positions — no re-scan of the
+    corpus per decile, the classic one-pass formulation.
+
+    Scale: one (token → min doc_id) aggregate + one per-doc token count,
+    each joined to the 10-row cutoff table (range join against 10 rows =
+    10x fan-out on bounded summaries, never the corpus).  Deciles are
+    ID-SPACE cuts (documented; a rank-space variant would ride
+    global_dense_rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi"),
+                      F.count(F.lit(1)).alias("nd"))
+    cut = (bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"),
+        "lo", "hi")
+        .select(F.col("k").cast("bigint").alias("decile"),
+                (F.col("lo") + F.expr("((hi - lo + 1) * k) div 10"))
+                .alias("cutoff")))
+    tok = (docs.where(F.col("text").isNotNull())
+           .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+           .where(F.col("t") != ""))
+    fa = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    dt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint")
+                                   .alias("nt"))
+    vocab_k = (cut.join(fa, fa.first_doc < cut.cutoff)
+               .groupBy("decile")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("vocab")))
+    toks_k = (cut.join(dt, dt.doc_id < cut.cutoff)
+              .groupBy("decile")
+              .agg(F.sum("nt").cast("bigint").alias("n_tokens"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    return (toks_k.join(vocab_k, "decile", "left")
+            .select("decile", "n_docs", "n_tokens",
+                    F.coalesce("vocab", F.lit(0)).cast("bigint")
+                    .alias("vocab")))

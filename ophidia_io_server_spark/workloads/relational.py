@@ -2485,3 +2485,152 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_score.cast("bigint").alias("m_score"),
         (r_score * 100 + f_score * 10 + m_score).cast("bigint")
         .alias("rfm_code"))
+
+@workload(
+    "orders_market_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m
+      FROM orders GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(m) AS BIGINT) AS total_cents,
+             SUM(CAST(m AS HUGEINT) * m) AS s2
+      FROM cust
+    ),
+    top4 AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS top4_cents FROM (
+        SELECT m FROM cust ORDER BY m DESC, o_custkey ASC LIMIT 4)
+    )
+    SELECT n_customers, total_cents, top4_cents,
+           ROUND(CAST(s2 AS DOUBLE)
+                 / (CAST(total_cents AS DOUBLE)
+                    * CAST(total_cents AS DOUBLE)), 6) AS hhi,
+           ROUND((CAST(s2 AS DOUBLE)
+                  / (CAST(total_cents AS DOUBLE)
+                     * CAST(total_cents AS DOUBLE))
+                  - 1.0 / n_customers)
+                 / (1.0 - 1.0 / n_customers), 6) AS hhi_norm,
+           ROUND(CAST(top4_cents AS DOUBLE)
+                 / CAST(total_cents AS DOUBLE), 6) AS cr4
+    FROM agg CROSS JOIN top4
+    """,
+)
+def orders_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report over customer revenue shares — the
+    antitrust / portfolio-risk primitive: Herfindahl-Hirschman index
+    HHI = Σ(mᵢ/T)² = Σmᵢ²/T² kept EXACT as a ratio of DECIMAL(38,0)
+    integers (one IEEE division at the end), the normalized HHI
+    (HHI − 1/n)/(1 − 1/n), and the CR4 four-firm concentration ratio.
+
+    Scale: one per-customer collapse (partial-aggregatable), one
+    single-row moment aggregate, and the top-4 via orderBy+limit —
+    Spark compiles that to TakeOrderedAndProject (per-partition top-4 +
+    driver merge of P·4 rows), never a global sort.  Digit budget:
+    Σmᵢ² ≤ 10³⁸ holds past 10¹⁵ customers of 10¹⁰ cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    cust = (orders.groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .cast("bigint").alias("m")))
+    agg = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("m").cast("bigint").alias("total_cents"),
+        F.sum(F.col("m").cast(dec) * F.col("m")).alias("s2"))
+    top4 = (cust.orderBy(F.col("m").desc(), F.col("o_custkey").asc())
+            .limit(4)
+            .agg(F.sum("m").cast("bigint").alias("top4_cents")))
+    t = F.col("total_cents").cast("double")
+    hhi = F.col("s2").cast("double") / (t * t)
+    return (agg.crossJoin(F.broadcast(top4))  # two single-row frames
+            .select("n_customers", "total_cents", "top4_cents",
+                    F.round(hhi, 6).alias("hhi"),
+                    F.round((hhi - 1.0 / F.col("n_customers"))
+                            / (1.0 - 1.0 / F.col("n_customers")), 6)
+                    .alias("hhi_norm"),
+                    F.round(F.col("top4_cents").cast("double") / t, 6)
+                    .alias("cr4")))
+
+@workload(
+    "lineitem_anova_f",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND l_returnflag IN ('A', 'N', 'R')
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        SUM(CASE WHEN g = 'A' THEN CAST(y AS HUGEINT) END) AS sa,
+        CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        SUM(CASE WHEN g = 'N' THEN CAST(y AS HUGEINT) END) AS sn,
+        CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        SUM(CASE WHEN g = 'R' THEN CAST(y AS HUGEINT) END) AS sr,
+        SUM(CAST(y AS HUGEINT) * y) AS q
+      FROM b
+    )
+    SELECT na, nn, nr,
+           ROUND(CAST(sa AS DOUBLE) / na / 100, 6) AS mean_a,
+           ROUND(CAST(sn AS DOUBLE) / nn / 100, 6) AS mean_n,
+           ROUND(CAST(sr AS DOUBLE) / nr / 100, 6) AS mean_r,
+           ROUND(((CAST(sa AS DOUBLE) * sa / na
+                   + CAST(sn AS DOUBLE) * sn / nn
+                   + CAST(sr AS DOUBLE) * sr / nr
+                   - CAST(sa + sn + sr AS DOUBLE)
+                     * CAST(sa + sn + sr AS DOUBLE) / (na + nn + nr))
+                  / (3 - 1))
+                 / ((CAST(q AS DOUBLE)
+                     - (CAST(sa AS DOUBLE) * sa / na
+                        + CAST(sn AS DOUBLE) * sn / nn
+                        + CAST(sr AS DOUBLE) * sr / nr))
+                    / (na + nn + nr - 3)), 6) AS f_stat
+    FROM s
+    """,
+)
+def lineitem_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for line-item price across the three
+    return-flag groups — the k-group generalization of the Welch row
+    (completes the test family: t/Welch for 2 groups, F for k): ONE
+    conditional aggregate collects each group's (n, Σy) plus the global
+    Σy² on the exact cents grid, then F = (SSB/(k−1))/(SSW/(N−k)) is a
+    single IEEE expression over those seven exact integers — the
+    between/within sums are PIVOTED into one row (a per-group float SUM
+    would be accumulation-order-dependent), rounded 6.
+
+    Scale: one partial-aggregatable scan emitting seven numbers."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull()
+                 & F.col("l_returnflag").isin("A", "N", "R")))
+    dec = "decimal(38,0)"
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    g = F.col("l_returnflag")
+    s = li.agg(
+        F.sum(F.when(g == "A", 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(g == "A", y.cast(dec))).alias("sa"),
+        F.sum(F.when(g == "N", 1).otherwise(0)).cast("bigint").alias("nn"),
+        F.sum(F.when(g == "N", y.cast(dec))).alias("sn"),
+        F.sum(F.when(g == "R", 1).otherwise(0)).cast("bigint").alias("nr"),
+        F.sum(F.when(g == "R", y.cast(dec))).alias("sr"),
+        F.sum((y * y).cast(dec)).alias("q"))
+    na, nn, nr = F.col("na"), F.col("nn"), F.col("nr")
+    sa = F.col("sa").cast("double")
+    sn = F.col("sn").cast("double")
+    sr = F.col("sr").cast("double")
+    st = (F.col("sa") + F.col("sn") + F.col("sr")).cast("double")
+    grp = sa * F.col("sa") / na + sn * F.col("sn") / nn \
+        + sr * F.col("sr") / nr
+    ssb = grp - st * st / (na + nn + nr)
+    ssw = F.col("q").cast("double") - grp
+    return s.select(
+        "na", "nn", "nr",
+        F.round(sa / na / 100, 6).alias("mean_a"),
+        F.round(sn / nn / 100, 6).alias("mean_n"),
+        F.round(sr / nr / 100, 6).alias("mean_r"),
+        F.round((ssb / (3 - 1)) / (ssw / (na + nn + nr - 3)), 6)
+        .alias("f_stat"))

@@ -321,6 +321,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("ra_scaled", "bigint"), ("deg_a", "bigint"),
             ("deg_b", "bigint"), ("jaccard", "double"),
         ],
+        # r10 wave 9: synchronous BFS hop distances (3 unrolled rounds)
+        "token_bfs_distances": [
+            ("node", "string"), ("dist", "bigint"),
+        ],
     },
     # deterministic sampling: budget-fill without a global sort + exact-k
     # bottom-k
@@ -402,6 +406,18 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("src_a", "string"), ("src_b", "string"), ("n_a", "bigint"),
             ("n_b", "bigint"), ("n_common", "bigint"),
             ("tv_dist", "double"), ("cosine", "double"),
+        ],
+        # r10 wave 8: Gini-Simpson / TTR / hapax lexical diversity and
+        # the Heaps-law vocabulary growth curve (first-appearance counts)
+        "source_diversity": [
+            ("source", "string"), ("n_tokens", "bigint"),
+            ("vocab", "bigint"), ("hapax", "bigint"),
+            ("gini_simpson", "double"), ("ttr", "double"),
+            ("hapax_ratio", "double"),
+        ],
+        "doc_heaps_law": [
+            ("decile", "bigint"), ("n_docs", "bigint"),
+            ("n_tokens", "bigint"), ("vocab", "bigint"),
         ],
         # r10: KMV bottom-k distinct-intersection sketch per source pair
         "source_kmv_overlap": [
@@ -593,6 +609,31 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_kaplan_meier": [
             ("dur_h", "bigint"), ("n_risk", "bigint"), ("d", "bigint"),
             ("c", "bigint"), ("survival", "double"),
+        ],
+        # r10 wave 8: Pettitt rank-based changepoint locator (exact U_t)
+        "events_pettitt_changepoint": [
+            ("event_type", "string"), ("cp_hr", "timestamp"),
+            ("u_abs", "bigint"), ("n", "bigint"), ("p_approx", "double"),
+        ],
+        # r10 wave 9: Goh-Barabási burstiness/memory, Wald-Wolfowitz runs
+        # test, Holt dyadic double smoothing
+        "events_burstiness_memory": [
+            ("user_id", "bigint"), ("n", "bigint"),
+            ("burstiness", "double"), ("memory_coef", "double"),
+        ],
+        "events_runs_test": [
+            ("event_type", "string"), ("n1", "bigint"), ("n2", "bigint"),
+            ("r_runs", "bigint"), ("z", "double"),
+        ],
+        "events_holt_linear": [
+            ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
+            ("level", "double"), ("trend", "double"),
+            ("forecast_next", "double"),
+        ],
+        # r10 wave 9: Theil-Sen robust trend (median of pairwise slopes)
+        "events_theil_sen": [
+            ("event_type", "string"), ("n_pairs", "bigint"),
+            ("slope", "double"), ("intercept", "double"),
         ],
         "events_seasonal_decompose": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
@@ -807,6 +848,19 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("frequency", "bigint"), ("monetary_cents", "bigint"),
             ("r_score", "bigint"), ("f_score", "bigint"),
             ("m_score", "bigint"), ("rfm_code", "bigint"),
+        ],
+        # r10 wave 8: HHI/CR4 concentration (exact DECIMAL share ratios)
+        "orders_market_concentration": [
+            ("n_customers", "bigint"), ("total_cents", "bigint"),
+            ("top4_cents", "bigint"), ("hhi", "double"),
+            ("hhi_norm", "double"), ("cr4", "double"),
+        ],
+        # r10 wave 9: one-way ANOVA F across return-flag groups (pivoted
+        # exact sums, one IEEE expression)
+        "lineitem_anova_f": [
+            ("na", "bigint"), ("nn", "bigint"), ("nr", "bigint"),
+            ("mean_a", "double"), ("mean_n", "double"),
+            ("mean_r", "double"), ("f_stat", "double"),
         ],
     },
     # fragment-store row windows + MERGE upsert

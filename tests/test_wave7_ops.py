@@ -165,3 +165,263 @@ def test_link_prediction_scores_consistent(spark):
         assert r["cn"] == len(common) >= 1
         assert r["deg_a"] == len(nbr[a]) and r["deg_b"] == len(nbr[b])
         assert r["ra_scaled"] == sum(10 ** 12 // len(nbr[z]) for z in common)
+
+
+# -- wave 8 ------------------------------------------------------------------
+
+
+def test_pettitt_matches_bruteforce(spark):
+    out = {r["event_type"]: r.asDict() for r in
+           WORKLOADS["events_pettitt_changepoint"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    series = con.execute(f"""
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS y
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    by_type: dict = {}
+    for et, hr, y in series:
+        by_type.setdefault(et, []).append((hr, y))
+    for et, s in by_type.items():
+        n = len(s)
+        best = None
+        for t in range(n - 1):  # interior splits only
+            u = sum((s[i][1] > s[j][1]) - (s[i][1] < s[j][1])
+                    for i in range(t + 1) for j in range(t + 1, n))
+            k = (abs(u), s[t][0])
+            if best is None or abs(u) > best[0]:
+                best = k
+        r = out[et]
+        assert (r["u_abs"], str(r["cp_hr"])) == (best[0], str(best[1])), et
+        assert r["n"] == n
+        p = 2 * math.exp(-6.0 * best[0] ** 2 / (n ** 3 + n ** 2))
+        assert r["p_approx"] == pytest.approx(p, abs=1e-6), et
+
+
+def test_market_concentration_matches_numpy(spark):
+    r = WORKLOADS["orders_market_concentration"].fn(spark, SF).collect()[0]
+    con = duckdb.connect()
+    m = np.array([x[0] for x in con.execute(f"""
+        SELECT SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        FROM '{SF}/orders.parquet' GROUP BY o_custkey""").fetchall()],
+        dtype=np.int64)
+    t = int(m.sum())
+    hhi = float((m.astype(object) ** 2).sum()) / t / t
+    n = len(m)
+    assert r["n_customers"] == n and r["total_cents"] == t
+    assert r["top4_cents"] == int(np.sort(m)[-4:].sum())
+    assert r["hhi"] == pytest.approx(hhi, abs=1e-6)
+    assert r["hhi_norm"] == pytest.approx((hhi - 1 / n) / (1 - 1 / n),
+                                          abs=1e-6)
+    assert r["cr4"] == pytest.approx(int(np.sort(m)[-4:].sum()) / t,
+                                     abs=1e-6)
+
+
+def test_heaps_law_monotone_and_endpoint(spark):
+    rows = {r["decile"]: r.asDict()
+            for r in WORKLOADS["doc_heaps_law"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(1, 11))
+    for k in range(2, 11):
+        assert rows[k]["vocab"] >= rows[k - 1]["vocab"]
+        assert rows[k]["n_tokens"] >= rows[k - 1]["n_tokens"]
+        assert rows[k]["n_docs"] >= rows[k - 1]["n_docs"]
+    con = duckdb.connect()
+    nd, vocab, ntok = con.execute(f"""
+        SELECT COUNT(*),
+               (SELECT COUNT(DISTINCT t) FROM (
+                  SELECT unnest(list_filter(string_split(text,' '),
+                                            w -> w <> '')) AS t
+                  FROM '{SF}/documents.parquet' WHERE text IS NOT NULL)),
+               (SELECT COUNT(*) FROM (
+                  SELECT unnest(list_filter(string_split(text,' '),
+                                            w -> w <> '')) AS t
+                  FROM '{SF}/documents.parquet' WHERE text IS NOT NULL))
+        FROM '{SF}/documents.parquet'""").fetchone()
+    assert rows[10]["n_docs"] == nd
+    assert rows[10]["vocab"] == vocab
+    assert rows[10]["n_tokens"] == ntok
+
+
+def test_source_diversity_matches_python(spark):
+    rows = {r["source"]: r.asDict()
+            for r in WORKLOADS["source_diversity"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    cnts = con.execute(f"""
+        SELECT source, t, COUNT(*) FROM (
+          SELECT source, unnest(list_filter(string_split(text,' '),
+                                            w -> w <> '')) AS t
+          FROM '{SF}/documents.parquet' WHERE text IS NOT NULL)
+        GROUP BY 1, 2""").fetchall()
+    per: dict = {}
+    for s, _, c in cnts:
+        per.setdefault(s, []).append(c)
+    assert set(rows) == set(per)
+    for s, cs in per.items():
+        n = sum(cs)
+        r = rows[s]
+        assert r["n_tokens"] == n and r["vocab"] == len(cs)
+        assert r["hapax"] == sum(1 for c in cs if c == 1)
+        gs = 1.0 - sum(c * (c - 1) for c in cs) / (n * (n - 1))
+        assert r["gini_simpson"] == pytest.approx(gs, abs=1e-6), s
+
+
+# -- wave 9 ------------------------------------------------------------------
+
+
+def test_burstiness_matches_python(spark):
+    out = {r["user_id"]: r.asDict() for r in
+           WORKLOADS["events_burstiness_memory"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    evs = con.execute(f"""
+        SELECT user_id, epoch_us(ts) FROM '{SF}/events.parquet'
+        ORDER BY user_id, ts, event_id""").fetchall()
+    per: dict = {}
+    for u, t in evs:
+        per.setdefault(u, []).append(t)
+    expect = {}
+    for u, ts in per.items():
+        d = [b - a for a, b in zip(ts, ts[1:])]
+        n = len(d)
+        if n < 3:
+            continue
+        a1, a2 = d[:-1], d[1:]
+        v1 = (n - 1) * sum(x * x for x in a1) - sum(a1) ** 2
+        v2 = (n - 1) * sum(x * x for x in a2) - sum(a2) ** 2
+        if v1 <= 0 or v2 <= 0:
+            continue
+        mu = sum(d) / n
+        sig = math.sqrt(sum(x * x for x in d) / n - mu * mu)
+        m1, m2 = sum(a1) / (n - 1), sum(a2) / (n - 1)
+        s1 = math.sqrt(sum(x * x for x in a1) / (n - 1) - m1 * m1)
+        s2 = math.sqrt(sum(x * x for x in a2) / (n - 1) - m2 * m2)
+        mc = (sum(x * y for x, y in zip(a1, a2)) / (n - 1) - m1 * m2) \
+            / (s1 * s2)
+        expect[u] = (n, (sig - mu) / (sig + mu), mc)
+    assert set(out) == set(expect)
+    for u, (n, b, m) in expect.items():
+        assert out[u]["n"] == n
+        assert out[u]["burstiness"] == pytest.approx(b, abs=1e-6), u
+        assert out[u]["memory_coef"] == pytest.approx(m, abs=1e-6), u
+
+
+def test_runs_test_matches_python(spark):
+    out = {r["event_type"]: r.asDict() for r in
+           WORKLOADS["events_runs_test"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    series = con.execute(f"""
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS y
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    per: dict = {}
+    for et, hr, y in series:
+        per.setdefault(et, []).append(y)
+    seen = set()
+    for et, ys in per.items():
+        med = sorted(ys)[(len(ys) + 1) // 2 - 1]  # lower median
+        s = [1 if y > med else -1 for y in ys if y != med]
+        n1 = s.count(1)
+        n2 = s.count(-1)
+        if n1 < 1 or n2 < 1 or 2 * n1 * n2 <= n1 + n2:
+            assert et not in out  # degenerate dichotomy excluded
+            continue
+        seen.add(et)
+        runs = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+        r = out[et]
+        assert (r["n1"], r["n2"], r["r_runs"]) == (n1, n2, runs), et
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+               / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+        assert r["z"] == pytest.approx((runs - mu) / math.sqrt(var),
+                                       abs=1e-6), et
+    assert set(out) == seen
+
+
+def test_holt_linear_matches_python(spark):
+    rows = WORKLOADS["events_holt_linear"].fn(spark, SF).collect()
+    per: dict = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["hr"])):
+        per.setdefault(r["event_type"], []).append(r)
+    for et, rs in per.items():
+        lvl, tr = float(rs[0]["y"]), 0.0
+        for i, r in enumerate(rs):
+            if i > 0:
+                new = (r["y"] + lvl + tr) / 2
+                tr = (new - lvl) / 2 + tr / 2
+                lvl = new
+            assert r["level"] == pytest.approx(lvl, abs=1e-6), (et, i)
+            assert r["trend"] == pytest.approx(tr, abs=1e-6), (et, i)
+            assert r["forecast_next"] == pytest.approx(lvl + tr,
+                                                       abs=1e-6), (et, i)
+
+
+def test_anova_matches_python(spark):
+    r = WORKLOADS["lineitem_anova_f"].fn(spark, SF).collect()[0]
+    con = duckdb.connect()
+    grp = dict()
+    for g, in con.execute(
+            f"SELECT DISTINCT l_returnflag FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        grp[g] = [x[0] for x in con.execute(f"""
+            SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT)
+            FROM '{SF}/lineitem.parquet'
+            WHERE l_returnflag = '{g}'
+              AND l_extendedprice IS NOT NULL""").fetchall()]
+    k = 3
+    ns = {g: len(v) for g, v in grp.items()}
+    sums = {g: sum(v) for g, v in grp.items()}
+    ntot = sum(ns.values())
+    q = sum(x * x for v in grp.values() for x in v)
+    gterm = sum(sums[g] ** 2 / ns[g] for g in grp)
+    ssb = gterm - sum(sums.values()) ** 2 / ntot
+    ssw = q - gterm
+    f = (ssb / (k - 1)) / (ssw / (ntot - k))
+    assert (r["na"], r["nn"], r["nr"]) == (ns["A"], ns["N"], ns["R"])
+    assert r["f_stat"] == pytest.approx(f, rel=1e-6)
+
+
+def test_bfs_matches_python(spark):
+    rows = {r["node"]: r["dist"] for r in
+            WORKLOADS["token_bfs_distances"].fn(spark, SF).collect()}
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+    from ophidia_io_server_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    e = (cooccurrence_counts(docs, window=2)
+         .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb"))))
+    nbr: dict = {}
+    for r in e.collect():
+        nbr.setdefault(r["wa"], set()).add(r["wb"])
+        nbr.setdefault(r["wb"], set()).add(r["wa"])
+    if "data" not in nbr:
+        assert rows == {}
+        return
+    dist = {"data": 0}
+    frontier = {"data"}
+    for k in range(1, 4):
+        frontier = {v for u in frontier for v in nbr[u]} - set(dist)
+        for v in frontier:
+            dist[v] = k
+    assert rows == dist
+
+
+def test_theil_sen_matches_python(spark):
+    out = {r["event_type"]: r.asDict() for r in
+           WORKLOADS["events_theil_sen"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    series = con.execute(f"""
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS y
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    per: dict = {}
+    for et, hr, y in series:
+        per.setdefault(et, []).append(y)
+    for et, ys in per.items():
+        n = len(ys)
+        slopes = sorted(
+            ((ys[j] - ys[i]) / (j - i), i + 1, j + 1)
+            for i in range(n) for j in range(i + 1, n))
+        m = len(slopes)
+        slope = slopes[(m + 1) // 2 - 1][0]
+        b0s = sorted((ys[i] - slope * (i + 1), i + 1) for i in range(n))
+        b0 = b0s[(n + 1) // 2 - 1][0]
+        r = out[et]
+        assert r["n_pairs"] == m, et
+        assert r["slope"] == pytest.approx(slope, abs=1e-6), et
+        assert r["intercept"] == pytest.approx(b0, abs=1e-6), et
