@@ -175,6 +175,7 @@ HEADLINE = [
     "lineitem_anova_f",
     "token_bfs_distances",
     "events_theil_sen",
+    "lineitem_brown_forsythe",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

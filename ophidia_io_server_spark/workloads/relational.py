@@ -2634,3 +2634,118 @@ def lineitem_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sr / nr / 100, 6).alias("mean_r"),
         F.round((ssb / (3 - 1)) / (ssw / (na + nn + nr - 3)), 6)
         .alias("f_stat"))
+
+@workload(
+    "lineitem_brown_forsythe",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND l_returnflag IN ('A', 'N', 'R')
+    ),
+    cnt AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2),
+    cdf AS (
+      SELECT g, y, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY y) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n_g
+      FROM cnt
+    ),
+    med AS (
+      SELECT g, min(y) AS m
+      FROM cdf WHERE cum >= (n_g + 1) // 2
+      GROUP BY g
+    ),
+    dev AS (
+      SELECT b.g, abs(b.y - med.m) AS z
+      FROM b JOIN med ON med.g = b.g
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        SUM(CASE WHEN g = 'A' THEN CAST(z AS HUGEINT) END) AS sa,
+        CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        SUM(CASE WHEN g = 'N' THEN CAST(z AS HUGEINT) END) AS sn,
+        CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        SUM(CASE WHEN g = 'R' THEN CAST(z AS HUGEINT) END) AS sr,
+        SUM(CAST(z AS HUGEINT) * z) AS q
+      FROM dev
+    )
+    SELECT na, nn, nr,
+           ROUND(CAST(sa AS DOUBLE) / na / 100, 6) AS mad_a,
+           ROUND(CAST(sn AS DOUBLE) / nn / 100, 6) AS mad_n,
+           ROUND(CAST(sr AS DOUBLE) / nr / 100, 6) AS mad_r,
+           ROUND(((CAST(sa AS DOUBLE) * sa / na
+                   + CAST(sn AS DOUBLE) * sn / nn
+                   + CAST(sr AS DOUBLE) * sr / nr
+                   - CAST(sa + sn + sr AS DOUBLE)
+                     * CAST(sa + sn + sr AS DOUBLE) / (na + nn + nr))
+                  / (3 - 1))
+                 / ((CAST(q AS DOUBLE)
+                     - (CAST(sa AS DOUBLE) * sa / na
+                        + CAST(sn AS DOUBLE) * sn / nn
+                        + CAST(sr AS DOUBLE) * sr / nr))
+                    / (na + nn + nr - 3)), 6) AS w_stat
+    FROM s
+    """,
+)
+def lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across the return-flag
+    groups (the robust Levene variant and the ANOVA row's mandatory
+    companion — ANOVA's F assumes equal variances; this is the check):
+    W = one-way ANOVA's F computed on z = |y − median_g|.  The group
+    medians come off the per-group distinct-value CDF (exact, the
+    winsorize/MAD pattern), so every deviation z is an EXACT integer and
+    the final W is one IEEE expression over seven exact sums — the same
+    pivoted-aggregate discipline as `lineitem_anova_f`.
+
+    Scale: one (group, cents) count exchange (bounded by the distinct
+    grid, not rows) + per-group windows over it, one 3-row median join
+    back, one pivoted scan aggregate."""
+    from pyspark.sql import Window
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull()
+                 & F.col("l_returnflag").isin("A", "N", "R")))
+    dec = "decimal(38,0)"
+    b = li.select(F.col("l_returnflag").alias("g"),
+                  F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                  .alias("y"))
+    cnt = b.groupBy("g", "y").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("c"))
+    wcum = Window.partitionBy("g").orderBy("y")
+    wall = Window.partitionBy("g")
+    cdf = cnt.select("g", "y", "c",
+                     F.sum("c").over(wcum).alias("cum"),
+                     F.sum("c").over(wall).alias("n_g"))
+    med = (cdf.where(F.col("cum") >= F.expr("(n_g + 1) div 2"))
+           .groupBy("g").agg(F.min("y").alias("m")))
+    dev = (b.join(med, "g")
+           .select("g", F.abs(F.col("y") - F.col("m")).alias("z")))
+    g, z = F.col("g"), F.col("z")
+    s = dev.agg(
+        F.sum(F.when(g == "A", 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(g == "A", z.cast(dec))).alias("sa"),
+        F.sum(F.when(g == "N", 1).otherwise(0)).cast("bigint").alias("nn"),
+        F.sum(F.when(g == "N", z.cast(dec))).alias("sn"),
+        F.sum(F.when(g == "R", 1).otherwise(0)).cast("bigint").alias("nr"),
+        F.sum(F.when(g == "R", z.cast(dec))).alias("sr"),
+        F.sum((z * z).cast(dec)).alias("q"))
+    na, nn, nr = F.col("na"), F.col("nn"), F.col("nr")
+    sa = F.col("sa").cast("double")
+    sn = F.col("sn").cast("double")
+    sr = F.col("sr").cast("double")
+    st = (F.col("sa") + F.col("sn") + F.col("sr")).cast("double")
+    grp = sa * F.col("sa") / na + sn * F.col("sn") / nn \
+        + sr * F.col("sr") / nr
+    ssb = grp - st * st / (na + nn + nr)
+    ssw = F.col("q").cast("double") - grp
+    return s.select(
+        "na", "nn", "nr",
+        F.round(sa / na / 100, 6).alias("mad_a"),
+        F.round(sn / nn / 100, 6).alias("mad_n"),
+        F.round(sr / nr / 100, 6).alias("mad_r"),
+        F.round((ssb / (3 - 1)) / (ssw / (na + nn + nr - 3)), 6)
+        .alias("w_stat"))

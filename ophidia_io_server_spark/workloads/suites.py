@@ -862,6 +862,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("mean_a", "double"), ("mean_n", "double"),
             ("mean_r", "double"), ("f_stat", "double"),
         ],
+        # r10 wave 9: Brown-Forsythe W (ANOVA on exact |y - median| devs)
+        "lineitem_brown_forsythe": [
+            ("na", "bigint"), ("nn", "bigint"), ("nr", "bigint"),
+            ("mad_a", "double"), ("mad_n", "double"),
+            ("mad_r", "double"), ("w_stat", "double"),
+        ],
     },
     # fragment-store row windows + MERGE upsert
     "fragment_ops_suite": {

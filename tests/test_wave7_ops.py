@@ -425,3 +425,29 @@ def test_theil_sen_matches_python(spark):
         assert r["n_pairs"] == m, et
         assert r["slope"] == pytest.approx(slope, abs=1e-6), et
         assert r["intercept"] == pytest.approx(b0, abs=1e-6), et
+
+
+def test_brown_forsythe_matches_python(spark):
+    r = WORKLOADS["lineitem_brown_forsythe"].fn(spark, SF).collect()[0]
+    con = duckdb.connect()
+    grp: dict = {}
+    for g, y in con.execute(f"""
+            SELECT l_returnflag, CAST(ROUND(l_extendedprice*100) AS BIGINT)
+            FROM '{SF}/lineitem.parquet'
+            WHERE l_extendedprice IS NOT NULL""").fetchall():
+        grp.setdefault(g, []).append(y)
+    devs = {}
+    for g, ys in grp.items():
+        med = sorted(ys)[(len(ys) + 1) // 2 - 1]  # lower median
+        devs[g] = [abs(y - med) for y in ys]
+    ns = {g: len(v) for g, v in devs.items()}
+    sums = {g: sum(v) for g, v in devs.items()}
+    ntot = sum(ns.values())
+    q = sum(z * z for v in devs.values() for z in v)
+    gterm = sum(sums[g] ** 2 / ns[g] for g in devs)
+    ssb = gterm - sum(sums.values()) ** 2 / ntot
+    ssw = q - gterm
+    w = (ssb / 2) / (ssw / (ntot - 3))
+    assert (r["na"], r["nn"], r["nr"]) == (ns["A"], ns["N"], ns["R"])
+    assert r["w_stat"] == pytest.approx(w, rel=1e-6)
+    assert r["mad_a"] == pytest.approx(sums["A"] / ns["A"] / 100, abs=1e-6)
