@@ -176,6 +176,8 @@ HEADLINE = [
     "token_bfs_distances",
     "events_theil_sen",
     "lineitem_brown_forsythe",
+    "token_graph_assortativity",
+    "orders_duplicate_payments",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

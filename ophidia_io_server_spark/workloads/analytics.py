@@ -3807,3 +3807,76 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n_pairs",
                     F.round("slope", 6).alias("slope"),
                     F.round("b0", 6).alias("intercept")))
+
+@workload(
+    "token_graph_assortativity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT least(tk[i], tk[i + d]) AS wa,
+                  greatest(tk[i], tk[i + d]) AS wb
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt),
+                unnest(range(1, 3)) AS t(d)
+           WHERE i + d <= n),
+    e AS (SELECT wa, wb FROM pr
+          WHERE wa <> wb GROUP BY wa, wb HAVING COUNT(*) >= 5),
+    und AS (SELECT wa AS u, wb AS v FROM e
+            UNION ALL SELECT wb AS u, wa AS v FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY u),
+    dirs AS (
+      SELECT du.dg AS x, dv.dg AS y
+      FROM und JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS qx,
+             SUM(CAST(x AS HUGEINT) * y) AS pxy
+      FROM dirs
+    )
+    SELECT m,
+           ROUND(CAST(m * pxy - sx * sx AS DOUBLE)
+                 / CAST(m * qx - sx * sx AS DOUBLE), 6) AS assortativity
+    FROM s
+    """,
+)
+def token_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the token co-occurrence graph (Newman
+    2002): the Pearson correlation of endpoint degrees over DIRECTED
+    edge instances — do hubs attach to hubs?  Over the symmetric
+    directed edge list, x and y are exchangeable (Σx = Σy, Σx² = Σy²),
+    so r = (m·Σxy − (Σx)²)/(m·Σx² − (Σx)²) — ONE fused scan over the
+    degree-joined edges collecting three exact DECIMAL(38,0) sums, one
+    IEEE expression, rounded 6 (the Pearson-matrix discipline on a
+    graph).
+
+    Scale: two degree joins on the edge list + one single-row
+    aggregate; no windows, no pairs beyond the edges themselves."""
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    e = (cooccurrence_counts(docs, window=2)
+         .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
+         .select("wa", "wb"))
+    und = (e.select(F.col("wa").alias("u"), F.col("wb").alias("v"))
+           .unionByName(e.select(F.col("wb").alias("u"),
+                                 F.col("wa").alias("v"))))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    dirs = (und.join(deg.select(F.col("u"), F.col("dg").alias("x")), "u")
+            .join(deg.select(F.col("u").alias("v"),
+                             F.col("dg").alias("y")), "v"))
+    s = dirs.agg(F.count(F.lit(1)).cast("bigint").alias("m"),
+                 F.sum(F.col("x").cast(dec)).alias("sx"),
+                 F.sum((F.col("x").cast(dec) * F.col("x"))).alias("qx"),
+                 F.sum((F.col("x").cast(dec) * F.col("y"))).alias("pxy"))
+    m = F.col("m").cast(dec)
+    return s.select(
+        "m",
+        F.round((m * F.col("pxy") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                / (m * F.col("qx") - F.col("sx") * F.col("sx"))
+                .cast("double"), 6).alias("assortativity"))

@@ -2749,3 +2749,59 @@ def lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sr / nr / 100, 6).alias("mad_r"),
         F.round((ssb / (3 - 1)) / (ssw / (na + nn + nr - 3)), 6)
         .alias("w_stat"))
+
+@workload(
+    "orders_duplicate_payments",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             (epoch_us(o_orderdate)) // 86400000000 AS day
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           CAST(b.day - a.day AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND b.day - a.day BETWEEN -7 AND 7
+     AND 100 * abs(a.cents - b.cents) <= 5 * least(a.cents, b.cents)
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected-duplicate-payment detection — the audit classic: order
+    pairs from the SAME customer with near-identical amounts (within 5%,
+    the EXACT scaled-integer predicate 100·|Δ| ≤ 5·min — no float
+    epsilon) at most 7 days apart.  The join blocks on the customer
+    equi-key; the day window and amount ratio ride as residual
+    predicates — candidate volume is Σ(orders-per-customer)², bounded by
+    per-customer activity, never a cross join.  At web scale a second
+    blocking key (log-amount band, the LSH-band discipline) would cap a
+    hot customer; documented, not needed at TPC-H multiplicities.
+
+    Scale: one shuffle on custkey; skew bounded by the hottest
+    customer's own order count."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("day"))
+    a = o.select(F.col("o_custkey").alias("custkey"),
+                 F.col("o_orderkey").alias("order_a"),
+                 F.col("cents").alias("cents_a"),
+                 F.col("day").alias("day_a"))
+    b = o.select(F.col("o_custkey").alias("custkey"),
+                 F.col("o_orderkey").alias("order_b"),
+                 F.col("cents").alias("cents_b"),
+                 F.col("day").alias("day_b"))
+    return (a.join(b, ["custkey"])
+            .where((F.col("order_a") < F.col("order_b"))
+                   & ((F.col("day_b") - F.col("day_a")).between(-7, 7))
+                   & (100 * F.abs(F.col("cents_a") - F.col("cents_b"))
+                      <= 5 * F.least("cents_a", "cents_b")))
+            .select("custkey", "order_a", "order_b", "cents_a", "cents_b",
+                    (F.col("day_b") - F.col("day_a")).cast("bigint")
+                    .alias("days_apart")))

@@ -325,6 +325,10 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "token_bfs_distances": [
             ("node", "string"), ("dist", "bigint"),
         ],
+        # r10 wave 9: Newman degree assortativity (one fused edge scan)
+        "token_graph_assortativity": [
+            ("m", "bigint"), ("assortativity", "double"),
+        ],
     },
     # deterministic sampling: budget-fill without a global sort + exact-k
     # bottom-k
@@ -867,6 +871,13 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("na", "bigint"), ("nn", "bigint"), ("nr", "bigint"),
             ("mad_a", "double"), ("mad_n", "double"),
             ("mad_r", "double"), ("w_stat", "double"),
+        ],
+        # r10 wave 9: duplicate-payment audit (equi-join blocking on
+        # (custkey, cents), day window as residual)
+        "orders_duplicate_payments": [
+            ("custkey", "bigint"), ("order_a", "bigint"),
+            ("order_b", "bigint"), ("cents_a", "bigint"),
+            ("cents_b", "bigint"), ("days_apart", "bigint"),
         ],
     },
     # fragment-store row windows + MERGE upsert

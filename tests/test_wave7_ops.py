@@ -451,3 +451,50 @@ def test_brown_forsythe_matches_python(spark):
     assert (r["na"], r["nn"], r["nr"]) == (ns["A"], ns["N"], ns["R"])
     assert r["w_stat"] == pytest.approx(w, rel=1e-6)
     assert r["mad_a"] == pytest.approx(sums["A"] / ns["A"] / 100, abs=1e-6)
+
+
+def test_assortativity_matches_python(spark):
+    r = WORKLOADS["token_graph_assortativity"].fn(spark, SF).collect()[0]
+    from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
+    from ophidia_io_server_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    e = (cooccurrence_counts(docs, window=2)
+         .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb"))))
+    edges = [(x["wa"], x["wb"]) for x in e.collect()]
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    m = len(xs)
+    sx, qx = sum(xs), sum(x * x for x in xs)
+    pxy = sum(x * y for x, y in zip(xs, ys))
+    rr = (m * pxy - sx * sx) / (m * qx - sx * sx)
+    assert r["m"] == m
+    assert r["assortativity"] == pytest.approx(rr, abs=1e-6)
+
+
+def test_duplicate_payments_blocking_plan_and_bruteforce(spark):
+    p = _plan(spark, "orders_duplicate_payments")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # equi-key blocking held
+    rows = {(r["order_a"], r["order_b"]): r.asDict() for r in
+            WORKLOADS["orders_duplicate_payments"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    orders = con.execute(f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice*100) AS BIGINT),
+               epoch_us(o_orderdate)//86400000000
+        FROM '{SF}/orders.parquet'""").fetchall()
+    expect = {}
+    for i, (ka, ca, xa, da) in enumerate(orders):
+        for kb, cb, xb, db in orders[i + 1:]:
+            if ca != cb:
+                continue
+            lo, hi = (ka, kb) if ka < kb else (kb, ka)
+            if abs(da - db) <= 7 and 100 * abs(xa - xb) <= 5 * min(xa, xb):
+                expect[(lo, hi)] = True
+    assert set(rows) == set(expect)
