@@ -3880,3 +3880,416 @@ def token_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 / (m * F.col("qx") - F.col("sx") * F.col("sx"))
                 .cast("double"), 6).alias("assortativity"))
+
+
+@workload(
+    "events_logrank_test",
+    oracle="""
+    WITH w AS (SELECT min(ts) + INTERVAL 96 HOUR AS wend FROM events),
+    e AS (SELECT * FROM events WHERE ts < (SELECT wend FROM w)),
+    pu AS (
+      SELECT user_id, min(ts) AS t0, max(ts) AS tl,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM e GROUP BY 1
+    ),
+    u AS (
+      SELECT user_id % 2 AS grp,
+             (epoch_us(coalesce(tp, tl)) - epoch_us(t0)) // 3600000000
+               AS dur_h,
+             CASE WHEN tp IS NULL THEN 1 ELSE 0 END AS cens
+      FROM pu
+    ),
+    g AS (
+      SELECT dur_h,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 - cens ELSE 0 END)
+                  AS BIGINT) AS d0,
+             CAST(SUM(CASE WHEN grp = 0 THEN cens ELSE 0 END)
+                  AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 - cens ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 1 THEN cens ELSE 0 END)
+                  AS BIGINT) AS c1
+      FROM u GROUP BY 1
+    ),
+    r AS (
+      SELECT dur_h, d0, d1,
+             SUM(d0 + c0) OVER ()
+               - COALESCE(SUM(d0 + c0) OVER (
+                   ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nr0,
+             SUM(d1 + c1) OVER ()
+               - COALESCE(SUM(d1 + c1) OVER (
+                   ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nr1
+      FROM g
+    ),
+    evt AS (SELECT * FROM r WHERE d0 + d1 > 0),
+    terms AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             list(CAST(d0 + d1 AS DOUBLE) * nr1 / (nr0 + nr1)
+                  ORDER BY dur_h) AS e_t,
+             list(CASE WHEN nr0 + nr1 > 1
+                       THEN CAST(d0 + d1 AS DOUBLE)
+                            * (CAST(nr1 AS DOUBLE) / (nr0 + nr1))
+                            * (1 - CAST(nr1 AS DOUBLE) / (nr0 + nr1))
+                            * (nr0 + nr1 - d0 - d1)
+                            / (nr0 + nr1 - 1)
+                       ELSE 0.0 END ORDER BY dur_h) AS v_t
+      FROM evt
+    ),
+    ng AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_g0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_g1
+      FROM u
+    )
+    SELECT n_g0, n_g1, o1,
+           ROUND(list_reduce(list_prepend(0.0, e_t), (a, x) -> a + x), 6)
+             AS e1,
+           ROUND((o1 - list_reduce(list_prepend(0.0, e_t),
+                                   (a, x) -> a + x))
+                 / sqrt(list_reduce(list_prepend(0.0, v_t),
+                                    (a, x) -> a + x)), 6) AS z_lr
+    FROM terms, ng
+    """,
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group LOG-RANK test on the Kaplan-Meier setting (same 96-hour
+    observation window, same time-to-first-purchase durations and
+    right-censoring as ``events_kaplan_meier``): groups are the
+    deterministic user_id parity split, O₁ = Σ d₁ⱼ observed group-1
+    events, E₁ = Σ dⱼ·n₁ⱼ/nⱼ expected under H₀ (identical hazards),
+    V = Σ dⱼ·(n₁ⱼ/nⱼ)(1−n₁ⱼ/nⱼ)(nⱼ−dⱼ)/(nⱼ−1) the hypergeometric
+    variance (the nⱼ=1 term is 0 by convention), z = (O₁−E₁)/√V — the
+    standard survival-curve comparison (Mantel 1966).
+
+    Exactness: every per-time term is ONE IEEE expression over exact
+    integer (d, n_risk) pairs; the E and V sums ride ORDERED lists and
+    seeded LEFT FOLDS (``F.aggregate`` ↔ ``list_reduce``) — bitwise
+    cross-engine; O₁ is an exact BIGINT.
+
+    Scale: one partial-aggregatable per-user collapse, then everything
+    runs on the duration-grouped table bounded by the observation
+    window in hours (≤97 rows; a 10-year window is 87k) — same shape
+    as the Kaplan-Meier row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wend = ev.agg((F.min("ts") + F.expr("INTERVAL 96 HOURS")).alias("wend"))
+    e = (ev.crossJoin(F.broadcast(wend))
+         .where(F.col("ts") < F.col("wend")))
+    pu = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("tp"))
+    u = pu.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr("(unix_micros(cast(coalesce(tp, tl) as timestamp))"
+               " - unix_micros(cast(t0 as timestamp))) div 3600000000")
+        .alias("dur_h"),
+        F.when(F.col("tp").isNull(), 1).otherwise(0).alias("cens"))
+    grp, cens = F.col("grp"), F.col("cens")
+    g = u.groupBy("dur_h").agg(
+        F.sum(F.when(grp == 0, 1 - cens).otherwise(0)).cast("bigint")
+        .alias("d0"),
+        F.sum(F.when(grp == 0, cens).otherwise(0)).cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(grp == 1, 1 - cens).otherwise(0)).cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(grp == 1, cens).otherwise(0)).cast("bigint")
+        .alias("c1"))
+    w_all = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prev = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1)
+    r = g.select(
+        "dur_h", "d0", "d1",
+        (F.sum(F.col("d0") + F.col("c0")).over(w_all)
+         - F.coalesce(F.sum(F.col("d0") + F.col("c0")).over(w_prev),
+                      F.lit(0))).cast("bigint").alias("nr0"),
+        (F.sum(F.col("d1") + F.col("c1")).over(w_all)
+         - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(w_prev),
+                      F.lit(0))).cast("bigint").alias("nr1"))
+    evt = r.where(F.col("d0") + F.col("d1") > 0)
+    d = (F.col("d0") + F.col("d1")).cast("double")
+    nt = (F.col("nr0") + F.col("nr1"))
+    p1 = F.col("nr1").cast("double") / nt
+    e_term = d * F.col("nr1") / nt
+    v_term = F.when(
+        nt > 1,
+        d * p1 * (1 - p1) * (nt - F.col("d0") - F.col("d1"))
+        / (nt - 1)).otherwise(F.lit(0.0))
+    terms = evt.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("dur_h"), e_term.alias("t")))).alias("e_s"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("dur_h"), v_term.alias("t")))).alias("v_s"))
+    ng = u.agg(
+        F.sum(F.when(grp == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_g0"),
+        F.sum(F.when(grp == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_g1"))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda s: s["t"]), F.lit(0.0), lambda a, x: a + x)
+    e1 = fold(F.col("e_s"))
+    v = fold(F.col("v_s"))
+    return (ng.crossJoin(F.broadcast(terms))  # two single-row frames
+            .select("n_g0", "n_g1", "o1",
+                    F.round(e1, 6).alias("e1"),
+                    F.round((F.col("o1") - e1) / F.sqrt(v), 6)
+                    .alias("z_lr")))
+
+
+@workload(
+    "events_crosscorr_leadlag",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    pairs AS (
+      SELECT l.lag, c.x, p.y
+      FROM lags l JOIN c ON TRUE JOIN p ON p.h = c.h + l.lag
+    ),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                     AND n_pairs * sxx - sx * sx > 0
+                     AND n_pairs * syy - sy * sy > 0
+                THEN ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n_pairs * syy - sy * sy
+                                         AS DOUBLE)), 6)
+           END AS xcorr
+    FROM s
+    """,
+)
+def events_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly click and purchase
+    count series at lags −3..+3 (lag k pairs clicks at hour h with
+    purchases at h+k — positive k asks "do clicks LEAD purchases?"):
+    the campaign-attribution / causality-screening primitive next to
+    the single-series ``events_acf`` row.  Pearson r per lag over the
+    hour-aligned pairs, from exact integer moments (n, Σx, Σy, Σx²,
+    Σy², Σxy in DECIMAL(38,0)) — ONE IEEE expression per lag, rounded
+    6; degenerate lags (constant series or <2 pairs) emit NULL by the
+    same integer predicate in both engines.
+
+    Alignment convention: observed hours only (missing hours are
+    absent, not zero-filled), matching the ACF row's convention.
+
+    Scale: two partial-aggregatable hourly collapses (span-sized
+    output), a 7-row lag explode on the click side, one equi-join on
+    shifted hour — span-sized work end-to-end after the first
+    aggregate; no windows, no data-sized shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    c = (ev.where(F.col("event_type") == "click")
+         .groupBy(hour.alias("h"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .groupBy(hour.alias("h"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    dec = "decimal(38,0)"
+    lagged = (c.select(
+        F.explode(F.array(*[F.lit(k) for k in range(-3, 4)])).alias("lag"),
+        F.col("h").alias("ch"), "x")
+        .withColumn("ph", F.col("ch") + F.col("lag"))
+        .join(p.withColumnRenamed("h", "ph"), "ph")
+        .select("lag", "x", "y"))
+    s = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"))
+    n = F.col("n_pairs").cast(dec)
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"), "n_pairs",
+        F.when((F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+               F.round(num.cast("double")
+                       / F.sqrt(vx.cast("double") * vy.cast("double")), 6))
+        .alias("xcorr"))
+
+
+@workload(
+    "events_mcnemar_test",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click'
+                      AND epoch_us(ts) < (SELECT mid_us FROM bounds)
+                      THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN event_type = 'click'
+                      AND epoch_us(ts) >= (SELECT mid_us FROM bounds)
+                      THEN 1 ELSE 0 END) AS h2
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_yes_no,
+             CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_no_yes
+      FROM u
+    )
+    SELECT n_users, b_yes_no, c_no_yes,
+           CASE WHEN b_yes_no + c_no_yes > 0
+                THEN ROUND(CAST((b_yes_no - c_no_yes)
+                                * (b_yes_no - c_no_yes) AS DOUBLE)
+                           / (b_yes_no + c_no_yes), 6)
+           END AS chi2,
+           CASE WHEN b_yes_no + c_no_yes > 0
+                THEN ROUND(CAST((abs(b_yes_no - c_no_yes) - 1)
+                                * (abs(b_yes_no - c_no_yes) - 1)
+                                AS DOUBLE)
+                           / (b_yes_no + c_no_yes), 6)
+           END AS chi2_cc
+    FROM s
+    """,
+)
+def events_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — did users' click
+    behavior change between the first and second half of the corpus
+    time span?  Each user is their own control (the paired sibling of
+    the unpaired ``events_conversion_ztest``): b = clicked-then-stopped
+    users, c = started-clicking users, χ² = (b−c)²/(b+c), plus the
+    Edwards continuity-corrected (|b−c|−1)²/(b+c).  The midpoint is the
+    exact integer-microsecond mean of the span bounds (``div``, never
+    float — the epoch-nanos discipline from NOTES.md).
+
+    Exactness: b, c are exact BIGINTs from one per-user conditional
+    collapse; both statistics are ONE IEEE division each, rounded 6;
+    the degenerate b+c=0 case emits NULL via the same integer predicate
+    in both engines.
+
+    Scale: one scan for the bounds, one partial-aggregatable per-user
+    max-collapse, one 4-cell pivot — no shuffle beyond the user
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr("(unix_micros(cast(min(ts) as timestamp))"
+               " + unix_micros(cast(max(ts) as timestamp))) div 2")
+        .alias("mid_us"))
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    u = (ev.crossJoin(F.broadcast(bounds))  # scalar midpoint bound
+         .groupBy("user_id")
+         .agg(F.max(F.when((F.col("event_type") == "click")
+                           & (us < F.col("mid_us")), 1).otherwise(0))
+              .alias("h1"),
+              F.max(F.when((F.col("event_type") == "click")
+                           & (us >= F.col("mid_us")), 1).otherwise(0))
+              .alias("h2")))
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("b_yes_no"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("c_no_yes"))
+    b, cc = F.col("b_yes_no"), F.col("c_no_yes")
+    chi2 = F.when(b + cc > 0,
+                  F.round(((b - cc) * (b - cc)).cast("double") / (b + cc),
+                          6))
+    chi2_cc = F.when(
+        b + cc > 0,
+        F.round(((F.abs(b - cc) - 1) * (F.abs(b - cc) - 1)).cast("double")
+                / (b + cc), 6))
+    return s.select("n_users", "b_yes_no", "c_no_yes",
+                    chi2.alias("chi2"), chi2_cc.alias("chi2_cc"))
+
+
+@workload(
+    "token_hits_scores",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tt AS (SELECT tk, CAST(len(tk) AS BIGINT) AS n
+           FROM toks WHERE len(tk) >= 2),
+    pr AS (SELECT tk[i] AS u, tk[i + 1] AS v
+           FROM (SELECT tk, n, unnest(range(1, n)) AS i FROM tt)),
+    e AS (SELECT u, v FROM pr
+          WHERE u <> v GROUP BY u, v HAVING COUNT(*) >= 5),
+    a1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY v),
+    h1 AS (SELECT e.u, CAST(SUM(a1.a) AS BIGINT) AS h
+           FROM e JOIN a1 ON a1.v = e.v GROUP BY e.u),
+    a2 AS (SELECT e.v, CAST(SUM(h1.h) AS BIGINT) AS a
+           FROM e JOIN h1 ON h1.u = e.u GROUP BY e.v)
+    SELECT v AS token, a AS auth,
+           CAST(COALESCE(h1.h, 0) AS BIGINT) AS hub,
+           CAST(ROW_NUMBER() OVER (ORDER BY a DESC, v) AS BIGINT) AS rnk
+    FROM a2 LEFT JOIN h1 ON h1.u = a2.v
+    ORDER BY a DESC, v LIMIT 20
+    """,
+)
+def token_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the DIRECTED token
+    bigram graph (u → v when u immediately precedes v at least 5 times;
+    the graph family's only directed-flow member — assortativity/
+    triangles/k-core all symmetrize): top-20 authorities after two
+    UNNORMALIZED half-iterations from the all-ones start.  Skipping the
+    per-round normalization keeps every score an EXACT INTEGER path
+    count (a₁ = indeg, h₁ = Σ_out a₁, a₂ = Σ_in h₁ — the number of
+    (w→u→v) walks ending at v) — normalization only rescales, so the
+    RANKING is identical to normalized HITS at the same iteration and
+    nothing transcendental crosses engines.  Digit budget: a₂ ≤
+    |E|·max_outdeg ≤ 1e12·1e6 = 1e18 < 2⁶³ — BIGINT-safe at any corpus
+    this engine targets (documented, same budget class as
+    ``token_link_prediction``'s ra_scaled).
+
+    Deterministic boundary: top-20 by (auth DESC, token ASC) — the full
+    total order, so the LIMIT cut is engine-independent under ties.
+
+    Scale: three vocabulary-keyed aggregates + two vocabulary-keyed
+    equi-joins (shuffle or AQE-broadcast — Catalyst's choice, no forced
+    hint per r9 verdict #2); the final top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    from ophidia_io_server_spark.pipeline.lm import bigram_stream
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = (bigram_stream(docs)
+         .where(F.col("w1") != F.col("w2"))
+         .groupBy(F.col("w1").alias("u"), F.col("w2").alias("v"))
+         .agg(F.count(F.lit(1)).alias("c"))
+         .where(F.col("c") >= 5)
+         .select("u", "v"))
+    a1 = e.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = (e.join(a1, "v")
+          .groupBy("u").agg(F.sum("a").cast("bigint").alias("h")))
+    a2 = (e.join(h1, "u")
+          .groupBy("v").agg(F.sum("h").cast("bigint").alias("a")))
+    top = (a2.join(h1.withColumnRenamed("u", "v"), "v", "left")
+           .select(F.col("v").alias("token"), F.col("a").alias("auth"),
+                   F.coalesce(F.col("h"), F.lit(0)).cast("bigint")
+                   .alias("hub"))
+           .orderBy(F.desc("auth"), F.asc("token")).limit(20))
+    w = Window.orderBy(F.desc("auth"), F.asc("token"))  # 20-row frame
+    return top.withColumn("rnk",
+                          F.row_number().over(w).cast("bigint"))

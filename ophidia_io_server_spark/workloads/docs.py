@@ -2017,3 +2017,103 @@ def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("decile", "n_docs", "n_tokens",
                     F.coalesce("vocab", F.lit(0)).cast("bigint")
                     .alias("vocab")))
+
+
+@workload(
+    "doc_zipf_fit",
+    oracle="""
+    WITH toks AS (SELECT list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    freq AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1
+    ),
+    top AS (
+      SELECT token, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                  AS BIGINT) AS rnk
+      FROM freq ORDER BY cnt DESC, token LIMIT 1000
+    ),
+    xy AS (
+      SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y
+      FROM top
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+                            list([x, y, 0.0, 0.0, 0.0] ORDER BY rnk)),
+               (a, e) -> [a[1] + e[1], a[2] + e[2],
+                          a[3] + e[1] * e[1], a[4] + e[2] * e[2],
+                          a[5] + e[1] * e[2]]) AS s
+      FROM xy
+    )
+    SELECT n AS n_tokens,
+           ROUND((n * s[5] - s[1] * s[2])
+                 / (n * s[3] - s[1] * s[1]), 6) AS slope,
+           ROUND((s[2] - (n * s[5] - s[1] * s[2])
+                         / (n * s[3] - s[1] * s[1]) * s[1]) / n, 6)
+             AS intercept,
+           ROUND((n * s[5] - s[1] * s[2]) * (n * s[5] - s[1] * s[2])
+                 / ((n * s[3] - s[1] * s[1])
+                    * (n * s[4] - s[2] * s[2])), 6) AS r2
+    FROM folded
+    """,
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 token frequencies: OLS of
+    ln(freq) on ln(rank) — slope ≈ −1 is the classic power-law print;
+    the R² says how well the corpus obeys it.  The distributional
+    sibling of ``doc_heaps_law`` (vocabulary growth) — together the two
+    standard corpus-health diagnostics for a training-data pipeline.
+
+    Float discipline: rank is a deterministic total order
+    (freq DESC, token ASC) so the top-1000 cut and every rank are
+    engine-independent; the five OLS moments over the 1000
+    transcendental (ln x, ln y) pairs ride ONE rank-ordered 5-slot
+    array fold (``F.aggregate`` ↔ ``list_reduce``) — identical IEEE
+    op sequence both engines — and slope/intercept/R² are single
+    expressions over the folded slots, rounded 6 (libm's last-ulp ln
+    differences amortize to ~1e-13 across 1000 terms).
+
+    Scale: one vocabulary-keyed count (partial-aggregatable), a
+    TakeOrderedAndProject top-1000 (never a global sort), then all
+    math on the bounded 1000-row frame."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (docs.where(F.col("text").isNotNull())
+            .select(F.explode(tokens_col(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    top = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(1000)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))  # 1000-row frame
+    xy = (top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+          .select("rnk",
+                  F.log(F.col("rnk").cast("double")).alias("x"),
+                  F.log(F.col("cnt").cast("double")).alias("y")))
+    folded = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("rnk"),
+            F.array(F.col("x"), F.col("y"), F.lit(0.0), F.lit(0.0),
+                    F.lit(0.0)).alias("e")))).alias("lst"))
+    s = F.aggregate(
+        F.transform(F.col("lst"), lambda st: st["e"]),
+        F.array(*[F.lit(0.0)] * 5),
+        lambda a, e: F.array(a[0] + e[0], a[1] + e[1],
+                             a[2] + e[0] * e[0], a[3] + e[1] * e[1],
+                             a[4] + e[0] * e[1]))
+    n = F.col("n").cast("double")
+    sx, sy, sxx, syy, sxy = (s[0], s[1], s[2], s[3], s[4])
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return folded.select(
+        F.col("n").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("r2"))

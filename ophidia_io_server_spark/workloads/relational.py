@@ -2805,3 +2805,218 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("custkey", "order_a", "order_b", "cents_a", "cents_b",
                     (F.col("day_b") - F.col("day_a")).cast("bigint")
                     .alias("days_apart")))
+
+
+@workload(
+    "lineitem_kruskal_wallis",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'N', 'R')
+    ),
+    vc AS (SELECT g, q, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+    tq AS (
+      SELECT q, CAST(SUM(c) AS BIGINT) AS t FROM vc GROUP BY 1
+    ),
+    mr AS (
+      SELECT q, t,
+             2 * COALESCE(SUM(t) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS mr2
+      FROM tq
+    ),
+    s AS (
+      SELECT
+        CAST(SUM(CASE WHEN vc.g = 'A' THEN vc.c ELSE 0 END) AS BIGINT) AS na,
+        SUM(CASE WHEN vc.g = 'A'
+                 THEN CAST(vc.c AS HUGEINT) * mr.mr2 END) AS r2a,
+        CAST(SUM(CASE WHEN vc.g = 'N' THEN vc.c ELSE 0 END) AS BIGINT) AS nn,
+        SUM(CASE WHEN vc.g = 'N'
+                 THEN CAST(vc.c AS HUGEINT) * mr.mr2 END) AS r2n,
+        CAST(SUM(CASE WHEN vc.g = 'R' THEN vc.c ELSE 0 END) AS BIGINT) AS nr,
+        SUM(CASE WHEN vc.g = 'R'
+                 THEN CAST(vc.c AS HUGEINT) * mr.mr2 END) AS r2r
+      FROM vc JOIN mr ON mr.q = vc.q
+    ),
+    tie AS (
+      SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tt FROM tq
+    )
+    SELECT na, nn, nr,
+           ROUND((12.0 / (CAST(na + nn + nr AS DOUBLE)
+                          * CAST(na + nn + nr + 1 AS DOUBLE))
+                  * ((CAST(r2a AS DOUBLE) / 2) * (CAST(r2a AS DOUBLE) / 2) / na
+                     + (CAST(r2n AS DOUBLE) / 2) * (CAST(r2n AS DOUBLE) / 2) / nn
+                     + (CAST(r2r AS DOUBLE) / 2) * (CAST(r2r AS DOUBLE) / 2) / nr)
+                  - 3 * CAST(na + nn + nr + 1 AS DOUBLE))
+                 / (1 - CAST(tt AS DOUBLE)
+                        / (CAST(na + nn + nr AS DOUBLE)
+                           * CAST(na + nn + nr AS DOUBLE)
+                           * CAST(na + nn + nr AS DOUBLE)
+                           - CAST(na + nn + nr AS DOUBLE))), 6) AS h_stat
+    FROM s, tie
+    """,
+)
+def lineitem_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three return-flag groups on l_quantity
+    — the NONPARAMETRIC sibling of ``lineitem_anova_f`` (rank-based
+    one-way ANOVA; completes the family: Mann-Whitney for 2 groups,
+    KW for k), with the EXACT tie correction — l_quantity is a 50-value
+    integer grid, so ties dominate and the uncorrected H would be badly
+    deflated.
+
+    Exactness: mid-ranks come off the VALUE-level CDF (the
+    ``lineitem_brown_forsythe`` median discipline): per value q,
+    ``midrank = cum_before + (t+1)/2``; doubling clears the half so
+    ``mr2 = 2*cum_before + t + 1`` is an exact BIGINT, rank sums
+    ``R2_g = Σ c_gq · mr2_q`` exact DECIMAL(38,0) (digit budget:
+    c ≤ 1e13 rows · mr2 ≤ 2e13 · 50 values ≈ 1e28 ≪ 1e38), and
+    H = [12/(N(N+1)) · Σ (R2_g/2)²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N))
+    is ONE IEEE expression over seven exact integers, written verbatim
+    in both engines, rounded 6.
+
+    Scale: one partial-aggregatable (flag, qty) count (≤150 groups), a
+    window over the ≤50-row value table, one joined conditional pivot —
+    no data-sized shuffle beyond the first count."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity").isNotNull()
+                 & F.col("l_returnflag").isin("A", "N", "R")))
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    b = li.select(F.col("l_returnflag").alias("g"),
+                  F.col("l_quantity").cast("bigint").alias("q"))
+    vc = b.groupBy("g", "q").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tq = vc.groupBy("q").agg(F.sum("c").cast("bigint").alias("t"))
+    w_prev = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    mr = tq.select(
+        "q", "t",
+        (2 * F.coalesce(F.sum("t").over(w_prev), F.lit(0))
+         + F.col("t") + 1).alias("mr2"))
+    g, c = F.col("g"), F.col("c")
+    r2 = (c.cast(dec) * F.col("mr2")).cast(dec)
+    s = (vc.join(mr, "q")
+         .agg(F.sum(F.when(g == "A", c).otherwise(0)).cast("bigint")
+              .alias("na"),
+              F.sum(F.when(g == "A", r2)).alias("r2a"),
+              F.sum(F.when(g == "N", c).otherwise(0)).cast("bigint")
+              .alias("nn"),
+              F.sum(F.when(g == "N", r2)).alias("r2n"),
+              F.sum(F.when(g == "R", c).otherwise(0)).cast("bigint")
+              .alias("nr"),
+              F.sum(F.when(g == "R", r2)).alias("r2r")))
+    tie = tq.agg(F.sum((F.col("t").cast(dec) * F.col("t") * F.col("t"))
+                       .cast(dec) - F.col("t").cast(dec)).alias("tt"))
+    n = (F.col("na") + F.col("nn") + F.col("nr")).cast("double")
+    n1 = (F.col("na") + F.col("nn") + F.col("nr") + 1).cast("double")
+    half = lambda col: F.col(col).cast("double") / 2  # noqa: E731
+    grp = (half("r2a") * half("r2a") / F.col("na")
+           + half("r2n") * half("r2n") / F.col("nn")
+           + half("r2r") * half("r2r") / F.col("nr"))
+    h = (12.0 / (n * n1) * grp - 3 * n1) \
+        / (1 - F.col("tt").cast("double") / (n * n * n - n))
+    return (s.crossJoin(F.broadcast(tie))  # two single-row frames
+            .select("na", "nn", "nr", F.round(h, 6).alias("h_stat")))
+
+
+@workload(
+    "orders_lineitem_mutual_info",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority AS p, l.l_returnflag AS r
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cells AS (SELECT p, r, CAST(COUNT(*) AS BIGINT) AS nij
+              FROM j GROUP BY 1, 2),
+    mp AS (SELECT p, CAST(SUM(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+    mr AS (SELECT r, CAST(SUM(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+    nt AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT list(CAST(nij AS DOUBLE) / n
+                  * ln(CAST(nij AS DOUBLE) * n
+                       / (CAST(ni AS DOUBLE) * nj))
+                  ORDER BY p, r) AS mi_t
+      FROM cells JOIN mp USING (p) JOIN mr USING (r), nt
+    ),
+    hp AS (
+      SELECT list(-(CAST(ni AS DOUBLE) / n)
+                  * ln(CAST(ni AS DOUBLE) / n) ORDER BY p) AS hp_t
+      FROM mp, nt
+    ),
+    hr AS (
+      SELECT list(-(CAST(nj AS DOUBLE) / n)
+                  * ln(CAST(nj AS DOUBLE) / n) ORDER BY r) AS hr_t
+      FROM mr, nt
+    ),
+    terms AS (
+      SELECT (SELECT n FROM nt) AS n_pairs, mi_t, hp_t, hr_t
+      FROM mi, hp, hr
+    )
+    SELECT n_pairs,
+           ROUND(list_reduce(list_prepend(0.0, mi_t), (a, x) -> a + x), 6)
+             AS mi_nats,
+           ROUND(list_reduce(list_prepend(0.0, mi_t), (a, x) -> a + x)
+                 / sqrt(list_reduce(list_prepend(0.0, hp_t),
+                                    (a, x) -> a + x)
+                        * list_reduce(list_prepend(0.0, hr_t),
+                                      (a, x) -> a + x)), 6) AS nmi
+    FROM terms
+    """,
+)
+def orders_lineitem_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) + normalized MI between order priority
+    and line-item return flag — the information-theoretic dependence
+    measure next to the chi-squared row (``events_chi2_independence``):
+    MI = Σ_ij (n_ij/N)·ln(n_ij·N/(n_i·n_j)) over the 5×3 contingency
+    table, NMI = MI/√(H(p)·H(r)).
+
+    Cross-engine float discipline: every term is one IEEE expression
+    over exact integers, but MI SUMS ~15 transcendental terms — a bare
+    SUM() is accumulation-order-dependent, so the terms ride an ORDERED
+    list and a seeded LEFT FOLD (``F.aggregate`` ↔ ``list_reduce``, the
+    Kaplan-Meier/Holt discipline) — bitwise identical both engines,
+    rounded 6.
+
+    Scale: the orderkey equi-join is the only data-sized op (shuffle or
+    AQE-broadcast, Catalyst's choice — no forced hint per r9 verdict
+    #2); everything after runs on the ≤15-row cell table and its 5/3-row
+    margins (tiny broadcast-sized joins of single-row/few-row frames)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("p"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_returnflag").alias("r"))
+    cells = (li.join(o, "o_orderkey")
+             .groupBy("p", "r")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("nij")))
+    mp = cells.groupBy("p").agg(F.sum("nij").cast("bigint").alias("ni"))
+    mr = cells.groupBy("r").agg(F.sum("nij").cast("bigint").alias("nj"))
+    nt = cells.agg(F.sum("nij").cast("bigint").alias("n"))
+    mi_term = (F.col("nij").cast("double") / F.col("n")
+               * F.log(F.col("nij").cast("double") * F.col("n")
+                       / (F.col("ni").cast("double") * F.col("nj"))))
+    # ordered-list + seeded left fold: bitwise-identical both engines
+    mi_l = (cells.join(mp, "p").join(mr, "r").crossJoin(F.broadcast(nt))
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("p"), F.col("r"), mi_term.alias("t"))))
+                .alias("mi_s")))
+    hent = lambda cnt, n: (  # noqa: E731
+        -(cnt.cast("double") / n) * F.log(cnt.cast("double") / n))
+    hp_l = (mp.crossJoin(F.broadcast(nt))
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("p"), hent(F.col("ni"), F.col("n")).alias("t"))))
+                .alias("hp_s")))
+    hr_l = (mr.crossJoin(F.broadcast(nt))
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col("r"), hent(F.col("nj"), F.col("n")).alias("t"))))
+                .alias("hr_s")))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda s: s["t"]), F.lit(0.0), lambda a, x: a + x)
+    mi = fold(F.col("mi_s"))
+    hp = fold(F.col("hp_s"))
+    hr = fold(F.col("hr_s"))
+    return (nt.crossJoin(F.broadcast(mi_l)).crossJoin(F.broadcast(hp_l))
+            .crossJoin(F.broadcast(hr_l))  # four single-row frames
+            .select(F.col("n").alias("n_pairs"),
+                    F.round(mi, 6).alias("mi_nats"),
+                    F.round(mi / F.sqrt(hp * hr), 6).alias("nmi")))

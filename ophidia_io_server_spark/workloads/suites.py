@@ -329,6 +329,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "token_graph_assortativity": [
             ("m", "bigint"), ("assortativity", "double"),
         ],
+        # r10 wave 11: HITS on the directed bigram graph — two
+        # unnormalized half-iterations, exact integer path counts
+        "token_hits_scores": [
+            ("token", "string"), ("auth", "bigint"), ("hub", "bigint"),
+            ("rnk", "bigint"),
+        ],
     },
     # deterministic sampling: budget-fill without a global sort + exact-k
     # bottom-k
@@ -481,6 +487,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("item", "string"), ("cnt", "bigint"), ("rank", "bigint"),
             ("est_ge_exact_ok", "boolean"),
             ("est_within_bound_ok", "boolean"),
+        ],
+        # r10 wave 11: Zipf power-law fit over the top-1000 frequencies
+        # (rank-ordered 5-slot OLS moment fold — bitwise cross-engine)
+        "doc_zipf_fit": [
+            ("n_tokens", "bigint"), ("slope", "double"),
+            ("intercept", "double"), ("r2", "double"),
         ],
     },
     # classic event-analytics rollups
@@ -661,6 +673,22 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("hour_start", "timestamp"), ("event_type", "string"),
             ("open", "double"), ("high", "double"), ("low", "double"),
             ("close", "double"), ("n", "bigint"),
+        ],
+        # r10 wave 11: two-group log-rank on the Kaplan-Meier setting
+        # (ordered folds for E/V — the KM bitwise discipline)
+        "events_logrank_test": [
+            ("n_g0", "bigint"), ("n_g1", "bigint"), ("o1", "bigint"),
+            ("e1", "double"), ("z_lr", "double"),
+        ],
+        # r10 wave 11: hourly click->purchase lead-lag cross-correlation
+        "events_crosscorr_leadlag": [
+            ("lag", "bigint"), ("n_pairs", "bigint"), ("xcorr", "double"),
+        ],
+        # r10 wave 11: McNemar paired-binary change test (exact b/c)
+        "events_mcnemar_test": [
+            ("n_users", "bigint"), ("b_yes_no", "bigint"),
+            ("c_no_yes", "bigint"), ("chi2", "double"),
+            ("chi2_cc", "double"),
         ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
@@ -878,6 +906,18 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("custkey", "bigint"), ("order_a", "bigint"),
             ("order_b", "bigint"), ("cents_a", "bigint"),
             ("cents_b", "bigint"), ("days_apart", "bigint"),
+        ],
+        # r10 wave 11: tie-corrected Kruskal-Wallis H (value-level-CDF
+        # midranks, exact DECIMAL rank sums -> one IEEE expression)
+        "lineitem_kruskal_wallis": [
+            ("na", "bigint"), ("nn", "bigint"), ("nr", "bigint"),
+            ("h_stat", "double"),
+        ],
+        # r10 wave 11: mutual information priority x returnflag (ordered
+        # transcendental-term folds, the KM/Holt bitwise discipline)
+        "orders_lineitem_mutual_info": [
+            ("n_pairs", "bigint"), ("mi_nats", "double"),
+            ("nmi", "double"),
         ],
     },
     # fragment-store row windows + MERGE upsert
