@@ -178,6 +178,32 @@ HEADLINE = [
     "lineitem_brown_forsythe",
     "token_graph_assortativity",
     "orders_duplicate_payments",
+    # r10 waves 11-13 (HEADLINE 111 -> 130): rank/ordinal statistics
+    # (Kruskal-Wallis, Cochran-Armitage, Cliff's delta), information
+    # theory (mutual information, Markov entropy), survival (log-rank,
+    # Nelson-Aalen), classifier evaluation (confusion, kappa), graph
+    # (HITS), corpus diagnostics (Zipf, dispersion, contamination),
+    # relational (stump, co-purchase, cohort LTV, McNemar, crosscorr),
+    # embeddings (centroid outliers)
+    "lineitem_kruskal_wallis",
+    "orders_lineitem_mutual_info",
+    "events_logrank_test",
+    "events_crosscorr_leadlag",
+    "events_mcnemar_test",
+    "token_hits_scores",
+    "doc_zipf_fit",
+    "orders_trend_test",
+    "lineitem_decision_stump",
+    "part_copurchase_pairs",
+    "doc_lang_confusion",
+    "doc_lang_kappa",
+    "events_markov_entropy",
+    "events_cliffs_delta",
+    "events_nelson_aalen",
+    "token_dispersion_index",
+    "doc_ngram_contamination",
+    "embedding_outlier_topk",
+    "orders_cohort_ltv",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

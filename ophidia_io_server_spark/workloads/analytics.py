@@ -4143,10 +4143,12 @@ def events_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u AS (
       SELECT user_id,
-             max(CASE WHEN event_type = 'click'
+             max(CASE WHEN event_type = 'purchase'
+                      AND CAST(ROUND(value * 100) AS BIGINT) >= 20000
                       AND epoch_us(ts) < (SELECT mid_us FROM bounds)
                       THEN 1 ELSE 0 END) AS h1,
-             max(CASE WHEN event_type = 'click'
+             max(CASE WHEN event_type = 'purchase'
+                      AND CAST(ROUND(value * 100) AS BIGINT) >= 20000
                       AND epoch_us(ts) >= (SELECT mid_us FROM bounds)
                       THEN 1 ELSE 0 END) AS h2
       FROM events GROUP BY 1
@@ -4175,11 +4177,14 @@ def events_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """McNemar's test for PAIRED binary outcomes — did users' click
-    behavior change between the first and second half of the corpus
-    time span?  Each user is their own control (the paired sibling of
-    the unpaired ``events_conversion_ztest``): b = clicked-then-stopped
-    users, c = started-clicking users, χ² = (b−c)²/(b+c), plus the
+    """McNemar's test for PAIRED binary outcomes — did users'
+    HIGH-VALUE purchasing (a purchase of ≥ 200.00 on the exact cents
+    grid; the everyday event types are so dense here that every user
+    exhibits them in both halves, degenerating b = c = 0) change
+    between the first and second half of the corpus time span?  Each
+    user is their own control (the paired sibling of the unpaired
+    ``events_conversion_ztest``): b = stopped-buying-high users,
+    c = started-buying-high users, χ² = (b−c)²/(b+c), plus the
     Edwards continuity-corrected (|b−c|−1)²/(b+c).  The midpoint is the
     exact integer-microsecond mean of the span bounds (``div``, never
     float — the epoch-nanos discipline from NOTES.md).
@@ -4200,10 +4205,14 @@ def events_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.expr("unix_micros(cast(ts as timestamp))")
     u = (ev.crossJoin(F.broadcast(bounds))  # scalar midpoint bound
          .groupBy("user_id")
-         .agg(F.max(F.when((F.col("event_type") == "click")
+         .agg(F.max(F.when((F.col("event_type") == "purchase")
+                           & (F.round(F.col("value") * 100)
+                              .cast("bigint") >= 20000)
                            & (us < F.col("mid_us")), 1).otherwise(0))
               .alias("h1"),
-              F.max(F.when((F.col("event_type") == "click")
+              F.max(F.when((F.col("event_type") == "purchase")
+                           & (F.round(F.col("value") * 100)
+                              .cast("bigint") >= 20000)
                            & (us >= F.col("mid_us")), 1).otherwise(0))
               .alias("h2")))
     s = u.agg(
@@ -4293,3 +4302,273 @@ def token_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("auth"), F.asc("token"))  # 20-row frame
     return top.withColumn("rnk",
                           F.row_number().over(w).cast("bigint"))
+
+
+@workload(
+    "events_markov_entropy",
+    oracle="""
+    WITH tr AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+              FROM tr WHERE b IS NOT NULL GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na
+           FROM cells GROUP BY 1),
+    nt AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
+    hc AS (
+      SELECT list(-(CAST(nab AS DOUBLE) / n)
+                  * ln(CAST(nab AS DOUBLE) / na) ORDER BY a, b) AS hc_t
+      FROM cells JOIN ma USING (a), nt
+    ),
+    hm AS (
+      SELECT list(-(CAST(na AS DOUBLE) / n)
+                  * ln(CAST(na AS DOUBLE) / n) ORDER BY a) AS hm_t
+      FROM ma, nt
+    )
+    SELECT (SELECT n FROM nt) AS n_transitions,
+           ROUND(list_reduce(list_prepend(0.0, hc_t), (x, y) -> x + y), 6)
+             AS h_cond,
+           ROUND(list_reduce(list_prepend(0.0, hm_t), (x, y) -> x + y), 6)
+             AS h_marginal
+    FROM hc, hm
+    """,
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain: the
+    conditional entropy H(next | current) = −Σ_ab (n_ab/N)·ln(n_ab/n_a)
+    over within-user consecutive event-type transitions, next to the
+    marginal source entropy H(current) — how PREDICTABLE is the next
+    user action given the current one (their gap is the information the
+    current state carries).  The information-theoretic companion to
+    ``events_pagerank_transitions`` (same transition structure, entropy
+    instead of stationary mass).
+
+    Float discipline: ≤25 transcendental terms per sum ride
+    (a, b)-ordered lists and seeded LEFT FOLDS (``F.aggregate`` ↔
+    ``list_reduce``) over exact integer counts — bitwise cross-engine,
+    rounded 6.
+
+    Scale: ONE per-user-partitioned lead window over the fact table
+    (the sessionize/SCD2 shape — partition key is user_id, never a
+    global order), collapsing partial-aggregatably to ≤25 cells."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(F.col("event_type").alias("a"),
+                   F.lead("event_type").over(w).alias("b"))
+    cells = (tr.where(F.col("b").isNotNull())
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("nab")))
+    ma = cells.groupBy("a").agg(F.sum("nab").cast("bigint").alias("na"))
+    nt = cells.agg(F.sum("nab").cast("bigint").alias("n"))
+    hc_term = (-(F.col("nab").cast("double") / F.col("n"))
+               * F.log(F.col("nab").cast("double") / F.col("na")))
+    hc = (cells.join(ma, "a").crossJoin(F.broadcast(nt))
+          .agg(F.array_sort(F.collect_list(F.struct(
+              F.col("a"), F.col("b"), hc_term.alias("t")))).alias("hc_s")))
+    hm_term = (-(F.col("na").cast("double") / F.col("n"))
+               * F.log(F.col("na").cast("double") / F.col("n")))
+    hm = (ma.crossJoin(F.broadcast(nt))
+          .agg(F.array_sort(F.collect_list(F.struct(
+              F.col("a"), hm_term.alias("t")))).alias("hm_s")))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda s: s["t"]), F.lit(0.0), lambda x, y: x + y)
+    return (nt.crossJoin(F.broadcast(hc)).crossJoin(F.broadcast(hm))
+            .select(F.col("n").alias("n_transitions"),
+                    F.round(fold(F.col("hc_s")), 6).alias("h_cond"),
+                    F.round(fold(F.col("hm_s")), 6).alias("h_marginal")))
+
+
+@workload(
+    "events_cliffs_delta",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    vc AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM b GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             COALESCE(SUM(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumb,
+             SUM(cb) OVER () AS nb, SUM(ca) OVER () AS na
+      FROM vc
+    ),
+    s AS (
+      SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
+             SUM(CAST(ca AS HUGEINT) * cumb) AS gt,
+             SUM(CAST(ca AS HUGEINT) * (nb - cumb - cb)) AS lt
+      FROM cum
+    )
+    SELECT na, nb,
+           ROUND(CAST(gt - lt AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * nb), 6) AS cliffs_delta
+    FROM s
+    """,
+)
+def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between purchase and click value distributions —
+    the nonparametric EFFECT SIZE companion to the Mann-Whitney U row
+    (U says "significant", delta says "how big"):
+    δ = (#(x>y) − #(x<y)) / (n_a·n_b) over all cross-group pairs,
+    computed WITHOUT enumerating pairs from the value-level CDF
+    (the Kruskal/KS discipline): per cents value v,
+    #(click < v) = cumb(v), so gt = Σ ca_v·cumb_v and
+    lt = Σ ca_v·(n_b − cumb_v − cb_v) are exact DECIMAL(38,0) pair
+    counts (budget: n_a·n_b ≤ 1e26 at 10¹³ rows/group), and δ is ONE
+    IEEE expression, rounded 6.
+
+    Scale: one partial-aggregatable value-level collapse, a window over
+    the bounded cents grid, one pivot row."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("purchase", "click")
+                 & F.col("value").isNotNull() & ~F.isnan("value")))
+    vc = (ev.select(F.round(F.col("value") * 100).cast("bigint").alias("v"),
+                    F.col("event_type").alias("g"))
+          .groupBy("v")
+          .agg(F.sum(F.when(F.col("g") == "purchase", 1).otherwise(0))
+               .cast("bigint").alias("ca"),
+               F.sum(F.when(F.col("g") == "click", 1).otherwise(0))
+               .cast("bigint").alias("cb")))
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = vc.select(
+        "v", "ca", "cb",
+        F.coalesce(F.sum("cb").over(w_prev), F.lit(0)).alias("cumb"),
+        F.sum("cb").over(w_all).alias("nb"),
+        F.sum("ca").over(w_all).alias("na"))
+    s = cum.agg(
+        F.max("na").cast("bigint").alias("na"),
+        F.max("nb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca").cast(dec) * F.col("cumb")).alias("gt"),
+        F.sum(F.col("ca").cast(dec)
+              * (F.col("nb") - F.col("cumb") - F.col("cb"))).alias("lt"))
+    return s.select(
+        "na", "nb",
+        F.round((F.col("gt") - F.col("lt")).cast("double")
+                / (F.col("na").cast("double") * F.col("nb")), 6)
+        .alias("cliffs_delta"))
+
+
+@workload(
+    "events_nelson_aalen",
+    oracle="""
+    WITH w AS (SELECT min(ts) + INTERVAL 96 HOUR AS wend FROM events),
+    e AS (SELECT * FROM events WHERE ts < (SELECT wend FROM w)),
+    pu AS (
+      SELECT user_id, min(ts) AS t0, max(ts) AS tl,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM e GROUP BY 1
+    ),
+    u AS (
+      SELECT (epoch_us(coalesce(tp, tl)) - epoch_us(t0)) // 3600000000
+               AS dur_h,
+             CASE WHEN tp IS NULL THEN 1 ELSE 0 END AS cens
+      FROM pu
+    ),
+    g AS (
+      SELECT dur_h, CAST(SUM(1 - cens) AS BIGINT) AS d,
+             CAST(SUM(cens) AS BIGINT) AS c
+      FROM u GROUP BY 1
+    ),
+    r AS (
+      SELECT dur_h, d, c,
+             SUM(d + c) OVER ()
+               - COALESCE(SUM(d + c) OVER (
+                   ORDER BY dur_h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g
+    ),
+    evt AS (
+      SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+             list(CAST(d AS DOUBLE) / n_risk) OVER (
+               ORDER BY dur_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hs,
+             list(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+               OVER (ORDER BY dur_h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS vs
+      FROM r WHERE d > 0
+    )
+    SELECT dur_h, n_risk, d, c,
+           ROUND(list_reduce(list_prepend(0.0, hs), (a, x) -> a + x), 6)
+             AS cum_hazard,
+           ROUND(list_reduce(list_prepend(0.0, vs), (a, x) -> a + x), 6)
+             AS hazard_var
+    FROM evt
+    """,
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{tⱼ≤t} dⱼ/nⱼ with its
+    variance estimate Σ dⱼ/nⱼ² — the HAZARD-scale companion to the
+    Kaplan-Meier survival row (same 96-hour time-to-first-purchase
+    setting, same right-censoring; exp(−H) is the survival's
+    product-limit cousin and the two rows cross-check each other).
+
+    Exactness: each increment is one IEEE division of exact integers
+    and both running sums ride ordered-window lists + seeded LEFT FOLDS
+    (``F.aggregate`` ↔ ``list_reduce``) — bitwise cross-engine,
+    rounded 6.
+
+    Scale: identical shape to the KM row — one per-user collapse, then
+    observation-window-bounded series math (≤97 rows here)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wend = ev.agg((F.min("ts") + F.expr("INTERVAL 96 HOURS")).alias("wend"))
+    e = (ev.crossJoin(F.broadcast(wend))
+         .where(F.col("ts") < F.col("wend")))
+    pu = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("tp"))
+    u = pu.select(
+        F.expr("(unix_micros(cast(coalesce(tp, tl) as timestamp))"
+               " - unix_micros(cast(t0 as timestamp))) div 3600000000")
+        .alias("dur_h"),
+        F.when(F.col("tp").isNull(), 1).otherwise(0).alias("cens"))
+    g = (u.groupBy("dur_h")
+         .agg(F.sum(1 - F.col("cens")).cast("bigint").alias("d"),
+              F.sum("cens").cast("bigint").alias("c")))
+    w_all = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prev = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1)
+    r = g.withColumn(
+        "n_risk",
+        (F.sum(F.col("d") + F.col("c")).over(w_all)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev),
+                      F.lit(0))).cast("bigint"))
+    w_cur = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    evt = (r.where(F.col("d") > 0)
+           .withColumn("hs", F.collect_list(
+               F.col("d").cast("double") / F.col("n_risk")).over(w_cur))
+           .withColumn("vs", F.collect_list(
+               F.col("d").cast("double")
+               / (F.col("n_risk").cast("double") * F.col("n_risk")))
+               .over(w_cur)))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0),  # noqa: E731
+                                   lambda a, x: a + x)
+    return evt.select("dur_h", "n_risk", "d", "c",
+                      F.round(fold(F.col("hs")), 6).alias("cum_hazard"),
+                      F.round(fold(F.col("vs")), 6).alias("hazard_var"))

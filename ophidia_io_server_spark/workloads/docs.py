@@ -2117,3 +2117,421 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         .alias("r2"))
+
+
+_CONFUSION_CTE = f"""
+    tok AS (
+      SELECT lang, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (SELECT lang, {_LANG_COUNTS} FROM tok),
+    pl AS (
+      SELECT lang AS truth,
+             CASE WHEN {_G} = 0 THEN 'und'
+                  WHEN de = {_G} THEN 'de'
+                  WHEN en = {_G} THEN 'en'
+                  WHEN es = {_G} THEN 'es'
+                  WHEN fr = {_G} THEN 'fr'
+                  ELSE 'zh' END AS pred
+      FROM cnt
+    ),
+    cm AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n
+           FROM pl GROUP BY 1, 2)
+"""
+
+
+@workload(
+    "doc_lang_confusion",
+    oracle=f"""
+    WITH {_CONFUSION_CTE},
+    classes AS (
+      SELECT truth AS class FROM cm
+      UNION SELECT pred FROM cm
+    ),
+    tr AS (SELECT truth AS class, CAST(SUM(n) AS BIGINT) AS n_true
+           FROM cm GROUP BY 1),
+    pd AS (SELECT pred AS class, CAST(SUM(n) AS BIGINT) AS n_pred
+           FROM cm GROUP BY 1),
+    dg AS (SELECT truth AS class, CAST(SUM(n) AS BIGINT) AS tp
+           FROM cm WHERE truth = pred GROUP BY 1)
+    SELECT c.class,
+           COALESCE(tr.n_true, 0) AS n_true,
+           COALESCE(pd.n_pred, 0) AS n_pred,
+           COALESCE(dg.tp, 0) AS tp,
+           CASE WHEN COALESCE(pd.n_pred, 0) > 0
+                THEN ROUND(CAST(COALESCE(dg.tp, 0) AS DOUBLE)
+                           / pd.n_pred, 6) END AS precision,
+           CASE WHEN COALESCE(tr.n_true, 0) > 0
+                THEN ROUND(CAST(COALESCE(dg.tp, 0) AS DOUBLE)
+                           / tr.n_true, 6) END AS recall,
+           CASE WHEN COALESCE(tr.n_true, 0) + COALESCE(pd.n_pred, 0) > 0
+                THEN ROUND(2.0 * COALESCE(dg.tp, 0)
+                           / (COALESCE(tr.n_true, 0)
+                              + COALESCE(pd.n_pred, 0)), 6) END AS f1
+    FROM classes c
+    LEFT JOIN tr ON tr.class = c.class
+    LEFT JOIN pd ON pd.class = c.class
+    LEFT JOIN dg ON dg.class = c.class
+    """,
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the n-gram-heuristic
+    language identifier (``pipeline/text.py::lang_id_col``) against the
+    corpus's labeled ``lang`` — the classifier-evaluation primitive a
+    curation pipeline runs after every labeling stage.  Classes are the
+    UNION of observed truth and predicted labels (a class predicted but
+    never labeled still gets a precision row; 'und' appears only on the
+    predicted axis).  Division-by-zero edges emit NULL via the same
+    integer predicates in both engines; F1 = 2·tp/(n_true + n_pred)
+    avoids the precision·recall ratio form (one division, exact
+    integers).
+
+    Scale: one per-doc marker scan (partial-aggregatable into the
+    ≤36-cell confusion matrix), then all math on the bounded cell
+    table."""
+    from ophidia_io_server_spark.pipeline.text import lang_id_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pl = (docs.where(F.col("text").isNotNull())
+          .select(F.col("lang").alias("truth"),
+                  lang_id_col(F.col("text")).alias("pred")))
+    cm = pl.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    classes = (cm.select(F.col("truth").alias("class"))
+               .union(cm.select(F.col("pred").alias("class"))).distinct())
+    tr = cm.groupBy(F.col("truth").alias("class")).agg(
+        F.sum("n").cast("bigint").alias("n_true"))
+    pd_ = cm.groupBy(F.col("pred").alias("class")).agg(
+        F.sum("n").cast("bigint").alias("n_pred"))
+    dg = (cm.where(F.col("truth") == F.col("pred"))
+          .groupBy(F.col("truth").alias("class"))
+          .agg(F.sum("n").cast("bigint").alias("tp")))
+    j = (classes.join(tr, "class", "left").join(pd_, "class", "left")
+         .join(dg, "class", "left")
+         .select("class",
+                 F.coalesce("n_true", F.lit(0)).cast("bigint")
+                 .alias("n_true"),
+                 F.coalesce("n_pred", F.lit(0)).cast("bigint")
+                 .alias("n_pred"),
+                 F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp")))
+    return j.select(
+        "class", "n_true", "n_pred", "tp",
+        F.when(F.col("n_pred") > 0,
+               F.round(F.col("tp").cast("double") / F.col("n_pred"), 6))
+        .alias("precision"),
+        F.when(F.col("n_true") > 0,
+               F.round(F.col("tp").cast("double") / F.col("n_true"), 6))
+        .alias("recall"),
+        F.when(F.col("n_true") + F.col("n_pred") > 0,
+               F.round(2.0 * F.col("tp")
+                       / (F.col("n_true") + F.col("n_pred")), 6))
+        .alias("f1"))
+
+
+@workload(
+    "doc_lang_kappa",
+    oracle=f"""
+    WITH {_CONFUSION_CTE},
+    m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN truth = pred THEN n ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM cm
+    ),
+    pe AS (
+      SELECT SUM(CAST(t.n_true AS HUGEINT) * p.n_pred) AS chance
+      FROM (SELECT truth AS class, SUM(n) AS n_true FROM cm GROUP BY 1) t
+      JOIN (SELECT pred AS class, SUM(n) AS n_pred FROM cm GROUP BY 1) p
+        ON p.class = t.class
+    )
+    SELECT nn AS n_docs, agree AS n_agree,
+           ROUND(CAST(agree AS DOUBLE) / nn, 6) AS accuracy,
+           ROUND(CAST(CAST(nn AS HUGEINT) * agree - chance AS DOUBLE)
+                 / CAST(CAST(nn AS HUGEINT) * nn - chance AS DOUBLE), 6)
+             AS kappa
+    FROM m, pe
+    """,
+)
+def doc_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled language and the n-gram
+    language identifier — chance-corrected agreement, the single-number
+    summary next to the per-class ``doc_lang_confusion`` row:
+    κ = (p_o − p_e)/(1 − p_e) with p_e the marginal-product chance
+    agreement.  Clearing N² turns it into
+    κ = (N·agree − Σ n_true·n_pred) / (N² − Σ n_true·n_pred) — ONE IEEE
+    division over exact DECIMAL(38,0) integers (budget: N² ≤ 1e26 at
+    10¹³ docs), rounded 6.
+
+    Scale: same ≤36-cell confusion collapse as the sibling row; the
+    marginal-product join runs on ≤6-row frames."""
+    from ophidia_io_server_spark.pipeline.text import lang_id_col
+
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    pl = (docs.where(F.col("text").isNotNull())
+          .select(F.col("lang").alias("truth"),
+                  lang_id_col(F.col("text")).alias("pred")))
+    cm = pl.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = cm.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), F.col("n"))
+              .otherwise(0)).cast("bigint").alias("agree"))
+    t = cm.groupBy(F.col("truth").alias("class")).agg(
+        F.sum("n").alias("n_true"))
+    p = cm.groupBy(F.col("pred").alias("class")).agg(
+        F.sum("n").alias("n_pred"))
+    pe = (t.join(p, "class")
+          .agg(F.sum(F.col("n_true").cast(dec) * F.col("n_pred"))
+               .alias("chance")))
+    nn = F.col("nn").cast(dec)
+    return (m.crossJoin(F.broadcast(pe))  # two single-row frames
+            .select(F.col("nn").alias("n_docs"),
+                    F.col("agree").alias("n_agree"),
+                    F.round(F.col("agree").cast("double") / F.col("nn"), 6)
+                    .alias("accuracy"),
+                    F.round((nn * F.col("agree") - F.col("chance"))
+                            .cast("double")
+                            / (nn * nn - F.col("chance")).cast("double"),
+                            6).alias("kappa")))
+
+
+@workload(
+    "token_dispersion_index",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM toks),
+    tc AS (
+      SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT token, CAST(SUM(c) AS BIGINT) AS sc,
+             SUM(CAST(c AS HUGEINT) * c) AS scc,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_with
+      FROM tc GROUP BY 1
+    )
+    SELECT token, sc AS total_count, n_docs_with,
+           ROUND(CAST(d * scc - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                 / (CAST(d AS DOUBLE) * sc), 6) AS vmr
+    FROM s, nd
+    WHERE sc >= 100
+    ORDER BY CAST(d * scc - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+             / (CAST(d AS DOUBLE) * sc) DESC, token
+    LIMIT 20
+    """,
+)
+def token_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 OVERDISPERSED tokens by variance-to-mean ratio of their
+    per-document counts (zeros included): VMR = (D·Σc² − (Σc)²)/(D·Σc)
+    over all D docs — the burstiness screen a curation pipeline uses to
+    find template/boilerplate tokens (a token uniformly spread has
+    VMR ≈ 1, Poisson; a token slammed into few docs has VMR ≫ 1).
+    Zero-count docs enter exactly via the algebra (Σ(c−μ)² = Σc² − Dμ²
+    needs only the nonzero cells), so nothing materializes a dense
+    doc × token matrix.
+
+    Exactness: VMR is ONE IEEE expression over exact DECIMAL(38,0)
+    sums (budget: D·Σc² ≤ 1e13·1e13·256² ≈ 1e31 with the usual per-doc
+    count ceiling); min-support Σc ≥ 100 and the (vmr DESC, token)
+    total order make the top-20 cut engine-independent (identical IEEE
+    expression → identical doubles → identical order).
+
+    Scale: one (doc, token) count (partial-aggregatable), one
+    token-keyed collapse, TakeOrderedAndProject top-20 — never a global
+    sort."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+
+    dec = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    nd = toks.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    tc = (toks.select("doc_id", F.explode("tk").alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    s = tc.groupBy("token").agg(
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).alias("scc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_with"))
+    vmr = ((F.col("d").cast(dec) * F.col("scc")
+            - F.col("sc").cast(dec) * F.col("sc")).cast("double")
+           / (F.col("d").cast("double") * F.col("sc")))
+    return (s.crossJoin(F.broadcast(nd))  # single-row doc total
+            .where(F.col("sc") >= 100)
+            .withColumn("vmr", vmr)
+            .orderBy(F.desc("vmr"), F.asc("token")).limit(20)
+            .select("token", F.col("sc").alias("total_count"),
+                    "n_docs_with", F.round(F.col("vmr"), 6).alias("vmr")))
+
+
+@workload(
+    "doc_ngram_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ev AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' '))) AS gs
+      FROM toks WHERE source = 'src0' AND len(tk) >= 8
+    ),
+    eg AS (SELECT doc_id, unnest(gs) AS g FROM ev),
+    tg AS (
+      SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS g
+      FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS i
+            FROM toks WHERE source <> 'src0' AND len(tk) >= 8)
+    )
+    SELECT eg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           ROUND(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS contamination
+    FROM eg LEFT JOIN tg ON tg.g = eg.g
+    GROUP BY 1
+    """,
+)
+def doc_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval CONTAMINATION screen (the decontamination primitive
+    every LLM data pipeline runs before publishing an eval set — the
+    GPT-3 appendix-C / Dodge et al. C4 methodology): treating source
+    'src0' as the held-out eval set, for each eval doc the fraction of
+    its DISTINCT token 8-grams that appear anywhere in the training
+    corpus (every other source).  8 is the standard contamination gram
+    size (long enough that chance collisions vanish, short enough to
+    catch paraphrase-free leakage).
+
+    Exactness: pure integer counting — distinct 8-grams per eval doc,
+    one distinct projection of train grams, a left semi-ish join, one
+    ratio rounded 6.
+
+    Scale: eval-gram rows ≈ Σ|eval doc| (distinct-collapsed per doc
+    IN-ROW first, so the explode emits each doc's gram set once); train
+    grams distinct-collapse partial-aggregatably before the join; the
+    gram equi-join is the only data-sized shuffle (no forced broadcast
+    — a web-scale train gram table is NOT broadcastable, r9 verdict
+    #2).  At 100 TB one would MinHash-prefilter candidate docs first;
+    the exact join here IS the oracle-grade reference the sketch would
+    be certified against."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    toks = docs.select("doc_id", "source",
+                       tokens_col(F.col("text")).alias("tk"))
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 7),
+        lambda i: F.concat_ws(" ", F.slice("tk", i, 8))))
+    ev = (toks.where((F.col("source") == "src0") & (F.size("tk") >= 8))
+          .select("doc_id", grams.alias("gs")))
+    eg = ev.select("doc_id", F.explode("gs").alias("g"))
+    tg = (toks.where((F.col("source") != "src0") & (F.size("tk") >= 8))
+          .select(F.explode(F.transform(
+              F.sequence(F.lit(1), F.size("tk") - 7),
+              lambda i: F.concat_ws(" ", F.slice("tk", i, 8))))
+              .alias("g"))
+          .distinct()
+          .withColumn("hit", F.lit(1)))
+    j = eg.join(tg, "g", "left")
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint")
+                 .alias("n_contaminated"))
+            .select("doc_id", "n_grams", "n_contaminated",
+                    F.round(F.col("n_contaminated") * 1.0
+                            / F.col("n_grams"), 6)
+                    .alias("contamination")))
+
+
+@workload(
+    "embedding_outlier_topk",
+    oracle="""
+    WITH g AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+    c AS (
+      SELECT (SELECT n FROM cn) AS n,
+             list(CAST(sv AS HUGEINT) ORDER BY dim) AS s
+      FROM (SELECT dim, SUM(qv[dim]) AS sv
+            FROM g, UNNEST(range(1, 65)) AS t(dim) GROUP BY dim)
+    ),
+    d AS (
+      SELECT vec_id, label,
+             list_aggregate(list_transform(range(1, 65),
+               i -> (CAST(c.n AS HUGEINT) * qv[i] - c.s[i])
+                    * (CAST(c.n AS HUGEINT) * qv[i] - c.s[i])), 'sum')
+               AS num,
+             c.n AS n
+      FROM g, c
+    )
+    SELECT vec_id, label,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n) / 1000000000000.0, 6)
+             AS dist2
+    FROM d
+    ORDER BY num DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding OUTLIERS by squared Euclidean distance from the
+    corpus centroid — the cheap first-pass anomaly screen an embedding
+    pipeline runs before clustering (mislabeled / corrupted / off-
+    distribution vectors sit far from the mean).  Uses the repo's
+    integer-grid discipline (``embedding_kmeans_semdedup``): coords
+    quantize to the 1e-6 grid, the centroid stays an EXACT rational
+    (Σqv, n), and ‖n·qv − s‖² is an exact DECIMAL integer — so the
+    top-20 ORDER is decided on exact integers (never on accumulated
+    floats), with vec_id as the deterministic tie-break; only the
+    reported dist2 (de-quantized back to coordinate units) is one IEEE
+    division, rounded 6.
+
+    Digit budget: (n·qv)² ≤ (1e12·1e6·grid)² … per-dim terms reach
+    ~1e36 at a trillion vectors — inside DECIMAL(38,0) with the 64-dim
+    sum bounded by the same order (documented, same class as the
+    k-means Gram budget).
+
+    Scale: one partial-aggregatable per-dim centroid sum (64 numbers),
+    one broadcast-sized scalar frame joined back, one
+    TakeOrderedAndProject top-20 keyed on the exact integer distance."""
+    dec = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        "vec_id", "label",
+        F.transform(F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5)
+                    .cast("bigint")).alias("qv"))
+    dims = list(range(64))
+    c = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.array(*[F.sum(F.element_at("qv", i + 1).cast(dec)).cast(dec)
+                  for i in dims]).alias("s"))
+    num = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.col("n").cast(dec)
+                       * F.element_at("qv", (i + 1).cast("int")).cast(dec)
+                       - F.element_at("s", (i + 1).cast("int")))
+            * (F.col("n").cast(dec)
+               * F.element_at("qv", (i + 1).cast("int")).cast(dec)
+               - F.element_at("s", (i + 1).cast("int")))),
+        F.lit(0).cast(dec), lambda a, x: (a + x).cast(dec))
+    d = (g.crossJoin(F.broadcast(c))  # single-row centroid frame
+         .select("vec_id", "label", num.alias("num"),
+                 F.col("n").alias("n")))
+    return (d.orderBy(F.desc("num"), F.asc("vec_id")).limit(20)
+            .select("vec_id", "label",
+                    F.round(F.col("num").cast("double")
+                            / (F.col("n").cast("double") * F.col("n"))
+                            / 1.0e12, 6).alias("dist2")))

@@ -3020,3 +3020,319 @@ def orders_lineitem_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n").alias("n_pairs"),
                     F.round(mi, 6).alias("mi_nats"),
                     F.round(mi / F.sqrt(hp * hr), 6).alias("nmi")))
+
+
+@workload(
+    "orders_trend_test",
+    oracle="""
+    WITH rk AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    o AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CASE WHEN rk.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS y
+      FROM orders LEFT JOIN rk ON rk.l_orderkey = orders.o_orderkey
+    ),
+    g AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS r
+      FROM o GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+             SUM(CAST(s AS HUGEINT) * r) AS sr,
+             SUM(CAST(s AS HUGEINT) * n) AS sn,
+             SUM(CAST(s AS HUGEINT) * s * n) AS snn
+      FROM g
+    )
+    SELECT nn AS n_orders, rr AS n_returned,
+           ROUND(CAST(nn * sr - rr * sn AS DOUBLE)
+                 / sqrt(CAST(rr AS DOUBLE) * (nn - rr)
+                        * CAST(nn * snn - sn * sn AS DOUBLE) / nn), 6)
+             AS z_trend
+    FROM t
+    """,
+)
+def orders_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the probability that an order
+    has a RETURNED line item trend monotonically with order priority
+    (the ordinal 1-URGENT .. 5-LOW scale)?  The ORDERED sibling of the
+    chi-squared independence row — chi² asks "dependent at all", CA
+    asks "does risk trend with the ordinal score", the standard
+    dose-response screen.  Scores are the priority's leading digit;
+    outcome is an EXISTS against the 'R' line items (left-semi shape).
+
+    Exactness: clearing p̄ = R/N through numerator and variance gives
+    z = (N·Σsr − R·Σsn) / √(R(N−R)(N·Σns² − (Σns)²)/N) — ONE IEEE
+    expression over five exact integers (DECIMAL(38,0) digit budget:
+    N·Σns² ≤ 25N² ≈ 2.5e25 at 10¹² orders — wide margin).
+
+    Scale: one distinct-projection of returned orderkeys, one orderkey
+    equi-join (shuffle or AQE-broadcast, Catalyst's choice), one 5-group
+    aggregate, one pivot row."""
+    dec = "decimal(38,0)"
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rk = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+          .withColumn("y", F.lit(1)))
+    o = (orders.select("o_orderkey",
+                       F.substring("o_orderpriority", 1, 1).cast("bigint")
+                       .alias("s"))
+         .join(rk, "o_orderkey", "left")
+         .select("s", F.coalesce(F.col("y"), F.lit(0)).alias("y")))
+    g = o.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                           F.sum("y").cast("bigint").alias("r"))
+    s = F.col("s").cast(dec)
+    t = g.agg(F.sum("n").cast("bigint").alias("nn"),
+              F.sum("r").cast("bigint").alias("rr"),
+              F.sum(s * F.col("r")).alias("sr"),
+              F.sum(s * F.col("n")).alias("sn"),
+              F.sum(s * F.col("s") * F.col("n")).alias("snn"))
+    nn, rr = F.col("nn"), F.col("rr")
+    num = (nn.cast(dec) * F.col("sr") - rr.cast(dec) * F.col("sn"))
+    var = (rr.cast("double") * (nn - rr)
+           * (nn.cast(dec) * F.col("snn")
+              - F.col("sn") * F.col("sn")).cast("double") / nn)
+    return t.select(nn.alias("n_orders"), rr.alias("n_returned"),
+                    F.round(num.cast("double") / F.sqrt(var), 6)
+                    .alias("z_trend"))
+
+
+@workload(
+    "lineitem_decision_stump",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    vc AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS r
+           FROM b GROUP BY 1),
+    cum AS (
+      SELECT q,
+             SUM(n) OVER (ORDER BY q) AS nl,
+             SUM(r) OVER (ORDER BY q) AS rl,
+             SUM(n) OVER () AS nt, SUM(r) OVER () AS rt
+      FROM vc
+    ),
+    cand AS (
+      SELECT q AS threshold,
+             CAST(nl AS BIGINT) AS n_left, CAST(rl AS BIGINT) AS r_left,
+             CAST(nt - nl AS BIGINT) AS n_right,
+             CAST(rt - rl AS BIGINT) AS r_right,
+             CAST(nt AS BIGINT) AS nt, CAST(rt AS BIGINT) AS rt
+      FROM cum WHERE nl < nt
+    ),
+    scored AS (
+      SELECT threshold, n_left, r_left, n_right, r_right, nt, rt,
+             2.0 * r_left * (n_left - r_left) / n_left / nt
+             + 2.0 * r_right * (n_right - r_right) / n_right / nt
+               AS imp
+      FROM cand
+    )
+    SELECT threshold, n_left, r_left, n_right, r_right,
+           ROUND(imp, 6) AS gini_split,
+           ROUND(2.0 * rt * (nt - rt) / nt / nt, 6) AS gini_root,
+           ROUND(2.0 * rt * (nt - rt) / nt / nt - imp, 6) AS gain
+    FROM scored ORDER BY imp, threshold LIMIT 1
+    """,
+)
+def lineitem_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single decision stump "quantity ≤ t" for predicting a
+    returned line item (l_returnflag = 'R') — the CART split-finding
+    primitive a distributed tree trainer runs per node: for every
+    candidate threshold the weighted Gini impurity
+    2·rL(nL−rL)/(nL·N) + 2·rR(nR−rR)/(nR·N), argmin with a
+    deterministic (impurity, threshold) tie-break.
+
+    Exactness: candidates come off the ≤50-row value-level CDF (the
+    Brown-Forsythe/Kruskal discipline); every impurity is the SAME IEEE
+    expression over exact integers in both engines, so the argmin —
+    compared on identical doubles — is engine-independent; reported
+    impurities round 6.
+
+    Scale: one partial-aggregatable (qty → n, R-count) collapse, a
+    window over the bounded value table, a 49-candidate TakeOrdered —
+    the full stump search costs one scan regardless of corpus size."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull())
+    b = li.select(F.col("l_quantity").cast("bigint").alias("q"),
+                  F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                  .alias("y"))
+    vc = b.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                            F.sum("y").cast("bigint").alias("r"))
+    w_cum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = vc.select(
+        "q",
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("r").over(w_cum).alias("rl"),
+        F.sum("n").over(w_all).alias("nt"),
+        F.sum("r").over(w_all).alias("rt"))
+    cand = (cum.where(F.col("nl") < F.col("nt"))
+            .select(F.col("q").alias("threshold"),
+                    F.col("nl").cast("bigint").alias("n_left"),
+                    F.col("rl").cast("bigint").alias("r_left"),
+                    (F.col("nt") - F.col("nl")).cast("bigint")
+                    .alias("n_right"),
+                    (F.col("rt") - F.col("rl")).cast("bigint")
+                    .alias("r_right"),
+                    F.col("nt").cast("bigint").alias("nt"),
+                    F.col("rt").cast("bigint").alias("rt")))
+    imp = (2.0 * F.col("r_left") * (F.col("n_left") - F.col("r_left"))
+           / F.col("n_left") / F.col("nt")
+           + 2.0 * F.col("r_right") * (F.col("n_right") - F.col("r_right"))
+           / F.col("n_right") / F.col("nt"))
+    root = (2.0 * F.col("rt") * (F.col("nt") - F.col("rt"))
+            / F.col("nt") / F.col("nt"))
+    return (cand.withColumn("imp", imp)
+            .orderBy("imp", "threshold").limit(1)
+            .select("threshold", "n_left", "r_left", "n_right", "r_right",
+                    F.round(F.col("imp"), 6).alias("gini_split"),
+                    F.round(root, 6).alias("gini_root"),
+                    F.round(root - F.col("imp"), 6).alias("gain")))
+
+
+@workload(
+    "part_copurchase_pairs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nt AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+           FROM op),
+    pf AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS np
+           FROM op GROUP BY 1),
+    pr AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS nab
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, nab,
+           ROUND(CAST(nab AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(nab AS DOUBLE) * n_orders
+                 / (CAST(fa.np AS DOUBLE) * fb.np), 6) AS lift
+    FROM pr JOIN pf fa ON fa.l_partkey = pr.part_a
+            JOIN pf fb ON fb.l_partkey = pr.part_b, nt
+    """,
+)
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase part pairs ("customers who bought A also bought B"):
+    all part pairs appearing together in ≥3 orders, with support and
+    lift against the single-part order frequencies — the RELATIONAL
+    market-basket twin of ``token_association_rules`` (tokens → parts,
+    docs → orders), and a real join-scale exercise: the within-order
+    self-join's candidate volume is Σ C(k_o, 2) over per-order distinct
+    part counts — TPC-H orders carry ≤13 line items (measured), so the
+    fanout is ≤78 pairs/order, LINEAR in the fact table, never a
+    cross join.  At web-scale basket sizes a k-budget guard would cap a
+    degenerate order (the association-triples k≤256 discipline);
+    unneeded at TPC-H multiplicities, documented.
+
+    Scale: one distinct-projection, one orderkey equi-shuffle for the
+    pair enumeration (skew bounded by the largest single order), one
+    pair aggregate, two part-keyed frequency joins (no forced
+    broadcast — r9 verdict #2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    nt = op.agg(F.countDistinct("l_orderkey").cast("bigint")
+                .alias("n_orders"))
+    pf = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint")
+                                     .alias("np"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pr = (a.join(b, "l_orderkey")
+          .where(F.col("part_a") < F.col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+          .where(F.col("nab") >= 3))
+    fa = pf.select(F.col("l_partkey").alias("part_a"),
+                   F.col("np").alias("na"))
+    fb = pf.select(F.col("l_partkey").alias("part_b"),
+                   F.col("np").alias("nb"))
+    return (pr.join(fa, "part_a").join(fb, "part_b")
+            .crossJoin(F.broadcast(nt))  # single-row total
+            .select("part_a", "part_b", "nab",
+                    F.round(F.col("nab").cast("double")
+                            / F.col("n_orders"), 6).alias("support"),
+                    F.round(F.col("nab").cast("double") * F.col("n_orders")
+                            / (F.col("na").cast("double") * F.col("nb")),
+                            6).alias("lift")))
+
+
+@workload(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fc AS (SELECT o_custkey, CAST(min(m) AS BIGINT) AS cohort
+           FROM o GROUP BY 1),
+    cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+           FROM fc GROUP BY 1),
+    cell AS (
+      SELECT fc.cohort, CAST(o.m - fc.cohort AS BIGINT) AS age_months,
+             CAST(SUM(o.cents) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+      FROM o JOIN fc ON fc.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort, age_months, n_customers, n_active, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+                  PARTITION BY cohort ORDER BY age_months) AS BIGINT)
+             AS cum_revenue_cents
+    FROM cell JOIN cs USING (cohort)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort lifetime-value curve: customers cohort by the
+    calendar month of their FIRST order; per (cohort, months-since-
+    cohort) cell the active-customer count, revenue, and the cohort's
+    RUNNING cumulative revenue — the standard LTV / retention-revenue
+    triangle next to the weekly ``events_retention_cohorts`` row
+    (orders-money instead of events-activity).
+
+    Exactness: pure exact integers — month index = 12y + m − 1, cents
+    on the exact grid, one cumulative window; no floats anywhere.
+
+    Scale: one per-customer min (partial-aggregatable), one custkey
+    equi-join (shuffle or AQE-broadcast — Catalyst's choice), one
+    (cohort, age) aggregate; the cumulative window partitions by
+    cohort over the ≤(months)² triangle — calendar-bounded (an 80-month
+    corpus is ≤3240 cells), never data-sized."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    fc = o.groupBy("o_custkey").agg(F.min("m").cast("bigint")
+                                    .alias("cohort"))
+    cs = fc.groupBy("cohort").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("n_customers"))
+    cell = (o.join(fc, "o_custkey")
+            .groupBy("cohort",
+                     (F.col("m") - F.col("cohort")).cast("bigint")
+                     .alias("age_months"))
+            .agg(F.sum("cents").cast("bigint").alias("revenue_cents"),
+                 F.countDistinct("o_custkey").cast("bigint")
+                 .alias("n_active")))
+    w = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (cell.join(cs, "cohort")
+            .select("cohort", "age_months", "n_customers", "n_active",
+                    "revenue_cents",
+                    F.sum("revenue_cents").over(w).cast("bigint")
+                    .alias("cum_revenue_cents")))

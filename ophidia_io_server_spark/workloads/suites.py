@@ -494,6 +494,28 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_tokens", "bigint"), ("slope", "double"),
             ("intercept", "double"), ("r2", "double"),
         ],
+        # r10 wave 12: language-ID evaluation — per-class P/R/F1 and
+        # Cohen's kappa off the same ≤36-cell confusion collapse
+        "doc_lang_confusion": [
+            ("class", "string"), ("n_true", "bigint"),
+            ("n_pred", "bigint"), ("tp", "bigint"),
+            ("precision", "double"), ("recall", "double"),
+            ("f1", "double"),
+        ],
+        "doc_lang_kappa": [
+            ("n_docs", "bigint"), ("n_agree", "bigint"),
+            ("accuracy", "double"), ("kappa", "double"),
+        ],
+        # r10 wave 13: VMR boilerplate screen + 8-gram train/eval
+        # contamination (the decontamination reference join)
+        "token_dispersion_index": [
+            ("token", "string"), ("total_count", "bigint"),
+            ("n_docs_with", "bigint"), ("vmr", "double"),
+        ],
+        "doc_ngram_contamination": [
+            ("doc_id", "bigint"), ("n_grams", "bigint"),
+            ("n_contaminated", "bigint"), ("contamination", "double"),
+        ],
     },
     # classic event-analytics rollups
     "analytics_suite": {
@@ -690,6 +712,22 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("c_no_yes", "bigint"), ("chi2", "double"),
             ("chi2_cc", "double"),
         ],
+        # r10 wave 12: Markov-chain entropy rate (ordered folds) and
+        # Cliff's delta effect size off the value-level CDF
+        "events_markov_entropy": [
+            ("n_transitions", "bigint"), ("h_cond", "double"),
+            ("h_marginal", "double"),
+        ],
+        "events_cliffs_delta": [
+            ("na", "bigint"), ("nb", "bigint"),
+            ("cliffs_delta", "double"),
+        ],
+        # r10 wave 13: Nelson-Aalen cumulative hazard (KM's hazard twin)
+        "events_nelson_aalen": [
+            ("dur_h", "bigint"), ("n_risk", "bigint"), ("d", "bigint"),
+            ("c", "bigint"), ("cum_hazard", "double"),
+            ("hazard_var", "double"),
+        ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
     "ann_topk_suite": {
@@ -704,6 +742,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "ann_ivf_topk": [
             ("query_id", "bigint"), ("neighbor_id", "bigint"),
             ("rank", "bigint"), ("cosine", "double"),
+        ],
+        # r10 wave 13: centroid-distance outliers on the exact integer
+        # grid (order decided on exact integers, never floats)
+        "embedding_outlier_topk": [
+            ("vec_id", "bigint"), ("label", "int"), ("dist2", "double"),
         ],
     },
     "multimodal_suite": {
@@ -918,6 +961,30 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "orders_lineitem_mutual_info": [
             ("n_pairs", "bigint"), ("mi_nats", "double"),
             ("nmi", "double"),
+        ],
+        # r10 wave 12: Cochran-Armitage ordinal trend (cleared-p̄ exact
+        # integers), CART decision stump off the value-level CDF,
+        # market-basket co-purchase pairs (within-order self-join)
+        "orders_trend_test": [
+            ("n_orders", "bigint"), ("n_returned", "bigint"),
+            ("z_trend", "double"),
+        ],
+        "lineitem_decision_stump": [
+            ("threshold", "bigint"), ("n_left", "bigint"),
+            ("r_left", "bigint"), ("n_right", "bigint"),
+            ("r_right", "bigint"), ("gini_split", "double"),
+            ("gini_root", "double"), ("gain", "double"),
+        ],
+        "part_copurchase_pairs": [
+            ("part_a", "bigint"), ("part_b", "bigint"), ("nab", "bigint"),
+            ("support", "double"), ("lift", "double"),
+        ],
+        # r10 wave 13: cohort LTV triangle (exact cents, calendar-
+        # bounded cumulative window)
+        "orders_cohort_ltv": [
+            ("cohort", "bigint"), ("age_months", "bigint"),
+            ("n_customers", "bigint"), ("n_active", "bigint"),
+            ("revenue_cents", "bigint"), ("cum_revenue_cents", "bigint"),
         ],
     },
     # fragment-store row windows + MERGE upsert

@@ -159,10 +159,12 @@ def test_mcnemar_matches_python(spark):
     mid = (lo + hi) // 2
     rows = con.execute(f"""
         SELECT user_id,
-               max(CASE WHEN event_type='click' AND epoch_us(ts) < {mid}
-                   THEN 1 ELSE 0 END),
-               max(CASE WHEN event_type='click' AND epoch_us(ts) >= {mid}
-                   THEN 1 ELSE 0 END)
+               max(CASE WHEN event_type='purchase'
+                   AND CAST(ROUND(value*100) AS BIGINT) >= 20000
+                   AND epoch_us(ts) < {mid} THEN 1 ELSE 0 END),
+               max(CASE WHEN event_type='purchase'
+                   AND CAST(ROUND(value*100) AS BIGINT) >= 20000
+                   AND epoch_us(ts) >= {mid} THEN 1 ELSE 0 END)
         FROM '{SF}/events.parquet' GROUP BY 1""").fetchall()
     b = sum(1 for _, h1, h2 in rows if h1 == 1 and h2 == 0)
     c = sum(1 for _, h1, h2 in rows if h1 == 0 and h2 == 1)
