@@ -204,6 +204,14 @@ HEADLINE = [
     "doc_ngram_contamination",
     "embedding_outlier_topk",
     "orders_cohort_ltv",
+    # r10 wave 14 (HEADLINE 130 -> 135): ABC classes on the distributed
+    # prefix sum, pricing OLS, YoY dashboard, circadian chi2, composed
+    # residual anomalies
+    "part_abc_classification",
+    "lineitem_discount_elasticity",
+    "orders_yoy_growth",
+    "events_circadian_uniformity",
+    "events_seasonal_anomalies",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

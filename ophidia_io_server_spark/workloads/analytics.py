@@ -4572,3 +4572,128 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evt.select("dur_h", "n_risk", "d", "c",
                       F.round(fold(F.col("hs")), 6).alias("cum_hazard"),
                       F.round(fold(F.col("vs")), 6).alias("hazard_var"))
+
+
+@workload(
+    "events_circadian_uniformity",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n,
+                 SUM(CAST(o AS HUGEINT) * o) AS oo
+          FROM h GROUP BY 1),
+    pk AS (
+      SELECT event_type, hod AS peak_hour, o AS peak_n
+      FROM (SELECT event_type, hod, o,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY o DESC, hod) AS rn
+            FROM h) WHERE rn = 1
+    )
+    SELECT t.event_type, t.n,
+           CAST(pk.peak_hour AS BIGINT) AS peak_hour, pk.peak_n,
+           ROUND(CAST(24 * t.oo - CAST(t.n AS HUGEINT) * t.n AS DOUBLE)
+                 / t.n, 6) AS chi2_uniform
+    FROM t JOIN pk USING (event_type)
+    """,
+)
+def events_circadian_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circadian load profile per event type: the peak hour-of-day and
+    the chi-squared test against a UNIFORM 24-hour profile — the
+    capacity-planning / bot-detection screen (organic traffic is
+    strongly circadian, uniform load is a red flag).  Clearing
+    E = n/24 turns χ² = Σ(O−E)²/E into (24·ΣO² − n²)/n — ONE IEEE
+    division over exact DECIMAL integers (budget: 24·ΣO² ≤ 24·n² ≤
+    2.4e25 at 10¹² events/type); the peak is argmax under the total
+    (count DESC, hour) order.
+
+    Scale: one partial-aggregatable (type, hour-of-day) collapse to
+    ≤ 24·|types| cells; everything after is cell-table math."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type", F.hour("ts").alias("hod"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
+    t = h.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.sum((F.col("o") * F.col("o")).cast(dec)).alias("oo"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("o"), F.asc("hod"))
+    pk = (h.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") == 1)
+          .select("event_type", F.col("hod").cast("bigint")
+                  .alias("peak_hour"), F.col("o").alias("peak_n")))
+    n = F.col("n").cast(dec)
+    return (t.join(pk, "event_type")
+            .select("event_type", "n", "peak_hour", "peak_n",
+                    F.round((24 * F.col("oo") - n * n).cast("double")
+                            / F.col("n"), 6).alias("chi2_uniform")))
+
+
+def _seasonal_anomaly_oracle() -> str:
+    base = WORKLOADS["events_seasonal_decompose"].oracle
+    return f"""
+    WITH base AS ({base}),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0, list(resid ORDER BY hr)),
+                         (a, x) -> a + x) AS sr,
+             list_reduce(list_prepend(0.0,
+                           list(resid * resid ORDER BY hr)),
+                         (a, x) -> a + x) AS srr
+      FROM base GROUP BY 1
+    ),
+    z AS (
+      SELECT b.event_type, b.hr, b.y, b.resid,
+             (b.resid - st.sr / st.n)
+             / sqrt((st.srr - st.sr * st.sr / st.n) / (st.n - 1)) AS zv
+      FROM base b JOIN st USING (event_type)
+      WHERE st.n >= 3
+    )
+    SELECT event_type, hr, y, resid, ROUND(zv, 6) AS z
+    FROM z WHERE abs(zv) > 3.0
+    """
+
+
+@workload("events_seasonal_anomalies", oracle=_seasonal_anomaly_oracle())
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual anomaly flags on top of the classical decomposition
+    (``events_seasonal_decompose``): hours whose residual sits more
+    than 3 standard deviations from the per-type residual mean — the
+    standard "strip trend and seasonality, THEN threshold" anomaly
+    recipe (a raw-count threshold would just flag every rush hour).
+
+    Composition + float discipline: the base row's residuals are
+    already rounded-6 IEEE values bitwise-identical across engines, so
+    this operator CONSUMES the sibling workload verbatim (same fn here,
+    its oracle text inlined as a CTE there); the per-type moment sums
+    ride hr-ordered folds (``F.aggregate`` ↔ ``list_reduce``), making
+    mean/sd/z bitwise too — the 3σ cut compares identical doubles.
+
+    Scale: everything runs on the span-bounded decomposition output;
+    one ≤|types|-row stats frame joined back."""
+    from pyspark.sql import Window
+
+    base = WORKLOADS["events_seasonal_decompose"].fn(spark, sf_dir)
+    st = (base.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+               F.array_sort(F.collect_list(F.struct(
+                   F.col("hr"), F.col("resid").alias("r")))).alias("rs")))
+    fold = lambda arr, f: F.aggregate(  # noqa: E731
+        F.transform(arr, f), F.lit(0.0), lambda a, x: a + x)
+    st = st.select(
+        "event_type", "n",
+        fold(F.col("rs"), lambda s: s["r"]).alias("sr"),
+        fold(F.col("rs"), lambda s: s["r"] * s["r"]).alias("srr"))
+    zv = ((F.col("resid") - F.col("sr") / F.col("n"))
+          / F.sqrt((F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
+                   / (F.col("n") - 1)))
+    return (base.join(st, "event_type")
+            .where(F.col("n") >= 3)
+            .withColumn("zv", zv)
+            .where(F.abs(F.col("zv")) > 3.0)
+            .select("event_type", "hr", "y", "resid",
+                    F.round(F.col("zv"), 6).alias("z")))

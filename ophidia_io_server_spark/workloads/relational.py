@@ -3336,3 +3336,192 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "revenue_cents",
                     F.sum("revenue_cents").over(w).cast("bigint")
                     .alias("cum_revenue_cents")))
+
+
+@workload(
+    "part_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS t FROM pr),
+    c AS (
+      SELECT l_partkey, revenue_cents,
+             CAST(SUM(revenue_cents) OVER (
+                    ORDER BY revenue_cents DESC, l_partkey) AS BIGINT)
+               AS cum_cents
+      FROM pr
+    )
+    SELECT l_partkey, revenue_cents, cum_cents,
+           CASE WHEN 5 * cum_cents <= 4 * t THEN 'A'
+                WHEN 20 * cum_cents <= 19 * t THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, tot
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by revenue: rank
+    parts by revenue descending, class A while the running revenue
+    share is ≤ 80%, B to 95%, C after — the standard purchasing /
+    catalog-curation cut, and another consumer of the DISTRIBUTED
+    prefix-sum (``operators/ranking.py::global_prefix_sum`` over the
+    (−revenue, partkey) total order — a bare ``SUM() OVER (ORDER BY)``
+    would be ONE task at 100 TB, the r9-verdict scale-killer class the
+    WOE/RFM/Gini rows already avoid).
+
+    Exactness: thresholds compare exact integers with cleared
+    denominators (5·cum ≤ 4·T ⟺ share ≤ 0.8) — no float ever decides a
+    class; (revenue DESC, partkey) is a total order so the running sum
+    is engine-independent under ties.
+
+    Scale: one partkey-keyed revenue aggregate, one two-phase
+    range-partition prefix sum (per-partition sums + ≤P-row offset
+    broadcast), zero single-task stages."""
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = (li.groupBy("l_partkey")
+          .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                     .cast("bigint")).cast("bigint")
+               .alias("revenue_cents")))
+    tot = pr.agg(F.sum("revenue_cents").cast("bigint").alias("t"))
+    keyed = pr.withColumn("neg_rev", -F.col("revenue_cents"))
+    c = global_prefix_sum(keyed, ["neg_rev", "l_partkey"],
+                          "revenue_cents", cum_col="cum_cents")
+    return (c.crossJoin(F.broadcast(tot))  # single-row total
+            .select("l_partkey", "revenue_cents",
+                    F.col("cum_cents").cast("bigint").alias("cum_cents"),
+                    F.when(5 * F.col("cum_cents") <= 4 * F.col("t"), "A")
+                    .when(20 * F.col("cum_cents") <= 19 * F.col("t"), "B")
+                    .otherwise("C").alias("abc_class")))
+
+
+@workload(
+    "lineitem_discount_elasticity",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    cells AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq
+      FROM b GROUP BY 1
+    ),
+    qq AS (SELECT SUM(CAST(q AS HUGEINT) * q) AS syy,
+                  CAST(COUNT(*) AS BIGINT) AS nn,
+                  CAST(SUM(q) AS BIGINT) AS sy
+           FROM b),
+    s AS (
+      SELECT SUM(CAST(d AS HUGEINT) * n) AS sx,
+             SUM(CAST(d AS HUGEINT) * d * n) AS sxx,
+             SUM(CAST(d AS HUGEINT) * sq) AS sxy
+      FROM cells
+    )
+    SELECT nn AS n_rows,
+           ROUND(CAST(nn * sxy - sx * sy AS DOUBLE)
+                 / CAST(nn * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((sy - CAST(nn * sxy - sx * sy AS DOUBLE)
+                       / CAST(nn * sxx - sx * sx AS DOUBLE) * sx) / nn,
+                 6) AS intercept,
+           ROUND(CAST(nn * sxy - sx * sy AS DOUBLE)
+                 * CAST(nn * sxy - sx * sy AS DOUBLE)
+                 / (CAST(nn * sxx - sx * sx AS DOUBLE)
+                    * CAST(nn * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s, qq
+    """,
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response regression: OLS of quantity on the discount
+    level (an 11-value integer grid, 0..10 discount points) — "does a
+    deeper discount move more units", the pricing-analytics primitive
+    next to the 2-feature ``lineitem_ols_regression``.  Everything
+    reduces over the bounded (discount, quantity-sum) cell table plus
+    one global Σq² — five exact DECIMAL moments, then slope/intercept/
+    R² as single IEEE expressions (identical formula text both
+    engines), rounded 6.
+
+    Scale: one partial-aggregatable 11-cell collapse + one scan-only
+    moment aggregate; no joins, no windows."""
+    dec = "decimal(38,0)"
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_discount").isNotNull()
+                 & F.col("l_quantity").isNotNull()))
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.col("l_quantity").cast("bigint").alias("q"))
+    cells = b.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"))
+    qq = b.agg(F.sum((F.col("q") * F.col("q")).cast(dec)).alias("syy"),
+               F.count(F.lit(1)).cast("bigint").alias("nn"),
+               F.sum("q").cast("bigint").alias("sy"))
+    d = F.col("d").cast(dec)
+    s = cells.agg(F.sum(d * F.col("n")).alias("sx"),
+                  F.sum(d * F.col("d") * F.col("n")).alias("sxx"),
+                  F.sum(d * F.col("sq")).alias("sxy"))
+    nn = F.col("nn").cast(dec)
+    num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (s.crossJoin(F.broadcast(qq))  # two single-row frames
+            .select(F.col("nn").alias("n_rows"),
+                    F.round(num / den, 6).alias("slope"),
+                    F.round((F.col("sy") - num / den * F.col("sx"))
+                            / F.col("nn"), 6).alias("intercept"),
+                    F.round(num * num / (den * deny), 6).alias("r2")))
+
+
+@workload(
+    "orders_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mo,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(a.mo AS BIGINT) AS month_idx, a.n_orders,
+           a.revenue_cents,
+           b.revenue_cents AS prev_year_cents,
+           CASE WHEN b.revenue_cents > 0
+                THEN ROUND(CAST(a.revenue_cents - b.revenue_cents
+                                AS DOUBLE) / b.revenue_cents, 6)
+           END AS yoy_growth
+    FROM m a LEFT JOIN m b ON b.mo = a.mo - 12
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth — the first chart on
+    any revenue dashboard: month index (12y + m − 1), exact-cents
+    revenue, the same month last year via a self-join on mo − 12
+    (calendar-safe where month arithmetic on dates is not), and the
+    growth rate as one IEEE division (NULL for months without a prior
+    year, by the same integer predicate both engines).
+
+    Scale: one partial-aggregatable month collapse (span-bounded ≤ a
+    few thousand rows for decades), then a self-join on the bounded
+    month table."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (orders.groupBy((F.year("o_orderdate") * 12
+                         + F.month("o_orderdate") - 1).alias("mo"))
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+              .cast("bigint").alias("revenue_cents"),
+              F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    b = m.select(F.col("mo").alias("mo_b"),
+                 F.col("revenue_cents").alias("prev_year_cents"))
+    return (m.join(b, m["mo"] - 12 == b["mo_b"], "left")
+            .select(F.col("mo").cast("bigint").alias("month_idx"),
+                    "n_orders", "revenue_cents", "prev_year_cents",
+                    F.when(F.col("prev_year_cents") > 0,
+                           F.round((F.col("revenue_cents")
+                                    - F.col("prev_year_cents"))
+                                   .cast("double")
+                                   / F.col("prev_year_cents"), 6))
+                    .alias("yoy_growth")))

@@ -728,6 +728,17 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("c", "bigint"), ("cum_hazard", "double"),
             ("hazard_var", "double"),
         ],
+        # r10 wave 14: circadian uniformity chi2 + residual 3-sigma
+        # anomalies composed on the decomposition row
+        "events_circadian_uniformity": [
+            ("event_type", "string"), ("n", "bigint"),
+            ("peak_hour", "bigint"), ("peak_n", "bigint"),
+            ("chi2_uniform", "double"),
+        ],
+        "events_seasonal_anomalies": [
+            ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
+            ("resid", "double"), ("z", "double"),
+        ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
     "ann_topk_suite": {
@@ -985,6 +996,21 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("cohort", "bigint"), ("age_months", "bigint"),
             ("n_customers", "bigint"), ("n_active", "bigint"),
             ("revenue_cents", "bigint"), ("cum_revenue_cents", "bigint"),
+        ],
+        # r10 wave 14: ABC Pareto classes over the distributed prefix
+        # sum, discount-response OLS, monthly YoY revenue growth
+        "part_abc_classification": [
+            ("l_partkey", "bigint"), ("revenue_cents", "bigint"),
+            ("cum_cents", "bigint"), ("abc_class", "string"),
+        ],
+        "lineitem_discount_elasticity": [
+            ("n_rows", "bigint"), ("slope", "double"),
+            ("intercept", "double"), ("r2", "double"),
+        ],
+        "orders_yoy_growth": [
+            ("month_idx", "bigint"), ("n_orders", "bigint"),
+            ("revenue_cents", "bigint"), ("prev_year_cents", "bigint"),
+            ("yoy_growth", "double"),
         ],
     },
     # fragment-store row windows + MERGE upsert

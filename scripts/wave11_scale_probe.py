@@ -1,8 +1,13 @@
-"""Wave-11/12/13 scale certificates: the nineteen new operators at
+"""Wave-11..14 scale certificates: the twenty-four new operators at
 sf0.01 vs the 100x key-consistent replica (scripts/make_10x.py; HITS,
-contamination and embedding outliers run at 10x — the replica
-transforms deliberately change their results, so their cert is the
-independent-engine replay, not an invariance).
+contamination, embedding outliers, ABC classes and seasonal anomalies
+run at 10x — the replica transforms deliberately change their results,
+so their cert is the independent-engine replay, not an invariance).
+
+Wave-14 derivations: discount-OLS moments all scale * 100 (slope/
+intercept/R^2 invariant); YoY months are fixed with revenue * 100
+(growth invariant); circadian chi2 = (24*SumO^2 - n^2)/n scales
+exactly * 100 with the peak hour fixed.
 
 Wave-13 derivations: Nelson-Aalen increments are d/n ratios (H
 invariant, variance / 100 exactly); VMR's numerator and denominator
@@ -391,6 +396,78 @@ def main() -> None:
                   and bm[k]["cum_revenue_cents"]
                   == K * am[k]["cum_revenue_cents"]
                   for k in am))
+
+    # ===== wave 14 =======================================================
+
+    # --- discount elasticity: all moments * 100 — OLS invariant ---------
+    t1, r1 = timed(WORKLOADS["lineitem_discount_elasticity"].fn,
+                   spark, sf001)
+    t2, r2 = timed(WORKLOADS["lineitem_discount_elasticity"].fn,
+                   spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"lineitem_discount_elasticity: {t1:.2f}s -> {t2:.2f}s  "
+          f"slope {a['slope']} -> {b['slope']}")
+    check("elasticity_invariant_100x",
+          b["n_rows"] == K * a["n_rows"]
+          and abs(b["slope"] - a["slope"]) <= 1e-6
+          and abs(b["intercept"] - a["intercept"]) <= 1e-6
+          and abs(b["r2"] - a["r2"]) <= 1e-6)
+
+    # --- YoY growth: months fixed, revenue * 100, growth invariant ------
+    t1, r1 = timed(WORKLOADS["orders_yoy_growth"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["orders_yoy_growth"].fn, spark, x100)
+    am = {r["month_idx"]: r for r in r1}
+    bm = {r["month_idx"]: r for r in r2}
+    print(f"orders_yoy_growth: {t1:.2f}s -> {t2:.2f}s  {len(r1)} months")
+    check("yoy_exact_scaling_100x",
+          set(am) == set(bm)
+          and all(bm[k]["revenue_cents"] == K * am[k]["revenue_cents"]
+                  and bm[k]["n_orders"] == K * am[k]["n_orders"]
+                  and ((bm[k]["yoy_growth"] is None
+                        and am[k]["yoy_growth"] is None)
+                       or abs(bm[k]["yoy_growth"] - am[k]["yoy_growth"])
+                       <= 1e-6)
+                  for k in am))
+
+    # --- circadian: chi2 scales exactly * 100, peak fixed ---------------
+    t1, r1 = timed(WORKLOADS["events_circadian_uniformity"].fn,
+                   spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_circadian_uniformity"].fn,
+                   spark, x100)
+    am = {r["event_type"]: r for r in r1}
+    bm = {r["event_type"]: r for r in r2}
+    print(f"events_circadian_uniformity: {t1:.2f}s -> {t2:.2f}s")
+    check("circadian_exact_scaling_100x",
+          set(am) == set(bm)
+          and all(bm[e]["n"] == K * am[e]["n"]
+                  and bm[e]["peak_hour"] == am[e]["peak_hour"]
+                  and bm[e]["peak_n"] == K * am[e]["peak_n"]
+                  and abs(bm[e]["chi2_uniform"]
+                          - K * am[e]["chi2_uniform"]) <= 1e-2
+                  for e in am))
+
+    # --- ABC + seasonal anomalies at 10x: engine replay ------------------
+    # (ABC's interleaved replica ties and the anomaly row's rounded-
+    # residual folds change the exact values at scale, so the cert is
+    # both engines agreeing on the scaled corpus)
+    con3 = duckdb.connect()
+    for tname in ("lineitem", "events"):
+        con3.execute(f"CREATE VIEW {tname} AS SELECT * FROM "
+                     f"read_parquet('{x10}/{tname}.parquet')")
+    for wname in ("part_abc_classification", "events_seasonal_anomalies"):
+        t1, r1 = timed(WORKLOADS[wname].fn, spark, sf001)
+        t2, r2 = timed(WORKLOADS[wname].fn, spark, x10)
+        want = sorted(map(tuple, con3.execute(
+            WORKLOADS[wname].oracle).fetchall()))
+        got = sorted(tuple(r[c] for c in r.asDict()) for r in r2)
+        print(f"{wname}: {t1:.2f}s -> {t2:.2f}s (10x, {len(got)} rows)")
+        check(f"{wname}_duckdb_replay_10x",
+              len(got) == len(want)
+              and all(g[:-1] == w[:-1]
+                      and (g[-1] == w[-1]
+                           or (isinstance(g[-1], float)
+                               and abs(g[-1] - w[-1]) <= 1e-6))
+                      for g, w in zip(got, want)))
 
     # --- contamination + embedding outliers at 10x: engine replay -------
     # (the replica transforms — token permutation, coordinate nudge —
