@@ -203,3 +203,46 @@ def test_pinned_multiconsumer_sites_read_blocks_not_parquet(spark, tmp_path):
         start_idx=0, n_steps=4)
     assert _n_parquet_scans(filled) == 0, "gap-fill observations not pinned"
     assert filled.count() == 4
+
+
+def test_wave11_14_no_data_sized_single_task_stage(spark):
+    """Waves 11-14 scale guards: the ABC classification (distributed
+    prefix sum) must carry no window partitioned on nothing over a
+    data-sized input; HITS/co-purchase/contamination joins stay
+    equi-join shaped; the top-k rows compile to TakeOrderedAndProject,
+    never a global Sort+Limit over an exchange."""
+    for name in ("token_hits_scores", "part_copurchase_pairs",
+                 "doc_ngram_contamination", "orders_trend_test",
+                 "orders_lineitem_mutual_info"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        # single-row invariant broadcasts are the only NLJs allowed
+        assert "NestedLoopJoin" not in p.replace(
+            "BroadcastNestedLoopJoin", ""), name
+    for name in ("token_hits_scores", "token_dispersion_index",
+                 "embedding_outlier_topk"):
+        p = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_abc_uses_distributed_prefix_sum(spark):
+    """part_abc_classification ranks via global_prefix_sum: every window
+    in the plan must be keyed on the physical partition id (_pid), never
+    an unpartitioned data-sized ORDER BY window (the r9-verdict
+    single-task class)."""
+    p = plan_of(spark, "part_abc_classification")
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "_pid" in spec, f"window not keyed on _pid: {spec[:120]}"
+
+
+def test_kruskal_and_stump_windows_only_on_bounded_value_table(spark):
+    """The Kruskal-Wallis / decision-stump / Cliff's-delta windows run on
+    the <=50-row value-level CDF — their plans must aggregate BEFORE any
+    window (partial aggregation present, and the window input is the
+    grouped table, not the raw scan)."""
+    for name in ("lineitem_kruskal_wallis", "lineitem_decision_stump",
+                 "events_cliffs_delta"):
+        p = plan_of(spark, name)
+        assert "partial_" in p, name  # map-side combine feeds the window
