@@ -212,6 +212,11 @@ HEADLINE = [
     "orders_yoy_growth",
     "events_circadian_uniformity",
     "events_seasonal_anomalies",
+    # r10 wave 15 (HEADLINE 135 -> 138): Dunning keyness, deadline
+    # funnel, exponential reorder fit
+    "token_keyness_loglr",
+    "events_funnel_windowed",
+    "orders_reorder_exponential",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

@@ -4697,3 +4697,81 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.abs(F.col("zv")) > 3.0)
             .select("event_type", "hr", "y", "resid",
                     F.round(F.col("zv"), 6).alias("z")))
+
+
+@workload(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL 24 HOUR
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 24 HOUR
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_24h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_24h,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY-ORDERED, DEADLINE-BOUNDED funnel: first view → first
+    click STRICTLY AFTER it within 24 h → first purchase strictly after
+    that click within 24 h — the product-analytics funnel with
+    conversion windows (the unordered ``events_funnel`` counts a user
+    who purchased before ever viewing; this one does not, which is what
+    an attribution deadline means).
+
+    Exactness: pure integer counting; interval bounds are timestamp
+    comparisons identical in both engines; the two rates are single
+    IEEE divisions, rounded 6.
+
+    Scale: three user-keyed stages (per-user min → join-back filtered
+    min, twice) — each one partial-aggregatable collapse + one user
+    equi-join (shuffle or AQE-broadcast, Catalyst's choice); no
+    windows, no data-sized state."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("vt")))
+    c = (ev.join(v, "user_id")
+         .where((F.col("event_type") == "click")
+                & (F.col("ts") > F.col("vt"))
+                & (F.col("ts") <= F.col("vt")
+                   + F.expr("INTERVAL 24 HOURS")))
+         .groupBy("user_id").agg(F.min("ts").alias("ct")))
+    p = (ev.join(c, "user_id")
+         .where((F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("ct"))
+                & (F.col("ts") <= F.col("ct")
+                   + F.expr("INTERVAL 24 HOURS")))
+         .groupBy("user_id").agg(F.min("ts").alias("pt")))
+    nu = ev.agg(F.countDistinct("user_id").cast("bigint")
+                .alias("n_users"))
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_24h"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_24h"))
+    return (nu.crossJoin(F.broadcast(nv)).crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(np_))  # four single-row frames
+            .select("n_users", "n_view", "n_click_24h", "n_purchase_24h",
+                    F.round(F.col("n_click_24h") * 1.0
+                            / F.col("n_view"), 6).alias("view_to_click"),
+                    F.round(F.col("n_purchase_24h") * 1.0
+                            / F.col("n_click_24h"), 6)
+                    .alias("click_to_purchase")))

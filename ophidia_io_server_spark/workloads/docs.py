@@ -2535,3 +2535,94 @@ def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("num").cast("double")
                             / (F.col("n").cast("double") * F.col("n"))
                             / 1.0e12, 6).alias("dist2")))
+
+
+@workload(
+    "token_keyness_loglr",
+    oracle="""
+    WITH toks AS (SELECT source, list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS tk
+                  FROM documents WHERE text IS NOT NULL),
+    tc AS (
+      SELECT t AS token,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM (SELECT source, unnest(tk) AS t FROM toks) GROUP BY 1
+    ),
+    nt AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                  CAST(SUM(b) AS BIGINT) AS nb FROM tc),
+    g AS (
+      SELECT token, a, b,
+             2 * (CASE WHEN a > 0
+                       THEN a * ln(CAST(a AS DOUBLE) * (na + nb)
+                                   / (CAST(na AS DOUBLE) * (a + b)))
+                       ELSE 0.0 END
+                  + CASE WHEN b > 0
+                         THEN b * ln(CAST(b AS DOUBLE) * (na + nb)
+                                     / (CAST(nb AS DOUBLE) * (a + b)))
+                         ELSE 0.0 END) AS g2,
+             CASE WHEN CAST(a AS HUGEINT) * nb > CAST(b AS HUGEINT) * na
+                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END
+               AS keyness_sign
+      FROM tc, nt WHERE a + b >= 20
+    )
+    SELECT token, a AS count_target, b AS count_reference,
+           keyness_sign, ROUND(g2, 6) AS g2
+    FROM g ORDER BY g2 DESC, token LIMIT 20
+    """,
+)
+def token_keyness_loglr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness by Dunning's log-likelihood ratio (Dunning 1993): the
+    top-20 tokens whose frequency in the target corpus (source 'src0')
+    most significantly differs from the reference corpus (every other
+    source) — G² = 2·Σ O·ln(O/E) over the 2×2 contingency per token,
+    the standard corpus-linguistics "what is distinctive about this
+    source" screen (more robust than chi² in the small-count tail),
+    with the sign of the rate difference decided by EXACT integer
+    cross-multiplication (a·N_b vs b·N_a — no float decides direction).
+
+    Float discipline: each token's G² is one IEEE expression over five
+    exact integers (identical text both engines → identical doubles →
+    the (g2 DESC, token) top-20 cut is engine-independent); the 0·ln0
+    limit enters by the same integer predicate both sides; min support
+    a+b ≥ 20.
+
+    Scale: one token-keyed conditional count (partial-aggregatable),
+    one two-number total, TakeOrderedAndProject top-20."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    tc = (docs.select("source", F.explode(tokens_col(F.col("text")))
+                      .alias("token"))
+          .groupBy("token")
+          .agg(F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+               .cast("bigint").alias("a"),
+               F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+               .cast("bigint").alias("b")))
+    nt = tc.agg(F.sum("a").cast("bigint").alias("na"),
+                F.sum("b").cast("bigint").alias("nb"))
+    a, b = F.col("a"), F.col("b")
+    na, nb = F.col("na"), F.col("nb")
+    g2 = 2 * (
+        F.when(a > 0,
+               a * F.log(a.cast("double") * (na + nb)
+                         / (na.cast("double") * (a + b))))
+        .otherwise(0.0)
+        + F.when(b > 0,
+                 b * F.log(b.cast("double") * (na + nb)
+                           / (nb.cast("double") * (a + b))))
+        .otherwise(0.0))
+    dec = "decimal(38,0)"
+    sign = F.when(a.cast(dec) * nb > b.cast(dec) * na,
+                  F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+    return (tc.crossJoin(F.broadcast(nt))  # single-row totals
+            .where(a + b >= 20)
+            .withColumn("g2x", g2)
+            .orderBy(F.desc("g2x"), F.asc("token")).limit(20)
+            .select("token", a.alias("count_target"),
+                    b.alias("count_reference"),
+                    sign.alias("keyness_sign"),
+                    F.round(F.col("g2x"), 6).alias("g2")))

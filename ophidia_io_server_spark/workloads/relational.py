@@ -3525,3 +3525,86 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    .cast("double")
                                    / F.col("prev_year_cents"), 6))
                     .alias("yoy_growth")))
+
+
+@workload(
+    "orders_reorder_exponential",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             lead(epoch_us(o_orderdate) // 86400000000) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    ),
+    g AS (SELECT nxt - day AS gap FROM o
+          WHERE nxt IS NOT NULL AND nxt > day),
+    vc AS (SELECT gap, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(gap * c) AS BIGINT) AS s FROM vc),
+    ks AS (
+      SELECT gap, c,
+             SUM(c) OVER (ORDER BY gap) AS cum,
+             t.n, t.s
+      FROM vc, t
+    )
+    SELECT (SELECT n FROM t) AS n_gaps,
+           ROUND((SELECT CAST(n AS DOUBLE) / s FROM t), 6)
+             AS lambda_per_day,
+           ROUND(max(greatest(
+             abs(CAST(cum AS DOUBLE) / n
+                 - (1 - exp(-(CAST(n AS DOUBLE) / s) * gap))),
+             abs(CAST(cum - c AS DOUBLE) / n
+                 - (1 - exp(-(CAST(n AS DOUBLE) / s) * gap))))), 6)
+             AS ks_stat
+    FROM ks
+    """,
+)
+def orders_reorder_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential fit of customer REORDER gaps (days between a
+    customer's consecutive orders) with the Kolmogorov-Smirnov distance
+    to the fitted CDF — the classic "is reordering memoryless" check
+    behind inter-purchase-time models: λ̂ = n/Σgaps (the MLE), and
+    KS = max over distinct gaps of the empirical-vs-F(gap) gap, taking
+    both CDF sides at each atom (the discrete-data convention —
+    one-sided KS understates on ties).
+
+    Float discipline: λ̂ and every empirical CDF value are single IEEE
+    expressions over exact integers; the exp() term is the identical
+    expression both engines; the max over the bounded distinct-gap
+    table compares identical doubles; rounded 6.
+
+    Scale: one per-customer lead window (user-keyed, the sessionize
+    shape), one partial-aggregatable gap-value collapse, then all math
+    on the bounded distinct-gap table (≤ calendar-span days)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                 " div 86400000000")
+    # same-day orders make a bare date ordering ambiguous — the orderkey
+    # tie-break mirrors the oracle's (o_orderdate, o_orderkey); day is a
+    # monotone image of o_orderdate (midnight dates), so ordering by it
+    # is the same total order
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    o = (orders.select("o_custkey", "o_orderkey", day.alias("day"))
+         .withColumn("nxt", F.lead("day").over(w)))
+    g = o.where(F.col("nxt").isNotNull()
+                & (F.col("nxt") > F.col("day"))) \
+        .select((F.col("nxt") - F.col("day")).alias("gap"))
+    vc = g.groupBy("gap").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    t = vc.agg(F.sum("c").cast("bigint").alias("n"),
+               F.sum(F.col("gap") * F.col("c")).cast("bigint").alias("s"))
+    w_cum = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    ks = (vc.withColumn("cum", F.sum("c").over(w_cum))
+          .crossJoin(F.broadcast(t)))
+    lam = F.col("n").cast("double") / F.col("s")
+    fexp = 1 - F.exp(-lam * F.col("gap"))
+    d = F.greatest(
+        F.abs(F.col("cum").cast("double") / F.col("n") - fexp),
+        F.abs((F.col("cum") - F.col("c")).cast("double") / F.col("n")
+              - fexp))
+    return (ks.agg(F.max("n").cast("bigint").alias("n_gaps"),
+                   F.round(F.max(lam), 6).alias("lambda_per_day"),
+                   F.round(F.max(d), 6).alias("ks_stat")))

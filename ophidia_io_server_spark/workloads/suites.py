@@ -516,6 +516,13 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("doc_id", "bigint"), ("n_grams", "bigint"),
             ("n_contaminated", "bigint"), ("contamination", "double"),
         ],
+        # r10 wave 15: Dunning log-likelihood keyness (what is
+        # distinctive about a source), integer-signed direction
+        "token_keyness_loglr": [
+            ("token", "string"), ("count_target", "bigint"),
+            ("count_reference", "bigint"), ("keyness_sign", "bigint"),
+            ("g2", "double"),
+        ],
     },
     # classic event-analytics rollups
     "analytics_suite": {
@@ -738,6 +745,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         "events_seasonal_anomalies": [
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
             ("resid", "double"), ("z", "double"),
+        ],
+        # r10 wave 15: strictly-ordered deadline funnel
+        "events_funnel_windowed": [
+            ("n_users", "bigint"), ("n_view", "bigint"),
+            ("n_click_24h", "bigint"), ("n_purchase_24h", "bigint"),
+            ("view_to_click", "double"), ("click_to_purchase", "double"),
         ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
@@ -1011,6 +1024,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("month_idx", "bigint"), ("n_orders", "bigint"),
             ("revenue_cents", "bigint"), ("prev_year_cents", "bigint"),
             ("yoy_growth", "double"),
+        ],
+        # r10 wave 15: exponential reorder-gap fit (MLE lambda + exact
+        # two-sided KS over the bounded distinct-gap table)
+        "orders_reorder_exponential": [
+            ("n_gaps", "bigint"), ("lambda_per_day", "double"),
+            ("ks_stat", "double"),
         ],
     },
     # fragment-store row windows + MERGE upsert

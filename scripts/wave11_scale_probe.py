@@ -446,6 +446,51 @@ def main() -> None:
                           - K * am[e]["chi2_uniform"]) <= 1e-2
                   for e in am))
 
+    # ===== wave 15 =======================================================
+
+    # --- keyness: G2 terms scale * 100 (ratios invariant) ----------------
+    t1, r1 = timed(WORKLOADS["token_keyness_loglr"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["token_keyness_loglr"].fn, spark, x100)
+    am = {r["token"]: r for r in r1}
+    bm = {r["token"]: r for r in r2}
+    print(f"token_keyness_loglr: {t1:.2f}s -> {t2:.2f}s")
+    check("keyness_exact_scaling_100x",
+          set(am) == set(bm)
+          and all(bm[t]["count_target"] == K * am[t]["count_target"]
+                  and bm[t]["count_reference"]
+                  == K * am[t]["count_reference"]
+                  and bm[t]["keyness_sign"] == am[t]["keyness_sign"]
+                  and abs(bm[t]["g2"] - K * am[t]["g2"]) <= 1e-2
+                  for t in am))
+
+    # --- windowed funnel: per-user outcomes identical per replica -------
+    t1, r1 = timed(WORKLOADS["events_funnel_windowed"].fn, spark, sf001)
+    t2, r2 = timed(WORKLOADS["events_funnel_windowed"].fn, spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"events_funnel_windowed: {t1:.2f}s -> {t2:.2f}s  "
+          f"{a['n_purchase_24h']} -> {b['n_purchase_24h']}")
+    check("funnel_windowed_exact_scaling_100x",
+          b["n_users"] == K * a["n_users"]
+          and b["n_view"] == K * a["n_view"]
+          and b["n_click_24h"] == K * a["n_click_24h"]
+          and b["n_purchase_24h"] == K * a["n_purchase_24h"]
+          and abs(b["view_to_click"] - a["view_to_click"]) <= 1e-6
+          and abs(b["click_to_purchase"] - a["click_to_purchase"])
+          <= 1e-6)
+
+    # --- reorder fit: gap cells * 100, lambda and KS invariant ----------
+    t1, r1 = timed(WORKLOADS["orders_reorder_exponential"].fn,
+                   spark, sf001)
+    t2, r2 = timed(WORKLOADS["orders_reorder_exponential"].fn,
+                   spark, x100)
+    a, b = r1[0], r2[0]
+    print(f"orders_reorder_exponential: {t1:.2f}s -> {t2:.2f}s  "
+          f"ks {a['ks_stat']} -> {b['ks_stat']}")
+    check("reorder_exponential_invariant_100x",
+          b["n_gaps"] == K * a["n_gaps"]
+          and abs(b["lambda_per_day"] - a["lambda_per_day"]) <= 1e-6
+          and abs(b["ks_stat"] - a["ks_stat"]) <= 1e-6)
+
     # --- ABC + seasonal anomalies at 10x: engine replay ------------------
     # (ABC's interleaved replica ties and the anomaly row's rounded-
     # residual folds change the exact values at scale, so the cert is
