@@ -4119,9 +4119,9 @@ def events_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"))
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"))
     n = F.col("n_pairs").cast(dec)
     vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = n * F.col("syy") - F.col("sy") * F.col("sy")
@@ -4432,10 +4432,15 @@ def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (budget: n_a·n_b ≤ 1e26 at 10¹³ rows/group), and δ is ONE
     IEEE expression, rounded 6.
 
-    Scale: one partial-aggregatable value-level collapse, a window over
-    the bounded cents grid, one pivot row."""
-    from pyspark.sql import Window
-
+    Scale: one partial-aggregatable value-level collapse, then the
+    two-phase distributed prefix sum over the cents grid
+    (``operators/ranking.py::global_prefix_sum`` — the Mann-Whitney/KS
+    discipline; the cents grid is data-dependent under continuous
+    values ×100, so a bare ``Window.orderBy`` single-task stage is the
+    r9-verdict scale-killer class), one pivot row.  The exclusive
+    click-CDF is ``cum − cb`` from the inclusive sum, and
+    ``lt = na·nb − Σ ca·cum`` algebraically, so one fused aggregate
+    yields all four scalars."""
     dec = "decimal(38,0)"
     ev = (load_table(spark, sf_dir, "events")
           .where(F.col("event_type").isin("purchase", "click")
@@ -4447,23 +4452,20 @@ def events_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                .cast("bigint").alias("ca"),
                F.sum(F.when(F.col("g") == "click", 1).otherwise(0))
                .cast("bigint").alias("cb")))
-    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = vc.select(
-        "v", "ca", "cb",
-        F.coalesce(F.sum("cb").over(w_prev), F.lit(0)).alias("cumb"),
-        F.sum("cb").over(w_all).alias("nb"),
-        F.sum("ca").over(w_all).alias("na"))
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    cum = global_prefix_sum(vc, ["v"], "cb")
     s = cum.agg(
-        F.max("na").cast("bigint").alias("na"),
-        F.max("nb").cast("bigint").alias("nb"),
-        F.sum(F.col("ca").cast(dec) * F.col("cumb")).alias("gt"),
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
         F.sum(F.col("ca").cast(dec)
-              * (F.col("nb") - F.col("cumb") - F.col("cb"))).alias("lt"))
+              * (F.col("cum") - F.col("cb"))).alias("gt"),
+        F.sum(F.col("ca").cast(dec) * F.col("cum")).alias("ca_cum"))
+    lt = (F.col("na").cast(dec) * F.col("nb").cast(dec)
+          - F.col("ca_cum"))
     return s.select(
         "na", "nb",
-        F.round((F.col("gt") - F.col("lt")).cast("double")
+        F.round((F.col("gt") - lt).cast("double")
                 / (F.col("na").cast("double") * F.col("nb")), 6)
         .alias("cliffs_delta"))
 
@@ -4619,7 +4621,7 @@ def events_circadian_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
     t = h.groupBy("event_type").agg(
         F.sum("o").cast("bigint").alias("n"),
-        F.sum((F.col("o") * F.col("o")).cast(dec)).alias("oo"))
+        F.sum(F.col("o").cast(dec) * F.col("o")).alias("oo"))
     w = Window.partitionBy("event_type").orderBy(F.desc("o"), F.asc("hod"))
     pk = (h.withColumn("rn", F.row_number().over(w))
           .where(F.col("rn") == 1)

@@ -2354,7 +2354,7 @@ def token_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
     s = tc.groupBy("token").agg(
         F.sum("c").cast("bigint").alias("sc"),
-        F.sum((F.col("c") * F.col("c")).cast(dec)).alias("scc"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("scc"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs_with"))
     vmr = ((F.col("d").cast(dec) * F.col("scc")
             - F.col("sc").cast(dec) * F.col("sc")).cast("double")

@@ -3458,7 +3458,7 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = b.groupBy("d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("q").cast("bigint").alias("sq"))
-    qq = b.agg(F.sum((F.col("q") * F.col("q")).cast(dec)).alias("syy"),
+    qq = b.agg(F.sum(F.col("q").cast(dec) * F.col("q")).alias("syy"),
                F.count(F.lit(1)).cast("bigint").alias("nn"),
                F.sum("q").cast("bigint").alias("sy"))
     d = F.col("d").cast(dec)
