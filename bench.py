@@ -292,13 +292,22 @@ def main() -> None:
         times[name] = round(best[name], 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    record = {
         "metric": "headline-workload wall time (sequential, min of 3 after 1 discarded warm-up, noop sink; streaming rows: single timed drain after warm-up)",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    print(json.dumps(record))
+    # The driver stores only the first ~2000 chars of stdout, truncating
+    # the per-query map past ~60 rows (r10 verdict #3: two consecutive
+    # judges could not diff per-query times across rounds).  Persist the
+    # FULL record in-repo, keyed by round when the driver exports it.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
+    out = Path(__file__).resolve().parent / (
+        f"bench_full_r{rnd}.json" if rnd else "bench_full.json")
+    out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
 
 
 if __name__ == "__main__":

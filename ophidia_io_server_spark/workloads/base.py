@@ -146,6 +146,7 @@ def workload(name: str, oracle: str | None = None, explode: list[str] | None = N
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # introspection: map workload -> module
         WORKLOADS[name] = Workload(name=name, fn=wrapped, oracle=oracle)
         return fn
 
