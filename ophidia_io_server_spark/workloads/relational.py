@@ -1394,12 +1394,31 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense input forces the order-independent composite path), which is
     what makes this a gateable row.  ``sketch_approx_stats`` checks the
     scalar ``approx_count_distinct`` path; this row checks the
-    persistable/mergeable sketch objects."""
+    persistable/mergeable sketch objects.
+
+    Partition-invariance pin (r10 verdict #2): a DataSketches HLL built
+    by RAW updates keeps an HIP accumulator whose value depends on
+    insertion ORDER once the sketch promotes out of coupon mode, and the
+    partial decomposition (which rows build which partial) depends on
+    the input split layout — so each CELL sketch is pinned to a single
+    deterministic sequential build: hash-repartition on the cell key +
+    sortWithinPartitions with the unique user_id tiebreak, bitwise
+    identical under any shuffle/split/fetch layout.  The day→type UNION
+    needs no pin: sketch-to-sketch merging invalidates HIP and the
+    composite estimate is a pure function of register-wise MAX and the
+    OR of the out-of-order flags — both commutative-exact — so any merge
+    order lands on identical registers (the partition-sweep test in
+    tests/test_round11_fixes.py asserts the whole row bitwise across
+    conf settings)."""
     ev = load_table(spark, sf_dir, "events")
+    nparts = spark.sparkContext.defaultParallelism
 
     def union_est(grain, label: str) -> DataFrame:
+        base = (ev.select("event_type", grain.alias("cell"), "user_id")
+                .repartition(nparts, "event_type", "cell")
+                .sortWithinPartitions("event_type", "cell", "user_id"))
         cells = (
-            ev.groupBy("event_type", grain.alias("cell"))
+            base.groupBy("event_type", "cell")
             .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
         )
         return (
