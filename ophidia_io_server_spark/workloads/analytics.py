@@ -4777,3 +4777,215 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_purchase_24h") * 1.0
                             / F.col("n_click_24h"), 6)
                     .alias("click_to_purchase")))
+
+
+@workload(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM ud GROUP BY 1),
+    expanded AS (
+      SELECT DISTINCT day + CAST(o AS INTEGER) AS wday, user_id
+      FROM ud, unnest(range(0, 7)) AS t(o)
+    ),
+    wau AS (
+      SELECT e.wday AS day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM expanded e JOIN days d ON d.day = e.wday
+      GROUP BY 1
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the canonical
+    product-engagement dashboard (stickiness = DAU/WAU is the classic
+    "how habitual is usage" ratio).  Exact distinct-user counting, no
+    sketches: the per-day active-user sets collapse to distinct
+    (day, user) pairs FIRST, and the 7-day rolling union is computed by
+    the EXPLODE-to-window-anchor trick — each user-day contributes to
+    the 7 window anchors it can serve, then one distinct + count per
+    anchor — never a distinct-over-sliding-window (which Spark cannot
+    partial-aggregate) and never a self-join range predicate.
+
+    Exactness: all counts are exact BIGINTs off distinct projections;
+    stickiness is ONE IEEE division, rounded 6.  Anchors are restricted
+    to days that exist in the data (identical row set both engines).
+
+    Scale: distinct (day, user) is one partial-aggregatable shuffle;
+    the ×7 explode multiplies the USER-DAY table (corpus-sized but
+    7-bounded), both distincts hash-partition on (day, user) — the same
+    key — so AQE reuses the exchange; the day table is span-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (ev.select(F.to_date("ts").alias("day"), "user_id").distinct())
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau"))
+    expanded = (ud.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day", "user_id")
+        .select(F.date_add(F.col("day"), F.col("o")).alias("wday"),
+                "user_id")
+        .distinct())
+    wau = (expanded.join(days.withColumnRenamed("day", "wday"), "wday")
+           .groupBy("wday")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+           .withColumnRenamed("wday", "day"))
+    return (days.join(dau, "day").join(wau, "day")
+            .select(F.col("day").cast("timestamp").alias("day"),
+                    "dau", "wau",
+                    F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+                    .alias("stickiness")))
+
+
+@workload(
+    "events_value_psi",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+      FROM events
+    ),
+    b AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM bounds)
+                  THEN 1 ELSE 0 END AS ha
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    tot AS (SELECT CAST(SUM(ha) AS BIGINT) AS na,
+                   CAST(SUM(1 - ha) AS BIGINT) AS nb FROM b),
+    vc AS (SELECT v, CAST(SUM(ha) AS BIGINT) AS ca,
+                  CAST(SUM(1 - ha) AS BIGINT) AS cb
+           FROM b GROUP BY 1),
+    cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cum
+            FROM vc WHERE ca > 0),
+    edges AS (
+      SELECT k, MIN(v) AS edge
+      FROM cum, unnest(range(1, 10)) AS t(k), tot
+      WHERE 10 * cum >= k * tot.na GROUP BY 1
+    ),
+    vb AS (
+      SELECT dv.v,
+             CAST(SUM(CASE WHEN dv.v >= e.edge THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bin
+      FROM (SELECT DISTINCT v FROM vc) dv CROSS JOIN edges e
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT vb.bin,
+             CAST(SUM(vc.ca) AS BIGINT) AS n_first,
+             CAST(SUM(vc.cb) AS BIGINT) AS n_second
+      FROM vc JOIN vb USING (v) GROUP BY 1
+    ),
+    allbins AS (
+      SELECT CAST(k AS BIGINT) AS bin,
+             COALESCE(c.n_first, 0) AS n_first,
+             COALESCE(c.n_second, 0) AS n_second
+      FROM unnest(range(0, 10)) AS t(k)
+      LEFT JOIN counts c ON c.bin = k
+    ),
+    terms AS (
+      SELECT bin, n_first, n_second,
+             (CAST(n_first + 1 AS DOUBLE) / (tot.na + 10)
+              - CAST(n_second + 1 AS DOUBLE) / (tot.nb + 10))
+             * ln((CAST(n_first + 1 AS DOUBLE) / (tot.na + 10))
+                  / (CAST(n_second + 1 AS DOUBLE) / (tot.nb + 10)))
+               AS term
+      FROM allbins, tot
+    ),
+    total AS (
+      SELECT list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+                         (a, x) -> a + x) AS psi
+      FROM terms
+    )
+    SELECT bin, n_first, n_second,
+           ROUND(term, 6) AS psi_term,
+           ROUND((SELECT psi FROM total), 6) AS psi_total
+    FROM terms
+    """,
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution
+    between the first and second half of the corpus time span — the
+    standard model-monitoring DRIFT metric (PSI < 0.1 stable, > 0.25
+    action): ten bins anchored on the FIRST half's exact nearest-rank
+    deciles, Laplace-smoothed (+1 per bin) so empty second-half bins
+    stay finite, PSI = Σ (p₁ₖ − p₂ₖ)·ln(p₁ₖ/p₂ₖ).
+
+    Exactness: the decile edges come off the distributed prefix-sum CDF
+    over the first half's distinct integer-cents grid (edge_k = min v
+    with 10·cum ≥ k·n₁ — an integer inequality, the nearest-rank
+    definition with no float rank); bin counts are exact BIGINTs; each
+    term is ONE IEEE chain over exact integers (identical text both
+    engines) and the total is a seeded LEFT FOLD over the 10 terms in
+    bin order (`F.aggregate` <-> `list_reduce`) — bitwise cross-engine.
+
+    Scale: one value-level collapse (partial-aggregatable), the
+    two-phase prefix sum over the cents grid, a 9-row broadcast edge
+    join, a 10-row cell table after — no data-sized windows, the
+    half-split predicate is a scan-level filter off a broadcast scalar."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.unix_micros(F.expr("cast(min(ts) as timestamp)"))
+          + F.unix_micros(F.expr("cast(max(ts) as timestamp)")))
+         / F.lit(2)).cast("bigint").alias("mid"))
+    b = (ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+         .crossJoin(F.broadcast(mid))  # scalar midpoint bound
+         .select(F.round(F.col("value") * 100).cast("bigint").alias("v"),
+                 F.when(F.expr("unix_micros(cast(ts as timestamp))")
+                        < F.col("mid"), 1).otherwise(0).alias("ha")))
+    vc = b.groupBy("v").agg(
+        F.sum("ha").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("ha")).cast("bigint").alias("cb"))
+    tot = vc.agg(F.sum("ca").cast("bigint").alias("na"),
+                 F.sum("cb").cast("bigint").alias("nb"))
+    cum = global_prefix_sum(vc.where(F.col("ca") > 0).select("v", "ca"),
+                            ["v"], "ca")
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    edges = (cum.crossJoin(F.broadcast(tot))
+             .crossJoin(F.broadcast(ks))
+             .where(10 * F.col("cum") >= F.col("k") * F.col("na"))
+             .groupBy("k").agg(F.min("v").alias("edge")))
+    vb = (vc.select("v").distinct()
+          .crossJoin(F.broadcast(edges))
+          .groupBy("v")
+          .agg(F.sum(F.when(F.col("v") >= F.col("edge"), 1).otherwise(0))
+               .cast("bigint").alias("bin")))
+    counts = (vc.join(vb, "v")
+              .groupBy("bin")
+              .agg(F.sum("ca").cast("bigint").alias("n_first"),
+                   F.sum("cb").cast("bigint").alias("n_second")))
+    allbins = (spark.range(0, 10)
+               .select(F.col("id").cast("bigint").alias("bin"))
+               .join(counts, "bin", "left")
+               .select("bin",
+                       F.coalesce("n_first", F.lit(0)).cast("bigint")
+                       .alias("n_first"),
+                       F.coalesce("n_second", F.lit(0)).cast("bigint")
+                       .alias("n_second")))
+    p1 = (F.col("n_first") + 1).cast("double") / (F.col("na") + 10)
+    p2 = (F.col("n_second") + 1).cast("double") / (F.col("nb") + 10)
+    terms = (allbins.crossJoin(F.broadcast(tot))
+             .withColumn("term", (p1 - p2) * F.log(p1 / p2)))
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    # 10-row bounded frame: the ordered fold over bin order is the
+    # transcendental-sum discipline, not a data-sized window
+    folded = terms.withColumn(
+        "psi_total_raw",
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("bin"), F.col("term"))).over(w_all)),
+                lambda s: s["term"]),
+            F.lit(0.0), lambda a, x: a + x))
+    return folded.select(
+        "bin", "n_first", "n_second",
+        F.round(F.col("term"), 6).alias("psi_term"),
+        F.round(F.col("psi_total_raw"), 6).alias("psi_total"))

@@ -2626,3 +2626,210 @@ def token_keyness_loglr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b.alias("count_reference"),
                     sign.alias("keyness_sign"),
                     F.round(F.col("g2x"), 6).alias("g2")))
+
+
+@workload(
+    "doc_score_auc",
+    oracle="""
+    WITH b AS (
+      SELECT n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    c AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS cnt_pos
+      FROM b GROUP BY 1
+    ),
+    cum AS (SELECT v, cnt, cnt_pos,
+                   SUM(cnt) OVER (ORDER BY v) AS cum
+            FROM c),
+    agg AS (
+      SELECT CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - cnt_pos) AS BIGINT) AS n_neg,
+             SUM(CAST(cnt_pos AS HUGEINT)
+                 * (2 * CAST(cum AS HUGEINT) - cnt + 1)) AS r2
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                      AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+    FROM agg
+    """,
+)
+def doc_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a ranking score against a binary label — the
+    classifier-evaluation primitive next to the confusion/kappa rows
+    (``doc_lang_confusion``): here the document LENGTH score ranked
+    against the lang='en' label (the quality-classifier calibration
+    question "does my cheap score separate the target class").  Uses
+    the AUC ≡ Mann-Whitney identity: AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻)
+    with TIE-AVERAGED ranks, so the whole statistic reduces over the
+    distinct-score CDF exactly like ``events_mannwhitney_utest`` —
+    ranks never materialize per row, the doubled rank sum
+    Σ cnt_pos·(2·cum − cnt + 1) is an exact DECIMAL(38,0) integer, and
+    AUC is ONE IEEE expression over casts of exact integers (digit
+    budget 2·n⁺·n ≤ 10^38 → ~10^18 docs).
+
+    Scale: one distinct-score collapse (partial-aggregatable), the
+    two-phase distributed prefix sum over the score grid, one fused
+    scalar aggregate — no windows over data-sized frames, no per-row
+    ranks."""
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    dec = "decimal(38,0)"
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()
+                   & F.col("n_chars").isNotNull()))
+    c = (docs.select(F.col("n_chars").alias("v"),
+                     F.when(F.col("lang") == "en", 1).otherwise(0)
+                     .alias("pos"))
+         .groupBy("v")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+              F.sum("pos").cast("bigint").alias("cnt_pos")))
+    cum = global_prefix_sum(c, ["v"], "cnt")
+    cnt, cnt_pos = F.col("cnt").cast(dec), F.col("cnt_pos").cast(dec)
+    agg = cum.agg(
+        F.sum("cnt_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("cnt_pos")).cast("bigint")
+        .alias("n_neg"),
+        F.sum(cnt_pos * (2 * F.col("cum").cast(dec) - cnt + 1))
+        .alias("r2"))
+    n_pos = F.col("n_pos")
+    return agg.select(
+        "n_pos", "n_neg",
+        F.round((F.col("r2") - n_pos.cast(dec) * (n_pos + 1))
+                .cast("double")
+                / (2.0 * n_pos.cast("double") * F.col("n_neg")), 6)
+        .alias("auc"))
+
+
+@workload(
+    "doc_length_calibration",
+    oracle="""
+    WITH b AS (
+      SELECT least(n_chars // 50, 9) AS bin,
+             least(n_chars, 500) AS sp,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    g AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(sp) AS BIGINT) AS sp
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                 CAST(SUM(ABS(sp - 500 * n_pos)) AS BIGINT) AS enum_
+          FROM g)
+    SELECT CAST(g.bin AS BIGINT) AS bin, g.n, g.n_pos,
+           ROUND(CAST(g.sp AS DOUBLE) / (500.0 * g.n), 6) AS mean_pred,
+           ROUND(CAST(g.n_pos AS DOUBLE) / g.n, 6) AS frac_pos,
+           ROUND(CAST(t.enum_ AS DOUBLE) / (500.0 * t.nt), 6) AS ece
+    FROM g, t
+    """,
+)
+def doc_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table + Expected Calibration Error for
+    a deterministic score treated as a probability — the companion of
+    ``doc_score_auc`` (AUC measures ranking, ECE measures probability
+    QUALITY; a production quality classifier needs both): predicted
+    p = min(n_chars, 500)/500 against the lang='en' label, ten
+    equal-width probability bins.
+
+    The integer-exactness trick: the per-bin calibration gap times the
+    bin count collapses to |Σ min(n_chars,500) − 500·n_pos| / 500 — an
+    EXACT integer absolute value — so ECE = Σ|sp_b − 500·n_pos_b| /
+    (500·N) needs no float accumulation at all: one order-free integer
+    sum, one final IEEE division.  mean_pred and frac_pos are single
+    IEEE divisions of exact integers, rounded 6.
+
+    Scale: one 10-cell partial-aggregatable collapse; everything after
+    is cell-table math with a broadcast single-row total."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()
+                   & F.col("n_chars").isNotNull()))
+    g = (docs.select(
+            F.least(F.col("n_chars") / F.lit(50),
+                    F.lit(9)).cast("bigint").alias("bin"),
+            F.least(F.col("n_chars"), F.lit(500)).alias("sp"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"))
+         .groupBy("bin")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("pos").cast("bigint").alias("n_pos"),
+              F.sum("sp").cast("bigint").alias("sp")))
+    t = g.agg(F.sum("n").cast("bigint").alias("nt"),
+              F.sum(F.abs(F.col("sp") - 500 * F.col("n_pos")))
+              .cast("bigint").alias("enum_"))
+    return (g.crossJoin(F.broadcast(t))  # single-row total frame
+            .select("bin", "n", "n_pos",
+                    F.round(F.col("sp").cast("double")
+                            / (500.0 * F.col("n")), 6).alias("mean_pred"),
+                    F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+                    .alias("frac_pos"),
+                    F.round(F.col("enum_").cast("double")
+                            / (500.0 * F.col("nt")), 6).alias("ece")))
+
+
+@workload(
+    "doc_novelty_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(tk) - 6),
+               i -> array_to_string(tk[i:i+7], ' ')))) AS g
+      FROM toks WHERE len(tk) >= 8
+    ),
+    fo AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN fo.first_doc = dg.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN fo.first_doc = dg.doc_id
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS novelty
+    FROM dg JOIN fo ON fo.g = dg.g
+    GROUP BY 1
+    """,
+)
+def doc_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram NOVELTY — the fraction of a doc's distinct
+    token 8-grams whose FIRST occurrence (minimum doc_id over the whole
+    corpus) is this document.  The streaming-ingest question "how much
+    genuinely new text does each document add" (low-novelty docs are
+    near-duplicates or boilerplate; the per-doc novelty histogram is the
+    standard corpus-freshness curve next to the ExactSubstr family).
+
+    Exactness: pure integer counting — distinct grams per doc (in-row),
+    a gram-keyed MIN attribution, one ratio rounded 6.  First-occurrence
+    by doc_id is a deterministic total order, not arrival order.
+
+    Scale: gram rows ≈ Σ|doc| after in-row distinct; the MIN collapse is
+    partial-aggregatable; the attribution join is the one data-sized
+    equi-join (same class as ``doc_ngram_contamination``'s, no forced
+    broadcast)."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 7),
+        lambda i: F.concat_ws(" ", F.slice("tk", i, 8))))
+    dg = (toks.where(F.size("tk") >= 8)
+          .select("doc_id", F.explode(grams).alias("g")))
+    fo = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (dg.join(fo, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6)
+                    .alias("novelty")))

@@ -42,6 +42,7 @@ from ophidia_io_server_spark.workloads.base import (  # noqa: F401
 _DUCK_T = {
     "bigint": "BIGINT",
     "boolean": "BOOLEAN",
+    "date": "DATE",
     "double": "DOUBLE",
     "int": "INTEGER",
     "string": "VARCHAR",
@@ -523,6 +524,22 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("count_reference", "bigint"), ("keyness_sign", "bigint"),
             ("g2", "double"),
         ],
+        # r11 wave 16: classifier evaluation depth — exact ROC AUC on the
+        # distinct-score CDF (the Mann-Whitney identity) and a reliability
+        # table whose ECE collapses to an exact integer sum; 8-gram
+        # first-occurrence novelty next to the contamination screen
+        "doc_score_auc": [
+            ("n_pos", "bigint"), ("n_neg", "bigint"), ("auc", "double"),
+        ],
+        "doc_length_calibration": [
+            ("bin", "bigint"), ("n", "bigint"), ("n_pos", "bigint"),
+            ("mean_pred", "double"), ("frac_pos", "double"),
+            ("ece", "double"),
+        ],
+        "doc_novelty_curve": [
+            ("doc_id", "bigint"), ("n_grams", "bigint"),
+            ("n_novel", "bigint"), ("novelty", "double"),
+        ],
     },
     # classic event-analytics rollups
     "analytics_suite": {
@@ -751,6 +768,19 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_users", "bigint"), ("n_view", "bigint"),
             ("n_click_24h", "bigint"), ("n_purchase_24h", "bigint"),
             ("view_to_click", "double"), ("click_to_purchase", "double"),
+        ],
+        # r11 wave 16: DAU/WAU engagement dashboard (explode-to-anchor
+        # rolling distinct union) and PSI drift between time halves
+        # (first-half exact nearest-rank deciles, Laplace-smoothed,
+        # ordered 10-term fold)
+        "events_dau_wau_stickiness": [
+            ("day", "timestamp"), ("dau", "bigint"), ("wau", "bigint"),
+            ("stickiness", "double"),
+        ],
+        "events_value_psi": [
+            ("bin", "bigint"), ("n_first", "bigint"),
+            ("n_second", "bigint"), ("psi_term", "double"),
+            ("psi_total", "double"),
         ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
