@@ -217,6 +217,14 @@ HEADLINE = [
     "token_keyness_loglr",
     "events_funnel_windowed",
     "orders_reorder_exponential",
+    # r11 wave 16 (HEADLINE 138 -> 143): exact ROC AUC on the CDF,
+    # integer-exact calibration/ECE, 8-gram first-occurrence novelty,
+    # DAU/WAU rolling distinct actives, PSI drift between time halves
+    "doc_score_auc",
+    "doc_length_calibration",
+    "doc_novelty_curve",
+    "events_dau_wau_stickiness",
+    "events_value_psi",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost
