@@ -4989,3 +4989,141 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "n_first", "n_second",
         F.round(F.col("term"), 6).alias("psi_term"),
         F.round(F.col("psi_total_raw"), 6).alias("psi_total"))
+
+
+_RBO_P_POWS = [0.9 ** d for d in range(1, 21)]
+_RBO_P_SQL = "[" + ", ".join(repr(p) for p in _RBO_P_POWS) + "]"
+
+
+@workload(
+    "doc_rbo_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM toks),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl
+          FROM dls),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+                  MIN(dl) AS dl
+           FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dls) u
+           WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY term),
+    con AS (SELECT tf.doc_id, tf.term,
+                   ln(1 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / g.avgdl))
+                     AS c
+            FROM tf JOIN dfq USING (term) CROSS JOIN g),
+    sc AS (SELECT doc_id,
+                  ROUND(list_aggregate(list(c ORDER BY term), 'sum'), 6)
+                    AS score
+           FROM con GROUP BY doc_id),
+    bm AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS ra
+      FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+    tft AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tft FROM tf
+            GROUP BY doc_id),
+    tr AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY tft DESC, doc_id)
+                  AS BIGINT) AS rb
+      FROM tft ORDER BY tft DESC, doc_id LIMIT 20),
+    pr AS (
+      SELECT greatest(bm.ra, tr.rb) AS m
+      FROM bm JOIN tr USING (doc_id)),
+    xd AS (
+      SELECT CAST(d AS BIGINT) AS depth,
+             CAST((SELECT COUNT(*) FROM pr WHERE m <= d) AS BIGINT)
+               AS overlap
+      FROM unnest(range(1, 21)) AS t(d)),
+    fold AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list(
+                 (CAST(overlap AS DOUBLE) / depth)
+                 * ({_RBO_P_SQL})[depth]
+                 ORDER BY depth)),
+               (a, x) -> a + x) AS acc,
+             MAX(CASE WHEN depth = 20 THEN overlap END) AS x20
+      FROM xd)
+    SELECT xd.depth, xd.overlap,
+           ROUND(CAST(xd.overlap AS DOUBLE) / xd.depth, 6) AS agreement,
+           ROUND((1 - 0.9) / 0.9 * fold.acc
+                 + (CAST(fold.x20 AS DOUBLE) / 20)
+                   * ({_RBO_P_SQL})[20], 6) AS rbo_ext
+    FROM xd, fold
+    """,
+)
+def doc_rbo_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the BM25 top-20 and the raw term-frequency top-20 for the query
+    {hash, merge, scan} — the standard top-weighted rank-similarity
+    metric a retrieval pipeline uses to quantify how much two rankers
+    agree (the evaluation companion of ``doc_rrf_retrieval``, which
+    FUSES the same two arms).  Emits the full overlap curve (X_d,
+    agreement X_d/d per depth) plus the extrapolated RBO_ext at p=0.9.
+
+    Determinism: both rankings are total orders ((rounded score,
+    doc_id) / (integer tf, doc_id)); X_d is an exact integer prefix
+    count of the max-rank table; p^d enters as a SHARED LITERAL VECTOR
+    (the same python-repr doubles embedded in both engines — never
+    pow(), whose last ulp is library-dependent); the 20-term RBO sum is
+    a seeded LEFT FOLD in depth order (`F.aggregate` <->
+    `list_reduce`) — bitwise cross-engine.
+
+    Scale: both arms are candidate-only (3-term postings) +
+    TakeOrdered top-20; everything after is 20-row frame math."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk, _tokens
+    from ophidia_io_server_spark.sources.tables import spread
+
+    TERMS = ["hash", "merge", "scan"]
+    docs = load_table(spark, sf_dir, "documents")
+    bm = (bm25_topk(docs, TERMS, k=20)
+          .select("doc_id", F.col("rank").alias("ra")))
+    toks = _tokens(spread(docs), "text", "doc_id")
+    tft = (toks.select("doc_id", F.explode("tk").alias("term"))
+           .where(F.col("term").isin(TERMS))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("tft")))
+    w = Window.orderBy(F.col("tft").desc(), F.col("doc_id").asc())
+    tr = (tft.orderBy(F.col("tft").desc(), F.col("doc_id").asc()).limit(20)
+          .withColumn("rb", F.row_number().over(w).cast("bigint"))
+          .select("doc_id", "rb"))
+    both = (bm.join(tr, "doc_id")
+            .select(F.greatest("ra", "rb").alias("m")))
+    depths = spark.range(1, 21).select(F.col("id").cast("bigint")
+                                       .alias("depth"))
+    xd = (depths.join(F.broadcast(both), F.col("m") <= F.col("depth"),
+                      "left")
+          .groupBy("depth")
+          .agg(F.count("m").cast("bigint").alias("overlap")))
+    pows = F.array(*[F.lit(p) for p in _RBO_P_POWS])
+    w_all = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    # 20-row bounded frame: ordered fold in depth order (the
+    # transcendental-sum discipline; p^d are shared literals, not pow)
+    folded = xd.withColumn(
+        "acc",
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("depth"), F.col("overlap"))).over(w_all)),
+                lambda s: (s["overlap"].cast("double") / s["depth"])
+                * F.element_at(pows, s["depth"].cast("int"))),
+            F.lit(0.0), lambda a, x: a + x)) \
+        .withColumn("x20", F.max(F.when(F.col("depth") == 20,
+                                        F.col("overlap"))).over(w_all))
+    return folded.select(
+        "depth", "overlap",
+        F.round(F.col("overlap").cast("double") / F.col("depth"), 6)
+        .alias("agreement"),
+        F.round((1 - 0.9) / 0.9 * F.col("acc")
+                + (F.col("x20").cast("double") / 20)
+                * F.element_at(pows, 20), 6).alias("rbo_ext"))

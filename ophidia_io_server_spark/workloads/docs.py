@@ -2833,3 +2833,123 @@ def doc_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_grams", "n_novel",
                     F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6)
                     .alias("novelty")))
+
+
+@workload(
+    "embedding_silhouette_topk",
+    oracle="""
+    WITH g AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cl AS (
+      SELECT sl.label AS clabel, nl.n_l, sl.s
+      FROM (SELECT label, list(CAST(sv AS HUGEINT) ORDER BY dim) AS s
+            FROM (SELECT label, dim, SUM(qv[dim]) AS sv
+                  FROM g, UNNEST(range(1, 65)) AS t(dim)
+                  GROUP BY label, dim)
+            GROUP BY label) sl
+      JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l
+            FROM g GROUP BY label) nl USING (label)
+    ),
+    d AS (
+      SELECT g.vec_id, g.label, cl.clabel, cl.n_l,
+             list_aggregate(list_transform(range(1, 65),
+               i -> (CAST(cl.n_l AS HUGEINT) * qv[i] - cl.s[i])
+                    * (CAST(cl.n_l AS HUGEINT) * qv[i] - cl.s[i])),
+               'sum') AS num
+      FROM g CROSS JOIN cl
+    ),
+    dd AS (
+      SELECT vec_id, label, clabel,
+             sqrt(CAST(num AS DOUBLE)
+                  / (CAST(n_l AS DOUBLE) * n_l) / 1000000000000.0)
+               AS dist
+      FROM d
+    ),
+    own AS (SELECT vec_id, dist AS a FROM dd WHERE clabel = label),
+    oth AS (
+      SELECT vec_id, clabel AS neighbor_label, dist AS b
+      FROM (SELECT vec_id, clabel, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, clabel) AS rn
+            FROM dd WHERE clabel <> label)
+      WHERE rn = 1
+    )
+    SELECT dd.vec_id, CAST(dd.label AS INTEGER) AS label,
+           CAST(oth.neighbor_label AS INTEGER) AS neighbor_label,
+           ROUND((oth.b - own.a) / greatest(own.a, oth.b), 6)
+             AS silhouette
+    FROM (SELECT DISTINCT vec_id, label FROM dd) dd
+    JOIN own USING (vec_id) JOIN oth USING (vec_id)
+    ORDER BY (oth.b - own.a) / greatest(own.a, oth.b), dd.vec_id
+    LIMIT 20
+    """,
+)
+def embedding_silhouette_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) SILHOUETTE — the 20 most misplaced
+    vectors: s = (b − a)/max(a, b) with a = distance to the OWN label
+    centroid and b = distance to the nearest OTHER centroid
+    (Rousseeuw 1987's simplified variant, the standard cluster-quality
+    screen; s < 0 means the vector sits closer to a foreign centroid —
+    the label-noise candidates an embedding pipeline reviews first).
+
+    Integer-grid discipline (``embedding_outlier_topk``): coords
+    quantize to 1e-6, each label centroid stays the exact rational
+    (Σqv_l, n_l), and ‖n_l·qv − s_l‖² is an exact DECIMAL integer per
+    (vector, label); dist, the nearest-other argmin (tie-break by
+    label), s, and the (s, vec_id) top-20 order are all computed from
+    those exact integers by IDENTICAL IEEE expression chains in both
+    engines.
+
+    Scale: one per-label centroid collapse (|L|·64 numbers), a
+    broadcast |L|-row centroid frame joined to every vector (scan-
+    shaped, ×|L| work per row), TakeOrderedAndProject top-20 — no
+    pairwise distances, no data-sized shuffle beyond the scan."""
+    dec = "decimal(38,0)"
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        "vec_id", "label",
+        F.transform(F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5)
+                    .cast("bigint")).alias("qv"))
+    dims = list(range(64))
+    cl = (g.groupBy(F.col("label").alias("clabel"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_l"),
+               F.array(*[F.sum(F.element_at("qv", i + 1).cast(dec))
+                         .cast(dec) for i in dims]).alias("s")))
+    num = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.col("n_l").cast(dec)
+                       * F.element_at("qv", (i + 1).cast("int")).cast(dec)
+                       - F.element_at("s", (i + 1).cast("int")))
+            * (F.col("n_l").cast(dec)
+               * F.element_at("qv", (i + 1).cast("int")).cast(dec)
+               - F.element_at("s", (i + 1).cast("int")))),
+        F.lit(0).cast(dec), lambda a, x: (a + x).cast(dec))
+    dd = (g.crossJoin(F.broadcast(cl))  # |labels|-row centroid frame
+          .select("vec_id", "label", "clabel",
+                  F.sqrt(num.cast("double")
+                         / (F.col("n_l").cast("double") * F.col("n_l"))
+                         / 1.0e12).alias("dist")))
+    own = (dd.where(F.col("clabel") == F.col("label"))
+           .select("vec_id", F.col("dist").alias("a")))
+    w = Window.partitionBy("vec_id").orderBy("dist", "clabel")
+    oth = (dd.where(F.col("clabel") != F.col("label"))
+           .withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("vec_id", F.col("clabel").alias("neighbor_label"),
+                   F.col("dist").alias("b")))
+    base = (g.select("vec_id", "label")
+            .join(own, "vec_id").join(oth, "vec_id"))
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (base.withColumn("s_raw", s)
+            .orderBy(F.asc("s_raw"), F.asc("vec_id")).limit(20)
+            .select("vec_id", "label", "neighbor_label",
+                    F.round(F.col("s_raw"), 6).alias("silhouette")))

@@ -540,6 +540,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("doc_id", "bigint"), ("n_grams", "bigint"),
             ("n_novel", "bigint"), ("novelty", "double"),
         ],
+        # r11 wave 16b: rank-biased overlap between the two retrieval
+        # arms (shared-literal p^d vector, ordered 20-term fold)
+        "doc_rbo_retrieval": [
+            ("depth", "bigint"), ("overlap", "bigint"),
+            ("agreement", "double"), ("rbo_ext", "double"),
+        ],
     },
     # classic event-analytics rollups
     "analytics_suite": {
@@ -801,6 +807,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         # grid (order decided on exact integers, never floats)
         "embedding_outlier_topk": [
             ("vec_id", "bigint"), ("label", "int"), ("dist2", "double"),
+        ],
+        # r11 wave 16b: simplified silhouette — the 20 most misplaced
+        # vectors (label-noise candidates) on the exact integer grid
+        "embedding_silhouette_topk": [
+            ("vec_id", "bigint"), ("label", "int"),
+            ("neighbor_label", "int"), ("silhouette", "double"),
         ],
     },
     "multimodal_suite": {

@@ -135,3 +135,16 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# Wave 16b replay certificates (run separately; recorded in PERF.md):
+#   python scripts/check_correctness.py /tmp/ophidia_sf10x \
+#       doc_rbo_retrieval embedding_silhouette_topk doc_score_auc \
+#       doc_length_calibration doc_novelty_curve \
+#       events_dau_wau_stickiness events_value_psi
+# — the independent-engine replay (DuckDB runs each workload's own
+# oracle against the 10x replica; Spark rows must hash-match exactly).
+# The embeddings replicas carry a deterministic per-replica coordinate
+# nudge and documents are token-permuted, so neither RBO nor silhouette
+# has a closed-form k-scaling — the dual-engine replay at 10x is the
+# certificate (the doc_weighted_sample precedent from r10).

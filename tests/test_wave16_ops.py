@@ -159,3 +159,73 @@ def test_psi_matches_python(spark):
         assert got[k]["psi_total"] == pytest.approx(psi, abs=1e-6)
     # stationary synthetic data must not alarm
     assert got[0]["psi_total"] < 0.25
+
+
+def test_rbo_matches_python(spark):
+    rows = sorted(
+        WORKLOADS["doc_rbo_retrieval"].fn(spark, SF).collect(),
+        key=lambda r: r["depth"])
+    # recompute both rankings from the (already-tested) fused row's arms:
+    # reuse the workload's own building blocks via the RRF row at k=20
+    # independence: rebuild overlap from the two rank maps
+    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk
+    from ophidia_io_server_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    bm = {r["doc_id"]: r["rank"]
+          for r in bm25_topk(docs, ["hash", "merge", "scan"], k=20).collect()}
+    tfr = (docs.where(F.col("text").isNotNull())
+           .select("doc_id", F.explode(F.filter(
+               F.split(F.lower("text"), " "), lambda w: w != ""))
+               .alias("t"))
+           .where(F.col("t").isin(["hash", "merge", "scan"]))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("tft"))
+           .orderBy(F.desc("tft"), F.asc("doc_id")).limit(20).collect())
+    tr = {r["doc_id"]: i + 1 for i, r in enumerate(tfr)}
+    xs = []
+    for d in range(1, 21):
+        xs.append(len({k for k, v in bm.items() if v <= d}
+                      & {k for k, v in tr.items() if v <= d}))
+    p = 0.9
+    acc = sum((x / d) * p ** d for d, x in zip(range(1, 21), xs))
+    rbo = (1 - p) / p * acc + (xs[19] / 20) * p ** 20
+    assert [r["overlap"] for r in rows] == xs
+    for r in rows:
+        assert r["agreement"] == pytest.approx(
+            r["overlap"] / r["depth"], abs=1e-6)
+        assert r["rbo_ext"] == pytest.approx(rbo, abs=1e-5)
+    # overlap is monotone nondecreasing in depth
+    assert all(a <= b for a, b in zip(xs, xs[1:]))
+
+
+def test_silhouette_matches_numpy(spark):
+    import numpy as np
+
+    rows = WORKLOADS["embedding_silhouette_topk"].fn(spark, SF).collect()
+    con = duckdb.connect()
+    data = con.execute(f"""
+        SELECT vec_id, label, embedding
+        FROM '{SF}/embeddings.parquet'""").fetchall()
+    q = {v: (lab, np.array([math.floor(float(x) * 1e6 + 0.5)
+                            for x in emb], dtype=object))
+         for v, lab, emb in data}
+    labs = sorted({lab for lab, _ in q.values()})
+    n = {lab: sum(1 for x, _ in q.values() if x == lab) for lab in labs}
+    s = {lab: sum((vec for x, vec in q.values() if x == lab),
+                  np.zeros(64, dtype=object)) for lab in labs}
+    want = []
+    for v, (lab, vec) in q.items():
+        dists = {}
+        for m in labs:
+            num = int(sum((n[m] * vec - s[m]) ** 2))
+            dists[m] = math.sqrt(num / (n[m] * n[m]) / 1e12)
+        a = dists[lab]
+        nb, b = min(((m, d) for m, d in dists.items() if m != lab),
+                    key=lambda t: (t[1], t[0]))
+        want.append(((b - a) / max(a, b), v, lab, nb))
+    want.sort()
+    got = [(r["vec_id"], r["label"], r["neighbor_label"]) for r in rows]
+    assert got == [(v, lab, nb) for _, v, lab, nb in want[:20]]
+    for r, (sv, *_rest) in zip(rows, want[:20]):
+        assert r["silhouette"] == pytest.approx(sv, abs=1e-6)
