@@ -217,7 +217,7 @@ HEADLINE = [
     "token_keyness_loglr",
     "events_funnel_windowed",
     "orders_reorder_exponential",
-    # r11 wave 16 (HEADLINE 138 -> 145): exact ROC AUC on the CDF,
+    # r11 wave 16 (HEADLINE 138 -> 146): exact ROC AUC on the CDF,
     # integer-exact calibration/ECE, 8-gram first-occurrence novelty,
     # DAU/WAU rolling distinct actives, PSI drift between time halves,
     # rank-biased overlap, simplified silhouette label-noise screen
@@ -228,6 +228,7 @@ HEADLINE = [
     "events_value_psi",
     "doc_rbo_retrieval",
     "embedding_silhouette_topk",
+    "doc_perplexity_unigram",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

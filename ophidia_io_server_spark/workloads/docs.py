@@ -2953,3 +2953,91 @@ def embedding_silhouette_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.asc("s_raw"), F.asc("vec_id")).limit(20)
             .select("vec_id", "label", "neighbor_label",
                     F.round(F.col("s_raw"), 6).alias("silhouette")))
+
+
+@workload(
+    "doc_perplexity_unigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tc AS (
+      SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1
+    ),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+    dt AS (
+      SELECT doc_id, pos, tk[pos] AS token
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos
+            FROM toks WHERE len(tk) >= 1)
+    ),
+    terms AS (
+      SELECT dt.doc_id, dt.pos,
+             ln(CAST(tc.c AS DOUBLE) / nt.n) AS lp
+      FROM dt JOIN tc USING (token) CROSS JOIN nt
+    ),
+    folded AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                         (a, x) -> a + x) AS s
+      FROM terms GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(-s / n_tokens, 6) AS cross_entropy,
+           ROUND(exp(-s / n_tokens), 6) AS perplexity
+    FROM folded
+    """,
+)
+def doc_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy / perplexity under the corpus UNIGRAM
+    LM (maximum-likelihood, no smoothing needed — every doc token is by
+    construction in the corpus vocabulary): the classic cheap LM-score
+    quality filter (CCNet/Gopher-style "perplexity against a reference
+    LM" — here the reference is the corpus itself, so outliers are docs
+    whose token distribution is atypical: boilerplate, gibberish, or
+    off-domain).  H(doc) = −(1/n)·Σᵢ ln(c_tᵢ/N), PPL = exp(H).
+
+    Float discipline: each token's ln(c/N) is ONE IEEE expression over
+    two exact integers (identical in both engines), and the per-doc sum
+    is a seeded LEFT FOLD in TOKEN-POSITION order (`F.aggregate` <->
+    `list_reduce` over `ORDER BY pos`) — the transcendental-sum rule:
+    never a bare SUM of logs, whose accumulation order is
+    engine-dependent.  The fold is in-row (bounded by DOC LENGTH, not
+    the corpus).
+
+    Scale: one token-count collapse (partial-aggregatable), one
+    token-keyed equi-join back to positions (the corpus-sized shuffle;
+    no forced broadcast — a web-scale vocabulary is not broadcastable),
+    one per-doc collapse.  exp/ln at the end are single calls on
+    already-reduced scalars."""
+    from ophidia_io_server_spark.pipeline.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    tc = (toks.select(F.explode("tk").alias("token"))
+          .groupBy("token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    nt = tc.agg(F.sum("c").cast("bigint").alias("n"))
+    dt = (toks.where(F.size("tk") >= 1)
+          .select("doc_id", F.posexplode("tk").alias("pos0", "token"))
+          .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token"))
+    terms = (dt.join(tc, "token")
+             .crossJoin(F.broadcast(nt))  # single-row corpus total
+             .select("doc_id", "pos",
+                     F.log(F.col("c").cast("double") / F.col("n"))
+                     .alias("lp")))
+    folded = (terms.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                   F.aggregate(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct(F.col("pos"), F.col("lp")))),
+                           lambda s: s["lp"]),
+                       F.lit(0.0), lambda a, x: a + x).alias("s")))
+    h = -F.col("s") / F.col("n_tokens")
+    return folded.select("doc_id", "n_tokens",
+                         F.round(h, 6).alias("cross_entropy"),
+                         F.round(F.exp(h), 6).alias("perplexity"))

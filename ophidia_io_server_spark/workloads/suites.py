@@ -540,6 +540,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("doc_id", "bigint"), ("n_grams", "bigint"),
             ("n_novel", "bigint"), ("novelty", "double"),
         ],
+        # r11 wave 16b: per-doc unigram-LM cross-entropy/perplexity
+        # (CCNet-style quality filter; in-row position-ordered log fold)
+        "doc_perplexity_unigram": [
+            ("doc_id", "bigint"), ("n_tokens", "bigint"),
+            ("cross_entropy", "double"), ("perplexity", "double"),
+        ],
         # r11 wave 16b: rank-biased overlap between the two retrieval
         # arms (shared-literal p^d vector, ordered 20-term fold)
         "doc_rbo_retrieval": [

@@ -229,3 +229,32 @@ def test_silhouette_matches_numpy(spark):
     assert got == [(v, lab, nb) for _, v, lab, nb in want[:20]]
     for r, (sv, *_rest) in zip(rows, want[:20]):
         assert r["silhouette"] == pytest.approx(sv, abs=1e-6)
+
+
+def test_perplexity_matches_python(spark):
+    out = {r["doc_id"]: r for r in
+           WORKLOADS["doc_perplexity_unigram"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    docs = con.execute(f"""
+        SELECT doc_id, text FROM '{SF}/documents.parquet'
+        WHERE text IS NOT NULL""").fetchall()
+    toks = {d: [w for w in t.split(" ") if w] for d, t in docs}
+    counts: dict = {}
+    for tk in toks.values():
+        for t in tk:
+            counts[t] = counts.get(t, 0) + 1
+    n = sum(counts.values())
+    for d, tk in toks.items():
+        if not tk:
+            assert d not in out
+            continue
+        s = 0.0
+        for t in tk:  # position order — the workload's fold order
+            s += math.log(counts[t] / n)
+        h = -s / len(tk)
+        r = out[d]
+        assert r["n_tokens"] == len(tk)
+        assert r["cross_entropy"] == pytest.approx(h, abs=1e-6), d
+        assert r["perplexity"] == pytest.approx(math.exp(h), abs=1e-4), d
+    # perplexity can never exceed the corpus token count (p(t) >= 1/N)
+    assert all(r["perplexity"] <= n + 1e-6 for r in out.values())
