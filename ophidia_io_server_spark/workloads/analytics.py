@@ -4818,10 +4818,18 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct (day, user) is one partial-aggregatable shuffle;
     the ×7 explode multiplies the USER-DAY table (corpus-sized but
-    7-bounded), both distincts hash-partition on (day, user) — the same
-    key — so AQE reuses the exchange; the day table is span-bounded."""
+    7-bounded); the user-day table feeds THREE consumers and is pinned
+    (localCheckpoint) so the events scan + distinct run once, not once
+    per consumer (measured: 3 identical exchanges without the pin — the
+    recompute-per-consumer class from r8 verdict #7); the day table is
+    span-bounded."""
+    from ophidia_io_server_spark.pin import pinned
+
     ev = load_table(spark, sf_dir, "events")
-    ud = (ev.select(F.to_date("ts").alias("day"), "user_id").distinct())
+    ud = pinned(
+        (ev.select(F.to_date("ts").alias("day"), "user_id").distinct()),
+        "user-day table: feeds days/dau/expanded (3 consumers; "
+        "much smaller than events)")
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("dau"))
