@@ -229,6 +229,8 @@ HEADLINE = [
     "doc_rbo_retrieval",
     "embedding_silhouette_topk",
     "doc_perplexity_unigram",
+    # r11 wave 17 (HEADLINE 146 -> 147): streaming PSI drift monitor
+    "stream_psi_drift",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost
@@ -238,6 +240,7 @@ HEADLINE = [
 # query-start machinery three extra times, not the repo's plans (r8 verdict
 # #2) — these rows get ONE discarded warm-up drain + ONE timed drain.
 STREAM_ONCE = {
+    "stream_psi_drift",
     "events_hopping_streaming",
     "events_ohlc_streaming",
     "stream_minhash_incremental",

@@ -496,3 +496,174 @@ def events_ohlc_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _staged_events_dir(spark, sf_dir)
     stream = ohlc_stream(events_stream(spark, path))
     return run_available_now(stream, "events_ohlc_stream_result")
+
+
+@workload(
+    "stream_psi_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+      FROM events
+    ),
+    b AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CASE WHEN epoch_us(ts) < (SELECT mid FROM bounds)
+                  THEN 1 ELSE 0 END AS ha
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    tot AS (SELECT CAST(SUM(ha) AS BIGINT) AS na,
+                   CAST(SUM(1 - ha) AS BIGINT) AS nb FROM b),
+    vc AS (SELECT v, CAST(SUM(ha) AS BIGINT) AS ca,
+                  CAST(SUM(1 - ha) AS BIGINT) AS cb
+           FROM b GROUP BY 1),
+    cum AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cum
+            FROM vc WHERE ca > 0),
+    edges AS (
+      SELECT k, MIN(v) AS edge
+      FROM cum, unnest(range(1, 10)) AS t(k), tot
+      WHERE 10 * cum >= k * tot.na GROUP BY 1
+    ),
+    vb AS (
+      SELECT dv.v,
+             CAST(SUM(CASE WHEN dv.v >= e.edge THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bin
+      FROM (SELECT DISTINCT v FROM vc) dv CROSS JOIN edges e
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT vb.bin,
+             CAST(SUM(vc.ca) AS BIGINT) AS n_first,
+             CAST(SUM(vc.cb) AS BIGINT) AS n_second
+      FROM vc JOIN vb USING (v) GROUP BY 1
+    ),
+    allbins AS (
+      SELECT CAST(k AS BIGINT) AS bin,
+             COALESCE(c.n_first, 0) AS n_first,
+             COALESCE(c.n_second, 0) AS n_second
+      FROM unnest(range(0, 10)) AS t(k)
+      LEFT JOIN counts c ON c.bin = k
+    ),
+    terms AS (
+      SELECT bin, n_first, n_second,
+             (CAST(n_first + 1 AS DOUBLE) / (tot.na + 10)
+              - CAST(n_second + 1 AS DOUBLE) / (tot.nb + 10))
+             * ln((CAST(n_first + 1 AS DOUBLE) / (tot.na + 10))
+                  / (CAST(n_second + 1 AS DOUBLE) / (tot.nb + 10)))
+               AS term
+      FROM allbins, tot
+    ),
+    total AS (
+      SELECT list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
+                         (a, x) -> a + x) AS psi
+      FROM terms
+    )
+    SELECT bin, n_first, n_second,
+           ROUND(term, 6) AS psi_term,
+           ROUND((SELECT psi FROM total), 6) AS psi_total,
+           TRUE AS stream_equals_batch
+    FROM terms
+    """,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor — the production shape of
+    ``events_value_psi``: the reference histogram (the training-time
+    first half's exact nearest-rank decile edges and bin counts) is
+    FROZEN batch-side, then the live stream is bin-counted
+    incrementally (readStream → literal-edge CASE binning → running
+    groupBy(bin) count, availableNow drain) and PSI is computed from
+    the drained running counts against the frozen reference — at scale
+    the stream side never re-reads history, state is 10 counters.
+
+    ``stream_equals_batch`` certifies per bin that the drained
+    streaming count equals the batch second-half count (exact integer
+    equality — file-split micro-batching cannot change a count sum), so
+    the hashed psi values are the batch row's values by construction.
+
+    Driver-bounded collects: the frozen reference is 9 edge scalars +
+    10 bin counts + 2 totals — config-bounded (the broadcast-literal
+    class, same as the quantile sketch's k=32 sample)."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.unix_micros(F.expr("cast(min(ts) as timestamp)"))
+          + F.unix_micros(F.expr("cast(max(ts) as timestamp)")))
+         / F.lit(2)).cast("bigint").alias("mid")).collect()[0]["mid"]
+    b = (ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select(F.round(F.col("value") * 100).cast("bigint").alias("v"),
+                 F.when(F.expr("unix_micros(cast(ts as timestamp))")
+                        < F.lit(mid), 1).otherwise(0).alias("ha")))
+    vc = b.groupBy("v").agg(
+        F.sum("ha").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("ha")).cast("bigint").alias("cb"))
+    tot = vc.agg(F.sum("ca").cast("bigint").alias("na"),
+                 F.sum("cb").cast("bigint").alias("nb")).collect()[0]
+    na, nb = tot["na"], tot["nb"]
+    cum = global_prefix_sum(vc.where(F.col("ca") > 0).select("v", "ca"),
+                            ["v"], "ca")
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    edges = sorted(r["edge"] for r in
+                   (cum.crossJoin(F.broadcast(ks))
+                    .where(10 * F.col("cum") >= F.col("k") * F.lit(na))
+                    .groupBy("k").agg(F.min("v").alias("edge"))).collect())
+
+    def bin_expr(vcol):
+        e = F.lit(0)
+        for edge in edges:
+            e = e + F.when(vcol >= F.lit(edge), 1).otherwise(0)
+        return e.cast("bigint")
+
+    # frozen reference + batch second-half counts (certificate baseline)
+    batch_bins = (vc.withColumn("bin", bin_expr(F.col("v")))
+                  .groupBy("bin")
+                  .agg(F.sum("ca").cast("bigint").alias("n_first"),
+                       F.sum("cb").cast("bigint").alias("n_second")))
+
+    # streaming side: live bin counting of the post-midpoint stream
+    path = _staged_events_dir(spark, sf_dir)
+    stream = (events_stream(spark, path)
+              .where(F.col("value").isNotNull() & ~F.isnan("value"))
+              .where(F.expr("unix_micros(cast(ts as timestamp))")
+                     >= F.lit(mid))
+              .select(bin_expr(F.round(F.col("value") * 100)
+                               .cast("bigint")).alias("bin"))
+              .groupBy("bin")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_stream")))
+    drained = run_available_now(stream, "stream_psi_drift_result")
+
+    allbins = (spark.range(0, 10)
+               .select(F.col("id").cast("bigint").alias("bin"))
+               .join(batch_bins, "bin", "left")
+               .join(drained, "bin", "left")
+               .select("bin",
+                       F.coalesce("n_first", F.lit(0)).cast("bigint")
+                       .alias("n_first"),
+                       F.coalesce("n_second", F.lit(0)).cast("bigint")
+                       .alias("n_second"),
+                       F.coalesce("n_stream", F.lit(0)).cast("bigint")
+                       .alias("n_stream")))
+    p1 = (F.col("n_first") + 1).cast("double") / F.lit(float(na + 10))
+    p2 = (F.col("n_stream") + 1).cast("double") / F.lit(float(nb + 10))
+    terms = allbins.withColumn("term", (p1 - p2) * F.log(p1 / p2))
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    folded = terms.withColumn(
+        "psi_total_raw",
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("bin"), F.col("term"))).over(w_all)),
+                lambda s: s["term"]),
+            F.lit(0.0), lambda a, x: a + x))
+    return folded.select(
+        "bin", "n_first",
+        F.col("n_stream").alias("n_second"),
+        F.round(F.col("term"), 6).alias("psi_term"),
+        F.round(F.col("psi_total_raw"), 6).alias("psi_total"),
+        (F.col("n_stream") == F.col("n_second"))
+        .alias("stream_equals_batch"))

@@ -298,6 +298,14 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("user_id", "bigint"), ("n_events", "bigint"),
             ("last_ts", "timestamp"), ("stream_equals_batch", "boolean"),
         ],
+        # r11 wave 17: live PSI drift monitor against a frozen batch
+        # reference histogram (10-counter streaming state)
+        "stream_psi_drift": [
+            ("bin", "bigint"), ("n_first", "bigint"),
+            ("n_second", "bigint"), ("psi_term", "double"),
+            ("psi_total", "double"),
+            ("stream_equals_batch", "boolean"),
+        ],
     },
     # the two iterative graph operators
     "graph_suite": {

@@ -258,3 +258,18 @@ def test_perplexity_matches_python(spark):
         assert r["perplexity"] == pytest.approx(math.exp(h), abs=1e-4), d
     # perplexity can never exceed the corpus token count (p(t) >= 1/N)
     assert all(r["perplexity"] <= n + 1e-6 for r in out.values())
+
+
+def test_stream_psi_matches_batch(spark):
+    """The streaming drift monitor must land on the batch PSI row
+    exactly (integer bin counts are micro-batch-decomposition
+    invariant) and every stream_equals_batch certificate must be true."""
+    srows = {r["bin"]: r for r in
+             WORKLOADS["stream_psi_drift"].fn(spark, SF).collect()}
+    brows = {r["bin"]: r for r in
+             WORKLOADS["events_value_psi"].fn(spark, SF).collect()}
+    assert set(srows) == set(brows)
+    for b in brows:
+        assert srows[b]["stream_equals_batch"] is True, b
+        for c in ("n_first", "n_second", "psi_term", "psi_total"):
+            assert srows[b][c] == brows[b][c], (b, c)
