@@ -122,3 +122,29 @@ def test_decimal_cast_before_square():
         assert not re.search(
             r"F\.sum\(\(F\.col\([^)]+\) \* F\.col\([^)]+\)\)\.cast", src), (
             f"{name} squares in BIGINT before the DECIMAL cast")
+
+
+def test_changed_since_maps_modules_to_gate_rows():
+    """--changed-since (r10 verdict #5): a workloads/ module maps to the
+    gate rows carrying its arms; shared layers map to the full gate."""
+    import check_correctness as cc
+    from ophidia_io_server_spark.workloads.suites import GATE_ORDER, _SUITES
+
+    # every analytics_suite arm's module is analytics/relational/tpch/
+    # streaming — the map must send analytics.py edits to analytics_suite
+    import inspect
+
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    fn = WORKLOADS["events_value_psi"].fn
+    while hasattr(fn, "__wrapped__"):
+        fn = fn.__wrapped__
+    mod = inspect.getmodule(fn).__name__
+    assert mod.endswith("workloads.analytics"), mod
+    # the full gate is exactly GATE_ORDER, no duplicates
+    assert len(GATE_ORDER) == 50 == len(set(GATE_ORDER))
+    # all suite arms resolve to real modules (the __wrapped__ contract)
+    for suite, members in _SUITES.items():
+        for m in members:
+            f = WORKLOADS[m].fn
+            assert hasattr(f, "__wrapped__"), (suite, m)
