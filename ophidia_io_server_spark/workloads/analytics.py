@@ -5135,3 +5135,98 @@ def doc_rbo_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((1 - 0.9) / 0.9 * F.col("acc")
                 + (F.col("x20").cast("double") / 20)
                 * F.element_at(pows, 20), 6).alias("rbo_ext"))
+
+
+@workload(
+    "events_max_drawdown",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, hr,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY hr) AS s
+      FROM hourly
+    ),
+    cum AS (
+      SELECT event_type, hr, s,
+             MAX(s) OVER (PARTITION BY event_type ORDER BY hr) AS runmax
+      FROM pre
+    ),
+    dd AS (
+      SELECT event_type, hr, s, runmax,
+             CAST(runmax - s AS BIGINT) AS drawdown,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY runmax - s DESC, hr) AS rk
+      FROM cum
+    ),
+    trough AS (SELECT * FROM dd WHERE rk = 1),
+    peak AS (
+      SELECT t.event_type, MIN(c.hr) AS peak_hr
+      FROM trough t JOIN cum c
+        ON c.event_type = t.event_type
+       AND c.hr <= t.hr AND c.s = t.runmax
+      GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(t.drawdown AS BIGINT) AS max_drawdown_cents,
+           p.peak_hr, t.hr AS trough_hr,
+           CAST(t.runmax AS BIGINT) AS peak_cum_cents,
+           CAST(t.s AS BIGINT) AS trough_cum_cents
+    FROM trough t JOIN peak p USING (event_type)
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum DRAWDOWN of the cumulative hourly revenue series per
+    event type — the classic risk/monitoring metric (largest
+    peak-to-trough decline of a running total; here of integer-cents
+    revenue, so every quantity is exact): drawdown_t = max_{u<=t} S_u −
+    S_t, reported with the peak and trough hours (trough = first hour
+    achieving the max drawdown; peak = first hour achieving the running
+    max before it — both deterministic (value, hr) tie-breaks).
+
+    Exactness: pure BIGINT arithmetic end-to-end (cents sums, running
+    prefix, running max, argmax by integer ordering) — no floats
+    anywhere in the row.
+
+    Scale: the corpus collapses to the span-bounded (type, hour) cents
+    series first (partial-aggregatable); the prefix/running windows and
+    argmax run on that bounded series (the Pettitt/Kendall cost class);
+    the peak attribution joins two span-bounded frames."""
+    from pyspark.sql import Window
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & ~F.isnan("value")))
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hr"))
+              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   .cast("bigint").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cum = (hourly
+           .withColumn("s", F.sum("cents").over(w))
+           .withColumn("runmax", F.max(F.col("s")).over(w)))
+    wdd = Window.partitionBy("event_type").orderBy(
+        F.desc(F.col("runmax") - F.col("s")), F.asc("hr"))
+    trough = (cum.withColumn("rk", F.row_number().over(wdd))
+              .where(F.col("rk") == 1)
+              .select("event_type",
+                      (F.col("runmax") - F.col("s")).cast("bigint")
+                      .alias("max_drawdown_cents"),
+                      F.col("hr").alias("trough_hr"),
+                      F.col("runmax").cast("bigint")
+                      .alias("peak_cum_cents"),
+                      F.col("s").cast("bigint").alias("trough_cum_cents")))
+    peak = (trough.join(
+        cum.select("event_type", F.col("hr").alias("chr"),
+                   F.col("s").alias("cs")), "event_type")
+        .where((F.col("chr") <= F.col("trough_hr"))
+               & (F.col("cs") == F.col("peak_cum_cents")))
+        .groupBy("event_type")
+        .agg(F.min("chr").alias("peak_hr")))
+    return (trough.join(peak, "event_type")
+            .select("event_type", "max_drawdown_cents", "peak_hr",
+                    "trough_hr", "peak_cum_cents", "trough_cum_cents"))

@@ -802,6 +802,13 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_second", "bigint"), ("psi_term", "double"),
             ("psi_total", "double"),
         ],
+        # r11 wave 17: maximum drawdown of the cumulative hourly cents
+        # series (pure BIGINT end-to-end; peak/trough attribution)
+        "events_max_drawdown": [
+            ("event_type", "string"), ("max_drawdown_cents", "bigint"),
+            ("peak_hr", "timestamp"), ("trough_hr", "timestamp"),
+            ("peak_cum_cents", "bigint"), ("trough_cum_cents", "bigint"),
+        ],
     },
     # exact brute-force cosine top-k + the LSH and IVF approximate paths
     "ann_topk_suite": {

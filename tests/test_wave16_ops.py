@@ -273,3 +273,38 @@ def test_stream_psi_matches_batch(spark):
         assert srows[b]["stream_equals_batch"] is True, b
         for c in ("n_first", "n_second", "psi_term", "psi_total"):
             assert srows[b][c] == brows[b][c], (b, c)
+
+
+def test_max_drawdown_matches_python(spark):
+    out = {r["event_type"]: r for r in
+           WORKLOADS["events_max_drawdown"].fn(spark, SF).collect()}
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+        FROM '{SF}/events.parquet'
+        WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    per: dict = {}
+    for et, hr, c in rows:
+        per.setdefault(et, []).append((hr, c))
+    for et, series in per.items():
+        s = runmax = 0
+        best = None  # (dd, hr, runmax, s)
+        peak_at: dict = {}
+        for hr, c in series:
+            s += c
+            if s > runmax:
+                runmax = s
+            peak_at.setdefault(runmax, hr)
+            dd = runmax - s
+            if best is None or dd > best[0]:
+                best = (dd, hr, runmax, s)
+        r = out[et]
+        assert r["max_drawdown_cents"] == best[0], et
+        assert r["trough_hr"] == best[1], et
+        assert (r["peak_cum_cents"], r["trough_cum_cents"]) == (
+            best[2], best[3]), et
+        assert r["peak_hr"] == peak_at[best[2]], et
+        # a drawdown is never negative and never exceeds the peak
+        assert 0 <= r["max_drawdown_cents"] <= r["peak_cum_cents"]
