@@ -5230,3 +5230,62 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (trough.join(peak, "event_type")
             .select("event_type", "max_drawdown_cents", "peak_hr",
                     "trough_hr", "peak_cum_cents", "trough_cum_cents"))
+
+
+def _ljungbox_oracle() -> str:
+    base = WORKLOADS["events_acf"].oracle
+    return f"""
+    WITH acf_rows AS ({base}),
+    g AS (
+      SELECT event_type,
+             CAST(MAX(n_pairs + lag) AS BIGINT) AS n,
+             CAST(MAX(lag) AS BIGINT) AS h,
+             list_reduce(list_prepend(0.0,
+               list(acf * acf / n_pairs ORDER BY lag)),
+               (a, x) -> a + x) AS s
+      FROM acf_rows GROUP BY 1
+    )
+    SELECT event_type, n, h,
+           ROUND(CAST(n AS DOUBLE) * (n + 2) * s, 6) AS q_lb
+    FROM g
+    """
+
+
+@workload("events_ljungbox_q", oracle=_ljungbox_oracle())
+def events_ljungbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test COMPOSED on the ACF row
+    (Box-Jenkins diagnostics: Q_h = n(n+2)·Σ_{k≤h} r_k²/(n−k), here
+    h = 6 on the hourly series per event type — "is there ANY serial
+    structure left", the standard residual-diagnostic after a fit, and
+    a strong positive on raw circadian traffic).  Consumes the ACF
+    workload's bitwise 6-dp-rounded r_k values (the
+    ``events_seasonal_anomalies`` composition discipline: the oracle
+    inlines the base row's oracle as a CTE, so the composed statistic is
+    exactly as cross-engine-stable as the base row), with n − k = the
+    base row's n_pairs and n recovered EXACTLY as n_pairs + lag — no
+    second pass over the data.
+
+    Float discipline: each term r_k²/(n−k) is one IEEE chain over a
+    6-dp double and an exact integer; the 6-term sum is a seeded LEFT
+    FOLD in lag order (`F.aggregate` <-> `list_reduce`).
+
+    Scale: one 6-row-per-type reshape of the already-bounded ACF
+    output; zero additional scans."""
+    from pyspark.sql import Window  # noqa: F401 (parity with siblings)
+
+    acf = WORKLOADS["events_acf"].fn(spark, sf_dir)
+    g = (acf.groupBy("event_type")
+         .agg(F.max(F.col("n_pairs") + F.col("lag")).cast("bigint")
+              .alias("n"),
+              F.max("lag").cast("bigint").alias("h"),
+              F.aggregate(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col("lag"), F.col("acf"),
+                                   F.col("n_pairs")))),
+                      lambda s: s["acf"] * s["acf"] / s["n_pairs"]),
+                  F.lit(0.0), lambda a, x: a + x).alias("s")))
+    return g.select(
+        "event_type", "n", "h",
+        F.round(F.col("n").cast("double") * (F.col("n") + 2)
+                * F.col("s"), 6).alias("q_lb"))

@@ -726,6 +726,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("event_type", "string"), ("lag", "bigint"),
             ("n_pairs", "bigint"), ("acf", "double"),
         ],
+        # r11 wave 17: Ljung-Box Q composed on the ACF row (lag-ordered
+        # 6-term fold; n recovered exactly as n_pairs + lag)
+        "events_ljungbox_q": [
+            ("event_type", "string"), ("n", "bigint"), ("h", "bigint"),
+            ("q_lb", "double"),
+        ],
         "events_welch_ttest": [
             ("na", "bigint"), ("nb", "bigint"), ("mean_a", "double"),
             ("mean_b", "double"), ("t_stat", "double"),

@@ -308,3 +308,22 @@ def test_max_drawdown_matches_python(spark):
         assert r["peak_hr"] == peak_at[best[2]], et
         # a drawdown is never negative and never exceeds the peak
         assert 0 <= r["max_drawdown_cents"] <= r["peak_cum_cents"]
+
+
+def test_ljungbox_matches_python(spark):
+    acf = {(r["event_type"], r["lag"]): (r["acf"], r["n_pairs"]) for r in
+           WORKLOADS["events_acf"].fn(spark, SF).collect()}
+    out = {r["event_type"]: r for r in
+           WORKLOADS["events_ljungbox_q"].fn(spark, SF).collect()}
+    types = {et for et, _ in acf}
+    for et in types:
+        n = max(acf[(et, k)][1] + k for k in range(1, 7))
+        s = 0.0
+        for k in range(1, 7):  # lag order — the workload's fold order
+            r, np_ = acf[(et, k)]
+            s += r * r / np_
+        q = n * (n + 2) * s
+        assert out[et]["n"] == n and out[et]["h"] == 6
+        assert out[et]["q_lb"] == pytest.approx(q, abs=1e-4), et
+        # Q is a sum of scaled squares — nonnegative by construction
+        assert out[et]["q_lb"] >= 0.0
