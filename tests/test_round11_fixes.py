@@ -72,6 +72,10 @@ def conf_sweep(spark):
     # rewrite and the decimal moments must hold under any layout
     "events_cliffs_delta",
     "events_circadian_uniformity",
+    # wave-16 rows built on the distributed prefix sum inherit its
+    # layout-invariance claim — pin it here too
+    "doc_score_auc",
+    "events_value_psi",
 ])
 def test_sketch_rows_partition_invariant(spark, conf_sweep, name):
     """Same normalized rows under every shuffle-partition/AQE setting,
