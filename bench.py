@@ -229,11 +229,12 @@ HEADLINE = [
     "doc_rbo_retrieval",
     "embedding_silhouette_topk",
     "doc_perplexity_unigram",
-    # r11 wave 17 (HEADLINE 146 -> 149): streaming PSI drift monitor,
+    # r11 wave 17 (HEADLINE 146 -> 150): streaming PSI drift monitor,
     # max drawdown of the cumulative hourly cents series
     "stream_psi_drift",
     "events_max_drawdown",
     "events_ljungbox_q",
+    "events_seasonal_strength",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

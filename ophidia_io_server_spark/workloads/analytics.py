@@ -5289,3 +5289,89 @@ def events_ljungbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "h",
         F.round(F.col("n").cast("double") * (F.col("n") + 2)
                 * F.col("s"), 6).alias("q_lb"))
+
+
+def _seasonal_strength_oracle() -> str:
+    base = WORKLOADS["events_seasonal_decompose"].oracle
+    return f"""
+    WITH base AS ({base}),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0, list(resid ORDER BY hr)),
+                         (a, x) -> a + x) AS sr,
+             list_reduce(list_prepend(0.0,
+                           list(resid * resid ORDER BY hr)),
+                         (a, x) -> a + x) AS srr,
+             list_reduce(list_prepend(0.0,
+                           list(seasonal + resid ORDER BY hr)),
+                         (a, x) -> a + x) AS sd,
+             list_reduce(list_prepend(0.0,
+                           list((seasonal + resid) * (seasonal + resid)
+                                ORDER BY hr)),
+                         (a, x) -> a + x) AS sdd,
+             list_reduce(list_prepend(0.0, list(trend + resid ORDER BY hr)),
+                         (a, x) -> a + x) AS st,
+             list_reduce(list_prepend(0.0,
+                           list((trend + resid) * (trend + resid)
+                                ORDER BY hr)),
+                         (a, x) -> a + x) AS stt
+      FROM base GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(greatest(0.0, 1 - (srr - sr * sr / n)
+                               / (sdd - sd * sd / n)), 6) AS f_seasonal,
+           ROUND(greatest(0.0, 1 - (srr - sr * sr / n)
+                               / (stt - st * st / n)), 6) AS f_trend
+    FROM g
+    """
+
+
+@workload("events_seasonal_strength", oracle=_seasonal_strength_oracle())
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH of the hourly series per event type
+    (Hyndman & Athanasopoulos, FPP: F_s = max(0, 1 −
+    Var(R)/Var(S+R)), F_t = max(0, 1 − Var(R)/Var(T+R))) — the
+    one-number "how seasonal / how trending is this series" summary a
+    monitoring dashboard ranks series by, COMPOSED on the classical
+    decomposition row (consumes its bitwise 6-dp-rounded trend/seasonal/
+    resid; the ``events_seasonal_anomalies`` discipline — the oracle
+    inlines the base oracle as a CTE).
+
+    Float discipline: all six moments are seeded LEFT FOLDS in hr order
+    over the rounded base values (`F.aggregate` <-> `list_reduce`);
+    the variance ratios are single IEEE chains over the folded scalars.
+
+    Scale: one groupBy over the span-bounded decomposition output;
+    zero additional scans of the corpus."""
+    dec_df = WORKLOADS["events_seasonal_decompose"].fn(spark, sf_dir)
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("hr"), F.col("resid"), F.col("seasonal"), F.col("trend"))))
+
+    def fold(expr_fn):
+        return F.aggregate(F.transform(F.col("_a"), expr_fn),
+                           F.lit(0.0), lambda a, x: a + x)
+
+    g = (dec_df.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              arr.alias("_a"))
+         .select(
+             "event_type", "n",
+             fold(lambda s: s["resid"]).alias("sr"),
+             fold(lambda s: s["resid"] * s["resid"]).alias("srr"),
+             fold(lambda s: s["seasonal"] + s["resid"]).alias("sd"),
+             fold(lambda s: (s["seasonal"] + s["resid"])
+                  * (s["seasonal"] + s["resid"])).alias("sdd"),
+             fold(lambda s: s["trend"] + s["resid"]).alias("st"),
+             fold(lambda s: (s["trend"] + s["resid"])
+                  * (s["trend"] + s["resid"])).alias("stt")))
+    n = F.col("n")
+    var_r = F.col("srr") - F.col("sr") * F.col("sr") / n
+    var_d = F.col("sdd") - F.col("sd") * F.col("sd") / n
+    var_t = F.col("stt") - F.col("st") * F.col("st") / n
+    return g.select(
+        "event_type", "n",
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_d), 6)
+        .alias("f_seasonal"),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_t), 6)
+        .alias("f_trend"))

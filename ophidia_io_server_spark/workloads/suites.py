@@ -789,6 +789,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("event_type", "string"), ("hr", "timestamp"), ("y", "bigint"),
             ("resid", "double"), ("z", "double"),
         ],
+        # r11 wave 17: Hyndman seasonal/trend strength composed on the
+        # decomposition row (hr-ordered moment folds)
+        "events_seasonal_strength": [
+            ("event_type", "string"), ("n", "bigint"),
+            ("f_seasonal", "double"), ("f_trend", "double"),
+        ],
         # r10 wave 15: strictly-ordered deadline funnel
         "events_funnel_windowed": [
             ("n_users", "bigint"), ("n_view", "bigint"),

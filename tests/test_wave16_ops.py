@@ -327,3 +327,35 @@ def test_ljungbox_matches_python(spark):
         assert out[et]["q_lb"] == pytest.approx(q, abs=1e-4), et
         # Q is a sum of scaled squares — nonnegative by construction
         assert out[et]["q_lb"] >= 0.0
+
+
+def test_seasonal_strength_matches_python(spark):
+    base = WORKLOADS["events_seasonal_decompose"].fn(spark, SF).collect()
+    out = {r["event_type"]: r for r in
+           WORKLOADS["events_seasonal_strength"].fn(spark, SF).collect()}
+    per: dict = {}
+    for r in base:
+        per.setdefault(r["event_type"], []).append(
+            (r["hr"], r["resid"], r["seasonal"], r["trend"]))
+    for et, rows in per.items():
+        rows.sort()
+        n = len(rows)
+        sr = srr = sd = sdd = st = stt = 0.0
+        for _, resid, seas, tr in rows:  # hr order — the fold order
+            sr += resid
+            srr += resid * resid
+            d = seas + resid
+            sd += d
+            sdd += d * d
+            t = tr + resid
+            st += t
+            stt += t * t
+        var_r = srr - sr * sr / n
+        f_s = max(0.0, 1 - var_r / (sdd - sd * sd / n))
+        f_t = max(0.0, 1 - var_r / (stt - st * st / n))
+        r = out[et]
+        assert r["n"] == n
+        assert r["f_seasonal"] == pytest.approx(f_s, abs=1e-6), et
+        assert r["f_trend"] == pytest.approx(f_t, abs=1e-6), et
+        # strengths are clamped fractions
+        assert 0.0 <= r["f_seasonal"] <= 1.0 and 0.0 <= r["f_trend"] <= 1.0
