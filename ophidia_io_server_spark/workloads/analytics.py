@@ -5375,3 +5375,108 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f_seasonal"),
         F.round(F.greatest(F.lit(0.0), 1 - var_r / var_t), 6)
         .alias("f_trend"))
+
+
+# ---------------------------------------------------------------------------
+# r12: determinism canary — transcendental-library drift detector
+# ---------------------------------------------------------------------------
+
+
+def _canary_oracle() -> str:
+    """DuckDB twin of the canary: compare this engine's chain values
+    against ITS OWN build-time pins (DUCK_PINS) and emit only the match
+    counters — the cross-engine hash compares integers, never the
+    library-dependent doubles themselves."""
+    import struct
+
+    from ophidia_io_server_spark.workloads.canary_chains import CHAINS, N_CELLS
+    from ophidia_io_server_spark.workloads.canary_pins import DUCK_PINS
+
+    names = list(CHAINS)
+    rows = []
+    for i in range(N_CELLS):
+        # CAST('...' AS DOUBLE): a bare decimal literal parses as DECIMAL
+        # in DuckDB and would silently truncate the pin to 6-ish digits
+        vals = ", ".join(
+            "CAST('{}' AS DOUBLE)".format(
+                repr(struct.unpack("<d", bytes.fromhex(DUCK_PINS[n][i]))[0]))
+            for n in names
+        )
+        rows.append(f"(CAST({i} AS BIGINT), {vals})")
+    pin_cols = ", ".join(f"p_{n}" for n in names)
+    exprs = ", ".join(f"{e} AS {n}" for n, e in CHAINS.items())
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{n}' AS chain, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CASE WHEN {n} <> p_{n} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_drift,
+         CAST(SUM(CASE WHEN round({n}, 6) <> round(p_{n}, 6)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_round_flips
+       FROM j"""
+        for n in names
+    )
+    return f"""
+    WITH pins(i, {pin_cols}) AS (VALUES {", ".join(rows)}),
+    comp AS (
+      SELECT CAST(i AS BIGINT) AS i, {exprs}
+      FROM (SELECT unnest(range(0, {N_CELLS})) AS i)
+    ),
+    j AS (SELECT * FROM comp JOIN pins USING (i))
+    {arms}
+    """
+
+
+@workload("determinism_canary", oracle=_canary_oracle())
+def determinism_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental-library drift canary (r11 verdict #5): evaluate a
+    fixed battery of ln/exp/pow/mixed chains over a 128-cell integer grid
+    and count, per chain, how many cells differ BITWISE from the values
+    this exact engine produced in the build container (pinned in
+    ``canary_pins.py``), plus how many of those drifts survive the
+    ROUND(·, 6) grid the analytics arms hash through.
+
+    Mechanism: measured r12, Spark's JVM math and DuckDB's libm already
+    disagree by 1 ulp on ~8% of these cells IN the build container —
+    invisible to the gate only because ROUND(·, 6) absorbs last-ulp noise
+    away from bucket boundaries.  If the DRIVER environment's JVM
+    (JIT/intrinsic state, fdlibm vs vectorized libm) or DuckDB build
+    computes ANY chain differently, n_drift moves and this 6-row arm reds
+    — naming transcendental drift as the mechanism without touching data.
+    The c_div control is IEEE-exact: drift there indicts the comparison
+    harness itself, not libm.
+
+    Scale: 128 rows, no input tables; the grid is a range() scan."""
+    import struct
+
+    from ophidia_io_server_spark.workloads.canary_chains import CHAINS, N_CELLS
+    from ophidia_io_server_spark.workloads.canary_pins import SPARK_PINS
+
+    names = list(CHAINS)
+    pin_rows = [
+        tuple([i] + [
+            struct.unpack("<d", bytes.fromhex(SPARK_PINS[n][i]))[0]
+            for n in names
+        ])
+        for i in range(N_CELLS)
+    ]
+    pin_schema = "i bigint, " + ", ".join(f"p_{n} double" for n in names)
+    pins = spark.createDataFrame(pin_rows, schema=pin_schema)
+    comp = spark.range(N_CELLS).toDF("i").selectExpr(
+        "cast(i as bigint) as i",
+        *[f"{e} AS {n}" for n, e in CHAINS.items()],
+    )
+    j = comp.join(F.broadcast(pins), "i")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_cells")]
+    for n in names:
+        aggs.append(
+            F.sum(F.when(F.col(n) != F.col(f"p_{n}"), 1).otherwise(0))
+            .cast("bigint").alias(f"d_{n}"))
+        aggs.append(
+            F.sum(F.when(F.round(F.col(n), 6) != F.round(F.col(f"p_{n}"), 6),
+                         1).otherwise(0))
+            .cast("bigint").alias(f"f_{n}"))
+    row = j.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', d_{n}, f_{n}" for n in names)
+    return row.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (chain, n_drift, n_round_flips)",
+        "n_cells",
+    ).select("chain", "n_cells", "n_drift", "n_round_flips")

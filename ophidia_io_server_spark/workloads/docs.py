@@ -2751,8 +2751,13 @@ def doc_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("text").isNotNull()
                    & F.col("n_chars").isNotNull()))
     g = (docs.select(
-            F.least(F.col("n_chars") / F.lit(50),
-                    F.lit(9)).cast("bigint").alias("bin"),
+            # floor division BEFORE the clamp, mirroring the oracle's
+            # `n_chars // 50` structurally (r11 advice: float-divide +
+            # bigint cast truncates toward zero — agreement with floor
+            # was coincidental on non-negative, exactly-representable
+            # quotients)
+            F.least(F.floor(F.col("n_chars") / F.lit(50)),
+                    F.lit(9).cast("bigint")).cast("bigint").alias("bin"),
             F.least(F.col("n_chars"), F.lit(500)).alias("sp"),
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"))
          .groupBy("bin")

@@ -1120,6 +1120,128 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# r12 (verdict #1): bisect the driver-red analytics composite.  The 50-arm
+# `analytics_suite` hash-FAILED in the driver's gate twice in a row while
+# every local run (12-run sweeps, double-pass gates, two judges) stayed
+# green — one bit over 55k rows x 10 columns localizes nothing.  Split the
+# arms into five MECHANISM-grouped sub-suites so the driver's own next
+# CORRECTNESS run names the guilty cluster: core integer rollups, sketch/
+# estimator arms, rank/U-statistic tests, survival+changepoint, and the
+# transcendental-deriving arms (entropy/PSI/Ljung-Box/Pettitt-p/seasonal
+# strength — the ROUND(ln/exp-chain, 6) class the r11 verdict flags as the
+# prime drift mechanism).  The tsdecomp group also carries the r12
+# determinism_canary (pinned-bits libm/JVM drift detector), placing the
+# zero-data-cost environment probe in the same gate row as the arms whose
+# mechanism it tests.  `analytics_suite` itself stays registered (mirror
+# runs keep the r11-comparable composite) but leaves the gate window.
+_ANALYTICS_SPLIT: dict[str, list[str]] = {
+    "analytics_core_suite": [
+        "events_retention_cohorts", "events_funnel",
+        "events_funnel_windowed", "events_pivot_hourly",
+        "events_sequence_patterns", "events_multitouch_attribution",
+        "events_scd2_intervals", "events_gapfill_interpolate",
+        "events_session_outage_overlap", "events_hopping_window",
+        "events_ohlc_hourly", "events_dau_wau_stickiness",
+        "events_max_drawdown",
+    ],
+    "analytics_sketch_suite": [
+        "events_value_median", "events_type_stats", "sketch_approx_stats",
+        "events_quantile_rollup", "events_hll_rollup",
+        "events_quantile_normalize", "events_rolling_zscore",
+        "events_spatial_neighbors", "events_dbscan_clusters",
+    ],
+    "analytics_rank_suite": [
+        "events_mannwhitney_utest", "events_ks_test",
+        "events_chi2_independence", "events_conversion_ztest",
+        "events_kendall_tau", "events_runs_test", "events_welch_ttest",
+        "events_mcnemar_test", "events_cliffs_delta", "events_theil_sen",
+    ],
+    "analytics_survival_suite": [
+        "events_kaplan_meier", "events_nelson_aalen", "events_logrank_test",
+        "events_cusum_drift", "events_hourly_peaks",
+        "events_crosscorr_leadlag",
+    ],
+    "analytics_tsdecomp_suite": [
+        "events_seasonal_decompose", "events_acf", "events_ljungbox_q",
+        "events_seasonal_strength", "events_circadian_uniformity",
+        "events_seasonal_anomalies", "events_ewma_halflife",
+        "events_holt_linear", "events_burstiness_memory",
+        "events_markov_entropy", "events_value_psi",
+        "events_pettitt_changepoint", "determinism_canary",
+    ],
+}
+
+_CANARY_COLS: list[tuple[str, str]] = [
+    ("chain", "string"), ("n_cells", "bigint"),
+    ("n_drift", "bigint"), ("n_round_flips", "bigint"),
+]
+
+for _s, _arm_names in _ANALYTICS_SPLIT.items():
+    _SUITES[_s] = {
+        a: (_CANARY_COLS if a == "determinism_canary"
+            else _SUITES["analytics_suite"][a])
+        for a in _arm_names
+    }
+
+# every analytics arm lands in exactly one sub-suite (the canary is new)
+_split_arms = [a for arms in _ANALYTICS_SPLIT.values() for a in arms]
+assert len(_split_arms) == len(set(_split_arms)), "arm in two sub-suites"
+assert set(_split_arms) - {"determinism_canary"} == \
+    set(_SUITES["analytics_suite"]), "split does not cover analytics_suite"
+
+# r12 (verdict #1, seat-freeing): the seven small standalone gate rows
+# merge into three composites via the same tagged NULL-padded union —
+# each arm's value set stays byte-identical to its standalone row, so no
+# hard signal is lost while four seats move to the analytics bisection.
+_SUITES["events_join_suite"] = {
+    "events_asof_attribution": [
+        ("event_id", "bigint"), ("user_id", "bigint"),
+        ("ts", "timestamp_ntz"), ("purchase_value", "double"),
+        ("click_id", "bigint"), ("click_ts", "timestamp_ntz"),
+        ("click_value", "double"), ("attributed", "boolean"),
+    ],
+    "events_interval_join": [
+        ("event_id", "bigint"), ("user_id", "bigint"),
+        ("ts", "timestamp_ntz"), ("outage_start", "timestamp_ntz"),
+        ("outage_end", "timestamp_ntz"), ("in_outage", "boolean"),
+    ],
+}
+_SUITES["curation_suite"] = {
+    "curation_quality_rules": [
+        ("doc_id", "bigint"), ("n_words", "bigint"),
+        ("mean_word_len", "double"), ("symbol_word_ratio", "double"),
+        ("frac_alpha_words", "double"), ("n_stop_hits", "bigint"),
+        ("bullet_line_frac", "double"), ("ellipsis_line_frac", "double"),
+        ("gopher_keep", "boolean"), ("n_lines", "bigint"),
+        ("n_kept_lines", "bigint"), ("c4_kept_frac", "double"),
+        ("text_c4", "string"), ("c4_n_sentences", "bigint"),
+        ("c4_has_brace", "boolean"), ("c4_has_lorem", "boolean"),
+        ("c4_keep", "boolean"),
+    ],
+    "quality_classifier_score": [
+        ("doc_id", "bigint"), ("n_features", "bigint"),
+        ("quality_score", "double"), ("keep", "boolean"),
+    ],
+    "doc_quality_deciles": [
+        ("doc_id", "bigint"), ("lang", "string"), ("n_tokens", "bigint"),
+        ("decile", "bigint"), ("n_lang", "bigint"), ("pr_num", "bigint"),
+        ("cd_num", "bigint"),
+    ],
+}
+_SUITES["corpus_mix_suite"] = {
+    "dsir_importance": [
+        ("doc_id", "bigint"), ("n_features", "bigint"),
+        ("dsir_score", "double"),
+    ],
+    "source_overlap_matrix": [
+        ("src_a", "string"), ("src_b", "string"), ("n_grams_a", "bigint"),
+        ("n_grams_b", "bigint"), ("n_shared", "bigint"),
+        ("jaccard", "double"),
+    ],
+}
+
+
 def _suite_superset(members: dict[str, list[tuple[str, str]]]) -> list[tuple[str, str]]:
     sup: list[tuple[str, str]] = []
     for cols in members.values():
@@ -1203,6 +1325,11 @@ for _sname, _members in _SUITES.items():
 # STANDING POLICY (r7+): a new operator enters this window in the round it
 # is built — by joining the closest existing suite (zero slot cost) or by
 # a new composite; mirror-only protection is a staging state, not a home.
+# r12 re-curation (verdict #1): `analytics_suite` leaves the window,
+# replaced by its five mechanism-grouped sub-suites; the four extra seats
+# come from folding seven small standalone rows into `events_join_suite`,
+# `curation_suite` and `corpus_mix_suite` (every folded arm keeps its
+# bitwise hash signal as a tagged union member).  Still exactly 50 rows.
 GATE_ORDER: list[str] = [
     "select_reduce", "scalar_predicate", "subarray_reduce",
     "moving_avg_accumulate", "join_mul_array", "join_three_way",
@@ -1213,17 +1340,19 @@ GATE_ORDER: list[str] = [
     "tpch_q18_large_orders",
     "events_hourly_suite", "orders_suite", "fragment_ops_suite",
     "dedup_suite", "varlen_dedup_suite",
-    "curation_quality_rules", "sampling_suite", "dsir_importance",
-    "source_overlap_matrix", "embedding_pca_invariants",
-    "quality_classifier_score", "doc_text_suite",
+    "curation_suite", "sampling_suite", "corpus_mix_suite",
+    "embedding_pca_invariants", "doc_text_suite",
     "ann_topk_suite", "ann_quant_suite", "embedding_cosine_pairs",
     "multimodal_suite", "stream_dedup_dialect",
     "session_suite", "stream_suite",
     "gsl_suite", "tensor_shape_suite",
-    "events_asof_attribution", "events_interval_join",
+    "events_join_suite",
     "bm25_doc_retrieval", "lm_suite", "bpe_train_invariants",
     "graph_suite", "token_heavy_hitters",
-    "curation_split_clusters", "analytics_suite", "doc_quality_deciles",
+    "curation_split_clusters",
+    "analytics_core_suite", "analytics_sketch_suite",
+    "analytics_rank_suite", "analytics_survival_suite",
+    "analytics_tsdecomp_suite",
 ]
 
 

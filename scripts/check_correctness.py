@@ -139,12 +139,6 @@ def _changed_gate_rows(since: str) -> set[str]:
     ).stdout.split()
     if not touched:
         return set()
-    non_workload = [p for p in touched
-                    if not p.startswith("ophidia_io_server_spark/workloads/")]
-    if non_workload:
-        print(f"--changed-since: shared-layer files touched {non_workload} "
-              "-> full gate")
-        return set(GATE_ORDER)
 
     def arm_module(arm: str) -> str:
         fn = WORKLOADS[arm].fn
@@ -153,6 +147,22 @@ def _changed_gate_rows(since: str) -> set[str]:
         mod = inspect.getmodule(fn)
         return __import__("pathlib").Path(mod.__file__).resolve() \
             .relative_to(repo).as_posix()
+
+    # Per-arm workload modules are the ONLY files that scope the rerun;
+    # everything else in the package — operators/, pipeline/, dialect/,
+    # AND the workloads/ shared layer (suites.py defines the composite
+    # oracles and GATE_ORDER, base.py the @workload decorator and session
+    # defaults, __init__.py the import wiring) — is shared by arbitrarily
+    # many gate rows, so any touch there means a full gate (r11 advice:
+    # the old prefix test silently skipped suites.py/base.py edits).
+    arm_modules = {arm_module(a)
+                   for row in GATE_ORDER
+                   for a in _SUITES.get(row, {row: None})}
+    shared = [p for p in touched if p not in arm_modules]
+    if shared:
+        print(f"--changed-since: shared-layer files touched {shared} "
+              "-> full gate")
+        return set(GATE_ORDER)
 
     touched_set = set(touched)
     rows: set[str] = set()
@@ -178,7 +188,14 @@ def main():
             print(f"--changed-since {since}: no package files touched; "
                   "nothing to re-verify")
             sys.exit(0)
-        only = (only & changed) if only else changed
+        if only:
+            only = only & changed
+            if not only:
+                print(f"--changed-since {since}: none of the requested rows "
+                      "are affected by the diff; nothing to re-verify")
+                sys.exit(0)
+        else:
+            only = changed
         print(f"--changed-since {since}: re-verifying {len(only)} gate "
               f"row(s): {sorted(only)}")
 
