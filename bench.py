@@ -235,6 +235,13 @@ HEADLINE = [
     "events_max_drawdown",
     "events_ljungbox_q",
     "events_seasonal_strength",
+    # r12 (HEADLINE 150 -> 153): the transcendental-drift canary (128
+    # generated rows, no input tables), the canonical merge-invariant
+    # t-digest, and sessionized funnel attribution over the watermarked
+    # stream
+    "determinism_canary",
+    "events_tdigest_quantiles",
+    "stream_funnel_sessions",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost
@@ -244,6 +251,7 @@ HEADLINE = [
 # query-start machinery three extra times, not the repo's plans (r8 verdict
 # #2) — these rows get ONE discarded warm-up drain + ONE timed drain.
 STREAM_ONCE = {
+    "stream_funnel_sessions",
     "stream_psi_drift",
     "events_hopping_streaming",
     "events_ohlc_streaming",

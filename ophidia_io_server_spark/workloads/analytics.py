@@ -5480,3 +5480,161 @@ def determinism_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(names)}, {stack_args}) AS (chain, n_drift, n_round_flips)",
         "n_cells",
     ).select("chain", "n_cells", "n_drift", "n_round_flips")
+
+
+# ---------------------------------------------------------------------------
+# r12: canonical (merge-invariant) t-digest quantile sketch
+# ---------------------------------------------------------------------------
+
+_TDIGEST_DELTA = 32
+
+
+@workload(
+    "events_tdigest_quantiles",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    vc AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT event_type, v, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vc
+    ),
+    cl AS (
+      SELECT event_type, n, CAST(j AS BIGINT) AS cluster,
+             n * (3 * (j-1) * (j-1) * {_TDIGEST_DELTA} - 2 * (j-1) * (j-1) * (j-1))
+               // ({_TDIGEST_DELTA} * {_TDIGEST_DELTA} * {_TDIGEST_DELTA}) AS t_lo,
+             n * (3 * j * j * {_TDIGEST_DELTA} - 2 * j * j * j)
+               // ({_TDIGEST_DELTA} * {_TDIGEST_DELTA} * {_TDIGEST_DELTA}) AS t_hi
+      FROM (SELECT DISTINCT event_type, n FROM cdf),
+           unnest(range(1, {_TDIGEST_DELTA} + 1)) AS t(j)
+    ),
+    cl2 AS (
+      -- drop EMPTY clusters (t_lo = t_hi, possible when n < delta):
+      -- they would join rows with zero overlap weight and emit 0/0 means
+      SELECT * FROM cl WHERE t_hi > t_lo
+    ),
+    asg AS (
+      SELECT c.event_type, cl.cluster, cl.t_lo, cl.t_hi, c.v,
+             least(c.cum, cl.t_hi) - greatest(c.cum - c.cnt, cl.t_lo) AS w
+      FROM cdf c JOIN cl2 AS cl
+        ON c.event_type = cl.event_type
+       AND c.cum - c.cnt < cl.t_hi AND c.cum > cl.t_lo
+    ),
+    dig AS (
+      SELECT event_type, cluster,
+             CAST(SUM(w) AS BIGINT) AS weight,
+             CAST(SUM(v * w) AS BIGINT) AS sum_cents,
+             CAST(MIN(v) AS BIGINT) AS lo_cents,
+             CAST(MAX(v) AS BIGINT) AS hi_cents,
+             CAST(MAX(t_hi - t_lo) AS BIGINT) AS span
+      FROM asg GROUP BY 1, 2
+    )
+    SELECT event_type, cluster, weight, sum_cents,
+           ROUND(CAST(sum_cents AS DOUBLE) / weight, 6) AS mean_cents,
+           lo_cents, hi_cents,
+           CAST(weight = span AS INTEGER) AS weight_ok,
+           CAST(COALESCE(lo_cents >= lag(hi_cents) OVER
+                  (PARTITION BY event_type ORDER BY cluster), TRUE)
+                AS INTEGER) AS monotone_ok
+    FROM dig
+    """,
+)
+def events_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical t-digest of the per-type event-value distribution
+    (Dunning & Ertl, "Computing extremely accurate quantiles using
+    t-digests"): delta=32 clusters whose rank boundaries follow a
+    tail-dense scale function, each cluster summarized by (weight,
+    sum, mean, lo, hi).  Two deliberate deviations from the classical
+    construction, both for bitwise cross-engine/cross-run discipline:
+
+    - MERGE-INVARIANT BY DEFINITION: a streamed/merged t-digest depends
+      on insertion and merge order (the r11 GK/HLL lesson).  This digest
+      is the construction's FIXED POINT — the digest of fully-merged
+      sorted data — defined off exact global ranks from the distributed
+      value-level CDF, so any partitioning of the input yields the same
+      bits (partition-sweep test in tests/test_round12.py).
+    - RATIONAL SCALE FUNCTION: boundaries use the smoothstep cubic
+      q_j = (3j^2*delta - 2j^3)/delta^3 instead of k1's
+      asin-based scale.  It has the property that matters (dq/dj -> 0 at
+      both ends: cluster budget concentrates in the tails, ~3x finer
+      than the uniform grid at delta=32) while the rank thresholds
+      t_j = floor(n*q_j) stay PURE BIGINT arithmetic — the asin
+      thresholds would be the exact near-integer-boundary libm exposure
+      the r12 grid-margin probe exists to prevent.
+
+    Certificates: weight_ok (cluster weights tile the rank space
+    exactly — sum of overlap-split contributions equals t_hi - t_lo)
+    and monotone_ok (cluster value ranges are disjoint and ordered —
+    lo_cents >= previous hi_cents; equality allowed where one distinct
+    value spans a boundary).
+
+    Scale: the value-level collapse is partial-aggregatable (map-side
+    combine); the per-type CDF window runs over the DISTINCT-cents grid
+    (bounded by the integer value domain, not row count); the cluster
+    frame is delta rows per type and broadcast into the overlap join;
+    everything after is a 32-row-per-type cell table.  At 100 TB the
+    only data-sized pass is the first collapse."""
+    from pyspark.sql import Window
+
+    d = _TDIGEST_DELTA
+    e = (load_table(spark, sf_dir, "events")
+         .where(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("bigint").alias("v")))
+    vc = e.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wv = Window.partitionBy("event_type").orderBy("v")
+    cdf = (vc
+           .withColumn("cum", F.sum("cnt").over(wv))
+           .withColumn("n", F.sum("cnt").over(
+               Window.partitionBy("event_type"))))
+    types = cdf.select("event_type", "n").distinct()
+    j = spark.range(1, d + 1).toDF("j")
+    # rank thresholds in exact integer floor division (`div`): the
+    # numerator reaches n * 3*delta^3 which is fine in BIGINT but would
+    # lose bits through a DOUBLE division past 2^53 rows
+    # rename the key: cl derives from cdf, so an unqualified join
+    # condition would be an ambiguous self-join reference
+    cl = (types.crossJoin(F.broadcast(j))
+          .select(
+              F.col("event_type").alias("et"),
+              F.col("j").cast("bigint").alias("cluster"),
+              F.expr(f"n * (3*(j-1)*(j-1)*{d} - 2*(j-1)*(j-1)*(j-1)) "
+                     f"div {d * d * d}").cast("bigint").alias("t_lo"),
+              F.expr(f"n * (3*j*j*{d} - 2*j*j*j) div {d * d * d}")
+              .cast("bigint").alias("t_hi"),
+          )
+          # empty clusters (possible when a type has n < delta rows)
+          # would contribute zero-weight rows and 0/0 means
+          .where(F.col("t_hi") > F.col("t_lo")))
+    asg = (cdf.join(F.broadcast(cl),
+                    (cdf.event_type == cl.et)
+                    & (cdf.cum - cdf.cnt < cl.t_hi)
+                    & (cdf.cum > cl.t_lo))
+           .select(cdf.event_type, cl.cluster, cl.t_lo, cl.t_hi, cdf.v,
+                   (F.least(cdf.cum, cl.t_hi)
+                    - F.greatest(cdf.cum - cdf.cnt, cl.t_lo)).alias("w")))
+    dig = (asg.groupBy("event_type", "cluster")
+           .agg(F.sum("w").cast("bigint").alias("weight"),
+                F.sum(F.col("v") * F.col("w")).cast("bigint")
+                .alias("sum_cents"),
+                F.min("v").cast("bigint").alias("lo_cents"),
+                F.max("v").cast("bigint").alias("hi_cents"),
+                F.max(F.col("t_hi") - F.col("t_lo")).cast("bigint")
+                .alias("span")))
+    wlag = Window.partitionBy("event_type").orderBy("cluster")
+    return (dig.select(
+        "event_type", "cluster", "weight", "sum_cents",
+        F.round(F.col("sum_cents").cast("double") / F.col("weight"), 6)
+        .alias("mean_cents"),
+        "lo_cents", "hi_cents",
+        (F.col("weight") == F.col("span")).cast("int").alias("weight_ok"),
+        F.coalesce(F.col("lo_cents") >= F.lag("hi_cents").over(wlag),
+                   F.lit(True)).cast("int").alias("monotone_ok")))

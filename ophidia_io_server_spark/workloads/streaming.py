@@ -667,3 +667,143 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("psi_total_raw"), 6).alias("psi_total"),
         (F.col("n_stream") == F.col("n_second"))
         .alias("stream_equals_batch"))
+
+
+@workload(
+    "stream_funnel_sessions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN value IS NULL OR isnan(value) THEN 0
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    g AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view_ts
+      FROM sess GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT s.user_id, s.sid, MIN(s.ts) AS first_click_ts
+      FROM sess s JOIN g ON s.user_id = g.user_id AND s.sid = g.sid
+      WHERE s.event_type = 'click' AND g.first_view_ts IS NOT NULL
+            AND s.ts > g.first_view_ts
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, sid, ts AS purchase_ts, cents AS credit_cents FROM (
+        SELECT s.user_id, s.sid, s.ts, s.cents,
+               ROW_NUMBER() OVER (PARTITION BY s.user_id, s.sid
+                                  ORDER BY s.ts, s.event_id) AS rn
+        FROM sess s JOIN c ON s.user_id = c.user_id AND s.sid = c.sid
+        WHERE s.event_type = 'purchase' AND s.ts > c.first_click_ts
+      ) WHERE rn = 1
+    )
+    SELECT g.user_id, g.session_start, g.n_events, g.first_view_ts,
+           c.first_click_ts, p.purchase_ts,
+           COALESCE(p.credit_cents, 0) AS credit_cents,
+           (p.purchase_ts IS NOT NULL) AS converted,
+           TRUE AS stream_equals_batch
+    FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.sid = c.sid
+           LEFT JOIN p ON g.user_id = p.user_id AND g.sid = p.sid
+    """,
+)
+def stream_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel attribution over a watermarked stream
+    (``streaming/ingest.py::sessionized_funnel_stream``): 30-min-gap
+    sessions per user, each resolving the ordered funnel view ->
+    click(after view) -> purchase(after click) with the converting
+    purchase's cents attributed to the session.  Sessions closed by
+    in-stream evidence emit immediately; the trailing open session per
+    user emits via event-time state TIMEOUT once the watermark passes
+    its gap horizon (the sentinel staging pushes the final watermark
+    past every real user).  The oracle is the full batch sessionize +
+    funnel SQL; ``stream_equals_batch`` additionally asserts the
+    drained stream set-equals the identical Spark batch plan.
+
+    Scale: state is one fixed-width tuple per ACTIVE user (the open
+    session's funnel registers), evicted on timeout — no event
+    buffering; the batch twin's windows partition by (user, session),
+    both bounded by user activity, never data-sized."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+        sessionized_funnel_stream,
+    )
+
+    path = _staged_events_outer_dir(spark, sf_dir)
+    src = (events_stream(spark, path, max_files_per_trigger=1)
+           .where(F.col("user_id").isNotNull()))
+    funnel = sessionized_funnel_stream(src, gap_minutes=30,
+                                       watermark="2 hours")
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    landed = (run_available_now(funnel, f"stream_funnel_{tag}",
+                                output_mode="append")
+              .where(F.col("user_id") >= 0))  # drop sentinel users
+
+    # ---- batch twin (certificate side) --------------------------------
+    from pyspark.sql import Window
+
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("user_id", "ts", "event_id", "event_type",
+                  F.when(F.col("value").isNull() | F.isnan("value"),
+                         F.lit(0))
+                  .otherwise(F.round(F.col("value") * 100))
+                  .cast("bigint").alias("cents")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.withColumn(
+        "new_session",
+        F.when((tsl - F.lag(tsl).over(w)) > 1800 * 1_000_000, 1)
+        .otherwise(0))
+    sess = seq.withColumn(
+        "sid", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+    g = (sess.groupBy("user_id", "sid")
+         .agg(F.min("ts").alias("session_start"),
+              F.count(F.lit(1)).cast("bigint").alias("n_events"),
+              F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("first_view_ts")))
+    c = (sess.where(F.col("event_type") == "click")
+         .join(g.select("user_id", "sid", "first_view_ts"),
+               ["user_id", "sid"])
+         .where(F.col("first_view_ts").isNotNull()
+                & (F.col("ts") > F.col("first_view_ts")))
+         .groupBy("user_id", "sid")
+         .agg(F.min("ts").alias("first_click_ts")))
+    p = (sess.where(F.col("event_type") == "purchase")
+         .join(c, ["user_id", "sid"])
+         .where(F.col("ts") > F.col("first_click_ts"))
+         .groupBy("user_id", "sid")
+         .agg(F.min(F.struct("ts", "event_id", "cents")).alias("m"))
+         .select("user_id", "sid", F.col("m.ts").alias("purchase_ts"),
+                 F.col("m.cents").alias("credit_cents")))
+    batch = (g.join(c, ["user_id", "sid"], "left")
+             .join(p, ["user_id", "sid"], "left")
+             .select("user_id",
+                     F.col("session_start").cast("timestamp"),
+                     "n_events",
+                     F.col("first_view_ts").cast("timestamp"),
+                     F.col("first_click_ts").cast("timestamp"),
+                     F.col("purchase_ts").cast("timestamp"),
+                     F.coalesce("credit_cents", F.lit(0)).cast("bigint")
+                     .alias("credit_cents"),
+                     F.col("purchase_ts").isNotNull().alias("converted")))
+    eq = session_memo(
+        spark, ("funnel_eq", sf_dir),
+        lambda: bool(landed.exceptAll(batch).count() == 0
+                     and batch.exceptAll(landed).count() == 0))
+    return landed.withColumn("stream_equals_batch", F.lit(eq))

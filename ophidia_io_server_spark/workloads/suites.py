@@ -306,6 +306,15 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("psi_total", "double"),
             ("stream_equals_batch", "boolean"),
         ],
+        # r12: sessionized funnel attribution over the watermarked stream
+        # (event-time-timeout session close, per-session funnel registers)
+        "stream_funnel_sessions": [
+            ("user_id", "bigint"), ("session_start", "timestamp"),
+            ("n_events", "bigint"), ("first_view_ts", "timestamp"),
+            ("first_click_ts", "timestamp"), ("purchase_ts", "timestamp"),
+            ("credit_cents", "bigint"), ("converted", "boolean"),
+            ("stream_equals_batch", "boolean"),
+        ],
     },
     # the two iterative graph operators
     "graph_suite": {
@@ -1150,6 +1159,7 @@ _ANALYTICS_SPLIT: dict[str, list[str]] = {
         "events_quantile_rollup", "events_hll_rollup",
         "events_quantile_normalize", "events_rolling_zscore",
         "events_spatial_neighbors", "events_dbscan_clusters",
+        "events_tdigest_quantiles",
     ],
     "analytics_rank_suite": [
         "events_mannwhitney_utest", "events_ks_test",
@@ -1172,22 +1182,32 @@ _ANALYTICS_SPLIT: dict[str, list[str]] = {
     ],
 }
 
-_CANARY_COLS: list[tuple[str, str]] = [
-    ("chain", "string"), ("n_cells", "bigint"),
-    ("n_drift", "bigint"), ("n_round_flips", "bigint"),
-]
+# arms NEW in r12 (not members of the frozen r11-comparable
+# analytics_suite): the determinism canary and the canonical t-digest
+_R12_ARMS: dict[str, list[tuple[str, str]]] = {
+    "determinism_canary": [
+        ("chain", "string"), ("n_cells", "bigint"),
+        ("n_drift", "bigint"), ("n_round_flips", "bigint"),
+    ],
+    "events_tdigest_quantiles": [
+        ("event_type", "string"), ("cluster", "bigint"),
+        ("weight", "bigint"), ("sum_cents", "bigint"),
+        ("mean_cents", "double"), ("lo_cents", "bigint"),
+        ("hi_cents", "bigint"), ("weight_ok", "int"),
+        ("monotone_ok", "int"),
+    ],
+}
 
 for _s, _arm_names in _ANALYTICS_SPLIT.items():
     _SUITES[_s] = {
-        a: (_CANARY_COLS if a == "determinism_canary"
-            else _SUITES["analytics_suite"][a])
+        a: _R12_ARMS.get(a) or _SUITES["analytics_suite"][a]
         for a in _arm_names
     }
 
-# every analytics arm lands in exactly one sub-suite (the canary is new)
+# every analytics arm lands in exactly one sub-suite (r12 arms are new)
 _split_arms = [a for arms in _ANALYTICS_SPLIT.values() for a in arms]
 assert len(_split_arms) == len(set(_split_arms)), "arm in two sub-suites"
-assert set(_split_arms) - {"determinism_canary"} == \
+assert set(_split_arms) - set(_R12_ARMS) == \
     set(_SUITES["analytics_suite"]), "split does not cover analytics_suite"
 
 # r12 (verdict #1, seat-freeing): the seven small standalone gate rows
