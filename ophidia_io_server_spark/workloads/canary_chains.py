@@ -40,6 +40,11 @@ CHAINS: dict[str, str] = {
     # a composed ln/exp/sqrt chain shaped like the analytics arms'
     # statistics (entropy terms, PSI terms, z-scores)
     "c_mix": "ln(2e0 + sqrt(i + 25e-2)) / (1e0 + exp(0e0 - i / 11e0))",
+    # r12b: the trig surface the gsl arms hash through
+    # (oph_gsl_complex_to_polar/get_arg -> atan2; fft kernels -> sin/cos)
+    "c_atan2": "atan2(1e0 + i / 127e0, 2e0 - i / 255e0)",
+    "c_sin": "sin(i * 3e0 / 127e0)",
+    "c_cos": "cos(i * 5e0 / 127e0)",
     # exact-by-construction control: IEEE division of small integers
     "c_div": "(i + 1e0) / 7e0",
 }

@@ -19,7 +19,18 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from ophidia_io_server_spark.workloads.canary_chains import CHAINS, N_CELLS  # noqa: E402
+# load canary_chains BY FILE PATH: importing it as a package submodule
+# would execute the workloads package __init__, which evaluates the canary
+# oracle against the current (stale, mid-regeneration) pins file
+import importlib.util  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "canary_chains",
+    Path(__file__).resolve().parent.parent / "ophidia_io_server_spark"
+    / "workloads" / "canary_chains.py")
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+CHAINS, N_CELLS = _mod.CHAINS, _mod.N_CELLS
 
 
 def _hex(x: float) -> str:
@@ -27,12 +38,16 @@ def _hex(x: float) -> str:
 
 
 def main() -> int:
-    import os
+    # vanilla session, NOT the package's get_spark: importing the package
+    # evaluates the canary workload's oracle against the CURRENT pins file,
+    # which fails by construction while regenerating after a chain change
+    from pyspark.sql import SparkSession
 
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
-    from ophidia_io_server_spark import get_spark
-
-    spark = get_spark()
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("canary-pins")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     exprs = ", ".join(f"{e} AS {n}" for n, e in CHAINS.items())
