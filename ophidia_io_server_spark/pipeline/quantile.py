@@ -186,3 +186,92 @@ def equi_depth_histogram(df: DataFrame, value_col: str,
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.min("v").alias("lo"), F.max("v").alias("hi")))
+
+
+def canonical_tdigest(df: DataFrame, keys: list[str], value_col: str,
+                      delta: int = 32) -> DataFrame:
+    """Canonical (merge-invariant) t-digest per ``keys`` cell — the
+    tail-accurate member of the mergeable-sketch family (Dunning & Ertl;
+    see the r12 workload ``events_tdigest_quantiles`` for the full
+    design rationale and the DuckDB oracle twin).
+
+    A streamed t-digest depends on insertion/merge order; this is the
+    construction's FIXED POINT — the digest of fully-merged sorted data
+    — defined off exact global ranks from the distributed value-level
+    CDF, so ANY partitioning of the input yields the same bits.  Cluster
+    boundaries follow the smoothstep rational scale
+    ``q_j = (3 j^2 delta - 2 j^3) / delta^3`` (dq/dj -> 0 at both ends:
+    the cluster budget concentrates in the tails like the classical
+    asin-based k1, but the rank thresholds ``t_j = floor(n q_j)`` stay
+    pure BIGINT arithmetic — no libm in the hashed path).
+
+    Returns one row per non-empty cluster:
+    ``(*keys, cluster, weight, sum_val, lo, hi, span)`` where ``span``
+    is the cluster's defined rank width (``weight == span`` certifies
+    the digest tiles the rank space exactly).
+
+    Scale: the value-level collapse is partial-aggregatable; the CDF
+    window runs over the per-cell DISTINCT value grid; the delta-row
+    cluster frame is broadcast into the overlap join."""
+    d = int(delta)
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(*keys, F.col(value_col).alias("v")))
+    vc = base.groupBy(*keys, "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wv = Window.partitionBy(*keys).orderBy("v")
+    cdf = (vc.withColumn("cum", F.sum("cnt").over(wv))
+           .withColumn("n", F.sum("cnt").over(Window.partitionBy(*keys))))
+    cells = cdf.select(*keys, "n").distinct()
+    j = df.sparkSession.range(1, d + 1).toDF("j")
+    cl = (cells.crossJoin(F.broadcast(j))
+          .select(
+              *[F.col(k).alias(f"__k_{k}") for k in keys],
+              F.col("j").cast("bigint").alias("cluster"),
+              F.expr(f"n * (3*(j-1)*(j-1)*{d} - 2*(j-1)*(j-1)*(j-1)) "
+                     f"div {d * d * d}").cast("bigint").alias("t_lo"),
+              F.expr(f"n * (3*j*j*{d} - 2*j*j*j) div {d * d * d}")
+              .cast("bigint").alias("t_hi"))
+          .where(F.col("t_hi") > F.col("t_lo")))  # drop empty clusters
+    cond = (cdf.cum - cdf.cnt < cl.t_hi) & (cdf.cum > cl.t_lo)
+    for k in keys:
+        cond &= cdf[k] == cl[f"__k_{k}"]
+    asg = (cdf.join(F.broadcast(cl), cond)
+           .select(*[cdf[k] for k in keys], cl.cluster, cl.t_lo, cl.t_hi,
+                   cdf.v,
+                   (F.least(cdf.cum, cl.t_hi)
+                    - F.greatest(cdf.cum - cdf.cnt, cl.t_lo)).alias("w")))
+    return (asg.groupBy(*keys, "cluster")
+            .agg(F.sum("w").cast("bigint").alias("weight"),
+                 F.sum(F.col("v") * F.col("w")).cast("bigint")
+                 .alias("sum_val"),
+                 F.min("v").cast("bigint").alias("lo"),
+                 F.max("v").cast("bigint").alias("hi"),
+                 F.max(F.col("t_hi") - F.col("t_lo")).cast("bigint")
+                 .alias("span")))
+
+
+def tdigest_estimate(digest: DataFrame, keys: list[str],
+                     qs: list[float]) -> DataFrame:
+    """Quantile estimates from a ``canonical_tdigest`` frame: for each
+    cell and q, locate the cluster containing the nearest-rank target
+    ``ceil(q n)`` via the digest's cumulative weights and report the
+    cluster's value bracket — ``(*keys, q, est, lo, hi, weight)`` with
+    ``est`` the cluster mean.  The EXACT q-quantile provably lies in
+    [lo, hi] (clusters are exact rank ranges), so the bracket width is a
+    per-estimate certified error bound — tight at the tails by the scale
+    function's construction.  All digest-sized frames; never touches raw
+    data."""
+    cum = (digest
+           .withColumn("cum_w", F.sum("weight").over(
+               Window.partitionBy(*keys).orderBy("cluster")))
+           .withColumn("n", F.sum("weight").over(Window.partitionBy(*keys))))
+    qdf = digest.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    hit = (cum.crossJoin(F.broadcast(qdf))
+           .where((F.col("cum_w") >= F.ceil(F.col("q") * F.col("n")))
+                  & (F.col("cum_w") - F.col("weight")
+                     < F.ceil(F.col("q") * F.col("n")))))
+    return hit.select(
+        *keys, "q",
+        (F.col("sum_val").cast("double") / F.col("weight")).alias("est"),
+        "lo", "hi", "weight")

@@ -5583,58 +5583,20 @@ def events_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     only data-sized pass is the first collapse."""
     from pyspark.sql import Window
 
-    d = _TDIGEST_DELTA
+    from ophidia_io_server_spark.pipeline.quantile import canonical_tdigest
+
     e = (load_table(spark, sf_dir, "events")
          .where(F.col("value").isNotNull() & ~F.isnan("value"))
          .select("event_type",
                  F.round(F.col("value") * 100).cast("bigint").alias("v")))
-    vc = e.groupBy("event_type", "v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    wv = Window.partitionBy("event_type").orderBy("v")
-    cdf = (vc
-           .withColumn("cum", F.sum("cnt").over(wv))
-           .withColumn("n", F.sum("cnt").over(
-               Window.partitionBy("event_type"))))
-    types = cdf.select("event_type", "n").distinct()
-    j = spark.range(1, d + 1).toDF("j")
-    # rank thresholds in exact integer floor division (`div`): the
-    # numerator reaches n * 3*delta^3 which is fine in BIGINT but would
-    # lose bits through a DOUBLE division past 2^53 rows
-    # rename the key: cl derives from cdf, so an unqualified join
-    # condition would be an ambiguous self-join reference
-    cl = (types.crossJoin(F.broadcast(j))
-          .select(
-              F.col("event_type").alias("et"),
-              F.col("j").cast("bigint").alias("cluster"),
-              F.expr(f"n * (3*(j-1)*(j-1)*{d} - 2*(j-1)*(j-1)*(j-1)) "
-                     f"div {d * d * d}").cast("bigint").alias("t_lo"),
-              F.expr(f"n * (3*j*j*{d} - 2*j*j*j) div {d * d * d}")
-              .cast("bigint").alias("t_hi"),
-          )
-          # empty clusters (possible when a type has n < delta rows)
-          # would contribute zero-weight rows and 0/0 means
-          .where(F.col("t_hi") > F.col("t_lo")))
-    asg = (cdf.join(F.broadcast(cl),
-                    (cdf.event_type == cl.et)
-                    & (cdf.cum - cdf.cnt < cl.t_hi)
-                    & (cdf.cum > cl.t_lo))
-           .select(cdf.event_type, cl.cluster, cl.t_lo, cl.t_hi, cdf.v,
-                   (F.least(cdf.cum, cl.t_hi)
-                    - F.greatest(cdf.cum - cdf.cnt, cl.t_lo)).alias("w")))
-    dig = (asg.groupBy("event_type", "cluster")
-           .agg(F.sum("w").cast("bigint").alias("weight"),
-                F.sum(F.col("v") * F.col("w")).cast("bigint")
-                .alias("sum_cents"),
-                F.min("v").cast("bigint").alias("lo_cents"),
-                F.max("v").cast("bigint").alias("hi_cents"),
-                F.max(F.col("t_hi") - F.col("t_lo")).cast("bigint")
-                .alias("span")))
+    dig = canonical_tdigest(e, ["event_type"], "v", delta=_TDIGEST_DELTA)
     wlag = Window.partitionBy("event_type").orderBy("cluster")
-    return (dig.select(
-        "event_type", "cluster", "weight", "sum_cents",
-        F.round(F.col("sum_cents").cast("double") / F.col("weight"), 6)
+    return dig.select(
+        "event_type", "cluster", "weight",
+        F.col("sum_val").alias("sum_cents"),
+        F.round(F.col("sum_val").cast("double") / F.col("weight"), 6)
         .alias("mean_cents"),
-        "lo_cents", "hi_cents",
+        F.col("lo").alias("lo_cents"), F.col("hi").alias("hi_cents"),
         (F.col("weight") == F.col("span")).cast("int").alias("weight_ok"),
-        F.coalesce(F.col("lo_cents") >= F.lag("hi_cents").over(wlag),
-                   F.lit(True)).cast("int").alias("monotone_ok")))
+        F.coalesce(F.col("lo") >= F.lag("hi").over(wlag),
+                   F.lit(True)).cast("int").alias("monotone_ok"))

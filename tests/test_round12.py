@@ -240,3 +240,43 @@ def test_stream_funnel_sessions_certificate(spark):
     assert nonconv["purchase_ts"].isna().all()
     # no sentinel users leak through
     assert (df["user_id"] >= 0).all()
+
+
+def test_tdigest_estimate_brackets_exact_quantiles(spark):
+    """pipeline API: tdigest_estimate's [lo, hi] bracket must contain the
+    exact nearest-rank quantile for every (cell, q)."""
+    import duckdb
+
+    from ophidia_io_server_spark.pipeline.quantile import (
+        canonical_tdigest, tdigest_estimate,
+    )
+    from ophidia_io_server_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = (load_table(spark, SF_SMALL, "events")
+         .where(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("bigint").alias("v")))
+    dig = canonical_tdigest(e, ["event_type"], "v", delta=32)
+    est = tdigest_estimate(dig, ["event_type"], [0.05, 0.5, 0.99]) \
+        .toPandas()
+    assert len(est) > 0
+    exact = duckdb.sql(
+        f"""SELECT event_type, q, v FROM (
+              SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+                       CAST(ROUND(value*100) AS BIGINT)) AS r,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM read_parquet('{SF_SMALL}/events.parquet')
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+             (SELECT unnest([0.05, 0.5, 0.99]) AS q)
+            WHERE r = CEIL(q * n)"""
+    ).df().set_index(["event_type", "q"])["v"]
+    for _, row in est.iterrows():
+        ex = exact[(row["event_type"], row["q"])]
+        assert row["lo"] <= ex <= row["hi"], \
+            (row["event_type"], row["q"], ex, row["lo"], row["hi"])
+        # the bracket is the certified error bound; est lies inside it
+        assert row["lo"] <= row["est"] <= row["hi"]
+    # one estimate per (cell, q)
+    assert not est.duplicated(["event_type", "q"]).any()
