@@ -76,7 +76,10 @@ THRESHOLD_ULPS = 1e4  # flag margins below this (drift seen is 1-2 ulps;
 #   orders_profile.mean_num               exact DECIMAL sum / count
 #   lineitem_anova_f.{mean_a,mean_n}      exact DECIMAL sum / count
 #   lineitem_brown_forsythe.mad_r         exact |y - median| mean (DECIMAL)
+#   events_tdigest_quantiles.mean_cents   exact BIGINT sum/weight ratio
+#                                         (one IEEE division)
 SAFE_EXACT: set[str] = {
+    "events_tdigest_quantiles.mean_cents",
     "dedup_substring_spans.dup_frac",
     "curation_quality_rules.mean_word_len",
     "token_budget_select.quality",
