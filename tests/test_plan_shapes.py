@@ -246,3 +246,22 @@ def test_kruskal_and_stump_windows_only_on_bounded_value_table(spark):
                  "events_cliffs_delta"):
         p = plan_of(spark, name)
         assert "partial_" in p, name  # map-side combine feeds the window
+
+
+def test_tdigest_broadcast_cluster_join_and_partial_agg(spark):
+    """r12 canonical t-digest: the delta-row cluster frame must arrive by
+    broadcast (a shuffled or nested-loop join here would be a scale
+    regression), the value-level collapse must combine map-side, and
+    nothing may go cartesian."""
+    df = WORKLOADS["events_tdigest_quantiles"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the data-sized overlap join (value grid x cluster frame) is an
+    # equi-join on the cell key with the rank-range residual -> BHJ;
+    # the one BroadcastNestedLoopJoin in the plan is the intentional
+    # |cells| x delta crossJoin BUILDING the 32-row-per-cell cluster
+    # frame (both sides cell-count-sized, never data-sized)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    ext = plan_of(spark, "events_tdigest_quantiles")
+    assert "partial_" in ext  # map-side combine on the (type, v) collapse
