@@ -223,14 +223,23 @@ def canonical_tdigest(df: DataFrame, keys: list[str], value_col: str,
            .withColumn("n", F.sum("cnt").over(Window.partitionBy(*keys))))
     cells = cdf.select(*keys, "n").distinct()
     j = df.sparkSession.range(1, d + 1).toDF("j")
+    # t_j = floor(n * m_j / d^3) with m_j = 3 j^2 d - 2 j^3 <= d^3.
+    # Computed as (n div d^3)*m_j + ((n mod d^3)*m_j) div d^3 so every
+    # intermediate stays < max(n, d^6): the naive n*m_j wraps BIGINT at
+    # n ~ 2.8e14 rows/cell (Spark wraps silently, DuckDB raises) —
+    # within a 100 TB hot cell's reach.
+    D3 = d * d * d
+
+    def _thresh(jj: str) -> str:
+        m = f"(3*{jj}*{jj}*{d} - 2*{jj}*{jj}*{jj})"
+        return (f"(n div {D3}) * {m} + ((n % {D3}) * {m}) div {D3}")
+
     cl = (cells.crossJoin(F.broadcast(j))
           .select(
               *[F.col(k).alias(f"__k_{k}") for k in keys],
               F.col("j").cast("bigint").alias("cluster"),
-              F.expr(f"n * (3*(j-1)*(j-1)*{d} - 2*(j-1)*(j-1)*(j-1)) "
-                     f"div {d * d * d}").cast("bigint").alias("t_lo"),
-              F.expr(f"n * (3*j*j*{d} - 2*j*j*j) div {d * d * d}")
-              .cast("bigint").alias("t_hi"))
+              F.expr(_thresh("(j-1)")).cast("bigint").alias("t_lo"),
+              F.expr(_thresh("j")).cast("bigint").alias("t_hi"))
           .where(F.col("t_hi") > F.col("t_lo")))  # drop empty clusters
     cond = (cdf.cum - cdf.cnt < cl.t_hi) & (cdf.cum > cl.t_lo)
     for k in keys:
@@ -265,12 +274,19 @@ def tdigest_estimate(digest: DataFrame, keys: list[str],
            .withColumn("cum_w", F.sum("weight").over(
                Window.partitionBy(*keys).orderBy("cluster")))
            .withColumn("n", F.sum("weight").over(Window.partitionBy(*keys))))
+    # Target rank ceil(q*n) computed EXACTLY in BIGINT: q rides as an
+    # integer per-million (every practical q is a ppm-exact rational)
+    # and target = (n*q_ppm + 999_999) div 1_000_000.  The double-
+    # precision F.ceil(q*n) form is off-by-one at boundaries (e.g.
+    # double(0.05)*160 = 8.0000000000000004 -> ceil 9), which can pick
+    # the neighbor cluster and break the [lo, hi] bracket guarantee.
     qdf = digest.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double")
+        [(float(q), int(round(q * 1_000_000))) for q in qs],
+        "q double, q_ppm bigint")
+    target = F.expr("(n * q_ppm + 999999) div 1000000")
     hit = (cum.crossJoin(F.broadcast(qdf))
-           .where((F.col("cum_w") >= F.ceil(F.col("q") * F.col("n")))
-                  & (F.col("cum_w") - F.col("weight")
-                     < F.ceil(F.col("q") * F.col("n")))))
+           .where((F.col("cum_w") >= target)
+                  & (F.col("cum_w") - F.col("weight") < target)))
     return hit.select(
         *keys, "q",
         (F.col("sum_val").cast("double") / F.col("weight")).alias("est"),

@@ -5439,7 +5439,8 @@ def determinism_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible to the gate only because ROUND(·, 6) absorbs last-ulp noise
     away from bucket boundaries.  If the DRIVER environment's JVM
     (JIT/intrinsic state, fdlibm vs vectorized libm) or DuckDB build
-    computes ANY chain differently, n_drift moves and this 6-row arm reds
+    computes ANY chain differently, n_drift moves and this 9-row arm
+    (one row per canary_chains.CHAINS entry) reds
     — naming transcendental drift as the mechanism without touching data.
     The c_div control is IEEE-exact: drift there indicts the comparison
     harness itself, not libm.
@@ -5487,6 +5488,7 @@ def determinism_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TDIGEST_DELTA = 32
+_TDIGEST_D3 = _TDIGEST_DELTA ** 3
 
 
 @workload(
@@ -5507,11 +5509,17 @@ _TDIGEST_DELTA = 32
       FROM vc
     ),
     cl AS (
+      -- t_j = floor(n*m_j/d^3), m_j = 3j^2 d - 2j^3 <= d^3, computed as
+      -- (n//d^3)*m_j + ((n%d^3)*m_j)//d^3 so intermediates stay bounded
+      -- (the naive n*m_j wraps BIGINT at n ~ 2.8e14 rows per cell;
+      -- same rewrite as pipeline/quantile.canonical_tdigest)
       SELECT event_type, n, CAST(j AS BIGINT) AS cluster,
-             n * (3 * (j-1) * (j-1) * {_TDIGEST_DELTA} - 2 * (j-1) * (j-1) * (j-1))
-               // ({_TDIGEST_DELTA} * {_TDIGEST_DELTA} * {_TDIGEST_DELTA}) AS t_lo,
-             n * (3 * j * j * {_TDIGEST_DELTA} - 2 * j * j * j)
-               // ({_TDIGEST_DELTA} * {_TDIGEST_DELTA} * {_TDIGEST_DELTA}) AS t_hi
+             (n // {_TDIGEST_D3}) * (3 * (j-1) * (j-1) * {_TDIGEST_DELTA} - 2 * (j-1) * (j-1) * (j-1))
+               + ((n % {_TDIGEST_D3}) * (3 * (j-1) * (j-1) * {_TDIGEST_DELTA} - 2 * (j-1) * (j-1) * (j-1)))
+                 // {_TDIGEST_D3} AS t_lo,
+             (n // {_TDIGEST_D3}) * (3 * j * j * {_TDIGEST_DELTA} - 2 * j * j * j)
+               + ((n % {_TDIGEST_D3}) * (3 * j * j * {_TDIGEST_DELTA} - 2 * j * j * j))
+                 // {_TDIGEST_D3} AS t_hi
       FROM (SELECT DISTINCT event_type, n FROM cdf),
            unnest(range(1, {_TDIGEST_DELTA} + 1)) AS t(j)
     ),

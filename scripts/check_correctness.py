@@ -158,7 +158,30 @@ def _changed_gate_rows(since: str) -> set[str]:
     arm_modules = {arm_module(a)
                    for row in GATE_ORDER
                    for a in _SUITES.get(row, {row: None})}
-    shared = [p for p in touched if p not in arm_modules]
+
+    # An arm module that is IMPORTED BY another workloads/ module is
+    # itself shared (r12 advice: analytics.py imports a helper from
+    # docs.py, relational.py from streaming.py — an edit to the imported
+    # helper must rerun the importing modules' rows too; the cheap sound
+    # answer is the full gate).  Detected by a static import scan, so a
+    # future cross-import is picked up automatically.
+    import re as _re
+
+    wl_dir = repo / "ophidia_io_server_spark" / "workloads"
+    imported_by_peer: set[str] = set()
+    for src in wl_dir.glob("*.py"):
+        text = src.read_text()
+        for m in _re.finditer(
+                r"(?:from|import)\s+(?:ophidia_io_server_spark\."
+                r"workloads\.|\.)(\w+)", text):
+            target = (wl_dir / f"{m.group(1)}.py")
+            if target.exists() and target != src:
+                imported_by_peer.add(
+                    target.resolve().relative_to(repo).as_posix())
+    shared_arm_modules = arm_modules & imported_by_peer
+
+    shared = [p for p in touched
+              if p not in arm_modules or p in shared_arm_modules]
     if shared:
         print(f"--changed-since: shared-layer files touched {shared} "
               "-> full gate")
