@@ -3285,9 +3285,8 @@ def token_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u WHERE i < n
     )
     SELECT event_type, cp_hr, CAST(u_abs AS BIGINT) AS u_abs, n,
-           ROUND(2 * exp(-6.0 * u_abs * u_abs
-                         / (CAST(n AS DOUBLE) * n * n
-                            + CAST(n AS DOUBLE) * n)), 6) AS p_approx
+           CAST(6 * u_abs * u_abs AS BIGINT) AS stat_num,
+           CAST(n * n * n + n * n AS BIGINT) AS stat_den
     FROM best WHERE rk = 1
     """,
 )
@@ -3299,8 +3298,13 @@ def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to the CUSUM tripwire, which needs a known baseline
     mean).  U_t stays EXACT: by antisymmetry U_t = Σ_{i≤t} V_i with
     V_i = Σ_j sign(xᵢ−xⱼ), so one pair aggregate + one cumulative sum —
-    all integers; the significance approximation
-    2·exp(−6U²/(n³+n²)) is ONE transcendental per output row.
+    all integers.  r13 (environment-proofing): the significance
+    approximation p ≈ 2·exp(−6U²/(n³+n²)) leaves the HASHED projection —
+    the row instead carries its exact rational exponent as
+    (stat_num, stat_den) = (6U², n³+n²) BIGINTs (U ≤ H²/2 ≈ 3.9e7 on a
+    year of hours → 6U² ≤ 9e15, BIGINT-safe), so the gate row is pure
+    integer and a red can never be libm drift; the exp() readout is
+    asserted in tests/test_wave7_ops.py from these exact columns.
 
     Scale: the corpus collapses to the span-bounded hourly series first;
     the O(H²) pair join and the windows run over that bounded series
@@ -3332,15 +3336,14 @@ def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                         Window.partitionBy("event_type")
                         .orderBy(F.abs(F.col("ut")).desc(),
                                  F.col("hr").asc())).alias("rk")))
-    nn = F.col("n").cast("double")
     return (best.where(F.col("rk") == 1)
             .select("event_type", "cp_hr",
                     F.col("u_abs").cast("bigint").alias("u_abs"), "n",
-                    F.round(2 * F.exp(-6.0 * F.col("u_abs")
-                                      * F.col("u_abs")
-                                      / (nn * F.col("n") * F.col("n")
-                                         + nn * F.col("n"))), 6)
-                    .alias("p_approx")))
+                    (6 * F.col("u_abs") * F.col("u_abs")).cast("bigint")
+                    .alias("stat_num"),
+                    (F.col("n") * F.col("n") * F.col("n")
+                     + F.col("n") * F.col("n")).cast("bigint")
+                    .alias("stat_den")))
 
 @workload(
     "events_burstiness_memory",
@@ -4317,23 +4320,9 @@ def token_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM tr WHERE b IS NOT NULL GROUP BY 1, 2),
     ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na
            FROM cells GROUP BY 1),
-    nt AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
-    hc AS (
-      SELECT list(-(CAST(nab AS DOUBLE) / n)
-                  * ln(CAST(nab AS DOUBLE) / na) ORDER BY a, b) AS hc_t
-      FROM cells JOIN ma USING (a), nt
-    ),
-    hm AS (
-      SELECT list(-(CAST(na AS DOUBLE) / n)
-                  * ln(CAST(na AS DOUBLE) / n) ORDER BY a) AS hm_t
-      FROM ma, nt
-    )
-    SELECT (SELECT n FROM nt) AS n_transitions,
-           ROUND(list_reduce(list_prepend(0.0, hc_t), (x, y) -> x + y), 6)
-             AS h_cond,
-           ROUND(list_reduce(list_prepend(0.0, hm_t), (x, y) -> x + y), 6)
-             AS h_marginal
-    FROM hc, hm
+    nt AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells)
+    SELECT a, b, nab, na, n
+    FROM cells JOIN ma USING (a), nt
     """,
 )
 def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4346,10 +4335,13 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events_pagerank_transitions`` (same transition structure, entropy
     instead of stationary mass).
 
-    Float discipline: ≤25 transcendental terms per sum ride
-    (a, b)-ordered lists and seeded LEFT FOLDS (``F.aggregate`` ↔
-    ``list_reduce``) over exact integer counts — bitwise cross-engine,
-    rounded 6.
+    r13 (environment-proofing): the HASHED projection is the exact
+    transition cell table ``(a, b, nab, na, n)`` — ≤ |types|² rows of
+    pure BIGINTs that are the SUFFICIENT STATISTIC for both entropies
+    (H_cond and H_marginal are deterministic functions of these counts),
+    so the gate row carries zero libm exposure; the ln() readouts are
+    asserted against a Python brute force in tests/test_wave12_ops.py
+    via the same (a, b)-ordered seeded left fold.
 
     Scale: ONE per-user-partitioned lead window over the fact table
     (the sessionize/SCD2 shape — partition key is user_id, never a
@@ -4365,22 +4357,31 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).cast("bigint").alias("nab")))
     ma = cells.groupBy("a").agg(F.sum("nab").cast("bigint").alias("na"))
     nt = cells.agg(F.sum("nab").cast("bigint").alias("n"))
-    hc_term = (-(F.col("nab").cast("double") / F.col("n"))
-               * F.log(F.col("nab").cast("double") / F.col("na")))
-    hc = (cells.join(ma, "a").crossJoin(F.broadcast(nt))
-          .agg(F.array_sort(F.collect_list(F.struct(
-              F.col("a"), F.col("b"), hc_term.alias("t")))).alias("hc_s")))
-    hm_term = (-(F.col("na").cast("double") / F.col("n"))
-               * F.log(F.col("na").cast("double") / F.col("n")))
-    hm = (ma.crossJoin(F.broadcast(nt))
-          .agg(F.array_sort(F.collect_list(F.struct(
-              F.col("a"), hm_term.alias("t")))).alias("hm_s")))
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        F.transform(arr, lambda s: s["t"]), F.lit(0.0), lambda x, y: x + y)
-    return (nt.crossJoin(F.broadcast(hc)).crossJoin(F.broadcast(hm))
-            .select(F.col("n").alias("n_transitions"),
-                    F.round(fold(F.col("hc_s")), 6).alias("h_cond"),
-                    F.round(fold(F.col("hm_s")), 6).alias("h_marginal")))
+    return (cells.join(ma, "a").crossJoin(F.broadcast(nt))
+            .select("a", "b", "nab", "na", "n"))
+
+
+def markov_entropy_readout(cells: list[tuple[str, str, int, int, int]],
+                           ) -> tuple[float, float]:
+    """The ln() readout over ``events_markov_entropy``'s exact cell
+    table: (h_cond, h_marginal), each a seeded left fold of the
+    transcendental terms in (a, b) order — the bitwise discipline the
+    hashed row used before r13 moved libm out of the gate projection.
+    Kept as a library function so the entropy semantics stay a tested
+    API (tests/test_wave12_ops.py) rather than gate-hashed floats."""
+    import math
+
+    h_cond = 0.0
+    for a, b, nab, na, n in sorted(cells):
+        h_cond += -(nab / n) * math.log(nab / na)
+    seen: dict[str, tuple[int, int]] = {}
+    for a, _, _, na, n in cells:
+        seen[a] = (na, n)
+    h_marg = 0.0
+    for a in sorted(seen):
+        na, n = seen[a]
+        h_marg += -(na / n) * math.log(na / n)
+    return h_cond, h_marg
 
 
 @workload(
@@ -4894,25 +4895,9 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(c.n_second, 0) AS n_second
       FROM unnest(range(0, 10)) AS t(k)
       LEFT JOIN counts c ON c.bin = k
-    ),
-    terms AS (
-      SELECT bin, n_first, n_second,
-             (CAST(n_first + 1 AS DOUBLE) / (tot.na + 10)
-              - CAST(n_second + 1 AS DOUBLE) / (tot.nb + 10))
-             * ln((CAST(n_first + 1 AS DOUBLE) / (tot.na + 10))
-                  / (CAST(n_second + 1 AS DOUBLE) / (tot.nb + 10)))
-               AS term
-      FROM allbins, tot
-    ),
-    total AS (
-      SELECT list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
-                         (a, x) -> a + x) AS psi
-      FROM terms
     )
-    SELECT bin, n_first, n_second,
-           ROUND(term, 6) AS psi_term,
-           ROUND((SELECT psi FROM total), 6) AS psi_total
-    FROM terms
+    SELECT bin, n_first, n_second, tot.na, tot.nb
+    FROM allbins, tot
     """,
 )
 def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4926,17 +4911,18 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the decile edges come off the distributed prefix-sum CDF
     over the first half's distinct integer-cents grid (edge_k = min v
     with 10·cum ≥ k·n₁ — an integer inequality, the nearest-rank
-    definition with no float rank); bin counts are exact BIGINTs; each
-    term is ONE IEEE chain over exact integers (identical text both
-    engines) and the total is a seeded LEFT FOLD over the 10 terms in
-    bin order (`F.aggregate` <-> `list_reduce`) — bitwise cross-engine.
+    definition with no float rank); bin counts are exact BIGINTs.
+    r13 (environment-proofing): the ln() terms leave the HASHED
+    projection — the row carries the exact sufficient statistic
+    ``(bin, n_first, n_second, na, nb)`` (PSI is a deterministic
+    function of these five integers given the +1/+10 Laplace smoothing),
+    so the gate row has zero libm exposure; the PSI readout itself is
+    asserted in tests/test_wave16_ops.py via ``psi_readout``.
 
     Scale: one value-level collapse (partial-aggregatable), the
     two-phase prefix sum over the cents grid, a 9-row broadcast edge
     join, a 10-row cell table after — no data-sized windows, the
     half-split predicate is a scan-level filter off a broadcast scalar."""
-    from pyspark.sql import Window
-
     from ophidia_io_server_spark.operators.ranking import global_prefix_sum
 
     ev = load_table(spark, sf_dir, "events")
@@ -4978,25 +4964,28 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("n_first"),
                        F.coalesce("n_second", F.lit(0)).cast("bigint")
                        .alias("n_second")))
-    p1 = (F.col("n_first") + 1).cast("double") / (F.col("na") + 10)
-    p2 = (F.col("n_second") + 1).cast("double") / (F.col("nb") + 10)
-    terms = (allbins.crossJoin(F.broadcast(tot))
-             .withColumn("term", (p1 - p2) * F.log(p1 / p2)))
-    w_all = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    # 10-row bounded frame: the ordered fold over bin order is the
-    # transcendental-sum discipline, not a data-sized window
-    folded = terms.withColumn(
-        "psi_total_raw",
-        F.aggregate(
-            F.transform(F.array_sort(F.collect_list(
-                F.struct(F.col("bin"), F.col("term"))).over(w_all)),
-                lambda s: s["term"]),
-            F.lit(0.0), lambda a, x: a + x))
-    return folded.select(
-        "bin", "n_first", "n_second",
-        F.round(F.col("term"), 6).alias("psi_term"),
-        F.round(F.col("psi_total_raw"), 6).alias("psi_total"))
+    return (allbins.crossJoin(F.broadcast(tot))
+            .select("bin", "n_first", "n_second", "na", "nb"))
+
+
+def psi_readout(bins: list[tuple[int, int, int]], na: int, nb: int,
+                ) -> tuple[dict[int, float], float]:
+    """PSI readout over ``events_value_psi``'s exact bin table: per-bin
+    Laplace-smoothed terms (pₖ − qₖ)·ln(pₖ/qₖ) and their bin-ordered
+    seeded left-fold total — the float surface the hashed row carried
+    before r13 moved libm out of the gate projection.  A deterministic
+    function of the hashed integers; asserted in
+    tests/test_wave16_ops.py against a Python brute force."""
+    import math
+
+    terms: dict[int, float] = {}
+    total = 0.0
+    for b, n1, n2 in sorted(bins):
+        p1 = (n1 + 1) / (na + 10)
+        p2 = (n2 + 1) / (nb + 10)
+        terms[b] = (p1 - p2) * math.log(p1 / p2)
+        total += terms[b]
+    return terms, total
 
 
 _RBO_P_POWS = [0.9 ** d for d in range(1, 21)]

@@ -542,26 +542,10 @@ def events_ohlc_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(c.n_second, 0) AS n_second
       FROM unnest(range(0, 10)) AS t(k)
       LEFT JOIN counts c ON c.bin = k
-    ),
-    terms AS (
-      SELECT bin, n_first, n_second,
-             (CAST(n_first + 1 AS DOUBLE) / (tot.na + 10)
-              - CAST(n_second + 1 AS DOUBLE) / (tot.nb + 10))
-             * ln((CAST(n_first + 1 AS DOUBLE) / (tot.na + 10))
-                  / (CAST(n_second + 1 AS DOUBLE) / (tot.nb + 10)))
-               AS term
-      FROM allbins, tot
-    ),
-    total AS (
-      SELECT list_reduce(list_prepend(0.0, list(term ORDER BY bin)),
-                         (a, x) -> a + x) AS psi
-      FROM terms
     )
-    SELECT bin, n_first, n_second,
-           ROUND(term, 6) AS psi_term,
-           ROUND((SELECT psi FROM total), 6) AS psi_total,
+    SELECT bin, n_first, n_second, tot.na, tot.nb,
            TRUE AS stream_equals_batch
-    FROM terms
+    FROM allbins, tot
     """,
 )
 def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,8 +566,6 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-bounded collects: the frozen reference is 9 edge scalars +
     10 bin counts + 2 totals — config-bounded (the broadcast-literal
     class, same as the quantile sketch's k=32 sample)."""
-    from pyspark.sql import Window
-
     from ophidia_io_server_spark.operators.ranking import global_prefix_sum
     from ophidia_io_server_spark.streaming.ingest import (
         events_stream,
@@ -648,23 +630,15 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("n_second"),
                        F.coalesce("n_stream", F.lit(0)).cast("bigint")
                        .alias("n_stream")))
-    p1 = (F.col("n_first") + 1).cast("double") / F.lit(float(na + 10))
-    p2 = (F.col("n_stream") + 1).cast("double") / F.lit(float(nb + 10))
-    terms = allbins.withColumn("term", (p1 - p2) * F.log(p1 / p2))
-    w_all = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    folded = terms.withColumn(
-        "psi_total_raw",
-        F.aggregate(
-            F.transform(F.array_sort(F.collect_list(
-                F.struct(F.col("bin"), F.col("term"))).over(w_all)),
-                lambda s: s["term"]),
-            F.lit(0.0), lambda a, x: a + x))
-    return folded.select(
+    # r13 (environment-proofing, the events_value_psi discipline): the
+    # hashed projection is the exact integer bin table + totals; the
+    # ln() PSI readout is `analytics.psi_readout`, asserted in
+    # tests/test_wave16_ops.py from these exact columns.
+    return allbins.select(
         "bin", "n_first",
         F.col("n_stream").alias("n_second"),
-        F.round(F.col("term"), 6).alias("psi_term"),
-        F.round(F.col("psi_total_raw"), 6).alias("psi_total"),
+        F.lit(int(na)).cast("bigint").alias("na"),
+        F.lit(int(nb)).cast("bigint").alias("nb"),
         (F.col("n_stream") == F.col("n_second"))
         .alias("stream_equals_batch"))
 

@@ -299,11 +299,11 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("last_ts", "timestamp"), ("stream_equals_batch", "boolean"),
         ],
         # r11 wave 17: live PSI drift monitor against a frozen batch
-        # reference histogram (10-counter streaming state)
+        # reference histogram (10-counter streaming state); r13: exact
+        # integer projection (the events_value_psi discipline)
         "stream_psi_drift": [
             ("bin", "bigint"), ("n_first", "bigint"),
-            ("n_second", "bigint"), ("psi_term", "double"),
-            ("psi_total", "double"),
+            ("n_second", "bigint"), ("na", "bigint"), ("nb", "bigint"),
             ("stream_equals_batch", "boolean"),
         ],
         # r12: sessionized funnel attribution over the watermarked stream
@@ -701,10 +701,14 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("dur_h", "bigint"), ("n_risk", "bigint"), ("d", "bigint"),
             ("c", "bigint"), ("survival", "double"),
         ],
-        # r10 wave 8: Pettitt rank-based changepoint locator (exact U_t)
+        # r10 wave 8: Pettitt rank-based changepoint locator (exact U_t);
+        # r13: p_approx = 2*exp(-stat_num/stat_den) left the hashed
+        # projection (environment-proofing) — the exact rational exponent
+        # rides instead, exp() readout asserted in pytest
         "events_pettitt_changepoint": [
             ("event_type", "string"), ("cp_hr", "timestamp"),
-            ("u_abs", "bigint"), ("n", "bigint"), ("p_approx", "double"),
+            ("u_abs", "bigint"), ("n", "bigint"),
+            ("stat_num", "bigint"), ("stat_den", "bigint"),
         ],
         # r10 wave 9: Goh-Barabási burstiness/memory, Wald-Wolfowitz runs
         # test, Holt dyadic double smoothing
@@ -773,9 +777,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
         ],
         # r10 wave 12: Markov-chain entropy rate (ordered folds) and
         # Cliff's delta effect size off the value-level CDF
+        # r13: the hashed projection is the exact transition cell table
+        # (entropies are deterministic functions of it; ln() readout
+        # asserted in pytest via analytics.markov_entropy_readout)
         "events_markov_entropy": [
-            ("n_transitions", "bigint"), ("h_cond", "double"),
-            ("h_marginal", "double"),
+            ("a", "string"), ("b", "string"), ("nab", "bigint"),
+            ("na", "bigint"), ("n", "bigint"),
         ],
         "events_cliffs_delta": [
             ("na", "bigint"), ("nb", "bigint"),
@@ -818,10 +825,12 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("day", "timestamp"), ("dau", "bigint"), ("wau", "bigint"),
             ("stickiness", "double"),
         ],
+        # r13: psi_term/psi_total left the hashed projection — the exact
+        # sufficient statistic rides instead (analytics.psi_readout is
+        # the asserted ln() surface)
         "events_value_psi": [
             ("bin", "bigint"), ("n_first", "bigint"),
-            ("n_second", "bigint"), ("psi_term", "double"),
-            ("psi_total", "double"),
+            ("n_second", "bigint"), ("na", "bigint"), ("nb", "bigint"),
         ],
         # r11 wave 17: maximum drawdown of the cumulative hourly cents
         # series (pure BIGINT end-to-end; peak/trough attribution)

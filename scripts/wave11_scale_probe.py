@@ -329,15 +329,30 @@ def main() -> None:
           and abs(b["kappa"] - a["kappa"]) <= 1e-6)
 
     # --- Markov entropy: transition cells * 100, entropies invariant ----
+    # r13: the hashed row is the exact cell table; entropies read out
+    # via analytics.markov_entropy_readout (scale-invariant since every
+    # count scales by exactly K)
+    from ophidia_io_server_spark.workloads.analytics import (
+        markov_entropy_readout,
+    )
     t1, r1 = timed(WORKLOADS["events_markov_entropy"].fn, spark, sf001)
     t2, r2 = timed(WORKLOADS["events_markov_entropy"].fn, spark, x100)
-    a, b = r1[0], r2[0]
+    cells1 = {(r["a"], r["b"]): r for r in r1}
+    cells2 = {(r["a"], r["b"]): r for r in r2}
+    hc1, hm1 = markov_entropy_readout(
+        [(r["a"], r["b"], r["nab"], r["na"], r["n"]) for r in r1])
+    hc2, hm2 = markov_entropy_readout(
+        [(r["a"], r["b"], r["nab"], r["na"], r["n"]) for r in r2])
     print(f"events_markov_entropy: {t1:.2f}s -> {t2:.2f}s  "
-          f"h_cond {a['h_cond']} -> {b['h_cond']}")
+          f"h_cond {hc1} -> {hc2}")
     check("markov_entropy_invariant_100x",
-          b["n_transitions"] == K * a["n_transitions"]
-          and abs(b["h_cond"] - a["h_cond"]) <= 1e-6
-          and abs(b["h_marginal"] - a["h_marginal"]) <= 1e-6)
+          set(cells1) == set(cells2)
+          and all(cells2[k]["nab"] == K * cells1[k]["nab"]
+                  and cells2[k]["na"] == K * cells1[k]["na"]
+                  and cells2[k]["n"] == K * cells1[k]["n"]
+                  for k in cells1)
+          and abs(hc2 - hc1) <= 1e-9
+          and abs(hm2 - hm1) <= 1e-9)
 
     # --- Cliff's delta: gt/lt * 10^4, na*nb * 10^4 — invariant ----------
     t1, r1 = timed(WORKLOADS["events_cliffs_delta"].fn, spark, sf001)

@@ -115,17 +115,25 @@ def main() -> None:
     ms = {r["bin"]: r for r in rs}
     na = sum(r["n_first"] for r in rb) * k100
     nb = sum(r["n_second"] for r in rb) * k100
+    # r13: the hashed row is the exact bin table; the ln() readout is
+    # analytics.psi_readout — recompute it at the k-scaled counts and
+    # compare against the readout of the 100x row (the Laplace +1 does
+    # not scale, so the expected terms are recomputed, not scaled)
+    from ophidia_io_server_spark.workloads.analytics import psi_readout
     terms = {}
     for j in mb:
         p1 = (k100 * mb[j]["n_first"] + 1) / (na + 10)
         p2 = (k100 * mb[j]["n_second"] + 1) / (nb + 10)
         terms[j] = (p1 - p2) * math.log(p1 / p2)
-    total = round(sum(terms[j] for j in sorted(terms)), 6)
+    total = sum(terms[j] for j in sorted(terms))
+    got_terms, got_total = psi_readout(
+        [(r["bin"], r["n_first"], r["n_second"]) for r in rs],
+        na, nb)
     ok = set(mb) == set(ms) and all(
         ms[j]["n_first"] == k100 * mb[j]["n_first"]
         and ms[j]["n_second"] == k100 * mb[j]["n_second"]
-        and ms[j]["psi_term"] == round(terms[j], 6)
-        and ms[j]["psi_total"] == total for j in mb)
+        and ms[j]["na"] == na and ms[j]["nb"] == nb
+        and got_terms[j] == terms[j] for j in mb) and got_total == total
     check("events_value_psi@100x", ok,
           f"base {tb:.2f}s -> 100x {ts_:.2f}s psi={total}")
 

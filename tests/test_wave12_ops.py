@@ -144,7 +144,7 @@ def test_lang_kappa_matches_python(spark):
 
 
 def test_markov_entropy_matches_python(spark):
-    r = WORKLOADS["events_markov_entropy"].fn(spark, SF).collect()[0]
+    rows = WORKLOADS["events_markov_entropy"].fn(spark, SF).collect()
     con = duckdb.connect()
     seq = con.execute(f"""
         SELECT user_id, event_type FROM '{SF}/events.parquet'
@@ -162,11 +162,22 @@ def test_markov_entropy_matches_python(spark):
     h_cond = -sum(c / n * math.log(c / na[a])
                   for (a, _), c in cells.items())
     h_marg = -sum(v / n * math.log(v / n) for v in na.values())
-    assert r["n_transitions"] == n
-    assert r["h_cond"] == pytest.approx(h_cond, abs=1e-6)
-    assert r["h_marginal"] == pytest.approx(h_marg, abs=1e-6)
+    # r13: the hashed projection IS the exact cell table
+    got = {(r["a"], r["b"]): r for r in rows}
+    assert set(got) == set(cells)
+    for (a, b), c in cells.items():
+        r = got[(a, b)]
+        assert (r["nab"], r["na"], r["n"]) == (c, na[a], n), (a, b)
+    # the ln() readout is a library function of the hashed integers
+    from ophidia_io_server_spark.workloads.analytics import (
+        markov_entropy_readout,
+    )
+    hc, hm = markov_entropy_readout(
+        [(r["a"], r["b"], r["nab"], r["na"], r["n"]) for r in rows])
+    assert hc == pytest.approx(h_cond, abs=1e-12)
+    assert hm == pytest.approx(h_marg, abs=1e-12)
     # conditioning can only reduce entropy
-    assert r["h_cond"] <= r["h_marginal"] + 1e-9
+    assert hc <= hm + 1e-9
 
 
 def test_cliffs_delta_matches_bruteforce(spark):

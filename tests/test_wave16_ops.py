@@ -156,9 +156,16 @@ def test_psi_matches_python(spark):
     assert len(rows) == 10
     for k in range(10):
         assert (got[k]["n_first"], got[k]["n_second"]) == (ca[k], cb[k]), k
-        assert got[k]["psi_total"] == pytest.approx(psi, abs=1e-6)
+        assert (got[k]["na"], got[k]["nb"]) == (na, nb), k
+    # the ln() readout is a library function of the hashed integers
+    # since r13 (environment-proofing): assert it against brute force
+    from ophidia_io_server_spark.workloads.analytics import psi_readout
+    terms, total = psi_readout(
+        [(r["bin"], r["n_first"], r["n_second"]) for r in rows], na, nb)
+    assert total == pytest.approx(psi, abs=1e-12)
+    assert sum(terms.values()) == pytest.approx(total, abs=1e-12)
     # stationary synthetic data must not alarm
-    assert got[0]["psi_total"] < 0.25
+    assert total < 0.25
 
 
 def test_rbo_matches_python(spark):
@@ -271,7 +278,7 @@ def test_stream_psi_matches_batch(spark):
     assert set(srows) == set(brows)
     for b in brows:
         assert srows[b]["stream_equals_batch"] is True, b
-        for c in ("n_first", "n_second", "psi_term", "psi_total"):
+        for c in ("n_first", "n_second", "na", "nb"):
             assert srows[b][c] == brows[b][c], (b, c)
 
 

@@ -192,8 +192,13 @@ def test_pettitt_matches_bruteforce(spark):
         r = out[et]
         assert (r["u_abs"], str(r["cp_hr"])) == (best[0], str(best[1])), et
         assert r["n"] == n
+        # r13: the hashed row carries the exact rational exponent; the
+        # exp() significance readout is asserted from those integers
+        assert r["stat_num"] == 6 * best[0] ** 2, et
+        assert r["stat_den"] == n ** 3 + n ** 2, et
         p = 2 * math.exp(-6.0 * best[0] ** 2 / (n ** 3 + n ** 2))
-        assert r["p_approx"] == pytest.approx(p, abs=1e-6), et
+        assert 2 * math.exp(-r["stat_num"] / r["stat_den"]) == \
+            pytest.approx(p, abs=1e-12), et
 
 
 def test_market_concentration_matches_numpy(spark):
