@@ -242,6 +242,11 @@ HEADLINE = [
     "determinism_canary",
     "events_tdigest_quantiles",
     "stream_funnel_sessions",
+    # r13 (HEADLINE 153 -> 155): the session/data fingerprint row (ten
+    # column-pruned count/min/max scans + a 5-row literal frame) and the
+    # streaming t-digest twin (value-count state -> fixed-point digest)
+    "env_fingerprint",
+    "stream_tdigest_rollup",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost
@@ -251,6 +256,7 @@ HEADLINE = [
 # query-start machinery three extra times, not the repo's plans (r8 verdict
 # #2) — these rows get ONE discarded warm-up drain + ONE timed drain.
 STREAM_ONCE = {
+    "stream_tdigest_rollup",
     "stream_funnel_sessions",
     "stream_psi_drift",
     "events_hopping_streaming",

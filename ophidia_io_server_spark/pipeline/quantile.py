@@ -213,16 +213,27 @@ def canonical_tdigest(df: DataFrame, keys: list[str], value_col: str,
     Scale: the value-level collapse is partial-aggregatable; the CDF
     window runs over the per-cell DISTINCT value grid; the delta-row
     cluster frame is broadcast into the overlap join."""
-    d = int(delta)
     base = (df.where(F.col(value_col).isNotNull())
             .select(*keys, F.col(value_col).alias("v")))
     vc = base.groupBy(*keys, "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return tdigest_from_value_counts(vc, keys, delta=delta)
+
+
+def tdigest_from_value_counts(vc: DataFrame, keys: list[str],
+                              delta: int = 32) -> DataFrame:
+    """The counts→digest stage of ``canonical_tdigest``, exposed so a
+    STREAMING value-level collapse (integer counts are micro-batch-
+    decomposition invariant) can feed the identical fixed-point
+    construction — the digest is a pure function of the value-level CDF,
+    so stream-accumulated counts converge to the batch digest BITWISE.
+    ``vc`` must be ``(*keys, v, cnt)`` with bigint cnt."""
+    d = int(delta)
     wv = Window.partitionBy(*keys).orderBy("v")
     cdf = (vc.withColumn("cum", F.sum("cnt").over(wv))
            .withColumn("n", F.sum("cnt").over(Window.partitionBy(*keys))))
     cells = cdf.select(*keys, "n").distinct()
-    j = df.sparkSession.range(1, d + 1).toDF("j")
+    j = vc.sparkSession.range(1, d + 1).toDF("j")
     # t_j = floor(n * m_j / d^3) with m_j = 3 j^2 d - 2 j^3 <= d^3.
     # Computed as (n div d^3)*m_j + ((n mod d^3)*m_j) div d^3 so every
     # intermediate stays < max(n, d^6): the naive n*m_j wraps BIGINT at

@@ -15,6 +15,7 @@ from ophidia_io_server_spark.workloads import streaming  # noqa: F401,E402
 from ophidia_io_server_spark.workloads import primitives  # noqa: F401,E402
 from ophidia_io_server_spark.workloads import analytics  # noqa: F401,E402
 from ophidia_io_server_spark.workloads import relational  # noqa: F401,E402
+from ophidia_io_server_spark.workloads import envfp  # noqa: F401,E402
 from ophidia_io_server_spark.workloads import suites  # noqa: F401,E402
 from ophidia_io_server_spark.workloads.suites import (  # noqa: F401
     GATE_ORDER,

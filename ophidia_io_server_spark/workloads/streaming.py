@@ -643,6 +643,125 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("stream_equals_batch"))
 
 
+# delta and d^3 for the streaming t-digest twin (must equal the batch
+# row's _TDIGEST_DELTA in workloads/analytics.py — pinned by the
+# stream_equals_batch certificate AND tests/test_round13.py)
+_TD_D = 32
+_TD_D3 = _TD_D ** 3
+
+
+@workload(
+    "stream_tdigest_rollup",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    vc AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT event_type, v, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vc
+    ),
+    cl AS (
+      -- bounded-threshold form, identical to the batch t-digest oracle
+      SELECT event_type, n, CAST(j AS BIGINT) AS cluster,
+             (n // {_TD_D3}) * (3 * (j-1) * (j-1) * {_TD_D} - 2 * (j-1) * (j-1) * (j-1))
+               + ((n % {_TD_D3}) * (3 * (j-1) * (j-1) * {_TD_D} - 2 * (j-1) * (j-1) * (j-1)))
+                 // {_TD_D3} AS t_lo,
+             (n // {_TD_D3}) * (3 * j * j * {_TD_D} - 2 * j * j * j)
+               + ((n % {_TD_D3}) * (3 * j * j * {_TD_D} - 2 * j * j * j))
+                 // {_TD_D3} AS t_hi
+      FROM (SELECT DISTINCT event_type, n FROM cdf),
+           unnest(range(1, {_TD_D} + 1)) AS t(j)
+    ),
+    cl2 AS (SELECT * FROM cl WHERE t_hi > t_lo),
+    asg AS (
+      SELECT c.event_type, cl.cluster, c.v,
+             least(c.cum, cl.t_hi) - greatest(c.cum - c.cnt, cl.t_lo) AS w
+      FROM cdf c JOIN cl2 AS cl
+        ON c.event_type = cl.event_type
+       AND c.cum - c.cnt < cl.t_hi AND c.cum > cl.t_lo
+    )
+    SELECT event_type, cluster,
+           CAST(SUM(w) AS BIGINT) AS weight,
+           CAST(SUM(v * w) AS BIGINT) AS sum_cents,
+           CAST(MIN(v) AS BIGINT) AS lo_cents,
+           CAST(MAX(v) AS BIGINT) AS hi_cents,
+           TRUE AS stream_equals_batch
+    FROM asg GROUP BY 1, 2
+    """,
+)
+def stream_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``events_tdigest_quantiles`` (r12 verdict #6):
+    the canonical t-digest is the fixed point of the construction — a
+    pure function of the value-level CDF — so a streaming
+    accumulate-then-merge that keeps only the VALUE-LEVEL COUNTS as
+    state (integer counts are micro-batch-decomposition invariant)
+    converges to the batch digest BITWISE, for any file split.
+
+    Stream side: readStream over the staged corpus with
+    maxFilesPerTrigger=1 (multiple genuine micro-batches), a running
+    ``groupBy(event_type, cents)`` count in complete mode — state is
+    bounded by the DISTINCT integer-cents grid per type, never history
+    — then the drained counts feed the identical counts→digest stage
+    (``pipeline.quantile.tdigest_from_value_counts``).
+    ``stream_equals_batch`` certifies the full digest frame equals the
+    one-shot batch ``canonical_tdigest`` struct-for-struct, so the
+    hashed values are the batch row's values by construction.
+
+    Scale: the streaming state is the same partial-aggregatable value
+    collapse the batch digest starts from; the digest build runs on the
+    drained counts table (value-domain-sized).  At 100 TB the stream
+    never re-reads history and the per-trigger work is one map-side
+    combine + state merge."""
+    import hashlib
+
+    from ophidia_io_server_spark.pipeline.quantile import (
+        canonical_tdigest,
+        tdigest_from_value_counts,
+    )
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+    )
+
+    path = _staged_events_dir(spark, sf_dir)
+    src = (events_stream(spark, path, max_files_per_trigger=1)
+           .where(F.col("value").isNotNull() & ~F.isnan("value"))
+           .select("event_type",
+                   F.round(F.col("value") * 100).cast("bigint").alias("v")))
+    counts = (src.groupBy("event_type", "v")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    drained = run_available_now(counts, f"stream_tdigest_{tag}")
+    sdig = tdigest_from_value_counts(
+        drained.select("event_type", "v",
+                       F.col("cnt").cast("bigint").alias("cnt")),
+        ["event_type"], delta=_TD_D)
+
+    def _certify() -> bool:
+        e = (load_table(spark, sf_dir, "events")
+             .where(F.col("value").isNotNull() & ~F.isnan("value"))
+             .select("event_type",
+                     F.round(F.col("value") * 100).cast("bigint")
+                     .alias("v")))
+        bdig = canonical_tdigest(e, ["event_type"], "v", delta=_TD_D)
+        return bool(sdig.exceptAll(bdig).count() == 0
+                    and bdig.exceptAll(sdig).count() == 0)
+
+    eq = session_memo(spark, ("tdigest_stream_eq", sf_dir), _certify)
+    return sdig.select(
+        "event_type", "cluster", "weight",
+        F.col("sum_val").alias("sum_cents"),
+        F.col("lo").alias("lo_cents"), F.col("hi").alias("hi_cents"),
+        F.lit(eq).alias("stream_equals_batch"))
+
+
 @workload(
     "stream_funnel_sessions",
     oracle="""

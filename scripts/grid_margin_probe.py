@@ -183,6 +183,31 @@ def margin_ulps(x: float, d: int) -> float:
 #                                               for subnormal-ulp cells
 
 
+# r13 (verdict #2): the three tsdecomp data rows are certified
+# environment-proof — their hashed surfaces may use ONLY IEEE-exact ops
+# (+,-,*,/, sqrt, round) and integers.  The probe FAILS if any libm
+# transcendental call appears in these rows' oracle text (the oracle
+# defines the hashed surface; the value-hash gate forces the Spark side
+# to match it, so a one-sided scan is sufficient).
+TRANS_FREE_ROWS = {
+    "analytics_smoother_suite",
+    "analytics_entropy_suite",
+    "analytics_acf_suite",
+}
+_TRANS_CALL = __import__("re").compile(
+    r"\b(ln|log|log2|log10|log1p|exp|exp2|expm1|pow|power|atan2|atan|"
+    r"asin|acos|sin|cos|tan|sinh|cosh|tanh|cbrt|gamma|lgamma)\s*\(",
+    __import__("re").IGNORECASE)
+
+
+def transcendental_calls(sql: str) -> list[str]:
+    """libm function calls in an oracle's hashed surface (SQL comments
+    stripped first so prose mentions don't count)."""
+    body = __import__("re").sub(r"--[^\n]*", "", sql)
+    return sorted({m.group(1).lower()
+                   for m in _TRANS_CALL.finditer(body)})
+
+
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -199,12 +224,22 @@ def main() -> int:
 
     report: dict[str, dict] = {}
     flagged: list[tuple[str, str, str, float]] = []
+    trans_violations: list[tuple[str, list[str]]] = []
     for name in GATE_ORDER:
         if only and name not in only:
             continue
         oracle = WORKLOADS[name].oracle
         if oracle is None:
             continue
+        if name in TRANS_FREE_ROWS:
+            calls = transcendental_calls(oracle)
+            if calls:
+                trans_violations.append((name, calls))
+                print(f"{name}: TRANSCENDENTAL IN HASHED SURFACE: {calls}",
+                      flush=True)
+            else:
+                print(f"{name}: transcendental-free hashed surface OK",
+                      flush=True)
         stripped = strip_rounds(oracle)
         if stripped == oracle:
             continue  # no display-rounding — nothing to probe
@@ -278,8 +313,16 @@ def main() -> int:
     out = Path(__file__).resolve().parent.parent / "grid_margin_report.json"
     out.write_text(json.dumps(
         {"threshold_ulps": THRESHOLD_ULPS, "sf_dir": sf_dir,
+         "trans_free_rows": sorted(TRANS_FREE_ROWS),
+         "trans_violations": [
+             {"row": r, "calls": c} for r, c in trans_violations],
          "rows": report}, indent=1))
     print(f"\nwrote {out}")
+    if trans_violations:
+        print("\nVIOLATIONS: transcendental calls in environment-proof "
+              "rows' hashed surfaces:")
+        for r, c in trans_violations:
+            print(f"  {r}: {c}")
     if flagged:
         print(f"\nFLAGGED (margin < {THRESHOLD_ULPS:g} ulps):")
         for row, arm, col, mn in sorted(flagged, key=lambda t: t[3]):
@@ -287,7 +330,7 @@ def main() -> int:
     else:
         print("no sub-threshold margins — every rounded transcendental "
               "cell clears the grid boundary")
-    return 1 if flagged else 0
+    return 1 if (flagged or trans_violations) else 0
 
 
 if __name__ == "__main__":

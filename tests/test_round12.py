@@ -28,7 +28,12 @@ def test_analytics_split_partitions_the_old_suite():
     assert set(arms) - set(_R12_ARMS) == set(_SUITES["analytics_suite"])
     assert len(GATE_ORDER) == 50
     for s in _ANALYTICS_SPLIT:
-        assert s in GATE_ORDER
+        if s == "analytics_tsdecomp_suite":
+            # r13: replaced in the window by its three mechanism rows +
+            # the standalone canary seat (stays registered for mirrors)
+            assert s not in GATE_ORDER
+        else:
+            assert s in GATE_ORDER
     assert "analytics_suite" not in GATE_ORDER  # bisected out
     comp = registry_composition()
     assert comp["uncovered"] == []
@@ -43,8 +48,15 @@ def test_merged_composites_cover_the_folded_standalone_rows():
                               "events_interval_join"},
         "curation_suite": {"curation_quality_rules",
                            "quality_classifier_score",
-                           "doc_quality_deciles"},
+                           "doc_quality_deciles",
+                           # r13 seat-freeing fold
+                           "curation_split_clusters"},
         "corpus_mix_suite": {"dsir_importance", "source_overlap_matrix"},
+        # r13 seat-freeing composites
+        "token_suite": {"bm25_doc_retrieval", "token_heavy_hitters",
+                        "bpe_train_invariants"},
+        "embedding_suite": {"embedding_pca_invariants",
+                            "embedding_cosine_pairs"},
     }
     for suite, members in folded.items():
         assert suite in GATE_ORDER

@@ -29,10 +29,17 @@ def test_gate_order_is_exactly_the_window():
 
 
 def test_suite_members_stay_registered_beyond_window():
-    for members in _SUITES.values():
+    """A member of a GATED suite must not also hold its own seat (that
+    would double-spend a hash-signal slot).  Members of mirror-only
+    suites (analytics_suite, analytics_tsdecomp_suite — out of the
+    window since r12/r13) MAY hold a seat: r13 gives the
+    determinism_canary arm of the tsdecomp mirror its own gate row."""
+    gated = set(GATE_ORDER)
+    for suite, members in _SUITES.items():
         for m in members:
             assert m in WORKLOADS
-            assert m not in GATE_ORDER
+            if suite in gated:
+                assert m not in gated, (suite, m)
 
 
 @pytest.mark.parametrize("suite", sorted(_SUITES))
