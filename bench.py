@@ -242,11 +242,13 @@ HEADLINE = [
     "determinism_canary",
     "events_tdigest_quantiles",
     "stream_funnel_sessions",
-    # r13 (HEADLINE 153 -> 155): the session/data fingerprint row (ten
-    # column-pruned count/min/max scans + a 5-row literal frame) and the
-    # streaming t-digest twin (value-count state -> fixed-point digest)
+    # r13 (HEADLINE 153 -> 156): the session/data fingerprint row (ten
+    # column-pruned count/min/max scans + a 5-row literal frame), the
+    # streaming t-digest twin (value-count state -> fixed-point digest),
+    # and the mergeable co-moment sketch (6-counter state, exact corr)
     "env_fingerprint",
     "stream_tdigest_rollup",
+    "stream_moments_monitor",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost
@@ -257,6 +259,7 @@ HEADLINE = [
 # #2) — these rows get ONE discarded warm-up drain + ONE timed drain.
 STREAM_ONCE = {
     "stream_tdigest_rollup",
+    "stream_moments_monitor",
     "stream_funnel_sessions",
     "stream_psi_drift",
     "events_hopping_streaming",

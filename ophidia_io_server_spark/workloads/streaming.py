@@ -763,6 +763,108 @@ def stream_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "stream_moments_monitor",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS x,
+             CAST(hour(ts) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy
+      FROM b GROUP BY 1
+    )
+    SELECT event_type, n, sx, sy, sxx, syy, sxy,
+           ROUND((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                 / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                              - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+             AS corr,
+           TRUE AS stream_equals_batch
+    FROM s
+    WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+      AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+    """,
+)
+def stream_moments_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable CO-MOMENT sketch (the variance/covariance
+    member of the estimator family, r12 verdict #6): per event type the
+    state is SIX exact integers — (n, Σx, Σy, Σx², Σy², Σxy) over
+    (value cents, hour-of-day) — the canonical mergeable moment sketch
+    (any partition/micro-batch decomposition sums to the same integers,
+    so stream==batch is exact, not approximate).  The Pearson
+    correlation readout composes from the drained integers through
+    +,−,×,/ and sqrt only (DECIMAL clears the means), so the hashed row
+    is environment-proof end-to-end.
+
+    ``stream_equals_batch`` certifies the drained streaming state equals
+    the one-shot batch aggregate row-for-row.  Degenerate types (zero
+    variance on either axis) are excluded by exact integer predicates.
+
+    Scale: streaming state is 6 counters × |types| — O(1) per type at
+    any stream length; the batch twin is one partial-aggregatable pass.
+    Digit budget: n·Σx² ≤ 1e12 · 1e22 = 1e34 < 10^38 at 10¹²
+    events/type with cents ≤ 1e5 — DECIMAL(38)/HUGEINT-safe (the
+    burstiness/crosscorr budget class)."""
+    from ophidia_io_server_spark.streaming.ingest import (
+        events_stream,
+        run_available_now,
+    )
+
+    dec = "decimal(38,0)"
+
+    def moments(df: DataFrame) -> DataFrame:
+        b = (df.where(F.col("value").isNotNull() & ~F.isnan("value"))
+             .select("event_type",
+                     F.round(F.col("value") * 100).cast("bigint").alias("x"),
+                     F.hour("ts").cast("bigint").alias("y")))
+        return (b.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                     F.sum(F.col("x").cast(dec)).cast("bigint").alias("sx"),
+                     F.sum(F.col("y").cast(dec)).cast("bigint").alias("sy"),
+                     F.sum(F.col("x").cast(dec) * F.col("x")).cast("bigint")
+                     .alias("sxx"),
+                     F.sum(F.col("y").cast(dec) * F.col("y")).cast("bigint")
+                     .alias("syy"),
+                     F.sum(F.col("x").cast(dec) * F.col("y")).cast("bigint")
+                     .alias("sxy")))
+
+    import hashlib
+
+    path = _staged_events_dir(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    drained = run_available_now(
+        moments(events_stream(spark, path, max_files_per_trigger=1)),
+        f"stream_moments_{tag}")
+
+    def _certify() -> bool:
+        batch = moments(load_table(spark, sf_dir, "events"))
+        return bool(drained.exceptAll(batch).count() == 0
+                    and batch.exceptAll(drained).count() == 0)
+
+    eq = session_memo(spark, ("moments_stream_eq", sf_dir), _certify)
+    n, sx, sy = [F.col(c).cast(dec) for c in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(c).cast(dec) for c in ("sxx", "syy", "sxy")]
+    vx = (n * sxx - sx * sx)
+    vy = (n * syy - sy * sy)
+    corr = ((n * sxy - sx * sy).cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+    return (drained
+            .where((vx > 0) & (vy > 0))
+            .select("event_type", "n", "sx", "sy", "sxx", "syy", "sxy",
+                    F.round(corr, 6).alias("corr"),
+                    F.lit(eq).alias("stream_equals_batch")))
+
+
+@workload(
     "stream_funnel_sessions",
     oracle="""
     WITH seq AS (

@@ -306,6 +306,14 @@ _SUITES: dict[str, dict[str, list[tuple[str, str]]]] = {
             ("n_second", "bigint"), ("na", "bigint"), ("nb", "bigint"),
             ("stream_equals_batch", "boolean"),
         ],
+        # r13: mergeable co-moment sketch — 6 exact integer counters per
+        # type; Pearson readout via +,-,*,/,sqrt only (environment-proof)
+        "stream_moments_monitor": [
+            ("event_type", "string"), ("n", "bigint"), ("sx", "bigint"),
+            ("sy", "bigint"), ("sxx", "bigint"), ("syy", "bigint"),
+            ("sxy", "bigint"), ("corr", "double"),
+            ("stream_equals_batch", "boolean"),
+        ],
         # r13: streaming t-digest twin — value-level-count state feeds
         # the identical counts->digest fixed point; bitwise stream==batch
         "stream_tdigest_rollup": [

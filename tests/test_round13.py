@@ -205,6 +205,42 @@ def test_stream_tdigest_matches_batch(spark):
             == (b["weight"], b["sum_val"], b["lo"], b["hi"]), k
 
 
+def test_stream_moments_matches_python(spark):
+    """The 6-counter co-moment state must equal an exact Python
+    recompute, and the Pearson readout must match numpy on the same
+    integers."""
+    import duckdb
+
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    rows = {r["event_type"]: r for r in
+            WORKLOADS["stream_moments_monitor"].fn(spark, SF_SMALL)
+            .collect()}
+    assert rows and all(r["stream_equals_batch"] for r in rows.values())
+    raw = duckdb.sql(f"""
+        SELECT event_type, CAST(ROUND(value*100) AS BIGINT),
+               CAST(hour(ts) AS BIGINT)
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        WHERE value IS NOT NULL AND NOT isnan(value)""").fetchall()
+    agg: dict = {}
+    for et, x, y in raw:
+        n, sx, sy, sxx, syy, sxy = agg.get(et, (0, 0, 0, 0, 0, 0))
+        agg[et] = (n + 1, sx + x, sy + y, sxx + x * x, syy + y * y,
+                   sxy + x * y)
+    for et, (n, sx, sy, sxx, syy, sxy) in agg.items():
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            assert et not in rows
+            continue
+        r = rows[et]
+        assert (r["n"], r["sx"], r["sy"], r["sxx"], r["syy"], r["sxy"]) \
+            == (n, sx, sy, sxx, syy, sxy), et
+        corr = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+        assert r["corr"] == pytest.approx(corr, abs=1e-6), et
+        assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
+
+
 def test_stream_tdigest_delta_pinned_to_batch():
     from ophidia_io_server_spark.workloads.analytics import _TDIGEST_DELTA
     from ophidia_io_server_spark.workloads.streaming import _TD_D
