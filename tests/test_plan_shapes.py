@@ -265,3 +265,28 @@ def test_tdigest_broadcast_cluster_join_and_partial_agg(spark):
     assert "SortMergeJoin" not in p
     ext = plan_of(spark, "events_tdigest_quantiles")
     assert "partial_" in ext  # map-side combine on the (type, v) collapse
+
+
+def test_env_fingerprint_scan_only(spark):
+    """r13 env fingerprint: ten column-pruned count/min/max aggregates +
+    a literal frame — no joins of any kind, no window, map-side combine
+    on every table aggregate."""
+    p = plan_of(spark, "env_fingerprint")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in p
+    assert "partial_" in p  # the per-table aggregates combine map-side
+
+
+def test_stream_moments_readout_is_state_sized(spark):
+    """r13 co-moment sketch: the returned frame must read ONLY the
+    drained 6-counter-per-type state (LocalTableScan of the memory
+    sink) — re-scanning events here would mean the 'streaming' row
+    secretly recomputes batch-side.  No joins, no windows: the Pearson
+    readout is row-local arithmetic on the state."""
+    df = WORKLOADS["stream_moments_monitor"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in p
+    for bad in ("FileScan", "CartesianProduct", "SortMergeJoin",
+                "BroadcastHashJoin", "Window"):
+        assert bad not in p, bad
