@@ -249,6 +249,7 @@ HEADLINE = [
     "env_fingerprint",
     "stream_tdigest_rollup",
     "stream_moments_monitor",
+    "events_tdigest_estimates",
 ]
 
 # Streaming rows drain an availableNow query per execution: the drain cost

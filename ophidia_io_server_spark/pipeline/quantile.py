@@ -275,8 +275,10 @@ def tdigest_estimate(digest: DataFrame, keys: list[str],
     """Quantile estimates from a ``canonical_tdigest`` frame: for each
     cell and q, locate the cluster containing the nearest-rank target
     ``ceil(q n)`` via the digest's cumulative weights and report the
-    cluster's value bracket — ``(*keys, q, est, lo, hi, weight)`` with
-    ``est`` the cluster mean.  The EXACT q-quantile provably lies in
+    cluster's value bracket —
+    ``(*keys, q, q_ppm, target_rank, est, lo, hi, weight)`` with
+    ``est`` the cluster mean (q_ppm/target_rank expose the exact
+    integer rank math for downstream certificates).  The EXACT q-quantile provably lies in
     [lo, hi] (clusters are exact rank ranges), so the bracket width is a
     per-estimate certified error bound — tight at the tails by the scale
     function's construction.  All digest-sized frames; never touches raw
@@ -299,6 +301,6 @@ def tdigest_estimate(digest: DataFrame, keys: list[str],
            .where((F.col("cum_w") >= target)
                   & (F.col("cum_w") - F.col("weight") < target)))
     return hit.select(
-        *keys, "q",
+        *keys, "q", "q_ppm", target.cast("bigint").alias("target_rank"),
         (F.col("sum_val").cast("double") / F.col("weight")).alias("est"),
         "lo", "hi", "weight")

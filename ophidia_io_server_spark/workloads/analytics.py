@@ -5597,3 +5597,129 @@ def events_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("weight") == F.col("span")).cast("int").alias("weight_ok"),
         F.coalesce(F.col("lo") >= F.lag("hi").over(wlag),
                    F.lit(True)).cast("int").alias("monotone_ok"))
+
+
+_TDIGEST_QS_PPM = [50_000, 250_000, 500_000, 950_000, 990_000]
+
+
+@workload(
+    "events_tdigest_estimates",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    vc AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    cdf AS (
+      SELECT event_type, v, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vc
+    ),
+    cl AS (
+      SELECT event_type, n, CAST(j AS BIGINT) AS cluster,
+             (n // {_TDIGEST_D3}) * (3 * (j-1) * (j-1) * {_TDIGEST_DELTA} - 2 * (j-1) * (j-1) * (j-1))
+               + ((n % {_TDIGEST_D3}) * (3 * (j-1) * (j-1) * {_TDIGEST_DELTA} - 2 * (j-1) * (j-1) * (j-1)))
+                 // {_TDIGEST_D3} AS t_lo,
+             (n // {_TDIGEST_D3}) * (3 * j * j * {_TDIGEST_DELTA} - 2 * j * j * j)
+               + ((n % {_TDIGEST_D3}) * (3 * j * j * {_TDIGEST_DELTA} - 2 * j * j * j))
+                 // {_TDIGEST_D3} AS t_hi
+      FROM (SELECT DISTINCT event_type, n FROM cdf),
+           unnest(range(1, {_TDIGEST_DELTA} + 1)) AS t(j)
+    ),
+    cl2 AS (SELECT * FROM cl WHERE t_hi > t_lo),
+    asg AS (
+      SELECT c.event_type, cl.cluster, c.v,
+             least(c.cum, cl.t_hi) - greatest(c.cum - c.cnt, cl.t_lo) AS w
+      FROM cdf c JOIN cl2 AS cl
+        ON c.event_type = cl.event_type
+       AND c.cum - c.cnt < cl.t_hi AND c.cum > cl.t_lo
+    ),
+    dig AS (
+      SELECT event_type, cluster,
+             CAST(SUM(w) AS BIGINT) AS weight,
+             CAST(SUM(v * w) AS BIGINT) AS sum_cents,
+             CAST(MIN(v) AS BIGINT) AS lo,
+             CAST(MAX(v) AS BIGINT) AS hi
+      FROM asg GROUP BY 1, 2
+    ),
+    cw AS (
+      SELECT *,
+             SUM(weight) OVER (PARTITION BY event_type
+                               ORDER BY cluster) AS cum_w,
+             SUM(weight) OVER (PARTITION BY event_type) AS n
+      FROM dig
+    ),
+    qs AS (SELECT CAST(unnest({_TDIGEST_QS_PPM}) AS BIGINT) AS q_ppm),
+    hit AS (
+      SELECT c.event_type, q_ppm,
+             (c.n * q_ppm + 999999) // 1000000 AS target,
+             c.weight, c.sum_cents, c.lo, c.hi
+      FROM cw c, qs
+      WHERE c.cum_w >= (c.n * q_ppm + 999999) // 1000000
+        AND c.cum_w - c.weight < (c.n * q_ppm + 999999) // 1000000
+    ),
+    exact AS (
+      SELECT h.event_type, h.q_ppm, MIN(d.v) AS v_exact
+      FROM hit h JOIN cdf d
+        ON d.event_type = h.event_type AND d.cum >= h.target
+      GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.q_ppm,
+           CAST(h.target AS BIGINT) AS target_rank,
+           ROUND(CAST(h.sum_cents AS DOUBLE) / h.weight, 6) AS est,
+           h.lo AS lo_cents, h.hi AS hi_cents, h.weight,
+           CAST(x.v_exact BETWEEN h.lo AND h.hi AS INTEGER) AS bracket_ok
+    FROM hit h JOIN exact x USING (event_type, q_ppm)
+    """,
+)
+def events_tdigest_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest ESTIMATOR API as a hash-checked gate arm (r13 —
+    ``tdigest_estimate`` was pytest-only): five quantiles per type off
+    the canonical digest, with the exact integer rank math exposed
+    (q as per-million BIGINT, target = ⌈q·n⌉ computed exactly — the r12
+    advice fix) and a per-estimate CERTIFICATE ``bracket_ok``: the TRUE
+    nearest-rank quantile (one value-level-CDF lookup, an integer
+    comparison) lies inside the reported [lo, hi] cluster bracket —
+    the estimator's error-bound claim, verified per row on both engines.
+
+    Every hashed column is integer or a single IEEE division of exact
+    integers (est = sum/weight, rounded 6) — environment-proof.
+
+    Scale: the digest frames are delta-row-per-type; the exact lookup
+    joins the 5-row-per-type target frame (broadcast) against the
+    distinct-cents CDF — value-domain-sized, never row-sized."""
+    from pyspark.sql import Window
+
+    from ophidia_io_server_spark.pipeline.quantile import (
+        canonical_tdigest,
+        tdigest_estimate,
+    )
+
+    e = (load_table(spark, sf_dir, "events")
+         .where(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("bigint").alias("v")))
+    dig = canonical_tdigest(e, ["event_type"], "v", delta=_TDIGEST_DELTA)
+    est = tdigest_estimate(dig, ["event_type"],
+                           [p / 1_000_000 for p in _TDIGEST_QS_PPM])
+    vc = e.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cdf = vc.withColumn(
+        "cum", F.sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("v")))
+    targets = est.select("event_type", "q_ppm", "target_rank")
+    exact = (cdf.join(F.broadcast(targets), "event_type")
+             .where(F.col("cum") >= F.col("target_rank"))
+             .groupBy("event_type", "q_ppm")
+             .agg(F.min("v").alias("v_exact")))
+    return (est.join(exact, ["event_type", "q_ppm"])
+            .select("event_type", "q_ppm", "target_rank",
+                    F.round(F.col("est"), 6).alias("est"),
+                    F.col("lo").alias("lo_cents"),
+                    F.col("hi").alias("hi_cents"), "weight",
+                    F.col("v_exact").between(F.col("lo"), F.col("hi"))
+                    .cast("int").alias("bracket_ok")))

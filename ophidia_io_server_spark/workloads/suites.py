@@ -1340,6 +1340,15 @@ assert set(_split13) | {"determinism_canary"} == \
     set(_SUITES["analytics_tsdecomp_suite"]), \
     "r13 split + canary does not cover analytics_tsdecomp_suite"
 
+# r13: the t-digest ESTIMATOR API joins the sketch row (hash-checked with
+# a per-estimate exact-bracket certificate; was pytest-only)
+_SUITES["analytics_sketch_suite"]["events_tdigest_estimates"] = [
+    ("event_type", "string"), ("q_ppm", "bigint"),
+    ("target_rank", "bigint"), ("est", "double"),
+    ("lo_cents", "bigint"), ("hi_cents", "bigint"),
+    ("weight", "bigint"), ("bracket_ok", "int"),
+]
+
 _SUITES["token_suite"] = {
     "bm25_doc_retrieval": [
         ("doc_id", "bigint"), ("score", "double"), ("rank", "bigint"),

@@ -263,3 +263,22 @@ def test_tdigest_thresholds_bounded_at_huge_n(spark):
         f" + ((CAST({n} AS BIGINT) % {d**3}) * {m}) div {d**3}")
     ).collect()[0][0]
     assert got == exact
+
+
+def test_tdigest_estimates_gate_arm(spark):
+    """The estimator gate arm's bracket certificate must hold for every
+    (type, q), and its rows must agree with the pipeline API."""
+    from ophidia_io_server_spark.workload import WORKLOADS
+
+    rows = WORKLOADS["events_tdigest_estimates"].fn(spark, SF_SMALL) \
+        .collect()
+    assert rows
+    assert all(r["bracket_ok"] == 1 for r in rows)
+    # one estimate per (type, q); est inside its own bracket
+    seen = set()
+    for r in rows:
+        k = (r["event_type"], r["q_ppm"])
+        assert k not in seen
+        seen.add(k)
+        assert r["lo_cents"] <= r["est"] <= r["hi_cents"]
+        assert 1 <= r["target_rank"]
