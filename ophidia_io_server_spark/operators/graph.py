@@ -284,24 +284,33 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
            .where(F.col("u") != F.col("v")).distinct())
     und = pinned(und, f"kcore edge list: reused {rounds} rounds")
     vs = und.select(F.col("u").alias("node")).distinct()
-    prev = None
+    # Early fixpoint exit (r13 opt): the peel only ever REMOVES vertices,
+    # so round counts are strictly decreasing until the fixpoint; once a
+    # round removes nothing every later round is bitwise identical
+    # (next = f(current), f(fix) = fix).  Tracking the per-round count is
+    # ~free — the count action just rides the materialization the lazy
+    # pin was deferring to the next round anyway — and rounds j..R are
+    # skipped whenever the peel converges at round j, at ANY scale.  The
+    # ``converged`` certificate keeps its exact meaning: "round R removed
+    # nothing" == the last executed round removed nothing.
+    prev_cnt = vs.count()
+    converged = False
     for i in range(rounds):
-        prev = vs
         deg = (und
                .join(vs.withColumnRenamed("node", "u"), "u")
                .join(vs.withColumnRenamed("node", "v"), "v")
                .groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
-        # lazy pin: lineage truncates per round, materialization rides
-        # the next round's job (one action per call, r9 CC discipline)
         vs = pinned(deg.where(F.col("deg") >= k)
                     .select(F.col("u").alias("node")),
-                    f"kcore survivors round {i + 1}", eager=False)
+                    f"kcore survivors round {i + 1}")
+        cnt = vs.count()
+        if cnt == prev_cnt:
+            converged = True
+            break
+        prev_cnt = cnt
     final_deg = (und
                  .join(vs.withColumnRenamed("node", "u"), "u")
                  .join(vs.withColumnRenamed("node", "v"), "v")
                  .groupBy(F.col("u").alias("node"))
                  .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree")))
-    conv = (vs.agg(F.count(F.lit(1)).alias("_nr"))
-            .crossJoin(prev.agg(F.count(F.lit(1)).alias("_np")))
-            .select((F.col("_nr") == F.col("_np")).alias("converged")))
-    return final_deg.crossJoin(F.broadcast(conv))
+    return final_deg.withColumn("converged", F.lit(converged))

@@ -2897,29 +2897,33 @@ def events_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = und.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
     core = pinned(nb.where(F.col("n") >= MIN_NB).select("u"),
                   "dbscan core set: CC edges + border test")
-    ce = pinned(
-        (und.join(core.withColumnRenamed("u", "_cu"),
-                  und.u == F.col("_cu"), "leftsemi")
-         .join(core.withColumnRenamed("u", "_cv"),
-               und.v == F.col("_cv"), "leftsemi")),
-        "dbscan core-core edges: 15 label rounds")
+    ce = (und.join(core.withColumnRenamed("u", "_cu"),
+                   und.u == F.col("_cu"), "leftsemi")
+          .join(core.withColumnRenamed("u", "_cv"),
+                und.v == F.col("_cv"), "leftsemi"))
+    # Self-loop trick (r13 opt): fold the "keep own label" term into the
+    # edge join — min(label(v), min over nbrs u of label(u)) is exactly
+    # min over (N(v) ∪ {v}) of label(u), so augmenting the (symmetric)
+    # core-core edges with one self-loop per core node turns each round
+    # into ONE equi-join + ONE min-aggregate instead of join + agg +
+    # second (left) join: a third of the per-round exchanges gone, same
+    # labels bitwise, at any scale.
+    cel = pinned(
+        ce.unionByName(core.select(F.col("u"), F.col("u").alias("v"))),
+        "dbscan core-core edges + self-loops: 15 label rounds")
     labels = core.select(F.col("u").alias("node"),
                          F.col("u").alias("label"))
     prev = None
     for i in range(ROUNDS):
         prev = labels
-        nbmin = (ce.join(labels.select(F.col("node").alias("u"),
-                                       F.col("label").alias("nl")), "u")
-                 .groupBy(F.col("v").alias("node"))
-                 .agg(F.min("nl").alias("nbmin")))
         # lazy pin (r9 CC-loop discipline): lineage truncates per round
         # but materialization rides the NEXT consumer's job — one action
         # per call instead of one eager job per round
         labels = pinned(
-            labels.join(nbmin, "node", "left")
-            .select("node", F.least(
-                F.col("label"),
-                F.coalesce(F.col("nbmin"), F.col("label"))).alias("label")),
+            cel.join(labels.select(F.col("node").alias("u"),
+                                   F.col("label").alias("nl")), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("nl").alias("label")),
             f"dbscan labels round {i + 1}", eager=False)
     diff = (labels.select("node", "label")
             .join(prev.select("node", F.col("label").alias("_pl")), "node")
@@ -3683,13 +3687,22 @@ def token_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized CTEs with the identical first-discovery rule."""
     from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
 
+    from ophidia_io_server_spark.pin import pinned
+
     docs = load_table(spark, sf_dir, "documents")
     e = (cooccurrence_counts(docs, window=2)
          .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
          .select("wa", "wb"))
-    und = (e.select(F.col("wa").alias("u"), F.col("wb").alias("v"))
-           .unionByName(e.select(F.col("wb").alias("u"),
-                                 F.col("wa").alias("v"))))
+    # The edge list feeds every BFS round (frontier expansion) plus the
+    # seed lookup; without a pin each consumer in the final unioned plan
+    # re-derives the corpus-wide co-occurrence explode+aggregate (the
+    # triangle-counts lesson — edges are vocab²-bounded, far smaller
+    # than the corpus producing them).
+    und = pinned(
+        (e.select(F.col("wa").alias("u"), F.col("wb").alias("v"))
+         .unionByName(e.select(F.col("wb").alias("u"),
+                               F.col("wa").alias("v")))),
+        "bfs edge list: seed lookup + 3 frontier rounds")
     frontier = (und.where(F.col("u") == "data")
                 .select(F.col("u").alias("node")).distinct()
                 .withColumn("dist", F.lit(0).cast("bigint")))
