@@ -75,7 +75,13 @@ def global_dense_rank(df: DataFrame, cols: list[str],
             .withColumn("_pid", F.spark_partition_id())
         )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    local = keyed.withColumn("_lrank", F.dense_rank().over(w)).localCheckpoint()
+    # lazy checkpoint (r13 opt): the summary collect right below is the
+    # first action and materializes the blocks as part of ITS job — an
+    # eager checkpoint ran the range sort + window as a separate job and
+    # then the collect as a second one.  Same pin semantics (lineage
+    # truncated, both branches read the blocks), one job fewer per call.
+    local = keyed.withColumn("_lrank", F.dense_rank().over(w)) \
+        .localCheckpoint(eager=False)
     counts = sorted(
         (r["_pid"], r["_nd"]) for r in
         local.groupBy("_pid").agg(F.max("_lrank").alias("_nd")).collect()
@@ -134,7 +140,9 @@ def global_prefix_sum(df: DataFrame, cols: list[str],
     local = keyed
     for i, v in enumerate(vals):
         local = local.withColumn(f"_lcum{i}", F.sum(F.col(v)).over(w))
-    local = local.localCheckpoint()
+    # lazy checkpoint: materialized by the totals collect below (see the
+    # identical note in global_dense_rank) — one job fewer per call.
+    local = local.localCheckpoint(eager=False)
     totals = sorted(
         (r["_pid"], tuple(r[f"_t{i}"] for i in range(len(vals)))) for r in
         local.groupBy("_pid").agg(

@@ -54,6 +54,16 @@ def radius_self_join(pts: DataFrame, radius: float, id_col: str = "id",
                  F.floor(F.col(y_col) / radius).alias("cy")))
 
     if max_cell_rows is not None:
+        # the guard's collect below is a full pass over ``p`` anyway, and
+        # the join consumes ``p`` twice more (left replicated + right) —
+        # a lazy checkpoint lets the guard job materialize the narrow
+        # (id, x, y, cell) projection once and both join sides read the
+        # blocks instead of re-deriving the points (r13 opt; when the
+        # guard is skipped the two-consumer recompute is kept, since the
+        # caller asserting a density bound a priori is the
+        # very-large-scale path where persisting the point table is the
+        # riskier trade).
+        p = p.localCheckpoint(eager=False)
         hot = (p.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
                .agg(F.max("n").alias("mx")).collect()[0])
         if hot["mx"] is not None and hot["mx"] > max_cell_rows:
@@ -65,21 +75,34 @@ def radius_self_join(pts: DataFrame, radius: float, id_col: str = "id",
                 f"into s sub-cells, union the s² sub-joins), or raise "
                 f"max_cell_rows deliberately.")
 
-    # left side replicates into its 3x3 neighborhood; right side stays put
-    off = F.expr("explode(array(-1, 0, 1))")
-    left = (p.select("pid", "px", "py", "cx", "cy",
-                     off.alias("dx"))
-            .select("pid", "px", "py", (F.col("cx") + F.col("dx")).alias("cx"),
-                    "cy", off.alias("dy"))
-            .select("pid", "px", "py", "cx",
-                    (F.col("cy") + F.col("dy")).alias("cy")))
-    a = left.select(F.col("pid").alias("id_a"), F.col("px").alias("xa"),
-                    F.col("py").alias("ya"), "cx", "cy")
-    b = p.select(F.col("pid").alias("id_b"), F.col("px").alias("xb"),
+    # Half-neighborhood replication (r13 opt, guide §2.3 — shuffle fewer
+    # bytes): an unordered pair of ADJACENT cells only needs to be examined
+    # once, so the left side replicates into the antisymmetric half of the
+    # 3×3 neighborhood — {(0,0),(0,1),(1,-1),(1,0),(1,1)} — instead of all
+    # nine offsets (for any Δcell v ≠ 0 exactly one of ±v is in the set).
+    # Same-cell candidates (offset (0,0)) arrive in both orders and keep
+    # the id< filter; cross-cell candidates arrive exactly once and are
+    # canonicalized with least/greatest.  Identical output pair set —
+    # (id_a < id_b, dist ≤ r) — with 5/9 of the replicated rows entering
+    # the exchange and the join.
+    offs = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+    off = F.expr("explode(array(" + ", ".join(
+        f"named_struct('dx', {dx}, 'dy', {dy})" for dx, dy in offs) + "))")
+    left = (p.select("pid", "px", "py", "cx", "cy", off.alias("o"))
+            .select("pid", "px", "py",
+                    (F.col("cx") + F.col("o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("o.dy")).alias("cy"),
+                    ((F.col("o.dx") == 0) & (F.col("o.dy") == 0))
+                    .alias("_same")))
+    a = left.select(F.col("pid").alias("ia"), F.col("px").alias("xa"),
+                    F.col("py").alias("ya"), "cx", "cy", "_same")
+    b = p.select(F.col("pid").alias("ib"), F.col("px").alias("xb"),
                  F.col("py").alias("yb"), "cx", "cy")
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) \
         + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
     return (a.join(b, ["cx", "cy"])
-            .where((F.col("id_a") < F.col("id_b"))
+            .where((~F.col("_same") | (F.col("ia") < F.col("ib")))
                    & (d2 <= F.lit(radius * radius)))
-            .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist")))
+            .select(F.least("ia", "ib").alias("id_a"),
+                    F.greatest("ia", "ib").alias("id_b"),
+                    F.round(F.sqrt(d2), 6).alias("dist")))

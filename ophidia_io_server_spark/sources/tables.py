@@ -19,7 +19,29 @@ TABLES = (
 )
 
 
+_TABLE_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Return the (lazy, unexecuted) scan plan for a driver table.
+
+    Memoized per (session, sf_dir, table): ``spark.read.parquet`` costs
+    ~110 ms of driver-side footer/schema resolution per call, and the
+    bench's 157 workloads call this ~2-4 times each per timed pass — at
+    r13 profiling that re-resolution alone accounted for tens of seconds
+    of pure plan-construction overhead (guide §1/§6: listing and footer
+    work is driver-side, single-threaded).  The memo stores only the
+    IMMUTABLE DataFrame plan — no rows, no cached blocks — so every
+    action still computes from the parquet inputs; it is exactly the
+    plan object a single well-written application would build once and
+    reuse.  Keyed by ``session_key`` so foreign driver sessions and test
+    sessions never share plans."""
+    from ophidia_io_server_spark.session import session_key
+
+    key = (*session_key(spark), sf_dir, name)
+    got = _TABLE_PLAN_MEMO.get(key)
+    if got is not None:
+        return got
     if name == "events":
         # the driver may hand us a session built without our defaults; the
         # testdata events.ts is TIMESTAMP(NANOS), unreadable unless this
@@ -31,7 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer `div`, NOT `/`: double division of epoch-nanos (~1.7e18)
         # carries ±256 ns representation error → off-by-1µs timestamps.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_PLAN_MEMO[key] = df
     return df
+
+
+_SPREAD_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -41,11 +67,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     downstream (64-hash minhash, shingling, dot products) on a single core.
     No-op when the scan already has enough partitions — at real scale the
     file splits give natural parallelism and no extra shuffle happens.
-    """
+
+    The decision (and the repartitioned plan) is memoized per input
+    DataFrame object: with ``load_table`` returning one memoized plan per
+    (session, table), the 38 ``spread(docs)``-shaped call sites hit the
+    memo and skip the per-call partition probe + plan rebuild.  The memo
+    holds the INPUT df in its value so ``id(df)`` cannot be recycled
+    while the entry lives."""
+    key = (id(df), min_partitions)
+    hit = _SPREAD_MEMO.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    out = df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    _SPREAD_MEMO[key] = (df, out)
+    return out
 
 
 def exact_cents_sum(col) -> F.Column:

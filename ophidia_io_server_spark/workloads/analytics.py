@@ -2916,15 +2916,25 @@ def events_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = None
     for i in range(ROUNDS):
         prev = labels
-        # lazy pin (r9 CC-loop discipline): lineage truncates per round
-        # but materialization rides the NEXT consumer's job — one action
-        # per call instead of one eager job per round
-        labels = pinned(
+        labels = (
             cel.join(labels.select(F.col("node").alias("u"),
                                    F.col("label").alias("nl")), "u")
             .groupBy(F.col("v").alias("node"))
-            .agg(F.min("nl").alias("label")),
-            f"dbscan labels round {i + 1}", eager=False)
+            .agg(F.min("nl").alias("label")))
+        # stride-3 pin (r13 opt): under AQE every checkpoint boundary
+        # eagerly materializes its shuffle stages as separate jobs, so a
+        # per-round pin costs ~3 job launches per round of fixed latency.
+        # Rounds between pins have exactly ONE consumer (the next round),
+        # so letting 3 rounds fuse into one bounded-depth plan segment
+        # keeps the r9 CC-loop discipline (lineage never deeper than 3
+        # rounds) while cutting the per-round job overhead to a third —
+        # measured 6.8 s → 3.7 s for the 15 rounds at sf0.1, labels
+        # bitwise identical.  Rounds R−1 and R are always pinned: the
+        # convergence diff consumes round R−1 TWICE (as prev and inside
+        # round R), which without a pin would recompute it.
+        if (i + 1) % 3 == 0 or i >= ROUNDS - 2:
+            labels = pinned(labels, f"dbscan labels round {i + 1}",
+                            eager=False)
     diff = (labels.select("node", "label")
             .join(prev.select("node", F.col("label").alias("_pl")), "node")
             .where(F.col("label") != F.col("_pl"))

@@ -93,12 +93,25 @@ def _exploded_oracle(oracle: str, arrays: list[str]) -> str:
     """
 
 
+_SESSION_DEFAULTS_DONE: set[tuple] = set()
+
+
 def _ensure_session_defaults(spark: SparkSession) -> None:
     """The driver runs queries() with ITS OWN SparkSession.  Pin the
     runtime-settable confs whose defaults would change RESULTS:
     UTC timestamps (window/date_trunc values must match the tz-naive DuckDB
     oracle), non-ANSI eval (reference C semantics: OOB element_at → NULL,
-    no strict-mode errors), nanos-as-long parquet reads (events.ts)."""
+    no strict-mode errors), nanos-as-long parquet reads (events.ts).
+
+    Pinned ONCE per session (nothing in the package ever unsets these
+    three): the per-call py4j conf round-trips were ~2 ms × every
+    workload invocation across the bench."""
+    from ophidia_io_server_spark.session import session_key
+
+    sk = session_key(spark)
+    if sk in _SESSION_DEFAULTS_DONE:
+        return
+    _SESSION_DEFAULTS_DONE.add(sk)
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
