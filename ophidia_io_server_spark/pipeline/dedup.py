@@ -219,15 +219,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # against.  Edges are pair-count-bounded, tiny next to the corpus.
     from ophidia_io_server_spark.pin import pinned
 
+    # lazy pins (r13 opt): round 1's convergence count is the first
+    # action and materializes BOTH the edge blocks and the label-init
+    # blocks as part of its job — the eager variants ran two extra
+    # fixed-cost jobs per call before the loop even started (on
+    # near-clique graphs the loop is 3-5 rounds of mostly job-launch
+    # overhead, so two jobs are a measurable slice).  Once materialized
+    # by that first action the blocks are reused by every later round,
+    # exactly as before.
     edges = pinned(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))),
         "CC edge list: joined once per label-propagation round",
+        eager=False,
     )
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr = (

@@ -60,12 +60,20 @@ def edit_distance_self_join(df: DataFrame, str_col: str, tau: int) -> DataFrame:
     # consumers).  The dictionary is vocabulary-bounded — far smaller
     # than the corpus that produces it.
     from ophidia_io_server_spark.pin import pinned
+    from ophidia_io_server_spark.sources.tables import spread
 
-    d = pinned(
+    # spread after the pin (r13 opt): the distinct exchange AQE-coalesces
+    # the dictionary to one/few partitions, and BOTH downstream exploders
+    # fan it out ~(τ+1)²·(2τ+1)× with per-row substr work before the
+    # segment join — measured single-core at sf0.1 (the same
+    # enumeration-parallelism lesson as the Apriori triple row).  At real
+    # vocabulary scale the dictionary already spans many partitions and
+    # spread no-ops.
+    d = spread(pinned(
         df.select(F.col(str_col).cast("string").alias("s"))
         .where(F.col("s").isNotNull()).distinct()
         .withColumn("slen", F.length("s")),
-        "PassJoin dictionary: feeds both the segment index and probe sides")
+        "PassJoin dictionary: feeds both the segment index and probe sides"))
 
     # ---- index side: the tau+1 even-scheme segments of every string ----
     # (the expressions below resolve against whichever frame they are

@@ -73,13 +73,20 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (session, table), the 38 ``spread(docs)``-shaped call sites hit the
     memo and skip the per-call partition probe + plan rebuild.  The memo
     holds the INPUT df in its value so ``id(df)`` cannot be recycled
-    while the entry lives."""
+    while the entry lives.  Bounded: callers that pass a FRESH plan each
+    call (e.g. a per-call checkpointed dictionary) would otherwise grow
+    the memo without limit, and each held entry also keeps any
+    checkpoint blocks of its input alive against the ContextCleaner —
+    clearing at a small cap costs one extra partition probe per
+    surviving call site."""
     key = (id(df), min_partitions)
     hit = _SPREAD_MEMO.get(key)
     if hit is not None and hit[0] is df:
         return hit[1]
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     out = df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    if len(_SPREAD_MEMO) >= 256:
+        _SPREAD_MEMO.clear()
     _SPREAD_MEMO[key] = (df, out)
     return out
 

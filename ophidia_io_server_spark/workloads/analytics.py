@@ -3800,9 +3800,17 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (ev.groupBy("event_type",
                          F.date_trunc("hour", F.col("ts")).alias("hr"))
               .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    from ophidia_io_server_spark.pin import pinned
+
     wi = Window.partitionBy("event_type").orderBy("hr")
-    idx = hourly.select("event_type", "y",
-                        F.row_number().over(wi).alias("i"))
+    # r13 opt: the span-bounded hourly series feeds THREE consumers
+    # (both pair-join sides and the residual pass) — unpinned, each
+    # re-ran the events scan + hourly aggregate + index window (plan
+    # showed 3 parquet scans).  H×|types| rows, far smaller than the
+    # events producing it: the pin discipline's textbook case.
+    idx = pinned(hourly.select("event_type", "y",
+                               F.row_number().over(wi).alias("i")),
+                 "hourly series: pair join (both sides) + residual pass")
     a = idx.select("event_type", F.col("y").alias("ya"),
                    F.col("i").alias("ia"))
     b = idx.select("event_type", F.col("y").alias("yb"),

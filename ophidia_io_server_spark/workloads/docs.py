@@ -2197,13 +2197,22 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤36-cell confusion matrix), then all math on the bounded cell
     table."""
     from ophidia_io_server_spark.pipeline.text import lang_id_col
+    from ophidia_io_server_spark.pin import pinned
+    from ophidia_io_server_spark.sources.tables import spread
 
     docs = load_table(spark, sf_dir, "documents")
-    pl = (docs.where(F.col("text").isNotNull())
+    # r13 opt: spread before the heavy per-doc argmax expression (the
+    # single small parquet file scans as ONE task locally), and pin the
+    # ≤36-cell matrix — it feeds FOUR consumers (class union, both
+    # marginals, the diagonal), each of which otherwise re-ran the
+    # corpus-wide lang_id scan (plan showed 4 parquet scans; measured
+    # 3.3 s exec → one spread scan + cell-table math).
+    pl = (spread(docs).where(F.col("text").isNotNull())
           .select(F.col("lang").alias("truth"),
                   lang_id_col(F.col("text")).alias("pred")))
-    cm = pl.groupBy("truth", "pred").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"))
+    cm = pinned(pl.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")),
+        "confusion matrix: class union + 2 marginals + diagonal")
     classes = (cm.select(F.col("truth").alias("class"))
                .union(cm.select(F.col("pred").alias("class"))).distinct())
     tr = cm.groupBy(F.col("truth").alias("class")).agg(
@@ -2272,14 +2281,20 @@ def doc_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same ≤36-cell confusion collapse as the sibling row; the
     marginal-product join runs on ≤6-row frames."""
     from ophidia_io_server_spark.pipeline.text import lang_id_col
+    from ophidia_io_server_spark.pin import pinned
+    from ophidia_io_server_spark.sources.tables import spread
 
     dec = "decimal(38,0)"
     docs = load_table(spark, sf_dir, "documents")
-    pl = (docs.where(F.col("text").isNotNull())
+    # r13 opt: same spread + cell-table pin as the confusion sibling —
+    # cm feeds THREE consumers (totals + both marginals), each otherwise
+    # re-running the corpus lang_id scan single-task.
+    pl = (spread(docs).where(F.col("text").isNotNull())
           .select(F.col("lang").alias("truth"),
                   lang_id_col(F.col("text")).alias("pred")))
-    cm = pl.groupBy("truth", "pred").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"))
+    cm = pinned(pl.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")),
+        "confusion matrix: totals + 2 marginals")
     m = cm.agg(
         F.sum("n").cast("bigint").alias("nn"),
         F.sum(F.when(F.col("truth") == F.col("pred"), F.col("n"))
@@ -2828,12 +2843,21 @@ def doc_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast)."""
     from ophidia_io_server_spark.pipeline.text import tokens_col
 
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull())
+    from ophidia_io_server_spark.sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()))
     toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tk"))
     grams = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size("tk") - 7),
         lambda i: F.concat_ws(" ", F.slice("tk", i, 8))))
+    # r13 note: the gram-keyed join below looks like a second shuffle of
+    # the gram table, but AQE reuses dg's exchange for BOTH the min
+    # aggregate and the join (same key, same partitioning) — an A/B of a
+    # join-free two-aggregate restructure measured SLOWER (2.45 vs
+    # 1.63 s) because it generates the gram arrays twice.  The only
+    # change kept is the spread scan (the 8-gram generation ran on one
+    # task; 2.5 → 1.6 s total).
     dg = (toks.where(F.size("tk") >= 8)
           .select("doc_id", F.explode(grams).alias("g")))
     fo = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
@@ -2922,9 +2946,9 @@ def embedding_silhouette_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shaped, ×|L| work per row), TakeOrderedAndProject top-20 — no
     pairwise distances, no data-sized shuffle beyond the scan."""
     dec = "decimal(38,0)"
-    from pyspark.sql import Window
+    from ophidia_io_server_spark.sources.tables import spread
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     g = emb.select(
         "vec_id", "label",
         F.transform(F.col("embedding"),
@@ -2950,16 +2974,26 @@ def embedding_silhouette_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sqrt(num.cast("double")
                          / (F.col("n_l").cast("double") * F.col("n_l"))
                          / 1.0e12).alias("dist")))
-    own = (dd.where(F.col("clabel") == F.col("label"))
-           .select("vec_id", F.col("dist").alias("a")))
-    w = Window.partitionBy("vec_id").orderBy("dist", "clabel")
-    oth = (dd.where(F.col("clabel") != F.col("label"))
-           .withColumn("rn", F.row_number().over(w))
-           .where(F.col("rn") == 1)
-           .select("vec_id", F.col("clabel").alias("neighbor_label"),
-                   F.col("dist").alias("b")))
-    base = (g.select("vec_id", "label")
-            .join(own, "vec_id").join(oth, "vec_id"))
+    # r13 opt (guide §2.4): the old shape consumed dd THREE ways (own-
+    # label filter, a per-vec row_number window over the other labels,
+    # and a re-join against g) — the ×|L| DECIMAL distance fold ran
+    # twice and the window added an exchange + sort.  Both reductions
+    # are per-(vec) aggregates of dd, so ONE groupBy computes them in
+    # the same scan: a = the own-label distance (exactly one such row
+    # per vector), b/neighbor = min over the (dist, clabel) struct —
+    # lexicographic struct ordering IS the window's (dist, clabel)
+    # tie-break.  The null guard reproduces the old inner join (a
+    # single-label corpus has no other-centroid row).  Same 20 rows.
+    agg = (dd.groupBy("vec_id", "label")
+           .agg(F.max(F.when(F.col("clabel") == F.col("label"),
+                             F.col("dist"))).alias("a"),
+                F.min(F.when(F.col("clabel") != F.col("label"),
+                             F.struct(F.col("dist"), F.col("clabel"))))
+                .alias("mb")))
+    base = (agg.where(F.col("mb").isNotNull())
+            .select("vec_id", "label", "a",
+                    F.col("mb.clabel").alias("neighbor_label"),
+                    F.col("mb.dist").alias("b")))
     s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
     return (base.withColumn("s_raw", s)
             .orderBy(F.asc("s_raw"), F.asc("vec_id")).limit(20)

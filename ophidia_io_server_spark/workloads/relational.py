@@ -2312,8 +2312,16 @@ def orders_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange) computes all 16 distinct counts; the 12 output rows
     unpivot driver-free like the Pearson matrix."""
     from ophidia_io_server_spark.operators.profile import fd_discovery
+    from ophidia_io_server_spark.sources.tables import spread
 
-    orders = load_table(spark, sf_dir, "orders")
+    # r13 opt: Expand multiplies every row 17× BEFORE the partial
+    # aggregate, and the single small parquet file scans as one task —
+    # the whole 2.5M-row expand+hash ran on one core (2.9 s exec).
+    # Spread the 4-column projection first: narrow rows through a
+    # round-robin exchange, 17× fan-out paid in parallel.  At real
+    # scale file splits already parallelize the scan and spread no-ops.
+    orders = spread(load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey"))
     return fd_discovery(
         orders, ["o_custkey", "o_orderstatus", "o_orderpriority",
                  "o_orderkey"])
