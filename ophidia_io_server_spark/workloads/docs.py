@@ -1685,22 +1685,29 @@ def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     MIN_CONF = 0.2
     docs = load_table(spark, sf_dir, "documents")
+    # lazy pin (r13 opt): the 1-row threshold collect right below is the
+    # first action and materializes the posting blocks in ITS job — the
+    # eager variant ran the scan+explode as a separate job first.
     tk = pinned(
         (spread(docs).where(F.col("text").isNotNull())
          .select("doc_id", F.explode(F.array_distinct(
              tokens_col(F.col("text")))).alias("token"))),
-        "triples posting list: item counts + N + pair/triple joins")
-    nd = tk.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
-    th = nd.select("n_docs", F.greatest(
-        F.lit(20), F.expr("n_docs div 25")).alias("min_n"))
+        "triples posting list: N + item counts + frequent-id join",
+        eager=False)
+    # r13 opt: the old nd/th 1-row frames were BROADCAST into three
+    # downstream filters and crossJoined into the final projection —
+    # each broadcast re-ran the count_distinct aggregate over the
+    # posting blocks (4 passes).  Collect the two scalars ONCE (same
+    # budget-scalar discipline as the mx guard below; this is a 1-row
+    # threshold, not a data-sized collect) and inline them as literals.
+    n_docs = int(tk.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+        .collect()[0]["n_docs"] or 0)
+    min_n = max(20, n_docs // 25)
+    # min-support bounds the frequent-item table (<= sum|doc|/MIN_N rows)
     item = (tk.groupBy("token")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            .crossJoin(F.broadcast(th.select("min_n")))
-            .where(F.col("n") >= F.col("min_n")).drop("min_n"))
-    # min-support bounds the frequent-item table (<= sum|doc|/MIN_N rows)
-    ft = pinned(tk.join(F.broadcast(item.select("token")), "token")
-                .select("doc_id", "token"),
-                "frequent-token postings: pair join + 3x triple join")
+            .where(F.col("n") >= F.lit(min_n)))
     # dictionary-encode frequent tokens to DENSE INT ids (distributed
     # rank over the support-bounded item table): the 50M-row enumeration
     # shuffles 3 ints per struct instead of 3 strings — measured 2× at
@@ -1711,13 +1718,20 @@ def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     item_id = pinned(
         global_dense_rank(item, ["token"], rank_col="tid"),
-        "frequent-item dictionary: encode + 3 decode joins")
-    fti = (ft.join(item_id.select("token", "tid"), "token")
+        "frequent-item dictionary: frequent-id join + 3 decode joins + "
+        "consequent base-rate lookup")
+    # r13 opt: the old ft stage (tk ⋈ item, pinned) was a redundant
+    # join + pin — item_id IS the frequent-item set (dense rank of it),
+    # so one broadcast join frequency-filters AND encodes; ft had a
+    # single consumer, so its pin bought nothing.
+    fti = (tk.join(F.broadcast(item_id.select("token", "tid")), "token")
            .select("doc_id", F.col("tid").cast("int").alias("tid")))
+    # lazy pin: materialized by the mx budget collect right below.
     arr = pinned(
         fti.groupBy("doc_id").agg(
             F.sort_array(F.collect_set("tid")).alias("ts")),
-        "per-doc frequent-id arrays: pair + triple enumeration")
+        "per-doc frequent-id arrays: pair + triple enumeration",
+        eager=False)
     # spread before the in-row enumeration (r13 opt): ``arr`` is
     # doc-count-sized and AQE coalesces it to one/few partitions, but the
     # C(k,2)/C(k,3) transforms below fan it out thousands-fold — measured
@@ -1734,13 +1748,15 @@ def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_gen = F.expr(
         "flatten(transform(ts, (a, i) -> "
         "transform(slice(ts, i + 2, size(ts)), b -> struct(a, b))))")
-    co = pinned(
-        (arr.select(F.explode(pair_gen).alias("p"))
-         .groupBy(F.col("p.a").alias("ia"), F.col("p.b").alias("ib"))
-         .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
-         .crossJoin(F.broadcast(th.select("min_n")))
-         .where(F.col("nab") >= F.col("min_n")).drop("min_n")),
-        "frequent pairs: nab lookup for rule confidence")
+    # r13 opt: co is UNPINNED — it has exactly one consumer (the
+    # tri_ids join), so the pin only serialized a whole extra job at
+    # plan time; unpinned, the pair-aggregate and triple-aggregate
+    # subtrees both read the arr blocks inside ONE job and their
+    # stages overlap (guide §2.6: fill idle capacity).
+    co = (arr.select(F.explode(pair_gen).alias("p"))
+          .groupBy(F.col("p.a").alias("ia"), F.col("p.b").alias("ib"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+          .where(F.col("nab") >= F.lit(min_n)))
     tri_gen = F.expr(
         "flatten(transform(ts, (a, i) -> "
         "flatten(transform(slice(ts, i + 2, size(ts)), (b, j) -> "
@@ -1750,8 +1766,7 @@ def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy(F.col("p.a").alias("ia"), F.col("p.b").alias("ib"),
                         F.col("p.c").alias("ic"))
                .agg(F.count(F.lit(1)).cast("bigint").alias("nabc"))
-               .crossJoin(F.broadcast(th.select("min_n")))
-               .where(F.col("nabc") >= F.col("min_n")).drop("min_n")
+               .where(F.col("nabc") >= F.lit(min_n))
                .join(co, ["ia", "ib"]))
     dec = item_id.select(F.col("tid").cast("int").alias("_id"),
                          F.col("token").alias("_tok"))
@@ -1762,18 +1777,19 @@ def token_association_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("_tok").alias("tb")), "ib")
            .join(dec.select(F.col("_id").alias("ic"),
                             F.col("_tok").alias("tc_")), "ic"))
+    # consequent base rate from the PINNED dictionary (item_id keeps
+    # item's n column) instead of recomputing the item aggregate.
     return (tri
-            .join(item.select(F.col("token").alias("tc_"),
-                              F.col("n").alias("nc")), "tc_")
-            .crossJoin(F.broadcast(nd))
+            .join(item_id.select(F.col("token").alias("tc_"),
+                                 F.col("n").alias("nc")), "tc_")
             .where(F.col("nabc") / F.col("nab") >= MIN_CONF)
             .select(F.col("ta").alias("ant_a"), F.col("tb").alias("ant_b"),
                     F.col("tc_").alias("consequent"), "nabc",
-                    F.round(F.col("nabc") / F.col("n_docs"), 6)
+                    F.round(F.col("nabc") / F.lit(n_docs).cast("bigint"), 6)
                     .alias("support"),
                     F.round(F.col("nabc") / F.col("nab"), 6)
                     .alias("confidence"),
-                    F.round(F.col("nabc") * F.col("n_docs")
+                    F.round(F.col("nabc") * F.lit(n_docs).cast("bigint")
                             / (F.col("nab") * F.col("nc")), 6)
                     .alias("lift")))
 
