@@ -104,7 +104,8 @@ def global_dense_rank(df: DataFrame, cols: list[str],
 def global_prefix_sum(df: DataFrame, cols: list[str],
                       val_col: str | list[str],
                       partitions: int | None = None,
-                      cum_col: str | list[str] = "cum") -> DataFrame:
+                      cum_col: str | list[str] = "cum",
+                      return_total: bool = False):
     """Append the INCLUSIVE global running sum of ``val_col`` over the
     total order of ``cols`` — the distributed cumulative-distribution
     primitive (exact percentiles, rank statistics with tie-averaged
@@ -126,6 +127,17 @@ def global_prefix_sum(df: DataFrame, cols: list[str],
     per-partition running sums keyed on the physical partition id, a
     ≤P-row per-partition total summary collected to the driver, prefix
     sums of THOSE become each partition's offset, joined back broadcast.
+
+    ``return_total=True`` additionally returns the GRAND TOTAL of each
+    ``val_col`` (one Python int per column, or the bare int when
+    ``val_col`` is a single name) as ``(df, total)`` — the offset
+    collect already sums every partition's contribution, so callers
+    that need n = Σval (the CDF denominator: percentile thresholds,
+    Lorenz totals) get it with ZERO extra passes and can inline it as a
+    literal instead of re-aggregating ``max(cum)`` into a 1-row frame
+    and broadcast-joining it back (the r13 job-chain discipline: each
+    such re-aggregate was a whole extra exchange + broadcast build in
+    the final plan).
     """
     vals = [val_col] if isinstance(val_col, str) else list(val_col)
     cums = [cum_col] if isinstance(cum_col, str) else list(cum_col)
@@ -161,6 +173,10 @@ def global_prefix_sum(df: DataFrame, cols: list[str],
     for i, c in enumerate(cums):
         out = out.withColumn(
             c, (F.col(f"_lcum{i}") + F.col(f"_off{i}")).cast("bigint"))
-    return out.drop("_pid",
-                    *[f"_lcum{i}" for i in range(len(vals))],
-                    *[f"_off{i}" for i in range(len(vals))])
+    out = out.drop("_pid",
+                   *[f"_lcum{i}" for i in range(len(vals))],
+                   *[f"_off{i}" for i in range(len(vals))])
+    if return_total:
+        totals = offs_acc[0] if isinstance(val_col, str) else offs_acc
+        return out, totals
+    return out

@@ -260,16 +260,18 @@ def kmeans_fit(df: DataFrame, k: int = 10, iters: int = 3,
         kernel = "exact" if k <= 64 else "blas"
     assign = {"exact": kmeans_assign_exact, "jvm": kmeans_assign,
               "blas": kmeans_assign_blas}[kernel]
-    head = df.select(vec_col).first()
-    if head is None or head[0] is None:
-        raise ValueError("kmeans_fit: input has no vectors")
-    dim = len(head[0])
+    # r13 opt: the quantized-layout pin is LAZY — the seed collect right
+    # below is its first action and scans it directly (the lazy-pin
+    # safety rule), so the separate eager-checkpoint job is gone; the
+    # probe row for `dim` comes from the seed rows instead of a separate
+    # first() job (one more driver-blocking job removed per call).
     base = (df.select(F.col(id_col), quantize_vec(F.col(vec_col), grid)
                       .alias("qv"))
-            .localCheckpoint())  # pin the quantized layout; scanned 2·iters times
+            .localCheckpoint(eager=False))  # scanned 2·iters times
     seed = base.orderBy(id_col).limit(k).collect()
-    if not seed:
+    if not seed or seed[0]["qv"] is None:
         raise ValueError("kmeans_fit: input has no vectors")
+    dim = len(seed[0]["qv"])
     # a corpus with fewer than k vectors seeds fewer centroids; clamp k so
     # the update loop never indexes past the seed list (r7 ADVICE: the
     # IndexError crash semantic_dedup inherited on small inputs)
@@ -340,7 +342,9 @@ def semantic_dedup(df: DataFrame, k: int = 10, iters: int = 3,
                           quantize_vec(F.col(vec_col), cos_grid)
                           .alias("cq")), id_col)
           .select(id_col, "cluster", "cq")
-          .localCheckpoint())  # the group-by and the kept join share this
+          # lazy (r13): the budget-probe first() below is the pin's first
+          # action and scans it directly — one eager-checkpoint job fewer
+          .localCheckpoint(eager=False))  # group-by + kept join share this
     # per-cluster exact-int64 Gram tile (the similarity.py "blas"
     # pattern): one shuffle by cluster, then m×m numpy inside the group —
     # a join+filter would evaluate the 64-term predicate interpreted per

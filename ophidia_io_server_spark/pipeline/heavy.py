@@ -84,17 +84,30 @@ def heavy_hitter_candidates(df: DataFrame, item_col: str, k: int = 64) -> DataFr
 
 
 def heavy_hitters(df: DataFrame, item_col: str, k: int = 64,
-                  top_n: int | None = None) -> DataFrame:
+                  top_n: int | None = None,
+                  counts: DataFrame | None = None) -> DataFrame:
     """(item, cnt) with EXACT counts for the MG candidate set, optionally
     truncated to the top ``top_n`` by (cnt desc, item).  Exact-correct
     top-N whenever the N-th true count exceeds n/(k+1) — pick
-    ``k ≥ n/count_N − 1``."""
+    ``k ≥ n/count_N − 1``.
+
+    ``counts``: optional pre-aggregated exact ``(item, cnt)`` table (same
+    universe as ``df``'s item stream).  The MG candidate pass still runs
+    over the raw stream; only the exact-count verify phase reads the
+    summary instead of re-scanning the corpus (r13 opt — callers that
+    already built the item-count table for another consumer save one
+    full pass; the counts per item are identical by construction)."""
     cand = heavy_hitter_candidates(df, item_col, k)
-    exact = (
-        df.select(F.col(item_col).alias("item"))
-        .join(F.broadcast(cand), on="item", how="left_semi")
-        .groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    if counts is not None:
+        exact = counts.join(F.broadcast(cand), on="item", how="left_semi") \
+            .select("item", F.col("cnt").cast("bigint").alias("cnt"))
+    else:
+        exact = (
+            df.select(F.col(item_col).alias("item"))
+            .join(F.broadcast(cand), on="item", how="left_semi")
+            .groupBy("item").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("cnt"))
+        )
     if top_n is not None:
         exact = exact.orderBy(F.col("cnt").desc(), F.col("item").asc()).limit(top_n)
     return exact
@@ -112,7 +125,8 @@ def _cms_positions(item: Column, depth: int, width: int, seed: int) -> Column:
 
 
 def countmin_build(df: DataFrame, item_col: str, depth: int = 5,
-                   width: int = 2048, seed: int = 7) -> DataFrame:
+                   width: int = 2048, seed: int = 7,
+                   weight_col: str | None = None) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) as a tiny DataFrame
     of ``(r, pos, cnt)`` counters — a mergeable frequency summary whose
     size is depth·width REGARDLESS of corpus size.
@@ -123,14 +137,26 @@ def countmin_build(df: DataFrame, item_col: str, depth: int = 5,
     the exchange carries O(partitions · d · w) counter rows, never the
     vocabulary.  Sketches of disjoint corpus shards merge by summing
     counters (the same groupBy), which is what makes this the streaming /
-    federated complement to the exact MG+verify pipeline above."""
+    federated complement to the exact MG+verify pipeline above.
+
+    ``weight_col``: build from a PRE-AGGREGATED ``(item, weight)`` table —
+    counters become Σweight per position, bitwise the counters the raw
+    stream would produce (same hash family, same additions grouped by
+    item first).  A caller holding distinct-item counts explodes
+    |items|·d rows instead of |rows|·d (r13 opt: the lineitem sketch's
+    explode+hash volume drops by the key-duplication factor)."""
     pos = _cms_positions(F.col(item_col), depth, width, seed)
-    return (
-        df.where(F.col(item_col).isNotNull())
-        .select(F.posexplode(pos).alias("r", "pos"))
-        .groupBy("r", "pos")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    base = df.where(F.col(item_col).isNotNull())
+    if weight_col is None:
+        return (base
+                .select(F.posexplode(pos).alias("r", "pos"))
+                .groupBy("r", "pos")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    return (base
+            .select(F.posexplode(pos).alias("r", "pos"),
+                    F.col(weight_col).alias("_w"))
+            .groupBy("r", "pos")
+            .agg(F.sum("_w").cast("bigint").alias("cnt")))
 
 
 def countmin_estimate(sketch: DataFrame, queries: DataFrame, item_col: str,

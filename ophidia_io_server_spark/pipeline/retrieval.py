@@ -51,6 +51,29 @@ def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def query_tf_table(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate-only per-(doc, term) postings for the query terms:
+    ``(id_col, term, tf, dl)``.  This is the ONE corpus tokenize pass a
+    query-term ranking needs; BM25 scoring (`bm25_scores(tf=...)`) and a
+    raw term-frequency arm (``Σ tf`` per doc) both derive from it, so a
+    hybrid row (RRF fusion, RBO comparison) tokenizes the corpus once
+    for both arms instead of once per arm (r13 opt)."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = _tokens(spread(docs), text_col, id_col)
+    return (
+        toks.select(id_col, "dl", F.explode("tk").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"),
+             F.min("dl").alias("dl"))
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -58,12 +81,17 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 score for every document containing ≥1 query term.
 
     Returns (id_col, score) — docs with no query term are absent (their
     score is identically 0; emitting the full corpus would defeat the
-    candidate-only shuffle)."""
+    candidate-only shuffle).
+
+    ``tf``: optional prebuilt ``query_tf_table`` (identical semantics);
+    callers that need the postings for another arm pass the shared
+    (usually pinned) table so the corpus tokenize pass runs once."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
@@ -72,13 +100,9 @@ def bm25_scores(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = (
-        toks.select(id_col, "dl", F.explode("tk").alias("term"))
-        .where(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"),
-             F.min("dl").alias("dl"))
-    )
+    if tf is None:
+        tf = query_tf_table(docs, query_terms,
+                            text_col=text_col, id_col=id_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
@@ -115,15 +139,18 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 documents with a dense 1-based rank.
 
     Total order: (score desc, id asc) over the 6-dp-rounded score — ties at
     the rounding granularity break on the id, so the rank column is
     deterministic and engine-independent.  The limit runs as
-    TakeOrderedAndProject; the rank window only ever sees k rows."""
+    TakeOrderedAndProject; the rank window only ever sees k rows.
+
+    ``tf``: optional prebuilt ``query_tf_table`` (see ``bm25_scores``)."""
     scored = bm25_scores(docs, query_terms, k1=k1, b=b,
-                         text_col=text_col, id_col=id_col)
+                         text_col=text_col, id_col=id_col, tf=tf)
     top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -6,6 +6,8 @@ provenance citations in the per-workload docstrings are unchanged.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2271,22 +2273,25 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = g.groupBy("v").agg(
         F.sum("in_a").cast("bigint").alias("cnt_a"),
         F.sum(1 - F.col("in_a")).cast("bigint").alias("cnt_b"))
-    cum = global_prefix_sum(c, ["v"], ["cnt_a", "cnt_b"],
-                            cum_col=["cum_a", "cum_b"])
-    tot = cum.agg(F.max("cum_a").cast("bigint").alias("na"),
-                  F.max("cum_b").cast("bigint").alias("nb"))
-    dmax = (cum.crossJoin(F.broadcast(tot))
-            .agg(F.max("na").alias("na"), F.max("nb").alias("nb"),
-                 F.max(F.abs(F.col("nb").cast(dec)
-                             * F.col("cum_a").cast(dec)
-                             - F.col("na").cast(dec)
-                             * F.col("cum_b").cast(dec))).alias("dmax")))
-    nad = F.col("na").cast("double")
-    nbd = F.col("nb").cast("double")
-    d = F.col("dmax").cast("double") / (nad * nbd)
+    # na/nb come off the shared prefix sum's own offset collect
+    # (return_total) as LITERALS — the old 1-row "tot" re-aggregate over
+    # the cum blocks and its broadcast are gone from the plan
+    cum, (na, nb) = global_prefix_sum(c, ["v"], ["cnt_a", "cnt_b"],
+                                      cum_col=["cum_a", "cum_b"],
+                                      return_total=True)
+    na, nb = int(na), int(nb)
+    dmax = cum.agg(
+        F.max(F.abs(F.lit(nb).cast(dec) * F.col("cum_a").cast(dec)
+                    - F.lit(na).cast(dec) * F.col("cum_b").cast(dec)))
+        .alias("dmax"))
+    nad, nbd = float(na), float(nb)
+    d = F.col("dmax").cast("double") / F.lit(nad * nbd)
     return dmax.select(
-        "na", "nb", F.round(d, 6).alias("d_stat"),
-        F.round(F.sqrt(nad * nbd / (nad + nbd)) * d, 6).alias("ks_stat"))
+        F.lit(na).cast("bigint").alias("na"),
+        F.lit(nb).cast("bigint").alias("nb"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(F.lit(math.sqrt(nad * nbd / (nad + nbd))) * d, 6)
+        .alias("ks_stat"))
 
 
 @workload(
@@ -2563,18 +2568,24 @@ def doc_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms) + TakeOrdered top-50; the fusion joins two 50-row frames."""
     from pyspark.sql import Window
 
-    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk, _tokens
-    from ophidia_io_server_spark.sources.tables import spread
+    from ophidia_io_server_spark.pin import pinned
+    from ophidia_io_server_spark.pipeline.retrieval import (
+        bm25_topk,
+        query_tf_table,
+    )
 
     TERMS = ["hash", "merge", "scan"]
     docs = load_table(spark, sf_dir, "documents")
-    bm = (bm25_topk(docs, TERMS, k=50)
+    # r13 opt: ONE corpus tokenize pass builds the query-term postings
+    # for BOTH arms (BM25 scoring + raw-tf ranking) — before, each arm
+    # re-tokenized the corpus.  Candidate-sized, two consumers → pin
+    # (eager: the BM25 df/stats broadcasts chain off it).
+    tf = pinned(query_tf_table(docs, TERMS),
+                "RRF query postings: BM25 arm + raw-tf arm")
+    bm = (bm25_topk(docs, TERMS, k=50, tf=tf)
           .select("doc_id", F.col("rank").alias("rank_bm")))
-    toks = _tokens(spread(docs), "text", "doc_id")
-    tft = (toks.select("doc_id", F.explode("tk").alias("term"))
-           .where(F.col("term").isin(TERMS))
-           .groupBy("doc_id")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("tft")))
+    tft = (tf.groupBy("doc_id")
+           .agg(F.sum("tf").cast("bigint").alias("tft")))
     top_tf = tft.orderBy(F.col("tft").desc(), F.col("doc_id").asc()).limit(50)
     w = Window.orderBy(F.col("tft").desc(), F.col("doc_id").asc())
     tr = top_tf.withColumn("rank_tf",
@@ -2707,10 +2718,17 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = g.groupBy("event_type", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"))
     from ophidia_io_server_spark.pin import pinned
+    # lazy (r13): the within-type prefix sum's sampling job is the pin's
+    # first action and scans it directly — one eager full-pass job fewer
     c = pinned(c, "quantile-normalize distinct (type, value) counts: "
-               "within-type CDF + pooled CDF")
-    # within-type rank from ONE type-major prefix sum + per-type offsets
-    cum = global_prefix_sum(c, ["event_type", "v"], "cnt")
+               "within-type CDF + pooled CDF", eager=False)
+    # within-type rank from ONE type-major prefix sum + per-type offsets;
+    # the pooled total N comes off that prefix sum's own offset collect
+    # (return_total) as a literal — the old 1-row "nn" re-aggregate over
+    # tc and its broadcast are gone from the plan
+    cum, n_all = global_prefix_sum(c, ["event_type", "v"], "cnt",
+                                   return_total=True)
+    n_all = int(n_all)
     per_t = cum.groupBy("event_type").agg(
         (F.min(F.col("cum") - F.col("cnt"))).alias("pre"),
         F.sum("cnt").cast("bigint").alias("n_t"))
@@ -2721,9 +2739,7 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum("cnt").cast("bigint").alias("pcnt")))
     pcum = (global_prefix_sum(pooled, ["pv"], "pcnt", cum_col="hi")
             .withColumn("lo", F.col("hi") - F.col("pcnt") + 1))
-    nn = tc.agg(F.sum("cnt").cast("bigint").alias("n"))
-    q = (tc.crossJoin(F.broadcast(nn))
-         .withColumn("p", F.expr("(r * n + n_t - 1) div n_t"))
+    q = (tc.withColumn("p", F.expr(f"(r * {n_all} + n_t - 1) div n_t"))
          .withColumn("bkt", F.expr(f"(p - 1) div {W}"))
          .select("event_type", "v", "cnt", "p", "bkt"))
     anchors = (pcum.withColumn(
@@ -5108,18 +5124,22 @@ def doc_rbo_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-20; everything after is 20-row frame math."""
     from pyspark.sql import Window
 
-    from ophidia_io_server_spark.pipeline.retrieval import bm25_topk, _tokens
-    from ophidia_io_server_spark.sources.tables import spread
+    from ophidia_io_server_spark.pin import pinned
+    from ophidia_io_server_spark.pipeline.retrieval import (
+        bm25_topk,
+        query_tf_table,
+    )
 
     TERMS = ["hash", "merge", "scan"]
     docs = load_table(spark, sf_dir, "documents")
-    bm = (bm25_topk(docs, TERMS, k=20)
+    # r13 opt: shared query-term postings for both arms — one corpus
+    # tokenize pass instead of two (same pattern as doc_rrf_retrieval)
+    tf = pinned(query_tf_table(docs, TERMS),
+                "RBO query postings: BM25 arm + raw-tf arm")
+    bm = (bm25_topk(docs, TERMS, k=20, tf=tf)
           .select("doc_id", F.col("rank").alias("ra")))
-    toks = _tokens(spread(docs), "text", "doc_id")
-    tft = (toks.select("doc_id", F.explode("tk").alias("term"))
-           .where(F.col("term").isin(TERMS))
-           .groupBy("doc_id")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("tft")))
+    tft = (tf.groupBy("doc_id")
+           .agg(F.sum("tf").cast("bigint").alias("tft")))
     w = Window.orderBy(F.col("tft").desc(), F.col("doc_id").asc())
     tr = (tft.orderBy(F.col("tft").desc(), F.col("doc_id").asc()).limit(20)
           .withColumn("rb", F.row_number().over(w).cast("bigint"))

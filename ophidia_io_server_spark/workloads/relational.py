@@ -900,13 +900,26 @@ def token_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.text import tokens_col
     from ophidia_io_server_spark.sources.tables import spread
 
+    from ophidia_io_server_spark.pin import pinned
+
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.where(F.col("text").isNotNull()).select(
         F.explode(tokens_col(F.col("text"))).alias("tok"))
     depth, width = 5, 2048
-    sketch = countmin_build(toks, "tok", depth=depth, width=width, seed=7)
-    sketch = sketch.persist()
-    top = heavy_hitters(toks, "tok", k=64, top_n=15)
+    # r13 opt: ONE vocabulary count pass feeds the (weighted) sketch
+    # build, the MG verify phase and the N reader — before, the corpus
+    # token stream was exploded three times (sketch build ×d, MG pass,
+    # exact-count groupBy).  Counters/counts are bitwise identical
+    # (same sums grouped by token first); only the MG candidate pass
+    # still reads the raw stream, as the algorithm requires.
+    vocab = pinned(
+        toks.groupBy(F.col("tok").alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+        "token vocab counts: weighted CMS build + MG verify + N")
+    sketch = countmin_build(vocab.select(F.col("item").alias("tok"), "cnt"),
+                            "tok", depth=depth, width=width, seed=7,
+                            weight_col="cnt")
+    top = heavy_hitters(toks, "tok", k=64, top_n=15, counts=vocab)
     est = countmin_estimate(sketch, top.select(F.col("item").alias("tok")),
                             "tok", depth=depth, width=width, seed=7)
     # N from the sketch itself (row 0's counters sum to the stream length)
@@ -964,6 +977,8 @@ def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         countmin_inner_product,
     )
 
+    from ophidia_io_server_spark.pin import pinned
+
     depth, width = 5, 65536
     o = (load_table(spark, sf_dir, "orders")
          .where(F.col("o_orderkey").isNotNull())
@@ -971,13 +986,35 @@ def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (load_table(spark, sf_dir, "lineitem")
           .where(F.col("l_orderkey").isNotNull())
           .select(F.col("l_orderkey").alias("k")))
-    ska = countmin_build(o, "k", depth=depth, width=width, seed=11)
-    skb = countmin_build(li, "k", depth=depth, width=width, seed=11)
+    # r13 opt (three structural cuts, bitwise-identical outputs):
+    # 1. the lineitem side pre-aggregates to its distinct-key count table
+    #    (pinned: it feeds the weighted sketch build, the exact join and
+    #    n_lineitem) — the CMS posexplode hashes |keys|·d rows instead of
+    #    |rows|·d, and counters are the same sums grouped by key first;
+    # 2. the exact join size is Σ_k cnt_li(k)·cnt_o(k) over the two
+    #    distinct-key count tables (the textbook equi-join-size identity,
+    #    no uniqueness assumption) — the row-level orders⋈lineitem
+    #    shuffle join is gone;
+    # 3. n_orders/n_lineitem come from the same subplans that already
+    #    scan each side (count aggregates fused by AQE stage reuse is NOT
+    #    relied on: n_lineitem reads the pinned counts, n_orders rides
+    #    the ska build input once via a pinned key projection).
+    lc = pinned(li.groupBy("k").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("c")),
+                "join-size lineitem key counts: weighted CMS build + "
+                "exact join + n_lineitem")
+    ok = pinned(o, "join-size orders keys: CMS build + exact semi-join + "
+                "n_orders")
+    ska = countmin_build(ok, "k", depth=depth, width=width, seed=11)
+    skb = countmin_build(lc, "k", depth=depth, width=width, seed=11,
+                         weight_col="c")
     est = countmin_inner_product(ska, skb)
-    exact = (o.join(li, on="k")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("exact_rows")))
-    na = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    nb = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitem"))
+    oc = ok.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    exact = (lc.join(oc, on="k")
+             .agg(F.sum(F.col("c") * F.col("co")).cast("bigint")
+                  .alias("exact_rows")))
+    na = ok.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    nb = lc.agg(F.sum("c").cast("bigint").alias("n_lineitem"))
     return (
         exact.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(est))
@@ -1814,7 +1851,11 @@ def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("o_orderdate") >= "1995-01-01")
                   & (F.col("o_orderdate") < "1996-01-01"))
            .select("o_orderkey"))
-    bl = bloom_build(dim, "o_orderkey", m_bits=M, k_hashes=K)
+    # r13 opt: the 1-row bloom frame is pinned so the n_keys read and the
+    # prefilter broadcast share ONE build (unpinned, the orders aggregate
+    # ran twice: once for first(), once when the broadcast materialized)
+    bl = bloom_build(dim, "o_orderkey", m_bits=M, k_hashes=K) \
+        .localCheckpoint(eager=False)
     row = bl.select("n_keys").first()
     n_keys = int(row["n_keys"])
 
@@ -1827,18 +1868,26 @@ def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
            # 3 columns the join/agg/fp-count consumers read
            .localCheckpoint())
     n_total = li.count()
-    n_pass = pre.count()
 
+    # r13 opt: ONE pass over the pinned prefiltered rows computes the
+    # pass-count AND the exact-join aggregate (LEFT join against the
+    # broadcast dim: matched rows are exactly the old inner join, so
+    # n_orders/n_li/revenue are the same values; n_pass = all rows) —
+    # the separate pre.count() job is gone.
     joined = pre.join(F.broadcast(dim),
-                      F.col("l_orderkey") == F.col("o_orderkey"))
+                      F.col("l_orderkey") == F.col("o_orderkey"), "left")
     agg = joined.agg(
         F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
-        F.count(F.lit(1)).cast("bigint").alias("n_li"),
-        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                      * 10000).cast("bigint")).cast("bigint")
-        .alias("revenue_e4"))
+        F.count("o_orderkey").cast("bigint").alias("n_li"),
+        F.sum(F.when(F.col("o_orderkey").isNotNull(),
+                     F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))
+                             * 10000).cast("bigint"))).cast("bigint")
+        .alias("revenue_e4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pass"))
     res = agg.first()
     n_li = int(res["n_li"])
+    n_pass = int(res["n_pass"])
     # all exact-join rows are a subset of the prefiltered rows by
     # construction; assert it from the measured counts anyway
     no_fn = n_pass >= n_li
@@ -2035,30 +2084,26 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (li.select(F.round(F.col("l_extendedprice") * 100)
                    .cast("bigint").alias("v"))
          .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
-    cum = global_prefix_sum(c, ["v"], "cnt")
-    # n, k_lo, k_hi from the cum table in one aggregate, then boundary
-    # values + clamped sum in further passes over the SAME (checkpointed)
-    # cum blocks with the 1-row thresholds joined broadcast
-    tot = cum.agg(F.max("cum").cast("bigint").alias("n")).select(
-        "n",
-        F.expr("(n + 99) div 100").alias("k_lo"),
-        F.expr("(99 * n + 99) div 100").alias("k_hi"))
-    b = (cum.crossJoin(F.broadcast(tot))
-         .agg(F.max("n").alias("n"),
-              F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("v")))
-              .alias("lo"),
-              F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("v")))
-              .alias("hi")))
+    # n (so k_lo/k_hi) comes off the prefix sum's own offset collect
+    # (return_total) and is inlined as a LITERAL — the old 1-row "tot"
+    # re-aggregate + its broadcast are gone from the plan; boundary
+    # values + clamped sum still read the SAME checkpointed cum blocks
+    cum, n = global_prefix_sum(c, ["v"], "cnt", return_total=True)
+    n = int(n)
+    k_lo, k_hi = (n + 99) // 100, (99 * n + 99) // 100
+    b = cum.agg(
+        F.min(F.when(F.col("cum") >= F.lit(k_lo), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= F.lit(k_hi), F.col("v"))).alias("hi"))
     clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
     return (cum.crossJoin(F.broadcast(b))
-            .agg(F.max("n").cast("bigint").alias("n_rows"),
-                 F.max("lo").cast("bigint").alias("lo_cents"),
+            .agg(F.max("lo").cast("bigint").alias("lo_cents"),
                  F.max("hi").cast("bigint").alias("hi_cents"),
                  F.sum(F.col("cnt") * clamped).cast("bigint")
                  .alias("win_sum_cents"))
-            .select("n_rows", "lo_cents", "hi_cents", "win_sum_cents",
+            .select(F.lit(n).cast("bigint").alias("n_rows"),
+                    "lo_cents", "hi_cents", "win_sum_cents",
                     F.round(F.col("win_sum_cents").cast("double")
-                            / F.col("n_rows").cast("double"), 6)
+                            / F.lit(float(n)), 6)
                     .alias("win_mean")))
 
 
@@ -2117,30 +2162,31 @@ def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (li.select(F.round(F.col("l_extendedprice") * 100)
                    .cast("bigint").alias("v"))
          .groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
-    cum = global_prefix_sum(c, ["v"], "cnt")
-    t = cum.agg(F.max("cum").cast("bigint").alias("n")).select(
-        "n", F.expr("(n + 1) div 2").alias("k"))
-    med = (cum.crossJoin(F.broadcast(t))
-           .agg(F.max("n").alias("n"), F.max("k").alias("k"),
-                F.min(F.when(F.col("cum") >= F.col("k"), F.col("v")))
-                .alias("m")))
+    # n (and so the median rank k) comes off the prefix sum's own offset
+    # collect (return_total — the same numbers max(cum) re-aggregated
+    # before) and is inlined as a LITERAL: the old plan re-aggregated the
+    # cum blocks into a 1-row frame and broadcast it through every
+    # downstream stage — one whole aggregate + broadcast subtree gone,
+    # and the n/k columns stop riding the dd groupBy.
+    cum, n = global_prefix_sum(c, ["v"], "cnt", return_total=True)
+    k = (int(n) + 1) // 2
+    med = cum.agg(
+        F.min(F.when(F.col("cum") >= F.lit(k), F.col("v"))).alias("m"))
     dd = (cum.crossJoin(F.broadcast(med))
           .groupBy(F.abs(F.col("v") - F.col("m")).alias("d"))
           .agg(F.sum("cnt").cast("bigint").alias("cnt"),
-               F.max("n").alias("n"), F.max("k").alias("k"),
                F.max("m").alias("m")))
     dcum = global_prefix_sum(dd, ["d"], "cnt", cum_col="dcum")
     madrow = dcum.agg(
-        F.max("n").alias("n"), F.max("m").alias("m"),
-        F.min(F.when(F.col("dcum") >= F.col("k"), F.col("d"))).alias("mad"))
-    return (dcum.crossJoin(F.broadcast(madrow.select(
-                F.col("mad").alias("mad_v"))))
-            .agg(F.max("n").cast("bigint").alias("n_rows"),
-                 F.max("m").cast("bigint").alias("median_cents"),
+        F.min(F.when(F.col("dcum") >= F.lit(k), F.col("d"))).alias("mad_v"))
+    return (dcum.crossJoin(F.broadcast(madrow))
+            .agg(F.max("m").cast("bigint").alias("median_cents"),
                  F.max("mad_v").cast("bigint").alias("mad_cents"),
                  F.sum(F.when(F.col("d") * 10000 > 44478 * F.col("mad_v"),
                               F.col("cnt")).otherwise(0)).cast("bigint")
-                 .alias("n_outliers")))
+                 .alias("n_outliers"))
+            .select(F.lit(int(n)).cast("bigint").alias("n_rows"),
+                    "median_cents", "mad_cents", "n_outliers"))
 
 
 @workload(
@@ -2246,7 +2292,11 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.col("l_extendedprice") * 100).cast("bigint")
                  .alias("y")))
     from ophidia_io_server_spark.pin import pinned
-    b = pinned(b, "spearman base pairs: two rank-map builds + the join")
+    # lazy (r13): the first rank-map's range-partitioner sampling job is
+    # the pin's first action and scans it directly — the eager variant
+    # paid a separate full-scan job before any consumer ran
+    b = pinned(b, "spearman base pairs: two rank-map builds + the join",
+               eager=False)
     cx = b.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     rx = (global_prefix_sum(cx, ["x"], "c")
           .select("x", (2 * F.col("cum") - F.col("c") + 1).alias("rx2")))
@@ -2493,6 +2543,14 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("bigint").alias("frequency"),
                  F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
                  .cast("bigint").alias("monetary_cents")))
+    # r13 opt: cust feeds FOUR consumers (three independent dense-rank
+    # range exchanges + the final join) — unpinned, each re-ran the
+    # orders collapse and the mx broadcast; |customers|-bounded, so pin.
+    # Lazy is safe here: the first rank call's sampling pass scans it
+    # directly (the lazy-pin safety rule from NOTES.md).
+    from ophidia_io_server_spark.pin import pinned
+    cust = pinned(cust, "RFM per-customer collapse: 3 rank calls + join",
+                  eager=False)
     rr, n = global_dense_rank(cust, ["recency_days", "c_custkey"],
                               rank_col="rank", return_max=True)
     rr = rr.select("c_custkey", F.col("rank").alias("rr"))
@@ -2744,22 +2802,33 @@ def lineitem_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   .alias("c"))
     wcum = Window.partitionBy("g").orderBy("y")
     wall = Window.partitionBy("g")
-    cdf = cnt.select("g", "y", "c",
-                     F.sum("c").over(wcum).alias("cum"),
-                     F.sum("c").over(wall).alias("n_g"))
+    # r13 opt: the final moment aggregate is computed from the (g, y, c)
+    # GRID, weighted by c, instead of re-joining the deviations back to
+    # the raw rows — ONE lineitem scan instead of two, every sum the
+    # same exact integer (Σ_rows z = Σ_cells c·z, grouped differently).
+    # The grid feeds two consumers (median selection + the weighted
+    # aggregate), so it is pinned (value-cardinality-bounded); eager
+    # because the median rides a broadcast chain off the pin (the
+    # lazy-pin safety rule in NOTES.md).
+    from ophidia_io_server_spark.pin import pinned
+    cdf = pinned(
+        cnt.select("g", "y", "c",
+                   F.sum("c").over(wcum).alias("cum"),
+                   F.sum("c").over(wall).alias("n_g")),
+        "brown-forsythe (g, value) grid: median pick + weighted moments")
     med = (cdf.where(F.col("cum") >= F.expr("(n_g + 1) div 2"))
            .groupBy("g").agg(F.min("y").alias("m")))
-    dev = (b.join(med, "g")
-           .select("g", F.abs(F.col("y") - F.col("m")).alias("z")))
-    g, z = F.col("g"), F.col("z")
-    s = dev.agg(
-        F.sum(F.when(g == "A", 1).otherwise(0)).cast("bigint").alias("na"),
-        F.sum(F.when(g == "A", z.cast(dec))).alias("sa"),
-        F.sum(F.when(g == "N", 1).otherwise(0)).cast("bigint").alias("nn"),
-        F.sum(F.when(g == "N", z.cast(dec))).alias("sn"),
-        F.sum(F.when(g == "R", 1).otherwise(0)).cast("bigint").alias("nr"),
-        F.sum(F.when(g == "R", z.cast(dec))).alias("sr"),
-        F.sum((z * z).cast(dec)).alias("q"))
+    d = (cdf.join(F.broadcast(med), "g")
+         .select("g", "c", F.abs(F.col("y") - F.col("m")).alias("z")))
+    g, z, c = F.col("g"), F.col("z"), F.col("c")
+    s = d.agg(
+        F.sum(F.when(g == "A", c).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(g == "A", z.cast(dec) * c)).alias("sa"),
+        F.sum(F.when(g == "N", c).otherwise(0)).cast("bigint").alias("nn"),
+        F.sum(F.when(g == "N", z.cast(dec) * c)).alias("sn"),
+        F.sum(F.when(g == "R", c).otherwise(0)).cast("bigint").alias("nr"),
+        F.sum(F.when(g == "R", z.cast(dec) * c)).alias("sr"),
+        F.sum((z * z).cast(dec) * c).alias("q"))
     na, nn, nr = F.col("na"), F.col("nn"), F.col("nr")
     sa = F.col("sa").cast("double")
     sn = F.col("sn").cast("double")
@@ -3414,16 +3483,20 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
                      .cast("bigint")).cast("bigint")
                .alias("revenue_cents")))
-    tot = pr.agg(F.sum("revenue_cents").cast("bigint").alias("t"))
     keyed = pr.withColumn("neg_rev", -F.col("revenue_cents"))
-    c = global_prefix_sum(keyed, ["neg_rev", "l_partkey"],
-                          "revenue_cents", cum_col="cum_cents")
-    return (c.crossJoin(F.broadcast(tot))  # single-row total
-            .select("l_partkey", "revenue_cents",
-                    F.col("cum_cents").cast("bigint").alias("cum_cents"),
-                    F.when(5 * F.col("cum_cents") <= 4 * F.col("t"), "A")
-                    .when(20 * F.col("cum_cents") <= 19 * F.col("t"), "B")
-                    .otherwise("C").alias("abc_class")))
+    # T comes off the prefix sum's own offset collect (return_total) and
+    # is inlined as a literal — the old separate 1-row total aggregate
+    # re-executed the whole per-part revenue collapse a second time
+    # (pr was unpinned) and added a broadcast build to the final plan
+    c, t = global_prefix_sum(keyed, ["neg_rev", "l_partkey"],
+                             "revenue_cents", cum_col="cum_cents",
+                             return_total=True)
+    t = int(t)
+    return (c.select("l_partkey", "revenue_cents",
+                     F.col("cum_cents").cast("bigint").alias("cum_cents"),
+                     F.when(5 * F.col("cum_cents") <= F.lit(4 * t), "A")
+                     .when(20 * F.col("cum_cents") <= F.lit(19 * t), "B")
+                     .otherwise("C").alias("abc_class")))
 
 
 @workload(
