@@ -2722,22 +2722,34 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first action and scans it directly — one eager full-pass job fewer
     c = pinned(c, "quantile-normalize distinct (type, value) counts: "
                "within-type CDF + pooled CDF", eager=False)
-    # within-type rank from ONE type-major prefix sum + per-type offsets;
-    # the pooled total N comes off that prefix sum's own offset collect
-    # (return_total) as a literal — the old 1-row "nn" re-aggregate over
-    # tc and its broadcast are gone from the plan
-    cum, n_all = global_prefix_sum(c, ["event_type", "v"], "cnt",
-                                   return_total=True)
-    n_all = int(n_all)
+    # r13 wave 5: the within-type CDF (type-major order) and the pooled
+    # CDF (value order) fuse into ONE prefix sum over the axis-tagged
+    # union — one range-partitioner sampling pass + one offset collect
+    # instead of two sequential chains.  Axis 0 (all (type, value) rows)
+    # sorts entirely before axis 1 (pooled rows, constant type key), and
+    # both axes sum to the same N, so the axis-1 running sum is the
+    # global cum minus N and N itself is total//2 off the fused chain's
+    # offset collect — exact integers, bitwise both CDFs.
+    pooled = (c.groupBy(F.col("v").alias("pv"))
+              .agg(F.sum("cnt").cast("bigint").alias("pcnt")))
+    u = (c.select(F.lit(0).alias("axis"), "event_type", "v", "cnt")
+         .unionAll(pooled.select(F.lit(1).alias("axis"),
+                                 F.lit("").alias("event_type"),
+                                 F.col("pv").alias("v"),
+                                 F.col("pcnt").alias("cnt"))))
+    fused, total = global_prefix_sum(u, ["axis", "event_type", "v"],
+                                     "cnt", return_total=True)
+    n_all = int(total) // 2
+    cum = fused.where(F.col("axis") == 0).drop("axis")
     per_t = cum.groupBy("event_type").agg(
         (F.min(F.col("cum") - F.col("cnt"))).alias("pre"),
         F.sum("cnt").cast("bigint").alias("n_t"))
     tc = (cum.join(F.broadcast(per_t), "event_type")
           .withColumn("r", F.col("cum") - F.col("pre")))
     # pooled CDF (cum renamed hi: the query side carries its own cum)
-    pooled = (c.groupBy(F.col("v").alias("pv"))
-              .agg(F.sum("cnt").cast("bigint").alias("pcnt")))
-    pcum = (global_prefix_sum(pooled, ["pv"], "pcnt", cum_col="hi")
+    pcum = (fused.where(F.col("axis") == 1)
+            .select(F.col("v").alias("pv"), F.col("cnt").alias("pcnt"),
+                    (F.col("cum") - F.lit(n_all)).alias("hi"))
             .withColumn("lo", F.col("hi") - F.col("pcnt") + 1))
     q = (tc.withColumn("p", F.expr(f"(r * {n_all} + n_t - 1) div n_t"))
          .withColumn("bkt", F.expr(f"(p - 1) div {W}"))

@@ -2297,12 +2297,30 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paid a separate full-scan job before any consumer ran
     b = pinned(b, "spearman base pairs: two rank-map builds + the join",
                eager=False)
-    cx = b.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    rx = (global_prefix_sum(cx, ["x"], "c")
-          .select("x", (2 * F.col("cum") - F.col("c") + 1).alias("rx2")))
-    cy = b.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    ry = (global_prefix_sum(cy, ["y"], "c")
-          .select("y", (2 * F.col("cum") - F.col("c") + 1).alias("ry2")))
+    # r13 wave 5: ONE fused prefix sum over the axis-tagged union of the
+    # two distinct-value count tables instead of two independent chains
+    # (each a range-partitioner sampling pass + a driver offset collect,
+    # run back-to-back).  Both axes sum to the same n = |b|, and axis 0
+    # sorts entirely before axis 1 in the (axis, v) order, so the
+    # axis-1 running sum is the global cum minus n — exact integers,
+    # bitwise the two per-axis CDFs (and n itself is total//2 off the
+    # fused chain's own offset collect).
+    cx = (b.groupBy(F.col("x").alias("v"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+          .select(F.lit(0).alias("axis"), "v", "c"))
+    cy = (b.groupBy(F.col("y").alias("v"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+          .select(F.lit(1).alias("axis"), "v", "c"))
+    cum, total = global_prefix_sum(cx.unionAll(cy), ["axis", "v"], "c",
+                                   return_total=True)
+    n = int(total) // 2
+    rx = (cum.where(F.col("axis") == 0)
+          .select(F.col("v").alias("x"),
+                  (2 * F.col("cum") - F.col("c") + 1).alias("rx2")))
+    ry = (cum.where(F.col("axis") == 1)
+          .select(F.col("v").alias("y"),
+                  (2 * (F.col("cum") - F.lit(n)) - F.col("c") + 1)
+                  .alias("ry2")))
     j = b.join(rx, "x").join(ry, "y").select("rx2", "ry2")
     out = pearson_matrix(j, ["rx2", "ry2"])
     return out.select("n", F.col("corr").alias("rho"))
@@ -2549,21 +2567,37 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lazy is safe here: the first rank call's sampling pass scans it
     # directly (the lazy-pin safety rule from NOTES.md).
     from ophidia_io_server_spark.pin import pinned
-    cust = pinned(cust, "RFM per-customer collapse: 3 rank calls + join",
+    cust = pinned(cust, "RFM per-customer collapse: 3 rank axes + pivot",
                   eager=False)
-    rr, n = global_dense_rank(cust, ["recency_days", "c_custkey"],
-                              rank_col="rank", return_max=True)
-    rr = rr.select("c_custkey", F.col("rank").alias("rr"))
-    fr = global_dense_rank(cust, ["frequency", "c_custkey"])
-    fr = fr.select("c_custkey", F.col("rank").alias("fr"))
-    mr = global_dense_rank(cust, ["monetary_cents", "c_custkey"])
-    mr = mr.select("c_custkey", F.col("rank").alias("mr"))
-    j = (cust.join(rr, "c_custkey").join(fr, "c_custkey")
-         .join(mr, "c_custkey"))
+    # r13 wave 5: ONE fused rank over the axis-tagged union instead of
+    # three independent dense-rank calls (each a sampling pass + an
+    # offset collect — three sequential driver-blocking chains).  Every
+    # axis ranks the UNIQUE key (value, custkey), so each axis block
+    # holds exactly n distinct keys and the within-axis rank is the
+    # global rank over (axis, value, custkey) minus axis·n — exact
+    # integer arithmetic, bitwise the three per-axis ranks.  The three
+    # rank joins collapse into one |customers|-keyed pivot groupBy (the
+    # value columns ride the union rows, so the cust join is gone too).
+    axes = [("recency_days", 0), ("frequency", 1), ("monetary_cents", 2)]
+    u = None
+    for col, a in axes:
+        part = cust.select(F.lit(a).alias("axis"), F.col(col).alias("v"),
+                           "c_custkey")
+        u = part if u is None else u.unionAll(part)
+    ranked, max_rank = global_dense_rank(
+        u, ["axis", "v", "c_custkey"], rank_col="rank", return_max=True)
+    n = max_rank // 3  # 3 axes × n unique keys each
+    piv = ranked.groupBy("c_custkey").agg(
+        *[F.max(F.when(F.col("axis") == a, F.col("v")))
+          .cast("bigint").alias(col) for col, a in axes],
+        *[F.max(F.when(F.col("axis") == a,
+                       F.col("rank") - F.lit(a * n)))
+          .cast("bigint").alias(rc)
+          for (_, a), rc in zip(axes, ("rr", "fr", "mr"))])
     r_score = 5 - F.expr(f"(rr - 1) * 5 div {n}")
     f_score = 1 + F.expr(f"(fr - 1) * 5 div {n}")
     m_score = 1 + F.expr(f"(mr - 1) * 5 div {n}")
-    return j.select(
+    return piv.select(
         "c_custkey", "recency_days", "frequency", "monetary_cents",
         r_score.cast("bigint").alias("r_score"),
         f_score.cast("bigint").alias("f_score"),
