@@ -45,3 +45,28 @@ def pinned(df: DataFrame, note: str, eager: bool = True) -> DataFrame:
     out = df.localCheckpoint(eager=eager)
     out._pin_note = note  # noqa: SLF001 — introspection hook for audits
     return out
+
+
+def pinned_parallel(*pairs: tuple[DataFrame, str]) -> list[DataFrame]:
+    """Eagerly pin several INDEPENDENT DataFrames concurrently.
+
+    Each eager ``localCheckpoint`` is a driver-blocking job; calling
+    ``pinned`` back-to-back on independent subplans serializes those
+    jobs, leaving executors idle through each job's straggler tail.
+    Spark happily runs concurrent jobs from several driver threads
+    (FIFO scheduling back-fills the tail of one job with tasks of the
+    next), so independent pins are submitted from a small thread pool
+    and awaited together.  Results come back in argument order.
+
+    Only for subplans with NO shared un-materialized lineage: a shared
+    lazy parent would be raced by both jobs (block-level locks make
+    that correct but can duplicate partition compute).  Exceptions
+    propagate; all threads are joined before returning."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(pairs) == 1:
+        df, note = pairs[0]
+        return [pinned(df, note)]
+    with ThreadPoolExecutor(max_workers=len(pairs)) as pool:
+        futs = [pool.submit(pinned, df, note) for df, note in pairs]
+        return [f.result() for f in futs]

@@ -168,23 +168,53 @@ def equi_depth_histogram(df: DataFrame, value_col: str,
 
     Returns one row per non-empty bucket: ``(bucket, n_rows, lo, hi)``
     with lo/hi the bucket's min/max value — the boundary table a
-    range-predicate selectivity estimator reads.  One range exchange +
-    one bounded aggregation; nothing driver-sized."""
-    from ophidia_io_server_spark.operators.ranking import global_dense_rank
+    range-predicate selectivity estimator reads.
 
+    r13 opt (guide §2.3: shuffle the value GRID, not the rows): in any
+    rank order keyed (value, *tiebreak), the rows of one value occupy
+    the CONTIGUOUS rank block [cum−cnt+1, cum] — the tie-break only
+    permutes ranks within that block, and bucket counts/boundaries
+    depend only on how the block intersects the bucket rank intervals.
+    So the histogram is computed from the distinct-value CDF
+    (``global_prefix_sum`` over the value-count table): the range
+    exchange carries one row per DISTINCT value instead of one per row
+    (the canonical_tdigest discipline).  ``tiebreak_cols`` is kept in
+    the signature for API stability / self-documentation of the rank
+    order the result is defined over; the result is provably identical
+    for every tie-break choice.  Bucket k covers ranks r with
+    ((r−1)·bins) DIV n = k, i.e. r−1 ∈ [⌈kn/b⌉, ⌈(k+1)n/b⌉−1] — pure
+    BIGINT arithmetic; per-(value, bucket) overlap counts sum to the
+    per-bucket depth."""
+    from ophidia_io_server_spark.operators.ranking import global_prefix_sum
+
+    del tiebreak_cols  # provably irrelevant to the result (see above)
+    b = int(bins)
     base = df.where(F.col(value_col).isNotNull()).select(
-        F.col(value_col).alias("v"),
-        *[F.col(c) for c in tiebreak_cols])
-    # (value, *tiebreak) is unique per row, so the dense rank is a row
-    # rank and its max IS n — return_max rides the rank's own offset
-    # summary, no separate count() pass
-    ranked, n = global_dense_rank(base, ["v", *tiebreak_cols], partitions,
-                                  return_max=True)
-    return (ranked
-            .withColumn("bucket", F.expr(
-                f"CAST(((rank - 1) * {int(bins)}) DIV {int(n)} AS BIGINT)"))
+        F.col(value_col).alias("v"))
+    vc = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cum, n = global_prefix_sum(vc, ["v"], "cnt", partitions,
+                               return_total=True)
+    n = int(n)
+    # value block spans ranks [cum−cnt+1, cum] → buckets lob..hib
+    lob = F.expr(f"CAST(((cum - cnt) * {b}) DIV {max(n, 1)} AS BIGINT)")
+    hib = F.expr(f"CAST(((cum - 1) * {b}) DIV {max(n, 1)} AS BIGINT)")
+    e = cum.select(
+        "v", "cnt", "cum",
+        F.explode(F.sequence(lob, hib)).alias("bucket"))
+    # bucket k's rank interval [r_lo, r_hi] (1-based, derivation above)
+    r_lo = F.expr(f"CAST((bucket * {n} + {b} - 1) DIV {b} + 1 AS BIGINT)")
+    r_hi = F.expr(f"CAST(((bucket + 1) * {n} + {b} - 1) DIV {b} AS BIGINT)")
+    overlap = (F.least(F.col("cum"), r_hi)
+               - F.greatest(F.col("cum") - F.col("cnt") + 1, r_lo)
+               + 1)
+    # n < bins leaves some bucket rank-intervals EMPTY; the block-span
+    # sequence can then enumerate such a bucket with overlap 0 — drop it
+    # so phantom values never reach the lo/hi aggregates (the row-rank
+    # formulation emitted non-empty buckets only)
+    return (e.withColumn("_ov", overlap).where(F.col("_ov") > 0)
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            .agg(F.sum("_ov").cast("bigint").alias("n_rows"),
                  F.min("v").alias("lo"), F.max("v").alias("hi")))
 
 

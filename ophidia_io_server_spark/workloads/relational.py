@@ -999,12 +999,16 @@ def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    scan each side (count aggregates fused by AQE stage reuse is NOT
     #    relied on: n_lineitem reads the pinned counts, n_orders rides
     #    the ska build input once via a pinned key projection).
-    lc = pinned(li.groupBy("k").agg(F.count(F.lit(1)).cast("bigint")
-                                    .alias("c")),
-                "join-size lineitem key counts: weighted CMS build + "
-                "exact join + n_lineitem")
-    ok = pinned(o, "join-size orders keys: CMS build + exact semi-join + "
-                "n_orders")
+    # r13 wave 5: the two pins read DIFFERENT tables (no shared lazy
+    # lineage), so their materialization jobs overlap on a thread pool
+    # (guide §2.6) instead of running back-to-back.
+    from ophidia_io_server_spark.pin import pinned_parallel
+    lc, ok = pinned_parallel(
+        (li.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+         "join-size lineitem key counts: weighted CMS build + "
+         "exact join + n_lineitem"),
+        (o, "join-size orders keys: CMS build + exact semi-join + "
+            "n_orders"))
     ska = countmin_build(ok, "k", depth=depth, width=width, seed=11)
     skb = countmin_build(lc, "k", depth=depth, width=width, seed=11,
                          weight_col="c")

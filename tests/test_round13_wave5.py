@@ -49,6 +49,39 @@ def test_fused_axis_dense_rank_matches_per_axis(spark):
             assert got[(ax, rid)] == rk, (col, rid)
 
 
+def _brute_equi_depth(vals, bins):
+    """Row-rank reference: rank every row, bucket = ((r-1)*bins)//n."""
+    n = len(vals)
+    out = {}
+    for r, v in enumerate(sorted(vals), start=1):
+        b = ((r - 1) * bins) // n
+        cnt, lo, hi = out.get(b, (0, v, v))
+        out[b] = (cnt + 1, min(lo, v), max(hi, v))
+    return {b: t for b, t in out.items()}
+
+
+def test_equi_depth_histogram_matches_row_rank(spark):
+    from ophidia_io_server_spark.pipeline.quantile import (
+        equi_depth_histogram,
+    )
+
+    # heavy ties straddling bucket boundaries, plus distinct spread
+    vals = [5.0] * 7 + [1.0] * 3 + [9.0, 2.0, 2.0, 8.0, 7.5, 7.5, 3.25]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "x double, id long")
+    got = {r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+           for r in equi_depth_histogram(df, "x", ["id"], bins=4).collect()}
+    assert got == _brute_equi_depth(vals, 4)
+    # fewer rows than bins: empty buckets must be ABSENT, lo/hi clean
+    small = [4.0, 4.0, 11.0, 2.5, 30.0]
+    dfs = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(small)], "x double, id long")
+    got = {r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+          for r in equi_depth_histogram(dfs, "x", ["id"], bins=8).collect()}
+    assert got == _brute_equi_depth(small, 8)
+    assert all(c >= 1 for c, _, _ in got.values())
+
+
 def test_fused_axis_prefix_sum_matches_per_axis(spark):
     # two count tables with the SAME grand total (the spearman shape)
     cx = spark.createDataFrame(
