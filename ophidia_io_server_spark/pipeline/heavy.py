@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _mg_partitions(item_col: str, k: int):
+def _mg_partitions(item_col: str, k: int, weight_col: str | None = None):
     """Weighted (batched) Misra-Gries: fold each Arrow batch's
     ``value_counts()`` into the counters, then restore the ≤k invariant by
     repeatedly subtracting the minimum counter from ALL counters (deleting
@@ -52,14 +52,27 @@ def _mg_partitions(item_col: str, k: int):
     > n_p/(k+1) still survives, same bound as the one-token-at-a-time
     kernel.  Python work per batch drops from O(tokens) dict ops to
     O(uniq) (pandas value_counts + one numpy selection) — the batch's
-    duplication factor is the speedup."""
+    duplication factor is the speedup.
+
+    ``weight_col``: run over a PRE-AGGREGATED ``(item, weight)`` table —
+    each row folds in as ``weight`` repetitions of ``item`` (the same
+    weighted-MG step the batch fold above already performs), so the
+    n/(k+1) survivor guarantee holds for the identical underlying
+    multiset.  A caller that already built the exact count table ships
+    |items| rows across the Python boundary instead of |rows| (guide
+    §4: pass fewer rows, same arithmetic)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         counters: dict = {}
         for b in batches:
-            for it, w in b[item_col].value_counts(dropna=True).items():
+            if weight_col is not None:
+                pairs = b.groupby(item_col, dropna=True)[weight_col] \
+                    .sum().items()
+            else:
+                pairs = b[item_col].value_counts(dropna=True).items()
+            for it, w in pairs:
                 counters[it] = counters.get(it, 0) + int(w)
             if len(counters) > k:
                 vals = np.fromiter(counters.values(), dtype=np.int64,
@@ -71,15 +84,25 @@ def _mg_partitions(item_col: str, k: int):
     return run
 
 
-def heavy_hitter_candidates(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
+def heavy_hitter_candidates(df: DataFrame, item_col: str, k: int = 64,
+                            weight_col: str | None = None) -> DataFrame:
     """Distinct Misra-Gries survivors across partitions (≤ k·P rows before
     the distinct) — guaranteed superset of every item with global
     frequency > n/(k+1).  Works for any atomic item type (the Arrow
     output schema mirrors the input column's type); nested types would
-    need hashable keys and are rejected by Arrow anyway."""
+    need hashable keys and are rejected by Arrow anyway.
+
+    ``weight_col``: treat ``df`` as a pre-aggregated ``(item, weight)``
+    table (see ``_mg_partitions``) — the survivor guarantee is over the
+    same multiset, so any exact-verified top-N whose N-th count clears
+    the n/(k+1) threshold is unchanged."""
     item_type = df.schema[item_col].dataType.simpleString()
-    cand = df.select(F.col(item_col).alias("item")).mapInPandas(
-        _mg_partitions("item", k), f"item {item_type}")
+    cols = [F.col(item_col).alias("item")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_w"))
+    cand = df.select(*cols).mapInPandas(
+        _mg_partitions("item", k, "_w" if weight_col else None),
+        f"item {item_type}")
     return cand.distinct()
 
 
@@ -92,12 +115,20 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 64,
     ``k ≥ n/count_N − 1``.
 
     ``counts``: optional pre-aggregated exact ``(item, cnt)`` table (same
-    universe as ``df``'s item stream).  The MG candidate pass still runs
-    over the raw stream; only the exact-count verify phase reads the
-    summary instead of re-scanning the corpus (r13 opt — callers that
-    already built the item-count table for another consumer save one
-    full pass; the counts per item are identical by construction)."""
-    cand = heavy_hitter_candidates(df, item_col, k)
+    universe as ``df``'s item stream).  BOTH phases then read the
+    summary instead of the corpus (r13 opt — callers that already built
+    the item-count table for another consumer save the raw-stream
+    passes entirely): the exact-count verify phase semi-joins it, and
+    the MG candidate pass runs WEIGHTED over it — |items| rows across
+    the Python boundary instead of |rows| (guide §4).  The weighted MG
+    summary keeps the same n/(k+1) survivor guarantee over the same
+    multiset, so the exact-verified top-N is unchanged whenever the
+    N-th count clears the threshold (the contract the caller picks k
+    for; pinned by tests/test_heavy.py::test_weighted_counts_path)."""
+    if counts is not None:
+        cand = heavy_hitter_candidates(counts, "item", k, weight_col="cnt")
+    else:
+        cand = heavy_hitter_candidates(df, item_col, k)
     if counts is not None:
         exact = counts.join(F.broadcast(cand), on="item", how="left_semi") \
             .select("item", F.col("cnt").cast("bigint").alias("cnt"))

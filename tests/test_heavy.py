@@ -52,6 +52,35 @@ def test_exact_counts_and_topn(spark):
     assert [(r["item"], r["cnt"]) for r in top] == [("a", 100), ("b", 80), ("c", 60)]
 
 
+def test_weighted_counts_path(spark):
+    """r13 wave 5: heavy_hitters(counts=...) routes the MG candidate pass
+    over the pre-aggregated (item, cnt) table (weighted MG, |items| rows
+    across the Python boundary).  The weighted summary keeps the n/(k+1)
+    survivor guarantee over the same multiset, so the exact-verified
+    top-N equals the raw-stream path's whenever the N-th count clears
+    the threshold — pinned here on an adversarial layout."""
+    rng = np.random.default_rng(31)
+    items = (["a"] * 400 + ["b"] * 300 + ["c"] * 200 + ["d"] * 150
+             + [f"t{int(x)}" for x in rng.integers(0, 800, 2000)])
+    rng.shuffle(items)
+    df = _items_df(spark, items, parts=16)
+    counts = df.groupBy(F.col("tok").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    for parts in (1, 4, 32):
+        raw = heavy_hitters(df, "tok", k=64, top_n=4).collect()
+        wtd = heavy_hitters(df, "tok", k=64, top_n=4,
+                            counts=counts.repartition(parts)).collect()
+        assert [tuple(r) for r in raw] == [tuple(r) for r in wtd]
+    # candidate superset property holds on the weighted path too
+    n, k = len(items), 64
+    exact = Counter(items)
+    cand = {r["item"] for r in heavy_hitter_candidates(
+        counts.repartition(8), "item", k, weight_col="cnt").collect()}
+    for it, c in exact.items():
+        if c > n / (k + 1):
+            assert it in cand, (it, c)
+
+
 def test_nulls_ignored(spark):
     df = spark.createDataFrame([("a",), (None,), ("a",), (None,)], "tok string")
     got = heavy_hitters(df, "tok", k=4).collect()
