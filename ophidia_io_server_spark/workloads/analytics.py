@@ -3269,6 +3269,11 @@ def token_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13 wave 6 note: pinning this edge list was A/B'd and REJECTED
+    # (1.28 → 1.31/1.33 s) — AQE exchange reuse already dedups the 22
+    # corpus-subtree copies at runtime, and this row's execution time is
+    # the deg² wedge join, so the pin job only added plan-side cost
+    # (unlike token_graph_assortativity, where the same pin won 0.3 s).
     e = (cooccurrence_counts(docs, window=2)
          .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
          .select("wa", "wb"))
@@ -3849,6 +3854,14 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ((F.col("yb") - F.col("ya")).cast("double")
                        / (F.col("ib") - F.col("ia"))).alias("sl"),
                       "ia", "ib"))
+    # r13 wave 6 note: replacing this per-type rank window with the
+    # distributed two-phase rank (the doc_stratified_split fused-axis
+    # form — bitwise-identical selection) was A/B'd and REJECTED: 2.19 →
+    # 2.85/4.22/5.38 s — the chain's checkpoint + boundary-sampling jobs
+    # over the H²/2 pair table cost more than the ≤|types|-task sort
+    # they remove at this span (720 h × 5 types).  At a span where one
+    # stratum's pairs outgrow a task, the distributed form is the
+    # documented escape hatch.
     wr = Window.partitionBy("event_type").orderBy("sl", "ia", "ib")
     wc = Window.partitionBy("event_type")
     med = (slopes.select("event_type", "sl",
@@ -3919,11 +3932,18 @@ def token_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; no windows, no pairs beyond the edges themselves."""
     from ophidia_io_server_spark.pipeline.text import cooccurrence_counts
 
+    from ophidia_io_server_spark.pin import pinned
+
     dec = "decimal(38,0)"
     docs = load_table(spark, sf_dir, "documents")
-    e = (cooccurrence_counts(docs, window=2)
-         .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
-         .select("wa", "wb"))
+    # r13 wave 6: pin the bounded edge list (count≥5 threshold) — the
+    # corpus tokenize+pair chain appeared 12× in the final plan (und
+    # duplicates e, deg/x/y each re-derive und); the graph rows'
+    # pinned-edges discipline (kcore/bfs) applied here.
+    e = pinned((cooccurrence_counts(docs, window=2)
+                .where((F.col("c12") >= 5) & (F.col("wa") != F.col("wb")))
+                .select("wa", "wb")),
+               "assortativity edge list: 12 subtree copies before the pin")
     und = (e.select(F.col("wa").alias("u"), F.col("wb").alias("v"))
            .unionByName(e.select(F.col("wb").alias("u"),
                                  F.col("wa").alias("v"))))
@@ -4994,9 +5014,19 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.round(F.col("value") * 100).cast("bigint").alias("v"),
                  F.when(F.expr("unix_micros(cast(ts as timestamp))")
                         < F.col("mid"), 1).otherwise(0).alias("ha")))
-    vc = b.groupBy("v").agg(
-        F.sum("ha").cast("bigint").alias("ca"),
-        F.sum(1 - F.col("ha")).cast("bigint").alias("cb"))
+    from ophidia_io_server_spark.pin import pinned
+
+    # r13 wave 6: pin the value-cardinality collapse — it feeds FOUR
+    # consumers (totals, the prefix-sum chain, the bin-edge assignment,
+    # the final cell join), each of which re-derived the events scan +
+    # groupBy before (the mad/brown-forsythe pinned-value-grid
+    # discipline).  ``vb`` also dropped its redundant ``distinct``:
+    # ``v`` is the groupBy key, already unique.
+    vc = pinned(
+        b.groupBy("v").agg(
+            F.sum("ha").cast("bigint").alias("ca"),
+            F.sum(1 - F.col("ha")).cast("bigint").alias("cb")),
+        "PSI value-count grid: 4 consumers")
     tot = vc.agg(F.sum("ca").cast("bigint").alias("na"),
                  F.sum("cb").cast("bigint").alias("nb"))
     cum = global_prefix_sum(vc.where(F.col("ca") > 0).select("v", "ca"),
@@ -5006,7 +5036,7 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
              .crossJoin(F.broadcast(ks))
              .where(10 * F.col("cum") >= F.col("k") * F.col("na"))
              .groupBy("k").agg(F.min("v").alias("edge")))
-    vb = (vc.select("v").distinct()
+    vb = (vc.select("v")
           .crossJoin(F.broadcast(edges))
           .groupBy("v")
           .agg(F.sum(F.when(F.col("v") >= F.col("edge"), 1).otherwise(0))
@@ -5767,6 +5797,10 @@ def events_tdigest_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("event_type",
                  F.round(F.col("value") * 100).cast("bigint").alias("v")))
     dig = canonical_tdigest(e, ["event_type"], "v", delta=_TDIGEST_DELTA)
+    # r13 wave 6 note: pinning the estimate frame (2 consumers) was
+    # A/B'd and REJECTED (1.03 → 1.07/1.08 s warm) — AQE exchange reuse
+    # already dedups the digest chain at runtime; the pin only
+    # serialized an extra job.
     est = tdigest_estimate(dig, ["event_type"],
                            [p / 1_000_000 for p in _TDIGEST_QS_PPM])
     vc = e.groupBy("event_type", "v").agg(

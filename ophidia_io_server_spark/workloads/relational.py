@@ -1956,16 +1956,29 @@ def orders_woe_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "o_orderkey", "left")
            .select("o_orderkey", "o_totalprice",
                    F.coalesce("_bad", F.lit(0)).alias("bad")))
-    ranked = global_dense_rank(lab, ["o_totalprice", "o_orderkey"])
-    n = ranked.agg(F.max("rank").alias("n"))
-    bins = (ranked.crossJoin(F.broadcast(n))
-            .select(F.expr("(rank - 1) * 10 div n").cast("bigint")
-                    .alias("bin"), "bad")
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-                 F.sum("bad").cast("bigint").alias("n_bad"))
-            .withColumn("n_good",
-                        (F.col("n_orders") - F.col("n_bad")).cast("bigint")))
+    # r13 wave 6: (o_totalprice, o_orderkey) is unique per order, so the
+    # dense max rank IS n — return_max reads it off the offset collect the
+    # rank chain already runs (zero extra passes) and inlines it as a
+    # literal; the old ``agg(max(rank))`` 1-row frame re-scanned the
+    # checkpoint blocks once per broadcast site (4 subtree copies in the
+    # final plan).  The ≤10-row bins frame is pinned so the totals
+    # aggregate and the final projection share ONE bins computation
+    # instead of re-deriving the rank-join + bin groupBy chain each
+    # (the wave-4 1-row-bloom-frame discipline).
+    ranked, n = global_dense_rank(lab, ["o_totalprice", "o_orderkey"],
+                                  return_max=True)
+    from ophidia_io_server_spark.pin import pinned
+
+    bins = pinned(
+        ranked.select(F.expr(f"(rank - 1) * 10 div {int(n)}").cast("bigint")
+                      .alias("bin"), "bad")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+             F.sum("bad").cast("bigint").alias("n_bad"))
+        .withColumn("n_good",
+                    (F.col("n_orders") - F.col("n_bad")).cast("bigint")),
+        "woe bins: ≤10-row frame feeds the totals aggregate AND the "
+        "final projection (lazy A/B'd SLOWER: 1.88 vs 1.57 total)")
     tot = bins.agg(F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg"))
     return (bins.crossJoin(F.broadcast(tot))
             .select("bin", "n_orders", "n_bad", "n_good",
@@ -3375,15 +3388,34 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair aggregate, two part-keyed frequency joins (no forced
     broadcast — r9 verdict #2)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    nt = op.agg(F.countDistinct("l_orderkey").cast("bigint")
-                .alias("n_orders"))
-    pf = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint")
-                                     .alias("np"))
-    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pr = (a.join(b, "l_orderkey")
-          .where(F.col("part_a") < F.col("part_b"))
+    # r13 wave 6 (in-row pair enumeration, the association-triples
+    # discipline): ONE groupBy(l_orderkey).collect_set shuffle replaces
+    # the old distinct-projection + orderkey self-join — collect_set
+    # dedups map-side (partial aggregation), the sorted per-order array
+    # enumerates exactly the part_a < part_b pairs the self-join
+    # produced, and all three consumers (pair stream, part frequencies,
+    # order total) read the SAME grouped exchange instead of separate
+    # distinct/join subtrees.  Bitwise-identical outputs (oracle
+    # re-verified sf0.001 + sf0.01).
+    from ophidia_io_server_spark.pin import pinned
+    sets = pinned(li.groupBy("l_orderkey")
+                  .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")),
+                  "copurchase per-order part sets: 3 consumers")
+    nt = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    pf = (sets.select(F.explode("ps").alias("l_partkey"))
+          .groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("np")))
+    k = F.size("ps")
+    pairs_per_order = F.flatten(F.transform(
+        F.sequence(F.lit(1), k - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, k),
+            lambda j: F.struct(
+                F.element_at("ps", i.cast("int")).alias("part_a"),
+                F.element_at("ps", j.cast("int")).alias("part_b")))))
+    pr = (sets.where(k >= 2)
+          .select(F.explode(pairs_per_order).alias("p"))
+          .select("p.part_a", "p.part_b")
           .groupBy("part_a", "part_b")
           .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
           .where(F.col("nab") >= 3))
