@@ -80,6 +80,10 @@ THRESHOLD_ULPS = 1e4  # flag margins below this (drift seen is 1-2 ulps;
 #                                         (one IEEE division)
 SAFE_EXACT: set[str] = {
     "events_tdigest_quantiles.mean_cents",
+    # same exact BIGINT sum_val/weight ratio (one IEEE division) — the
+    # estimator-API gate arm promoted in r13 reuses the cluster mean the
+    # line above already whitelists (pipeline/quantile.py::tdigest_estimate)
+    "events_tdigest_estimates.est",
     "dedup_substring_spans.dup_frac",
     "curation_quality_rules.mean_word_len",
     "token_budget_select.quality",
