@@ -2960,6 +2960,10 @@ def events_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bitwise identical.  Rounds R−1 and R are always pinned: the
         # convergence diff consumes round R−1 TWICE (as prev and inside
         # round R), which without a pin would recompute it.
+        # (r13 wave 6: stride 5 and no-mid-pin variants were A/B'd — all
+        # three land in the same 4.1–4.9 s warm band at sf0.1; the
+        # per-round shuffle-stage latency, not the pin cadence, is the
+        # floor.  Stride 3 stays for its bounded-lineage posture.)
         if (i + 1) % 3 == 0 or i >= ROUNDS - 2:
             labels = pinned(labels, f"dbscan labels round {i + 1}",
                             eager=False)
