@@ -2042,11 +2042,10 @@ def events_mannwhitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tr WHERE sum25 IS NOT NULL GROUP BY 1, 2
     )
     SELECT t.event_type, t.hr, t.y,
-           ROUND(CAST(t.sum25 AS DOUBLE) / 25, 6) AS trend,
-           ROUND(CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE), 6)
-             AS seasonal,
-           ROUND(CAST(t.y AS DOUBLE) - CAST(t.sum25 AS DOUBLE) / 25
-                 - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE), 6)
+           CAST(t.sum25 AS DOUBLE) / 25 AS trend,
+           CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE) AS seasonal,
+           CAST(t.y AS DOUBLE) - CAST(t.sum25 AS DOUBLE) / 25
+                 - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE)
              AS resid
     FROM tr t
     JOIN seas s ON s.event_type = t.event_type
@@ -2072,7 +2071,12 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and every window/join below runs on that bounded series, so the
     per-type window partition is span-sized, never data-sized.  All
     arithmetic is exact-integer (sum25, 25·y − sum25) until one final
-    IEEE expression per column, rounded 6 — cross-engine bitwise."""
+    IEEE expression per column — UN-rounded (r14): single correctly-
+    rounded divisions and fixed-order subtractions are IEEE-determined
+    and therefore cross-engine bitwise, whereas a trailing
+    ROUND(double, 6) readout is engine/version-dependent on ties and
+    near-ties (the r13 driver-gate red on this row's suite; see
+    ``events_ewma_halflife`` for the decode)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -2095,9 +2099,9 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tr.withColumn("hod", F.hour("hr"))
             .join(seas, ["event_type", "hod"])
             .select("event_type", "hr", "y",
-                    F.round(trend, 6).alias("trend"),
-                    F.round(seasonal, 6).alias("seasonal"),
-                    F.round(F.col("y").cast("double") - trend - seasonal, 6)
+                    trend.alias("trend"),
+                    seasonal.alias("seasonal"),
+                    (F.col("y").cast("double") - trend - seasonal)
                     .alias("resid")))
 
 
@@ -2617,7 +2621,7 @@ def doc_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly
     )
     SELECT event_type, hr, y,
-           ROUND(list_reduce(ys, (acc, x) -> acc / 2 + x / 2), 6) AS ewma
+           list_reduce(ys, (acc, x) -> acc / 2 + x / 2) AS ewma
     FROM pre
     """,
 )
@@ -2630,6 +2634,18 @@ def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines produce bit-identical values — no ``pow(1−α, k)``
     accumulation drift (the general-α version would need the
     integer-scaled trick; documented trade).
+
+    The readout hashes the RAW dyadic double, deliberately UN-rounded:
+    dyadic values systematically land on exact 6-decimal ties
+    (k odd/2⁷ → x·10⁶ is an exact half-integer — 5 such rows at
+    sf0.01), and ROUND(double, n) tie-breaking is engine- and
+    version-dependent (Spark rounds HALF_UP on the exact BigDecimal;
+    DuckDB's float-multiply path differs across releases), which is
+    exactly the r13 driver-gate red on this row — invisible to the
+    transcendental canary, which probes ln/exp/pow but never ROUND.
+    Every op left in the chain (exact halvings, one correctly-rounded
+    IEEE add per step, fixed fold order) is IEEE-754-determined, so the
+    un-rounded double is the cross-engine-stable projection.
 
     Scale shape: the corpus collapses to the span-bounded (type, hour)
     series first; each row folds its own prefix (one window collect +
@@ -2651,8 +2667,7 @@ def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
         F.element_at(F.col("ys"), 1),
         lambda acc, x: acc / 2 + x / 2)
-    return pre.select("event_type", "hr", "y",
-                      F.round(ewma, 6).alias("ewma"))
+    return pre.select("event_type", "hr", "y", ewma.alias("ewma"))
 
 
 @workload(
@@ -3638,9 +3653,9 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pre
     )
     SELECT event_type, hr, y,
-           ROUND(lb[1], 6) AS level,
-           ROUND(lb[2], 6) AS trend,
-           ROUND(lb[1] + lb[2], 6) AS forecast_next
+           lb[1] AS level,
+           lb[2] AS trend,
+           lb[1] + lb[2] AS forecast_next
     FROM folded
     """,
 )
@@ -3652,6 +3667,13 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, so the recursion is bit-identical cross-engine (general
     α/β would need pow(1−α,k) accumulation — documented trade).  The
     one-step-ahead forecast lₜ + bₜ is the planning readout.
+
+    Readouts hash the RAW dyadic doubles, UN-rounded (r14): dyadic
+    values hit exact 6-decimal ties (7 tie cells at sf0.01) and
+    ROUND(double, n) tie-breaking is engine/version-dependent — the
+    r13 driver-gate red on this row's suite; see
+    ``events_ewma_halflife`` for the full decode.  The remaining ops
+    (halvings, fixed-order adds, one final add) are IEEE-determined.
 
     The fold carries the (level, trend) PAIR as a 2-element double
     array so the ``F.aggregate`` ↔ ``list_reduce`` accumulator types
@@ -3676,9 +3698,9 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("ys"), 1), step)
     return pre.select(
         "event_type", "hr", "y",
-        F.round(F.element_at(lb, 1), 6).alias("level"),
-        F.round(F.element_at(lb, 2), 6).alias("trend"),
-        F.round(F.element_at(lb, 1) + F.element_at(lb, 2), 6)
+        F.element_at(lb, 1).alias("level"),
+        F.element_at(lb, 2).alias("trend"),
+        (F.element_at(lb, 1) + F.element_at(lb, 2))
         .alias("forecast_next"))
 
 def _bfs_oracle(seed: str, hops: int) -> str:
@@ -4753,7 +4775,8 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe (a raw-count threshold would just flag every rush hour).
 
     Composition + float discipline: the base row's residuals are
-    already rounded-6 IEEE values bitwise-identical across engines, so
+    exact IEEE values bitwise-identical across engines (un-rounded
+    since r14 — see ``events_seasonal_decompose``), so
     this operator CONSUMES the sibling workload verbatim (same fn here,
     its oracle text inlined as a CTE there); the per-type moment sums
     ride hr-ordered folds (``F.aggregate`` ↔ ``list_reduce``), making
@@ -5420,12 +5443,12 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     Var(R)/Var(S+R)), F_t = max(0, 1 − Var(R)/Var(T+R))) — the
     one-number "how seasonal / how trending is this series" summary a
     monitoring dashboard ranks series by, COMPOSED on the classical
-    decomposition row (consumes its bitwise 6-dp-rounded trend/seasonal/
-    resid; the ``events_seasonal_anomalies`` discipline — the oracle
-    inlines the base oracle as a CTE).
+    decomposition row (consumes its bitwise exact trend/seasonal/resid,
+    un-rounded since r14; the ``events_seasonal_anomalies`` discipline
+    — the oracle inlines the base oracle as a CTE).
 
     Float discipline: all six moments are seeded LEFT FOLDS in hr order
-    over the rounded base values (`F.aggregate` <-> `list_reduce`);
+    over the bitwise base values (`F.aggregate` <-> `list_reduce`);
     the variance ratios are single IEEE chains over the folded scalars.
 
     Scale: one groupBy over the span-bounded decomposition output;

@@ -466,7 +466,11 @@ def test_rrf_fuses_both_rankings(spark):
 def test_ewma_exact_dyadic_recursion(spark, tmp_path):
     import pandas as pd
 
-    counts = [4, 8, 2, 6, 10]
+    # 8+ hours so the dyadic fold reaches 7 fraction bits: s₈ carries a
+    # k·2⁻⁷ term, an EXACT 6-decimal tie (x·10⁶ is a half-integer) — the
+    # class of value whose ROUND(·, 6) is engine/version-dependent and
+    # must therefore never re-enter this projection
+    counts = [3, 4, 4, 4, 4, 4, 4, 4, 6, 2]
     rows = []
     eid = 0
     for h, k in enumerate(counts):
@@ -482,9 +486,15 @@ def test_ewma_exact_dyadic_recursion(spark, tmp_path):
     out = sorted(WORKLOADS["events_ewma_halflife"].fn(
         spark, str(tmp_path)).collect(), key=lambda r: r["hr"])
     s = None
+    saw_tie = False
     for r, y in zip(out, counts):
         s = float(y) if s is None else s / 2 + y / 2
-        assert r["y"] == y and r["ewma"] == round(s, 6)
+        # bitwise: the un-rounded dyadic fold must match Python's exactly
+        # (r14 — the ROUND(·,6) readout left the projection because dyadic
+        # values hit exact 6-dp ties and tie-breaking is engine-dependent)
+        assert r["y"] == y and r["ewma"] == s
+        saw_tie = saw_tie or (s != round(s, 6))
+    assert saw_tie, "test data must exercise a value ROUND(·,6) would alter"
 
 
 # -- quantile normalization ---------------------------------------------------
