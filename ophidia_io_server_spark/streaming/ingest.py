@@ -326,15 +326,26 @@ def run_available_now(sdf: DataFrame, query_name: str, output_mode: str = "compl
     return the result table.  Used by tests and the correctness gate to check
     streaming plans against batch oracles."""
     spark = sdf.sparkSession
-    with stream_shuffle_partitions(spark):
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_sec)
+    # Pin the no-data micro-batch explicitly (it is the Spark default):
+    # the sentinel stagings rely on the trailing no-data batch to run the
+    # watermark-driven state-eviction/timeout pass before the availableNow
+    # drain terminates (workloads/streaming.py::_staged_events_outer_dir).
+    old_ndmb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled",
+                              "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        with stream_shuffle_partitions(spark):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout_sec)
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       old_ndmb)
     return spark.table(query_name)
 
 

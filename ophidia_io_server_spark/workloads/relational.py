@@ -500,14 +500,19 @@ def stream_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophidia_io_server_spark.streaming.ingest import minhash_lsh_stream
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = _corpus_tag(sf_dir, "documents", salt="mhstream4")
+    tag = _corpus_tag(sf_dir, "documents", salt="mhstream2")
     path = f"/tmp/ophidia_stream_mh_{tag}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        # 4 files → 4 micro-batches: enough to exercise multi-batch
-        # state carry (old↔new and new↔new candidate classes) while the
-        # row's wall time stays trigger-bounded; pair emission is
-        # batch-arrival invariant, so the oracle is unaffected
-        docs.select("doc_id", "text").repartition(4).write.mode(
+        # 2 files → 2 micro-batches (r14, verdict item 2; was 4): batch 1
+        # exercises the new↔new candidate class, batch 2 the old↔new
+        # state-carry class against batch 1's persisted band index — both
+        # multi-batch classes stay covered while two whole micro-batches
+        # of per-batch machinery leave the drain; pair emission is
+        # batch-arrival invariant (banding is per-doc deterministic), so
+        # the oracle is unaffected — probed bitwise-identical across
+        # 4/2/1-file stagings AND against the one-shot batch plan at
+        # sf0.01 (scripts/r14_stream_batchcount_probe.py)
+        docs.select("doc_id", "text").repartition(2).write.mode(
             "overwrite").parquet(path)
         open(f"{path}/_SUCCESS", "a").close()
     stream = (spark.readStream.schema("doc_id long, text string")
@@ -1616,8 +1621,9 @@ def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental quantile sketch
-    (``streaming/ingest.py::quantile_sketch_stream``): events arrive in 4
-    micro-batches (maxFilesPerTrigger=1); each batch is sketched alone and
+    (``streaming/ingest.py::quantile_sketch_stream``): events arrive in
+    micro-batches (maxFilesPerTrigger=1 over the 2-file staging); each
+    batch is sketched alone and
     merged into the persisted per-type state — O(|batch| + cells·k) per
     batch, never a history re-scan.  The coordination theorem upgrades the
     usual stream≡batch SET equality to BITWISE sample equality for any
